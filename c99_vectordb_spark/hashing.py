@@ -1,0 +1,107 @@
+"""Stable cross-engine hash spec (driver-side reference implementation).
+
+The reference embeds text with Python's builtin ``hash()``
+(/root/reference/memo_cli.py:158-167), which is salted per process by
+PYTHONHASHSEED — an index built in one process returns garbage in
+another (SURVEY.md §1.3). This engine replaces it with a *stable*
+polynomial rolling hash with the identical downstream semantics
+(token → bucket via ``h % dim``, sign via ``h & 1``):
+
+    h = 0;  for ch in token:  h = (h * 31 + ord(ch)) % 1_000_000_007
+
+Chosen because the exact same fold is expressible in
+
+- Spark SQL:  ``aggregate(split(tok,''), 0L, (h,c) -> (h*31+ascii(c)) % 1000000007)``
+- DuckDB SQL: ``list_reduce([0::BIGINT] || list_transform(range(1,len(tok)+1),
+               i -> ascii(tok[i])::BIGINT), (h,c) -> (h*31+c) % 1000000007)``
+
+so every hash-derived operator (embedding build, minhash, simhash,
+fingerprints) has an exact DuckDB oracle. This module is the pure-Python
+reference implementation used driver-side (query embedding) and in tests.
+
+Tokenization parity with the reference: lowercase then ``[a-z0-9_]+``
+(memo_cli.py:138-139,160 — lowercasing first makes A-Z redundant).
+"""
+
+from __future__ import annotations
+
+import math
+import re
+
+from .model import DIM, HASH_BASE, HASH_MOD
+
+TOKEN_RE = re.compile(r"[a-z0-9_]+")
+
+
+def normalize_ws(text: str) -> str:
+    """Collapse all whitespace runs to single spaces and strip.
+
+    Mirrors the reference's normalize_text (memo_cli.py:138-139).
+    """
+    return re.sub(r"\s+", " ", text).strip()
+
+
+def tokenize(text: str) -> list[str]:
+    return TOKEN_RE.findall(text.lower())
+
+
+def token_hash(token: str) -> int:
+    h = 0
+    for ch in token:
+        h = (h * HASH_BASE + ord(ch)) % HASH_MOD
+    return h
+
+
+def token_bucket(token: str, dim: int = DIM) -> int:
+    return token_hash(token) % dim
+
+
+def token_sign(token: str) -> int:
+    """+1 for odd hash, -1 for even (reference: memo_cli.py:161-166)."""
+    return 1 if token_hash(token) & 1 else -1
+
+
+def embed_text_int(text: str, dim: int = DIM) -> list[int]:
+    """Signed hashing-trick bag-of-words as exact integer counts.
+
+    Same semantics as the reference's embed_text_hash
+    (memo_cli.py:158-167) before L2 normalization. Integer counts make
+    dot products / squared distances exactly representable, which the
+    DuckDB oracle checks rely on.
+    """
+    vec = [0] * dim
+    for tok in tokenize(text):
+        h = token_hash(tok)
+        vec[h % dim] += 1 if h & 1 else -1
+    return vec
+
+
+def l2_normalize(vec: list[float]) -> list[float]:
+    """L2-normalize with the reference's zero-guard (memo_cli.py:131-135)."""
+    norm = math.sqrt(sum(x * x for x in vec))
+    if norm <= 1e-8:
+        return [float(x) for x in vec]
+    return [x / norm for x in vec]
+
+
+def embed_text(text: str, dim: int = DIM) -> list[float]:
+    """L2-normalized embedding (full reference pipeline, stable hash)."""
+    return l2_normalize([float(x) for x in embed_text_int(text, dim)])
+
+
+# ---------------------------------------------------------------------------
+# SQL fragment generators — single source of truth for the DuckDB oracle
+# side of every hash-derived operator (__spark_entry__.oracle_sql).
+# ---------------------------------------------------------------------------
+
+def duckdb_token_hash_sql(tok_expr: str) -> str:
+    """DuckDB SQL computing token_hash(tok_expr); exact Spark parity."""
+    return (
+        f"list_reduce([0::BIGINT] || list_transform(range(1, len({tok_expr})+1), "
+        f"i -> ascii({tok_expr}[i])::BIGINT), (h,c) -> (h*{HASH_BASE}+c) % {HASH_MOD})"
+    )
+
+
+def duckdb_tokens_sql(text_expr: str) -> str:
+    """DuckDB SQL producing the token list of text_expr."""
+    return f"regexp_extract_all(lower({text_expr}), '[a-z0-9_]+')"

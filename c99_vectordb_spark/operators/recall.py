@@ -1,0 +1,152 @@
+"""V1-V5, F11/F12, O1/O2 — vector search (the "join" of this engine).
+
+Reference semantics (/root/reference/memo_cli.py:288-298,453-524 and
+SURVEY.md §2.4/§3.1): embed the query, rank ALL records by squared L2
+over L2-normalized vectors (≡ cosine ranking), then post-filter and
+show top-k. Because the reference's scan is exhaustive and ranked, the
+visible result set equals pre-filtering — so the Spark plan is the
+natural ``filter → score → orderBy → limit``, which Catalyst executes
+as a scan + ``TakeOrderedAndProject`` (per-partition top-k heaps, only
+k rows per partition move to the driver — no global sort, no wide
+shuffle; this is the plan that survives 100 TB).
+
+Scoring paths:
+
+- integer path (``score_sq_l2_int``): exact integer squared L2 between
+  signed-BoW count vectors — used by the DuckDB-oracle checks (exact
+  hash-matchable, no FP drift);
+- normalized path (``score_sq_l2``): double squared L2 between
+  L2-normalized vectors, score ∈ [0,4] — the reference's visible score
+  (d² = 2 − 2·cosθ, SURVEY.md §1.4).
+
+Determinism: ties broken by id ascending (reference leaves FAISS ties
+unspecified; SURVEY.md §7 risk 4).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..hashing import embed_text_int, l2_normalize
+from ..model import DEFAULT_K, DIM, MAX_K
+from ..functions import text as Ft
+
+
+def clamp_k(k: int | None) -> int:
+    """V4 — k clamping: default 2, floor 1, cap MAX_K=100
+    (memo_cli.py:18,760,798-801)."""
+    if k is None:
+        return DEFAULT_K
+    return max(1, min(int(k), MAX_K))
+
+
+def _lit_array(values, cast: str) -> Column:
+    return F.array(*[F.lit(v).cast(cast) for v in values])
+
+
+def score_sq_l2(vec: Column, query: list[float]) -> Column:
+    """Double squared-L2 distance to a literal query vector.
+
+    ``zip_with`` + ``aggregate`` keep the arithmetic JVM-side; the
+    literal query array is broadcast to every task as part of the plan
+    (the moral equivalent of a broadcast nested-loop join of one query
+    row against all records, SURVEY.md §2.10).
+    """
+    q = _lit_array([float(x) for x in query], "double")
+    return F.aggregate(
+        F.zip_with(vec, q, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+
+
+def score_sq_l2_int(vec: Column, query: list[int]) -> Column:
+    """Exact integer squared-L2 distance to a literal integer vector."""
+    q = _lit_array([int(x) for x in query], "long")
+    return F.aggregate(
+        F.zip_with(vec, q, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda a, v: a + v,
+    )
+
+
+def score_neg_dot(vec: Column, query: list[float]) -> Column:
+    """Negative dot product (ascending = most similar first)."""
+    q = _lit_array([float(x) for x in query], "double")
+    return -F.aggregate(
+        F.zip_with(vec, q, lambda x, y: x.cast("double") * y),
+        F.lit(0.0),
+        lambda a, v: a + v,
+    )
+
+
+def knn(
+    df: DataFrame,
+    query_vec,
+    k: int = 10,
+    vec_col: str = "vec",
+    id_col: str = "id",
+    metric: str = "sq_l2",
+    pre_filter: Column | None = None,
+) -> DataFrame:
+    """V2/V3 — exhaustive top-k scored scan with optional pre-filter.
+
+    Output: original columns + ``score``, ordered (score asc, id asc),
+    limited to k → physical ``TakeOrderedAndProject``.
+    """
+    if pre_filter is not None:
+        df = df.filter(pre_filter)
+    if metric == "sq_l2":
+        score = score_sq_l2(F.col(vec_col), query_vec)
+    elif metric == "sq_l2_int":
+        score = score_sq_l2_int(F.col(vec_col), query_vec)
+    elif metric == "neg_dot":
+        score = score_neg_dot(F.col(vec_col), query_vec)
+    else:
+        raise ValueError(f"unknown metric {metric!r}")
+    return (
+        df.withColumn("score", score)
+        .orderBy(F.asc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def recall(
+    records: DataFrame,
+    query_text: str,
+    k: int | None = None,
+    filter_col: Column | None = None,
+    dim: int = DIM,
+    id_col: str = "id",
+    body_col: str = "body",
+    embeddings: DataFrame | None = None,
+) -> DataFrame:
+    """Full recall read path (memo_cli.py:453-524, SURVEY.md §3.1).
+
+    Embeds ``query_text`` driver-side (one string), embeds records
+    in-flight unless a prebuilt ``embeddings`` DataFrame (id, vec) is
+    given, applies the compiled metadata filter, the blank-body skip
+    (F12) and the reference's score floor (F11 — dead under L2, kept
+    for fidelity), and returns top-k (id, body, score) by normalized
+    squared-L2 ascending.
+    """
+    from ..functions.embed import build_embeddings, normalized
+
+    k = clamp_k(k)
+    q = l2_normalize([float(x) for x in embed_text_int(query_text, dim)])
+
+    base = records.filter(~Ft.is_blank(F.col(body_col)))  # F12
+    if filter_col is not None:
+        base = base.filter(filter_col)
+    if embeddings is None:
+        emb = build_embeddings(base, id_col=id_col, body_col=body_col, dim=dim)
+    else:
+        emb = embeddings
+    scored = (
+        base.select(F.col(id_col).alias("id"), F.col(body_col).alias("body"))
+        .join(emb, "id")
+        .withColumn("score", score_sq_l2(normalized(F.col("vec")), q))
+        .filter(F.col("score") >= -0.9)  # F11 (memo_cli.py:494-495; dead under L2)
+        .select("id", "body", "score")
+    )
+    return scored.orderBy(F.asc("score"), F.asc("id")).limit(k)

@@ -1,0 +1,109 @@
+#!/usr/bin/env python
+"""Local mimic of the driver's t2 correctness gate.
+
+Runs every __spark_entry__.queries()[name] at sf0.01 (or $SF_DIR) and
+compares row-count, column names, and exact values (order-insensitive,
+columns sorted by name) against the DuckDB oracle_sql()[name].
+
+Usage: python tools/verify_oracle.py [name ...]
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+import duckdb
+import pandas as pd
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+SF_DIR = os.environ.get("SF_DIR", "/root/testdata/sf0.01")
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+def canon(df: pd.DataFrame) -> pd.DataFrame:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # normalize dtypes for comparison
+    for c in df.columns:
+        if pd.api.types.is_datetime64_any_dtype(df[c]):
+            df[c] = df[c].astype("datetime64[us]")
+        elif pd.api.types.is_integer_dtype(df[c]):
+            df[c] = df[c].astype("int64")
+        elif pd.api.types.is_object_dtype(df[c]):
+            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+
+
+def main() -> int:
+    import __spark_entry__ as entrymod
+    from c99_vectordb_spark.session import get_spark
+
+    only = set(sys.argv[1:])
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
+    spark = get_spark("verify_oracle", shuffle_partitions=8)
+
+    failures = []
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        t0 = time.time()
+        try:
+            sdf = fn(spark, SF_DIR).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures.append(name)
+            continue
+        if name not in oracles:
+            print(f"SKIP-ORACLE {name}: rows={len(sdf)} ({time.time()-t0:.1f}s)")
+            continue
+        try:
+            ddf = con.execute(oracles[name]).fetchdf()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures.append(name)
+            continue
+        a, b = canon(sdf), canon(ddf)
+        status = []
+        if len(a) != len(b):
+            status.append(f"rowcount {len(a)} != {len(b)}")
+        if list(a.columns) != list(b.columns):
+            status.append(f"columns {list(a.columns)} != {list(b.columns)}")
+        if not status:
+            if len(a) and not a.equals(b):
+                # find first differing cell for diagnostics
+                diffs = (a != b) & ~(a.isna() & b.isna())
+                ndiff = int(diffs.to_numpy().sum())
+                if ndiff:
+                    r, c = next(
+                        (i, c) for c in diffs.columns for i in diffs.index[diffs[c]]
+                    )
+                    status.append(
+                        f"{ndiff} differing cells; first at row {r} col {c}: "
+                        f"spark={a.at[r, c]!r} duck={b.at[r, c]!r}"
+                    )
+        if status:
+            print(f"FAIL {name}: {'; '.join(status)}")
+            failures.append(name)
+        else:
+            print(f"OK   {name}: rows={len(a)} ({time.time()-t0:.1f}s)")
+
+    spark.stop()
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
