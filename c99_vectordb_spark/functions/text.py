@@ -46,3 +46,9 @@ def token_hash(tok: Column) -> Column:
 def string_hash(c: Column) -> Column:
     """token_hash applied to an arbitrary string column (fingerprints)."""
     return token_hash(c)
+
+
+def ts_from_nanos(c: Column) -> Column:
+    """TIMESTAMP from a BIGINT-nanos column (events.ts is parquet
+    TIMESTAMP(NANOS), which the session reads as long — session.py)."""
+    return F.timestamp_micros((c / F.lit(1000)).cast("long"))

@@ -1,0 +1,326 @@
+"""F1-F10 — the filter-expression compiler (SURVEY.md §2.3).
+
+The reference's query language is a YAML flow map of conditions
+(/root/reference/memo_cli.py:170-241: parse_yaml_flow_map,
+matches_filter, eval_condition, compare_values, bare_equals). This
+module compiles such an expression into a single Spark ``Column``
+predicate, preserving the reference's weakly-typed dynamic semantics:
+
+- F1  bare equality      — ``str(v) == str(x)``; list values: ANY element
+- F2  ``$ne``            — negated F1 (key must still exist)
+- F3  ``$gte``           — numeric iff BOTH sides numeric, else
+                           lexicographic on stringified values
+- F4  ``$lte``           — mirror
+- F5  ``$prefix``        — strings only; non-strings never match
+- F6  ``$contains``      — lists only; stringified element equality
+- F7  implicit AND over top-level keys
+- F8  ``$and`` / F9 ``$or`` — compose; non-list operand => False
+- F10 key-existence gate — every per-key condition requires the key
+- records with no/empty metadata match NOTHING (memo_cli.py:202-203,
+  501-506) — the ``nonempty`` guard
+- a condition dict must have exactly ONE operator key; unknown ``$op``
+  never matches (memo_cli.py:207-208, 220)
+
+Because Catalyst receives one ordinary boolean expression, predicate
+pushdown / partition pruning / column pruning all apply — the compiled
+filter lands in the parquet scan (`PushedFilters`) when it references
+plain columns.
+
+Value resolution is pluggable: a ``Resolver`` maps a key name to a
+:class:`FieldRef` (stringified value, existence, type tag, optional
+list value). Two resolvers ship:
+
+- :func:`map_resolver`     — record tables with the metadata triple
+                             (model.RECORDS_SCHEMA)
+- :func:`columns_resolver` — plain typed DataFrame columns (lets the
+                             same language query any table)
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Callable
+
+import yaml
+from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import types as T
+
+
+# ---------------------------------------------------------------------------
+# parsing (memo_cli.py:170-176 — outer {} optional)
+# ---------------------------------------------------------------------------
+
+def parse_filter_expr(expr: str | dict | None) -> dict | None:
+    """Parse a filter expression string into its dict form.
+
+    Accepts YAML flow-map syntax with the outer braces optional, e.g.
+    ``"source: user, priority: {$gte: 2}"``.
+    """
+    if expr is None or isinstance(expr, dict):
+        return expr
+    s = expr.strip()
+    if not s:
+        return None
+    try:
+        parsed = yaml.safe_load(s)
+    except yaml.YAMLError:
+        parsed = None
+    if not isinstance(parsed, dict):
+        try:
+            parsed = yaml.safe_load("{" + s + "}")
+        except yaml.YAMLError as e:
+            raise ValueError(f"invalid filter expression: {expr!r}") from e
+    if not isinstance(parsed, dict):
+        raise ValueError(f"filter expression must be a map: {expr!r}")
+    return parsed
+
+
+# ---------------------------------------------------------------------------
+# value resolution
+# ---------------------------------------------------------------------------
+
+@dataclass
+class FieldRef:
+    """A metadata key resolved against a concrete DataFrame layout."""
+
+    value: Column  #: stringified scalar value (py-str conventions)
+    exists: Column  #: key-existence predicate (F10)
+    is_numeric: Column  #: value is int/float *by original type*
+    is_string: Column  #: value is a str by original type
+    list_value: Column | None = None  #: ARRAY<STRING> when list-typed, else None
+    has_list: Column | None = None  #: list-typed predicate (None => never)
+
+
+Resolver = Callable[[str], FieldRef]
+
+
+def _py_str(col: Column, dtype: T.DataType) -> Column:
+    """Stringify a typed column following Python ``str()`` conventions
+    (the reference stringifies with str(); memo_cli.py:195-198).
+
+    Notable divergence handled here: Spark casts booleans to
+    'true'/'false' but Python renders 'True'/'False'; Python renders
+    floats that are integral as '1.0' while Spark DOUBLE casts agree;
+    timestamps use ``yyyy-MM-dd HH:mm:ss`` like datetime.__str__.
+    """
+    if isinstance(dtype, T.BooleanType):
+        return F.when(col, F.lit("True")).otherwise(F.lit("False"))
+    if isinstance(dtype, T.TimestampType):
+        return F.date_format(col, "yyyy-MM-dd HH:mm:ss")
+    if isinstance(dtype, T.DateType):
+        return F.date_format(col, "yyyy-MM-dd")
+    return col.cast("string")
+
+
+def columns_resolver(df: DataFrame, null_is_absent: bool = True) -> Resolver:
+    """Resolve keys against plain typed top-level columns.
+
+    A NULL cell is treated as an absent key (the SQL-natural reading;
+    the reference cannot represent a present-but-null key distinctly
+    in most flows). Unknown keys resolve to never-exists.
+    """
+    schema = {f.name: f.dataType for f in df.schema.fields}
+
+    def resolve(key: str) -> FieldRef:
+        if key not in schema:
+            return FieldRef(
+                value=F.lit(None).cast("string"),
+                exists=F.lit(False),
+                is_numeric=F.lit(False),
+                is_string=F.lit(False),
+            )
+        dtype = schema[key]
+        col = F.col(key)
+        exists = col.isNotNull() if null_is_absent else F.lit(True)
+        if isinstance(dtype, T.ArrayType):
+            elems = F.transform(col, lambda e: _py_str(e, dtype.elementType))
+            return FieldRef(
+                value=F.lit(None).cast("string"),
+                exists=exists,
+                is_numeric=F.lit(False),
+                is_string=F.lit(False),
+                list_value=elems,
+                has_list=col.isNotNull(),
+            )
+        numeric = isinstance(
+            dtype, (T.IntegralType, T.FloatType, T.DoubleType, T.DecimalType)
+        )
+        return FieldRef(
+            value=_py_str(col, dtype),
+            exists=exists,
+            is_numeric=F.lit(numeric),
+            is_string=F.lit(isinstance(dtype, T.StringType)),
+        )
+
+    return resolve
+
+
+def map_resolver(
+    metadata: str | Column = "metadata",
+    metadata_types: str | Column = "metadata_types",
+    metadata_lists: str | Column = "metadata_lists",
+) -> Resolver:
+    """Resolve keys against the record table's metadata triple
+    (model.RECORDS_SCHEMA): stringified scalars + original-type tags +
+    stringified list values."""
+    m = F.col(metadata) if isinstance(metadata, str) else metadata
+    mt = F.col(metadata_types) if isinstance(metadata_types, str) else metadata_types
+    ml = F.col(metadata_lists) if isinstance(metadata_lists, str) else metadata_lists
+
+    def resolve(key: str) -> FieldRef:
+        k = F.lit(key)
+        scalar_exists = m.isNotNull() & F.map_contains_key(m, k)
+        list_exists = ml.isNotNull() & F.map_contains_key(ml, k)
+        vtype = F.coalesce(mt.getItem(key), F.lit("str"))
+        return FieldRef(
+            value=m.getItem(key),
+            exists=scalar_exists | list_exists,
+            is_numeric=scalar_exists & vtype.isin("int", "float"),
+            is_string=scalar_exists & (vtype == "str"),
+            list_value=ml.getItem(key),
+            has_list=list_exists,
+        )
+
+    return resolve
+
+
+# ---------------------------------------------------------------------------
+# compilation (memo_cli.py:179-241)
+# ---------------------------------------------------------------------------
+
+_OPS = ("$gte", "$lte", "$ne", "$prefix", "$contains")
+
+
+def _operand_str(x) -> str:
+    """Python str() of a YAML-parsed operand (reference stringification)."""
+    return str(x)
+
+
+def _bare_equals(ref: FieldRef, expected) -> Column:
+    """F1 — stringly equality; list values: ANY element matches
+    (memo_cli.py:195-198)."""
+    want = F.lit(_operand_str(expected))
+    scalar_eq = ref.exists & ref.value.isNotNull() & (ref.value == want)
+    if ref.list_value is not None and ref.has_list is not None:
+        list_eq = ref.has_list & F.array_contains(ref.list_value, want)
+        return F.when(ref.has_list, list_eq).otherwise(scalar_eq)
+    return scalar_eq
+
+
+def _compare(ref: FieldRef, operand, op: str) -> Column:
+    """F3/F4 — numeric iff BOTH sides numeric, else lexicographic on
+    stringified values (memo_cli.py:179-192)."""
+    operand_numeric = isinstance(operand, (int, float)) and not isinstance(
+        operand, bool
+    )
+    sval = ref.value
+    if operand_numeric:
+        # try_cast: ANSI mode must not abort on non-numeric strings —
+        # the dual-path when() decides which branch is meaningful
+        num = sval.try_cast("double")
+        lit_n = F.lit(float(operand))
+        lit_s = F.lit(_operand_str(operand))
+        num_cmp = (num >= lit_n) if op == "$gte" else (num <= lit_n)
+        str_cmp = (sval >= lit_s) if op == "$gte" else (sval <= lit_s)
+        return ref.exists & F.when(ref.is_numeric, num_cmp).otherwise(str_cmp)
+    lit_s = F.lit(_operand_str(operand))
+    str_cmp = (sval >= lit_s) if op == "$gte" else (sval <= lit_s)
+    return ref.exists & sval.isNotNull() & str_cmp
+
+
+def _eval_condition(ref: FieldRef, cond) -> Column:
+    """One per-key condition (memo_cli.py:201-222), existence-gated."""
+    if isinstance(cond, dict):
+        if len(cond) != 1:
+            return F.lit(False)  # memo_cli.py:207-208
+        op, operand = next(iter(cond.items()))
+        if op == "$gte" or op == "$lte":
+            return _compare(ref, operand, op)
+        if op == "$ne":
+            return ref.exists & ~_bare_equals(ref, operand)
+        if op == "$prefix":
+            pref = F.lit(_operand_str(operand))
+            return ref.exists & ref.is_string & ref.value.startswith(pref)
+        if op == "$contains":
+            if ref.list_value is None or ref.has_list is None:
+                return F.lit(False)
+            return (
+                ref.exists
+                & ref.has_list
+                & F.array_contains(ref.list_value, F.lit(_operand_str(operand)))
+            )
+        return F.lit(False)  # unknown $op (memo_cli.py:220)
+    return ref.exists & _bare_equals(ref, cond)
+
+
+def compile_filter(
+    filter_expr: str | dict | None,
+    resolver: Resolver,
+    nonempty: Column | None = None,
+) -> Column:
+    """Compile a filter expression to a single boolean Column.
+
+    ``nonempty`` is the "record has metadata at all" guard — records
+    where it is false match NO filter (memo_cli.py:202-203, 501-506).
+    Pass e.g. ``size(metadata) > 0`` for record tables; None disables
+    the guard (plain typed tables).
+    """
+    parsed = parse_filter_expr(filter_expr)
+
+    def go(node: dict) -> Column:
+        conjuncts: list[Column] = []
+        for key, cond in node.items():
+            if key == "$and":
+                if not isinstance(cond, list):
+                    conjuncts.append(F.lit(False))
+                else:
+                    sub = [
+                        go(c) if isinstance(c, dict) else F.lit(False) for c in cond
+                    ]
+                    conjuncts.append(
+                        _fold_and(sub) if sub else F.lit(True)
+                    )
+            elif key == "$or":
+                if not isinstance(cond, list):
+                    conjuncts.append(F.lit(False))
+                else:
+                    sub = [
+                        go(c) if isinstance(c, dict) else F.lit(False) for c in cond
+                    ]
+                    conjuncts.append(_fold_or(sub) if sub else F.lit(False))
+            else:
+                conjuncts.append(_eval_condition(resolver(key), cond))
+        return _fold_and(conjuncts) if conjuncts else F.lit(True)
+
+    if parsed is None:
+        compiled = F.lit(True)
+    else:
+        compiled = go(parsed)
+    if nonempty is not None:
+        compiled = nonempty & compiled
+    return compiled
+
+
+def _fold_and(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out & c
+    return out
+
+
+def _fold_or(cols: list[Column]) -> Column:
+    out = cols[0]
+    for c in cols[1:]:
+        out = out | c
+    return out
+
+
+def records_nonempty_metadata(
+    metadata: str | Column = "metadata", metadata_lists: str | Column = "metadata_lists"
+) -> Column:
+    """The 'has any metadata' guard for record tables."""
+    m = F.col(metadata) if isinstance(metadata, str) else metadata
+    ml = F.col(metadata_lists) if isinstance(metadata_lists, str) else metadata_lists
+    return (m.isNotNull() & (F.size(F.map_keys(m)) > 0)) | (
+        ml.isNotNull() & (F.size(F.map_keys(ml)) > 0)
+    )

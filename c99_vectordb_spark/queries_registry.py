@@ -175,6 +175,274 @@ LIMIT 10
 
 
 # ---------------------------------------------------------------------------
+# F1-F10 — filter compiler over typed tables (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+def q_filter_orders_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bare equality + numeric $gte + $prefix, then an id-ordered page
+    (P1 + O3/O4). The compiled predicate is a plain boolean expression,
+    so Catalyst pushes it into the parquet scan."""
+    from .operators import filters as Flt
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    res = Flt.columns_resolver(orders)
+    pred = Flt.compile_filter(
+        {
+            "o_orderstatus": "O",
+            "o_totalprice": {"$gte": 100000},
+            "o_orderpriority": {"$prefix": "1"},
+        },
+        res,
+    )
+    return (
+        orders.filter(pred)
+        .select(
+            F.col("o_orderkey").alias("id"),
+            F.col("o_orderstatus").alias("status"),
+            F.round("o_totalprice", 2).alias("total"),
+        )
+        .orderBy("id")
+        .offset(100)
+        .limit(50)
+    )
+
+
+_ORACLE_FILTER_ORDERS_PAGE = """
+SELECT o_orderkey AS id,
+       o_orderstatus AS status,
+       ROUND(o_totalprice, 2) AS total
+FROM orders
+WHERE o_orderstatus = 'O'
+  AND o_totalprice >= 100000
+  AND o_orderpriority LIKE '1%'
+ORDER BY id
+LIMIT 50 OFFSET 100
+"""
+
+
+def q_filter_lexicographic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's weak-typing quirk: a STRING operand against a
+    numeric value compares lexicographically on str(v)
+    (memo_cli.py:179-192; SURVEY §1.2 [observed])."""
+    from .operators import filters as Flt
+
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    res = Flt.columns_resolver(cust)
+    pred = Flt.compile_filter({"c_acctbal": {"$gte": "500"}}, res)
+    return (
+        cust.filter(pred)
+        .select(F.col("c_custkey").alias("id"))
+        .orderBy("id")
+        .limit(200)
+    )
+
+
+_ORACLE_FILTER_LEXICOGRAPHIC = """
+SELECT c_custkey AS id
+FROM customer
+WHERE CAST(c_acctbal AS VARCHAR) >= '500'
+ORDER BY id
+LIMIT 200
+"""
+
+
+def q_filter_and_or_contains(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """$or / $and composition + $contains on a list-valued field
+    (p_type words as a tags array)."""
+    from .operators import filters as Flt
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet").withColumn(
+        "tags", F.split(F.col("p_type"), " ")
+    )
+    res = Flt.columns_resolver(part)
+    pred = Flt.compile_filter(
+        {
+            "$or": [
+                {"tags": {"$contains": "ECONOMY"}},
+                {"$and": [{"p_size": {"$lte": 5}}, {"p_brand": {"$prefix": "Brand#1"}}]},
+            ]
+        },
+        res,
+    )
+    return (
+        part.filter(pred)
+        .select(F.col("p_partkey").alias("id"), F.col("p_brand").alias("brand"))
+        .orderBy("id")
+        .limit(300)
+    )
+
+
+_ORACLE_FILTER_AND_OR_CONTAINS = """
+SELECT p_partkey AS id, p_brand AS brand
+FROM part
+WHERE list_contains(string_split(p_type, ' '), 'ECONOMY')
+   OR (p_size <= 5 AND p_brand LIKE 'Brand#1%')
+ORDER BY id
+LIMIT 300
+"""
+
+
+def q_filter_json_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic JSON metadata (events.props) through the map resolver:
+    parse -> metadata triple -> numeric $gte -> grouped counts."""
+    from .operators import filters as Flt
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    recs = events.select(
+        "event_type",
+        F.map_from_arrays(
+            F.array(F.lit("k")),
+            F.array(F.get_json_object("props", "$.k")),
+        ).alias("metadata"),
+        F.map_from_arrays(F.array(F.lit("k")), F.array(F.lit("int"))).alias(
+            "metadata_types"
+        ),
+        F.lit(None).cast("map<string,array<string>>").alias("metadata_lists"),
+    )
+    pred = Flt.compile_filter(
+        {"k": {"$gte": 50}},
+        Flt.map_resolver(),
+        nonempty=Flt.records_nonempty_metadata(),
+    )
+    return (
+        recs.filter(pred)
+        .groupBy(F.col("event_type").alias("event_type"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("event_type")
+    )
+
+
+_ORACLE_FILTER_JSON_METADATA = """
+SELECT event_type, COUNT(*)::BIGINT AS cnt
+FROM events
+WHERE CAST(json_extract_string(props, '$.k') AS DOUBLE) >= 50
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+# ---------------------------------------------------------------------------
+# P3 / A2-A6 — analyze projections and stats (SURVEY §2.2/§2.5)
+# ---------------------------------------------------------------------------
+
+def q_analyze_default_fields(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3 — schema inference: union of matched records' metadata keys,
+    sorted, first 3 (memo_cli.py:560-565)."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    recs = cust.select(
+        F.create_map(
+            F.lit("mktsegment"), F.col("c_mktsegment").cast("string"),
+            F.lit("nation"), F.col("c_nationkey").cast("string"),
+            F.lit("acctbal"), F.col("c_acctbal").cast("string"),
+        ).alias("metadata")
+    )
+    return (
+        recs.select(F.explode(F.map_keys("metadata")).alias("field"))
+        .distinct()
+        .orderBy("field")
+        .limit(3)
+    )
+
+
+_ORACLE_ANALYZE_DEFAULT_FIELDS = """
+SELECT DISTINCT f AS field
+FROM (SELECT unnest(['mktsegment', 'nation', 'acctbal']) AS f FROM customer)
+ORDER BY field
+LIMIT 3
+"""
+
+
+def q_stats_topk_other(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2/A3/A4 — top-4 value counts + '__other__' rollup over
+    o_orderpriority (5 distinct values => rollup row appears)."""
+    from .operators.analyze import value_counts_with_other
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return value_counts_with_other(orders, F.col("o_orderpriority"))
+
+
+_ORACLE_STATS_TOPK_OTHER = """
+WITH counts AS (
+  SELECT o_orderpriority AS value, COUNT(*)::BIGINT AS cnt
+  FROM orders WHERE o_orderpriority IS NOT NULL GROUP BY 1
+),
+ranked AS (
+  SELECT value, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, value ASC) AS rn
+  FROM counts
+)
+SELECT value, cnt, 1::BIGINT AS distinct_cnt FROM ranked WHERE rn <= 4
+UNION ALL
+SELECT '__other__' AS value, SUM(cnt)::BIGINT AS cnt, COUNT(*)::BIGINT AS distinct_cnt
+FROM ranked WHERE rn > 4 HAVING COUNT(*) > 0
+"""
+
+
+def q_stats_numeric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 — all-or-nothing float coercion over stringified l_quantity
+    (numeric_ok true path)."""
+    from .operators.analyze import numeric_stats
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    out = numeric_stats(li, F.col("l_quantity"))
+    return out.select(
+        "n", "numeric_ok", F.round("vmin", 4).alias("vmin"),
+        F.round("vmax", 4).alias("vmax"), F.round("vavg", 4).alias("vavg"),
+    )
+
+
+_ORACLE_STATS_NUMERIC = """
+SELECT COUNT(*)::BIGINT AS n,
+       COALESCE(bool_and(TRY_CAST(CAST(l_quantity AS VARCHAR) AS DOUBLE) IS NOT NULL), FALSE) AS numeric_ok,
+       ROUND(MIN(l_quantity), 4) AS vmin,
+       ROUND(MAX(l_quantity), 4) AS vmax,
+       ROUND(AVG(l_quantity), 4) AS vavg
+FROM lineitem
+WHERE l_quantity IS NOT NULL
+"""
+
+
+def q_stats_numeric_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5 gate — one non-numeric value poisons the whole column
+    (all-or-nothing, memo_cli.py:600-609): stats are NULL."""
+    from .operators.analyze import numeric_stats
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = numeric_stats(orders, F.col("o_orderpriority"))
+    return out.select("n", "numeric_ok", "vmin", "vmax", "vavg")
+
+
+_ORACLE_STATS_NUMERIC_GATE = """
+SELECT COUNT(*)::BIGINT AS n,
+       FALSE AS numeric_ok,
+       CAST(NULL AS DOUBLE) AS vmin,
+       CAST(NULL AS DOUBLE) AS vmax,
+       CAST(NULL AS DOUBLE) AS vavg
+FROM orders
+WHERE o_orderpriority IS NOT NULL
+"""
+
+
+def q_stats_date(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 — all-or-nothing ISO-string date range over stringified
+    o_orderdate (date_ok true path)."""
+    from .operators.analyze import date_stats
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    iso = orders.select(F.date_format("o_orderdate", "yyyy-MM-dd").alias("d"))
+    return date_stats(iso, F.col("d"))
+
+
+_ORACLE_STATS_DATE = """
+SELECT COUNT(*)::BIGINT AS n,
+       TRUE AS date_ok,
+       strftime(MIN(o_orderdate), '%Y-%m-%d') AS dmin,
+       strftime(MAX(o_orderdate), '%Y-%m-%d') AS dmax
+FROM orders
+WHERE o_orderdate IS NOT NULL
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -182,12 +450,30 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recall_topk_int": q_recall_topk_int,
     "embed_build_norms": q_embed_build_norms,
     "knn_embeddings": q_knn_embeddings,
+    "filter_orders_page": q_filter_orders_page,
+    "filter_lexicographic": q_filter_lexicographic,
+    "filter_and_or_contains": q_filter_and_or_contains,
+    "filter_json_metadata": q_filter_json_metadata,
+    "analyze_default_fields": q_analyze_default_fields,
+    "stats_topk_other": q_stats_topk_other,
+    "stats_numeric": q_stats_numeric,
+    "stats_numeric_gate": q_stats_numeric_gate,
+    "stats_date": q_stats_date,
 }
 
 _ORACLES: dict[str, str] = {
     "recall_topk_int": _oracle_recall_topk_int(),
     "embed_build_norms": _oracle_embed_build_norms(),
     "knn_embeddings": _oracle_knn_embeddings(),
+    "filter_orders_page": _ORACLE_FILTER_ORDERS_PAGE,
+    "filter_lexicographic": _ORACLE_FILTER_LEXICOGRAPHIC,
+    "filter_and_or_contains": _ORACLE_FILTER_AND_OR_CONTAINS,
+    "filter_json_metadata": _ORACLE_FILTER_JSON_METADATA,
+    "analyze_default_fields": _ORACLE_ANALYZE_DEFAULT_FIELDS,
+    "stats_topk_other": _ORACLE_STATS_TOPK_OTHER,
+    "stats_numeric": _ORACLE_STATS_NUMERIC,
+    "stats_numeric_gate": _ORACLE_STATS_NUMERIC_GATE,
+    "stats_date": _ORACLE_STATS_DATE,
 }
 
 
