@@ -1,0 +1,71 @@
+#!/usr/bin/env python
+"""Headline-query benchmark.
+
+Runs the engine's headline queries at $SPARK_GRAFT_SF_DIR (default
+/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE JSON
+line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec, ...}, "sf": ...}.
+
+Execution is forced with the noop sink (full computation, no driver
+collect bottleneck, no result materialization skew).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "recall_topk_int",
+    "embed_build_norms",
+    "knn_embeddings",
+    "filter_orders_page",
+    "filter_and_or_contains",
+    "stats_topk_other",
+    "stats_numeric",
+    "tpch_q1",
+    "revenue_by_nation",
+    "window_running_total",
+    "events_tumbling",
+]
+
+
+def main() -> None:
+    from c99_vectordb_spark import queries_registry as QR
+    from c99_vectordb_spark.session import get_spark
+
+    spark = get_spark("bench")
+    qs = QR.queries()
+
+    # warm the JVM + parquet footer caches with one cheap action
+    spark.read.parquet(f"{SF_DIR}/region.parquet").count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = qs.get(name)
+        if fn is None:
+            continue
+        t0 = time.time()
+        fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

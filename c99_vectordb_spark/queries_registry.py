@@ -443,6 +443,180 @@ WHERE o_orderdate IS NOT NULL
 
 
 # ---------------------------------------------------------------------------
+# Extension surface: relational/analytical queries (SURVEY §2.10) — the
+# reference has no joins/windows/grouped aggs; these demonstrate the Spark
+# engine's coverage of those categories and serve as bench headliners.
+# All money arithmetic is DECIMAL so sums are exact and order-insensitive
+# (double sums would drift between engines at the rounding boundary).
+# ---------------------------------------------------------------------------
+
+def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 pricing summary over lineitem: scan -> pushed filter ->
+    partial+final hash aggregate on 4 tiny groups. Map-side combine
+    means the shuffle carries ~groups x partitions rows only."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            .cast("double")
+            .alias("sum_disc_price"),
+            F.sum(
+                dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+                * (F.lit(1).cast("decimal(18,4)") + dec("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.round(F.sum(dec("l_quantity")).cast("double") / F.count(F.lit(1)), 4).alias("avg_qty"),
+            F.round(F.sum(dec("l_extendedprice")).cast("double") / F.count(F.lit(1)), 4).alias("avg_price"),
+            F.round(F.sum(dec("l_discount")).cast("double") / F.count(F.lit(1)), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+_ORACLE_TPCH_Q1 = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
+       ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,
+       COUNT(*)::BIGINT AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star join: lineitem |>< orders |>< customer |>< nation |>< region.
+    Dims are broadcast (no shuffle of the fact side for them); the
+    orders<->lineitem join shuffles on the shared key. At cluster scale
+    both fact tables would be bucketed on the join key to eliminate it."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("region", "nation")
+    )
+
+
+_ORACLE_REVENUE_BY_NATION = """
+SELECT r_name AS region, n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       COUNT(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY region, nation
+"""
+
+
+def q_window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window functions (absent from the reference, SURVEY §2.10):
+    per-customer running order total + order rank."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        orders.filter(F.col("o_custkey") < 200)
+        .select(
+            F.col("o_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.row_number()
+            .over(Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey"))
+            .alias("order_seq"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .over(w)
+            .cast("double")
+            .alias("running_total"),
+        )
+        .orderBy("custkey", "orderkey")
+    )
+
+
+_ORACLE_WINDOW_RUNNING_TOTAL = """
+SELECT o_custkey AS custkey,
+       o_orderkey AS orderkey,
+       ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER (
+            PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM orders
+WHERE o_custkey < 200
+ORDER BY custkey, orderkey
+"""
+
+
+def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window aggregate over the events stream table
+    (batch view; streaming/ingest.py runs the same plan incrementally).
+    Decimal sum keeps cross-engine value equality exact."""
+    from .functions.text import ts_from_nanos
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ts = ts_from_nanos(F.col("ts"))
+    return (
+        events.select(
+            F.date_format(F.date_trunc("hour", ts), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("window_start", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("v").cast("double").alias("sum_value"),
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+_ORACLE_EVENTS_TUMBLING = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
+       event_type,
+       COUNT(*)::BIGINT AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+ORDER BY window_start, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -459,6 +633,10 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_numeric": q_stats_numeric,
     "stats_numeric_gate": q_stats_numeric_gate,
     "stats_date": q_stats_date,
+    "tpch_q1": q_tpch_q1,
+    "revenue_by_nation": q_revenue_by_nation,
+    "window_running_total": q_window_running_total,
+    "events_tumbling": q_events_tumbling,
 }
 
 _ORACLES: dict[str, str] = {
@@ -474,6 +652,10 @@ _ORACLES: dict[str, str] = {
     "stats_numeric": _ORACLE_STATS_NUMERIC,
     "stats_numeric_gate": _ORACLE_STATS_NUMERIC_GATE,
     "stats_date": _ORACLE_STATS_DATE,
+    "tpch_q1": _ORACLE_TPCH_Q1,
+    "revenue_by_nation": _ORACLE_REVENUE_BY_NATION,
+    "window_running_total": _ORACLE_WINDOW_RUNNING_TOTAL,
+    "events_tumbling": _ORACLE_EVENTS_TUMBLING,
 }
 
 
