@@ -61,6 +61,18 @@ RECORDS_SCHEMA = T.StructType(
     ]
 )
 
+#: Save-batch input (S5): null id = append, non-null id = overwrite
+#: (memo_cli.py:369-400 parse_save_yaml_file).
+SAVE_BATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), True),
+        T.StructField("body", T.StringType(), True),
+        T.StructField("metadata", METADATA_TYPE, True),
+        T.StructField("metadata_types", METADATA_TYPE, True),
+        T.StructField("metadata_lists", METADATA_LISTS_TYPE, True),
+    ]
+)
+
 #: Derived embeddings table (replaces the FAISS .memo file,
 #: memo_cli.py:244-262). Integer signed-BoW counts; the normalized
 #: float view is derived on demand (functions/embed.py).

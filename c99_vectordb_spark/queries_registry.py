@@ -443,6 +443,80 @@ WHERE o_orderdate IS NOT NULL
 
 
 # ---------------------------------------------------------------------------
+# M1/M2/M4/M5 — mutations (SURVEY §2.7), demonstrated on documents
+# ---------------------------------------------------------------------------
+
+def q_compaction_reseq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4+M5 — blank-out short docs, tombstone docs from source 'src3',
+    compact: survivors re-sequenced to dense ids in old-id order."""
+    from .operators.mutate import compact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    records = docs.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("n_chars") < 60, F.lit(" ")).otherwise(F.col("text")).alias(
+            "body"
+        ),
+        F.when(
+            F.col("source") == "src3",
+            F.create_map(F.lit("deleted"), F.lit("True")),
+        ).alias("metadata"),
+        F.lit(None).cast("map<string,string>").alias("metadata_types"),
+        F.lit(None).cast("map<string,array<string>>").alias("metadata_lists"),
+    )
+    out = compact(records, check_body_yaml=False)
+    return out.select("id", F.length("body").alias("body_len"))
+
+
+_ORACLE_COMPACTION_RESEQ = """
+SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS id,
+       LENGTH(text)::INT AS body_len
+FROM documents
+WHERE n_chars >= 60 AND source != 'src3'
+"""
+
+
+def q_upsert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1+M2 — overwrite every source='src1' doc in place, append 5 new
+    docs with dense ids after max(doc_id)."""
+    from .model import SAVE_BATCH_SCHEMA
+    from .operators.mutate import upsert
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    records = docs.select(
+        F.col("doc_id").alias("id"),
+        F.col("text").alias("body"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+        F.lit(None).cast("map<string,string>").alias("metadata_types"),
+        F.lit(None).cast("map<string,array<string>>").alias("metadata_lists"),
+    )
+    overwrites = docs.filter(F.col("source") == "src1").select(
+        F.col("doc_id").alias("id"),
+        F.concat(F.lit("OVERWRITTEN "), F.col("doc_id")).alias("body"),
+        F.lit(None).cast("map<string,string>").alias("metadata"),
+        F.lit(None).cast("map<string,string>").alias("metadata_types"),
+        F.lit(None).cast("map<string,array<string>>").alias("metadata_lists"),
+    )
+    appends = spark.createDataFrame(
+        [(None, f"APPENDED {i}", None, None, None) for i in range(5)],
+        SAVE_BATCH_SCHEMA,
+    )
+    out = upsert(records, overwrites.unionByName(appends))
+    return out.select("id", "body")
+
+
+_ORACLE_UPSERT_DOCS = """
+SELECT doc_id AS id,
+       CASE WHEN source = 'src1' THEN 'OVERWRITTEN ' || doc_id ELSE text END AS body
+FROM documents
+UNION ALL
+SELECT (SELECT MAX(doc_id) FROM documents) + k + 1 AS id,
+       'APPENDED ' || k AS body
+FROM range(0, 5) t(k)
+"""
+
+
+# ---------------------------------------------------------------------------
 # Extension surface: relational/analytical queries (SURVEY §2.10) — the
 # reference has no joins/windows/grouped aggs; these demonstrate the Spark
 # engine's coverage of those categories and serve as bench headliners.
@@ -633,6 +707,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_numeric": q_stats_numeric,
     "stats_numeric_gate": q_stats_numeric_gate,
     "stats_date": q_stats_date,
+    "compaction_reseq": q_compaction_reseq,
+    "upsert_docs": q_upsert_docs,
     "tpch_q1": q_tpch_q1,
     "revenue_by_nation": q_revenue_by_nation,
     "window_running_total": q_window_running_total,
@@ -652,6 +728,8 @@ _ORACLES: dict[str, str] = {
     "stats_numeric": _ORACLE_STATS_NUMERIC,
     "stats_numeric_gate": _ORACLE_STATS_NUMERIC_GATE,
     "stats_date": _ORACLE_STATS_DATE,
+    "compaction_reseq": _ORACLE_COMPACTION_RESEQ,
+    "upsert_docs": _ORACLE_UPSERT_DOCS,
     "tpch_q1": _ORACLE_TPCH_Q1,
     "revenue_by_nation": _ORACLE_REVENUE_BY_NATION,
     "window_running_total": _ORACLE_WINDOW_RUNNING_TOTAL,

@@ -1,0 +1,92 @@
+"""S3/S4/S6 — the Parquet-native store (replaces the YAML+FAISS file
+pair as the canonical persistence; SURVEY.md §1.5).
+
+A database is a directory:
+
+    <base>/records/      Parquet of RECORDS_SCHEMA (source of truth)
+    <base>/embeddings/   Parquet of EMBEDDINGS_SCHEMA (derived; always
+                         regenerable — the reference's reindex contract,
+                         memo_cli.py:244-248)
+
+Writes are atomic via write-temp-dir + rename swap (SURVEY.md §7 risk
+6): readers never observe a half-written table, and a crashed writer
+leaves only a stale ``.tmp-*`` to garbage-collect. On a real cluster
+this maps to a table-format commit (Delta/Iceberg); plain directory
+swap keeps the dependency surface stock-PySpark.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from ..model import EMBEDDINGS_SCHEMA, RECORDS_SCHEMA
+
+
+def _swap_write(df: DataFrame, target: str) -> None:
+    tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
+    df.write.mode("overwrite").parquet(tmp)
+    old = f"{target}.old-{uuid.uuid4().hex[:8]}"
+    if os.path.exists(target):
+        os.rename(target, old)
+    os.rename(tmp, target)
+    if os.path.exists(old):
+        shutil.rmtree(old, ignore_errors=True)
+
+
+class ParquetStore:
+    """Load/save/clean for one logical record database."""
+
+    def __init__(self, spark: SparkSession, base: str):
+        self.spark = spark
+        self.base = base
+        self.records_path = os.path.join(base, "records")
+        self.embeddings_path = os.path.join(base, "embeddings")
+
+    # -- S1/S3: loads (missing -> empty with schema, memo_cli.py:251-262)
+
+    def load_records(self) -> DataFrame:
+        if os.path.exists(self.records_path):
+            return self.spark.read.schema(RECORDS_SCHEMA).parquet(self.records_path)
+        return self.spark.createDataFrame([], RECORDS_SCHEMA)
+
+    def load_embeddings(self) -> DataFrame:
+        if os.path.exists(self.embeddings_path):
+            return self.spark.read.schema(EMBEDDINGS_SCHEMA).parquet(
+                self.embeddings_path
+            )
+        return self.spark.createDataFrame([], EMBEDDINGS_SCHEMA)
+
+    # -- S2/S4: sinks (atomic swap)
+
+    def save_records(self, df: DataFrame) -> None:
+        _swap_write(df.select([f.name for f in RECORDS_SCHEMA.fields]), self.records_path)
+
+    def save_embeddings(self, df: DataFrame) -> None:
+        _swap_write(
+            df.select([f.name for f in EMBEDDINGS_SCHEMA.fields]), self.embeddings_path
+        )
+
+    def save(self, records: DataFrame, embeddings: DataFrame) -> None:
+        """Transactional-enough pairwise save: records first (source of
+        truth), then embeddings (derived — a crash between the two
+        leaves a stale-but-regenerable index, never a lying one)."""
+        self.save_records(records)
+        self.save_embeddings(embeddings)
+
+    # -- S6: drop database (memo_cli.py:308-331; idempotent)
+
+    def clean(self) -> bool:
+        """Remove both tables; True if anything existed."""
+        existed = False
+        for p in (self.records_path, self.embeddings_path):
+            if os.path.exists(p):
+                shutil.rmtree(p)
+                existed = True
+        return existed
+
+    def exists(self) -> bool:
+        return os.path.exists(self.records_path)
