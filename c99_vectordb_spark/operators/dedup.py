@@ -1,0 +1,337 @@
+"""Deduplication operators for large-scale text corpora (SURVEY §2.11).
+
+Extension surface beyond the reference (BASELINE.json north star):
+exact, MinHash+LSH, SimHash, n-gram Jaccard, and embedding-cosine
+near-dup — each expressed as DataFrame plans whose shuffles move
+hashes/signatures, never full documents:
+
+- exact:     groupBy 64-bit-ish fingerprint of normalized text; the
+             shuffle carries (hash, id) pairs only.
+- Jaccard:   shingle -> self-join on shingle hash -> count shared ->
+             filter by threshold. Candidate generation is the join;
+             at 100 TB you bound it by dropping ultra-common shingles
+             (stopword shingles explode the join) — ``max_shingle_freq``.
+- MinHash:   k independent permutations approximated by affine hashes
+             (a_i*s + b_i) % P; LSH banding turns near-dup search into
+             an equi-join on (band, band-signature) — no all-pairs.
+- SimHash:   per-token signed bit votes -> 48-bit signature; banding
+             for candidates, popcount(xor) for verify.
+- cosine:    exact top-k most-similar pairs at test scale; LSH
+             (similarity.py) is the scale path.
+
+All hash math uses the stable cross-engine spec (hashing.py) so every
+operator has an exact DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions import text as Ft
+from ..model import HASH_MOD
+
+#: affine MinHash parameters (deterministic, shared with the oracle SQL)
+MINHASH_K = 16
+MINHASH_A = [2 * i + 3 for i in range(MINHASH_K)]  # odd multipliers
+MINHASH_B = [7 * i + 1 for i in range(MINHASH_K)]
+MINHASH_BANDS = 4  # 4 bands x 4 rows
+
+SIMHASH_BITS = 48
+
+
+def normalized_body(c: Column) -> Column:
+    """lower + whitespace-collapse canonical form for dedup keys."""
+    return F.lower(Ft.normalize_ws(c))
+
+
+def fingerprint(c: Column) -> Column:
+    """Stable content fingerprint: polynomial hash of the normalized
+    text (exact-dedup key; also textstats.py document fingerprint)."""
+    return Ft.string_hash(normalized_body(c))
+
+
+def exact_dedup(
+    df: DataFrame, id_col: str = "id", body_col: str = "body"
+) -> DataFrame:
+    """Exact dedup: keep the minimum id per content fingerprint.
+
+    Returns (id, fp, dup_cnt) for surviving records. One hash-partition
+    shuffle of (fp, id); map-side combine reduces it to one row per
+    distinct fp per partition.
+    """
+    return (
+        df.select(F.col(id_col).alias("id"), fingerprint(F.col(body_col)).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("id").alias("id"), F.count(F.lit(1)).alias("dup_cnt"))
+        .select("id", "fp", "dup_cnt")
+    )
+
+
+def shingles(
+    df: DataFrame, id_col: str = "id", body_col: str = "body", n: int = 3
+) -> DataFrame:
+    """Distinct hashed token n-gram shingles per document: (id, sh).
+
+    Shingle hash folds the n token hashes with the same polynomial
+    spec, so the oracle can reproduce it exactly.
+    """
+    toks = Ft.tokens(F.col(body_col))
+    hashes = F.transform(toks, Ft.token_hash)
+    # guard: sequence(0, negative) would generate a DESCENDING range
+    idx = F.when(F.size(hashes) >= n, F.sequence(F.lit(0), F.size(hashes) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    grams = F.transform(
+        idx,
+        lambda i: F.aggregate(
+            F.slice(hashes, i + 1, n),
+            F.lit(0).cast("long"),
+            lambda acc, h: (acc * 131 + h) % F.lit(HASH_MOD),
+        ),
+    )
+    return (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("sh"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    body_col: str = "body",
+    n: int = 3,
+    threshold: float = 0.5,
+    max_shingle_freq: int | None = None,
+) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard similarity >= threshold.
+
+    Plan: shingles -> (optional) drop shingles appearing in more than
+    ``max_shingle_freq`` docs (the 100 TB knob: ultra-common shingles
+    dominate the self-join cost while contributing almost nothing to
+    Jaccard) -> self-equi-join on shingle -> shared counts -> join two
+    per-doc size aggregates -> threshold filter. Output
+    (id_a, id_b, jaccard) with id_a < id_b.
+    """
+    sh = shingles(df, id_col, body_col, n).cache()
+    if max_shingle_freq is not None:
+        rare = sh.groupBy("sh").count().filter(F.col("count") <= max_shingle_freq)
+        sh = sh.join(rare.select("sh"), "sh")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter")
+                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
+                6,
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "id", body_col: str = "body", n: int = 3
+) -> DataFrame:
+    """MinHash signatures: (id, sig ARRAY<BIGINT>[MINHASH_K]).
+
+    One aggregate over the shingle set per document — the k affine
+    hashes are computed per shingle and min-reduced map-side.
+    """
+    sh = shingles(df, id_col, body_col, n)
+    aggs = [
+        F.min((F.col("sh") * MINHASH_A[i] + MINHASH_B[i]) % HASH_MOD).alias(f"m{i}")
+        for i in range(MINHASH_K)
+    ]
+    sigs = sh.groupBy("id").agg(*aggs)
+    return sigs.select(
+        "id", F.array(*[F.col(f"m{i}") for i in range(MINHASH_K)]).alias("sig")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str = "id", body_col: str = "body", n: int = 3
+) -> DataFrame:
+    """LSH candidate pairs: documents sharing at least one band of
+    their MinHash signature. Output (id_a, id_b) with id_a < id_b.
+
+    The banding equi-join is the whole point at scale: candidates come
+    from hash-partitioned joins on (band_idx, band_sig), never from an
+    all-pairs comparison.
+    """
+    rows = MINHASH_K // MINHASH_BANDS
+    sigs = minhash_signatures(df, id_col, body_col, n)
+    bands = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.aggregate(
+                            F.slice("sig", bi * rows + 1, rows),
+                            F.lit(0).cast("long"),
+                            lambda acc, v: (acc * 131 + v) % F.lit(HASH_MOD),
+                        ).alias("bsig"),
+                    )
+                    for bi in range(MINHASH_BANDS)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "b.band", "b.bsig")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bsig") == F.col("b.bsig"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, id_col: str = "id", body_col: str = "body") -> DataFrame:
+    """SimHash signatures: (id, sim BIGINT of SIMHASH_BITS bits).
+
+    Bit j of a token = parity of (h*31 + j) % HASH_MOD; per-document
+    bit j is the sign of the token votes. Map-only per document.
+    """
+    toks = Ft.tokens(F.col(body_col))
+    hashes = F.transform(toks, Ft.token_hash)
+    bits = F.transform(
+        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
+        lambda j: F.when(
+            F.aggregate(
+                hashes,
+                F.lit(0).cast("long"),
+                lambda acc, h: acc
+                + F.when((h * 31 + j) % HASH_MOD % 2 == 1, F.lit(1)).otherwise(
+                    F.lit(-1)
+                ),
+            )
+            > 0,
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .cast("long"),
+    )
+    # shiftleft needs a literal shift amount; 2^j via pow is exact for
+    # j < 53 (double mantissa), and SIMHASH_BITS <= 48
+    sim = F.aggregate(
+        F.zip_with(
+            bits,
+            F.transform(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)), lambda j: j),
+            lambda bit, j: bit * F.pow(F.lit(2.0), j.cast("double")).cast("long"),
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+    return df.select(F.col(id_col).alias("id"), sim.alias("sim"))
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    body_col: str = "body",
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Near-dup pairs with popcount(xor(sim_a, sim_b)) <= max_hamming.
+
+    Candidates via band equi-join on 12-bit chunks: by pigeonhole, a
+    pair within hamming distance 3 of a 48-bit signature MUST agree
+    exactly on at least one of the 4 chunks — same no-all-pairs
+    property as MinHash LSH. Output (id_a, id_b, hamming).
+    """
+    n_chunks = max_hamming + 1
+    chunk_bits = SIMHASH_BITS // n_chunks
+    sigs = simhash(df, id_col, body_col)
+    chunks = sigs.select(
+        "id",
+        "sim",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sim", chunk_bits * c)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("cval"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "sim", "c.chunk", "c.cval")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sim").alias("sim_a"),
+            F.col("b.sim").alias("sim_b"),
+        )
+        .distinct()
+    )
+    return (
+        cand.withColumn(
+            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )
+
+
+def cosine_top_pairs(
+    emb: DataFrame,
+    k: int = 20,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """Exact top-k most-similar pairs by cosine over an embedding table.
+
+    Test-scale exact baseline (O(n^2) pairs); the scale path is the
+    LSH-bucketed variant in similarity.py. Output (id_a, id_b, cos).
+    """
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
+        )
+
+    a = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), norm(F.col(vec_col)).alias("na")
+    )
+    b = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), norm(F.col(vec_col)).alias("nb")
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        a.join(b, F.col("id_a") < F.col("id_b"))
+        .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 4))
+        .select("id_a", "id_b", "cos")
+        .orderBy(F.desc("cos"), F.asc("id_a"), F.asc("id_b"))
+        .limit(k)
+    )

@@ -1,0 +1,178 @@
+"""Text-analysis operators for training-data pipelines (SURVEY §2.11).
+
+Language-ID (marker-token heuristic), quality scoring, token counting,
+and document fingerprinting — all pure Spark SQL expressions (no
+Python in the hot path) so they codegen and push down, and all
+reproducible in DuckDB SQL for the correctness oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions import text as Ft
+from . import dedup as D
+
+#: deterministic marker-token lists per language (heuristic, not a model)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "de": ("der", "die", "das", "und", "ist", "nicht"),
+    "en": ("the", "and", "of", "to", "is", "in"),
+    "es": ("el", "la", "los", "de", "que", "y"),
+    "fr": ("le", "la", "les", "et", "est", "que"),
+}
+
+STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is", "it")
+
+
+def token_counts(df: DataFrame, id_col: str, body_col: str) -> DataFrame:
+    """Token counting two ways (whitespace split vs BPE-ish regex) plus
+    char length: (id, n_chars, n_ws_tokens, n_re_tokens)."""
+    body = F.col(body_col)
+    ws = F.split(Ft.normalize_ws(body), " ")
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.length(body).cast("long").alias("n_chars"),
+        F.when(Ft.is_blank(body), F.lit(0))
+        .otherwise(F.size(ws))
+        .cast("long")
+        .alias("n_ws_tokens"),
+        F.size(Ft.tokens(body)).cast("long").alias("n_re_tokens"),
+    )
+
+
+def quality_features(df: DataFrame, id_col: str, body_col: str) -> DataFrame:
+    """Quality-score features: punctuation/digit/stopword ratios and
+    mean token length, plus a deterministic composite score in [0,1].
+
+    The composite is a fixed linear blend — a placeholder for a learned
+    quality model, but the *plumbing* (pure-expression feature
+    extraction at scan time) is the real deliverable.
+    """
+    body = F.col(body_col)
+    toks = Ft.tokens(body)
+    n_tok = F.size(toks)
+    n_chars = F.length(body)
+    punct = F.length(F.regexp_replace(body, r"[^.,;:!?'\"]", ""))
+    digits = F.length(F.regexp_replace(body, r"[^0-9]", ""))
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x.cast("long"),
+    )
+    safe = lambda num, den: F.when(den > 0, num.cast("double") / den).otherwise(  # noqa: E731
+        F.lit(0.0)
+    )
+    out = df.select(
+        F.col(id_col).alias("id"),
+        F.round(safe(punct, n_chars), 6).alias("punct_ratio"),
+        F.round(safe(digits, n_chars), 6).alias("digit_ratio"),
+        F.round(safe(n_stop, n_tok), 6).alias("stopword_ratio"),
+        F.round(safe(tok_chars, n_tok), 6).alias("mean_tok_len"),
+        n_tok.cast("long").alias("n_tokens"),
+    )
+    score = (
+        F.lit(0.25) * F.least(F.col("stopword_ratio") * 4, F.lit(1.0))
+        + F.lit(0.25) * (F.lit(1.0) - F.least(F.col("punct_ratio") * 10, F.lit(1.0)))
+        + F.lit(0.25) * (F.lit(1.0) - F.least(F.col("digit_ratio") * 10, F.lit(1.0)))
+        + F.lit(0.25)
+        * F.least(F.greatest(F.col("mean_tok_len") - 2, F.lit(0.0)) / 4, F.lit(1.0))
+    )
+    return out.withColumn("quality", F.round(score, 6))
+
+
+def quality_features_exact(df: DataFrame, id_col: str, body_col: str) -> DataFrame:
+    """Integer-exact quality features for cross-engine verification.
+
+    Ratios as floored parts-per-million and the composite as an integer
+    in [0, 16e6] (conceptually quality = q16/16e6). Floored integer
+    ppm is deterministic across engines: the true ratio is a rational
+    with denominator <= len(body), so it is never within double error
+    of an integer boundary unless it IS that integer (in which case the
+    double division is exact). Decimal *rounding* of the blended
+    double, by contrast, lands exactly on .5 boundaries where Spark
+    and DuckDB legitimately disagree — hence this variant.
+    """
+    body = F.col(body_col)
+    toks = Ft.tokens(body)
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(body).cast("long")
+    punct = F.length(F.regexp_replace(body, r"[^.,;:!?'\"]", "")).cast("long")
+    digits = F.length(F.regexp_replace(body, r"[^0-9]", "")).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t))).cast("long")
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x.cast("long"),
+    )
+    ppm = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.floor(num * F.lit(1000000) / den).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    out = df.select(
+        F.col(id_col).alias("id"),
+        ppm(punct, n_chars).alias("punct_ppm"),
+        ppm(digits, n_chars).alias("digit_ppm"),
+        ppm(n_stop, n_tok).alias("stop_ppm"),
+        ppm(tok_chars, n_tok).alias("mtl_ppm"),
+        n_tok.alias("n_tokens"),
+    )
+    m = F.lit(1000000).cast("long")
+    s1 = F.least(F.col("stop_ppm") * 4, m)
+    s2 = m - F.least(F.col("punct_ppm") * 10, m)
+    s3 = m - F.least(F.col("digit_ppm") * 10, m)
+    s4 = F.least(F.greatest(F.col("mtl_ppm") - 2 * m, F.lit(0).cast("long")), 4 * m)
+    return out.withColumn("quality_q16", (s1 * 4 + s2 * 4 + s3 * 4 + s4).cast("long"))
+
+
+def lang_id(df: DataFrame, id_col: str, body_col: str) -> DataFrame:
+    """Marker-token language heuristic: argmax of per-language marker
+    hits (ties broken by language code ascending); no hits -> 'und'.
+
+    Output (id, lang_pred, hits). N-gram-free by design so the DuckDB
+    oracle is a literal transliteration.
+    """
+    toks = Ft.tokens(F.col(body_col))
+    hit_cols = []
+    for lang, markers in sorted(LANG_MARKERS.items()):
+        arr = F.array(*[F.lit(m) for m in markers])
+        hit_cols.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(
+                    "hits"
+                ),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*hit_cols))  # struct compare: hits, then lang desc
+    # array_max on (hits, lang) breaks ties by lang DESC; we want ASC ->
+    # compare on (hits, negated lang rank) instead: encode rank explicitly
+    ranked = []
+    for i, (lang, markers) in enumerate(sorted(LANG_MARKERS.items())):
+        arr = F.array(*[F.lit(m) for m in markers])
+        ranked.append(
+            F.struct(
+                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(
+                    "hits"
+                ),
+                F.lit(-i).alias("nrank"),
+                F.lit(lang).alias("lang"),
+            )
+        )
+    best = F.array_max(F.array(*ranked))
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.when(best["hits"] > 0, best["lang"]).otherwise(F.lit("und")).alias(
+            "lang_pred"
+        ),
+        best["hits"].cast("long").alias("hits"),
+    )
+
+
+def fingerprints(df: DataFrame, id_col: str, body_col: str) -> DataFrame:
+    """Document fingerprint: polynomial rolling hash of the normalized
+    text (id, fp). Same spec as exact-dedup keys."""
+    return df.select(
+        F.col(id_col).alias("id"), D.fingerprint(F.col(body_col)).alias("fp")
+    )

@@ -1,0 +1,438 @@
+"""Extension queries (SURVEY §2.11): dedup, similarity search, text
+analysis — with exact DuckDB oracle twins built from the same hash
+constants (single source of truth: hashing.py, dedup.py, similarity.py).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from . import hashing
+from .model import HASH_MOD
+from .operators.dedup import (
+    MINHASH_A,
+    MINHASH_B,
+    MINHASH_BANDS,
+    MINHASH_K,
+    SIMHASH_BITS,
+)
+from .operators.similarity import hyperplane
+
+_NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+
+
+def _duck_hl_cte(n_shingle: int = 3) -> str:
+    """CTEs hl (token-hash list) and sh (distinct hashed 3-gram
+    shingles) over documents — mirrors dedup.shingles exactly."""
+    toks = hashing.duckdb_tokens_sql("text")
+    th = hashing.duckdb_token_hash_sql("t")
+    return f"""
+hl AS (
+  SELECT doc_id, list_transform({toks}, t -> {th}) AS hl
+  FROM documents
+),
+sh AS (
+  SELECT DISTINCT doc_id,
+         unnest(list_transform(range(1, greatest(len(hl) - {n_shingle - 1}, 0) + 1),
+           i -> list_reduce([0::BIGINT] || hl[i:i+{n_shingle - 1}],
+                            (a, h) -> (a * 131 + h) % {HASH_MOD}))) AS sh
+  FROM hl
+)"""
+
+
+# ---------------------------------------------------------------------------
+# dedup: exact
+# ---------------------------------------------------------------------------
+
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import exact_dedup
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return exact_dedup(docs, id_col="doc_id", body_col="text")
+
+
+_ORACLE_DEDUP_EXACT = f"""
+WITH fp AS (
+  SELECT doc_id, {hashing.duckdb_token_hash_sql(_NORM_TEXT)} AS fp
+  FROM documents
+)
+SELECT MIN(doc_id) AS id, fp, COUNT(*)::BIGINT AS dup_cnt
+FROM fp GROUP BY fp
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup: n-gram Jaccard pairs
+# ---------------------------------------------------------------------------
+
+JACCARD_THRESHOLD = 0.2
+
+
+def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_jaccard_pairs(
+        docs, id_col="doc_id", body_col="text", threshold=JACCARD_THRESHOLD
+    )
+
+
+_ORACLE_DEDUP_JACCARD = f"""
+WITH {_duck_hl_cte()},
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM sh GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON ia = sa.doc_id
+JOIN sizes sb ON ib = sb.doc_id
+WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup: MinHash LSH candidate pairs
+# ---------------------------------------------------------------------------
+
+def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return minhash_lsh_pairs(docs, id_col="doc_id", body_col="text")
+
+
+def _oracle_minhash() -> str:
+    rows = MINHASH_K // MINHASH_BANDS
+    mins = ", ".join(
+        f"MIN((sh * {MINHASH_A[i]} + {MINHASH_B[i]}) % {HASH_MOD}) AS m{i}"
+        for i in range(MINHASH_K)
+    )
+
+    def fold(cols: list[str]) -> str:
+        acc = "0"
+        for c in cols:
+            acc = f"(({acc}) * 131 + {c}) % {HASH_MOD}"
+        return acc
+
+    band_selects = "\n  UNION ALL\n".join(
+        f"  SELECT doc_id, {bi} AS band, {fold([f'm{bi * rows + j}' for j in range(rows)])} AS bsig FROM mins"
+        for bi in range(MINHASH_BANDS)
+    )
+    return f"""
+WITH {_duck_hl_cte()},
+mins AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
+bands AS (
+{band_selects}
+)
+SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+FROM bands a
+JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup: SimHash signatures + near pairs
+# ---------------------------------------------------------------------------
+
+_SIMS_CTE = f"""
+{_duck_hl_cte()},
+tok AS (SELECT doc_id, unnest(hl) AS h FROM hl),
+votes AS (
+  SELECT doc_id, j,
+         SUM(CASE WHEN ((h * 31 + j) % {HASH_MOD}) % 2 = 1 THEN 1 ELSE -1 END) AS v
+  FROM tok CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS j) js
+  GROUP BY 1, 2
+),
+sims AS (
+  SELECT d.doc_id,
+         COALESCE(SUM(CASE WHEN v.v > 0 THEN 1::BIGINT << v.j ELSE 0 END), 0)::BIGINT AS sim
+  FROM documents d LEFT JOIN votes v ON d.doc_id = v.doc_id
+  GROUP BY 1
+)"""
+
+
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash(docs, id_col="doc_id", body_col="text")
+
+
+_ORACLE_DEDUP_SIMHASH = f"""
+WITH {_SIMS_CTE}
+SELECT doc_id AS id, sim FROM sims
+"""
+
+
+def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import simhash_near_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return simhash_near_pairs(docs, id_col="doc_id", body_col="text", max_hamming=3)
+
+
+_ORACLE_DEDUP_SIMHASH_PAIRS = f"""
+WITH {_SIMS_CTE}
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.sim, b.sim))::INT AS hamming
+FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.sim, b.sim)) <= 3
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup: embedding-cosine top pairs
+# ---------------------------------------------------------------------------
+
+_DUCK_DOT = (
+    "list_sum(list_transform(list_zip({a}, {b}), p -> p[1]::DOUBLE * p[2]::DOUBLE))"
+)
+
+
+def q_dedup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import cosine_top_pairs
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return cosine_top_pairs(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")), k=20
+    )
+
+
+_ORACLE_DEDUP_COSINE_PAIRS = f"""
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND({_DUCK_DOT.format(a='a.embedding', b='b.embedding')}
+             / (sqrt({_DUCK_DOT.format(a='a.embedding', b='a.embedding')})
+                * sqrt({_DUCK_DOT.format(a='b.embedding', b='b.embedding')})), 4) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+ORDER BY cos DESC, id_a ASC, id_b ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# similarity search: exact brute-force and LSH-bucketed
+# ---------------------------------------------------------------------------
+
+def q_sim_topk_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import topk_neighbors
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    queries = emb.filter(F.col("id") < 3).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    return topk_neighbors(emb, queries, k=5)
+
+
+_ORACLE_SIM_TOPK = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.qid, e.vec_id AS id,
+         ROUND({_DUCK_DOT.format(a='e.embedding', b='q.qvec')}
+               / (sqrt({_DUCK_DOT.format(a='e.embedding', b='e.embedding')})
+                  * sqrt({_DUCK_DOT.format(a='q.qvec', b='q.qvec')})), 4) AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.qid
+)
+SELECT qid, id, score FROM (
+  SELECT qid, id, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+LSH_PLANES = 8
+LSH_DIM = 64
+
+
+def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_bucketed_neighbors
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    queries = emb.filter(F.col("id") < 3).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    return lsh_bucketed_neighbors(emb, queries, dim=LSH_DIM, k=5, n_planes=LSH_PLANES)
+
+
+def _oracle_lsh() -> str:
+    def plane_lit(p: int) -> str:
+        return "[" + ", ".join(f"{x!r}::DOUBLE" for x in hyperplane(p, LSH_DIM)) + "]"
+
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {_DUCK_DOT.format(a='{v}', b=plane_lit(p))} >= 0 THEN 1::BIGINT ELSE 0 END << {p})"
+        for p in range(LSH_PLANES)
+    )
+    eb = bucket_terms.replace("{v}", "embedding")
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding, ({eb}) AS bucket FROM embeddings),
+q AS (SELECT id AS qid, embedding AS qvec, bucket FROM e WHERE id < 3),
+joined AS (
+  SELECT q.qid, e.id,
+         ROUND({_DUCK_DOT.format(a='e.embedding', b='q.qvec')}
+               / (sqrt({_DUCK_DOT.format(a='e.embedding', b='e.embedding')})
+                  * sqrt({_DUCK_DOT.format(a='q.qvec', b='q.qvec')})), 4) AS score
+  FROM e JOIN q ON e.bucket = q.bucket
+  WHERE e.id != q.qid
+)
+SELECT qid, id, score FROM (
+  SELECT qid, id, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+  FROM joined
+) WHERE rnk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+def q_text_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return token_counts(docs, "doc_id", "text")
+
+
+_ORACLE_TEXT_TOKEN_COUNTS = f"""
+SELECT doc_id AS id,
+       LENGTH(text)::BIGINT AS n_chars,
+       CASE WHEN trim(regexp_replace(text, '\\s+', ' ', 'g')) = '' THEN 0
+            ELSE len(string_split(trim(regexp_replace(text, '\\s+', ' ', 'g')), ' '))
+       END::BIGINT AS n_ws_tokens,
+       len({hashing.duckdb_tokens_sql('text')})::BIGINT AS n_re_tokens
+FROM documents
+"""
+
+
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import quality_features_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return quality_features_exact(docs, "doc_id", "text")
+
+
+def _oracle_quality() -> str:
+    from .operators.textstats import STOPWORDS
+
+    stops = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    toks = hashing.duckdb_tokens_sql("text")
+    return f"""
+WITH feat AS (
+  SELECT doc_id,
+         LENGTH(text)::BIGINT AS n_chars,
+         LENGTH(regexp_replace(text, '[^.,;:!?''\"]', '', 'g'))::BIGINT AS punct,
+         LENGTH(regexp_replace(text, '[^0-9]', '', 'g'))::BIGINT AS digits,
+         {toks} AS toks
+  FROM documents
+),
+feat2 AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_tokens,
+         CASE WHEN n_chars > 0 THEN FLOOR(punct * 1000000.0 / n_chars)::BIGINT ELSE 0 END AS punct_ppm,
+         CASE WHEN n_chars > 0 THEN FLOOR(digits * 1000000.0 / n_chars)::BIGINT ELSE 0 END AS digit_ppm,
+         CASE WHEN len(toks) > 0 THEN FLOOR(len(list_filter(toks, t -> list_contains({stops}, t))) * 1000000.0 / len(toks))::BIGINT ELSE 0 END AS stop_ppm,
+         CASE WHEN len(toks) > 0 THEN FLOOR(CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS BIGINT) * 1000000.0 / len(toks))::BIGINT ELSE 0 END AS mtl_ppm
+  FROM feat
+)
+SELECT doc_id AS id, punct_ppm, digit_ppm, stop_ppm, mtl_ppm, n_tokens,
+       (  4 * least(stop_ppm * 4, 1000000)
+        + 4 * (1000000 - least(punct_ppm * 10, 1000000))
+        + 4 * (1000000 - least(digit_ppm * 10, 1000000))
+        + least(greatest(mtl_ppm - 2000000, 0), 4000000))::BIGINT AS quality_q16
+FROM feat2
+"""
+
+
+def q_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lang_id(docs, "doc_id", "text")
+
+
+def _oracle_langid() -> str:
+    from .operators.textstats import LANG_MARKERS
+
+    toks = hashing.duckdb_tokens_sql("text")
+    hit_exprs = []
+    langs = sorted(LANG_MARKERS.items())
+    for lang, markers in langs:
+        arr = "[" + ", ".join(f"'{m}'" for m in markers) + "]"
+        hit_exprs.append(
+            f"len(list_filter(toks, t -> list_contains({arr}, t))) AS h_{lang}"
+        )
+    codes = [lang for lang, _ in langs]
+    # argmax with ties broken by language code ascending = first in the chain
+    case = "CASE "
+    for i, lang in enumerate(codes):
+        others = [f"h_{lang} >= h_{o}" for o in codes[i + 1 :]]
+        cond = " AND ".join(others) if others else "TRUE"
+        case += f"WHEN {cond} THEN ('{lang}', h_{lang}) "
+    case += "END"
+    return f"""
+WITH t AS (SELECT doc_id, {toks} AS toks FROM documents),
+hits AS (SELECT doc_id, {', '.join(hit_exprs)} FROM t),
+best AS (SELECT doc_id, {case} AS b FROM hits)
+SELECT doc_id AS id,
+       CASE WHEN b[2]::BIGINT > 0 THEN b[1] ELSE 'und' END AS lang_pred,
+       b[2]::BIGINT AS hits
+FROM best
+"""
+
+
+def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return fingerprints(docs, "doc_id", "text")
+
+
+_ORACLE_TEXT_FINGERPRINT = f"""
+SELECT doc_id AS id, {hashing.duckdb_token_hash_sql(_NORM_TEXT)} AS fp
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+# ---------------------------------------------------------------------------
+
+EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_exact": q_dedup_exact,
+    "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_simhash": q_dedup_simhash,
+    "dedup_simhash_pairs": q_dedup_simhash_pairs,
+    "dedup_cosine_pairs": q_dedup_cosine_pairs,
+    "sim_topk_cosine": q_sim_topk_cosine,
+    "sim_lsh_bucketed": q_sim_lsh_bucketed,
+    "text_token_counts": q_text_token_counts,
+    "text_quality": q_text_quality,
+    "text_langid": q_text_langid,
+    "text_fingerprint": q_text_fingerprint,
+}
+
+EXT_ORACLES: dict[str, str] = {
+    "dedup_exact": _ORACLE_DEDUP_EXACT,
+    "dedup_jaccard_pairs": _ORACLE_DEDUP_JACCARD,
+    "dedup_minhash_pairs": _oracle_minhash(),
+    "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
+    "dedup_simhash_pairs": _ORACLE_DEDUP_SIMHASH_PAIRS,
+    "dedup_cosine_pairs": _ORACLE_DEDUP_COSINE_PAIRS,
+    "sim_topk_cosine": _ORACLE_SIM_TOPK,
+    "sim_lsh_bucketed": _oracle_lsh(),
+    "text_token_counts": _ORACLE_TEXT_TOKEN_COUNTS,
+    "text_quality": _oracle_quality(),
+    "text_langid": _oracle_langid(),
+    "text_fingerprint": _ORACLE_TEXT_FINGERPRINT,
+}

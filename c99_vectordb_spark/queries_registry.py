@@ -738,8 +738,12 @@ _ORACLES: dict[str, str] = {
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    return dict(_QUERIES)
+    from .queries_ext import EXT_QUERIES
+
+    return {**_QUERIES, **EXT_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
-    return dict(_ORACLES)
+    from .queries_ext import EXT_ORACLES
+
+    return {**_ORACLES, **EXT_ORACLES}
