@@ -1,0 +1,101 @@
+"""Text-analysis and similarity-search semantics."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from c99_vectordb_spark.operators import similarity as S, textstats as TS
+
+
+def test_token_counts(spark):
+    df = spark.createDataFrame(
+        [(0, "hello world  foo"), (1, "one-two three!"), (2, "   ")],
+        ["id", "body"],
+    )
+    out = {r.id: r for r in TS.token_counts(df, "id", "body").collect()}
+    assert (out[0].n_ws_tokens, out[0].n_re_tokens) == (3, 3)
+    assert (out[1].n_ws_tokens, out[1].n_re_tokens) == (2, 3)  # one-two splits
+    assert out[2].n_ws_tokens == 0
+
+
+def test_lang_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            (0, "the cat and the dog is in the house"),
+            (1, "der hund und die katze ist nicht da"),
+            (2, "el gato y la casa de los perros"),
+            (3, "xyzzy plugh qwerty"),
+        ],
+        ["id", "body"],
+    )
+    out = {r.id: r.lang_pred for r in TS.lang_id(df, "id", "body").collect()}
+    assert out[0] == "en"
+    assert out[1] == "de"
+    assert out[2] == "es"
+    assert out[3] == "und"
+
+
+def test_quality_monotone(spark):
+    df = spark.createDataFrame(
+        [(0, "the meaning of life is to seek wisdom and the truth"),
+         (1, "??? !!! ... 123 456 789 !!!")],
+        ["id", "body"],
+    )
+    out = {r.id: r.quality for r in TS.quality_features(df, "id", "body").collect()}
+    assert out[0] > out[1]
+
+
+def test_quality_exact_matches_float_ranks(spark, documents):
+    docs = documents.limit(50)
+    f = {r.id: r.quality for r in TS.quality_features(docs, "doc_id", "text").collect()}
+    e = {
+        r.id: r.quality_q16
+        for r in TS.quality_features_exact(docs, "doc_id", "text").collect()
+    }
+    # same ordering under both representations (floor-ppm vs rounded float)
+    rank_f = sorted(f, key=lambda k: (f[k], k))
+    rank_e = sorted(e, key=lambda k: (e[k], k))
+    mismatches = sum(a != b for a, b in zip(rank_f, rank_e))
+    assert mismatches <= 2  # floor-vs-round can flip near-exact ties only
+
+
+def test_fingerprint_ws_invariant(spark):
+    df = spark.createDataFrame(
+        [(0, "alpha  beta"), (1, "alpha beta"), (2, "ALPHA BETA"), (3, "alpha betá")],
+        ["id", "body"],
+    )
+    out = {r.id: r.fp for r in TS.fingerprints(df, "id", "body").collect()}
+    assert out[0] == out[1] == out[2]
+    assert out[0] != out[3]
+
+
+def test_topk_neighbors_exact(spark, embeddings):
+    emb = embeddings.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = emb.filter(F.col("id") < 2).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    out = S.topk_neighbors(emb, queries, k=3).collect()
+    assert len(out) == 6
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r.qid, []).append(r)
+    for qid, rows in by_q.items():
+        scores = [r.score for r in rows]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.id != qid for r in rows)
+
+
+def test_lsh_recall_vs_exact(spark, embeddings):
+    emb = embeddings.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = emb.filter(F.col("id") < 5).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    exact = S.topk_neighbors(emb, queries, k=1).collect()
+    approx = S.lsh_bucketed_neighbors(emb, queries, dim=64, k=1, n_planes=4).collect()
+    # every query finds SOMETHING in its bucket with few planes, and the
+    # approximate top-1 score can never beat the exact top-1
+    ex = {r.qid: r.score for r in exact}
+    ap = {r.qid: r.score for r in approx}
+    for qid, s in ap.items():
+        assert s <= ex[qid] + 1e-9
