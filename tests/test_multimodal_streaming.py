@@ -1,0 +1,128 @@
+"""Multimodal plumbing + Structured Streaming surface."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from c99_vectordb_spark.operators import multimodal as MM
+
+
+def test_media_schema_and_features(spark, documents):
+    media = MM.media_from_documents(documents.limit(20))
+    out = MM.extract_features(media).collect()
+    assert len(out) == 20
+    for r in out:
+        assert r.n_bytes > 0
+        assert len(r.feature) == 8
+        assert abs(sum(r.feature) - 1.0) < 1e-9
+        assert r.head_hash >= 0
+
+
+def test_features_deterministic(spark, documents):
+    media = MM.media_from_documents(documents.limit(10))
+    a = sorted(map(tuple, MM.extract_features(media).collect()))
+    b = sorted(map(tuple, MM.extract_features(media).collect()))
+    assert a == b
+
+
+def test_decode_stub_raises_for_real_codecs():
+    with pytest.raises(NotImplementedError):
+        MM.decode_payload(b"\x89PNG", "image/png")
+
+
+def test_frame_sample(spark, documents):
+    media = MM.media_from_documents(documents.limit(5))
+    frames = MM.frame_sample(media, every_n_bytes=50).collect()
+    assert all(f.byte_offset % 50 == 0 for f in frames)
+    by_id = {}
+    for f in frames:
+        by_id.setdefault(f.id, []).append(f.frame_idx)
+    for idxs in by_id.values():
+        assert sorted(idxs) == list(range(len(idxs)))
+
+
+def test_streaming_windowed_events_matches_batch(spark, sf_dir):
+    """Run the streaming windowed agg over the events table as a
+    bounded stream (availableNow) and compare with the batch twin."""
+    from c99_vectordb_spark.functions.text import ts_from_nanos
+    from c99_vectordb_spark.streaming.ingest import stream_windowed_events
+
+    events_batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .select(ts_from_nanos(F.col("ts")).alias("ts"), "event_type", "value")
+    )
+    expected = (
+        events_batch.groupBy(
+            F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
+                "window_start"
+            ),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .collect()
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        events_batch.write.parquet(src)
+        stream = (
+            spark.readStream.schema(events_batch.schema).parquet(src)
+        )
+        agg = stream_windowed_events(stream)
+        q = (
+            agg.writeStream.format("memory")
+            .queryName("win_out")
+            .outputMode("complete")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("win_out").collect()
+
+    def key(rows):
+        return sorted((r.window_start, r.event_type, r.cnt, round(r.sum_value, 6)) for r in rows)
+
+    assert key(got) == key(expected)
+
+
+def test_streaming_save_batch_ingest(spark):
+    """File-source save batches -> foreachBatch upsert into the store,
+    embeddings maintained incrementally."""
+    from c99_vectordb_spark.model import SAVE_BATCH_SCHEMA
+    from c99_vectordb_spark.sources.store import ParquetStore
+    from c99_vectordb_spark.streaming.ingest import stream_save_batches
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "incoming")
+        os.makedirs(src)
+        store = ParquetStore(spark, os.path.join(tmp, "db"))
+
+        batch1 = spark.createDataFrame(
+            [(None, "first streamed record", None, None, None),
+             (None, "second streamed record", None, None, None)],
+            SAVE_BATCH_SCHEMA,
+        )
+        batch1.write.parquet(os.path.join(src, "b1.parquet"))
+
+        writer = stream_save_batches(
+            spark, src, store, os.path.join(tmp, "ckpt"), dim=64
+        )
+        q = writer.start()
+        q.awaitTermination(120)
+
+        recs = store.load_records().orderBy("id").collect()
+        embs = store.load_embeddings().collect()
+        assert [r.id for r in recs] == [0, 1]
+        assert {r.body for r in recs} == {
+            "first streamed record",
+            "second streamed record",
+        }
+        assert len(embs) == 2 and all(len(e.vec) == 64 for e in embs)
