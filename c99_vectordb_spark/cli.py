@@ -1,0 +1,390 @@
+"""Argv-compatible CLI shell over the Spark engine (SURVEY §2.9).
+
+Verbs and flags mirror /root/reference/memo_cli.py:696-949 (help text,
+parse_args, parse_recall_args, parse_analyze_args, main): ``save``,
+``recall``, ``analyze``, ``reindex``, ``clean`` with global ``-f``
+(db base) and ``-v`` (stderr diagnostics; stdout is result-only).
+
+Storage layout: ``<base>.yaml`` is the compatibility source of truth
+(S1/S2 adapter) and ``<base>.emb/`` holds the derived embeddings
+parquet (the FAISS ``.memo`` replacement). Recall embeds in-flight
+from the record table, so the reference's save-only-index desync
+quirk (M6) cannot occur; ``reindex`` still rewrites both canonically.
+
+Usage: ``python -m c99_vectordb_spark.cli [-f base] [-v] <verb> ...``
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+import yaml as _yaml
+from pyspark.sql import SparkSession, functions as F
+
+from . import fmt
+from .functions.embed import build_embeddings
+from .model import DEFAULT_LIMIT, DEFAULT_OFFSET, DIM, STATS_TOP_N
+from .operators import analyze as A, filters as Flt, mutate as M, recall as R
+from .sources import yaml_io
+
+
+def _log(verbose: bool, msg: str) -> None:
+    if verbose:
+        print(msg, file=sys.stderr)
+
+
+def _db_paths(base: str) -> tuple[str, str]:
+    return f"{base}.yaml", f"{base}.emb"
+
+
+def _get_spark() -> SparkSession:
+    from .session import get_spark
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "8")
+    os.environ["SPARK_GRAFT_CPUS"] = cpus
+    return get_spark("memo-spark-cli")
+
+
+def _display_cell(scalar, tag, list_val):
+    """format_cell parity (memo_cli.py:552-557): lists/maps render as
+    YAML flow; scalars via the stored str()."""
+    if list_val is not None:
+        return fmt.format_cell(list(list_val))
+    if scalar is None:
+        return ""
+    if tag in ("map", "list"):
+        try:
+            return fmt.format_cell(_yaml.safe_load(scalar))
+        except _yaml.YAMLError:
+            return scalar
+    return scalar
+
+
+def cmd_recall(spark, base, query, k, filter_expr, as_yaml, verbose) -> int:
+    yaml_path, _ = _db_paths(base)
+    k = R.clamp_k(k)
+    records = yaml_io.load_records_yaml(spark, yaml_path)
+    if not as_yaml:
+        print(fmt.recall_header(k))
+    fcol = None
+    if filter_expr:
+        try:
+            fcol = Flt.compile_filter(
+                filter_expr,
+                Flt.map_resolver(),
+                nonempty=Flt.records_nonempty_metadata(),
+            )
+        except ValueError as e:
+            print(f"Error: invalid --filter expression: {e}", file=sys.stderr)
+            return 1
+    hits = [
+        (r.id, r.score, r.body)
+        for r in R.recall(records, query, k=k, filter_col=fcol, dim=DIM).collect()
+    ]
+    if as_yaml:
+        print(fmt.recall_yaml(hits))
+    else:
+        for doc_id, score, body in hits:
+            print("\n".join(fmt.recall_hit(doc_id, score, body)))
+    return 0
+
+
+def cmd_analyze(spark, base, filter_expr, fields, stats_key, limit, offset) -> int:
+    yaml_path, _ = _db_paths(base)
+    if not filter_expr or not filter_expr.strip():
+        print("Error: analyze requires --filter <expr>", file=sys.stderr)
+        return 1
+    if limit < 1:
+        print("Error: --limit must be >= 1", file=sys.stderr)
+        return 1
+    if offset < 0:
+        print("Error: --offset must be >= 0", file=sys.stderr)
+        return 1
+    records = yaml_io.load_records_yaml(spark, yaml_path)
+    try:
+        fcol = Flt.compile_filter(
+            filter_expr, Flt.map_resolver(), nonempty=Flt.records_nonempty_metadata()
+        )
+    except ValueError as e:
+        print(f"Error: invalid --filter expression: {e}", file=sys.stderr)
+        return 1
+    matches = records.filter(fcol).cache()
+    n = matches.count()
+    print(fmt.matched(n))
+    if stats_key is not None:
+        return _print_stats(matches, stats_key)
+    # default projection: id + first 3 sorted metadata keys
+    # (memo_cli.py:560-565)
+    selected = fields if fields else ["id", *A.default_fields(matches)]
+    page = (
+        matches.orderBy("id")
+        .offset(offset)
+        .limit(limit)
+        .select("id", "metadata", "metadata_types", "metadata_lists")
+        .collect()
+    )
+    rows = []
+    for r in page:
+        row = []
+        for field in selected:
+            if field == "id":
+                row.append(str(r.id))
+                continue
+            if field == "metadata":
+                md = {}
+                tags = r.metadata_types or {}
+                for mk, mv in (r.metadata or {}).items():
+                    md[mk] = yaml_io._revive(mv, tags.get(mk))
+                for mk, mv in (r.metadata_lists or {}).items():
+                    md[mk] = list(mv)
+                row.append(fmt.format_cell(md))
+                continue
+            key = field[len("metadata.") :] if field.startswith("metadata.") else field
+            row.append(
+                _display_cell(
+                    (r.metadata or {}).get(key),
+                    (r.metadata_types or {}).get(key),
+                    (r.metadata_lists or {}).get(key),
+                )
+            )
+        rows.append(row)
+    headers = ["ID" if f == "id" else f for f in selected]
+    out = fmt.table(headers, rows)
+    if out:
+        print(out)
+    return 0
+
+
+def _print_stats(matches, key: str) -> int:
+    """Stats block (memo_cli.py:581-633). Top-4 tie-break: the
+    reference's Counter insertion order equals first-occurrence order
+    of an id-ascending scan, so (count desc, min(id) asc) reproduces
+    it exactly AND is deterministic distributed."""
+    k = key[len("metadata.") :] if key.startswith("metadata.") else key
+    if key == "id":
+        value = F.col("id").cast("string")
+        numeric_src = F.col("id").cast("double")
+        tag = F.lit("int")
+    else:
+        # list values stringify YAML-flow-style for counting parity
+        # with format_cell (memo_cli.py:552-557): "[a, b]"
+        value = F.coalesce(
+            F.col("metadata").getItem(k),
+            F.concat(
+                F.lit("["),
+                F.array_join(F.col("metadata_lists").getItem(k), ", "),
+                F.lit("]"),
+            ),
+        )
+        tag = F.coalesce(F.col("metadata_types").getItem(k), F.lit("str"))
+        # reference numeric path: isinstance(v,(int,float)) OR float(str(v));
+        # booleans are ints in python -> True=1.0 (memo_cli.py:601-604)
+        numeric_src = F.when(tag == "bool", (F.col("metadata").getItem(k) == "True").cast("double")).otherwise(
+            F.col("metadata").getItem(k).try_cast("double")
+        )
+    vals = matches.select(
+        F.col("id").alias("rid"), value.alias("v"), numeric_src.alias("num"), tag.alias("tag")
+    ).filter(F.col("v").isNotNull()).cache()
+
+    counts = (
+        vals.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("count"), F.min("rid").alias("first_id"))
+        .orderBy(F.desc("count"), F.asc("first_id"))
+        .collect()
+    )
+    cardinality = len(counts)
+    top = [(r.v, r["count"]) for r in counts[:STATS_TOP_N]]
+    other = None
+    if cardinality > STATS_TOP_N:
+        residual = sum(r["count"] for r in counts[STATS_TOP_N:])
+        other = (cardinality - STATS_TOP_N, residual)
+
+    numeric = None
+    date_range = None
+    agg = vals.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.bool_and(F.col("num").isNotNull()), F.lit(False)).alias("ok"),
+        F.min("num").alias("mn"),
+        F.max("num").alias("mx"),
+        F.avg("num").alias("av"),
+    ).collect()[0]
+    if agg.n > 0 and agg.ok:
+        numeric = (agg.mn, agg.mx, agg.av)
+    else:
+        d = A.date_stats(vals.filter(F.col("tag") == "str"), F.col("v")).collect()[0]
+        total = vals.count()
+        if d.n == total and total > 0 and d.date_ok:
+            date_range = (d.dmin, d.dmax)
+    print(
+        fmt.stats_block(key, cardinality, top, other, numeric, date_range)
+    )
+    return 0
+
+
+def cmd_save(spark, base, save_path, verbose) -> int:
+    yaml_path, emb_path = _db_paths(base)
+    try:
+        with open(save_path, encoding="utf-8") as f:
+            rows = yaml_io.parse_save_batch_yaml(f.read())
+    except (OSError, yaml_io.YamlValidationError) as e:
+        print(f"Error: {e}", file=sys.stderr)
+        return 1
+    from .model import SAVE_BATCH_SCHEMA
+
+    batch = spark.createDataFrame(rows, SAVE_BATCH_SCHEMA)
+    records = yaml_io.load_records_yaml(spark, yaml_path)
+    bad = M.validate_overwrites(records, batch)
+    if bad:
+        print(f"Error: override id {bad[0]} does not exist", file=sys.stderr)
+        return 1
+    max_id = records.agg(F.coalesce(F.max("id"), F.lit(-1))).collect()[0][0]
+    merged = M.upsert(records, batch)
+    # echo in apply order (memo_cli.py:420-440): overwrites keep their
+    # id; appends take dense ids after max in batch order (matching
+    # upsert's _seq-ordered assignment)
+    next_id = max_id + 1
+    for rid, body, *_ in rows:
+        if rid is None:
+            print(fmt.memorized(body, next_id))
+            next_id += 1
+        else:
+            print(fmt.memorized(body, rid))
+    yaml_io.save_records_yaml(merged.orderBy("id"), yaml_path)
+    _write_embeddings(merged, emb_path)
+    return 0
+
+
+def _write_embeddings(records, emb_path: str) -> None:
+    emb = build_embeddings(records, dim=DIM)
+    tmp = f"{emb_path}.tmp"
+    emb.write.mode("overwrite").parquet(tmp)
+    if os.path.exists(emb_path):
+        shutil.rmtree(emb_path)
+    os.rename(tmp, emb_path)
+
+
+def cmd_reindex(spark, base, verbose) -> int:
+    yaml_path, emb_path = _db_paths(base)
+    records = yaml_io.load_records_yaml(spark, yaml_path)
+    n_before = records.count()
+    compacted = M.compact(records).cache()
+    n_after = compacted.count()
+    yaml_io.save_records_yaml(compacted.orderBy("id"), yaml_path)
+    _write_embeddings(compacted, emb_path)
+    print(f"Rebuilt index from {os.path.basename(yaml_path)}")
+    print(f"Wrote index: {os.path.basename(emb_path)}")
+    if n_before - n_after > 0:
+        print(fmt.compacted(n_before - n_after))
+    return 0
+
+
+def cmd_clean(base) -> int:
+    yaml_path, emb_path = _db_paths(base)
+    removed = False
+    if os.path.exists(yaml_path):
+        os.remove(yaml_path)
+        removed = True
+    if os.path.exists(emb_path):
+        shutil.rmtree(emb_path)
+        removed = True
+    if removed:
+        print(f"Cleared memory database ({emb_path}, {yaml_path})")
+    else:
+        print(f"Database already empty ({emb_path}, {yaml_path})")
+    return 0
+
+
+def main(argv: list[str] | None = None) -> int:
+    argv = list(sys.argv[1:] if argv is None else argv)
+    base = "memo"
+    verbose = False
+    # global flags (memo_cli.py:727-756)
+    args: list[str] = []
+    i = 0
+    while i < len(argv):
+        a = argv[i]
+        if a == "-f":
+            i += 1
+            if i >= len(argv):
+                print("Error: -f requires a value", file=sys.stderr)
+                return 1
+            base = argv[i]
+        elif a == "-v":
+            verbose = True
+        else:
+            args.append(a)
+        i += 1
+    if not args:
+        print("Error: missing command (save|recall|analyze|reindex|clean)", file=sys.stderr)
+        return 1
+    verb, rest = args[0], args[1:]
+
+    if verb == "clean":
+        return cmd_clean(base)
+
+    owns_session = SparkSession.getActiveSession() is None
+    spark = _get_spark()
+    try:
+        if verb == "save":
+            if len(rest) != 1:
+                print("Error: save requires exactly one YAML file", file=sys.stderr)
+                return 1
+            return cmd_save(spark, base, rest[0], verbose)
+        if verb == "recall":
+            k, filter_expr, as_yaml, query_words = None, None, False, []
+            j = 0
+            while j < len(rest):
+                a = rest[j]
+                if a == "-k":
+                    j += 1
+                    k = int(rest[j])
+                elif a == "--filter":
+                    j += 1
+                    filter_expr = rest[j]
+                elif a == "--yaml":
+                    as_yaml = True
+                else:
+                    query_words.append(a)  # unknown args join the query
+                j += 1
+            return cmd_recall(
+                spark, base, " ".join(query_words), k, filter_expr, as_yaml, verbose
+            )
+        if verb == "analyze":
+            filter_expr, fields, stats_key = None, None, None
+            limit, offset = DEFAULT_LIMIT, DEFAULT_OFFSET
+            j = 0
+            while j < len(rest):
+                a = rest[j]
+                if a == "--filter":
+                    j += 1
+                    filter_expr = rest[j]
+                elif a == "--fields":
+                    j += 1
+                    fields = [f.strip() for f in rest[j].split(",") if f.strip()]
+                elif a == "--stats":
+                    j += 1
+                    stats_key = rest[j]
+                elif a == "--limit":
+                    j += 1
+                    limit = int(rest[j])
+                elif a == "--offset":
+                    j += 1
+                    offset = int(rest[j])
+                else:
+                    print(f"Error: unknown analyze option: {a}", file=sys.stderr)
+                    return 1
+                j += 1
+            return cmd_analyze(spark, base, filter_expr, fields, stats_key, limit, offset)
+        if verb == "reindex":
+            return cmd_reindex(spark, base, verbose)
+        print(f"Error: unknown command: {verb}", file=sys.stderr)
+        return 1
+    finally:
+        if owns_session:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
