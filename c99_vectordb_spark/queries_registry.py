@@ -64,14 +64,14 @@ def q_recall_topk_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     the full table — the 100 TB-safe shape).
     """
     from .functions.embed import embed_pandas_udf
-    from .operators.recall import score_sq_l2_int
+    from .operators.recall import score_sq_l2_int_sparse
 
     q = hashing.embed_text_int(RECALL_QUERY_TEXT, DIM)
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
         docs.select(F.col("doc_id").alias("id"), "text")
         .withColumn("vec", embed_pandas_udf(DIM)(F.col("text")))
-        .select("id", score_sq_l2_int(F.col("vec"), q).alias("score"))
+        .select("id", score_sq_l2_int_sparse(F.col("vec"), q).alias("score"))
         .orderBy(F.asc("score"), F.asc("id"))
         .limit(10)
     )
