@@ -690,6 +690,146 @@ ORDER BY window_start, event_type
 """
 
 
+def q_setops_custkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operators (absent from the reference, SURVEY §2.10):
+    (1995 buyers INTERSECT building-segment customers) EXCEPT urgent
+    buyers — three distinct-set operands, two set operations."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    buyers_95 = (
+        orders.filter(F.year("o_orderdate") == 1995)
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    building = cust.filter(F.col("c_mktsegment") == "BUILDING").select(
+        F.col("c_custkey").alias("custkey")
+    )
+    urgent = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("custkey"))
+        .distinct()
+    )
+    return buyers_95.intersect(building).exceptAll(urgent).orderBy("custkey")
+
+
+_ORACLE_SETOPS_CUSTKEYS = """
+SELECT custkey FROM (
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE year(o_orderdate) = 1995
+  INTERSECT
+  SELECT c_custkey AS custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+  EXCEPT
+  SELECT DISTINCT o_custkey AS custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+)
+ORDER BY custkey
+"""
+
+
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP hierarchy totals (region -> nation -> grand total) with
+    grouping_id — one pass, partial aggregation at every level."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+    )
+    return (
+        joined.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy(F.asc_nulls_first("region"), F.asc_nulls_first("nation"))
+    )
+
+
+_ORACLE_ROLLUP_REVENUE = """
+SELECT r_name AS region, n_name AS nation,
+       GROUPING(r_name) * 2 + GROUPING(n_name) AS gid,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       COUNT(*)::BIGINT AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST
+"""
+
+
+def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (returnflag, linestatus): all 2^2 grouping sets."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.cube("l_returnflag", "l_linestatus")
+        .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.asc_nulls_first("l_returnflag"),
+            F.asc_nulls_first("l_linestatus"),
+            F.asc("gid"),
+        )
+    )
+
+
+_ORACLE_CUBE_COUNTS = """
+SELECT l_returnflag, l_linestatus,
+       GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
+       COUNT(*)::BIGINT AS cnt
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, gid ASC
+"""
+
+
+def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUPING SETS through the SQL surface (the engine
+    registers testdata as temp views and runs pure Spark SQL)."""
+    spark.read.parquet(f"{sf_dir}/orders.parquet").createOrReplaceTempView(
+        "orders_gs"
+    )
+    return spark.sql(
+        """
+        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+               COUNT(*) AS cnt
+        FROM orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+        ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST
+        """
+    )
+
+
+_ORACLE_GROUPING_SETS = """
+SELECT o_orderstatus AS status, o_orderpriority AS priority, COUNT(*)::BIGINT AS cnt
+FROM orders
+GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
+ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST
+"""
+
+
+def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregate (flagged 100 TB substitution, SURVEY
+    §2.10): HLL++ distinct users per event type. No oracle — HLL
+    sketches are engine-specific; the driver records rows-only."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", 0.01).alias("approx_users"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("event_type")
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -713,6 +853,11 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "window_running_total": q_window_running_total,
     "events_tumbling": q_events_tumbling,
+    "setops_custkeys": q_setops_custkeys,
+    "rollup_revenue": q_rollup_revenue,
+    "cube_counts": q_cube_counts,
+    "grouping_sets": q_grouping_sets,
+    "approx_distinct": q_approx_distinct,
 }
 
 _ORACLES: dict[str, str] = {
@@ -734,6 +879,11 @@ _ORACLES: dict[str, str] = {
     "revenue_by_nation": _ORACLE_REVENUE_BY_NATION,
     "window_running_total": _ORACLE_WINDOW_RUNNING_TOTAL,
     "events_tumbling": _ORACLE_EVENTS_TUMBLING,
+    "setops_custkeys": _ORACLE_SETOPS_CUSTKEYS,
+    "rollup_revenue": _ORACLE_ROLLUP_REVENUE,
+    "cube_counts": _ORACLE_CUBE_COUNTS,
+    "grouping_sets": _ORACLE_GROUPING_SETS,
+    # approx_distinct intentionally has no oracle (engine-specific HLL)
 }
 
 
