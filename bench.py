@@ -33,6 +33,14 @@ HEADLINE = [
     "revenue_by_nation",
     "window_running_total",
     "events_tumbling",
+    "rollup_revenue",
+    "dedup_exact",
+    "dedup_minhash_pairs",
+    "dedup_simhash",
+    "sim_topk_cosine",
+    "sim_lsh_bucketed",
+    "text_quality",
+    "text_langid",
 ]
 
 

@@ -89,6 +89,60 @@ def embed_text(text: str, dim: int = DIM) -> list[float]:
     return l2_normalize([float(x) for x in embed_text_int(text, dim)])
 
 
+def shingle_hashes(text: str, n: int = 3, cache: dict | None = None) -> list[int]:
+    """Distinct hashed token n-gram shingles (sorted). Shingle hash =
+    fold of the n token hashes with multiplier 131 mod HASH_MOD —
+    exactly the spec of operators/dedup.shingles and its DuckDB CTE."""
+    toks = tokenize(text)
+    if len(toks) < n:
+        return []
+    if cache is None:
+        hl = [token_hash(t) for t in toks]
+    else:
+        hl = []
+        for t in toks:
+            h = cache.get(t)
+            if h is None:
+                h = token_hash(t)
+                cache[t] = h
+            hl.append(h)
+    out = set()
+    for i in range(len(hl) - n + 1):
+        acc = 0
+        for h in hl[i : i + n]:
+            acc = (acc * 131 + h) % HASH_MOD
+        out.add(acc)
+    return sorted(out)
+
+
+def simhash48(text: str, bits: int = 48, cache: dict | None = None) -> int:
+    """48-bit SimHash: bit j = sign of token votes, where a token votes
+    +1 iff ((h*31 + j) % HASH_MOD) is odd — operators/dedup.simhash spec."""
+    import numpy as np
+
+    toks = tokenize(text)
+    if not toks:
+        return 0
+    from collections import Counter
+
+    counts = Counter()
+    for t in toks:
+        if cache is not None:
+            h = cache.get(t)
+            if h is None:
+                h = token_hash(t)
+                cache[t] = h
+        else:
+            h = token_hash(t)
+        counts[h] += 1
+    hs = np.fromiter(counts.keys(), dtype=np.int64)
+    cnt = np.fromiter(counts.values(), dtype=np.int64)
+    js = np.arange(bits, dtype=np.int64)
+    odd = ((hs[:, None] * 31 + js[None, :]) % HASH_MOD) % 2  # (U, bits)
+    votes = (cnt[:, None] * (2 * odd - 1)).sum(axis=0)
+    return int(((votes > 0).astype(np.int64) << js).sum())
+
+
 # ---------------------------------------------------------------------------
 # SQL fragment generators — single source of truth for the DuckDB oracle
 # side of every hash-derived operator (__spark_entry__.oracle_sql).

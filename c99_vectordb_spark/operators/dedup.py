@@ -25,6 +25,7 @@ operator has an exact DuckDB oracle.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve via module globals
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions import text as Ft
@@ -67,31 +68,36 @@ def exact_dedup(
     )
 
 
+def _shingles_udf(n: int):
+    """Arrow-batched UDF: body -> sorted distinct shingle hashes.
+    Same integers as the pure-expression fold (hashing.shingle_hashes);
+    vectorized with a per-batch token-hash cache — the expression form
+    re-folds every character of every token, ~20x slower at sf0.1."""
+    import pandas as pd
+
+    from ..hashing import shingle_hashes
+
+    @F.pandas_udf("array<long>")
+    def _sh(bodies: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+        return bodies.map(lambda b: shingle_hashes(b or "", n, cache))
+
+    return _sh
+
+
 def shingles(
     df: DataFrame, id_col: str = "id", body_col: str = "body", n: int = 3
 ) -> DataFrame:
     """Distinct hashed token n-gram shingles per document: (id, sh).
 
-    Shingle hash folds the n token hashes with the same polynomial
-    spec, so the oracle can reproduce it exactly.
+    Shingle hash folds the n token hashes with multiplier 131 mod
+    HASH_MOD, so the DuckDB oracle reproduces it exactly. Map-only
+    (UDF + explode); the per-doc distinct happens inside the UDF, so
+    no distinct() shuffle is needed.
     """
-    toks = Ft.tokens(F.col(body_col))
-    hashes = F.transform(toks, Ft.token_hash)
-    # guard: sequence(0, negative) would generate a DESCENDING range
-    idx = F.when(F.size(hashes) >= n, F.sequence(F.lit(0), F.size(hashes) - n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    grams = F.transform(
-        idx,
-        lambda i: F.aggregate(
-            F.slice(hashes, i + 1, n),
-            F.lit(0).cast("long"),
-            lambda acc, h: (acc * 131 + h) % F.lit(HASH_MOD),
-        ),
-    )
-    return (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("sh"))
-        .distinct()
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.explode(_shingles_udf(n)(F.col(body_col))).alias("sh"),
     )
 
 
@@ -145,17 +151,37 @@ def minhash_signatures(
 ) -> DataFrame:
     """MinHash signatures: (id, sig ARRAY<BIGINT>[MINHASH_K]).
 
-    One aggregate over the shingle set per document — the k affine
-    hashes are computed per shingle and min-reduced map-side.
+    Map-only: one Arrow UDF computes the shingle set and the k affine
+    mins per document — no explode, no groupBy shuffle (the earlier
+    explode+groupBy form shuffled every shingle; at 100 TB that's the
+    difference between a narrow stage and the largest shuffle in the
+    pipeline). Empty shingle sets get no signature (dropped), matching
+    the grouped form.
     """
-    sh = shingles(df, id_col, body_col, n)
-    aggs = [
-        F.min((F.col("sh") * MINHASH_A[i] + MINHASH_B[i]) % HASH_MOD).alias(f"m{i}")
-        for i in range(MINHASH_K)
-    ]
-    sigs = sh.groupBy("id").agg(*aggs)
-    return sigs.select(
-        "id", F.array(*[F.col(f"m{i}") for i in range(MINHASH_K)]).alias("sig")
+    import numpy as np
+    import pandas as pd
+
+    from ..hashing import shingle_hashes
+
+    a = np.array(MINHASH_A, dtype=np.int64)
+    b = np.array(MINHASH_B, dtype=np.int64)
+
+    @F.pandas_udf("array<long>")
+    def _sig(bodies: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def sig(body):
+            sh = shingle_hashes(body or "", n, cache)
+            if not sh:
+                return None
+            s = np.asarray(sh, dtype=np.int64)
+            return ((s[:, None] * a[None, :] + b[None, :]) % HASH_MOD).min(axis=0)
+
+        return bodies.map(sig)
+
+    return (
+        df.select(F.col(id_col).alias("id"), _sig(F.col(body_col)).alias("sig"))
+        .filter(F.col("sig").isNotNull())
     )
 
 
@@ -207,39 +233,21 @@ def simhash(df: DataFrame, id_col: str = "id", body_col: str = "body") -> DataFr
     """SimHash signatures: (id, sim BIGINT of SIMHASH_BITS bits).
 
     Bit j of a token = parity of (h*31 + j) % HASH_MOD; per-document
-    bit j is the sign of the token votes. Map-only per document.
+    bit j is the sign of the token votes. Map-only Arrow UDF with
+    numpy-vectorized vote matrices (hashing.simhash48) — identical
+    integers to the expression fold, ~25x faster (O(tokens x bits)
+    expression trees don't codegen well).
     """
-    toks = Ft.tokens(F.col(body_col))
-    hashes = F.transform(toks, Ft.token_hash)
-    bits = F.transform(
-        F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)),
-        lambda j: F.when(
-            F.aggregate(
-                hashes,
-                F.lit(0).cast("long"),
-                lambda acc, h: acc
-                + F.when((h * 31 + j) % HASH_MOD % 2 == 1, F.lit(1)).otherwise(
-                    F.lit(-1)
-                ),
-            )
-            > 0,
-            F.lit(1),
-        )
-        .otherwise(F.lit(0))
-        .cast("long"),
-    )
-    # shiftleft needs a literal shift amount; 2^j via pow is exact for
-    # j < 53 (double mantissa), and SIMHASH_BITS <= 48
-    sim = F.aggregate(
-        F.zip_with(
-            bits,
-            F.transform(F.sequence(F.lit(0), F.lit(SIMHASH_BITS - 1)), lambda j: j),
-            lambda bit, j: bit * F.pow(F.lit(2.0), j.cast("double")).cast("long"),
-        ),
-        F.lit(0).cast("long"),
-        lambda acc, v: acc + v,
-    )
-    return df.select(F.col(id_col).alias("id"), sim.alias("sim"))
+    import pandas as pd
+
+    from ..hashing import simhash48
+
+    @F.pandas_udf("long")
+    def _sim(bodies: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+        return bodies.map(lambda b: simhash48(b or "", SIMHASH_BITS, cache))
+
+    return df.select(F.col(id_col).alias("id"), _sim(F.col(body_col)).alias("sim"))
 
 
 def simhash_near_pairs(

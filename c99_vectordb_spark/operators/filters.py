@@ -85,10 +85,15 @@ class FieldRef:
 
     value: Column  #: stringified scalar value (py-str conventions)
     exists: Column  #: key-existence predicate (F10)
-    is_numeric: Column  #: value is int/float *by original type*
+    is_numeric: Column  #: value is int/float/bool *by original type*
+    #: (python bool IS an int: compare_values treats True as 1.0,
+    #: memo_cli.py:179-192 via isinstance(v, (int, float)))
     is_string: Column  #: value is a str by original type
     list_value: Column | None = None  #: ARRAY<STRING> when list-typed, else None
     has_list: Column | None = None  #: list-typed predicate (None => never)
+    numeric_value: Column | None = None  #: DOUBLE view for the numeric path
+    #: (None => try_cast(value)); resolvers set it when the stringified
+    #: form isn't castable (e.g. bool "True" -> 1.0)
 
 
 Resolver = Callable[[str], FieldRef]
@@ -143,13 +148,15 @@ def columns_resolver(df: DataFrame, null_is_absent: bool = True) -> Resolver:
                 has_list=col.isNotNull(),
             )
         numeric = isinstance(
-            dtype, (T.IntegralType, T.FloatType, T.DoubleType, T.DecimalType)
+            dtype,
+            (T.IntegralType, T.FloatType, T.DoubleType, T.DecimalType, T.BooleanType),
         )
         return FieldRef(
             value=_py_str(col, dtype),
             exists=exists,
             is_numeric=F.lit(numeric),
             is_string=F.lit(isinstance(dtype, T.StringType)),
+            numeric_value=col.cast("double") if numeric else None,
         )
 
     return resolve
@@ -172,13 +179,16 @@ def map_resolver(
         scalar_exists = m.isNotNull() & F.map_contains_key(m, k)
         list_exists = ml.isNotNull() & F.map_contains_key(ml, k)
         vtype = F.coalesce(mt.getItem(key), F.lit("str"))
+        sval = m.getItem(key)
         return FieldRef(
-            value=m.getItem(key),
+            value=sval,
             exists=scalar_exists | list_exists,
-            is_numeric=scalar_exists & vtype.isin("int", "float"),
+            is_numeric=scalar_exists & vtype.isin("int", "float", "bool"),
             is_string=scalar_exists & (vtype == "str"),
             list_value=ml.getItem(key),
             has_list=list_exists,
+            numeric_value=F.when(vtype == "bool", (sval == "True").cast("double"))
+            .otherwise(sval.try_cast("double")),
         )
 
     return resolve
@@ -209,15 +219,18 @@ def _bare_equals(ref: FieldRef, expected) -> Column:
 
 def _compare(ref: FieldRef, operand, op: str) -> Column:
     """F3/F4 — numeric iff BOTH sides numeric, else lexicographic on
-    stringified values (memo_cli.py:179-192)."""
-    operand_numeric = isinstance(operand, (int, float)) and not isinstance(
-        operand, bool
-    )
+    stringified values (memo_cli.py:179-192). Bools count as numeric on
+    BOTH sides (python bool is an int: True ~ 1.0)."""
+    operand_numeric = isinstance(operand, (int, float))  # includes bool
     sval = ref.value
     if operand_numeric:
         # try_cast: ANSI mode must not abort on non-numeric strings —
         # the dual-path when() decides which branch is meaningful
-        num = sval.try_cast("double")
+        num = (
+            ref.numeric_value
+            if ref.numeric_value is not None
+            else sval.try_cast("double")
+        )
         lit_n = F.lit(float(operand))
         lit_s = F.lit(_operand_str(operand))
         num_cmp = (num >= lit_n) if op == "$gte" else (num <= lit_n)

@@ -31,6 +31,14 @@ RECALL_QUERY_TEXT = "spark join merge fast table scan"
 KNN_QUERY_64 = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
 
 
+def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """events.parquet carries TIMESTAMP(NANOS); ensure the session can
+    read it even when the caller (e.g. the driver) built a session
+    without our factory defaults — the conf is runtime-settable."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    return spark.read.parquet(f"{sf_dir}/events.parquet")
+
+
 def _duck_doc_vec_cte(dim: int) -> str:
     """DuckDB CTEs computing the signed-BoW integer vector (sparse form)
     of every document: (doc_id, bucket, w)."""
@@ -287,7 +295,7 @@ def q_filter_json_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     parse -> metadata triple -> numeric $gte -> grouped counts."""
     from .operators import filters as Flt
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _read_events(spark, sf_dir)
     recs = events.select(
         "event_type",
         F.map_from_arrays(
@@ -660,7 +668,7 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Decimal sum keeps cross-engine value equality exact."""
     from .functions.text import ts_from_nanos
 
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _read_events(spark, sf_dir)
     ts = ts_from_nanos(F.col("ts"))
     return (
         events.select(
@@ -819,7 +827,7 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregate (flagged 100 TB substitution, SURVEY
     §2.10): HLL++ distinct users per event type. No oracle — HLL
     sketches are engine-specific; the driver records rows-only."""
-    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    events = _read_events(spark, sf_dir)
     return (
         events.groupBy("event_type")
         .agg(
