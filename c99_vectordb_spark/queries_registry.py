@@ -823,6 +823,48 @@ ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST
 """
 
 
+def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scalar function library tour (SURVEY §2.10): string, date, math,
+    array, and conditional functions in one projected page — the
+    operator classes the reference only has ad-hoc Python for."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    words = F.split(F.col("p_name"), " ")
+    return (
+        part.select(
+            F.col("p_partkey").alias("id"),
+            F.upper(F.substring("p_name", 1, 8)).alias("name_prefix"),
+            F.length("p_name").cast("long").alias("name_len"),
+            F.size(words).cast("long").alias("n_words"),
+            F.array_join(F.slice(F.sort_array(words), 1, 2), "|").alias("first_words"),
+            F.round(F.sqrt(F.abs(F.col("p_retailprice"))), 4).alias("sqrt_price"),
+            (F.col("p_size") % 7).cast("long").alias("size_mod7"),
+            F.when(F.col("p_size") >= 25, F.lit("L"))
+            .when(F.col("p_size") >= 10, F.lit("M"))
+            .otherwise(F.lit("S"))
+            .alias("size_class"),
+            F.concat_ws("#", "p_brand", "p_type").alias("brand_type"),
+        )
+        .orderBy("id")
+        .limit(500)
+    )
+
+
+_ORACLE_SCALAR_FUNCTIONS = """
+SELECT p_partkey AS id,
+       UPPER(SUBSTRING(p_name, 1, 8)) AS name_prefix,
+       LENGTH(p_name)::BIGINT AS name_len,
+       len(string_split(p_name, ' '))::BIGINT AS n_words,
+       array_to_string(list_sort(string_split(p_name, ' '))[1:2], '|') AS first_words,
+       ROUND(SQRT(ABS(p_retailprice)), 4) AS sqrt_price,
+       (p_size % 7)::BIGINT AS size_mod7,
+       CASE WHEN p_size >= 25 THEN 'L' WHEN p_size >= 10 THEN 'M' ELSE 'S' END AS size_class,
+       p_brand || '#' || p_type AS brand_type
+FROM part
+ORDER BY id
+LIMIT 500
+"""
+
+
 def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Approximate aggregate (flagged 100 TB substitution, SURVEY
     §2.10): HLL++ distinct users per event type. No oracle — HLL
@@ -865,6 +907,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_revenue": q_rollup_revenue,
     "cube_counts": q_cube_counts,
     "grouping_sets": q_grouping_sets,
+    "scalar_functions": q_scalar_functions,
     "approx_distinct": q_approx_distinct,
 }
 
@@ -891,6 +934,7 @@ _ORACLES: dict[str, str] = {
     "rollup_revenue": _ORACLE_ROLLUP_REVENUE,
     "cube_counts": _ORACLE_CUBE_COUNTS,
     "grouping_sets": _ORACLE_GROUPING_SETS,
+    "scalar_functions": _ORACLE_SCALAR_FUNCTIONS,
     # approx_distinct intentionally has no oracle (engine-specific HLL)
 }
 
