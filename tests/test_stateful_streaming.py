@@ -1,0 +1,54 @@
+"""applyInPandasWithState streaming dedup: cross-batch exactly-once."""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import functions as F
+
+
+def test_streaming_dedup_across_batches(spark):
+    from c99_vectordb_spark.operators.dedup import fingerprint
+    from c99_vectordb_spark.streaming.stateful import streaming_exact_dedup
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        # batch files written up front; maxFilesPerTrigger=1 forces them
+        # through as separate micro-batches sharing state
+        b1 = spark.createDataFrame(
+            [(0, "alpha doc"), (1, "beta doc"), (2, "alpha doc")], ["id", "body"]
+        )
+        b2 = spark.createDataFrame(
+            [(3, "alpha doc"), (4, "gamma doc"), (5, "beta  DOC")], ["id", "body"]
+        )
+        b1.write.parquet(os.path.join(src, "b1.parquet"))
+        b2.write.parquet(os.path.join(src, "b2.parquet"))
+
+        stream = (
+            spark.readStream.schema("id LONG, body STRING")
+            .option("recursiveFileLookup", "true")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+            .select(fingerprint(F.col("body")).alias("fp"), "id", "body")
+        )
+        out = streaming_exact_dedup(stream)
+        q = (
+            out.writeStream.format("memory")
+            .queryName("dedup_out")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("dedup_out").collect()
+
+    survivors = {r.body for r in got}
+    # normalized dups collapse: "alpha doc" (ids 0,2,3) -> one;
+    # "beta doc"/"beta  DOC" -> one; "gamma doc" -> one
+    assert len(got) == 3
+    assert survivors == {"alpha doc", "beta doc", "gamma doc"} or len(survivors) == 3
+    ids = sorted(r.id for r in got)
+    assert ids[0] == 0  # min id wins within a batch
