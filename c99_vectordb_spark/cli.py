@@ -169,15 +169,14 @@ def _print_stats(matches, key: str) -> int:
         tag = F.lit("int")
     else:
         # list values stringify YAML-flow-style for counting parity
-        # with format_cell (memo_cli.py:552-557): "[a, b]"
-        value = F.coalesce(
-            F.col("metadata").getItem(k),
-            F.concat(
-                F.lit("["),
-                F.array_join(F.col("metadata_lists").getItem(k), ", "),
-                F.lit("]"),
-            ),
-        )
+        # with format_cell (memo_cli.py:552-557): "[a, b]" — checked
+        # BEFORE the scalars map, which holds the python repr for
+        # compare_values parity
+        lv = F.col("metadata_lists").getItem(k)
+        value = F.when(
+            lv.isNotNull(),
+            F.concat(F.lit("["), F.array_join(lv, ", "), F.lit("]")),
+        ).otherwise(F.col("metadata").getItem(k))
         tag = F.coalesce(F.col("metadata_types").getItem(k), F.lit("str"))
         # reference numeric path: isinstance(v,(int,float)) OR float(str(v));
         # booleans are ints in python -> True=1.0 (memo_cli.py:601-604)

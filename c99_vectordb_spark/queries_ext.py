@@ -404,6 +404,26 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# applyInPandas grouped-map conformance
+# ---------------------------------------------------------------------------
+
+def q_grouped_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """applyInPandas grouped dense-rank of doc length within source —
+    must match the SQL window function exactly (integer output)."""
+    from .operators.grouped import grouped_dense_rank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return grouped_dense_rank(docs, "source", "n_chars", "doc_id")
+
+
+_ORACLE_GROUPED_RANK = """
+SELECT doc_id AS id, source AS grp, n_chars::BIGINT AS val,
+       DENSE_RANK() OVER (PARTITION BY source ORDER BY n_chars)::BIGINT AS drank
+FROM documents
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -420,6 +440,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "grouped_rank": q_grouped_rank,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -435,4 +456,5 @@ EXT_ORACLES: dict[str, str] = {
     "text_quality": _oracle_quality(),
     "text_langid": _oracle_langid(),
     "text_fingerprint": _ORACLE_TEXT_FINGERPRINT,
+    "grouped_rank": _ORACLE_GROUPED_RANK,
 }

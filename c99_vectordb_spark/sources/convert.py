@@ -57,6 +57,11 @@ def split_metadata(
         tags[key] = type_tag(v)
         if isinstance(v, list):
             lists[key] = [str(e) for e in v]
+            # the reference's compare_values ($gte/$lte) stringifies
+            # list values with python str() — keep that exact rendering
+            # available to the lexicographic path (element-stringified
+            # lists can't reconstruct it: str(['3']) != str([3]))
+            scalars[key] = str(v)
         else:
             scalars[key] = str(v)
     return scalars, tags, lists
