@@ -1,0 +1,98 @@
+"""Physical-plan guards: the optimizations SCALE.md claims must stay
+in the plans (regressions here are silent perf bugs, not wrong results).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_compiled_filter_pushes_down(spark, sf_dir):
+    from c99_vectordb_spark.operators import filters as Flt
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pred = Flt.compile_filter(
+        {"o_orderstatus": "O"}, Flt.columns_resolver(orders)
+    )
+    plan = _plan(orders.filter(pred).select("o_orderkey"))
+    assert "PushedFilters: [IsNotNull(o_orderstatus), EqualTo(o_orderstatus,O)" in plan
+    # column pruning: only the two referenced columns in ReadSchema
+    assert "o_totalprice" not in plan.split("ReadSchema")[1][:200]
+
+
+def test_knn_uses_take_ordered(spark, embeddings):
+    from c99_vectordb_spark.operators.recall import knn
+
+    emb = embeddings.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    plan = _plan(knn(emb, [0.0] * 64, k=5))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan  # no global sort stage
+
+
+def test_star_join_broadcasts_dims(spark, sf_dir):
+    from c99_vectordb_spark.queries_registry import q_revenue_by_nation
+
+    plan = _plan(q_revenue_by_nation(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+
+
+def test_embed_build_is_map_only(spark, documents):
+    from c99_vectordb_spark.functions.embed import build_embeddings
+
+    plan = _plan(build_embeddings(documents, id_col="doc_id", body_col="text", dim=64))
+    assert "Exchange" not in plan  # narrow: scan -> udf -> project
+
+
+def test_minhash_signatures_map_only(spark, documents):
+    from c99_vectordb_spark.operators.dedup import minhash_signatures
+
+    plan = _plan(minhash_signatures(documents, id_col="doc_id", body_col="text"))
+    assert "Exchange" not in plan
+
+
+def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
+    """The SCALE.md cluster claim, proven locally: two tables bucketed
+    on the join key sort-merge-join with NO Exchange."""
+    import uuid
+
+    # warehouse.dir is a static conf; tables land in ./spark-warehouse
+    # (gitignored) and are dropped in the finally
+    db = f"bucketdemo_{uuid.uuid4().hex[:6]}"
+    spark.sql(f"CREATE DATABASE {db}")
+    try:
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        (
+            orders.write.bucketBy(8, "o_orderkey")
+            .sortBy("o_orderkey")
+            .saveAsTable(f"{db}.orders_b")
+        )
+        (
+            li.write.bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable(f"{db}.lineitem_b")
+        )
+        ob = spark.table(f"{db}.orders_b")
+        lb = spark.table(f"{db}.lineitem_b")
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        try:
+            joined = lb.join(ob, lb.l_orderkey == ob.o_orderkey).groupBy(
+                "o_orderstatus"
+            ).count()
+            plan = _plan(joined)
+        finally:
+            spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        assert "SortMergeJoin" in plan
+        # the join itself is exchange-free; only the tiny post-join
+        # aggregation shuffles
+        join_part = plan.split("SortMergeJoin")[1]
+        assert "Exchange hashpartitioning(l_orderkey" not in plan
+        assert "Exchange hashpartitioning(o_orderkey" not in plan
+    finally:
+        spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")

@@ -66,6 +66,7 @@ filters = st.one_of(
 @settings(
     max_examples=25,
     deadline=None,
+    derandomize=True,  # deterministic in CI; hunt with --hypothesis-seed manually
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
 @given(mds=st.lists(metadatas, min_size=1, max_size=8), filt=filters)
@@ -84,7 +85,7 @@ def test_filter_parity_generated(spark, reference, mds, filt):
     assert got == expected, f"filter={filt!r} metadatas={mds!r}"
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(
     mds=st.lists(
         st.one_of(
@@ -143,7 +144,7 @@ def test_yaml_roundtrip_through_reference(reference, tmp_path_factory, mds, bodi
         assert got == expect, f"row {i}: {got!r} != {expect!r}"
 
 
-@settings(max_examples=30, deadline=None)
+@settings(max_examples=30, deadline=None, derandomize=True)
 @given(
     bodies=st.lists(
         st.text(alphabet="abcdef 012_", min_size=1, max_size=40).filter(
