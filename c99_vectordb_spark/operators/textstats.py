@@ -172,7 +172,7 @@ def lang_id(df: DataFrame, id_col: str, body_col: str) -> DataFrame:
 
 def fingerprints(df: DataFrame, id_col: str, body_col: str) -> DataFrame:
     """Document fingerprint: polynomial rolling hash of the normalized
-    text (id, fp). Same spec as exact-dedup keys."""
+    text (id, fp). Same spec as exact-dedup keys (Arrow UDF path)."""
     return df.select(
-        F.col(id_col).alias("id"), D.fingerprint(F.col(body_col)).alias("fp")
+        F.col(id_col).alias("id"), D.fingerprint_udf()(F.col(body_col)).alias("fp")
     )

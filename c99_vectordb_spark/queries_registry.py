@@ -580,6 +580,88 @@ ORDER BY l_returnflag, l_linestatus
 """
 
 
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 forecast revenue: pure pushed-filter scan + one global
+    aggregate — the minimal-shuffle shape (one row per partition)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_discount") >= 0.03)
+            & (F.col("l_discount") <= 0.05)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.coalesce(
+                F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double"),
+                F.lit(0.0),
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+_ORACLE_TPCH_Q6 = """
+SELECT COALESCE(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS revenue,
+       COUNT(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate <  TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.03 AND 0.05
+  AND l_quantity < 24
+"""
+
+
+def q_tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shipping priority: selective dim filter -> join ->
+    grouped agg -> top-10. Customer side broadcasts; top-10 via
+    TakeOrderedAndProject."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    dec = lambda c: F.col(c).cast("decimal(18,4)")  # noqa: E731
+    cutoff = F.lit("1998-03-15").cast("timestamp")
+    return (
+        li.filter(F.col("l_shipdate") > cutoff)
+        .join(orders.filter(F.col("o_orderdate") < cutoff), li.l_orderkey == orders.o_orderkey)
+        .join(
+            F.broadcast(cust.filter(F.col("c_mktsegment") == "BUILDING")),
+            orders.o_custkey == cust.c_custkey,
+        )
+        .groupBy(
+            F.col("l_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.col("o_orderpriority").alias("priority"),
+        )
+        .agg(
+            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            .cast("double")
+            .alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("orderkey"))
+        .limit(10)
+    )
+
+
+_ORACLE_TPCH_Q3 = """
+SELECT l_orderkey AS orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_orderpriority AS priority,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-03-15'
+  AND l_shipdate > TIMESTAMP '1998-03-15'
+GROUP BY 1, 2, 3
+ORDER BY revenue DESC, orderkey ASC
+LIMIT 10
+"""
+
+
 def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Star join: lineitem |>< orders |>< customer |>< nation |>< region.
     Dims are broadcast (no shuffle of the fact side for them); the
@@ -900,6 +982,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "compaction_reseq": q_compaction_reseq,
     "upsert_docs": q_upsert_docs,
     "tpch_q1": q_tpch_q1,
+    "tpch_q3": q_tpch_q3,
+    "tpch_q6": q_tpch_q6,
     "revenue_by_nation": q_revenue_by_nation,
     "window_running_total": q_window_running_total,
     "events_tumbling": q_events_tumbling,
@@ -927,6 +1011,8 @@ _ORACLES: dict[str, str] = {
     "compaction_reseq": _ORACLE_COMPACTION_RESEQ,
     "upsert_docs": _ORACLE_UPSERT_DOCS,
     "tpch_q1": _ORACLE_TPCH_Q1,
+    "tpch_q3": _ORACLE_TPCH_Q3,
+    "tpch_q6": _ORACLE_TPCH_Q6,
     "revenue_by_nation": _ORACLE_REVENUE_BY_NATION,
     "window_running_total": _ORACLE_WINDOW_RUNNING_TOTAL,
     "events_tumbling": _ORACLE_EVENTS_TUMBLING,

@@ -74,3 +74,24 @@ def test_recall_ranking_invariant_under_permutation(spark):
 def test_embed_query_driver_side():
     q = hashing.embed_text("alpha beta", dim=DIM)
     assert abs(sum(x * x for x in q) - 1.0) < 1e-9
+
+
+def test_recall_with_prebuilt_embeddings_matches_inflight(spark, tmp_path):
+    """The 'index' story: recall against a persisted embeddings table
+    (store round-trip) returns exactly what in-flight embedding does."""
+    from c99_vectordb_spark.functions.embed import build_embeddings
+    from c99_vectordb_spark.sources.store import ParquetStore
+
+    df = spark.createDataFrame(
+        [(i, f"token{i} shared common words") for i in range(20)], ["id", "body"]
+    )
+    store = ParquetStore(spark, str(tmp_path / "db"))
+    store.save_embeddings(build_embeddings(df, dim=DIM))
+    inflight = R.recall(df, "token7 shared", k=5, dim=DIM).collect()
+    indexed = R.recall(
+        df, "token7 shared", k=5, dim=DIM, embeddings=store.load_embeddings()
+    ).collect()
+    assert [(r.id, round(r.score, 9)) for r in inflight] == [
+        (r.id, round(r.score, 9)) for r in indexed
+    ]
+    assert inflight[0].id == 7
