@@ -118,11 +118,12 @@ def cmd_analyze(spark, base, filter_expr, fields, stats_key, limit, offset) -> i
     # default projection: id + first 3 sorted metadata keys
     # (memo_cli.py:560-565)
     selected = fields if fields else ["id", *A.default_fields(matches)]
+    extra = ["metadata_keys"] if "metadata_keys" in matches.columns else []
     page = (
         matches.orderBy("id")
         .offset(offset)
         .limit(limit)
-        .select("id", "metadata", "metadata_types", "metadata_lists")
+        .select("id", "metadata", "metadata_types", "metadata_lists", *extra)
         .collect()
     )
     rows = []
@@ -133,13 +134,7 @@ def cmd_analyze(spark, base, filter_expr, fields, stats_key, limit, offset) -> i
                 row.append(str(r.id))
                 continue
             if field == "metadata":
-                md = {}
-                tags = r.metadata_types or {}
-                for mk, mv in (r.metadata or {}).items():
-                    md[mk] = yaml_io._revive(mv, tags.get(mk))
-                for mk, mv in (r.metadata_lists or {}).items():
-                    md[mk] = list(mv)
-                row.append(fmt.format_cell(md))
+                row.append(fmt.format_cell(yaml_io.revive_metadata(r)))
                 continue
             key = field[len("metadata.") :] if field.startswith("metadata.") else field
             row.append(
@@ -230,9 +225,7 @@ def cmd_save(spark, base, save_path, verbose) -> int:
     except (OSError, yaml_io.YamlValidationError) as e:
         print(f"Error: {e}", file=sys.stderr)
         return 1
-    from .model import SAVE_BATCH_SCHEMA
-
-    batch = spark.createDataFrame(rows, SAVE_BATCH_SCHEMA)
+    batch = spark.createDataFrame(rows, yaml_io.YAML_BATCH_SCHEMA)
     records = yaml_io.load_records_yaml(spark, yaml_path)
     bad = M.validate_overwrites(records, batch)
     if bad:

@@ -27,9 +27,19 @@ from typing import Any
 import yaml
 from pyspark.sql import DataFrame, SparkSession
 
+from pyspark.sql import types as T
+
 from ..fmt import LiteralStr
 from ..model import RECORDS_SCHEMA, SAVE_BATCH_SCHEMA
 from .convert import record_row, split_metadata
+
+#: Spark MapType does not preserve insertion order, but the reference
+#: renders metadata dicts in YAML insertion order (format_cell /
+#: save_yaml_tables with sort_keys=False). The adapter carries the
+#: original key order in an extra column.
+_KEYS_FIELD = T.StructField("metadata_keys", T.ArrayType(T.StringType()), True)
+YAML_RECORDS_SCHEMA = T.StructType([*RECORDS_SCHEMA.fields, _KEYS_FIELD])
+YAML_BATCH_SCHEMA = T.StructType([*SAVE_BATCH_SCHEMA.fields, _KEYS_FIELD])
 
 
 class YamlValidationError(ValueError):
@@ -64,7 +74,8 @@ def parse_records_yaml(text: str) -> list[tuple]:
     rows = []
     for i in range(n):  # densify: gaps become blank records
         body, metadata = by_id.get(i, ("", None))
-        rows.append(record_row(i, body, metadata))
+        keys = [str(k) for k in metadata.keys()] if metadata else None
+        rows.append((*record_row(i, body, metadata), keys))
     return rows
 
 
@@ -74,7 +85,7 @@ def load_records_yaml(spark: SparkSession, path: str) -> DataFrame:
             rows = parse_records_yaml(f.read())
     except FileNotFoundError:
         rows = []
-    return spark.createDataFrame(rows, RECORDS_SCHEMA)
+    return spark.createDataFrame(rows, YAML_RECORDS_SCHEMA)
 
 
 def _revive(scalar: str | None, tag: str | None):
@@ -91,17 +102,33 @@ def _revive(scalar: str | None, tag: str | None):
     return scalar
 
 
+def revive_metadata(r) -> dict[str, Any]:
+    """Reconstruct the dynamic metadata dict of one collected row, in
+    original key order when ``metadata_keys`` is available."""
+    scalars = r["metadata"] or {}
+    tags = r["metadata_types"] or {}
+    lists = r["metadata_lists"] or {}
+    try:
+        order = r["metadata_keys"]
+    except (KeyError, ValueError):
+        order = None
+    if order is None:
+        order = [*scalars.keys(), *[k for k in lists.keys() if k not in scalars]]
+    md: dict[str, Any] = {}
+    for k in order:
+        if k in lists and lists[k] is not None:
+            md[k] = list(lists[k])
+        elif k in scalars:
+            md[k] = _revive(scalars[k], tags.get(k))
+    return md
+
+
 def records_to_yaml(rows: list) -> str:
     """Canonical multi-doc dump of collected RECORDS_SCHEMA rows
     (ordered by id; caller collects — adapter-scale only)."""
     docs = []
     for r in sorted(rows, key=lambda r: r["id"]):
-        md: dict[str, Any] = {}
-        tags = r["metadata_types"] or {}
-        for k, v in (r["metadata"] or {}).items():
-            md[k] = _revive(v, tags.get(k))
-        for k, vs in (r["metadata_lists"] or {}).items():
-            md[k] = list(vs)
+        md = revive_metadata(r)
         docs.append(
             {"id": r["id"], "metadata": md, "body": LiteralStr(r["body"] or "")}
         )
@@ -144,11 +171,12 @@ def parse_save_batch_yaml(text: str) -> list[tuple]:
         if metadata is not None and not isinstance(metadata, dict):
             raise YamlValidationError("metadata must be a mapping")
         scalars, tags, lists = split_metadata(metadata or None)
-        rows.append((rid, body, scalars, tags, lists))
+        keys = [str(k) for k in metadata.keys()] if metadata else None
+        rows.append((rid, body, scalars, tags, lists, keys))
     return rows
 
 
 def load_save_batch_yaml(spark: SparkSession, path: str) -> DataFrame:
     with open(path, encoding="utf-8") as f:
         rows = parse_save_batch_yaml(f.read())
-    return spark.createDataFrame(rows, SAVE_BATCH_SCHEMA)
+    return spark.createDataFrame(rows, YAML_BATCH_SCHEMA)

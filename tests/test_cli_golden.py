@@ -141,6 +141,9 @@ ANALYZE_CASES = [
     {"filter": "source: user", "stats": "ts"},
     {"filter": "source: user", "stats": "category"},
     {"filter": "source: nobody"},
+    {"filter": "category: health", "fields": ["id", "metadata"]},
+    {"filter": "source: user", "fields": ["id", "metadata.category", "priority"]},
+    {"filter": "source: user", "stats": "id"},
 ]
 
 
