@@ -42,7 +42,15 @@ def test_streaming_dedup_across_batches(spark):
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(120)
+        import time
+
+        q.awaitTermination(180)
+        for _ in range(60):  # under full-suite load termination can lag
+            if not q.isActive:
+                break
+            time.sleep(1)
+        assert not q.isActive, "streaming query did not terminate"
+        assert q.exception() is None
         got = spark.table("dedup_out").collect()
 
     survivors = {r.body for r in got}
