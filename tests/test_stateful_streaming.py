@@ -23,8 +23,22 @@ def test_streaming_dedup_across_batches(spark):
         b2 = spark.createDataFrame(
             [(3, "alpha doc"), (4, "gamma doc"), (5, "beta  DOC")], ["id", "body"]
         )
-        b1.write.parquet(os.path.join(src, "b1.parquet"))
-        b2.write.parquet(os.path.join(src, "b2.parquet"))
+        # one part file per batch: maxFilesPerTrigger counts FILES, and
+        # multi-part batches would fragment the within-batch min-id pick
+        b1.coalesce(1).write.parquet(os.path.join(src, "b1.parquet"))
+        b2.coalesce(1).write.parquet(os.path.join(src, "b2.parquet"))
+        # the file source orders batches by modification time; writes
+        # land within the same clock tick, so pin distinct mtimes or
+        # b2 occasionally processes first (flaky survivor ids)
+        import time as _t
+
+        now = _t.time()
+        for sub, ts in (("b1.parquet", now - 60), ("b2.parquet", now)):
+            d = os.path.join(src, sub)
+            for root, _dirs, files in os.walk(d):
+                for f in files:
+                    os.utime(os.path.join(root, f), (ts, ts))
+            os.utime(d, (ts, ts))
 
         stream = (
             spark.readStream.schema("id LONG, body STRING")
