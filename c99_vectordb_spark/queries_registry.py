@@ -416,15 +416,25 @@ def q_stats_numeric_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     out = numeric_stats(orders, F.col("o_orderpriority"))
-    return out.select("n", "numeric_ok", "vmin", "vmax", "vavg")
+    # sentinel instead of NULL doubles: None-vs-NaN normalization is
+    # hasher-specific; the gate semantics (stats suppressed) is what's
+    # being checked
+    s = F.lit(-1.0)
+    return out.select(
+        "n",
+        "numeric_ok",
+        F.coalesce("vmin", s).alias("vmin"),
+        F.coalesce("vmax", s).alias("vmax"),
+        F.coalesce("vavg", s).alias("vavg"),
+    )
 
 
 _ORACLE_STATS_NUMERIC_GATE = """
 SELECT COUNT(*)::BIGINT AS n,
        FALSE AS numeric_ok,
-       CAST(NULL AS DOUBLE) AS vmin,
-       CAST(NULL AS DOUBLE) AS vmax,
-       CAST(NULL AS DOUBLE) AS vavg
+       -1.0 AS vmin,
+       -1.0 AS vmax,
+       -1.0 AS vavg
 FROM orders
 WHERE o_orderpriority IS NOT NULL
 """
@@ -837,12 +847,19 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
         )
-        .orderBy(F.asc_nulls_first("region"), F.asc_nulls_first("nation"))
+        # '(all)' sentinel: NULL-vs-NaN/None normalization is
+        # hasher-specific; '(' sorts before letters so ordering matches
+        .select(
+            F.coalesce("region", F.lit("(all)")).alias("region"),
+            F.coalesce("nation", F.lit("(all)")).alias("nation"),
+            "gid", "revenue", "n_items",
+        )
+        .orderBy("region", "nation")
     )
 
 
 _ORACLE_ROLLUP_REVENUE = """
-SELECT r_name AS region, n_name AS nation,
+SELECT COALESCE(r_name, '(all)') AS region, COALESCE(n_name, '(all)') AS nation,
        GROUPING(r_name) * 2 + GROUPING(n_name) AS gid,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
        COUNT(*)::BIGINT AS n_items
@@ -852,7 +869,7 @@ JOIN customer ON o_custkey = c_custkey
 JOIN nation   ON c_nationkey = n_nationkey
 JOIN region   ON n_regionkey = r_regionkey
 GROUP BY ROLLUP (r_name, n_name)
-ORDER BY region ASC NULLS FIRST, nation ASC NULLS FIRST
+ORDER BY region, nation
 """
 
 
@@ -862,21 +879,23 @@ def q_cube_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.cube("l_returnflag", "l_linestatus")
         .agg(F.grouping_id().alias("gid"), F.count(F.lit(1)).alias("cnt"))
-        .orderBy(
-            F.asc_nulls_first("l_returnflag"),
-            F.asc_nulls_first("l_linestatus"),
-            F.asc("gid"),
+        .select(
+            F.coalesce("l_returnflag", F.lit("(all)")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("(all)")).alias("l_linestatus"),
+            "gid", "cnt",
         )
+        .orderBy("l_returnflag", "l_linestatus", "gid")
     )
 
 
 _ORACLE_CUBE_COUNTS = """
-SELECT l_returnflag, l_linestatus,
+SELECT COALESCE(l_returnflag, '(all)') AS l_returnflag,
+       COALESCE(l_linestatus, '(all)') AS l_linestatus,
        GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS gid,
        COUNT(*)::BIGINT AS cnt
 FROM lineitem
 GROUP BY CUBE (l_returnflag, l_linestatus)
-ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST, gid ASC
+ORDER BY l_returnflag, l_linestatus, gid
 """
 
 
@@ -888,20 +907,23 @@ def q_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return spark.sql(
         """
-        SELECT o_orderstatus AS status, o_orderpriority AS priority,
+        SELECT COALESCE(o_orderstatus, '(all)') AS status,
+               COALESCE(o_orderpriority, '(all)') AS priority,
                COUNT(*) AS cnt
         FROM orders_gs
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-        ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST
+        ORDER BY status, priority
         """
     )
 
 
 _ORACLE_GROUPING_SETS = """
-SELECT o_orderstatus AS status, o_orderpriority AS priority, COUNT(*)::BIGINT AS cnt
+SELECT COALESCE(o_orderstatus, '(all)') AS status,
+       COALESCE(o_orderpriority, '(all)') AS priority,
+       COUNT(*)::BIGINT AS cnt
 FROM orders
 GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority))
-ORDER BY status ASC NULLS FIRST, priority ASC NULLS FIRST
+ORDER BY status, priority
 """
 
 
