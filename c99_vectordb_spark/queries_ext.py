@@ -403,6 +403,22 @@ FROM documents
 """
 
 
+def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF (KMeans coarse quantizer) ANN: probe 3 of 8 posting lists
+    per query. No oracle — KMeans initialization is engine-specific;
+    exactness at full probe is covered by tests/test_ivf.py."""
+    from .operators.ivf import build_ivf, ivf_search
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    index = build_ivf(emb, n_centroids=8, seed=42)
+    queries = [
+        (r.id, [float(x) for x in r.vec]) for r in emb.filter(F.col("id") < 3).collect()
+    ]
+    return ivf_search(index, queries, k=5, nprobe=3)
+
+
 # ---------------------------------------------------------------------------
 # applyInPandas grouped-map conformance
 # ---------------------------------------------------------------------------
@@ -441,6 +457,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "grouped_rank": q_grouped_rank,
+    "sim_ivf": q_sim_ivf,
 }
 
 EXT_ORACLES: dict[str, str] = {
