@@ -144,6 +144,7 @@ ANALYZE_CASES = [
     {"filter": "category: health", "fields": ["id", "metadata"]},
     {"filter": "source: user", "fields": ["id", "metadata.category", "priority"]},
     {"filter": "source: user", "stats": "id"},
+    {"filter": "source: user", "fields": ["id", "nonexistent", "priority"]},
 ]
 
 

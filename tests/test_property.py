@@ -169,3 +169,55 @@ def test_save_batch_roundtrip(reference, tmp_path_factory, bodies):
     ref_entries = reference.parse_save_yaml_file(pathlib.Path(p))
     my_rows = yaml_io.parse_save_batch_yaml(batch_yaml)
     assert [e["body"] for e in ref_entries] == [r[1] for r in my_rows]
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    bodies=st.lists(
+        st.text(alphabet="abcde fgh", min_size=3, max_size=40).filter(
+            lambda s: s.strip()
+        ),
+        min_size=2,
+        max_size=8,
+    ),
+    query=st.text(alphabet="abcde fgh", min_size=1, max_size=20).filter(
+        lambda s: s.strip()
+    ),
+)
+def test_recall_ranking_matches_python_spec(spark, bodies, query):
+    """Spark recall == brute-force python over the same stable-hash
+    embedding spec: identical ids, scores within 1e-9."""
+    import math
+
+    from c99_vectordb_spark import hashing
+    from c99_vectordb_spark.operators import recall as R
+
+    dim = 64
+    df = spark.createDataFrame(list(enumerate(bodies)), ["id", "body"])
+    got = [(r.id, r.score) for r in R.recall(df, query, k=100, dim=dim).collect()]
+
+    # mirror the engine's sparse formula exactly (2 - 2*dot/(|d||q|) on
+    # integer vectors) — the naive sum((x-y)^2) over normalized floats
+    # carries FP noise the engine's form doesn't, flipping exact ties
+    qi = hashing.embed_text_int(query, dim=dim)
+    qnorm = math.sqrt(sum(w * w for w in qi))
+    expect = []
+    for i, b in enumerate(bodies):
+        di = hashing.embed_text_int(b, dim=dim)
+        n2 = sum(w * w for w in di)
+        if qnorm <= 1e-8 or n2 == 0:
+            score = 0.0 if (qnorm <= 1e-8 and n2 == 0) else 1.0
+        else:
+            dot = sum(x * y for x, y in zip(di, qi))
+            score = 2.0 - 2 * (dot / (math.sqrt(n2) * qnorm))
+        expect.append((i, score))
+    expect.sort(key=lambda t: (t[1], t[0]))
+
+    assert [i for i, _ in got] == [i for i, _ in expect]
+    for (_, a), (_, b_) in zip(got, expect):
+        assert math.isclose(a, b_, abs_tol=1e-9)
