@@ -66,6 +66,10 @@ def cmd_recall(spark, base, query, k, filter_expr, as_yaml, verbose) -> int:
     yaml_path, _ = _db_paths(base)
     k = R.clamp_k(k)
     records = yaml_io.load_records_yaml(spark, yaml_path)
+    # R4: diagnostics to stderr only — stdout is the result contract
+    # (memo_cli.py:38-40; SKILL.md:144-151)
+    _log(verbose, f"loaded {records.count()} records from {yaml_path}")
+    _log(verbose, f"recall k={k} filter={'yes' if filter_expr else 'no'}")
     if not as_yaml:
         print(fmt.recall_header(k))
     fcol = None
@@ -233,6 +237,7 @@ def cmd_save(spark, base, save_path, verbose) -> int:
         return 1
     max_id = records.agg(F.coalesce(F.max("id"), F.lit(-1))).collect()[0][0]
     merged = M.upsert(records, batch)
+    _log(verbose, f"save: {len(rows)} entries applied onto max_id={max_id}")
     # echo in apply order (memo_cli.py:420-440): overwrites keep their
     # id; appends take dense ids after max in batch order (matching
     # upsert's _seq-ordered assignment)
