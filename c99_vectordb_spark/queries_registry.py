@@ -927,6 +927,107 @@ ORDER BY status, priority
 """
 
 
+def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (operators/asof.py): each event matched to the most
+    recent order of the same customer at or before the event time.
+    Union-window merge technique — no inequality-join explosion."""
+    from .functions.text import ts_from_nanos
+    from .operators.asof import asof_join
+
+    events = _read_events(spark, sf_dir).select(
+        "event_id", F.col("user_id").alias("cust"), ts_from_nanos(F.col("ts")).alias("ts")
+    )
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        F.col("o_custkey").alias("cust"), "o_orderdate", "o_orderkey"
+    )
+    out = asof_join(
+        events.filter(F.col("event_id") < 2000),
+        orders,
+        key="cust",
+        left_time="ts",
+        right_time="o_orderdate",
+        right_value="o_orderkey",
+    )
+    return out.select("event_id", F.col("o_orderkey").alias("matched_order")).orderBy(
+        "event_id"
+    )
+
+
+_ORACLE_ASOF_JOIN_EVENTS = """
+WITH r AS (
+  SELECT o_custkey AS cust, o_orderdate AS t, MAX(o_orderkey) AS oid
+  FROM orders GROUP BY 1, 2
+),
+l AS (SELECT event_id, user_id AS cust, ts FROM events WHERE event_id < 2000)
+SELECT l.event_id, r.oid AS matched_order
+FROM l ASOF LEFT JOIN r ON l.cust = r.cust AND l.ts >= r.t
+ORDER BY event_id
+"""
+
+
+def q_semi_anti_joins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi + anti joins (SURVEY §2.10): customers with >=1 urgent
+    order (left_semi, label 'has_urgent') and customers with no orders
+    at all (left_anti, label 'no_orders'), unioned."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT")
+    semi = cust.join(
+        urgent, cust.c_custkey == urgent.o_custkey, "left_semi"
+    ).select(F.col("c_custkey").alias("custkey"), F.lit("has_urgent").alias("label"))
+    anti = cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select(F.col("c_custkey").alias("custkey"), F.lit("no_orders").alias("label"))
+    return semi.unionByName(anti).orderBy("label", "custkey")
+
+
+_ORACLE_SEMI_ANTI_JOINS = """
+SELECT c_custkey AS custkey, 'has_urgent' AS label
+FROM customer
+WHERE EXISTS (SELECT 1 FROM orders
+              WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+UNION ALL
+SELECT c_custkey AS custkey, 'no_orders' AS label
+FROM customer
+WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+ORDER BY label, custkey
+"""
+
+
+def q_range_join_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (theta) join: parts banded by size against a tiny interval
+    dim — broadcast nested-loop on BETWEEN, the classic banding shape."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    bands = spark.createDataFrame(
+        [(1, 10, "S"), (11, 25, "M"), (26, 50, "L")], ["lo", "hi", "band"]
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (F.col("p_size") >= F.col("lo")) & (F.col("p_size") <= F.col("hi")),
+        )
+        .groupBy("band")
+        .agg(
+            F.count(F.lit(1)).alias("n_parts"),
+            F.round(F.avg(F.col("p_retailprice").cast("decimal(18,4)")).cast("double"), 4).alias(
+                "avg_price"
+            ),
+        )
+        .orderBy("band")
+    )
+
+
+_ORACLE_RANGE_JOIN_BANDS = """
+SELECT band, COUNT(*)::BIGINT AS n_parts,
+       ROUND(CAST(AVG(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE), 4) AS avg_price
+FROM part
+JOIN (VALUES (1, 10, 'S'), (11, 25, 'M'), (26, 50, 'L')) b(lo, hi, band)
+  ON p_size BETWEEN lo AND hi
+GROUP BY band
+ORDER BY band
+"""
+
+
 def q_scalar_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scalar function library tour (SURVEY §2.10): string, date, math,
     array, and conditional functions in one projected page — the
@@ -1013,6 +1114,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "rollup_revenue": q_rollup_revenue,
     "cube_counts": q_cube_counts,
     "grouping_sets": q_grouping_sets,
+    "asof_join_events": q_asof_join_events,
+    "semi_anti_joins": q_semi_anti_joins,
+    "range_join_bands": q_range_join_bands,
     "scalar_functions": q_scalar_functions,
     "approx_distinct": q_approx_distinct,
 }
@@ -1042,6 +1146,9 @@ _ORACLES: dict[str, str] = {
     "rollup_revenue": _ORACLE_ROLLUP_REVENUE,
     "cube_counts": _ORACLE_CUBE_COUNTS,
     "grouping_sets": _ORACLE_GROUPING_SETS,
+    "asof_join_events": _ORACLE_ASOF_JOIN_EVENTS,
+    "semi_anti_joins": _ORACLE_SEMI_ANTI_JOINS,
+    "range_join_bands": _ORACLE_RANGE_JOIN_BANDS,
     "scalar_functions": _ORACLE_SCALAR_FUNCTIONS,
     # approx_distinct intentionally has no oracle (engine-specific HLL)
 }
