@@ -30,7 +30,11 @@ HEADLINE = [
     "stats_topk_other",
     "stats_numeric",
     "tpch_q1",
+    "tpch_q3",
+    "tpch_q6",
     "revenue_by_nation",
+    "asof_join_events",
+    "semi_anti_joins",
     "window_running_total",
     "events_tumbling",
     "rollup_revenue",
