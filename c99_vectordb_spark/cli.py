@@ -25,7 +25,7 @@ from pyspark.sql import SparkSession, functions as F
 
 from . import fmt
 from .functions.embed import build_embeddings
-from .model import DEFAULT_LIMIT, DEFAULT_OFFSET, DIM, STATS_TOP_N
+from .model import DEFAULT_K, DEFAULT_LIMIT, DEFAULT_OFFSET, DIM, STATS_TOP_N
 from .operators import analyze as A, filters as Flt, mutate as M, recall as R
 from .sources import yaml_io
 
@@ -67,9 +67,11 @@ def cmd_recall(spark, base, query, k, filter_expr, as_yaml, verbose) -> int:
     k = R.clamp_k(k)
     records = yaml_io.load_records_yaml(spark, yaml_path)
     # R4: diagnostics to stderr only — stdout is the result contract
-    # (memo_cli.py:38-40; SKILL.md:144-151)
-    _log(verbose, f"loaded {records.count()} records from {yaml_path}")
-    _log(verbose, f"recall k={k} filter={'yes' if filter_expr else 'no'}")
+    # (memo_cli.py:38-40). The count is a full Spark job, so it only
+    # runs when -v is actually on.
+    if verbose:
+        _log(verbose, f"loaded {records.count()} records from {yaml_path}")
+        _log(verbose, f"recall k={k} filter={'yes' if filter_expr else 'no'}")
     if not as_yaml:
         print(fmt.recall_header(k))
     fcol = None
@@ -293,9 +295,144 @@ def cmd_clean(base) -> int:
     return 0
 
 
+def print_help() -> None:
+    """Help text parity (memo_cli.py:695-724) modulo the engine name."""
+    print("Usage:")
+    print("  memo --help")
+    print("  memo -f <base> [-v] save <yaml_file>")
+    print("  memo -f <base> [-v] recall [-k <N>] [--filter <expr>] [--yaml] <query>")
+    print("  memo -f <base> [-v] analyze --filter <expr> [--fields <list>] [--stats <key>] [--limit <N>] [--offset <N>]")
+    print("  memo -f <base> [-v] clean")
+    print("  memo -f <base> [-v] reindex")
+    print()
+    print("Commands:")
+    print("  save                Insert/update memory records from YAML input file")
+    print("  recall              Semantic recall from <base>.memo + <base>.yaml")
+    print("  analyze             Metadata-only reporting from <base>.yaml")
+    print("  clean               Remove <base>.memo and <base>.yaml")
+    print("  reindex             Rebuild <base>.memo from <base>.yaml (full regenerate)")
+    print()
+    print("Options:")
+    print("  -f <base>           REQUIRED DB basename")
+    print("  -v                 Verbose logs to stderr")
+    print("  <yaml_file>        YAML file for save input (single or multi-doc using ---)")
+    print("                     Each doc requires: metadata: <map>, body: <string>")
+    print("                     Optional per-doc id: <int> to overwrite existing record")
+    print("  --filter <expr>    Filter recall results by metadata")
+    print("  --yaml             recall only: emit YAML results with id, score, body")
+    print("  --fields <list>    analyze only: comma-separated columns (e.g. id,source,metadata)")
+    print("  --stats <key>      analyze only: cardinality + numeric/date-like range for key")
+    print("  --limit <N>        analyze only: max rows to print (default: 100)")
+    print("  --offset <N>       analyze only: rows to skip before printing (default: 0)")
+    print("  --help             Show this help")
+
+
+def _parse_recall_args(rest: list[str]):
+    """Recall flag parsing parity (memo_cli.py:759-803): clean one-line
+    errors for missing/non-integer values, unknown args join the query,
+    empty query is an error."""
+    k, filter_expr, as_yaml, query_words = DEFAULT_K, None, False, []
+    j = 0
+    while j < len(rest):
+        a = rest[j]
+        if a == "-k":
+            if j + 1 >= len(rest):
+                print("Error: -k requires an integer", file=sys.stderr)
+                return None, 1
+            try:
+                k = int(rest[j + 1])
+            except ValueError:
+                print("Error: -k requires an integer", file=sys.stderr)
+                return None, 1
+            j += 2
+            continue
+        if a == "--filter":
+            if j + 1 >= len(rest):
+                print("Error: --filter requires a filter expression", file=sys.stderr)
+                return None, 1
+            filter_expr = rest[j + 1]
+            j += 2
+            continue
+        if a == "--yaml":
+            as_yaml = True
+            j += 1
+            continue
+        query_words.append(a)  # unknown args join the query
+        j += 1
+    query = " ".join(query_words).strip()
+    if not query:
+        print("Error: recall requires <query>", file=sys.stderr)
+        return None, 1
+    return {"k": k, "filter_expr": filter_expr, "as_yaml": as_yaml, "query": query}, 0
+
+
+def _parse_analyze_args(rest: list[str]):
+    """Analyze flag parsing parity (memo_cli.py:806-880)."""
+    filter_expr, fields, stats_key = None, None, None
+    limit, offset = DEFAULT_LIMIT, DEFAULT_OFFSET
+    j = 0
+    while j < len(rest):
+        a = rest[j]
+        if a == "--filter":
+            if j + 1 >= len(rest):
+                print("Error: --filter requires a filter expression", file=sys.stderr)
+                return None, 1
+            filter_expr = rest[j + 1]
+            j += 2
+            continue
+        if a == "--fields":
+            if j + 1 >= len(rest):
+                print("Error: --fields requires a comma-separated field list", file=sys.stderr)
+                return None, 1
+            parsed = [f.strip() for f in rest[j + 1].split(",") if f.strip()]
+            if not parsed:
+                print("Error: --fields requires at least one field", file=sys.stderr)
+                return None, 1
+            fields = parsed
+            j += 2
+            continue
+        if a == "--stats":
+            if j + 1 >= len(rest):
+                print("Error: --stats requires a key", file=sys.stderr)
+                return None, 1
+            stats_key = rest[j + 1].strip()
+            if not stats_key:
+                print("Error: --stats requires a non-empty key", file=sys.stderr)
+                return None, 1
+            j += 2
+            continue
+        if a in ("--limit", "--offset"):
+            if j + 1 >= len(rest):
+                print(f"Error: {a} requires an integer", file=sys.stderr)
+                return None, 1
+            try:
+                val = int(rest[j + 1])
+            except ValueError:
+                print(f"Error: {a} requires an integer", file=sys.stderr)
+                return None, 1
+            if a == "--limit":
+                limit = val
+            else:
+                offset = val
+            j += 2
+            continue
+        print(f"Error: unknown analyze option '{a}'", file=sys.stderr)
+        return None, 1
+    if filter_expr is None:
+        print("Error: analyze requires --filter <expr>", file=sys.stderr)
+        return None, 1
+    return {
+        "filter_expr": filter_expr,
+        "fields": fields,
+        "stats_key": stats_key,
+        "limit": limit,
+        "offset": offset,
+    }, 0
+
+
 def main(argv: list[str] | None = None) -> int:
     argv = list(sys.argv[1:] if argv is None else argv)
-    base = "memo"
+    base: str | None = None
     verbose = False
     # global flags (memo_cli.py:727-756)
     args: list[str] = []
@@ -303,81 +440,68 @@ def main(argv: list[str] | None = None) -> int:
     while i < len(argv):
         a = argv[i]
         if a == "-f":
-            i += 1
-            if i >= len(argv):
+            if i + 1 >= len(argv):
                 print("Error: -f requires a value", file=sys.stderr)
                 return 1
-            base = argv[i]
-        elif a == "-v":
+            base = argv[i + 1]
+            if base.strip() == "":
+                print("Error: -f requires a non-empty value", file=sys.stderr)
+                return 1
+            i += 2
+            continue
+        if a == "-v":
             verbose = True
-        else:
-            args.append(a)
+            i += 1
+            continue
+        args.append(a)
         i += 1
-    if not args:
-        print("Error: missing command (save|recall|analyze|reindex|clean)", file=sys.stderr)
-        return 1
+    if not args or args[0] in ("--help", "help"):
+        print_help()
+        return 0
     verb, rest = args[0], args[1:]
+    if base is None:
+        print("Error: -f <base> is required", file=sys.stderr)
+        print_help()
+        return 1
 
     if verb == "clean":
+        if rest:
+            print("Error: clean does not accept extra arguments", file=sys.stderr)
+            return 1
         return cmd_clean(base)
+    if verb not in ("save", "recall", "analyze", "reindex"):
+        print(f"Error: unknown command '{verb}'", file=sys.stderr)
+        print_help()
+        return 1
 
     owns_session = SparkSession.getActiveSession() is None
     spark = _get_spark()
     try:
         if verb == "save":
             if len(rest) != 1:
-                print("Error: save requires exactly one YAML file", file=sys.stderr)
+                print("Error: save requires exactly one <yaml_file>", file=sys.stderr)
                 return 1
             return cmd_save(spark, base, rest[0], verbose)
         if verb == "recall":
-            k, filter_expr, as_yaml, query_words = None, None, False, []
-            j = 0
-            while j < len(rest):
-                a = rest[j]
-                if a == "-k":
-                    j += 1
-                    k = int(rest[j])
-                elif a == "--filter":
-                    j += 1
-                    filter_expr = rest[j]
-                elif a == "--yaml":
-                    as_yaml = True
-                else:
-                    query_words.append(a)  # unknown args join the query
-                j += 1
+            parsed, rc = _parse_recall_args(rest)
+            if rc != 0:
+                return rc
             return cmd_recall(
-                spark, base, " ".join(query_words), k, filter_expr, as_yaml, verbose
+                spark, base, parsed["query"], parsed["k"],
+                parsed["filter_expr"], parsed["as_yaml"], verbose,
             )
         if verb == "analyze":
-            filter_expr, fields, stats_key = None, None, None
-            limit, offset = DEFAULT_LIMIT, DEFAULT_OFFSET
-            j = 0
-            while j < len(rest):
-                a = rest[j]
-                if a == "--filter":
-                    j += 1
-                    filter_expr = rest[j]
-                elif a == "--fields":
-                    j += 1
-                    fields = [f.strip() for f in rest[j].split(",") if f.strip()]
-                elif a == "--stats":
-                    j += 1
-                    stats_key = rest[j]
-                elif a == "--limit":
-                    j += 1
-                    limit = int(rest[j])
-                elif a == "--offset":
-                    j += 1
-                    offset = int(rest[j])
-                else:
-                    print(f"Error: unknown analyze option: {a}", file=sys.stderr)
-                    return 1
-                j += 1
-            return cmd_analyze(spark, base, filter_expr, fields, stats_key, limit, offset)
-        if verb == "reindex":
-            return cmd_reindex(spark, base, verbose)
-        print(f"Error: unknown command: {verb}", file=sys.stderr)
-        return 1
+            parsed, rc = _parse_analyze_args(rest)
+            if rc != 0:
+                return rc
+            return cmd_analyze(
+                spark, base, parsed["filter_expr"], parsed["fields"],
+                parsed["stats_key"], parsed["limit"], parsed["offset"],
+            )
+        if rest:
+            print("Error: reindex does not accept extra arguments", file=sys.stderr)
+            return 1
+        return cmd_reindex(spark, base, verbose)
     finally:
         if owns_session:
             spark.stop()

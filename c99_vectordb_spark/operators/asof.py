@@ -29,6 +29,19 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def _fresh_names(taken: set[str], *bases: str) -> list[str]:
+    """Generated internal column names guaranteed not to collide with
+    any caller column (the caller may legitimately own ``_k``/``_t``)."""
+    out = []
+    for base in bases:
+        name = base
+        while name in taken:
+            name += "_"
+        taken.add(name)
+        out.append(name)
+    return out
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -38,28 +51,37 @@ def asof_join(
     right_value: str,
 ) -> DataFrame:
     """Left as-of join; output = left columns + ``right_value``
-    (NULL when no right row precedes the left row)."""
+    (NULL when no right row precedes the left row).
+
+    The carried payload is a one-field STRUCT, not the bare value: a
+    right row whose value IS NULL still produces a non-null struct, so
+    ``last(..., ignorenulls=True)`` stops at the matched row and yields
+    its NULL instead of skipping back to an older non-null value
+    (DuckDB ASOF JOIN semantics).
+    """
+    taken = set(left.columns) | set(right.columns)
+    _k, _t, _side, _rs = _fresh_names(taken, "_k", "_t", "_side", "_rs")
     # dedup right to one row per (key, time): keep max value
     r = (
-        right.groupBy(F.col(key).alias("_k"), F.col(right_time).alias("_t"))
-        .agg(F.max(right_value).alias("_rv"))
-        .select("_k", "_t", F.lit(0).alias("_side"), "_rv")
+        right.groupBy(F.col(key).alias(_k), F.col(right_time).alias(_t))
+        .agg(F.max(right_value).alias("v"))
+        .select(_k, _t, F.lit(0).alias(_side), F.struct("v").alias(_rs))
     )
     lcols = left.columns
     l = left.select(
-        F.col(key).alias("_k"),
-        F.col(left_time).alias("_t"),
-        F.lit(1).alias("_side"),
-        F.lit(None).cast(r.schema["_rv"].dataType).alias("_rv"),
+        F.col(key).alias(_k),
+        F.col(left_time).alias(_t),
+        F.lit(1).alias(_side),
+        F.lit(None).cast(r.schema[_rs].dataType).alias(_rs),
         *lcols,
     )
-    unioned = l.unionByName(r.select("_k", "_t", "_side", "_rv"), allowMissingColumns=True)
+    unioned = l.unionByName(r, allowMissingColumns=True)
     w = (
-        Window.partitionBy("_k")
-        .orderBy(F.col("_t").asc(), F.col("_side").asc())
+        Window.partitionBy(_k)
+        .orderBy(F.col(_t).asc(), F.col(_side).asc())
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     carried = unioned.withColumn(
-        right_value, F.last("_rv", ignorenulls=True).over(w)
+        right_value, F.last(_rs, ignorenulls=True).over(w).getField("v")
     )
-    return carried.filter(F.col("_side") == 1).select(*lcols, right_value)
+    return carried.filter(F.col(_side) == 1).select(*lcols, right_value)

@@ -325,6 +325,91 @@ def simhash_near_pairs(
     )
 
 
+def resolve_duplicates(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components over near-dup pairs: (id, canonical_id)
+    for every id appearing in ``pairs``, canonical = min id in the
+    component (keep-min-id survivor rule).
+
+    Distributed min-label propagation with pointer jumping: each round
+    (a) every node takes the min label among itself and its neighbors,
+    then (b) shortcuts to its label's label. Pointer jumping makes long
+    chains collapse in O(log diameter) rounds instead of O(diameter) —
+    the difference between 4 and 40 shuffles on a 100 TB corpus whose
+    dup clusters chain through shared boilerplate. Each round is two
+    hash-join shuffles carrying only (id, label) longs;
+    ``localCheckpoint`` truncates the growing lineage so round N's plan
+    doesn't replay rounds 1..N-1.
+
+    Terminates early when no label changes (one cheap existence probe
+    per round). Labels converge to the component minimum because min
+    propagation is monotone non-increasing and bounded below.
+    """
+    edges = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        nbr = (
+            edges.join(labels.withColumnRenamed("id", "dst"), "dst")
+            .groupBy("src")
+            .agg(F.min("label").alias("nbr_min"))
+            .withColumnRenamed("src", "id")
+        )
+        stepped = labels.join(nbr, "id", "left").select(
+            "id",
+            F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+        )
+        # pointer jumping: label <- label(label)
+        ptr = stepped.select(F.col("id").alias("_pid"), F.col("label").alias("_plabel"))
+        jumped = (
+            stepped.join(ptr, stepped["label"] == ptr["_pid"], "left")
+            .select("id", F.coalesce("_plabel", "label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            jumped.withColumnRenamed("label", "new_label")
+            .join(labels, "id")
+            .filter(F.col("new_label") != F.col("label"))
+            .limit(1)
+            .count()
+        )
+        labels = jumped
+        if changed == 0:
+            break
+    return labels.select("id", F.col("label").alias("canonical_id"))
+
+
+def dedup_survivors(
+    df: DataFrame,
+    components: DataFrame,
+    id_col: str = "id",
+) -> DataFrame:
+    """The deduped corpus: drop every record whose component label is
+    not itself (keep-min-id). Records not in any pair survive
+    untouched. One anti-join on the id — the loser set carries only
+    ids, so AQE broadcasts it when it's small and falls back to a
+    hash-partitioned anti-join when dedup removed a large fraction of
+    a 100 TB corpus (forcing broadcast there would OOM the driver).
+    """
+    losers = components.filter(F.col("id") != F.col("canonical_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")
+
+
 def cosine_top_pairs(
     emb: DataFrame,
     k: int = 20,

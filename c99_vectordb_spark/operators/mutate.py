@@ -58,26 +58,43 @@ def _body_tombstone_udf():
     return _is_yaml_deleted
 
 
-_TRUTHY = ("true", "True", "1", "yes", "on")
-
-
 def is_deleted(
     metadata: Column | None = None,
     body: Column | None = None,
     check_body_yaml: bool = True,
+    metadata_types: Column | None = None,
 ) -> Column:
     """M4 — truthy metadata.deleted OR YAML-map body with truthy deleted.
 
-    'Truthy' follows the reference's Python truthiness on the original
-    YAML value; on the stringified triple that means any of the usual
-    true spellings, or any non-empty string that isn't a false/empty
-    spelling — we match Python truthiness of the *stringified* value
-    being a truthy YAML scalar.
+    'Truthy' is the reference's Python ``bool()`` on the ORIGINAL YAML
+    value (memo_cli.py:146-148), reconstructed from the stringified
+    triple. When ``metadata_types`` is given the check is exact per
+    type tag: int/float compare the cast value to zero (NaN is truthy),
+    bool matches its spellings, str is falsy only when empty (the
+    string "false" IS truthy in Python), list/map are falsy when empty.
+    Without type tags, the fallback falsy list covers every stringified
+    form a Python-falsy YAML value can take.
     """
     preds = []
     if metadata is not None:
         v = metadata.getItem("deleted")
-        falsy = v.isNull() | v.isin("False", "false", "0", "", "None", "null")
+        if metadata_types is not None:
+            tag = metadata_types.getItem("deleted")
+            falsy = (
+                v.isNull()
+                | v.isin("None", "null")
+                | ((tag == "bool") & v.isin("False", "false"))
+                | ((tag == "int") & F.coalesce(v.try_cast("long") == 0, F.lit(False)))
+                | ((tag == "float") & F.coalesce(v.try_cast("double") == 0.0, F.lit(False)))
+                | ((tag == "str") & (v == ""))
+                | ((tag == "list") & (v == "[]"))
+                | ((tag == "map") & (v == "{}"))
+            )
+        else:
+            falsy = v.isNull() | v.isin(
+                "False", "false", "0", "0.0", "-0.0", "", "None", "null",
+                "[]", "{}",
+            )
         preds.append(metadata.isNotNull() & ~falsy)
     if body is not None and check_body_yaml:
         looks_yamlish = body.isNotNull() & body.contains(":")
@@ -151,15 +168,26 @@ def upsert(
     ``batch`` schema: (id BIGINT nullable, body STRING, metadata...).
     Overwrites of non-existent ids are a validation error
     (memo_cli.py:426-428) — callers run :func:`validate_overwrites`
-    first. Plan shape: one broadcast-able anti-join + a union; only the
-    batch (small side) is shuffled.
+    first. The reference applies batch entries in order, so two
+    overwrites of the same id within one batch are last-wins
+    (memo_cli.py:420-432) — the overwrite side is deduped to the last
+    entry per id before the anti-join, keeping the store free of
+    duplicate ids. Plan shape: one broadcast-able anti-join + a union;
+    only the batch (small side) is shuffled.
     """
-    overwrite = batch.filter(F.col(id_col).isNotNull())
-    append = batch.filter(F.col(id_col).isNull()).drop(id_col)
+    seq = batch.withColumn("_seq", F.monotonically_increasing_id())
+    w_last = Window.partitionBy(id_col).orderBy(F.col("_seq").desc())
+    overwrite = (
+        seq.filter(F.col(id_col).isNotNull())
+        .withColumn("_rn", F.row_number().over(w_last))
+        .filter(F.col("_rn") == 1)
+        .drop("_seq", "_rn")
+    )
+    append = seq.filter(F.col(id_col).isNull()).drop(id_col)
 
     max_id = records.agg(F.coalesce(F.max(id_col), F.lit(-1))).collect()[0][0]
     appended = assign_dense_ids(
-        append.withColumn("_seq", F.monotonically_increasing_id()),
+        append,
         order_col="_seq",
         out_col=id_col,
         start=max_id + 1,
@@ -200,9 +228,14 @@ def compact(
     surviving id order (memo_cli.py:343-366; [observed] id 2 -> id 1
     after a delete). Returns the compacted table with dense ids."""
     md = F.col(metadata_col) if metadata_col in records.columns else None
+    tags_col = f"{metadata_col}_types"
+    tags = F.col(tags_col) if tags_col in records.columns else None
     survivors = records.filter(
         ~Ft.is_blank(F.col(body_col))
-        & ~is_deleted(md, F.col(body_col), check_body_yaml=check_body_yaml)
+        & ~is_deleted(
+            md, F.col(body_col), check_body_yaml=check_body_yaml,
+            metadata_types=tags,
+        )
     )
     out = assign_dense_ids(survivors, order_col=id_col, scalable=scalable)
     return out.drop(id_col).withColumnRenamed("new_id", id_col).select(

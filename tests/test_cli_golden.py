@@ -242,6 +242,63 @@ def test_reindex_compacts_and_is_idempotent(spark, db_base, tmp_path):
     assert "Compacted" not in out2  # idempotent
 
 
+def _capture_both(fn, *args) -> tuple[str, str, int]:
+    out, err = io.StringIO(), io.StringIO()
+    with contextlib.redirect_stdout(out), contextlib.redirect_stderr(err):
+        try:
+            rc = fn(*args)
+        except SystemExit as e:  # reference main never raises, but be safe
+            rc = int(e.code or 0)
+    return out.getvalue(), err.getvalue(), rc
+
+
+# argv cases that exercise only the parse/help/error paths (no FAISS,
+# no index build) — byte-exact stdout+stderr+rc parity with the
+# executed reference main (memo_cli.py:884-949).
+ARGV_ERROR_CASES = [
+    ["--help"],
+    ["help"],
+    [],
+    ["-f"],
+    ["-f", "  ", "clean"],
+    ["analyze", "--filter", "a: b"],          # missing -f
+    ["-f", "BASE", "frobnicate"],              # unknown command
+    ["-f", "BASE", "clean", "extra"],
+    ["-f", "BASE", "reindex", "extra"],
+    ["-f", "BASE", "save"],
+    ["-f", "BASE", "save", "a.yaml", "b.yaml"],
+    ["-f", "BASE", "recall"],
+    ["-f", "BASE", "recall", "--yaml"],
+    ["-f", "BASE", "recall", "-k"],
+    ["-f", "BASE", "recall", "-k", "abc", "query"],
+    ["-f", "BASE", "recall", "--filter"],
+    ["-f", "BASE", "analyze"],
+    ["-f", "BASE", "analyze", "--filter"],
+    ["-f", "BASE", "analyze", "--filter", "a: b", "--limit"],
+    ["-f", "BASE", "analyze", "--filter", "a: b", "--limit", "ten"],
+    ["-f", "BASE", "analyze", "--filter", "a: b", "--offset", "x"],
+    ["-f", "BASE", "analyze", "--filter", "a: b", "--fields", " , "],
+    ["-f", "BASE", "analyze", "--filter", "a: b", "--stats", "  "],
+    ["-f", "BASE", "analyze", "--filter", "a: b", "--bogus"],
+]
+
+
+@pytest.mark.parametrize("argv", ARGV_ERROR_CASES, ids=lambda a: " ".join(a) or "<empty>")
+def test_argv_error_paths_match_reference(reference, tmp_path, argv):
+    base = str(tmp_path / "argvdb")
+    argv = [base if a == "BASE" else a for a in argv]
+    old = sys.argv
+    sys.argv = ["memo", *argv]
+    try:
+        ref_out, ref_err, ref_rc = _capture_both(reference.main)
+    finally:
+        sys.argv = old
+    my_out, my_err, my_rc = _capture_both(cli.main, argv)
+    assert my_rc == ref_rc, f"{argv}: rc {my_rc} != {ref_rc}\nref err: {ref_err}\nmine: {my_err}"
+    assert my_err == ref_err, f"{argv}"
+    assert my_out == ref_out, f"{argv}"
+
+
 def test_clean_messages(spark, db_base):
     out1, _ = _mine(spark, db_base, ["clean"])
     assert out1.startswith("Cleared memory database")

@@ -106,3 +106,73 @@ def test_assign_dense_ids_scalable_matches_window(spark):
     a = M.assign_dense_ids(df, order_col="old", scalable=False).collect()
     b = M.assign_dense_ids(df, order_col="old", scalable=True).collect()
     assert sorted((r.old, r.new_id) for r in a) == sorted((r.old, r.new_id) for r in b)
+
+
+def test_upsert_duplicate_override_ids_last_wins(spark, base):
+    """Two overwrites of the same id in one batch: the reference applies
+    entries in order, so the later one wins (memo_cli.py:420-432) and
+    the store must never hold two rows with the same id."""
+    batch = spark.createDataFrame(
+        [
+            (1, "first write", None, None, None),
+            (None, "an append between", None, None, None),
+            (1, "second write wins", {"v": "2"}, {"v": "int"}, None),
+        ],
+        SAVE_BATCH_SCHEMA,
+    )
+    out = M.upsert(base, batch).collect()
+    ids = [r.id for r in out]
+    assert len(ids) == len(set(ids)), "duplicate ids in store after upsert"
+    by_id = {r.id: r for r in out}
+    assert by_id[1].body == "second write wins"
+    assert by_id[5].body == "an append between"
+
+
+def test_is_deleted_python_falsy_forms(spark):
+    """bool(metadata['deleted']) parity: 0.0/-0.0/[]/{} are falsy,
+    the STRING 'false' is truthy (non-empty str), NaN is truthy."""
+    rows = [
+        # (id, stringified value, type tag, expected deleted?)
+        (0, "0.0", "float", False),
+        (1, "-0.0", "float", False),
+        (2, "[]", "list", False),
+        (3, "{}", "map", False),
+        (4, "false", "str", True),   # non-empty string is Python-truthy
+        (5, "", "str", False),
+        (6, "nan", "float", True),   # float('nan') is truthy
+        (7, "0", "int", False),
+        (8, "2.5", "float", True),
+        (9, "False", "bool", False),
+        (10, "True", "bool", True),
+        (11, "None", "str", False),  # YAML null stringified
+    ]
+    df = spark.createDataFrame(
+        [(i, {"deleted": v}, {"deleted": t}) for i, v, t, _ in rows],
+        "id LONG, metadata MAP<STRING,STRING>, metadata_types MAP<STRING,STRING>",
+    )
+    got = {
+        r.id: r.d
+        for r in df.select(
+            "id",
+            M.is_deleted(
+                F.col("metadata"), metadata_types=F.col("metadata_types")
+            ).alias("d"),
+        ).collect()
+    }
+    for i, v, t, expected in rows:
+        assert got[i] == expected, f"value={v!r} tag={t}: got {got[i]}"
+
+
+def test_compact_keeps_python_falsy_deleted_records(spark):
+    """Compaction must not silently drop records whose deleted flag is
+    Python-falsy (0.0, [], {}) — the reference keeps them."""
+    rows = [
+        record_row(0, "keep zero float", {"deleted": 0.0}),
+        record_row(1, "keep empty list", {"deleted": []}),
+        record_row(2, "keep empty map", {"deleted": {}}),
+        record_row(3, "drop true", {"deleted": True}),
+        record_row(4, "drop one point five", {"deleted": 1.5}),
+    ]
+    df = spark.createDataFrame(rows, RECORDS_SCHEMA)
+    out = sorted(r.body for r in M.compact(df).collect())
+    assert out == ["keep empty list", "keep empty map", "keep zero float"]
