@@ -116,8 +116,14 @@ def shingle_hashes(text: str, n: int = 3, cache: dict | None = None) -> list[int
 
 
 def simhash48(text: str, bits: int = 48, cache: dict | None = None) -> int:
-    """48-bit SimHash: bit j = sign of token votes, where a token votes
-    +1 iff ((h*31 + j) % HASH_MOD) is odd — operators/dedup.simhash spec."""
+    """SimHash: bit j = sign of token votes, where a token votes +1 iff
+    ((h*(2j+3) + 7j+1) % HASH_MOD) is odd — operators/dedup.simhash
+    spec. The per-bit affine multiplier matters: an additive-only bit
+    derivation like (h*31 + j) makes the 60 parities of one token
+    strictly alternate in j (consecutive integers mod an odd prime), so
+    every token votes the 0101... or 1010... pattern and all documents
+    collapse onto two signatures. Per-bit multipliers wrap the modulus
+    a different number of times per bit, giving independent parities."""
     import numpy as np
 
     toks = tokenize(text)
@@ -138,7 +144,7 @@ def simhash48(text: str, bits: int = 48, cache: dict | None = None) -> int:
     hs = np.fromiter(counts.keys(), dtype=np.int64)
     cnt = np.fromiter(counts.values(), dtype=np.int64)
     js = np.arange(bits, dtype=np.int64)
-    odd = ((hs[:, None] * 31 + js[None, :]) % HASH_MOD) % 2  # (U, bits)
+    odd = ((hs[:, None] * (2 * js[None, :] + 3) + 7 * js[None, :] + 1) % HASH_MOD) % 2
     votes = (cnt[:, None] * (2 * odd - 1)).sum(axis=0)
     return int(((votes > 0).astype(np.int64) << js).sum())
 

@@ -37,7 +37,12 @@ MINHASH_A = [2 * i + 3 for i in range(MINHASH_K)]  # odd multipliers
 MINHASH_B = [7 * i + 1 for i in range(MINHASH_K)]
 MINHASH_BANDS = 4  # 4 bands x 4 rows
 
-SIMHASH_BITS = 48
+#: 60 bits = 4 pigeonhole chunks x 15 bits at max_hamming=3. 15-bit
+#: chunk values (32,768 distinct) collide 8x less than the earlier
+#: 12-bit chunks — the candidate join output shrinks ~8x on templated
+#: corpora. 60 (not 64) keeps every signature positive in a signed
+#: BIGINT so the Spark<->DuckDB bit arithmetic stays sign-free.
+SIMHASH_BITS = 60
 
 
 def normalized_body(c: Column) -> Column:
@@ -117,24 +122,41 @@ def shingles(
     )
 
 
+def auto_shingle_cap(n_docs: int) -> int:
+    """Default document-frequency cap for shingles: ceil(n/200), floor
+    16 — a shingle in >0.5% of a 100 TB corpus is boilerplate whose
+    join fan-out is O(freq^2) while its Jaccard contribution is noise.
+    Integer arithmetic so the DuckDB oracle reproduces it exactly."""
+    return max(16, (n_docs + 199) // 200)
+
+
 def ngram_jaccard_pairs(
     df: DataFrame,
     id_col: str = "id",
     body_col: str = "body",
     n: int = 3,
     threshold: float = 0.5,
-    max_shingle_freq: int | None = None,
+    max_shingle_freq: int | str | None = "auto",
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard similarity >= threshold.
 
-    Plan: shingles -> (optional) drop shingles appearing in more than
+    Plan: shingles -> drop shingles appearing in more than
     ``max_shingle_freq`` docs (the 100 TB knob: ultra-common shingles
     dominate the self-join cost while contributing almost nothing to
     Jaccard) -> self-equi-join on shingle -> shared counts -> join two
-    per-doc size aggregates -> threshold filter. Output
-    (id_a, id_b, jaccard) with id_a < id_b.
+    per-doc size aggregates -> threshold filter. Jaccard is computed
+    over the SURVIVING shingle sets (sizes counted after the cap), so
+    the guarded semantics are self-consistent and oracle-able.
+
+    ``max_shingle_freq``: ``"auto"`` (default) derives
+    :func:`auto_shingle_cap` from the corpus size — the guarded path
+    IS the default path; an int pins the cap; ``None`` disables the
+    guard (measurement baseline only — unbounded join fan-out).
+    Output (id_a, id_b, jaccard) with id_a < id_b.
     """
     sh = shingles(df, id_col, body_col, n).cache()
+    if max_shingle_freq == "auto":
+        max_shingle_freq = auto_shingle_cap(df.count())
     if max_shingle_freq is not None:
         rare = sh.groupBy("sh").count().filter(F.col("count") <= max_shingle_freq)
         sh = sh.join(rare.select("sh"), "sh")
@@ -248,11 +270,12 @@ def minhash_lsh_pairs(
 def simhash(df: DataFrame, id_col: str = "id", body_col: str = "body") -> DataFrame:
     """SimHash signatures: (id, sim BIGINT of SIMHASH_BITS bits).
 
-    Bit j of a token = parity of (h*31 + j) % HASH_MOD; per-document
-    bit j is the sign of the token votes. Map-only Arrow UDF with
-    numpy-vectorized vote matrices (hashing.simhash48) — identical
-    integers to the expression fold, ~25x faster (O(tokens x bits)
-    expression trees don't codegen well).
+    Bit j of a token = parity of (h*(2j+3) + 7j+1) % HASH_MOD (per-bit
+    affine multipliers — see hashing.simhash48 for why an additive-only
+    j term degenerates); per-document bit j is the sign of the token
+    votes. Map-only Arrow UDF with numpy-vectorized vote matrices
+    (hashing.simhash48) — identical integers to the expression fold,
+    ~25x faster (O(tokens x bits) expression trees don't codegen well).
     """
     import pandas as pd
 
@@ -271,13 +294,28 @@ def simhash_near_pairs(
     id_col: str = "id",
     body_col: str = "body",
     max_hamming: int = 3,
+    max_chunk_freq: int | None = None,
 ) -> DataFrame:
     """Near-dup pairs with popcount(xor(sim_a, sim_b)) <= max_hamming.
 
-    Candidates via band equi-join on 12-bit chunks: by pigeonhole, a
-    pair within hamming distance 3 of a 48-bit signature MUST agree
+    Candidates via band equi-join on 15-bit chunks: by pigeonhole, a
+    pair within hamming distance 3 of a 60-bit signature MUST agree
     exactly on at least one of the 4 chunks — same no-all-pairs
-    property as MinHash LSH. Output (id_a, id_b, hamming).
+    property as MinHash LSH.
+
+    The hamming verify lives in the JOIN condition itself, so false
+    candidates die inside the join operator — they are never
+    materialized into a distinct() shuffle (the earlier form
+    deduplicated the raw candidate set first, shuffling every false
+    candidate once). The distinct() that remains only carries verified
+    near-dup pairs.
+
+    ``max_chunk_freq`` is the 100 TB skew knob (same role as
+    ``max_shingle_freq`` for Jaccard): chunk values shared by more than
+    this many docs — boilerplate/templated text — are dropped from
+    candidate generation, at a bounded recall cost you can measure
+    against the unbounded run at test scale. Output (id_a, id_b,
+    hamming).
     """
     n_chunks = max_hamming + 1
     chunk_bits = SIMHASH_BITS // n_chunks
@@ -299,29 +337,33 @@ def simhash_near_pairs(
             )
         ).alias("c"),
     ).select("id", "sim", "c.chunk", "c.cval")
+    if max_chunk_freq is not None:
+        rare = (
+            chunks.groupBy("chunk", "cval")
+            .count()
+            .filter(F.col("count") <= max_chunk_freq)
+            .select("chunk", "cval")
+        )
+        chunks = chunks.join(rare, ["chunk", "cval"])
     a = chunks.alias("a")
     b = chunks.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.chunk") == F.col("b.chunk"))
             & (F.col("a.cval") == F.col("b.cval"))
-            & (F.col("a.id") < F.col("b.id")),
+            & (F.col("a.id") < F.col("b.id"))
+            & (
+                F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+                <= max_hamming
+            ),
         )
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sim").alias("sim_a"),
-            F.col("b.sim").alias("sim_b"),
+            F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim"))).alias("hamming"),
         )
         .distinct()
-    )
-    return (
-        cand.withColumn(
-            "hamming", F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b")))
-        )
-        .filter(F.col("hamming") <= max_hamming)
-        .select("id_a", "id_b", "hamming")
     )
 
 

@@ -74,6 +74,73 @@ def _sq_l2(a: list[float], b: list[float]) -> float:
     return sum((x - y) * (x - y) for x, y in zip(a, b))
 
 
+def _sq_l2_cols(a, b):
+    """Squared L2 between two array columns, JVM-side."""
+    return F.aggregate(
+        F.zip_with(
+            a,
+            b,
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_search_batch(
+    index: IvfIndex,
+    queries: DataFrame,
+    k: int = 5,
+    nprobe: int = 3,
+    qid_col: str = "qid",
+    qvec_col: str = "qvec",
+) -> DataFrame:
+    """Serve a whole query TABLE in one plan (no per-query driver loop).
+
+    1. centroids become a tiny (cluster, cvec) DataFrame; a broadcast
+       join against the queries scores every (query, centroid) pair and
+       a per-qid window keeps the ``nprobe`` nearest — the probe table
+       (qid, cluster, qvec);
+    2. one equi-join of the probe table against the cluster-partitioned
+       index reads only probed posting lists (partition pruning /
+       shuffle on ``cluster``), exact-scores the candidates, and a
+       per-qid window keeps top ``k``.
+
+    Plan size is O(1) in the number of queries — the driver loop in
+    :func:`ivf_search` built one union branch per query. Results are
+    identical (same score/tie rules); at nprobe = n_centroids this
+    equals exact search (tests/test_ivf.py).
+    """
+    from pyspark.sql import Window
+
+    spark = index.assigned.sparkSession
+    cents = spark.createDataFrame(
+        [(ci, vec) for ci, vec in enumerate(index.centroids)],
+        "cluster INT, cvec ARRAY<DOUBLE>",
+    )
+    q = queries.select(
+        F.col(qid_col).cast("long").alias("qid"), F.col(qvec_col).alias("qvec")
+    )
+    w_probe = Window.partitionBy("qid").orderBy(F.asc("cdist"), F.asc("cluster"))
+    probes = (
+        q.join(F.broadcast(cents))
+        .withColumn("cdist", _sq_l2_cols(F.col("qvec"), F.col("cvec")))
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= nprobe)
+        .select("qid", "qvec", "cluster")
+    )
+    w_topk = Window.partitionBy("qid").orderBy(F.asc("score"), F.asc("id"))
+    return (
+        index.assigned.join(probes, "cluster")
+        .withColumn("score", F.round(_sq_l2_cols(F.col("vec"), F.col("qvec")), 4))
+        .filter(F.col("id") != F.col("qid"))
+        .withColumn("_rk", F.row_number().over(w_topk))
+        .filter(F.col("_rk") <= k)
+        .select("qid", "id", "score")
+    )
+
+
 def ivf_search(
     index: IvfIndex,
     queries: list[tuple[int, list[float]]],

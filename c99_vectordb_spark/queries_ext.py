@@ -79,12 +79,23 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# mirrors ngram_jaccard_pairs' default "auto" shingle-frequency cap
+# (dedup.auto_shingle_cap: greatest(16, ceil(n_docs/200)), integer
+# arithmetic) — sizes/intersections are computed over the CAPPED
+# shingle sets, exactly like the Spark plan.
 _ORACLE_DEDUP_JACCARD = f"""
 WITH {_duck_hl_cte()},
-sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM sh GROUP BY 1),
+cap AS (SELECT greatest(16, (COUNT(*) + 199) // 200) AS v FROM documents),
+freq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+shc AS (
+  SELECT s.doc_id, s.sh
+  FROM sh s JOIN freq f ON s.sh = f.sh CROSS JOIN cap
+  WHERE f.df <= cap.v
+),
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM shc GROUP BY 1),
 shared AS (
   SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*)::BIGINT AS inter
-  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 )
 SELECT ia AS id_a, ib AS id_b,
@@ -107,7 +118,10 @@ def q_dedup_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_lsh_pairs(docs, id_col="doc_id", body_col="text")
 
 
-def _oracle_minhash() -> str:
+def _oracle_minhash_ctes() -> str:
+    """CTE chain ``hl, sh, mins, bands, mh_pairs`` — mh_pairs is the
+    MinHash-LSH candidate pair set, reused by the components/survivors
+    oracles below."""
     rows = MINHASH_K // MINHASH_BANDS
     mins = ", ".join(
         f"MIN((sh * {MINHASH_A[i]} + {MINHASH_B[i]}) % {HASH_MOD}) AS m{i}"
@@ -124,15 +138,81 @@ def _oracle_minhash() -> str:
         f"  SELECT doc_id, {bi} AS band, {fold([f'm{bi * rows + j}' for j in range(rows)])} AS bsig FROM mins"
         for bi in range(MINHASH_BANDS)
     )
-    return f"""
-WITH {_duck_hl_cte()},
+    return f"""{_duck_hl_cte()},
 mins AS (SELECT doc_id, {mins} FROM sh GROUP BY doc_id),
 bands AS (
 {band_selects}
-)
-SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
-FROM bands a
-JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+),
+mh_pairs AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM bands a
+  JOIN bands b ON a.band = b.band AND a.bsig = b.bsig AND a.doc_id < b.doc_id
+)"""
+
+
+def _oracle_minhash() -> str:
+    return f"""
+WITH {_oracle_minhash_ctes()}
+SELECT id_a, id_b FROM mh_pairs
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup: pair -> survivor resolution (connected components, keep-min-id)
+# ---------------------------------------------------------------------------
+
+# The recursive walk floods every component member's id through the
+# component (UNION dedups, so it terminates); MIN over the flooded ids
+# is the component minimum — the same keep-min-id rule the Spark
+# min-label propagation converges to.
+_DUCK_COMPONENTS_CTES = f"""{_oracle_minhash_ctes()},
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM mh_pairs
+  UNION ALL
+  SELECT id_b, id_a FROM mh_pairs
+),
+walk(id, comp) AS (
+  SELECT DISTINCT src, src FROM edges
+  UNION
+  SELECT e.dst, w.comp FROM walk w JOIN edges e ON e.src = w.id
+),
+comp AS (SELECT id, MIN(comp) AS canonical_id FROM walk GROUP BY id)"""
+
+
+def q_dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import minhash_lsh_pairs, resolve_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, id_col="doc_id", body_col="text")
+    return resolve_duplicates(pairs)
+
+
+_ORACLE_DEDUP_COMPONENTS = f"""
+WITH RECURSIVE {_DUCK_COMPONENTS_CTES}
+SELECT id, canonical_id FROM comp
+"""
+
+
+def q_dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import (
+        dedup_survivors,
+        minhash_lsh_pairs,
+        resolve_duplicates,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, id_col="doc_id", body_col="text")
+    comps = resolve_duplicates(pairs)
+    return dedup_survivors(docs, comps, id_col="doc_id").select(
+        F.col("doc_id").alias("id"), "n_chars"
+    )
+
+
+_ORACLE_DEDUP_SURVIVORS = f"""
+WITH RECURSIVE {_DUCK_COMPONENTS_CTES}
+SELECT d.doc_id AS id, d.n_chars
+FROM documents d
+WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id != canonical_id)
 """
 
 
@@ -145,7 +225,7 @@ _SIMS_CTE = f"""
 tok AS (SELECT doc_id, unnest(hl) AS h FROM hl),
 votes AS (
   SELECT doc_id, j,
-         SUM(CASE WHEN ((h * 31 + j) % {HASH_MOD}) % 2 = 1 THEN 1 ELSE -1 END) AS v
+         SUM(CASE WHEN ((h * (2*j + 3) + 7*j + 1) % {HASH_MOD}) % 2 = 1 THEN 1 ELSE -1 END) AS v
   FROM tok CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS j) js
   GROUP BY 1, 2
 ),
@@ -264,7 +344,7 @@ def q_sim_lsh_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_bucketed_neighbors(emb, queries, dim=LSH_DIM, k=5, n_planes=LSH_PLANES)
 
 
-def _oracle_lsh() -> str:
+def _oracle_lsh(multiprobe: bool = False) -> str:
     def plane_lit(p: int) -> str:
         return "[" + ", ".join(f"{x!r}::DOUBLE" for x in hyperplane(p, LSH_DIM)) + "]"
 
@@ -273,9 +353,15 @@ def _oracle_lsh() -> str:
         for p in range(LSH_PLANES)
     )
     eb = bucket_terms.replace("{v}", "embedding")
+    if multiprobe:
+        flips = ", ".join(f"xor(bucket, {1 << p}::BIGINT)" for p in range(LSH_PLANES))
+        q_cte = f"""q0 AS (SELECT id AS qid, embedding AS qvec, bucket FROM e WHERE id < 3),
+q AS (SELECT qid, qvec, unnest([bucket, {flips}]) AS bucket FROM q0)"""
+    else:
+        q_cte = "q AS (SELECT id AS qid, embedding AS qvec, bucket FROM e WHERE id < 3)"
     return f"""
 WITH e AS (SELECT vec_id AS id, embedding, ({eb}) AS bucket FROM embeddings),
-q AS (SELECT id AS qid, embedding AS qvec, bucket FROM e WHERE id < 3),
+{q_cte},
 joined AS (
   SELECT q.qid, e.id,
          ROUND({_DUCK_DOT.format(a='e.embedding', b='q.qvec')}
@@ -290,6 +376,20 @@ SELECT qid, id, score FROM (
   FROM joined
 ) WHERE rnk <= 5
 """
+
+
+def q_sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.similarity import lsh_bucketed_neighbors
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    queries = emb.filter(F.col("id") < 3).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    return lsh_bucketed_neighbors(
+        emb, queries, dim=LSH_DIM, k=5, n_planes=LSH_PLANES, multiprobe=True
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -405,18 +505,77 @@ FROM documents
 
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (KMeans coarse quantizer) ANN: probe 3 of 8 posting lists
-    per query. No oracle — KMeans initialization is engine-specific;
-    exactness at full probe is covered by tests/test_ivf.py."""
-    from .operators.ivf import build_ivf, ivf_search
+    per query, served on the batch path (query TABLE in, one join plan,
+    no driver loop or .collect()). No oracle — KMeans initialization is
+    engine-specific; exactness at full probe and batch==loop parity are
+    covered by tests/test_ivf.py."""
+    from .operators.ivf import build_ivf, ivf_search_batch
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
     index = build_ivf(emb, n_centroids=8, seed=42)
-    queries = [
-        (r.id, [float(x) for x in r.vec]) for r in emb.filter(F.col("id") < 3).collect()
-    ]
-    return ivf_search(index, queries, k=5, nprobe=3)
+    queries = emb.filter(F.col("id") < 3).select(
+        F.col("id").alias("qid"), F.col("vec").cast("array<double>").alias("qvec")
+    )
+    return ivf_search_batch(index, queries, k=5, nprobe=3)
+
+
+def q_sim_ivf_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch IVF at full probe (nprobe = n_centroids): exact KNN served
+    through the IVF plan — equi-join of the probe table against the
+    cluster-partitioned index, per-qid top-k window. Full probe makes
+    the result centroid-independent, so this HAS an exact DuckDB
+    oracle: brute-force squared-L2 top-k."""
+    from .operators.ivf import build_ivf, ivf_search_batch
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    index = build_ivf(emb, n_centroids=8, seed=42)
+    queries = emb.filter(F.col("id") < 3).select(
+        F.col("id").alias("qid"), F.col("vec").cast("array<double>").alias("qvec")
+    )
+    return ivf_search_batch(index, queries, k=5, nprobe=8)
+
+
+_DUCK_SQL2 = (
+    "list_sum(list_transform(list_zip({a}, {b}), "
+    "p -> (p[1]::DOUBLE - p[2]::DOUBLE) * (p[1]::DOUBLE - p[2]::DOUBLE)))"
+)
+
+_ORACLE_SIM_IVF_BATCH = f"""
+WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 3),
+scored AS (
+  SELECT q.qid, e.vec_id AS id,
+         ROUND({_DUCK_SQL2.format(a='e.embedding', b='q.qvec')}, 4) AS score
+  FROM embeddings e CROSS JOIN q
+  WHERE e.vec_id != q.qid
+)
+SELECT qid, id, score FROM (
+  SELECT qid, id, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score ASC, id ASC) AS rnk
+  FROM scored
+) WHERE rnk <= 5
+"""
+
+
+# ---------------------------------------------------------------------------
+# multimodal: real BMP/WAV parsing through the Arrow path
+# ---------------------------------------------------------------------------
+
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature extraction over REAL container formats: documents are
+    wrapped as BMP (even ids) / WAV (odd ids) payloads, decoded by the
+    pure-Python public-format parsers, then byte-histogram features.
+    Rows-only check (the BMP/WAV byte layout has no SQL twin); the
+    decode round-trip is property-tested in tests/test_multimodal_
+    streaming.py."""
+    from .operators.multimodal import extract_features, media_from_documents_mixed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = media_from_documents_mixed(docs)
+    return extract_features(media)
 
 
 # ---------------------------------------------------------------------------
@@ -447,31 +606,40 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_components": q_dedup_components,
+    "dedup_survivors": q_dedup_survivors,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     "dedup_cosine_pairs": q_dedup_cosine_pairs,
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_lsh_bucketed": q_sim_lsh_bucketed,
+    "sim_lsh_multiprobe": q_sim_lsh_multiprobe,
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "grouped_rank": q_grouped_rank,
     "sim_ivf": q_sim_ivf,
+    "sim_ivf_batch": q_sim_ivf_batch,
+    "multimodal_features": q_multimodal_features,
 }
 
 EXT_ORACLES: dict[str, str] = {
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_jaccard_pairs": _ORACLE_DEDUP_JACCARD,
     "dedup_minhash_pairs": _oracle_minhash(),
+    "dedup_components": _ORACLE_DEDUP_COMPONENTS,
+    "dedup_survivors": _ORACLE_DEDUP_SURVIVORS,
     "dedup_simhash": _ORACLE_DEDUP_SIMHASH,
     "dedup_simhash_pairs": _ORACLE_DEDUP_SIMHASH_PAIRS,
     "dedup_cosine_pairs": _ORACLE_DEDUP_COSINE_PAIRS,
     "sim_topk_cosine": _ORACLE_SIM_TOPK,
     "sim_lsh_bucketed": _oracle_lsh(),
+    "sim_lsh_multiprobe": _oracle_lsh(multiprobe=True),
     "text_token_counts": _ORACLE_TEXT_TOKEN_COUNTS,
     "text_quality": _oracle_quality(),
     "text_langid": _oracle_langid(),
     "text_fingerprint": _ORACLE_TEXT_FINGERPRINT,
     "grouped_rank": _ORACLE_GROUPED_RANK,
+    "sim_ivf_batch": _ORACLE_SIM_IVF_BATCH,
 }

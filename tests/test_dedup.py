@@ -71,3 +71,132 @@ def test_cosine_top_pairs_orders_desc(spark, embeddings):
     assert len(out) == 10
     scores = [r.cos for r in out]
     assert scores == sorted(scores, reverse=True)
+
+
+# ---------------------------------------------------------------------------
+# pair -> survivor resolution (connected components)
+# ---------------------------------------------------------------------------
+
+def _pairs_df(spark, pairs):
+    return spark.createDataFrame(pairs, "id_a LONG, id_b LONG")
+
+
+def test_resolve_duplicates_chain_star_isolated(spark):
+    """Chain 1-2-3-4-5, star 10-{11,12,13}, isolated pair (20,21):
+    every member maps to its component minimum."""
+    pairs = _pairs_df(
+        spark,
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (10, 12), (10, 13), (20, 21)],
+    )
+    got = {r.id: r.canonical_id for r in D.resolve_duplicates(pairs).collect()}
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1, 5: 1,
+        10: 10, 11: 10, 12: 10, 13: 10,
+        20: 20, 21: 20,
+    }
+
+
+def test_resolve_duplicates_long_chain_converges(spark):
+    """A 40-node chain needs pointer jumping to converge within the
+    iteration bound; min label must still flood to the far end."""
+    pairs = _pairs_df(spark, [(i, i + 1) for i in range(40)])
+    got = {r.id: r.canonical_id for r in D.resolve_duplicates(pairs, max_iter=12).collect()}
+    assert len(got) == 41
+    assert set(got.values()) == {0}
+
+
+def test_survivors_pair_closed(spark, corpus):
+    """No surviving pair: for every input near-dup pair at most one
+    endpoint survives, and untouched docs all survive."""
+    pairs = D.minhash_lsh_pairs(corpus)
+    comps = D.resolve_duplicates(pairs)
+    surv = {r.id for r in D.dedup_survivors(corpus, comps).collect()}
+    pair_rows = [(r.id_a, r.id_b) for r in pairs.collect()]
+    assert pair_rows, "fixture must produce at least one near-dup pair"
+    for a, b in pair_rows:
+        assert not (a in surv and b in surv), f"surviving pair ({a},{b})"
+    paired = {x for p in pair_rows for x in p}
+    all_ids = {r.id for r in corpus.select(F.col("id")).collect()}
+    assert (all_ids - paired) <= surv  # untouched docs always survive
+    # exactly one survivor per component
+    comp_rows = comps.collect()
+    by_comp = {}
+    for r in comp_rows:
+        by_comp.setdefault(r.canonical_id, []).append(r.id)
+    for canon, members in by_comp.items():
+        assert [m for m in members if m in surv] == [canon]
+
+
+# ---------------------------------------------------------------------------
+# SimHash candidate-set scale guards
+# ---------------------------------------------------------------------------
+
+def _pseudo_random_corpus(spark, n_docs=400, words_per_doc=30):
+    """Deterministic corpus of distinct word soup: signatures behave
+    like random 60-bit values, so chunk collisions measure the FALSE
+    candidate rate of the banding scheme."""
+    rows = []
+    for i in range(n_docs):
+        words = [f"w{(i * 131 + j * 17) % 99991:05d}x{j}" for j in range(words_per_doc)]
+        rows.append((i, " ".join(words)))
+    return spark.createDataFrame(rows, "id LONG, body STRING")
+
+
+def test_simhash_candidate_count_bounded(spark):
+    """15-bit chunks must keep the candidate join output a tiny
+    fraction of all-pairs on a non-duplicated corpus — the 100 TB
+    scale property of the banding scheme."""
+    corpus = _pseudo_random_corpus(spark)
+    n = corpus.count()
+    sigs = D.simhash(corpus).cache()
+    chunk_bits = D.SIMHASH_BITS // 4
+    chunks = sigs.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sim", chunk_bits * c)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("cval"),
+                    )
+                    for c in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("id", "c.chunk", "c.cval")
+    a, b = chunks.alias("a"), chunks.alias("b")
+    candidates = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id"), F.col("b.id"))
+        .distinct()
+        .count()
+    )
+    all_pairs = n * (n - 1) // 2
+    assert candidates < all_pairs * 0.01, (candidates, all_pairs)
+    # and none of these random docs verify as near-dups
+    assert D.simhash_near_pairs(corpus).count() == 0
+
+
+def test_simhash_max_chunk_freq_knob(spark, corpus):
+    """The skew cap yields a subset of the unbounded pairs; with a
+    loose cap the results are identical."""
+    unbounded = {
+        (r.id_a, r.id_b) for r in D.simhash_near_pairs(corpus).collect()
+    }
+    capped = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_pairs(corpus, max_chunk_freq=2).collect()
+    }
+    loose = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_pairs(corpus, max_chunk_freq=10_000).collect()
+    }
+    assert capped <= unbounded
+    assert loose == unbounded

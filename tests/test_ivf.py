@@ -70,3 +70,41 @@ def test_partitioned_index_roundtrip(spark, index, query_set, tmp_path):
     a = sorted(map(tuple, IVF.ivf_search(index, query_set[:1], k=3, nprobe=2).collect()))
     b = sorted(map(tuple, IVF.ivf_search(loaded, query_set[:1], k=3, nprobe=2).collect()))
     assert a == b
+
+
+def _query_df(spark, query_set):
+    return spark.createDataFrame(
+        [(qid, vec) for qid, vec in query_set], "qid LONG, qvec ARRAY<DOUBLE>"
+    )
+
+
+def test_batch_search_equals_loop_search(spark, index, query_set):
+    """The single-plan batch path must reproduce the per-query loop
+    exactly (same probe ranking, same score rounding, same ties)."""
+    loop = sorted(map(tuple, IVF.ivf_search(index, query_set, k=5, nprobe=3).collect()))
+    batch = sorted(
+        map(
+            tuple,
+            IVF.ivf_search_batch(
+                index, _query_df(spark, query_set), k=5, nprobe=3
+            ).collect(),
+        )
+    )
+    assert batch == loop
+
+
+def test_batch_full_probe_is_exact(spark, embeddings, index, query_set):
+    exact = _exact(spark, embeddings, query_set, k=5)
+    got = IVF.ivf_search_batch(index, _query_df(spark, query_set), k=5, nprobe=8).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append((r.id, r.score))
+    assert by_q == exact
+
+
+def test_batch_search_plan_has_no_unions(spark, index, query_set):
+    """Plan-size guard: one probe join + one index join, zero Union
+    nodes — the plan must not grow with the number of queries."""
+    df = IVF.ivf_search_batch(index, _query_df(spark, query_set), k=5, nprobe=3)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Union" not in plan

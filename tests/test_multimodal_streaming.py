@@ -126,3 +126,63 @@ def test_streaming_save_batch_ingest(spark):
             "second streamed record",
         }
         assert len(embs) == 2 and all(len(e.vec) == 64 for e in embs)
+
+
+# ---------------------------------------------------------------------------
+# real BMP/WAV codecs (public formats, pure stdlib)
+# ---------------------------------------------------------------------------
+
+def test_bmp_roundtrip_and_meta():
+    content = bytes(range(256)) * 3
+    bmp = MM.encode_bmp(content, width=4)
+    decoded, meta = MM.decode_bmp(bmp)
+    assert decoded[: len(content)] == content
+    assert meta["bpp"] == 24 and meta["width"] == 4
+    assert meta["height"] == len(decoded) // 12
+
+
+def test_wav_roundtrip_and_meta():
+    samples = b"\x01\x02" * 500
+    wav = MM.encode_wav(samples, channels=2, rate=16000, bits=16)
+    decoded, meta = MM.decode_wav(wav)
+    assert decoded == samples
+    assert meta == {"channels": 2, "sample_rate": 16000, "bits": 16}
+
+
+def test_decode_rejects_malformed():
+    import pytest as _pytest
+
+    with _pytest.raises(MM.MediaDecodeError):
+        MM.decode_bmp(b"XX not a bmp")
+    with _pytest.raises(MM.MediaDecodeError):
+        MM.decode_wav(b"RIFFxxxxNOPE")
+    # truncated pixel data
+    good = MM.encode_bmp(b"abc" * 24)
+    with _pytest.raises(MM.MediaDecodeError):
+        MM.decode_bmp(good[:-5])
+    with _pytest.raises(NotImplementedError):
+        MM.decode_payload(b"\xff\xd8\xff", "image/jpeg")
+
+
+def test_mixed_media_features_end_to_end(spark, documents):
+    """documents -> real BMP/WAV payloads -> Arrow decode -> features:
+    every doc decodes OK, features are normalized histograms."""
+    media = MM.media_from_documents_mixed(documents)
+    feats = MM.extract_features(media).collect()
+    n_docs = documents.count()
+    assert len(feats) == n_docs
+    for r in feats:
+        assert r.n_bytes is not None and r.n_bytes > 0
+        assert abs(sum(r.feature) - 1.0) < 1e-9
+    metas = MM.media_decode_meta(media).collect()
+    assert all(m.ok for m in metas)
+    by_mime = {}
+    for m in metas:
+        by_mime.setdefault(m.mime, 0)
+        by_mime[m.mime] += 1
+    assert set(by_mime) == {"image/bmp", "audio/wav"}
+    # typed metadata came from the real headers
+    img = next(m for m in metas if m.mime == "image/bmp")
+    assert img.meta["bpp"] == "24"
+    aud = next(m for m in metas if m.mime == "audio/wav")
+    assert aud.meta["sample_rate"] == "8000"

@@ -99,3 +99,46 @@ def test_lsh_recall_vs_exact(spark, embeddings):
     ap = {r.qid: r.score for r in approx}
     for qid, s in ap.items():
         assert s <= ex[qid] + 1e-9
+
+
+def test_lsh_multiprobe_recall_beats_single_probe(spark, embeddings):
+    """Hamming-1 probe expansion: candidates are a strict superset of
+    single-probe, so recall@k vs exact is >= — and on this corpus the
+    near-boundary queries make it strictly better."""
+    emb = embeddings.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = emb.filter(F.col("id") < 20).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    k = 5
+    exact = S.topk_neighbors(emb, queries, k=k).collect()
+    single = S.lsh_bucketed_neighbors(emb, queries, dim=64, k=k, n_planes=8).collect()
+    multi = S.lsh_bucketed_neighbors(
+        emb, queries, dim=64, k=k, n_planes=8, multiprobe=True
+    ).collect()
+
+    def hits(approx):
+        truth = {}
+        for r in exact:
+            truth.setdefault(r.qid, set()).add(r.id)
+        return sum(1 for r in approx if r.id in truth.get(r.qid, set()))
+
+    h_single, h_multi = hits(single), hits(multi)
+    assert h_multi >= h_single
+    assert h_multi > h_single, (h_single, h_multi)  # strict on this corpus
+    # multiprobe candidates are a superset: every single-probe hit pair
+    # must also be found by multiprobe
+    single_pairs = {(r.qid, r.id) for r in single}
+    multi_found = {(r.qid, r.id) for r in multi}
+    # (top-k re-ranking may push a weak single-probe hit out only if
+    # multiprobe found >= k strictly better candidates; both k'th
+    # scores then satisfy multi >= single per query)
+    by_q_single = {}
+    for r in single:
+        by_q_single.setdefault(r.qid, []).append(r.score)
+    by_q_multi = {}
+    for r in multi:
+        by_q_multi.setdefault(r.qid, []).append(r.score)
+    for qid, ss in by_q_single.items():
+        ms = by_q_multi.get(qid, [])
+        assert len(ms) >= len(ss)
+        assert min(ms) >= min(ss) - 1e-9 or len(ms) == k
