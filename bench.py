@@ -40,9 +40,15 @@ HEADLINE = [
     "rollup_revenue",
     "dedup_exact",
     "dedup_minhash_pairs",
+    "dedup_components",
+    "dedup_survivors",
     "dedup_simhash",
+    "dedup_simhash_pairs",
+    "dedup_jaccard_pairs",
     "sim_topk_cosine",
     "sim_lsh_bucketed",
+    "sim_lsh_multiprobe",
+    "sim_ivf_batch",
     "text_quality",
     "text_langid",
 ]
