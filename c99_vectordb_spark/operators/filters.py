@@ -194,6 +194,68 @@ def map_resolver(
     return resolve
 
 
+def _variant_py_str(item: Column) -> Column:
+    """Python str() of a scalar variant value (SURVEY §1.5 parity
+    rules): booleans render True/False, JSON null renders 'None',
+    everything else takes the engine's string cast (JSON-roundtripped
+    numbers keep their literal form, so '3.0' stays '3.0')."""
+    tag = F.schema_of_variant(item)
+    return (
+        F.when(F.is_variant_null(item), F.lit("None"))
+        .when(tag == "BOOLEAN",
+              F.when(F.try_variant_get(item, "$", "boolean"), F.lit("True"))
+              .otherwise(F.lit("False")))
+        .otherwise(F.try_variant_get(item, "$", "string"))
+    )
+
+
+def variant_resolver(metadata_v: str | Column = "metadata_v") -> Resolver:
+    """Resolve keys against a Spark 4 ``VariantType`` metadata column —
+    the idiomatic single-column encoding of the reference's dynamically
+    typed YAML metadata (SURVEY §1.5). Types come from the variant's
+    own schema (``schema_of_variant``), so the dynamic-typing semantics
+    (bool-is-numeric, numeric-iff-both, list-any-equality) need no
+    side-channel type tags. Drop-in alternative to :func:`map_resolver`
+    over the MAP-triple layout; same filter language, same compiler.
+    """
+    v = F.col(metadata_v) if isinstance(metadata_v, str) else metadata_v
+
+    def resolve(key: str) -> FieldRef:
+        item = F.try_variant_get(v, f"$.{key}", "variant")
+        tag = F.schema_of_variant(item)
+        is_list = F.coalesce(tag.startswith("ARRAY"), F.lit(False))
+        list_value = F.when(
+            is_list,
+            F.transform(
+                F.try_variant_get(v, f"$.{key}", "array<variant>"), _variant_py_str
+            ),
+        )
+        return FieldRef(
+            value=F.when(~is_list, _variant_py_str(item)),
+            exists=item.isNotNull(),
+            is_numeric=F.coalesce(
+                tag.isin("BIGINT", "DOUBLE", "BOOLEAN") | tag.startswith("DECIMAL"),
+                F.lit(False),
+            ),
+            is_string=F.coalesce(tag == "STRING", F.lit(False)),
+            list_value=list_value,
+            has_list=is_list,
+            numeric_value=F.when(
+                tag == "BOOLEAN",
+                F.try_variant_get(item, "$", "boolean").cast("double"),
+            ).otherwise(F.try_variant_get(item, "$", "double")),
+        )
+
+    return resolve
+
+
+def variant_nonempty_metadata(metadata_v: str | Column = "metadata_v") -> Column:
+    """The 'has any metadata' guard for variant-encoded records."""
+    v = F.col(metadata_v) if isinstance(metadata_v, str) else metadata_v
+    as_map = F.try_variant_get(v, "$", "map<string,variant>")
+    return as_map.isNotNull() & (F.size(F.map_keys(as_map)) > 0)
+
+
 # ---------------------------------------------------------------------------
 # compilation (memo_cli.py:179-241)
 # ---------------------------------------------------------------------------

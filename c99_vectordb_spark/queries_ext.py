@@ -561,6 +561,47 @@ SELECT qid, id, score FROM (
 
 
 # ---------------------------------------------------------------------------
+# VariantType metadata filtering (SURVEY §1.5)
+# ---------------------------------------------------------------------------
+
+def q_filter_variant_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The filter language compiled against a Spark 4 VARIANT metadata
+    column: orders rows are JSON-roundtripped into one variant value
+    per row, then filtered with mixed ops ($prefix on a string key,
+    numeric $gte on a decimal key, bare equality). The oracle is the
+    equivalent typed predicate on the raw columns — proving the
+    variant path preserves the dynamic-typing semantics end-to-end."""
+    from .operators.filters import (
+        compile_filter,
+        variant_nonempty_metadata,
+        variant_resolver,
+    )
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    recs = orders.select(
+        "o_orderkey",
+        F.parse_json(
+            F.to_json(F.struct("o_orderpriority", "o_totalprice", "o_orderstatus"))
+        ).alias("metadata_v"),
+    )
+    pred = compile_filter(
+        "{o_orderpriority: {$prefix: '1'}, o_totalprice: {$gte: 150000}, o_orderstatus: F}",
+        variant_resolver(),
+        nonempty=variant_nonempty_metadata(),
+    )
+    return recs.filter(pred).select("o_orderkey")
+
+
+_ORACLE_FILTER_VARIANT = """
+SELECT o_orderkey
+FROM orders
+WHERE o_orderpriority LIKE '1%'
+  AND o_totalprice >= 150000
+  AND o_orderstatus = 'F'
+"""
+
+
+# ---------------------------------------------------------------------------
 # multimodal: real BMP/WAV parsing through the Arrow path
 # ---------------------------------------------------------------------------
 
@@ -622,6 +663,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf": q_sim_ivf,
     "sim_ivf_batch": q_sim_ivf_batch,
     "multimodal_features": q_multimodal_features,
+    "filter_variant_metadata": q_filter_variant_metadata,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -642,4 +684,5 @@ EXT_ORACLES: dict[str, str] = {
     "text_fingerprint": _ORACLE_TEXT_FINGERPRINT,
     "grouped_rank": _ORACLE_GROUPED_RANK,
     "sim_ivf_batch": _ORACLE_SIM_IVF_BATCH,
+    "filter_variant_metadata": _ORACLE_FILTER_VARIANT,
 }
