@@ -410,25 +410,28 @@ def resolve_duplicates(
             .agg(F.min("label").alias("nbr_min"))
             .withColumnRenamed("src", "id")
         )
-        stepped = labels.join(nbr, "id", "left").select(
-            "id",
-            F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("label"),
+        stepped = (
+            labels.withColumnRenamed("label", "old_label")
+            .join(nbr, "id", "left")
+            .select(
+                "id",
+                "old_label",
+                F.least(
+                    F.col("old_label"), F.coalesce("nbr_min", F.col("old_label"))
+                ).alias("label"),
+            )
         )
-        # pointer jumping: label <- label(label)
+        # pointer jumping: label <- label(label); the old label rides
+        # along so the convergence probe below is a scan of the
+        # checkpointed partitions, not another shuffle join per round
         ptr = stepped.select(F.col("id").alias("_pid"), F.col("label").alias("_plabel"))
         jumped = (
             stepped.join(ptr, stepped["label"] == ptr["_pid"], "left")
-            .select("id", F.coalesce("_plabel", "label").alias("label"))
+            .select("id", "old_label", F.coalesce("_plabel", "label").alias("label"))
             .localCheckpoint(eager=True)
         )
-        changed = (
-            jumped.withColumnRenamed("label", "new_label")
-            .join(labels, "id")
-            .filter(F.col("new_label") != F.col("label"))
-            .limit(1)
-            .count()
-        )
-        labels = jumped
+        changed = jumped.filter(F.col("label") != F.col("old_label")).limit(1).count()
+        labels = jumped.select("id", "label")
         if changed == 0:
             break
     return labels.select("id", F.col("label").alias("canonical_id"))

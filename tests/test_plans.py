@@ -96,3 +96,51 @@ def test_bucketed_join_eliminates_shuffle(spark, sf_dir, tmp_path):
         assert "Exchange hashpartitioning(o_orderkey" not in plan
     finally:
         spark.sql(f"DROP DATABASE IF EXISTS {db} CASCADE")
+
+
+def test_multiprobe_explodes_only_query_side(spark, embeddings):
+    """Multiprobe fan-out must touch ONLY the broadcast query side:
+    exactly one Generate (the probe explode), sitting under the
+    BroadcastExchange, never over the corpus scan."""
+    from c99_vectordb_spark.operators.similarity import lsh_bucketed_neighbors
+
+    emb = embeddings.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    queries = emb.filter(F.col("id") < 3).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    plan = _plan(
+        lsh_bucketed_neighbors(emb, queries, dim=64, k=5, n_planes=8, multiprobe=True)
+    )
+    assert plan.count("Generate") == 1
+    assert "BroadcastHashJoin" in plan
+    # the Generate feeds the broadcast side, not the corpus stream:
+    # everything after the BroadcastExchange marker must contain the
+    # Generate, the corpus side before it must not
+    corpus_side, _, bcast_side = plan.partition("BroadcastExchange")
+    assert "Generate" not in corpus_side
+    assert "Generate" in bcast_side
+
+
+def test_survivors_is_anti_join_no_cartesian(spark, documents):
+    from c99_vectordb_spark.operators.dedup import (
+        dedup_survivors,
+        minhash_lsh_pairs,
+        resolve_duplicates,
+    )
+
+    pairs = minhash_lsh_pairs(documents, id_col="doc_id", body_col="text")
+    comps = resolve_duplicates(pairs)
+    plan = _plan(dedup_survivors(documents, comps, id_col="doc_id"))
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_simhash_hamming_verify_inside_join(spark, documents):
+    """The popcount verify must be part of the join condition (false
+    candidates die inside the join operator), not a post-join filter
+    stage above a distinct."""
+    from c99_vectordb_spark.operators.dedup import simhash_near_pairs
+
+    plan = _plan(simhash_near_pairs(documents, id_col="doc_id", body_col="text"))
+    join_lines = [ln for ln in plan.splitlines() if "Join" in ln and "hamming" not in ln]
+    assert any("bit_count" in ln for ln in join_lines), join_lines
