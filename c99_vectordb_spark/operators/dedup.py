@@ -25,7 +25,11 @@ operator has an exact DuckDB oracle.
 
 from __future__ import annotations
 
-import pandas as pd  # noqa: F401 — pandas_udf type hints resolve via module globals
+# pandas must be importable at MODULE level: with postponed annotations
+# the pandas_udf type hints ("pd.Series") are strings that pyspark
+# resolves against this module's globals, not the factory's locals —
+# a factory-local import makes every UDF in this file fail to compile.
+import pandas as pd  # noqa: F401
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions import text as Ft

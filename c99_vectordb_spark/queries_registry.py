@@ -1085,6 +1085,138 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (SURVEY §2.10 streaming/windowing): per-user
+    activity sessions with a 30-minute inactivity gap, via Spark's
+    native ``session_window`` (the same expression runs incrementally
+    under Structured Streaming with a watermark —
+    tests/test_stateful_streaming.py proves stream==batch). The DuckDB
+    twin is the classic gaps-and-islands rewrite, pinning the exact
+    boundary rule (a gap of EXACTLY 30:00 starts a new session)."""
+    from .functions.text import ts_from_nanos
+
+    events = _read_events(spark, sf_dir)
+    ts = ts_from_nanos(F.col("ts"))
+    return (
+        events.filter(F.col("user_id") < 100)
+        .select("user_id", ts.alias("t"), F.col("value").cast("decimal(18,6)").alias("v"))
+        .groupBy("user_id", F.session_window("t", "30 minutes").alias("w"))
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").cast("double").alias("sum_value"))
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "cnt",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+_ORACLE_EVENTS_SESSIONS = """
+WITH e AS (
+  SELECT user_id, ts, value FROM events WHERE user_id < 100
+),
+marked AS (
+  SELECT user_id, ts, value,
+         CASE WHEN LAG(ts) OVER w IS NULL
+                OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_sess
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+),
+ids AS (
+  SELECT user_id, ts, value,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM marked
+)
+SELECT user_id,
+       strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
+       COUNT(*)::BIGINT AS cnt,
+       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+FROM ids
+GROUP BY user_id, sess
+ORDER BY user_id, session_start
+"""
+
+
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted join (SCALE.md): the big side carries a salt derived
+    from its own row (pmod(crc32(comment), 8)), the small side is
+    exploded x8, and the equi-join runs on (key, salt) — the standard
+    rewrite when one hot key floods a shuffle partition and AQE's skew
+    split isn't available (e.g. a stream-static join). The oracle is
+    the PLAIN join: salting must never change results."""
+    lineitem = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    n_salt = 8
+    big = lineitem.select(
+        "l_orderkey",
+        F.col("l_extendedprice").cast("decimal(18,4)").alias("price"),
+        F.pmod(F.col("l_orderkey") * 31 + F.col("l_linenumber"), F.lit(n_salt)).alias(
+            "salt"
+        ),
+    )
+    small = orders.select("o_orderkey", "o_orderpriority").withColumn(
+        "salt", F.explode(F.array(*[F.lit(i).cast("long") for i in range(n_salt)]))
+    )
+    return (
+        big.join(
+            small,
+            (big["l_orderkey"] == small["o_orderkey"]) & (big["salt"] == small["salt"]),
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("price").cast("double").alias("revenue"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_SALTED_JOIN = """
+SELECT o_orderpriority,
+       COUNT(*)::BIGINT AS cnt,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def q_percentile_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact percentiles (SURVEY §2.10 aggregates): linear-interpolated
+    quartiles of order totals per priority — Spark ``percentile`` and
+    DuckDB ``quantile_cont`` share the interpolation rule; DECIMAL
+    inputs + ROUND(4) keep the hashes equal."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pct = F.percentile(F.col("o_totalprice"), F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75)))
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.round(F.element_at(pct, 1), 4).alias("p25"),
+            F.round(F.element_at(pct, 2), 4).alias("p50"),
+            F.round(F.element_at(pct, 3), 4).alias("p75"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_PERCENTILE_PRICES = """
+SELECT o_orderpriority,
+       ROUND(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+       ROUND(quantile_cont(o_totalprice, 0.50), 4) AS p50,
+       ROUND(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+       COUNT(*)::BIGINT AS cnt
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -1110,6 +1242,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "window_running_total": q_window_running_total,
     "events_tumbling": q_events_tumbling,
+    "events_sessions": q_events_sessions,
+    "salted_join_revenue": q_salted_join_revenue,
+    "percentile_prices": q_percentile_prices,
     "setops_custkeys": q_setops_custkeys,
     "rollup_revenue": q_rollup_revenue,
     "cube_counts": q_cube_counts,
@@ -1142,6 +1277,9 @@ _ORACLES: dict[str, str] = {
     "revenue_by_nation": _ORACLE_REVENUE_BY_NATION,
     "window_running_total": _ORACLE_WINDOW_RUNNING_TOTAL,
     "events_tumbling": _ORACLE_EVENTS_TUMBLING,
+    "events_sessions": _ORACLE_EVENTS_SESSIONS,
+    "salted_join_revenue": _ORACLE_SALTED_JOIN,
+    "percentile_prices": _ORACLE_PERCENTILE_PRICES,
     "setops_custkeys": _ORACLE_SETOPS_CUSTKEYS,
     "rollup_revenue": _ORACLE_ROLLUP_REVENUE,
     "cube_counts": _ORACLE_CUBE_COUNTS,

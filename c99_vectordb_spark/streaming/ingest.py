@@ -85,3 +85,36 @@ def stream_windowed_events(
             "sum_value",
         )
     )
+
+
+def stream_session_events(
+    events_stream: DataFrame,
+    gap: str = "30 minutes",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Per-user session windows (30-min inactivity gap) over an event
+    stream — Spark's native stateful session operator; sessions merge
+    as events arrive and FINALIZE (append-mode emit) once the watermark
+    passes their end. State per key is bounded by the watermark. The
+    batch twin is queries_registry.q_events_sessions (oracle-checked
+    against a DuckDB gaps-and-islands rewrite).
+    """
+    return (
+        events_stream.withWatermark("ts", watermark)
+        .groupBy("user_id", F.session_window("ts", gap).alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
+                "sum_value"
+            ),
+        )
+        .select(
+            "user_id",
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format(F.col("w.end"), "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "cnt",
+            "sum_value",
+        )
+    )

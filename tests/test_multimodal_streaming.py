@@ -186,3 +186,71 @@ def test_mixed_media_features_end_to_end(spark, documents):
     assert img.meta["bpp"] == "24"
     aud = next(m for m in metas if m.mime == "audio/wav")
     assert aud.meta["sample_rate"] == "8000"
+
+
+def test_streaming_session_windows_match_batch(spark, sf_dir):
+    """Session windows as a bounded stream (append mode + watermark):
+    every emitted session must equal its batch twin, and every batch
+    session that the final watermark passed must have been emitted."""
+    import datetime as _dt
+
+    from c99_vectordb_spark.functions.text import ts_from_nanos
+    from c99_vectordb_spark.streaming.ingest import stream_session_events
+
+    events_batch = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .filter(F.col("user_id") < 50)
+        .select("user_id", ts_from_nanos(F.col("ts")).alias("ts"), "value")
+    )
+    batch_sessions = (
+        events_batch.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format("w.end", "yyyy-MM-dd HH:mm:ss").alias("session_end"),
+            "cnt",
+            "sum_value",
+        )
+        .collect()
+    )
+    max_ts = events_batch.agg(F.max("ts")).collect()[0][0]
+    cutoff = max_ts - _dt.timedelta(hours=1)
+
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        events_batch.write.parquet(src)
+        stream = spark.readStream.schema(events_batch.schema).parquet(src)
+        q = (
+            stream_session_events(stream)
+            .writeStream.format("memory")
+            .queryName("sess_out")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = spark.table("sess_out").collect()
+
+    def key(rows):
+        return {
+            (r.user_id, r.session_start, r.session_end, r.cnt, round(r.sum_value, 6))
+            for r in rows
+        }
+
+    batch_all = key(batch_sessions)
+    streamed = key(got)
+    # nothing invented: every streamed session is a real batch session
+    assert streamed <= batch_all
+    # completeness: sessions the final watermark definitely passed
+    must_emit = {
+        (r.user_id, r.session_start, r.session_end, r.cnt, round(r.sum_value, 6))
+        for r in batch_sessions
+        if _dt.datetime.strptime(r.session_end, "%Y-%m-%d %H:%M:%S") < cutoff
+    }
+    assert must_emit <= streamed
+    assert len(streamed) > 0

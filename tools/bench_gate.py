@@ -21,6 +21,9 @@ import os
 import sys
 
 REGRESSION_FACTOR = 1.3
+#: absolute grace on top of the factor — scheduler/noop-sink jitter is
+#: ~0.2s regardless of query cost, which would flap sub-second queries
+ABS_SLACK_SEC = 0.25
 #: ignore sub-300ms queries: noop-sink noise dominates below this
 MIN_GATED_SEC = 0.3
 
@@ -48,7 +51,11 @@ def main(argv: list[str]) -> int:
     regressions = []
     for name, sec in queries.items():
         prior = best_sf.get(name)
-        if prior is not None and prior >= MIN_GATED_SEC and sec > prior * REGRESSION_FACTOR:
+        if (
+            prior is not None
+            and prior >= MIN_GATED_SEC
+            and sec > prior * REGRESSION_FACTOR + ABS_SLACK_SEC
+        ):
             regressions.append((name, prior, sec))
         if update and (prior is None or sec < prior):
             best_sf[name] = sec
