@@ -37,7 +37,10 @@ HEADLINE = [
     "semi_anti_joins",
     "window_running_total",
     "events_tumbling",
+    "events_sessions",
     "rollup_revenue",
+    "pivot_revenue",
+    "percentile_prices",
     "dedup_exact",
     "dedup_minhash_pairs",
     "dedup_components",

@@ -1085,6 +1085,135 @@ def q_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date/time function tour (SURVEY §2.10 scalar library): add,
+    diff, truncation, boundary and field extraction over order dates."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    d = F.col("o_orderdate")
+    return (
+        orders.select(
+            F.col("o_orderkey").alias("id"),
+            F.date_format(d, "yyyy-MM-dd").alias("d"),
+            F.year(d).cast("long").alias("yr"),
+            F.quarter(d).cast("long").alias("qtr"),
+            F.month(d).cast("long").alias("mo"),
+            F.dayofweek(d).cast("long").alias("dow"),
+            F.date_format(F.date_add(d, 90), "yyyy-MM-dd").alias("due_90"),
+            F.date_format(F.last_day(d), "yyyy-MM-dd").alias("eom"),
+            F.date_format(F.trunc(d, "quarter"), "yyyy-MM-dd").alias("qstart"),
+            F.datediff(F.lit("1998-12-31").cast("date"), d).cast("long").alias(
+                "days_to_end"
+            ),
+        )
+        .orderBy("id")
+        .limit(500)
+    )
+
+
+_ORACLE_DATETIME_FUNCTIONS = """
+SELECT o_orderkey AS id,
+       strftime(o_orderdate, '%Y-%m-%d') AS d,
+       EXTRACT(year FROM o_orderdate)::BIGINT AS yr,
+       EXTRACT(quarter FROM o_orderdate)::BIGINT AS qtr,
+       EXTRACT(month FROM o_orderdate)::BIGINT AS mo,
+       (EXTRACT(dow FROM o_orderdate) + 1)::BIGINT AS dow,
+       strftime(o_orderdate + INTERVAL 90 DAY, '%Y-%m-%d') AS due_90,
+       strftime(last_day(o_orderdate), '%Y-%m-%d') AS eom,
+       strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d') AS qstart,
+       date_diff('day', o_orderdate, DATE '1998-12-31')::BIGINT AS days_to_end
+FROM orders
+ORDER BY id
+LIMIT 500
+"""
+
+
+def q_array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (SURVEY §2.10): transform, filter,
+    aggregate, zip_with, sort — UDF-free array processing over the
+    embeddings table (DuckDB twin: list_transform/list_filter/
+    list_reduce/list_zip). Integer arithmetic keeps hashes exact."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    v = F.transform(F.col("embedding"), lambda x: (x * 1000).cast("long"))
+    return (
+        emb.select(
+            F.col("vec_id").alias("id"),
+            F.size(F.filter(v, lambda x: x > 0)).cast("long").alias("n_pos"),
+            F.aggregate(v, F.lit(0).cast("long"), lambda a, x: a + F.abs(x)).alias(
+                "l1_milli"
+            ),
+            F.element_at(F.array_sort(v), -1).alias("max_milli"),
+            F.element_at(F.array_sort(v), 1).alias("min_milli"),
+            F.aggregate(
+                F.zip_with(
+                    F.slice(v, 1, 8), F.slice(F.reverse(v), 1, 8), lambda a, b: a * b
+                ),
+                F.lit(0).cast("long"),
+                lambda a, x: a + x,
+            ).alias("head_tail_dot"),
+        )
+        .orderBy("id")
+    )
+
+
+_ORACLE_ARRAY_FUNCTIONS = """
+WITH v AS (
+  SELECT vec_id AS id,
+         -- trunc(): Spark's double->long cast truncates toward zero,
+         -- DuckDB's CAST rounds to nearest
+         list_transform(embedding, x -> CAST(trunc(x * 1000) AS BIGINT)) AS v
+  FROM embeddings
+)
+SELECT id,
+       len(list_filter(v, x -> x > 0))::BIGINT AS n_pos,
+       list_reduce([0::BIGINT] || list_transform(v, x -> abs(x)), (a, x) -> a + x) AS l1_milli,
+       list_sort(v)[-1] AS max_milli,
+       list_sort(v)[1] AS min_milli,
+       list_reduce([0::BIGINT] || list_transform(list_zip(v[1:8], list_reverse(v)[1:8]),
+                                                 p -> p[1] * p[2]),
+                   (a, x) -> a + x) AS head_tail_dot
+FROM v
+ORDER BY id
+"""
+
+
+def q_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (SURVEY §2.10 aggregates): order-count and revenue matrix
+    of order year x priority class, via DataFrame ``pivot`` — the
+    oracle is conditional aggregation (FILTER clauses), which is also
+    exactly what Catalyst lowers pivot to."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    pri = F.split(F.col("o_orderpriority"), "-").getItem(0)
+    return (
+        orders.select(
+            F.year("o_orderdate").cast("long").alias("yr"),
+            pri.alias("pri"),
+            F.col("o_totalprice").cast("decimal(18,4)").alias("price"),
+        )
+        .groupBy("yr")
+        .pivot("pri", ["1", "2", "3", "4", "5"])
+        .agg(F.sum("price").cast("double"))
+        .orderBy("yr")
+    )
+
+
+_ORACLE_PIVOT_REVENUE = """
+SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS yr,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            FILTER (WHERE o_orderpriority LIKE '1-%') AS DOUBLE) AS "1",
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            FILTER (WHERE o_orderpriority LIKE '2-%') AS DOUBLE) AS "2",
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            FILTER (WHERE o_orderpriority LIKE '3-%') AS DOUBLE) AS "3",
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            FILTER (WHERE o_orderpriority LIKE '4-%') AS DOUBLE) AS "4",
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            FILTER (WHERE o_orderpriority LIKE '5-%') AS DOUBLE) AS "5",
+FROM orders
+GROUP BY 1
+ORDER BY yr
+"""
+
+
 def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Session windows (SURVEY §2.10 streaming/windowing): per-user
     activity sessions with a 30-minute inactivity gap, via Spark's
@@ -1245,6 +1374,9 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_sessions": q_events_sessions,
     "salted_join_revenue": q_salted_join_revenue,
     "percentile_prices": q_percentile_prices,
+    "datetime_functions": q_datetime_functions,
+    "array_functions": q_array_functions,
+    "pivot_revenue": q_pivot_revenue,
     "setops_custkeys": q_setops_custkeys,
     "rollup_revenue": q_rollup_revenue,
     "cube_counts": q_cube_counts,
@@ -1280,6 +1412,9 @@ _ORACLES: dict[str, str] = {
     "events_sessions": _ORACLE_EVENTS_SESSIONS,
     "salted_join_revenue": _ORACLE_SALTED_JOIN,
     "percentile_prices": _ORACLE_PERCENTILE_PRICES,
+    "datetime_functions": _ORACLE_DATETIME_FUNCTIONS,
+    "array_functions": _ORACLE_ARRAY_FUNCTIONS,
+    "pivot_revenue": _ORACLE_PIVOT_REVENUE,
     "setops_custkeys": _ORACLE_SETOPS_CUSTKEYS,
     "rollup_revenue": _ORACLE_ROLLUP_REVENUE,
     "cube_counts": _ORACLE_CUBE_COUNTS,

@@ -221,3 +221,43 @@ def test_recall_ranking_matches_python_spec(spark, bodies, query):
     assert [i for i, _ in got] == [i for i, _ in expect]
     for (_, a), (_, b_) in zip(got, expect):
         assert math.isclose(a, b_, abs_tol=1e-9)
+
+
+@settings(
+    max_examples=25,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(mds=st.lists(metadatas, min_size=1, max_size=8), filt=filters)
+def test_variant_filter_parity_generated(spark, reference, mds, filt):
+    """Same generated metadata x filter parity, through the VARIANT
+    layout: JSON-roundtrip each metadata dict into a variant column and
+    compare verdicts with the executed reference."""
+    import json
+
+    from hypothesis import assume
+    from pyspark.sql import functions as F
+
+    # signed zero doesn't survive a decimal roundtrip ('-0.0' -> '0.0');
+    # python str() keeps it — a documented non-goal of the variant path
+    def has_neg_zero(md):
+        return md is not None and any(
+            isinstance(v, float) and str(v) == "-0.0" for v in md.values()
+        )
+
+    assume(not any(has_neg_zero(md) for md in mds))
+    expected = {
+        i
+        for i, md in enumerate(mds)
+        if bool(md) and reference.matches_filter(md, filt)
+    }
+    rows = [(i, json.dumps(md) if md is not None else None) for i, md in enumerate(mds)]
+    df = spark.createDataFrame(rows, "id LONG, j STRING").select(
+        "id", F.parse_json("j").alias("metadata_v")
+    )
+    col = Flt.compile_filter(
+        filt, Flt.variant_resolver(), nonempty=Flt.variant_nonempty_metadata()
+    )
+    got = {r.id for r in df.filter(col).select("id").collect()}
+    assert got == expected, f"filter={filt!r} metadatas={mds!r}"
