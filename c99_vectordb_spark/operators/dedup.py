@@ -227,19 +227,16 @@ def minhash_signatures(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_bands(
     df: DataFrame, id_col: str = "id", body_col: str = "body", n: int = 3
 ) -> DataFrame:
-    """LSH candidate pairs: documents sharing at least one band of
-    their MinHash signature. Output (id_a, id_b) with id_a < id_b.
-
-    The banding equi-join is the whole point at scale: candidates come
-    from hash-partitioned joins on (band_idx, band_sig), never from an
-    all-pairs comparison.
-    """
+    """Banded MinHash signatures: (id, band, bsig) — one row per band
+    per document, bsig = polynomial fold of the band's signature rows.
+    Map-only (signature UDF + explode); shared by the batch pair join
+    and the streaming bucket operator."""
     rows = MINHASH_K // MINHASH_BANDS
     sigs = minhash_signatures(df, id_col, body_col, n)
-    bands = sigs.select(
+    return sigs.select(
         "id",
         F.explode(
             F.array(
@@ -257,6 +254,19 @@ def minhash_lsh_pairs(
             )
         ).alias("b"),
     ).select("id", "b.band", "b.bsig")
+
+
+def minhash_lsh_pairs(
+    df: DataFrame, id_col: str = "id", body_col: str = "body", n: int = 3
+) -> DataFrame:
+    """LSH candidate pairs: documents sharing at least one band of
+    their MinHash signature. Output (id_a, id_b) with id_a < id_b.
+
+    The banding equi-join is the whole point at scale: candidates come
+    from hash-partitioned joins on (band_idx, band_sig), never from an
+    all-pairs comparison.
+    """
+    bands = minhash_bands(df, id_col, body_col, n)
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -493,3 +503,10 @@ def cosine_top_pairs(
         .orderBy(F.desc("cos"), F.asc("id_a"), F.asc("id_b"))
         .limit(k)
     )
+
+
+def band_key(band: Column, bsig: Column) -> Column:
+    """Combined (band, band-signature) bucket key: band * HASH_MOD +
+    bsig — injective because bsig < HASH_MOD; one BIGINT groupBy key
+    for the streaming bucket operator."""
+    return (band.cast("long") * F.lit(HASH_MOD) + bsig).cast("long")

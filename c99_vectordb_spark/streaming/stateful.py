@@ -79,3 +79,63 @@ def streaming_exact_dedup(
             else GroupStateTimeout.NoTimeout
         ),
     )
+
+
+NEARDUP_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bkey", T.LongType(), False),
+        T.StructField("id_a", T.LongType(), False),
+        T.StructField("id_b", T.LongType(), False),
+    ]
+)
+
+NEARDUP_STATE_SCHEMA = T.StructType(
+    [T.StructField("ids", T.ArrayType(T.LongType()), False)]
+)
+
+
+def streaming_minhash_pairs(
+    bucketed: DataFrame, max_bucket_size: int = 256
+) -> DataFrame:
+    """Streaming near-dup candidate detection: incremental MinHash-LSH.
+
+    Input stream must carry (bkey BIGINT, id BIGINT) — bkey is the
+    combined (band, band-signature) bucket key from
+    :func:`c99_vectordb_spark.operators.dedup.band_key`. Grouped state
+    per bucket holds the member ids seen so far; each arriving document
+    emits a candidate pair against every existing member, then joins
+    the bucket. Over any arrival order the emitted pair SET equals the
+    batch ``minhash_lsh_pairs`` candidates (modulo the cap).
+
+    ``max_bucket_size`` bounds per-key state at 100 TB: a hot bucket
+    (boilerplate band signature) stops accepting members after N —
+    the same role as the batch side's frequency caps. Output
+    (bkey, id_a, id_b) with id_a < id_b; downstream dedups across
+    bands with distinct().
+    """
+
+    def pair_fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        ids = list(state.get[0]) if state.exists else []
+        new_ids = sorted({int(i) for pdf in pdfs for i in pdf["id"]})
+        out = []
+        for nid in new_ids:
+            for prev in ids:
+                if prev != nid:
+                    out.append((key[0], min(prev, nid), max(prev, nid)))
+            if len(ids) < max_bucket_size:
+                ids.append(nid)
+        state.update((ids,))
+        if out:
+            yield pd.DataFrame(out, columns=["bkey", "id_a", "id_b"])
+
+    return bucketed.groupBy("bkey").applyInPandasWithState(
+        pair_fn,
+        outputStructType=NEARDUP_OUTPUT_SCHEMA,
+        stateStructType=NEARDUP_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

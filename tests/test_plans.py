@@ -144,3 +144,22 @@ def test_simhash_hamming_verify_inside_join(spark, documents):
     plan = _plan(simhash_near_pairs(documents, id_col="doc_id", body_col="text"))
     join_lines = [ln for ln in plan.splitlines() if "Join" in ln and "hamming" not in ln]
     assert any("bit_count" in ln for ln in join_lines), join_lines
+
+
+def test_ivf_partitioned_store_prunes_partitions(spark, embeddings, tmp_path):
+    """The cluster-partitioned IVF store is the 'inverted file': a
+    probe of 2 clusters must show partition filters on the scan and
+    read only those directories."""
+    from c99_vectordb_spark.operators import ivf as IVF
+
+    emb = embeddings.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    index = IVF.build_ivf(emb, n_centroids=8, seed=42)
+    path = str(tmp_path / "ivf_store")
+    index.write(path)
+    loaded = spark.read.parquet(path).filter(F.col("cluster").isin(1, 3))
+    plan = _plan(loaded)
+    assert "PartitionFilters" in plan and "cluster" in plan.split("PartitionFilters")[1][:120]
+    # pruned scan must list at most the probed partition count
+    files = loaded.select(F.input_file_name()).distinct().collect()
+    dirs = {f[0].split("/cluster=")[1].split("/")[0] for f in files}
+    assert dirs <= {"1", "3"}

@@ -74,3 +74,56 @@ def test_streaming_dedup_across_batches(spark):
     assert survivors == {"alpha doc", "beta doc", "gamma doc"} or len(survivors) == 3
     ids = sorted(r.id for r in got)
     assert ids[0] == 0  # min id wins within a batch
+
+
+def test_streaming_minhash_pairs_match_batch(spark, tmp_path):
+    """Incremental MinHash-LSH over a multi-batch stream: the distinct
+    emitted pair set must equal the batch minhash_lsh_pairs candidates
+    regardless of arrival order / batch boundaries."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from c99_vectordb_spark.operators.dedup import (
+        band_key,
+        minhash_bands,
+        minhash_lsh_pairs,
+    )
+    from c99_vectordb_spark.streaming.stateful import streaming_minhash_pairs
+
+    docs = (
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+        .select(F.col("doc_id").alias("id"), F.col("text").alias("body"))
+    )
+    batch_pairs = {
+        (r.id_a, r.id_b) for r in minhash_lsh_pairs(docs).collect()
+    }
+    assert batch_pairs, "fixture corpus must have near-dup candidates"
+
+    bucketed = minhash_bands(docs).select(
+        band_key(F.col("band"), F.col("bsig")).alias("bkey"), "id"
+    )
+    src = os.path.join(str(tmp_path), "src")
+    # 3 files -> 3 micro-batches with maxFilesPerTrigger=1: state must
+    # carry buckets across batches
+    bucketed.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(bucketed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = streaming_minhash_pairs(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("mh_pairs_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    streamed = {
+        (r.id_a, r.id_b)
+        for r in spark.table("mh_pairs_out").select("id_a", "id_b").distinct().collect()
+    }
+    assert streamed == batch_pairs
