@@ -474,33 +474,40 @@ def main(argv: list[str] | None = None) -> int:
         print_help()
         return 1
 
+    # validate the whole argv BEFORE booting Spark — a pure parse error
+    # (recall -k abc) shouldn't pay a JVM start to print one line
+    parsed = None
+    if verb == "save":
+        if len(rest) != 1:
+            print("Error: save requires exactly one <yaml_file>", file=sys.stderr)
+            return 1
+    elif verb == "recall":
+        parsed, rc = _parse_recall_args(rest)
+        if rc != 0:
+            return rc
+    elif verb == "analyze":
+        parsed, rc = _parse_analyze_args(rest)
+        if rc != 0:
+            return rc
+    elif rest:
+        print("Error: reindex does not accept extra arguments", file=sys.stderr)
+        return 1
+
     owns_session = SparkSession.getActiveSession() is None
     spark = _get_spark()
     try:
         if verb == "save":
-            if len(rest) != 1:
-                print("Error: save requires exactly one <yaml_file>", file=sys.stderr)
-                return 1
             return cmd_save(spark, base, rest[0], verbose)
         if verb == "recall":
-            parsed, rc = _parse_recall_args(rest)
-            if rc != 0:
-                return rc
             return cmd_recall(
                 spark, base, parsed["query"], parsed["k"],
                 parsed["filter_expr"], parsed["as_yaml"], verbose,
             )
         if verb == "analyze":
-            parsed, rc = _parse_analyze_args(rest)
-            if rc != 0:
-                return rc
             return cmd_analyze(
                 spark, base, parsed["filter_expr"], parsed["fields"],
                 parsed["stats_key"], parsed["limit"], parsed["offset"],
             )
-        if rest:
-            print("Error: reindex does not accept extra arguments", file=sys.stderr)
-            return 1
         return cmd_reindex(spark, base, verbose)
     finally:
         if owns_session:

@@ -115,8 +115,9 @@ def shingle_hashes(text: str, n: int = 3, cache: dict | None = None) -> list[int
     return sorted(out)
 
 
-def simhash48(text: str, bits: int = 48, cache: dict | None = None) -> int:
-    """SimHash: bit j = sign of token votes, where a token votes +1 iff
+def simhash_signature(text: str, bits: int, cache: dict | None = None) -> int:
+    """SimHash signature of `bits` bits (operators/dedup.SIMHASH_BITS
+    governs the spec-wide width): bit j = sign of token votes, where a token votes +1 iff
     ((h*(2j+3) + 7j+1) % HASH_MOD) is odd — operators/dedup.simhash
     spec. The per-bit affine multiplier matters: an additive-only bit
     derivation like (h*31 + j) makes the 60 parities of one token

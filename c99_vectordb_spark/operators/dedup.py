@@ -285,20 +285,20 @@ def simhash(df: DataFrame, id_col: str = "id", body_col: str = "body") -> DataFr
     """SimHash signatures: (id, sim BIGINT of SIMHASH_BITS bits).
 
     Bit j of a token = parity of (h*(2j+3) + 7j+1) % HASH_MOD (per-bit
-    affine multipliers — see hashing.simhash48 for why an additive-only
+    affine multipliers — see hashing.simhash_signature for why an additive-only
     j term degenerates); per-document bit j is the sign of the token
     votes. Map-only Arrow UDF with numpy-vectorized vote matrices
-    (hashing.simhash48) — identical integers to the expression fold,
+    (hashing.simhash_signature) — identical integers to the expression fold,
     ~25x faster (O(tokens x bits) expression trees don't codegen well).
     """
     import pandas as pd
 
-    from ..hashing import simhash48
+    from ..hashing import simhash_signature
 
     @F.pandas_udf("long")
     def _sim(bodies: pd.Series) -> pd.Series:
         cache: dict[str, int] = {}
-        return bodies.map(lambda b: simhash48(b or "", SIMHASH_BITS, cache))
+        return bodies.map(lambda b: simhash_signature(b or "", SIMHASH_BITS, cache))
 
     return df.select(F.col(id_col).alias("id"), _sim(F.col(body_col)).alias("sim"))
 

@@ -38,6 +38,7 @@ list value). Two resolvers ship:
 
 from __future__ import annotations
 
+import re
 from dataclasses import dataclass
 from typing import Callable
 
@@ -194,6 +195,24 @@ def map_resolver(
     return resolve
 
 
+def _variant_path(key: str) -> str:
+    """Variant extraction path for an arbitrary metadata key: dotted
+    form for bare identifiers, bracket-quoted otherwise ('a.b' must
+    address the literal key, not a nested field). Spark's path parser
+    has no in-quote escaping, so a key containing BOTH quote kinds is
+    unaddressable — we fail loudly rather than silently mis-resolve."""
+    if re.fullmatch(r"[A-Za-z_][A-Za-z0-9_]*", key):
+        return f"$.{key}"
+    if "'" not in key:
+        return f"$['{key}']"
+    if '"' not in key:
+        return f'$["{key}"]'
+    raise ValueError(
+        f"metadata key {key!r} mixes quote characters and cannot be "
+        "addressed as a variant path; use the MAP-triple layout"
+    )
+
+
 def _variant_py_str(item: Column) -> Column:
     """Python str() of a scalar variant value (SURVEY §1.5 parity
     rules): booleans render True/False, JSON null renders 'None',
@@ -209,6 +228,27 @@ def _variant_py_str(item: Column) -> Column:
     )
 
 
+def _variant_py_repr(item: Column) -> Column:
+    """Python repr() of a scalar variant value — the per-element
+    rendering inside str(list). Strings gain quotes with CPython's
+    delimiter rule (single, unless the value contains a single quote
+    and no double quote) and backslash/quote/newline escapes; other
+    scalars repr the same as they str."""
+    tag = F.schema_of_variant(item)
+    s = _variant_py_str(item)
+    esc = F.replace(s, F.lit("\\"), F.lit("\\\\"))
+    for raw, rep in (("\n", "\\n"), ("\r", "\\r"), ("\t", "\\t")):
+        esc = F.replace(esc, F.lit(raw), F.lit(rep))
+    has_sq = esc.contains("'")
+    has_dq = esc.contains('"')
+    quoted = F.when(
+        has_sq & ~has_dq, F.concat(F.lit('"'), esc, F.lit('"'))
+    ).otherwise(
+        F.concat(F.lit("'"), F.replace(esc, F.lit("'"), F.lit("\\'")), F.lit("'"))
+    )
+    return F.when(tag == "STRING", quoted).otherwise(s)
+
+
 def variant_resolver(metadata_v: str | Column = "metadata_v") -> Resolver:
     """Resolve keys against a Spark 4 ``VariantType`` metadata column —
     the idiomatic single-column encoding of the reference's dynamically
@@ -221,17 +261,22 @@ def variant_resolver(metadata_v: str | Column = "metadata_v") -> Resolver:
     v = F.col(metadata_v) if isinstance(metadata_v, str) else metadata_v
 
     def resolve(key: str) -> FieldRef:
-        item = F.try_variant_get(v, f"$.{key}", "variant")
+        path = _variant_path(key)
+        item = F.try_variant_get(v, path, "variant")
         tag = F.schema_of_variant(item)
         is_list = F.coalesce(tag.startswith("ARRAY"), F.lit(False))
-        list_value = F.when(
-            is_list,
-            F.transform(
-                F.try_variant_get(v, f"$.{key}", "array<variant>"), _variant_py_str
-            ),
+        elems = F.try_variant_get(v, path, "array<variant>")
+        list_value = F.when(is_list, F.transform(elems, _variant_py_str))
+        # $gte/$lte on a list compares python str(list) in the
+        # reference (memo_cli.py:186-189) — rebuild that rendering
+        # (repr'd elements, ", " separator) for the lexicographic path
+        list_str = F.concat(
+            F.lit("["),
+            F.concat_ws(", ", F.transform(elems, _variant_py_repr)),
+            F.lit("]"),
         )
         return FieldRef(
-            value=F.when(~is_list, _variant_py_str(item)),
+            value=F.when(is_list, list_str).otherwise(_variant_py_str(item)),
             exists=item.isNotNull(),
             is_numeric=F.coalesce(
                 tag.isin("BIGINT", "DOUBLE", "BOOLEAN") | tag.startswith("DECIMAL"),

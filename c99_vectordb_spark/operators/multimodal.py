@@ -72,6 +72,8 @@ def decode_bmp(payload: bytes) -> tuple[bytes, dict]:
         raise MediaDecodeError(f"compressed BMP (method {compression}) unsupported")
     if bpp not in (24, 32):
         raise MediaDecodeError(f"only 24/32bpp supported, got {bpp}")
+    if width <= 0 or height == 0:
+        raise MediaDecodeError(f"invalid dimensions {width}x{height}")
     rows = abs(height)
     row_stride = ((width * bpp // 8) + 3) & ~3  # rows pad to 4 bytes
     need = pix_offset + row_stride * rows
@@ -146,17 +148,18 @@ def encode_bmp(content: bytes, width: int = 4) -> bytes:
 def encode_wav(
     samples: bytes, channels: int = 1, rate: int = 8000, bits: int = 16
 ) -> bytes:
-    """Wrap raw sample bytes in a PCM WAV container (RIFF/fmt/data)."""
-    if len(samples) % 2:
-        samples += b"\x00"
+    """Wrap raw sample bytes in a PCM WAV container (RIFF/fmt/data).
+    Odd-length sample data gets a RIFF pad byte OUTSIDE the declared
+    chunk size, so decode_wav(encode_wav(x)) == x exactly."""
     fmt = struct.pack(
         "<HHIIHH", 1, channels, rate, rate * channels * bits // 8,
         channels * bits // 8, bits,
     )
+    pad = b"\x00" if len(samples) % 2 else b""
     body = (
         b"WAVE"
         + b"fmt " + struct.pack("<I", 16) + fmt
-        + b"data" + struct.pack("<I", len(samples)) + samples
+        + b"data" + struct.pack("<I", len(samples)) + samples + pad
     )
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
@@ -192,9 +195,16 @@ def media_decode_meta(media: DataFrame) -> DataFrame:
                     elif mime in ("audio/wav", "audio/x-wav", "audio/wave"):
                         _, m = decode_wav(bytes(r.payload))
                         rows.append((r.id, mime, True, None, {k: str(v) for k, v in m.items()}))
-                    else:
+                    elif mime == "application/raw":
                         rows.append(
                             (r.id, mime, True, None, {"n_bytes": str(len(r.payload))})
+                        )
+                    else:
+                        # keep the probe consistent with decode_payload:
+                        # a mime it would refuse must not claim ok=True
+                        rows.append(
+                            (r.id, mime, False,
+                             f"codec for {mime!r} not available", None)
                         )
                 except MediaDecodeError as e:
                     rows.append((r.id, mime, False, str(e), None))

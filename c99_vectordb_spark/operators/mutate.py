@@ -82,7 +82,7 @@ def is_deleted(
             tag = metadata_types.getItem("deleted")
             falsy = (
                 v.isNull()
-                | v.isin("None", "null")
+                | (tag == "null")
                 | ((tag == "bool") & v.isin("False", "false"))
                 | ((tag == "int") & F.coalesce(v.try_cast("long") == 0, F.lit(False)))
                 | ((tag == "float") & F.coalesce(v.try_cast("double") == 0.0, F.lit(False)))

@@ -120,14 +120,19 @@ def streaming_minhash_pairs(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         ids = list(state.get[0]) if state.exists else []
+        members = set(ids)
         new_ids = sorted({int(i) for pdf in pdfs for i in pdf["id"]})
         out = []
         for nid in new_ids:
+            if nid in members:
+                # re-delivery (document re-save): pairs already emitted,
+                # and appending again would burn bucket capacity
+                continue
             for prev in ids:
-                if prev != nid:
-                    out.append((key[0], min(prev, nid), max(prev, nid)))
+                out.append((key[0], min(prev, nid), max(prev, nid)))
             if len(ids) < max_bucket_size:
                 ids.append(nid)
+                members.add(nid)
         state.update((ids,))
         if out:
             yield pd.DataFrame(out, columns=["bkey", "id_a", "id_b"])

@@ -49,6 +49,7 @@ METADATAS = [
     {"category": "pref", "ts": "2026-02-21T10:00:00Z"},
     {"category": "health", "nested": {"a": 1}},
     {"priority": 0, "source": "User"},
+    {"a.b": "x", "weird key": 2},  # non-identifier keys (variant path quoting)
 ]
 
 FILTERS = [
@@ -77,6 +78,13 @@ FILTERS = [
     "$and: [{source: user}, {priority: {$gte: 2}}]",
     "$or: [{source: chat}, {category: health}]",
     "$or: [{$and: [{source: user}, {flag: true}]}, {category: {$prefix: pre}}]",
+    # $gte/$lte on a LIST value compares python str(list) (memo_cli.py:186)
+    "tags: {$gte: '2'}",
+    "tags: {$lte: zzz}",
+    "tags: {$gte: 5}",
+    "tags: {$lte: '['}",
+    "a.b: x",
+    "weird key: {$gte: 1}",
     "source: {$unknown: x}",
     "nested: \"{'a': 1}\"",
     "$and: notalist",

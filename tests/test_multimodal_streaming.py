@@ -149,6 +149,44 @@ def test_wav_roundtrip_and_meta():
     assert meta == {"channels": 2, "sample_rate": 16000, "bits": 16}
 
 
+def test_wav_roundtrip_odd_length():
+    """RIFF pad byte lives OUTSIDE the data chunk size: odd-length
+    sample data must round-trip exactly, no trailing NUL."""
+    samples = b"\x01\x02\x03"
+    decoded, _ = MM.decode_wav(MM.encode_wav(samples, bits=8))
+    assert decoded == samples
+
+
+def test_bmp_rejects_bad_dimensions():
+    import struct as _struct
+
+    import pytest as _pytest
+
+    bad = bytearray(MM.encode_bmp(b"abc" * 24))
+    _struct.pack_into("<i", bad, 18, -4)  # negative width
+    with _pytest.raises(MM.MediaDecodeError):
+        MM.decode_bmp(bytes(bad))
+    bad2 = bytearray(MM.encode_bmp(b"abc" * 24))
+    _struct.pack_into("<i", bad2, 22, 0)  # zero height
+    with _pytest.raises(MM.MediaDecodeError):
+        MM.decode_bmp(bytes(bad2))
+
+
+def test_meta_probe_honest_for_stubbed_mimes(spark):
+    """media_decode_meta must not claim ok=True for a mime
+    decode_payload would refuse."""
+    media = spark.createDataFrame(
+        [
+            (1, "image", "image/jpeg", b"\xff\xd8\xff", None),
+            (2, "text", "application/raw", b"abc", None),
+        ],
+        MM.MEDIA_SCHEMA,
+    )
+    by_id = {m.id: m for m in MM.media_decode_meta(media).collect()}
+    assert by_id[1].ok is False and "codec" in by_id[1].error
+    assert by_id[2].ok is True
+
+
 def test_decode_rejects_malformed():
     import pytest as _pytest
 

@@ -144,7 +144,8 @@ def test_is_deleted_python_falsy_forms(spark):
         (8, "2.5", "float", True),
         (9, "False", "bool", False),
         (10, "True", "bool", True),
-        (11, "None", "str", False),  # YAML null stringified
+        (11, "None", "str", True),   # the STRING "None" is Python-truthy
+        (12, "None", "null", False),  # actual YAML null (tag 'null')
     ]
     df = spark.createDataFrame(
         [(i, {"deleted": v}, {"deleted": t}) for i, v, t, _ in rows],
