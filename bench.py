@@ -31,7 +31,13 @@ HEADLINE = [
     "stats_numeric",
     "tpch_q1",
     "tpch_q3",
+    "tpch_q4",
+    "tpch_q5",
     "tpch_q6",
+    "tpch_q10",
+    "tpch_q18",
+    "tpch_q19",
+    "tpch_q22",
     "revenue_by_nation",
     "asof_join_events",
     "semi_anti_joins",
@@ -54,6 +60,10 @@ HEADLINE = [
     "sim_ivf_batch",
     "text_quality",
     "text_langid",
+    "corpus_vocab",
+    "corpus_tfidf_terms",
+    "corpus_sample",
+    "corpus_pack",
 ]
 
 

@@ -1,0 +1,138 @@
+"""Corpus-preparation operators for LLM training-data pipelines.
+
+The dedup family (operators/dedup.py) removes near-copies; these
+operators cover the rest of a corpus build at 100 TB: vocabulary
+statistics, per-document salient terms, reproducible sampling, and
+sequence packing. Everything is exact-integer or exact-decimal so the
+DuckDB oracle twins hash-match (repo float conventions); no rand() —
+sampling keys off the stable polynomial hash (hashing.py), so a re-run
+over the same corpus picks the same rows on any cluster size.
+
+Scale notes:
+- vocab/tfidf shuffle on the token — partial aggregation makes the
+  shuffle vocabulary-sized, not corpus-sized; the df (document
+  frequency) side of tfidf is a vocabulary-sized aggregate joined
+  back by token.
+- stratified_sample is map-only: hash-mod per row against a
+  per-stratum threshold. No shuffle, no coordination, reproducible.
+- pack_sequences windows per stratum: each stratum's running token
+  total parallelizes across strata; a single global pack would need
+  repartitionByRange + a scan-order contract instead.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from ..functions.text import token_hash, tokens
+
+
+def vocab_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    body_col: str = "text",
+    top_n: int | None = None,
+) -> DataFrame:
+    """Corpus vocabulary: (token, tf, df) — total term frequency and
+    document frequency. Explode -> two-level aggregate; the shuffle
+    carries (token, partial counts). ``top_n`` keeps the most frequent
+    tokens (ties broken by token asc) via TakeOrderedAndProject."""
+    tok = (
+        df.select(F.col(id_col).alias("_id"), F.explode(tokens(F.col(body_col))).alias("token"))
+    )
+    counts = tok.groupBy("token").agg(
+        F.count(F.lit(1)).alias("tf"),
+        F.count_distinct("_id").alias("df"),
+    )
+    if top_n is not None:
+        counts = counts.orderBy(F.desc("tf"), F.asc("token")).limit(top_n)
+    return counts
+
+
+def tfidf_top_terms(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    body_col: str = "text",
+    k: int = 3,
+) -> DataFrame:
+    """Per-document top-k salient terms: rank by (tf DESC, df ASC,
+    term ASC) — the tf-idf ordering with the idf comparison done on
+    the raw df integer, so the output is integer-exact cross-engine
+    (no float idf to round). Returns (id, term, tf, df, rank).
+
+    The df table is a vocabulary-sized aggregate — broadcast back onto
+    the per-document term counts (vocabulary ~1e6-1e8 rows at 100 TB;
+    if it outgrows broadcast, drop the hint and it becomes a token-
+    keyed shuffle join, still vocabulary-bounded)."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(body_col))).alias("term")
+    )
+    tf = tok.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.count_distinct("id").alias("df"))
+    w = Window.partitionBy("id").orderBy(F.desc("tf"), F.asc("df"), F.asc("term"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("id", "term", "tf", "df", F.col("rank").cast("long").alias("rank"))
+    )
+
+
+def sample_key(stratum: Column, id_: Column) -> Column:
+    """The deterministic sampling key: polynomial hash of
+    '<stratum>:<id>' — stable across runs, partitionings, and engines
+    (DuckDB twin: duckdb_sample_key_sql)."""
+    return token_hash(F.concat_ws(":", stratum, id_.cast("string")))
+
+
+def duckdb_sample_key_sql(stratum_expr: str, id_expr: str) -> str:
+    from ..hashing import duckdb_token_hash_sql
+
+    key = f"({stratum_expr} || ':' || CAST({id_expr} AS VARCHAR))"
+    return duckdb_token_hash_sql(key)
+
+
+def stratified_sample(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    rate_bp: Column,
+) -> DataFrame:
+    """Reproducible per-stratum sampling WITHOUT rand(): keep a row iff
+    hash(stratum:id) % 10000 < rate_bp (basis points, may vary by
+    stratum). Map-only — no shuffle, no seed state; re-runs and
+    backfills select identical rows, and the rate can be tuned per
+    stratum (e.g. downweight a crawl, keep all of a curated set).
+    Adds the sampling key as `skey` for auditability."""
+    key = sample_key(F.col(stratum_col), F.col(id_col)) % 10000
+    return df.withColumn("skey", key).filter(F.col("skey") < rate_bp)
+
+
+def pack_sequences(
+    df: DataFrame,
+    stratum_col: str,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """Assign documents to fixed-token-budget training sequences:
+    within each stratum (ordered by id), a document starts in the bin
+    its running token offset falls into — bin = floor(offset/budget)
+    where offset excludes the document itself. Contiguous, determin-
+    istic, one window per stratum; documents longer than the budget
+    still get a bin (they'd be chunked downstream). Returns
+    (id, stratum, n_tokens, offset, seq_bin)."""
+    w = (
+        Window.partitionBy(stratum_col)
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    nt = F.col(n_tokens_col).cast("long")
+    offset = F.sum(nt).over(w) - nt
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.col(stratum_col).alias("stratum"),
+        nt.alias("n_tokens"),
+        offset.alias("offset"),
+        F.floor(offset / F.lit(budget)).cast("long").alias("seq_bin"),
+    )

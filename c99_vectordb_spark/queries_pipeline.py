@@ -1,0 +1,126 @@
+"""Registry entries for the corpus-preparation operators
+(operators/corpus.py) with DuckDB oracle twins.
+
+All four queries are exact-integer, so the oracle comparison is a
+straight value-hash match — no float rounding rules needed."""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from .hashing import duckdb_tokens_sql
+from .operators import corpus as C
+
+
+def q_corpus_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return C.vocab_counts(docs, "doc_id", "text", top_n=50)
+
+
+_ORACLE_CORPUS_VOCAB = f"""
+WITH tok AS (
+  SELECT doc_id, unnest({duckdb_tokens_sql('text')}) AS token
+  FROM documents
+)
+SELECT token, COUNT(*)::BIGINT AS tf, COUNT(DISTINCT doc_id)::BIGINT AS df
+FROM tok
+GROUP BY token
+ORDER BY tf DESC, token ASC
+LIMIT 50
+"""
+
+
+def q_corpus_tfidf_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return C.tfidf_top_terms(docs, "doc_id", "text", k=3).orderBy("id", "rank")
+
+
+_ORACLE_CORPUS_TFIDF = f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest({duckdb_tokens_sql('text')}) AS term
+  FROM documents
+), tf AS (
+  SELECT id, term, COUNT(*)::BIGINT AS tf FROM tok GROUP BY id, term
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT id)::BIGINT AS df FROM tok GROUP BY term
+), ranked AS (
+  SELECT tf.id, tf.term, tf.tf, dfreq.df,
+         ROW_NUMBER() OVER (PARTITION BY tf.id
+                            ORDER BY tf.tf DESC, dfreq.df ASC, tf.term ASC)::BIGINT AS rank
+  FROM tf JOIN dfreq USING (term)
+)
+SELECT id, term, tf, df, rank FROM ranked WHERE rank <= 3
+ORDER BY id, rank
+"""
+
+
+def q_corpus_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source reproducible sampling: curated-looking sources
+    ('src1*') kept at 20%, the rest at 50% — the rate is a column, so
+    any per-stratum policy plugs in."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    rate = F.when(F.col("source").startswith("src1"), F.lit(2000)).otherwise(
+        F.lit(5000)
+    )
+    return (
+        C.stratified_sample(docs, "source", "doc_id", rate)
+        .select("doc_id", "source", "skey")
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_CORPUS_SAMPLE = f"""
+SELECT doc_id, source,
+       ({C.duckdb_sample_key_sql('source', 'doc_id')}) % 10000 AS skey
+FROM documents
+WHERE ({C.duckdb_sample_key_sql('source', 'doc_id')}) % 10000
+      < (CASE WHEN source LIKE 'src1%' THEN 2000 ELSE 5000 END)
+ORDER BY doc_id
+"""
+
+
+def q_corpus_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack each source's documents into 2048-token training sequences
+    on the regex token count."""
+    from .operators.textstats import token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = token_counts(docs, "doc_id", "text").select("id", "n_re_tokens")
+    sized = docs.join(counts, docs.doc_id == counts.id).drop("id")
+    return C.pack_sequences(sized, "source", "doc_id", "n_re_tokens", budget=2048).orderBy(
+        "id"
+    )
+
+
+_ORACLE_CORPUS_PACK = f"""
+WITH sized AS (
+  SELECT doc_id, source, len({duckdb_tokens_sql('text')})::BIGINT AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id AS id, source AS stratum, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS "offset"
+  FROM sized
+)
+SELECT id, stratum, n_tokens, "offset",
+       CAST(FLOOR("offset" / 2048.0) AS BIGINT) AS seq_bin
+FROM packed
+ORDER BY id
+"""
+
+
+PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "corpus_vocab": q_corpus_vocab,
+    "corpus_tfidf_terms": q_corpus_tfidf_terms,
+    "corpus_sample": q_corpus_sample,
+    "corpus_pack": q_corpus_pack,
+}
+
+PIPELINE_ORACLES: dict[str, str] = {
+    "corpus_vocab": _ORACLE_CORPUS_VOCAB,
+    "corpus_tfidf_terms": _ORACLE_CORPUS_TFIDF,
+    "corpus_sample": _ORACLE_CORPUS_SAMPLE,
+    "corpus_pack": _ORACLE_CORPUS_PACK,
+}

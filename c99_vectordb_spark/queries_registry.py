@@ -1429,11 +1429,15 @@ _ORACLES: dict[str, str] = {
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .queries_ext import EXT_QUERIES
+    from .queries_pipeline import PIPELINE_QUERIES
+    from .queries_tpch import TPCH_QUERIES
 
-    return {**_QUERIES, **EXT_QUERIES}
+    return {**_QUERIES, **EXT_QUERIES, **TPCH_QUERIES, **PIPELINE_QUERIES}
 
 
 def oracle_sql() -> dict[str, str]:
     from .queries_ext import EXT_ORACLES
+    from .queries_pipeline import PIPELINE_ORACLES
+    from .queries_tpch import TPCH_ORACLES
 
-    return {**_ORACLES, **EXT_ORACLES}
+    return {**_ORACLES, **EXT_ORACLES, **TPCH_ORACLES, **PIPELINE_ORACLES}

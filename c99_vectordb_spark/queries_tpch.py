@@ -1,0 +1,514 @@
+"""TPC-H-shaped analytics queries adapted to the testdata schema.
+
+The testdata tables are TPC-H-ish but slimmer (no partsupp, no
+l_commitdate/l_receiptdate/l_shipmode, p_type is a single word), so
+each query keeps the *shape* of its TPC-H namesake — the join
+topology, subquery kind, and aggregation pattern Catalyst must plan —
+with predicates rewritten to the available columns. Every query has a
+DuckDB oracle twin; float outputs follow the repo parity conventions
+(DECIMAL(18,4) money sums cast to double; ratios as floored ppm —
+identical doubles in, identical BIGINT out).
+
+Scale notes (local[32] now, 1000 executors later):
+- dims (region/nation/supplier/part/customer at these SFs) broadcast;
+  only lineitem<->orders shuffles, and that join is bucketable
+  (SCALE.md) — the same DDL removes the exchange here.
+- semi/anti joins ship only the key column to the build side.
+- q19's OR-of-ANDs keeps the part filter disjunction INSIDE the join
+  condition evaluation but its l_quantity bounds and the p_brand IN
+  list still reach the scans as pushed filters.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+
+def _dec(c: str):
+    return F.col(c).cast("decimal(18,4)")
+
+
+def _rev():
+    """Per-lineitem discounted revenue, exact decimal."""
+    one = F.lit(1).cast("decimal(18,4)")
+    return _dec("l_extendedprice") * (one - _dec("l_discount"))
+
+
+def _ts(s: str):
+    return F.lit(s).cast("timestamp")
+
+
+# ---------------------------------------------------------------------------
+# Q4 shape: EXISTS -> left-semi join with a non-equi conjunct
+# ---------------------------------------------------------------------------
+
+def q_tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority counts for orders with at least one LATE line (shipped
+    after the order quarter's end-of-window): EXISTS == left-semi join
+    on the order key with the non-equi lateness conjunct evaluated on
+    the joined pair. Only (l_orderkey, l_shipdate) flows to the semi
+    join; counts aggregate on a 5-value key."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    o = orders.filter(
+        (F.col("o_orderdate") >= _ts("1996-01-01"))
+        & (F.col("o_orderdate") < _ts("1996-07-01"))
+    )
+    late = o.join(
+        li.select("l_orderkey", "l_shipdate"),
+        (o.o_orderkey == F.col("l_orderkey"))
+        & (F.col("l_shipdate") > F.date_add(o.o_orderdate, 60)),
+        "left_semi",
+    )
+    return (
+        late.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+_ORACLE_TPCH_Q4 = """
+SELECT o_orderpriority, COUNT(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1996-07-01'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q5 shape: 6-way star join, local-supplier equality across dims
+# ---------------------------------------------------------------------------
+
+def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue by nation where the supplier and customer share a
+    nation, restricted to one region and a date window. customer/
+    supplier/nation/region broadcast; lineitem<->orders is the only
+    shuffle (bucketed DDL in SCALE.md removes it on a cluster)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    asia_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    return (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= _ts("1996-01-01"))
+                & (F.col("o_orderdate") < _ts("1998-01-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(
+            F.broadcast(supp),
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), F.asc("nation"))
+    )
+
+
+_ORACLE_TPCH_Q5 = """
+SELECT n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate <  TIMESTAMP '1998-01-01'
+GROUP BY n_name
+ORDER BY revenue DESC, nation ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q7 shape: nation-pair volume shipping by year
+# ---------------------------------------------------------------------------
+
+def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trade volume between two nations by ship year, both directions.
+    The nation-pair disjunction lands after broadcast joins of the two
+    tiny nation-keyed sides; lineitem<->orders is again the one
+    shuffle; group key is (nation, nation, year)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n1 = nation.select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    pair = (F.col("supp_nation") == "NATION_3") & (F.col("cust_nation") == "NATION_7")
+    rpair = (F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_3")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(pair | rpair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+_ORACLE_TPCH_Q7 = """
+SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
+         CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) AS volume
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_7')
+     OR (n1.n_name = 'NATION_7' AND n2.n_name = 'NATION_3')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q10 shape: returned-item revenue, top-20 customers
+# ---------------------------------------------------------------------------
+
+def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue lost to returns per customer in one quarter, top 20.
+    Group on the customer key only, then decorate with broadcast
+    customer/nation AFTER the aggregate — the shuffle carries
+    (custkey, partial sum), not the full row."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    agg = (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= _ts("1996-07-01"))
+                & (F.col("o_orderdate") < _ts("1996-10-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_custkey")
+        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+    )
+    return (
+        agg.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(
+            F.col("c_custkey").alias("custkey"),
+            F.col("c_name").alias("name"),
+            F.round("c_acctbal", 2).alias("acctbal"),
+            F.col("n_name").alias("nation"),
+            "revenue",
+        )
+        .orderBy(F.desc("revenue"), F.asc("custkey"))
+        .limit(20)
+    )
+
+
+_ORACLE_TPCH_Q10 = """
+SELECT c_custkey AS custkey, c_name AS name, ROUND(c_acctbal, 2) AS acctbal,
+       n_name AS nation,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-07-01'
+  AND o_orderdate <  TIMESTAMP '1996-10-01'
+GROUP BY 1, 2, 3, 4
+ORDER BY revenue DESC, custkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q12 shape: CASE aggregation — late lines by priority class
+# ---------------------------------------------------------------------------
+
+def q_tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Late-shipment counts split into urgent/other priority classes
+    per return flag: the conditional-aggregation shape (SUM(CASE)) —
+    one scan, one shuffle on a 3-value key."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    urgent = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(urgent, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(urgent, 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+_ORACLE_TPCH_Q12 = """
+SELECT l_returnflag,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)::BIGINT AS low_line_count
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q14 shape: promo revenue share (ratio as floored ppm)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Share of revenue from PROMO parts in one month. part broadcasts
+    into the lineitem scan; the ratio is emitted as floor(1e6 * x) —
+    both engines divide the same exact-decimal-derived doubles, so the
+    ppm is integer-identical (repo float conventions)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    joined = li.filter(
+        (F.col("l_shipdate") >= _ts("1997-03-01"))
+        & (F.col("l_shipdate") < _ts("1997-04-01"))
+    ).join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+    agg = joined.agg(
+        F.sum(F.when(F.col("p_type") == "PROMO", _rev()).otherwise(F.lit(0).cast("decimal(18,4)")))
+        .alias("promo"),
+        F.sum(_rev()).alias("total"),
+    )
+    return agg.select(
+        F.col("promo").cast("double").alias("promo_revenue"),
+        F.col("total").cast("double").alias("total_revenue"),
+        F.floor(
+            F.lit(1000000.0) * F.col("promo").cast("double") / F.col("total").cast("double")
+        ).cast("long").alias("promo_ppm"),
+    )
+
+
+_ORACLE_TPCH_Q14 = """
+WITH agg AS (
+  SELECT SUM(CASE WHEN p_type = 'PROMO'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                  ELSE 0 END) AS promo,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+)
+SELECT CAST(promo AS DOUBLE) AS promo_revenue,
+       CAST(total AS DOUBLE) AS total_revenue,
+       FLOOR(1000000.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE))::BIGINT AS promo_ppm
+FROM agg
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q18 shape: HAVING on a grouped fact, decorated top-k
+# ---------------------------------------------------------------------------
+
+def q_tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume orders (total quantity > 300): aggregate-then-
+    filter (HAVING), decorate the few survivors with broadcast
+    customer + orders lookups, top-20. The HAVING prunes before the
+    decoration joins — survivors are rare, so the second join's probe
+    side is tiny."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("qty"))
+        .filter(F.col("qty") > 300)
+    )
+    return (
+        big.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .select(
+            F.col("c_name").alias("name"),
+            F.col("c_custkey").alias("custkey"),
+            F.col("o_orderkey").alias("orderkey"),
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            F.round("o_totalprice", 2).alias("totalprice"),
+            F.col("qty").cast("double").alias("quantity"),
+        )
+        .orderBy(F.desc("totalprice"), F.asc("orderkey"))
+        .limit(20)
+    )
+
+
+_ORACLE_TPCH_Q18 = """
+SELECT c_name AS name, c_custkey AS custkey, o_orderkey AS orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       ROUND(o_totalprice, 2) AS totalprice,
+       CAST(qty AS DOUBLE) AS quantity
+FROM (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,4))) > 300
+) big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY totalprice DESC, orderkey ASC
+LIMIT 20
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q19 shape: disjunction of conjunctive brand/size/quantity bands
+# ---------------------------------------------------------------------------
+
+def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue from three alternative (brand, size-band, quantity-band)
+    channels: OR-of-ANDs across join columns. The p_brand IN-list and
+    the overall l_quantity envelope still push into the scans; the
+    full disjunction evaluates on the broadcast-joined pair."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    q = F.col("l_quantity")
+    band = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 15) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 25) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#34") & F.col("p_size").between(1, 35) & q.between(20, 30))
+    )
+    return (
+        li.filter(q.between(1, 30))
+        .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .filter(band)
+        .agg(
+            F.coalesce(F.sum(_rev()).cast("double"), F.lit(0.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_ORACLE_TPCH_Q19 = """
+SELECT COALESCE(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 0.0) AS revenue,
+       COUNT(*)::BIGINT AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q22 shape: scalar subquery threshold + NOT EXISTS anti-join
+# ---------------------------------------------------------------------------
+
+def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lapsed high-balance customers per nation: acctbal above the
+    positive-balance average AND no order since mid-2000 (the testdata
+    has no order-less customers, so Q22's 'never ordered' becomes
+    recent-inactivity — same NOT EXISTS shape). The average enters as
+    a cross-multiplied exact-decimal predicate (bal * n > total) — no
+    FP division, so the threshold is bit-identical cross-engine; the
+    inactivity test is an anti-join shipping only filtered o_custkey."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderdate") >= _ts("2000-07-01")
+    )
+    thresh = (
+        cust.filter(F.col("c_acctbal") > 0)
+        .agg(
+            F.sum(_dec("c_acctbal")).alias("total"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+    rich = (
+        cust.crossJoin(F.broadcast(thresh))
+        .filter(_dec("c_acctbal") * F.col("n") > F.col("total"))
+    )
+    idle = rich.join(
+        orders.select("o_custkey"),
+        F.col("c_custkey") == F.col("o_custkey"),
+        "left_anti",
+    )
+    return (
+        idle.groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("nationkey")
+    )
+
+
+_ORACLE_TPCH_Q22 = """
+WITH thresh AS (
+  SELECT SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS total, COUNT(*)::BIGINT AS n
+  FROM customer WHERE c_acctbal > 0
+)
+SELECT c_nationkey::BIGINT AS nationkey, COUNT(*)::BIGINT AS numcust,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+FROM customer, thresh
+WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n > total
+  AND NOT EXISTS (
+    SELECT 1 FROM orders
+    WHERE o_custkey = c_custkey
+      AND o_orderdate >= TIMESTAMP '2000-07-01'
+  )
+GROUP BY c_nationkey
+ORDER BY nationkey
+"""
+
+
+TPCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "tpch_q4": q_tpch_q4,
+    "tpch_q5": q_tpch_q5,
+    "tpch_q7": q_tpch_q7,
+    "tpch_q10": q_tpch_q10,
+    "tpch_q12": q_tpch_q12,
+    "tpch_q14": q_tpch_q14,
+    "tpch_q18": q_tpch_q18,
+    "tpch_q19": q_tpch_q19,
+    "tpch_q22": q_tpch_q22,
+}
+
+TPCH_ORACLES: dict[str, str] = {
+    "tpch_q4": _ORACLE_TPCH_Q4,
+    "tpch_q5": _ORACLE_TPCH_Q5,
+    "tpch_q7": _ORACLE_TPCH_Q7,
+    "tpch_q10": _ORACLE_TPCH_Q10,
+    "tpch_q12": _ORACLE_TPCH_Q12,
+    "tpch_q14": _ORACLE_TPCH_Q14,
+    "tpch_q18": _ORACLE_TPCH_Q18,
+    "tpch_q19": _ORACLE_TPCH_Q19,
+    "tpch_q22": _ORACLE_TPCH_Q22,
+}

@@ -1,0 +1,76 @@
+"""Corpus-preparation operators: invariants + plan shapes."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from c99_vectordb_spark.operators import corpus as C
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_vocab_counts_match_python(spark):
+    rows = [(1, "the cat sat on the mat"), (2, "the dog"), (3, ""), (4, None)]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    got = {r.token: (r.tf, r.df) for r in C.vocab_counts(df, "doc_id", "text").collect()}
+    assert got["the"] == (3, 2)
+    assert got["cat"] == (1, 1)
+    assert "" not in got
+
+
+def test_tfidf_rank_orders_by_tf_then_rarity(spark):
+    # 'aa' tf=3 beats 'bb' tf=2; 'cc' and 'dd' tie on tf=1 -> rarer first
+    rows = [
+        (1, "aa aa aa bb bb cc dd"),
+        (2, "cc zz"),  # cc df=2, dd df=1 -> dd ranks above cc in doc 1
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    top = C.tfidf_top_terms(df, "doc_id", "text", k=4).collect()
+    doc1 = sorted([r for r in top if r.id == 1], key=lambda r: r.rank)
+    assert [r.term for r in doc1] == ["aa", "bb", "dd", "cc"]
+
+
+def test_stratified_sample_deterministic_and_correct(spark, documents):
+    rate = F.lit(3000)
+    a = C.stratified_sample(documents, "source", "doc_id", rate)
+    ids1 = {r.doc_id for r in a.select("doc_id").collect()}
+    ids2 = {r.doc_id for r in a.select("doc_id").collect()}
+    assert ids1 == ids2 and 0 < len(ids1) < documents.count()
+    # membership is exactly the hash predicate (python recompute)
+    from c99_vectordb_spark.hashing import token_hash
+
+    rows = documents.select("doc_id", "source").collect()
+    want = {
+        r.doc_id
+        for r in rows
+        if token_hash(f"{r.source}:{r.doc_id}") % 10000 < 3000
+    }
+    assert ids1 == want
+
+
+def test_stratified_sample_is_map_only(spark, documents):
+    plan = _plan(C.stratified_sample(documents, "source", "doc_id", F.lit(3000)))
+    assert "Exchange" not in plan
+
+
+def test_pack_sequences_invariants(spark, documents):
+    from c99_vectordb_spark.operators.textstats import token_counts
+
+    counts = token_counts(documents, "doc_id", "text").select("id", "n_re_tokens")
+    sized = documents.join(counts, documents.doc_id == counts.id).drop("id")
+    packed = C.pack_sequences(sized, "source", "doc_id", "n_re_tokens", budget=512)
+    rows = sorted(packed.collect(), key=lambda r: (r.stratum, r.id))
+    by_stratum: dict[str, list] = {}
+    for r in rows:
+        by_stratum.setdefault(r.stratum, []).append(r)
+    for grp in by_stratum.values():
+        run = 0
+        prev_bin = 0
+        for r in grp:
+            assert r.offset == run, "offset must be the pre-document cumsum"
+            assert r.seq_bin == run // 512
+            assert r.seq_bin >= prev_bin, "bins are monotone within a stratum"
+            prev_bin = r.seq_bin
+            run += r.n_tokens

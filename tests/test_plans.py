@@ -163,3 +163,42 @@ def test_ivf_partitioned_store_prunes_partitions(spark, embeddings, tmp_path):
     files = loaded.select(F.input_file_name()).distinct().collect()
     dirs = {f[0].split("/cluster=")[1].split("/")[0] for f in files}
     assert dirs <= {"1", "3"}
+
+
+def test_tpch_q5_broadcasts_dims_single_shuffle_join(spark, sf_dir):
+    """Q5's star: every dim side broadcast, lineitem<->orders the only
+    shuffled join, never a cartesian."""
+    from c99_vectordb_spark.queries_tpch import q_tpch_q5
+
+    plan = _plan(q_tpch_q5(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") + plan.count("ShuffledHashJoin") <= 1
+
+
+def test_tpch_q4_exists_is_semi_join(spark, sf_dir):
+    from c99_vectordb_spark.queries_tpch import q_tpch_q4
+
+    plan = _plan(q_tpch_q4(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q22_anti_join_and_broadcast_threshold(spark, sf_dir):
+    """The scalar average joins as a broadcast of one row; the
+    inactivity check is an anti-join."""
+    from c99_vectordb_spark.queries_tpch import q_tpch_q22
+
+    plan = _plan(q_tpch_q22(spark, sf_dir))
+    assert "LeftAnti" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q19_pushes_quantity_envelope(spark, sf_dir):
+    """The OR-of-ANDs keeps a pushable l_quantity envelope on the scan."""
+    from c99_vectordb_spark.queries_tpch import q_tpch_q19
+
+    plan = _plan(q_tpch_q19(spark, sf_dir))
+    assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "BroadcastHashJoin" in plan
