@@ -38,6 +38,9 @@ HEADLINE = [
     "tpch_q18",
     "tpch_q19",
     "tpch_q22",
+    "tpch_q8",
+    "tpch_q13",
+    "tpch_q17",
     "revenue_by_nation",
     "asof_join_events",
     "semi_anti_joins",

@@ -489,6 +489,211 @@ ORDER BY nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# Q8 shape: market share (conditional share of a grouped total)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NATION_5 suppliers' share of the EUROPE customer market by order
+    year. The share is conditional-sum / total-sum within each group —
+    emitted as floor(1e6 * x): both engines divide the same exact-
+    decimal-derived doubles, so the ppm is integer-identical."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    europe_cust_nations = nation.join(
+        F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+        F.col("n_regionkey") == F.col("r_regionkey"),
+    ).select(F.col("n_nationkey").alias("cn_key"))
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    vol = _rev()
+    return (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(europe_cust_nations), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.sum(F.when(F.col("supp_nation") == "NATION_5", vol).otherwise(
+                F.lit(0).cast("decimal(18,4)"))).alias("nation_vol"),
+            F.sum(vol).alias("total_vol"),
+        )
+        .select(
+            "o_year",
+            F.col("nation_vol").cast("double").alias("nation_volume"),
+            F.col("total_vol").cast("double").alias("total_volume"),
+            F.floor(
+                F.lit(1000000.0)
+                * F.col("nation_vol").cast("double")
+                / F.col("total_vol").cast("double")
+            ).cast("long").alias("mkt_share_ppm"),
+        )
+        .orderBy("o_year")
+    )
+
+
+_ORACLE_TPCH_Q8 = """
+WITH vols AS (
+  SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+         SUM(CASE WHEN n2.n_name = 'NATION_5'
+                  THEN CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+                  ELSE 0 END) AS nation_vol,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_vol
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region   ON n1.n_regionkey = r_regionkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY 1
+)
+SELECT o_year, CAST(nation_vol AS DOUBLE) AS nation_volume,
+       CAST(total_vol AS DOUBLE) AS total_volume,
+       FLOOR(1000000.0 * CAST(nation_vol AS DOUBLE) / CAST(total_vol AS DOUBLE))::BIGINT AS mkt_share_ppm
+FROM vols
+ORDER BY o_year
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q13 shape: LEFT OUTER join + two-level aggregation (count distribution)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of order counts per customer (urgent orders
+    excluded from the count, customers with zero orders kept by the
+    LEFT join). First aggregate is customer-keyed; the second is over
+    the tiny distinct-count domain."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_orderpriority") != "1-URGENT"
+    )
+    per_cust = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+_ORACLE_TPCH_Q13 = """
+SELECT c_count, COUNT(*)::BIGINT AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) per_cust
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q15 shape: aggregate, take the max, equality-match back (top supplier)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier(s) by quarterly revenue: the max revenue is a
+    single broadcast row matched back by exact-decimal equality (ties
+    all surface, as in TPC-H's view formulation)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= _ts("1997-01-01"))
+            & (F.col("l_shipdate") < _ts("1997-04-01"))
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum(_rev()).alias("total_rev"))
+    )
+    top = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(top))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            F.col("s_suppkey").alias("suppkey"),
+            F.col("s_name").alias("name"),
+            F.col("total_rev").cast("double").alias("total_revenue"),
+        )
+        .orderBy("suppkey")
+    )
+
+
+_ORACLE_TPCH_Q15 = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+    AND l_shipdate <  TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey AS suppkey, s_name AS name,
+       CAST(total_rev AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+ORDER BY suppkey
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q17 shape: correlated per-group average threshold
+# ---------------------------------------------------------------------------
+
+def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity lines of one brand: l_quantity below 20% of the
+    part's average quantity. The correlated AVG becomes a per-part
+    (sum, count) aggregate joined back, and the 0.2*avg comparison is
+    cross-multiplied into exact decimals (qty * 5 * n < sum) — no FP
+    division anywhere."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    per_part = li.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(_dec("l_quantity")).alias("qty_sum"),
+        F.count(F.lit(1)).alias("qty_n"),
+    )
+    return (
+        li.join(F.broadcast(part.filter(F.col("p_brand") == "Brand#12")),
+                F.col("l_partkey") == F.col("p_partkey"))
+        .join(per_part, F.col("l_partkey") == F.col("pk"))
+        .filter(_dec("l_quantity") * 5 * F.col("qty_n") < F.col("qty_sum"))
+        .agg(
+            F.sum(_dec("l_extendedprice")).cast("double").alias("total_extprice"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+_ORACLE_TPCH_Q17 = """
+WITH per_part AS (
+  SELECT l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS qty_sum,
+         COUNT(*)::BIGINT AS qty_n
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_extprice,
+       COUNT(*)::BIGINT AS n_lines
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN per_part ON l_partkey = pk
+WHERE p_brand = 'Brand#12'
+  AND CAST(l_quantity AS DECIMAL(18,4)) * 5 * qty_n < qty_sum
+"""
+
+
 TPCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
@@ -499,6 +704,10 @@ TPCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q18": q_tpch_q18,
     "tpch_q19": q_tpch_q19,
     "tpch_q22": q_tpch_q22,
+    "tpch_q8": q_tpch_q8,
+    "tpch_q13": q_tpch_q13,
+    "tpch_q15": q_tpch_q15,
+    "tpch_q17": q_tpch_q17,
 }
 
 TPCH_ORACLES: dict[str, str] = {
@@ -511,4 +720,8 @@ TPCH_ORACLES: dict[str, str] = {
     "tpch_q18": _ORACLE_TPCH_Q18,
     "tpch_q19": _ORACLE_TPCH_Q19,
     "tpch_q22": _ORACLE_TPCH_Q22,
+    "tpch_q8": _ORACLE_TPCH_Q8,
+    "tpch_q13": _ORACLE_TPCH_Q13,
+    "tpch_q15": _ORACLE_TPCH_Q15,
+    "tpch_q17": _ORACLE_TPCH_Q17,
 }

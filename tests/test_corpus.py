@@ -74,3 +74,34 @@ def test_pack_sequences_invariants(spark, documents):
             assert r.seq_bin >= prev_bin, "bins are monotone within a stratum"
             prev_bin = r.seq_bin
             run += r.n_tokens
+
+
+def test_stratified_sample_is_stream_native(spark, documents, tmp_path):
+    """The sampler is stateless map-only, so the SAME operator runs
+    unchanged on a stream — and selects exactly the batch rows."""
+    import os
+
+    src = str(tmp_path / "src")
+    documents.select("doc_id", "source").coalesce(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id LONG, source STRING")
+        .parquet(src)
+    )
+    sampled = C.stratified_sample(stream, "source", "doc_id", F.lit(3000))
+    q = (
+        sampled.writeStream.format("memory")
+        .queryName("sample_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {r.doc_id for r in spark.sql("SELECT doc_id FROM sample_out").collect()}
+    want = {
+        r.doc_id
+        for r in C.stratified_sample(documents, "source", "doc_id", F.lit(3000))
+        .select("doc_id")
+        .collect()
+    }
+    assert got == want

@@ -202,3 +202,21 @@ def test_tpch_q19_pushes_quantity_envelope(spark, sf_dir):
     plan = _plan(q_tpch_q19(spark, sf_dir))
     assert "GreaterThanOrEqual(l_quantity,1.0)" in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q17_correlated_avg_no_cartesian(spark, sf_dir):
+    """The correlated per-part average joins back by part key — two
+    joins, no cartesian, part side broadcast."""
+    from c99_vectordb_spark.queries_tpch import q_tpch_q17
+
+    plan = _plan(q_tpch_q17(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan
+
+
+def test_tpch_q13_left_join_keeps_zero_customers(spark, sf_dir):
+    from c99_vectordb_spark.queries_tpch import q_tpch_q13
+
+    plan = _plan(q_tpch_q13(spark, sf_dir))
+    assert "LeftOuter" in plan
+    assert "CartesianProduct" not in plan
