@@ -46,6 +46,8 @@ HEADLINE = [
     "semi_anti_joins",
     "window_running_total",
     "events_tumbling",
+    "events_retention",
+    "events_funnel",
     "events_sessions",
     "rollup_revenue",
     "pivot_revenue",
@@ -67,6 +69,7 @@ HEADLINE = [
     "corpus_tfidf_terms",
     "corpus_sample",
     "corpus_pack",
+    "corpus_bigrams",
 ]
 
 

@@ -111,11 +111,53 @@ ORDER BY id
 """
 
 
+def q_corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-40 token bigrams: the n-gram language-model counting shape.
+    Adjacent pairs come from zip_with(tokens, tokens[1:]) — array ops
+    inside the row, so the shuffle is bigram-keyed partial counts."""
+    from .functions.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens(F.col("text"))
+    pairs = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    return (
+        docs.select(F.explode(pairs).alias("bigram"))
+        # zip_with pads the short side with NULL and concat_ws skips
+        # it, so the last slot is a bare unigram — a real pair has the
+        # separator (tokens themselves can't contain spaces)
+        .filter(F.col("bigram").contains(" "))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(40)
+    )
+
+
+_ORACLE_CORPUS_BIGRAMS = f"""
+WITH tok AS (
+  SELECT doc_id, {duckdb_tokens_sql('text')} AS ts FROM documents
+), pairs AS (
+  SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bigram
+  FROM tok
+)
+SELECT bigram, COUNT(*)::BIGINT AS n
+FROM pairs
+GROUP BY bigram
+ORDER BY n DESC, bigram ASC
+LIMIT 40
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_vocab": q_corpus_vocab,
     "corpus_tfidf_terms": q_corpus_tfidf_terms,
     "corpus_sample": q_corpus_sample,
     "corpus_pack": q_corpus_pack,
+    "corpus_bigrams": q_corpus_bigrams,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -123,4 +165,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "corpus_tfidf_terms": _ORACLE_CORPUS_TFIDF,
     "corpus_sample": _ORACLE_CORPUS_SAMPLE,
     "corpus_pack": _ORACLE_CORPUS_PACK,
+    "corpus_bigrams": _ORACLE_CORPUS_BIGRAMS,
 }

@@ -1347,6 +1347,99 @@ ORDER BY o_orderpriority
 
 
 # ---------------------------------------------------------------------------
+# event analytics: retention cohorts + conversion funnel (SURVEY §2.10
+# streaming-table analytics; the shapes every event warehouse runs)
+# ---------------------------------------------------------------------------
+#
+# Both queries run on exact INTEGER microseconds: events.ts is parquet
+# TIMESTAMP(NANOS) read as a nanos BIGINT (nanosAsLong), and DuckDB
+# truncates the same column to microsecond TIMESTAMPs on read — so
+# `ts div 1000` here == `epoch_us(ts)` there, with no float division
+# (a double roundtrip of epoch nanos carries ~0.25 us error, enough to
+# flip a min-timestamp comparison).
+
+
+def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily retention cohorts: users grouped by first-seen day,
+    counted distinct at each later day offset. Two user-keyed
+    aggregates (first-seen, then activity) joined on user_id — the
+    join and both aggregates share one shuffle key."""
+    events = _read_events(spark, sf_dir)
+    day = F.expr("ts div 86400000000000")  # exact epoch-day from nanos
+    ue = events.select("user_id", day.alias("day_idx"))
+    first = ue.groupBy("user_id").agg(F.min("day_idx").alias("cohort_day"))
+    return (
+        ue.join(first, "user_id")
+        .select(
+            F.col("cohort_day").alias("cohort"),
+            (F.col("day_idx") - F.col("cohort_day")).alias("days_since"),
+            "user_id",
+        )
+        .groupBy("cohort", "days_since")
+        .agg(F.count_distinct("user_id").alias("n_users"))
+        .orderBy("cohort", "days_since")
+    )
+
+
+_ORACLE_EVENTS_RETENTION = """
+WITH ue AS (
+  SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx FROM events
+), first AS (
+  SELECT user_id, MIN(day_idx) AS cohort_day FROM ue GROUP BY user_id
+)
+SELECT cohort_day AS cohort,
+       day_idx - cohort_day AS days_since,
+       COUNT(DISTINCT ue.user_id)::BIGINT AS n_users
+FROM ue JOIN first USING (user_id)
+GROUP BY 1, 2
+ORDER BY cohort, days_since
+"""
+
+
+def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered conversion funnel view -> click -> purchase: per user,
+    the earliest timestamp of each stage; a user converts a stage only
+    if its min is strictly after the previous stage's min (loose-
+    funnel semantics, one aggregate pass — no self-joins). Exact
+    integer microseconds end to end."""
+    events = _read_events(spark, sf_dir)
+    us = F.expr("ts div 1000")
+    typed = events.select("user_id", "event_type", us.alias("us"))
+    per_user = typed.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("t_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("us"))).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias("t_buy"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & F.col("t_click").isNotNull() & (F.col("t_click") > F.col("t_view"))
+    bought = clicked & F.col("t_buy").isNotNull() & (F.col("t_buy") > F.col("t_click"))
+    return per_user.agg(
+        F.sum(viewed.cast("long")).alias("n_view"),
+        F.sum(clicked.cast("long")).alias("n_view_click"),
+        F.sum(bought.cast("long")).alias("n_view_click_buy"),
+        F.count(F.lit(1)).alias("n_users"),
+    )
+
+
+_ORACLE_EVENTS_FUNNEL = """
+WITH per_user AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS t_view,
+         MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+  FROM events
+  GROUP BY user_id
+)
+SELECT SUM((t_view IS NOT NULL)::BIGINT)::BIGINT AS n_view,
+       SUM((t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view)::BIGINT)::BIGINT AS n_view_click,
+       SUM((t_view IS NOT NULL AND t_click IS NOT NULL AND t_click > t_view
+            AND t_buy IS NOT NULL AND t_buy > t_click)::BIGINT)::BIGINT AS n_view_click_buy,
+       COUNT(*)::BIGINT AS n_users
+FROM per_user
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -1371,6 +1464,8 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "window_running_total": q_window_running_total,
     "events_tumbling": q_events_tumbling,
+    "events_retention": q_events_retention,
+    "events_funnel": q_events_funnel,
     "events_sessions": q_events_sessions,
     "salted_join_revenue": q_salted_join_revenue,
     "percentile_prices": q_percentile_prices,
@@ -1409,6 +1504,8 @@ _ORACLES: dict[str, str] = {
     "revenue_by_nation": _ORACLE_REVENUE_BY_NATION,
     "window_running_total": _ORACLE_WINDOW_RUNNING_TOTAL,
     "events_tumbling": _ORACLE_EVENTS_TUMBLING,
+    "events_retention": _ORACLE_EVENTS_RETENTION,
+    "events_funnel": _ORACLE_EVENTS_FUNNEL,
     "events_sessions": _ORACLE_EVENTS_SESSIONS,
     "salted_join_revenue": _ORACLE_SALTED_JOIN,
     "percentile_prices": _ORACLE_PERCENTILE_PRICES,

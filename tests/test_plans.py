@@ -220,3 +220,37 @@ def test_tpch_q13_left_join_keeps_zero_customers(spark, sf_dir):
     plan = _plan(q_tpch_q13(spark, sf_dir))
     assert "LeftOuter" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
+    """The SCALE.md runtime-filtering claim, proven locally: with the
+    broadcast path disabled (as it would be for two big sides) and the
+    size thresholds dropped to test scale, Spark injects a bloom
+    filter from the selective orders side into the lineitem scan —
+    the 100 TB knob that prunes the probe side before the shuffle."""
+    from pyspark.sql import functions as F
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        assert "bloom" in _plan(j).lower()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
