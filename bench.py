@@ -70,6 +70,7 @@ HEADLINE = [
     "corpus_sample",
     "corpus_pack",
     "corpus_bigrams",
+    "corpus_pipeline",
 ]
 
 

@@ -152,12 +152,101 @@ LIMIT 40
 """
 
 
+# ---------------------------------------------------------------------------
+# the flagship composition: a full training-corpus build in one plan
+# ---------------------------------------------------------------------------
+
+_QUALITY_MIN_Q16 = 11_000_000  # ~70th-percentile floor at test scale
+_PIPELINE_RATE_BP = 7000
+_PIPELINE_BUDGET = 1024
+
+
+def q_corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end corpus build: near-dup survivors (MinHash-LSH ->
+    connected components -> keep-min-id) -> quality floor -> English
+    only -> reproducible 70% sample -> 1024-token sequence packing.
+    One declarative plan: the filters are left-semi joins on doc_id,
+    the sampler is a map-side predicate, and only the dedup/packing
+    stages shuffle. The DuckDB twin chains the same stages' oracle SQL
+    as nested CTEs, so the whole pipeline is hash-checked end to end."""
+    from .operators.dedup import (
+        dedup_survivors,
+        minhash_lsh_pairs,
+        resolve_duplicates,
+    )
+    from .operators.textstats import lang_id, quality_features_exact, token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, id_col="doc_id", body_col="text")
+    comps = resolve_duplicates(pairs)
+    surv = dedup_survivors(docs, comps, id_col="doc_id")
+    qual_ok = (
+        quality_features_exact(docs, "doc_id", "text")
+        .filter(F.col("quality_q16") >= _QUALITY_MIN_Q16)
+        .select("id")
+    )
+    lang_ok = (
+        lang_id(docs, "doc_id", "text")
+        .filter(F.col("lang_pred") == "en")
+        .select("id")
+    )
+    kept = (
+        surv.join(qual_ok, surv.doc_id == qual_ok.id, "left_semi")
+        .join(lang_ok, surv.doc_id == lang_ok.id, "left_semi")
+    )
+    kept = C.stratified_sample(kept, "source", "doc_id", F.lit(_PIPELINE_RATE_BP))
+    counts = token_counts(kept, "doc_id", "text").select("id", "n_re_tokens")
+    sized = kept.join(counts, kept.doc_id == counts.id).drop("id")
+    return C.pack_sequences(
+        sized, "source", "doc_id", "n_re_tokens", budget=_PIPELINE_BUDGET
+    ).orderBy("id")
+
+
+def _oracle_corpus_pipeline() -> str:
+    from .queries_ext import _DUCK_COMPONENTS_CTES, _oracle_langid, _oracle_quality
+
+    return f"""
+WITH RECURSIVE {_DUCK_COMPONENTS_CTES},
+surv AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d
+  WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id != canonical_id)
+),
+q AS ({_oracle_quality()}),
+l AS ({_oracle_langid()}),
+kept AS (
+  SELECT s.doc_id, s.source, s.text
+  FROM surv s
+  JOIN q ON s.doc_id = q.id
+  JOIN l ON s.doc_id = l.id
+  WHERE q.quality_q16 >= {_QUALITY_MIN_Q16}
+    AND l.lang_pred = 'en'
+    AND ({C.duckdb_sample_key_sql('s.source', 's.doc_id')}) % 10000 < {_PIPELINE_RATE_BP}
+),
+sized AS (
+  SELECT doc_id, source, len({duckdb_tokens_sql('text')})::BIGINT AS n_tokens
+  FROM kept
+),
+packed AS (
+  SELECT doc_id AS id, source AS stratum, n_tokens,
+         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS "offset"
+  FROM sized
+)
+SELECT id, stratum, n_tokens, "offset",
+       CAST(FLOOR("offset" / {_PIPELINE_BUDGET}.0) AS BIGINT) AS seq_bin
+FROM packed
+ORDER BY id
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_vocab": q_corpus_vocab,
     "corpus_tfidf_terms": q_corpus_tfidf_terms,
     "corpus_sample": q_corpus_sample,
     "corpus_pack": q_corpus_pack,
     "corpus_bigrams": q_corpus_bigrams,
+    "corpus_pipeline": q_corpus_pipeline,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -166,4 +255,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "corpus_sample": _ORACLE_CORPUS_SAMPLE,
     "corpus_pack": _ORACLE_CORPUS_PACK,
     "corpus_bigrams": _ORACLE_CORPUS_BIGRAMS,
+    "corpus_pipeline": _oracle_corpus_pipeline(),
 }
