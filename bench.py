@@ -71,6 +71,8 @@ HEADLINE = [
     "corpus_pack",
     "corpus_bigrams",
     "corpus_pipeline",
+    "sketch_heavy_hitters",
+    "approx_distinct_kmv",
 ]
 
 

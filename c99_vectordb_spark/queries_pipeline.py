@@ -153,6 +153,115 @@ LIMIT 40
 
 
 # ---------------------------------------------------------------------------
+# deterministic sketches: approximate aggregates WITH oracles
+# ---------------------------------------------------------------------------
+
+
+def q_sketch_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min heavy hitters: build the (4 x 1024)-cell CMS over the
+    corpus token stream, point-query it for the 20 most frequent
+    tokens, and report estimate next to truth. The sketch hash family
+    is the repo spec, so the estimates are deterministic integers —
+    an approximate aggregate the oracle can hash-check (unlike HLL)."""
+    from .operators import sketches as SK
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sketch = SK.cms_build(docs, "text")
+    probes = C.vocab_counts(docs, "doc_id", "text", top_n=20).select("token", "tf")
+    est = SK.cms_estimate(sketch, probes, "token")
+    return (
+        probes.join(est, "token")
+        .select("token", "tf", "cms_est")
+        .orderBy(F.desc("tf"), F.asc("token"))
+    )
+
+
+def _oracle_sketch_heavy_hitters() -> str:
+    from .hashing import duckdb_token_hash_sql
+    from .operators import sketches as SK
+
+    cells = "\n  UNION ALL\n".join(
+        f"  SELECT {j} AS j, {SK.duckdb_cms_cell_sql('h', j)} AS col, COUNT(*)::BIGINT AS n"
+        f" FROM th GROUP BY 2"
+        for j in range(SK.CMS_DEPTH)
+    )
+    probe_cells = "\n  UNION ALL\n".join(
+        f"  SELECT token, tf, {j} AS j, {SK.duckdb_cms_cell_sql('ph', j)} AS col FROM probes"
+        for j in range(SK.CMS_DEPTH)
+    )
+    return f"""
+WITH tok AS (
+  SELECT unnest({duckdb_tokens_sql('text')}) AS tok FROM documents
+),
+th AS (SELECT {duckdb_token_hash_sql('tok')} AS h FROM tok),
+cms AS (
+{cells}
+),
+top_tokens AS (
+  SELECT tok AS token, COUNT(*)::BIGINT AS tf FROM tok
+  GROUP BY tok ORDER BY tf DESC, token ASC LIMIT 20
+),
+probes AS (
+  SELECT token, tf, {duckdb_token_hash_sql('token')} AS ph FROM top_tokens
+),
+pc AS (
+{probe_cells}
+)
+SELECT pc.token, pc.tf, MIN(COALESCE(cms.n, 0))::BIGINT AS cms_est
+FROM pc LEFT JOIN cms ON pc.j = cms.j AND pc.col = cms.col
+GROUP BY pc.token, pc.tf
+ORDER BY tf DESC, token ASC
+"""
+
+
+def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct-fingerprint estimate per language: the oracle-able
+    replacement for HLL approx_count_distinct — same mergeable-sketch
+    scale story, deterministic integer estimates."""
+    from .operators.sketches import kmv_distinct
+    from .operators.textstats import fingerprints
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fps = fingerprints(docs, "doc_id", "text")
+    with_lang = docs.select("doc_id", "lang").join(
+        fps, docs.doc_id == fps.id
+    )
+    return kmv_distinct(with_lang, "lang", "fp").orderBy("grp")
+
+
+def _oracle_approx_distinct_kmv() -> str:
+    from .hashing import HASH_MOD, duckdb_token_hash_sql
+    from .operators.sketches import KMV_K, KMV_MIX_A
+    from .queries_ext import _NORM_TEXT
+
+    k = KMV_K
+    return f"""
+WITH fp AS (
+  SELECT lang AS grp, {duckdb_token_hash_sql(_NORM_TEXT)} AS fpv FROM documents
+),
+hashed AS (
+  SELECT DISTINCT grp,
+         (({duckdb_token_hash_sql('CAST(fpv AS VARCHAR)')}) * {KMV_MIX_A}) % {HASH_MOD} AS h
+  FROM fp
+),
+ranked AS (
+  SELECT grp, h, ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h) AS rn FROM hashed
+),
+per_grp AS (
+  SELECT grp, COUNT(*)::BIGINT AS n_distinct,
+         MAX(CASE WHEN rn = {k} THEN h END) AS h_k
+  FROM ranked GROUP BY grp
+)
+SELECT grp, n_distinct,
+       CASE WHEN h_k IS NOT NULL
+            THEN FLOOR({(k - 1) * HASH_MOD} / h_k)::BIGINT
+            ELSE n_distinct END AS kmv_est
+FROM per_grp
+ORDER BY grp
+"""
+
+
+# ---------------------------------------------------------------------------
 # the flagship composition: a full training-corpus build in one plan
 # ---------------------------------------------------------------------------
 
@@ -247,6 +356,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pack": q_corpus_pack,
     "corpus_bigrams": q_corpus_bigrams,
     "corpus_pipeline": q_corpus_pipeline,
+    "sketch_heavy_hitters": q_sketch_heavy_hitters,
+    "approx_distinct_kmv": q_approx_distinct_kmv,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -256,4 +367,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "corpus_pack": _ORACLE_CORPUS_PACK,
     "corpus_bigrams": _ORACLE_CORPUS_BIGRAMS,
     "corpus_pipeline": _oracle_corpus_pipeline(),
+    "sketch_heavy_hitters": _oracle_sketch_heavy_hitters(),
+    "approx_distinct_kmv": _oracle_approx_distinct_kmv(),
 }

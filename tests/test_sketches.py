@@ -1,0 +1,65 @@
+"""Deterministic sketches: CMS/KMV invariants and merge laws."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from c99_vectordb_spark.operators import sketches as SK
+from c99_vectordb_spark.operators.corpus import vocab_counts
+
+
+def test_cms_estimate_dominates_truth(spark, documents):
+    """Count-Min never underestimates, and at this width it is exact
+    for most heavy hitters."""
+    sketch = SK.cms_build(documents, "text")
+    probes = vocab_counts(documents, "doc_id", "text", top_n=30).select("token", "tf")
+    est = SK.cms_estimate(sketch, probes, "token")
+    rows = probes.join(est, "token").collect()
+    assert len(rows) == 30
+    assert all(r.cms_est >= r.tf for r in rows)
+
+
+def test_cms_merges_additively(spark, documents):
+    """sketch(A) + sketch(B) == sketch(A ∪ B) cell by cell — the
+    map-side-combine property that makes the sketch a Spark aggregate."""
+    a = documents.filter(F.col("doc_id") % 2 == 0)
+    b = documents.filter(F.col("doc_id") % 2 == 1)
+    merged = (
+        SK.cms_build(a, "text")
+        .unionByName(SK.cms_build(b, "text"))
+        .groupBy("j", "col")
+        .agg(F.sum("n").alias("n"))
+    )
+    full = SK.cms_build(documents, "text")
+    diff = merged.join(full, ["j", "col"], "full").filter(
+        F.coalesce(merged["n"], F.lit(0)) != F.coalesce(full["n"], F.lit(0))
+    )
+    assert diff.count() == 0
+
+
+def test_kmv_estimate_paths(spark, documents):
+    """Groups under k report exactly; groups over k report the KMV
+    formula within a sane error band (deterministic, so the band is a
+    fixed fact about this data, not a flaky tolerance)."""
+    df = documents.select("lang", F.col("doc_id").cast("string").alias("v"))
+    out = {r.grp: r for r in SK.kmv_distinct(df, "lang", "v").collect()}
+    for grp, r in out.items():
+        if r.n_distinct < SK.KMV_K:
+            assert r.kmv_est == r.n_distinct, grp
+        else:
+            assert 0.5 * r.n_distinct <= r.kmv_est <= 2.0 * r.n_distinct, (
+                grp,
+                r.n_distinct,
+                r.kmv_est,
+            )
+
+
+def test_kmv_merge_by_union(spark, documents):
+    """KMV merges by unioning value sets — estimating the union of two
+    shards equals estimating the whole."""
+    df = documents.select("lang", F.col("doc_id").cast("string").alias("v"))
+    a = df.filter(F.col("v").cast("long") % 2 == 0)
+    b = df.filter(F.col("v").cast("long") % 2 == 1)
+    merged = SK.kmv_distinct(a.unionByName(b), "lang", "v")
+    full = SK.kmv_distinct(df, "lang", "v")
+    assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
