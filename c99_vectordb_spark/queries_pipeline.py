@@ -261,6 +261,23 @@ ORDER BY grp
 """
 
 
+def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantized ANN with exact re-ranking (operators/pq.py):
+    train m=16 x 16-centroid codebooks, encode map-only, ADC-shortlist
+    40 candidates per query, exact re-rank to top-10. No oracle —
+    KMeans codebooks are engine-specific; the ADC==reconstruction
+    identity and recall floors are covered by tests/test_pq.py."""
+    from .operators.pq import pq_encode, pq_search_refined, pq_train
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    model = pq_train(emb, dim=64, m=16, ksub=16)
+    codes = pq_encode(emb, model)
+    qvec = [float(x) for x in emb.filter(F.col("id") == 7).collect()[0].vec]
+    return pq_search_refined(codes, emb, model, qvec, k=10, rerank=40)
+
+
 # ---------------------------------------------------------------------------
 # the flagship composition: a full training-corpus build in one plan
 # ---------------------------------------------------------------------------
@@ -358,6 +375,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pipeline": q_corpus_pipeline,
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "approx_distinct_kmv": q_approx_distinct_kmv,
+    "sim_pq": q_sim_pq,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
