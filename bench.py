@@ -73,6 +73,7 @@ HEADLINE = [
     "corpus_pipeline",
     "sketch_heavy_hitters",
     "approx_distinct_kmv",
+    "null_semantics",
 ]
 
 

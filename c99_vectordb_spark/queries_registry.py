@@ -1346,6 +1346,60 @@ ORDER BY o_orderpriority
 """
 
 
+def q_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL three-valued logic tour over a derived nullable column:
+    count(*) vs count(col) vs count(distinct col), null-safe equality
+    (Spark <=> == DuckDB IS NOT DISTINCT FROM), TRUE-OR-UNKNOWN /
+    FALSE-AND-UNKNOWN, the NOT IN + NULL trap, and FILTER-style
+    conditional counting. One scan, one one-row aggregate — the point
+    is semantic parity, not plan shape."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    x = F.nullif(F.col("o_orderstatus"), F.lit("O"))  # NULL for ~half the rows
+    big = F.col("o_totalprice") > 100000
+    d = orders.select(
+        x.alias("x"),
+        big.alias("big"),
+        F.col("o_orderstatus").alias("st"),
+    )
+    big = F.col("big")
+    return d.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.count("x").alias("n_x_nonnull"),
+        F.count_distinct("x").alias("n_x_distinct"),
+        F.sum(F.col("x").eqNullSafe(F.lit(None).cast("string")).cast("long")).alias(
+            "n_nullsafe_eq_null"
+        ),
+        # TRUE OR UNKNOWN = TRUE; (x='F') is UNKNOWN on NULL rows
+        F.sum((big | (F.col("x") == "F")).cast("long")).alias("n_true_or_unknown"),
+        # FALSE AND UNKNOWN = FALSE -> never counts on NULL rows
+        F.sum((~big & (F.col("x") == "F")).cast("long")).alias("n_false_and_unknown"),
+        # NOT IN over a list containing NULL is never TRUE (UNKNOWN):
+        # st NOT IN ('F', x) — on x-NULL rows the comparison is UNKNOWN
+        F.sum((~F.col("st").isin(F.lit("F"), F.col("x"))).cast("long")).alias(
+            "n_not_in_with_null"
+        ),
+        F.count(F.when(F.col("x").isNull() & big, 1)).alias("n_filtered"),
+    )
+
+
+_ORACLE_NULL_SEMANTICS = """
+SELECT COUNT(*)::BIGINT AS n_rows,
+       COUNT(x)::BIGINT AS n_x_nonnull,
+       COUNT(DISTINCT x)::BIGINT AS n_x_distinct,
+       SUM((x IS NOT DISTINCT FROM NULL)::BIGINT)::BIGINT AS n_nullsafe_eq_null,
+       SUM((big OR x = 'F')::BIGINT)::BIGINT AS n_true_or_unknown,
+       SUM((NOT big AND x = 'F')::BIGINT)::BIGINT AS n_false_and_unknown,
+       SUM((st NOT IN ('F', x))::BIGINT)::BIGINT AS n_not_in_with_null,
+       COUNT(*) FILTER (WHERE x IS NULL AND big)::BIGINT AS n_filtered
+FROM (
+  SELECT NULLIF(o_orderstatus, 'O') AS x,
+         o_totalprice > 100000 AS big,
+         o_orderstatus AS st
+  FROM orders
+) d
+"""
+
+
 # ---------------------------------------------------------------------------
 # event analytics: retention cohorts + conversion funnel (SURVEY §2.10
 # streaming-table analytics; the shapes every event warehouse runs)
@@ -1464,6 +1518,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "revenue_by_nation": q_revenue_by_nation,
     "window_running_total": q_window_running_total,
     "events_tumbling": q_events_tumbling,
+    "null_semantics": q_null_semantics,
     "events_retention": q_events_retention,
     "events_funnel": q_events_funnel,
     "events_sessions": q_events_sessions,
@@ -1504,6 +1559,7 @@ _ORACLES: dict[str, str] = {
     "revenue_by_nation": _ORACLE_REVENUE_BY_NATION,
     "window_running_total": _ORACLE_WINDOW_RUNNING_TOTAL,
     "events_tumbling": _ORACLE_EVENTS_TUMBLING,
+    "null_semantics": _ORACLE_NULL_SEMANTICS,
     "events_retention": _ORACLE_EVENTS_RETENTION,
     "events_funnel": _ORACLE_EVENTS_FUNNEL,
     "events_sessions": _ORACLE_EVENTS_SESSIONS,

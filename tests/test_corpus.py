@@ -105,3 +105,73 @@ def test_stratified_sample_is_stream_native(spark, documents, tmp_path):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: corpus operators vs plain-Python references
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_sizes = st.lists(
+    st.tuples(
+        st.sampled_from(["a", "b", "c"]),          # stratum
+        st.integers(min_value=0, max_value=50),    # n_tokens
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(rows=_sizes, budget=st.sampled_from([1, 7, 32]))
+def test_pack_sequences_matches_python_reference(spark, rows, budget):
+    data = [(i, s, n) for i, (s, n) in enumerate(rows)]
+    df = spark.createDataFrame(data, "id LONG, src STRING, nt LONG")
+    got = {
+        r.id: (r.offset, r.seq_bin)
+        for r in C.pack_sequences(df, "src", "id", "nt", budget).collect()
+    }
+    # python reference: per-stratum running offset in id order
+    want = {}
+    run: dict[str, int] = {}
+    for i, s, n in sorted(data):
+        off = run.get(s, 0)
+        want[i] = (off, off // budget)
+        run[s] = off + n
+    assert got == want
+
+
+_texts = st.lists(
+    st.text(alphabet="ab1 _.", min_size=0, max_size=30), min_size=1, max_size=12
+)
+
+
+@settings(
+    max_examples=20,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(texts=_texts)
+def test_vocab_counts_match_python_reference(spark, texts):
+    import re
+    from collections import Counter
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    got = {
+        r.token: (r.tf, r.df) for r in C.vocab_counts(df, "doc_id", "text").collect()
+    }
+    tf: Counter = Counter()
+    dfc: Counter = Counter()
+    for t in texts:
+        toks = re.findall(r"[a-z0-9_]+", t.lower())
+        tf.update(toks)
+        dfc.update(set(toks))
+    assert got == {tok: (tf[tok], dfc[tok]) for tok in tf}

@@ -254,3 +254,21 @@ def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
+    """AQE's runtime partition coalescing, observed in an executed
+    plan: a small aggregate shuffled across the full configured
+    partition count collapses to fewer post-shuffle partitions — the
+    knob that keeps 100 TB plans from drowning in tiny tasks when a
+    filter makes a stage small."""
+    from pyspark.sql import functions as F
+
+    df = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    df.collect()  # adaptive plans finalize on execution
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "AQEShuffleRead" in plan and "coalesced" in plan

@@ -63,3 +63,30 @@ def test_kmv_merge_by_union(spark, documents):
     merged = SK.kmv_distinct(a.unionByName(b), "lang", "v")
     full = SK.kmv_distinct(df, "lang", "v")
     assert sorted(map(tuple, merged.collect())) == sorted(map(tuple, full.collect()))
+
+
+def test_cms_is_a_streaming_aggregate(spark, documents, tmp_path):
+    """The sketch build is an ordinary groupBy aggregate, so it runs
+    unchanged as a streaming complete-mode query — the final sketch
+    equals the batch sketch cell for cell (mergeable partials are
+    exactly what Structured Streaming maintains as state)."""
+    import os
+
+    src = str(tmp_path / "src")
+    documents.select("doc_id", "text").coalesce(2).write.parquet(src)
+    stream = spark.readStream.schema("doc_id LONG, text STRING").parquet(src)
+    q = (
+        SK.cms_build(stream, "text")
+        .writeStream.format("memory")
+        .queryName("cms_stream")
+        .outputMode("complete")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.j, r.col): r.n for r in spark.sql("SELECT * FROM cms_stream").collect()
+    }
+    want = {(r.j, r.col): r.n for r in SK.cms_build(documents, "text").collect()}
+    assert got == want
