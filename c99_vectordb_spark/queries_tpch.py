@@ -694,6 +694,381 @@ WHERE p_brand = 'Brand#12'
 """
 
 
+# ---------------------------------------------------------------------------
+# Q2 shape: correlated scalar-min subquery (min-cost supplier per part)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Min-cost European supplier per SMALL part. partsupp is absent
+    from the testdata, so the (part, supplier) offer table is derived
+    from lineitem (cost = MIN extendedprice per pair) — the Q2 topology
+    is intact: region-restricted offers, a correlated per-part MIN
+    (rewritten as aggregate + equi-join back on the exact decimal
+    cost), then dim decoration and top-100. supplier/nation/region and
+    the filtered part side all broadcast; the offers aggregate is the
+    one shuffle and carries only (partkey, suppkey, cost)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    offers = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.min(_dec("l_extendedprice")).alias("cost")
+    )
+    europe = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        ).select("n_nationkey", "n_name")
+    )
+    rps = offers.join(
+        F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey")
+    ).join(F.broadcast(europe), F.col("s_nationkey") == F.col("n_nationkey"))
+    minc = rps.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.min("cost").alias("mincost")
+    )
+    return (
+        rps.join(minc, (F.col("l_partkey") == F.col("pk")) & (F.col("cost") == F.col("mincost")))
+        .join(
+            F.broadcast(
+                part.filter((F.col("p_size") <= 15) & (F.col("p_type") == "SMALL"))
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .select(
+            F.round("s_acctbal", 2).alias("acctbal"),
+            F.col("s_name").alias("name"),
+            F.col("n_name").alias("nation"),
+            F.col("p_partkey").alias("partkey"),
+            "p_name",
+        )
+        .orderBy(F.desc("acctbal"), F.asc("nation"), F.asc("name"), F.asc("partkey"))
+        .limit(100)
+    )
+
+
+_ORACLE_TPCH_Q2 = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, MIN(CAST(l_extendedprice AS DECIMAL(18,4))) AS cost
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+),
+rps AS (
+  SELECT l_partkey, cost, s_name, s_acctbal, n_name
+  FROM offers
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+),
+minc AS (SELECT l_partkey AS pk, MIN(cost) AS mincost FROM rps GROUP BY l_partkey)
+SELECT ROUND(s_acctbal, 2) AS acctbal, s_name AS name, n_name AS nation,
+       p_partkey AS partkey, p_name
+FROM rps
+JOIN minc ON l_partkey = pk AND cost = mincost
+JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 15 AND p_type = 'SMALL'
+ORDER BY acctbal DESC, nation ASC, name ASC, partkey ASC
+LIMIT 100
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q9 shape: 5-way join, profit by (supplier nation, order year)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit on '%bolt%' parts by supplier nation and order year. The
+    real Q9 cost term is ps_supplycost * l_quantity; without partsupp
+    the cost proxy is p_retailprice * l_quantity — the same
+    lineitem-side expression over a broadcast part column, keeping the
+    join topology (part + supplier + nation broadcast, lineitem<->
+    orders the one shuffle) and the (nation, year DESC) grouping. All
+    money math is exact decimal; cast to double only at the end."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    amount = _rev() - _dec("p_retailprice") * _dec("l_quantity")
+    return (
+        li.join(
+            F.broadcast(part.filter(F.col("p_name").like("%bolt%"))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy(F.asc("nation"), F.desc("o_year"))
+    )
+
+
+_ORACLE_TPCH_Q9 = """
+SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+FROM (
+  SELECT n_name AS nation, EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
+         CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
+           - CAST(p_retailprice AS DECIMAL(18,4)) * CAST(l_quantity AS DECIMAL(18,4)) AS amount
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%bolt%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation ASC, o_year DESC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q11 shape: group-by HAVING vs a global-scalar threshold
+# ---------------------------------------------------------------------------
+
+def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose value (sum of extendedprice shipped by NATION_3
+    suppliers) exceeds 1/1000 of the nation's total. The global scalar
+    lands via a broadcast cross-join of a 1-row aggregate; the
+    fraction compare is cross-multiplied (value * 1000 > total) so
+    both engines compare exact decimals — no FP threshold flakiness.
+    The per-part aggregate is computed once and reused for both sides
+    (Spark caches the plan subtree; the shuffle carries (partkey,
+    partial-sum) only)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    nat_supp = supp.join(
+        F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+        F.col("s_nationkey") == F.col("n_nationkey"),
+    ).select("s_suppkey")
+    val = (
+        li.join(F.broadcast(nat_supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("l_partkey").alias("partkey"))
+        .agg(F.sum(_dec("l_extendedprice")).alias("val"))
+    )
+    total = val.agg(F.sum("val").alias("total"))
+    return (
+        val.crossJoin(F.broadcast(total))
+        .filter(F.col("val") * 1000 > F.col("total"))
+        .select("partkey", F.col("val").cast("double").alias("value"))
+        .orderBy(F.desc("value"), F.asc("partkey"))
+    )
+
+
+_ORACLE_TPCH_Q11 = """
+WITH val AS (
+  SELECT l_partkey AS partkey, SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_3'
+  GROUP BY l_partkey
+)
+SELECT partkey, CAST(val AS DOUBLE) AS value
+FROM val
+WHERE val * 1000 > (SELECT SUM(val) FROM val)
+ORDER BY value DESC, partkey ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q16 shape: NOT IN exclusion + COUNT DISTINCT per part attribute
+# ---------------------------------------------------------------------------
+
+def q_tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct supplier counts per (brand, type, size) over the
+    lineitem bridge, excluding low-balance suppliers (the testdata's
+    stand-in for Q16's complaint-comment NOT IN). The NOT IN becomes a
+    broadcast left-anti join on the supplier key (keys are non-null so
+    the semantics coincide); COUNT(DISTINCT) shuffles only the
+    (brand, type, size, suppkey) tuple."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    sizes = [1, 5, 11, 15, 23, 28, 37, 42]
+    excluded = supp.filter(F.col("s_acctbal") < 500).select("s_suppkey")
+    return (
+        li.join(
+            F.broadcast(
+                part.filter(
+                    (F.col("p_brand") != "Brand#12") & F.col("p_size").isin(sizes)
+                )
+            ),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(
+            F.broadcast(excluded), F.col("l_suppkey") == F.col("s_suppkey"), "left_anti"
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(
+            F.desc("supplier_cnt"), F.asc("p_brand"), F.asc("p_type"), F.asc("p_size")
+        )
+    )
+
+
+_ORACLE_TPCH_Q16 = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey)::BIGINT AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#12'
+  AND p_size IN (1, 5, 11, 15, 23, 28, 37, 42)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 500)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand ASC, p_type ASC, p_size ASC
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q20 shape: nested IN subqueries with a correlated-aggregate threshold
+# ---------------------------------------------------------------------------
+
+def q_tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers that shipped more than half of a 'small%' part's 1996
+    volume (the availqty > 0.5*sum threshold of the real Q20, with the
+    per-(supplier, part) shipped quantity standing in for availqty).
+    The correlated half-of-total compare is cross-multiplied into
+    exact decimals (sq * 2 > tq); the parts IN-list is a broadcast
+    semi-join; the supplier IN becomes a broadcast semi-join on the
+    distinct qualifying supplier keys."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    window = li.filter(
+        (F.col("l_shipdate") >= _ts("1996-01-01"))
+        & (F.col("l_shipdate") < _ts("1997-01-01"))
+    ).join(
+        F.broadcast(part.filter(F.col("p_name").like("small%")).select("p_partkey")),
+        F.col("l_partkey") == F.col("p_partkey"),
+        "left_semi",
+    )
+    sp = window.groupBy("l_suppkey", "l_partkey").agg(
+        F.sum(_dec("l_quantity")).alias("sq")
+    )
+    tp = window.groupBy(F.col("l_partkey").alias("pk2")).agg(
+        F.sum(_dec("l_quantity")).alias("tq")
+    )
+    qualifying = (
+        sp.join(tp, F.col("l_partkey") == F.col("pk2"))
+        .filter(F.col("sq") * 2 > F.col("tq"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(
+            F.broadcast(qualifying), F.col("s_suppkey") == F.col("l_suppkey"), "left_semi"
+        )
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .select(F.col("s_name").alias("name"), F.col("n_name").alias("nation"))
+        .orderBy("name")
+    )
+
+
+_ORACLE_TPCH_Q20 = """
+SELECT s_name AS name, n_name AS nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT sk FROM (
+    SELECT l_suppkey AS sk, l_partkey AS pk, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS sq
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    GROUP BY l_suppkey, l_partkey
+  ) sp
+  JOIN (
+    SELECT l_partkey AS pk2, SUM(CAST(l_quantity AS DECIMAL(18,4))) AS tq
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+    GROUP BY l_partkey
+  ) tp ON pk = pk2
+  WHERE sq * 2 > tq
+)
+ORDER BY name
+"""
+
+
+# ---------------------------------------------------------------------------
+# Q21 shape: EXISTS + NOT EXISTS self-joins (waiting suppliers)
+# ---------------------------------------------------------------------------
+
+def q_tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers whose late line (shipped >60 days after order date on
+    a finished order) was the ONLY late line of a multi-supplier
+    order. l_receiptdate/l_commitdate are absent, so "late" is the
+    repo's established ship-lag predicate (same as the Q4 adaptation).
+    EXISTS -> left-semi self-join on the order key with a
+    different-supplier conjunct; NOT EXISTS over the late set ->
+    left-anti self-join; supplier decorates after, broadcast. The
+    late set is renamed-column projected so the self-joins are
+    unambiguous (no Spark same-lineage ambiguity)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    supp = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    late = (
+        li.join(
+            orders.filter(F.col("o_orderstatus") == "F"),
+            (F.col("l_orderkey") == F.col("o_orderkey"))
+            & (F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)),
+        ).select("l_orderkey", "l_suppkey")
+    )
+    others = li.select(
+        F.col("l_orderkey").alias("ok2"), F.col("l_suppkey").alias("sk2")
+    )
+    late_others = late.select(
+        F.col("l_orderkey").alias("ok3"), F.col("l_suppkey").alias("sk3")
+    )
+    waiting = (
+        late.join(
+            others,
+            (F.col("l_orderkey") == F.col("ok2")) & (F.col("l_suppkey") != F.col("sk2")),
+            "left_semi",
+        ).join(
+            late_others,
+            (F.col("l_orderkey") == F.col("ok3")) & (F.col("l_suppkey") != F.col("sk3")),
+            "left_anti",
+        )
+    )
+    return (
+        waiting.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(F.col("s_name").alias("name"))
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), F.asc("name"))
+        .limit(100)
+    )
+
+
+_ORACLE_TPCH_Q21 = """
+WITH late AS (
+  SELECT l_orderkey, l_suppkey
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+    AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+)
+SELECT s_name AS name, COUNT(*)::BIGINT AS numwait
+FROM late l1
+JOIN supplier ON l1.l_suppkey = s_suppkey
+WHERE EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM late l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+  )
+GROUP BY s_name
+ORDER BY numwait DESC, name ASC
+LIMIT 100
+"""
+
+
 TPCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q4": q_tpch_q4,
     "tpch_q5": q_tpch_q5,
@@ -708,6 +1083,12 @@ TPCH_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "tpch_q13": q_tpch_q13,
     "tpch_q15": q_tpch_q15,
     "tpch_q17": q_tpch_q17,
+    "tpch_q2": q_tpch_q2,
+    "tpch_q9": q_tpch_q9,
+    "tpch_q11": q_tpch_q11,
+    "tpch_q16": q_tpch_q16,
+    "tpch_q20": q_tpch_q20,
+    "tpch_q21": q_tpch_q21,
 }
 
 TPCH_ORACLES: dict[str, str] = {
@@ -724,4 +1105,10 @@ TPCH_ORACLES: dict[str, str] = {
     "tpch_q13": _ORACLE_TPCH_Q13,
     "tpch_q15": _ORACLE_TPCH_Q15,
     "tpch_q17": _ORACLE_TPCH_Q17,
+    "tpch_q2": _ORACLE_TPCH_Q2,
+    "tpch_q9": _ORACLE_TPCH_Q9,
+    "tpch_q11": _ORACLE_TPCH_Q11,
+    "tpch_q16": _ORACLE_TPCH_Q16,
+    "tpch_q20": _ORACLE_TPCH_Q20,
+    "tpch_q21": _ORACLE_TPCH_Q21,
 }

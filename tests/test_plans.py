@@ -222,6 +222,39 @@ def test_tpch_q13_left_join_keeps_zero_customers(spark, sf_dir):
     assert "CartesianProduct" not in plan
 
 
+def test_tpch_q2_min_cost_no_cartesian(spark, sf_dir):
+    """Q2's correlated min rejoins on (partkey, exact decimal cost) —
+    broadcast dims, no cartesian, and the filtered part side reaches
+    the scan as pushed filters."""
+    from c99_vectordb_spark.queries_tpch import q_tpch_q2
+
+    plan = _plan(q_tpch_q2(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "EqualTo(p_type,SMALL)" in plan  # part filter pushed to scan
+
+
+def test_tpch_q21_semi_anti_self_joins(spark, sf_dir):
+    """Q21: EXISTS -> LeftSemi, NOT EXISTS -> LeftAnti, supplier
+    broadcast, no cartesian."""
+    from c99_vectordb_spark.queries_tpch import q_tpch_q21
+
+    plan = _plan(q_tpch_q21(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q11_scalar_total_broadcasts(spark, sf_dir):
+    """Q11's global scalar is a 1-row broadcast (nested-loop on a
+    literal-true condition), not a shuffled cross."""
+    from c99_vectordb_spark.queries_tpch import q_tpch_q11
+
+    plan = _plan(q_tpch_q11(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_runtime_bloom_filter_injects_on_shuffle_join(spark, sf_dir):
     """The SCALE.md runtime-filtering claim, proven locally: with the
     broadcast path disabled (as it would be for two big sides) and the
