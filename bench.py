@@ -87,18 +87,27 @@ def main() -> None:
     # warm the JVM + parquet footer caches with one cheap action
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
+    # Fault-isolated per query: one broken query must not abort the run
+    # or lose the other timings — errors are recorded per name and the
+    # JSON line is always emitted (errored queries excluded from total).
     timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs.get(name)
         if fn is None:
             continue
         best = None
-        for _ in range(2):  # min of 2: excludes one-time JVM/UDF warmup
-            t0 = time.time()
-            fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-            dt = time.time() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
+        try:
+            for _ in range(2):  # min of 2: excludes one-time JVM/UDF warmup
+                t0 = time.time()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                dt = time.time() - t0
+                best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        except Exception as exc:  # noqa: BLE001 — keep benching the rest
+            msg = f"{type(exc).__name__}: {exc}"
+            errors[name] = msg[:500]
+            print(f"bench: {name} FAILED: {errors[name]}", file=sys.stderr)
 
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -108,8 +117,13 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else SF_DIR,
     }
+    if errors:
+        out["errors"] = errors
     print(json.dumps(out))
     spark.stop()
+    # rc stays 0 even with per-query errors: the JSON line (with its
+    # "errors" field) is the contract; a nonzero rc would make the
+    # driver discard the partial timings (that was the r2 failure mode)
 
 
 if __name__ == "__main__":

@@ -7,7 +7,7 @@ handling (/root/reference/memo_cli.py:138-143,160).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..model import HASH_BASE, HASH_MOD
 
@@ -48,7 +48,28 @@ def string_hash(c: Column) -> Column:
     return token_hash(c)
 
 
-def ts_from_nanos(c: Column) -> Column:
-    """TIMESTAMP from a BIGINT-nanos column (events.ts is parquet
-    TIMESTAMP(NANOS), which the session reads as long — session.py)."""
-    return F.timestamp_micros((c / F.lit(1000)).cast("long"))
+def normalize_event_time(df: "DataFrame") -> "DataFrame":
+    """Normalize the events table's ``ts`` column across driver testdata
+    vintages to two canonical columns every downstream consumer uses:
+
+      ``ts``     TIMESTAMP_NTZ  (microsecond precision, for windowing)
+      ``ts_us``  BIGINT         (exact epoch microseconds, for integer math)
+
+    Vintages observed: parquet TIMESTAMP(NANOS), which Spark reads only
+    as BIGINT nanos under ``spark.sql.legacy.parquet.nanosAsLong``; and
+    native micros TIMESTAMP, which Spark resolves as TIMESTAMP_NTZ.
+    Both integer paths are exact: nanos use integer floor-division (a
+    double roundtrip of epoch nanos carries ~0.25 us error, enough to
+    flip a min-timestamp comparison), and the NTZ<->epoch casts are
+    exact only because the session timezone is pinned UTC (session.py),
+    which also makes ``ts_us`` equal DuckDB's ``epoch_us(ts)``.
+    """
+    dt = dict(df.dtypes).get("ts")
+    if dt == "bigint":  # TIMESTAMP(NANOS)-as-long vintage
+        return df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+            "ts", F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz")
+        )
+    ntz = F.col("ts").cast("timestamp_ntz")
+    return df.withColumn("ts_us", F.unix_micros(ntz.cast("timestamp"))).withColumn(
+        "ts", ntz
+    )

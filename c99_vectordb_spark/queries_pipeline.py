@@ -279,6 +279,150 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# PQ with PINNED codebooks: the oracle-able twin of sim_pq
+# ---------------------------------------------------------------------------
+#
+# sim_pq's KMeans codebooks are engine-specific, so it can only be
+# rows-only checked. This variant pins deterministic codebooks from a
+# closed-form formula and evaluates encode (per-subspace argmin) and
+# ADC scoring as plain expressions whose floating-point evaluation
+# ORDER is identical in Spark and DuckDB (left-associated sums of
+# (v-c)^2 over float->double-widened elements), so every score is
+# bit-identical across engines and the full top-k hash-matches.
+# Production keeps the trained path (operators/pq.py: map-only Arrow
+# encode); this query exists to pin the ADC semantics end to end.
+
+_PQF_M, _PQF_DSUB, _PQF_KSUB = 8, 8, 16  # dim 64 = 8 subspaces x 8 dims
+
+
+def _pqf_codebooks() -> list[list[list[float]]]:
+    """C[j][i][t] = ((7i + 3t + 5j) mod 19 - 9)/10 — deterministic,
+    distinct-per-subspace centroids in the same [-0.9, 0.9] range as
+    the synthetic embeddings."""
+    return [
+        [
+            [((7 * i + 3 * t + 5 * j) % 19 - 9) / 10.0 for t in range(_PQF_DSUB)]
+            for i in range(_PQF_KSUB)
+        ]
+        for j in range(_PQF_M)
+    ]
+
+
+def _pqf_query_vec() -> list[float]:
+    """Same deterministic 64-d query the exact-KNN queries use."""
+    return [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+
+
+def _pqf_lut() -> list[list[float]]:
+    """Driver-side ADC lookup table (python floats embedded as literals
+    in BOTH engines, so they agree bit-for-bit by construction)."""
+    q = _pqf_query_vec()
+    lut = []
+    for j, book in enumerate(_pqf_codebooks()):
+        sub = q[j * _PQF_DSUB : (j + 1) * _PQF_DSUB]
+        lut.append(
+            [sum((x - y) * (x - y) for x, y in zip(sub, c)) for c in book]
+        )
+    return lut
+
+
+def q_sim_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ encode + ADC top-10 with pinned codebooks, fully JVM-side:
+    one projection computes all m per-subspace distance arrays, argmin
+    codes (array_position of array_min — first-index tie rule, same as
+    DuckDB list_position), and the LUT-sum score; then
+    TakeOrderedAndProject. Map-only until the final top-k — the same
+    plan shape as exact KNN, which is the point of PQ at scale: the
+    scan touches m-byte codes, not 64 floats."""
+    import functools
+    import operator as op
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    books = _pqf_codebooks()
+    lut = _pqf_lut()
+
+    def sq_dist(j: int, cent: list[float]):
+        terms = [
+            (F.col("embedding").getItem(j * _PQF_DSUB + t).cast("double") - F.lit(c))
+            * (F.col("embedding").getItem(j * _PQF_DSUB + t).cast("double") - F.lit(c))
+            for t, c in enumerate(cent)
+        ]
+        return functools.reduce(op.add, terms)  # left-assoc, no initial 0
+
+    code_cols = []
+    contribs = []
+    for j in range(_PQF_M):
+        dists = F.array(*[sq_dist(j, c) for c in books[j]])
+        code = F.array_position(dists, F.array_min(dists))  # 1-based long
+        code_cols.append(code.cast("int").alias(f"_c{j}"))
+        contribs.append(
+            F.element_at(F.array(*[F.lit(v) for v in lut[j]]), F.col(f"_c{j}"))
+        )
+    coded = emb.select("vec_id", *code_cols)
+    score = functools.reduce(op.add, contribs)
+    codes_str = F.concat_ws(
+        "-", *[F.col(f"_c{j}").cast("string") for j in range(_PQF_M)]
+    )
+    return (
+        coded.select(
+            "vec_id", codes_str.alias("codes"), score.alias("adc_score")
+        )
+        .orderBy(F.asc("adc_score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _oracle_sim_pq_fixed() -> str:
+    """Unrolled DuckDB twin: identical literals, identical left-assoc
+    float order, list_position(list_min) argmin, list-literal LUT."""
+    books = _pqf_codebooks()
+    lut = _pqf_lut()
+
+    def sq_dist_sql(j: int, cent: list[float]) -> str:
+        return " + ".join(
+            f"(embedding[{j * _PQF_DSUB + t + 1}]::DOUBLE - {c!r})"
+            f" * (embedding[{j * _PQF_DSUB + t + 1}]::DOUBLE - {c!r})"
+            for t, c in enumerate(cent)
+        )
+
+    dist_lists = ",\n         ".join(
+        "[" + ", ".join(sq_dist_sql(j, c) for c in books[j]) + f"] AS d{j}"
+        for j in range(_PQF_M)
+    )
+    code_cols = ",\n         ".join(
+        f"list_position(d{j}, list_min(d{j}))::INT AS c{j}" for j in range(_PQF_M)
+    )
+    # bare numeric literals are DECIMAL in DuckDB, and its
+    # DECIMAL->DOUBLE cast (value / 10^scale) is not always correctly
+    # rounded for high-scale values — a VARCHAR->DOUBLE cast is, and
+    # round-trips Python's repr exactly, so every LUT cell is the same
+    # IEEE double Spark's F.lit carries
+    lut_terms = " + ".join(
+        "([" + ", ".join(f"'{v!r}'::DOUBLE" for v in lut[j]) + f"])[c{j}]"
+        for j in range(_PQF_M)
+    )
+    codes_concat = ", ".join(f"c{j}" for j in range(_PQF_M))
+    return f"""
+WITH d AS (
+  SELECT vec_id,
+         {dist_lists}
+  FROM embeddings
+),
+c AS (
+  SELECT vec_id,
+         {code_cols}
+  FROM d
+)
+SELECT vec_id,
+       concat_ws('-', {codes_concat}) AS codes,
+       {lut_terms} AS adc_score
+FROM c
+ORDER BY adc_score ASC, vec_id ASC
+LIMIT 10
+"""
+
+
+# ---------------------------------------------------------------------------
 # the flagship composition: a full training-corpus build in one plan
 # ---------------------------------------------------------------------------
 
@@ -376,6 +520,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "approx_distinct_kmv": q_approx_distinct_kmv,
     "sim_pq": q_sim_pq,
+    "sim_pq_fixed": q_sim_pq_fixed,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -387,4 +532,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "corpus_pipeline": _oracle_corpus_pipeline(),
     "sketch_heavy_hitters": _oracle_sketch_heavy_hitters(),
     "approx_distinct_kmv": _oracle_approx_distinct_kmv(),
+    "sim_pq_fixed": _oracle_sim_pq_fixed(),
 }

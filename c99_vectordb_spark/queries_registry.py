@@ -32,11 +32,18 @@ KNN_QUERY_64 = [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
 
 
 def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.parquet carries TIMESTAMP(NANOS); ensure the session can
-    read it even when the caller (e.g. the driver) built a session
-    without our factory defaults — the conf is runtime-settable."""
+    """Read + schema-normalize the events table. Testdata vintages have
+    carried ``ts`` both as parquet TIMESTAMP(NANOS) — readable only as
+    BIGINT nanos under ``nanosAsLong``, set here so even a driver-built
+    session without our factory defaults can read it — and as native
+    micros TIMESTAMP. Downstream code touches only the canonical
+    ``(ts TIMESTAMP_NTZ, ts_us BIGINT)`` pair, never raw ``ts``
+    arithmetic, so either vintage works (functions.text
+    ``normalize_event_time``)."""
+    from .functions.text import normalize_event_time
+
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    return spark.read.parquet(f"{sf_dir}/events.parquet")
+    return normalize_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 
 def _duck_doc_vec_cte(dim: int) -> str:
@@ -758,10 +765,8 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window aggregate over the events stream table
     (batch view; streaming/ingest.py runs the same plan incrementally).
     Decimal sum keeps cross-engine value equality exact."""
-    from .functions.text import ts_from_nanos
-
     events = _read_events(spark, sf_dir)
-    ts = ts_from_nanos(F.col("ts"))
+    ts = F.col("ts")
     return (
         events.select(
             F.date_format(F.date_trunc("hour", ts), "yyyy-MM-dd HH:mm:ss").alias(
@@ -931,11 +936,10 @@ def q_asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join (operators/asof.py): each event matched to the most
     recent order of the same customer at or before the event time.
     Union-window merge technique — no inequality-join explosion."""
-    from .functions.text import ts_from_nanos
     from .operators.asof import asof_join
 
     events = _read_events(spark, sf_dir).select(
-        "event_id", F.col("user_id").alias("cust"), ts_from_nanos(F.col("ts")).alias("ts")
+        "event_id", F.col("user_id").alias("cust"), "ts"
     )
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         F.col("o_custkey").alias("cust"), "o_orderdate", "o_orderkey"
@@ -1222,10 +1226,8 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests/test_stateful_streaming.py proves stream==batch). The DuckDB
     twin is the classic gaps-and-islands rewrite, pinning the exact
     boundary rule (a gap of EXACTLY 30:00 starts a new session)."""
-    from .functions.text import ts_from_nanos
-
     events = _read_events(spark, sf_dir)
-    ts = ts_from_nanos(F.col("ts"))
+    ts = F.col("ts")
     return (
         events.filter(F.col("user_id") < 100)
         .select("user_id", ts.alias("t"), F.col("value").cast("decimal(18,6)").alias("v"))
@@ -1405,12 +1407,10 @@ FROM (
 # streaming-table analytics; the shapes every event warehouse runs)
 # ---------------------------------------------------------------------------
 #
-# Both queries run on exact INTEGER microseconds: events.ts is parquet
-# TIMESTAMP(NANOS) read as a nanos BIGINT (nanosAsLong), and DuckDB
-# truncates the same column to microsecond TIMESTAMPs on read — so
-# `ts div 1000` here == `epoch_us(ts)` there, with no float division
-# (a double roundtrip of epoch nanos carries ~0.25 us error, enough to
-# flip a min-timestamp comparison).
+# Both queries run on exact INTEGER microseconds: _read_events
+# normalizes every testdata vintage to a canonical ts_us BIGINT that
+# equals DuckDB's `epoch_us(ts)` exactly (UTC session tz, integer
+# division only — see functions.text.normalize_event_time).
 
 
 def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1419,7 +1419,7 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregates (first-seen, then activity) joined on user_id — the
     join and both aggregates share one shuffle key."""
     events = _read_events(spark, sf_dir)
-    day = F.expr("ts div 86400000000000")  # exact epoch-day from nanos
+    day = F.expr("ts_us div 86400000000")  # exact epoch-day from micros
     ue = events.select("user_id", day.alias("day_idx"))
     first = ue.groupBy("user_id").agg(F.min("day_idx").alias("cohort_day"))
     return (
@@ -1457,8 +1457,7 @@ def q_events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     funnel semantics, one aggregate pass — no self-joins). Exact
     integer microseconds end to end."""
     events = _read_events(spark, sf_dir)
-    us = F.expr("ts div 1000")
-    typed = events.select("user_id", "event_type", us.alias("us"))
+    typed = events.select("user_id", "event_type", F.col("ts_us").alias("us"))
     per_user = typed.groupBy("user_id").agg(
         F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("t_view"),
         F.min(F.when(F.col("event_type") == "click", F.col("us"))).alias("t_click"),

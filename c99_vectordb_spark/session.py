@@ -33,9 +33,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
         .config("spark.sql.session.timeZone", "UTC")
-        # driver testdata carries TIMESTAMP(NANOS) parquet columns, which
-        # Spark rejects by default; read them as BIGINT nanos and convert
-        # explicitly (functions.text.ts_from_nanos)
+        # some driver testdata vintages carried TIMESTAMP(NANOS) parquet
+        # columns, which Spark rejects by default; allow reading them as
+        # BIGINT nanos — functions.text.normalize_event_time converts
+        # either vintage to canonical (ts TIMESTAMP_NTZ, ts_us BIGINT)
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")

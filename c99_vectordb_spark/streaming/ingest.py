@@ -63,12 +63,16 @@ def stream_windowed_events(
 ) -> DataFrame:
     """Tumbling event-time windows with late-data watermark.
 
-    events_stream must carry (ts TIMESTAMP, event_type STRING, value
-    DOUBLE). State is bounded by the watermark: windows older than
-    max(event time) - watermark are finalized and dropped from state.
+    events_stream must carry (ts TIMESTAMP or TIMESTAMP_NTZ, event_type
+    STRING, value DOUBLE). Watermarks require TIMESTAMP, so an NTZ
+    event-time column is cast first — exact because the session
+    timezone is pinned UTC (session.py). State is bounded by the
+    watermark: windows older than max(event time) - watermark are
+    finalized and dropped from state.
     """
     return (
-        events_stream.withWatermark("ts", watermark)
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -97,10 +101,12 @@ def stream_session_events(
     as events arrive and FINALIZE (append-mode emit) once the watermark
     passes their end. State per key is bounded by the watermark. The
     batch twin is queries_registry.q_events_sessions (oracle-checked
-    against a DuckDB gaps-and-islands rewrite).
+    against a DuckDB gaps-and-islands rewrite). NTZ event time is cast
+    to TIMESTAMP for the watermark (exact under the UTC session tz).
     """
     return (
-        events_stream.withWatermark("ts", watermark)
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
         .groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),

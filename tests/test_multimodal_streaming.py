@@ -48,13 +48,12 @@ def test_frame_sample(spark, documents):
 def test_streaming_windowed_events_matches_batch(spark, sf_dir):
     """Run the streaming windowed agg over the events table as a
     bounded stream (availableNow) and compare with the batch twin."""
-    from c99_vectordb_spark.functions.text import ts_from_nanos
+    from c99_vectordb_spark.functions.text import normalize_event_time
     from c99_vectordb_spark.streaming.ingest import stream_windowed_events
 
-    events_batch = (
+    events_batch = normalize_event_time(
         spark.read.parquet(f"{sf_dir}/events.parquet")
-        .select(ts_from_nanos(F.col("ts")).alias("ts"), "event_type", "value")
-    )
+    ).select("ts", "event_type", "value")
     expected = (
         events_batch.groupBy(
             F.date_format(F.date_trunc("hour", "ts"), "yyyy-MM-dd HH:mm:ss").alias(
@@ -232,13 +231,13 @@ def test_streaming_session_windows_match_batch(spark, sf_dir):
     session that the final watermark passed must have been emitted."""
     import datetime as _dt
 
-    from c99_vectordb_spark.functions.text import ts_from_nanos
+    from c99_vectordb_spark.functions.text import normalize_event_time
     from c99_vectordb_spark.streaming.ingest import stream_session_events
 
     events_batch = (
-        spark.read.parquet(f"{sf_dir}/events.parquet")
+        normalize_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
         .filter(F.col("user_id") < 50)
-        .select("user_id", ts_from_nanos(F.col("ts")).alias("ts"), "value")
+        .select("user_id", "ts", "value")
     )
     batch_sessions = (
         events_batch.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
