@@ -74,6 +74,11 @@ HEADLINE = [
     "sketch_heavy_hitters",
     "approx_distinct_kmv",
     "null_semantics",
+    "stats_correlation",
+    "zorder_layout",
+    "grouped_sample_topn",
+    "embedding_centroids",
+    "events_keep_first",
 ]
 
 
@@ -96,14 +101,20 @@ def main() -> None:
         fn = qs.get(name)
         if fn is None:
             continue
-        best = None
         try:
+            runs = []
             for _ in range(2):  # min of 2: excludes one-time JVM/UDF warmup
                 t0 = time.time()
                 fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
-                dt = time.time() - t0
-                best = dt if best is None else min(best, dt)
-            timings[name] = round(best, 3)
+                runs.append(time.time() - t0)
+            # the local VM sees transient CPU-steal windows; when the two
+            # runs disagree badly, a third sample keeps one noisy window
+            # from reading as a regression
+            if min(runs) > 0.2 and max(runs) > 1.25 * min(runs):
+                t0 = time.time()
+                fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
+                runs.append(time.time() - t0)
+            timings[name] = round(min(runs), 3)
         except Exception as exc:  # noqa: BLE001 — keep benching the rest
             msg = f"{type(exc).__name__}: {exc}"
             errors[name] = msg[:500]

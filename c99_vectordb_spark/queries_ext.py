@@ -640,6 +640,281 @@ FROM documents
 
 
 # ---------------------------------------------------------------------------
+# statistical aggregates, data layout, stratified sampling (SURVEY §2.10
+# extensions the reference lacks entirely)
+# ---------------------------------------------------------------------------
+
+
+def q_stats_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation / sample covariance / stddevs of quantity vs
+    extended price per return flag. Built-in ``corr``/``covar_samp``
+    merge partial moments in partition order (run-to-run float drift),
+    so both engines instead aggregate EXACT decimal moments (one
+    map-side-combined shuffle, same cost) and evaluate the closed-form
+    formulas in identically-ordered double arithmetic on the single
+    per-group row — deterministic and hash-matchable after rounding."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    # exact integer cents: decimal products would overflow DuckDB's
+    # int64-backed DECIMAL(18); integer moments are exact in both
+    # engines (Spark decimal(38,0) sums, DuckDB HUGEINT sums) and corr
+    # is scale-invariant — covar/stddev are unscaled at the end
+    x = F.round(F.col("l_quantity") * 100).cast("decimal(18,0)")
+    y = F.round(F.col("l_extendedprice") * 100).cast("decimal(18,0)")
+    m = (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(x).alias("sx"),
+            F.sum(y).alias("sy"),
+            F.sum(x * x).alias("sxx"),
+            F.sum(y * y).alias("syy"),
+            F.sum(x * y).alias("sxy"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.col("sx").cast("double").alias("dsx"),
+            F.col("sy").cast("double").alias("dsy"),
+            F.col("sxx").cast("double").alias("dsxx"),
+            F.col("syy").cast("double").alias("dsyy"),
+            F.col("sxy").cast("double").alias("dsxy"),
+            F.col("n").cast("double").alias("dn"),
+        )
+    )
+    num = F.col("dn") * F.col("dsxy") - F.col("dsx") * F.col("dsy")
+    dx = F.col("dn") * F.col("dsxx") - F.col("dsx") * F.col("dsx")
+    dy = F.col("dn") * F.col("dsyy") - F.col("dsy") * F.col("dsy")
+    return m.select(
+        "l_returnflag",
+        "n",
+        F.round(num / F.sqrt(dx * dy), 6).alias("corr_qty_price"),
+        F.round(
+            (F.col("dsxy") - F.col("dsx") * F.col("dsy") / F.col("dn"))
+            / (F.col("dn") - F.lit(1.0))
+            / F.lit(10000.0),
+            6,
+        ).alias("covar_samp"),
+        F.round(
+            F.sqrt(
+                (F.col("dsxx") - F.col("dsx") * F.col("dsx") / F.col("dn"))
+                / (F.col("dn") - F.lit(1.0))
+            )
+            / F.lit(100.0),
+            6,
+        ).alias("stddev_qty"),
+        F.round(
+            F.sqrt(
+                (F.col("dsyy") - F.col("dsy") * F.col("dsy") / F.col("dn"))
+                / (F.col("dn") - F.lit(1.0))
+            )
+            / F.lit(100.0),
+            6,
+        ).alias("stddev_price"),
+    ).orderBy("l_returnflag")
+
+
+_ORACLE_STATS_CORRELATION = """
+WITH c AS (
+  SELECT l_returnflag,
+         CAST(CAST(ROUND(l_quantity * 100, 0) AS BIGINT) AS HUGEINT) AS xi,
+         CAST(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS HUGEINT) AS yi
+  FROM lineitem
+),
+m AS (
+  SELECT l_returnflag,
+         COUNT(*)::BIGINT AS n,
+         CAST(COUNT(*) AS DOUBLE) AS dn,
+         CAST(SUM(xi) AS DOUBLE) AS dsx,
+         CAST(SUM(yi) AS DOUBLE) AS dsy,
+         CAST(SUM(xi * xi) AS DOUBLE) AS dsxx,
+         CAST(SUM(yi * yi) AS DOUBLE) AS dsyy,
+         CAST(SUM(xi * yi) AS DOUBLE) AS dsxy
+  FROM c
+  GROUP BY l_returnflag
+)
+SELECT l_returnflag, n,
+       ROUND((dn * dsxy - dsx * dsy) / sqrt((dn * dsxx - dsx * dsx) * (dn * dsyy - dsy * dsy)), 6) AS corr_qty_price,
+       ROUND((dsxy - dsx * dsy / dn) / (dn - 1.0) / 10000.0, 6) AS covar_samp,
+       ROUND(sqrt((dsxx - dsx * dsx / dn) / (dn - 1.0)) / 100.0, 6) AS stddev_qty,
+       ROUND(sqrt((dsyy - dsy * dsy / dn) / (dn - 1.0)) / 100.0, 6) AS stddev_price
+FROM m
+ORDER BY l_returnflag
+"""
+
+_ZORDER_BITS = 10  # 10 bits per dimension -> 20-bit Morton code
+
+
+def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) clustering key over two part dimensions — the
+    data-LAYOUT primitive for multi-column data skipping at 100 TB:
+    sort-before-write on z interleaves both dimensions' bit ranges, so
+    parquet row-group min/max prunes range predicates on EITHER column
+    (a single-column sort only prunes one). Exact integer bit
+    arithmetic, identical in both engines; the query returns the first
+    500 rows of the layout order, i.e. what the leading row group
+    would contain."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    x = F.col("p_partkey").bitwiseAND(F.lit((1 << _ZORDER_BITS) - 1))
+    y = F.col("p_size").cast("long").bitwiseAND(F.lit((1 << _ZORDER_BITS) - 1))
+    z = None
+    for b in range(_ZORDER_BITS):
+        xb = F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
+        yb = F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        z = xb + yb if z is None else z + xb + yb
+    return (
+        part.select(
+            "p_partkey",
+            x.alias("zx"),
+            y.alias("zy"),
+            z.alias("zval"),
+        )
+        .orderBy("zval", "p_partkey")
+        .limit(500)
+    )
+
+
+def _oracle_zorder_layout() -> str:
+    mask = (1 << _ZORDER_BITS) - 1
+    terms = " + ".join(
+        f"((((p_partkey & {mask}) >> {b}) & 1) << {2 * b})"
+        f" + ((((CAST(p_size AS BIGINT) & {mask}) >> {b}) & 1) << {2 * b + 1})"
+        for b in range(_ZORDER_BITS)
+    )
+    return f"""
+SELECT p_partkey,
+       p_partkey & {(1 << _ZORDER_BITS) - 1} AS zx,
+       CAST(p_size AS BIGINT) & {(1 << _ZORDER_BITS) - 1} AS zy,
+       {terms} AS zval
+FROM part
+ORDER BY zval, p_partkey
+LIMIT 500
+"""
+
+
+_SAMPLE_MIX = 2654435761  # Knuth multiplicative-hash constant
+_SAMPLE_MOD = 1_000_000_007
+
+
+def q_grouped_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-stratum sampling: 5 orders per order-priority,
+    chosen by rank of a multiplicative key hash — reproducible across
+    engines/runs (no rand()), one shuffle on the stratum key, and the
+    per-group TOP-N is a bounded heap under the window, not a full
+    sort. The 100 TB shape for building eval/holdout slices."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    from pyspark.sql import Window
+
+    h = (F.col("o_orderkey") * F.lit(_SAMPLE_MIX)) % F.lit(_SAMPLE_MOD)
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        h.asc(), F.col("o_orderkey").asc()
+    )
+    return (
+        orders.select(
+            "o_orderpriority",
+            "o_orderkey",
+            h.alias("h"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 5)
+        .orderBy("o_orderpriority", "rn")
+    )
+
+
+_ORACLE_GROUPED_SAMPLE_TOPN = f"""
+WITH h AS (
+  SELECT o_orderpriority, o_orderkey,
+         (o_orderkey * {_SAMPLE_MIX}) % {_SAMPLE_MOD} AS h
+  FROM orders
+),
+r AS (
+  SELECT o_orderpriority, o_orderkey, h,
+         ROW_NUMBER() OVER (PARTITION BY o_orderpriority ORDER BY h ASC, o_orderkey ASC) AS rn
+  FROM h
+)
+SELECT o_orderpriority, o_orderkey, h, rn
+FROM r
+WHERE rn <= 5
+ORDER BY o_orderpriority, rn
+"""
+
+
+def q_embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label embedding centroid (element-wise mean) — the class
+    centroid / clustering-init primitive for embedding pipelines.
+    posexplode fans each vector into (label, pos, val) rows, but the
+    partial aggregate combines map-side, so the shuffle carries only
+    labels x dim cells per task, independent of corpus size. Sums are
+    exact DECIMAL (partition-order-independent, unlike double sums);
+    the single division happens once per output cell in double."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    return (
+        e.groupBy("label", "pos")
+        .agg(
+            F.sum(F.col("val").cast("decimal(18,9)")).alias("s"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            "label",
+            "pos",
+            F.round(F.col("s").cast("double") / F.col("n"), 6).alias("centroid"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
+_ORACLE_EMBEDDING_CENTROIDS = """
+WITH e AS (
+  SELECT label, i - 1 AS pos, CAST(embedding[i] AS DECIMAL(18,9)) AS v
+  FROM embeddings, range(1, 65) AS t(i)
+)
+SELECT label, pos,
+       ROUND(CAST(SUM(v) AS DOUBLE) / COUNT(*), 6) AS centroid
+FROM e
+GROUP BY label, pos
+ORDER BY label, pos
+"""
+
+
+def q_events_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-stream idempotency dedup: keep the FIRST event per
+    (user, event_type) by event time — at-least-once delivery
+    collapsed to exactly-once semantics. One shuffle on the dedup key;
+    the per-group min is a bounded heap (rn=1), not a full sort. The
+    streaming twin is dropDuplicates within the watermark."""
+    from pyspark.sql import Window
+    from .queries_registry import _read_events
+
+    events = _read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        F.col("ts_us").asc(), F.col("event_id").asc()
+    )
+    return (
+        events.select(
+            "user_id", "event_type", "ts_us", "event_id",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "ts_us", "event_id")
+        .orderBy("user_id", "event_type")
+    )
+
+
+_ORACLE_EVENTS_KEEP_FIRST = """
+WITH r AS (
+  SELECT user_id, event_type, epoch_us(ts) AS ts_us, event_id,
+         ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                            ORDER BY epoch_us(ts) ASC, event_id ASC) AS rn
+  FROM events
+)
+SELECT user_id, event_type, ts_us, event_id
+FROM r
+WHERE rn = 1
+ORDER BY user_id, event_type
+"""
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 
@@ -664,6 +939,11 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivf_batch": q_sim_ivf_batch,
     "multimodal_features": q_multimodal_features,
     "filter_variant_metadata": q_filter_variant_metadata,
+    "stats_correlation": q_stats_correlation,
+    "zorder_layout": q_zorder_layout,
+    "grouped_sample_topn": q_grouped_sample_topn,
+    "embedding_centroids": q_embedding_centroids,
+    "events_keep_first": q_events_keep_first,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -685,4 +965,9 @@ EXT_ORACLES: dict[str, str] = {
     "grouped_rank": _ORACLE_GROUPED_RANK,
     "sim_ivf_batch": _ORACLE_SIM_IVF_BATCH,
     "filter_variant_metadata": _ORACLE_FILTER_VARIANT,
+    "stats_correlation": _ORACLE_STATS_CORRELATION,
+    "zorder_layout": _oracle_zorder_layout(),
+    "grouped_sample_topn": _ORACLE_GROUPED_SAMPLE_TOPN,
+    "embedding_centroids": _ORACLE_EMBEDDING_CENTROIDS,
+    "events_keep_first": _ORACLE_EVENTS_KEEP_FIRST,
 }

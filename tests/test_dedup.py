@@ -105,6 +105,27 @@ def test_resolve_duplicates_long_chain_converges(spark):
     assert set(got.values()) == {0}
 
 
+def test_resolve_duplicates_distributed_path_matches_unionfind(spark):
+    """small_graph_edges=0 forces the distributed pointer-jumping loop;
+    its labels must equal the driver union-find's on an awkward graph
+    (two chains merged by a cross edge + a star + isolated pairs)."""
+    edges = (
+        [(i, i + 1) for i in range(0, 30, 2)]
+        + [(i, i + 1) for i in range(100, 130, 2)]
+        + [(3, 101), (200, 201), (200, 202), (300, 301)]
+    )
+    pairs = _pairs_df(spark, edges)
+    small = {
+        r.id: r.canonical_id for r in D.resolve_duplicates(pairs).collect()
+    }
+    dist = {
+        r.id: r.canonical_id
+        for r in D.resolve_duplicates(pairs, small_graph_edges=0).collect()
+    }
+    assert dist == small
+    assert len(dist) == len({n for e in edges for n in e})
+
+
 def test_survivors_pair_closed(spark, corpus):
     """No surviving pair: for every input near-dup pair at most one
     endpoint survives, and untouched docs all survive."""
