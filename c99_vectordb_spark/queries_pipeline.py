@@ -333,39 +333,44 @@ def q_sim_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     DuckDB list_position), and the LUT-sum score; then
     TakeOrderedAndProject. Map-only until the final top-k — the same
     plan shape as exact KNN, which is the point of PQ at scale: the
-    scan touches m-byte codes, not 64 floats."""
-    import functools
-    import operator as op
+    scan touches m-byte codes, not 64 floats.
 
+    The ~10k-node expression tree is generated as SQL text and parsed
+    in ONE selectExpr call — building it with Column operators costs
+    ~25s of py4j round-trips for an identical plan. Literals enter via
+    CAST('<repr>' AS DOUBLE) (correctly-rounded string parse) exactly
+    like the DuckDB twin, keeping every double bit-identical."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     books = _pqf_codebooks()
     lut = _pqf_lut()
 
-    def sq_dist(j: int, cent: list[float]):
-        terms = [
-            (F.col("embedding").getItem(j * _PQF_DSUB + t).cast("double") - F.lit(c))
-            * (F.col("embedding").getItem(j * _PQF_DSUB + t).cast("double") - F.lit(c))
-            for t, c in enumerate(cent)
-        ]
-        return functools.reduce(op.add, terms)  # left-assoc, no initial 0
+    def dlit(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
 
-    code_cols = []
-    contribs = []
+    def sq_dist_sql(j: int, cent: list[float]) -> str:
+        return "(" + " + ".join(
+            f"(CAST(embedding[{j * _PQF_DSUB + t}] AS DOUBLE) - {dlit(c)})"
+            f" * (CAST(embedding[{j * _PQF_DSUB + t}] AS DOUBLE) - {dlit(c)})"
+            for t, c in enumerate(cent)
+        ) + ")"
+
+    code_exprs = []
     for j in range(_PQF_M):
-        dists = F.array(*[sq_dist(j, c) for c in books[j]])
-        code = F.array_position(dists, F.array_min(dists))  # 1-based long
-        code_cols.append(code.cast("int").alias(f"_c{j}"))
-        contribs.append(
-            F.element_at(F.array(*[F.lit(v) for v in lut[j]]), F.col(f"_c{j}"))
+        dists = "array(" + ", ".join(sq_dist_sql(j, c) for c in books[j]) + ")"
+        code_exprs.append(
+            f"CAST(array_position({dists}, array_min({dists})) AS INT) AS _c{j}"
         )
-    coded = emb.select("vec_id", *code_cols)
-    score = functools.reduce(op.add, contribs)
-    codes_str = F.concat_ws(
-        "-", *[F.col(f"_c{j}").cast("string") for j in range(_PQF_M)]
+    coded = emb.selectExpr("vec_id", *code_exprs)
+    score = " + ".join(
+        f"element_at(array({', '.join(dlit(v) for v in lut[j])}), _c{j})"
+        for j in range(_PQF_M)
     )
+    codes = ", ".join(f"CAST(_c{j} AS STRING)" for j in range(_PQF_M))
     return (
-        coded.select(
-            "vec_id", codes_str.alias("codes"), score.alias("adc_score")
+        coded.selectExpr(
+            "vec_id",
+            f"concat_ws('-', {codes}) AS codes",
+            f"{score} AS adc_score",
         )
         .orderBy(F.asc("adc_score"), F.asc("vec_id"))
         .limit(10)

@@ -91,6 +91,28 @@ def stream_windowed_events(
     )
 
 
+def stream_keep_first(
+    events_stream: DataFrame,
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming idempotency dedup: first event per (user_id,
+    event_type) wins, duplicates arriving later are dropped —
+    ``dropDuplicates`` keyed state bounded by the watermark (keys older
+    than the watermark are evicted; a duplicate arriving later than
+    the watermark would pass, which is the documented at-least-once
+    residual every streaming dedup has). The batch twin is
+    queries_registry ``events_keep_first`` (oracle-checked); within
+    the watermark the stream emits exactly the batch winners for keys
+    whose first event arrived in event-time order (the file source
+    replays in order, so stream==batch is exact in the test).
+    """
+    return (
+        events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .withWatermark("ts", watermark)
+        .dropDuplicates(["user_id", "event_type"])
+    )
+
+
 def stream_session_events(
     events_stream: DataFrame,
     gap: str = "30 minutes",

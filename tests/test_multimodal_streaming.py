@@ -291,3 +291,42 @@ def test_streaming_session_windows_match_batch(spark, sf_dir):
     }
     assert must_emit <= streamed
     assert len(streamed) > 0
+
+
+def test_streaming_keep_first_matches_batch(spark, sf_dir):
+    """Streaming dropDuplicates dedup == the batch keep-first winners.
+    The source file is written in (ts_us, event_id) order as ONE
+    partition, so arrival order equals event-time order and the
+    stream's first-arrival rule coincides with the batch min rule."""
+    from c99_vectordb_spark.queries_registry import _read_events, queries
+    from c99_vectordb_spark.streaming.ingest import stream_keep_first
+
+    batch = {
+        (r.user_id, r.event_type, r.ts_us, r.event_id)
+        for r in queries()["events_keep_first"](spark, sf_dir).collect()
+    }
+
+    events = _read_events(spark, sf_dir).select(
+        "user_id", "event_type", "ts", "ts_us", "event_id"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        events.orderBy("ts_us", "event_id").coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(
+            events.schema
+        ).option("maxFilesPerTrigger", "1").parquet(src)
+        q = (
+            stream_keep_first(stream)
+            .writeStream.format("memory")
+            .queryName("keepfirst_out")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.user_id, r.event_type, r.ts_us, r.event_id)
+            for r in spark.table("keepfirst_out").collect()
+        }
+    assert got == batch

@@ -305,3 +305,51 @@ def test_aqe_coalesces_small_shuffle_partitions(spark, sf_dir):
     df.collect()  # adaptive plans finalize on execution
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "AQEShuffleRead" in plan and "coalesced" in plan
+
+
+def test_grouped_sample_topn_uses_window_group_limit(spark, sf_dir):
+    """rn <= 5 must push into the window as a per-group limit (bounded
+    heap), not rank the full table and filter after."""
+    from c99_vectordb_spark.queries_ext import q_grouped_sample_topn
+
+    plan = _plan(q_grouped_sample_topn(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_events_keep_first_uses_window_group_limit(spark, sf_dir):
+    from c99_vectordb_spark.queries_ext import q_events_keep_first
+
+    plan = _plan(q_events_keep_first(spark, sf_dir))
+    assert "WindowGroupLimit" in plan
+
+
+def test_zorder_layout_take_ordered_no_global_sort(spark, sf_dir):
+    """ORDER BY zval LIMIT 500 must be TakeOrderedAndProject — a
+    per-partition heap plus one merge, never a full sort of the table."""
+    from c99_vectordb_spark.queries_ext import q_zorder_layout
+
+    plan = _plan(q_zorder_layout(spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+    assert "Sort " not in plan
+
+
+def test_embedding_centroids_partial_aggregate(spark, sf_dir):
+    """posexplode fan-out must combine map-side: two HashAggregates
+    (partial + final) around ONE exchange keyed on (label, pos)."""
+    from c99_vectordb_spark.queries_ext import q_embedding_centroids
+
+    plan = _plan(q_embedding_centroids(spark, sf_dir))
+    assert plan.count("HashAggregate") >= 2
+    # exactly one aggregation exchange (plus AQE wrappers); the sort for
+    # the final ORDER BY is allowed, a join/cartesian is not
+    assert "CartesianProduct" not in plan
+
+
+def test_stats_correlation_single_shuffle(spark, sf_dir):
+    """All six moments must come out of ONE partial+final aggregate on
+    l_returnflag — six separate aggregations would be five too many."""
+    from c99_vectordb_spark.queries_ext import q_stats_correlation
+
+    plan = _plan(q_stats_correlation(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning(l_returnflag") <= 1
