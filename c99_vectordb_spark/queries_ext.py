@@ -744,6 +744,17 @@ ORDER BY l_returnflag
 _ZORDER_BITS = 10  # 10 bits per dimension -> 20-bit Morton code
 
 
+def zorder_col(x, y, bits: int = _ZORDER_BITS):
+    """Morton interleave of two non-negative int columns as a pure JVM
+    bit expression (x in even bit positions, y in odd)."""
+    z = None
+    for b in range(bits):
+        xb = F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
+        yb = F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
+        z = xb + yb if z is None else z + xb + yb
+    return z
+
+
 def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Z-order (Morton) clustering key over two part dimensions — the
     data-LAYOUT primitive for multi-column data skipping at 100 TB:
@@ -756,11 +767,7 @@ def q_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = spark.read.parquet(f"{sf_dir}/part.parquet")
     x = F.col("p_partkey").bitwiseAND(F.lit((1 << _ZORDER_BITS) - 1))
     y = F.col("p_size").cast("long").bitwiseAND(F.lit((1 << _ZORDER_BITS) - 1))
-    z = None
-    for b in range(_ZORDER_BITS):
-        xb = F.shiftleft(F.shiftright(x, b).bitwiseAND(F.lit(1)), 2 * b)
-        yb = F.shiftleft(F.shiftright(y, b).bitwiseAND(F.lit(1)), 2 * b + 1)
-        z = xb + yb if z is None else z + xb + yb
+    z = zorder_col(x, y)
     return (
         part.select(
             "p_partkey",

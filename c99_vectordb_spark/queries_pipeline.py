@@ -263,16 +263,20 @@ ORDER BY grp
 
 def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantized ANN with exact re-ranking (operators/pq.py):
-    train m=16 x 16-centroid codebooks, encode map-only, ADC-shortlist
+    train m=8 x 16-centroid codebooks, encode map-only, ADC-shortlist
     40 candidates per query, exact re-rank to top-10. No oracle —
     KMeans codebooks are engine-specific; the ADC==reconstruction
-    identity and recall floors are covered by tests/test_pq.py."""
+    identity and recall floors are covered by tests/test_pq.py, and
+    the fully-oracled ``sim_pq_fixed`` twin below pins the encode+ADC
+    semantics with pinned codebooks. m=8/maxIter=10 keeps the m
+    driver-orchestrated KMeans fits cheap in the correctness gate —
+    at scale you train on a sample anyway (pq.py docstring)."""
     from .operators.pq import pq_encode, pq_search_refined, pq_train
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
         F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
     )
-    model = pq_train(emb, dim=64, m=16, ksub=16)
+    model = pq_train(emb, dim=64, m=8, ksub=16, max_iter=10)
     codes = pq_encode(emb, model)
     qvec = [float(x) for x in emb.filter(F.col("id") == 7).collect()[0].vec]
     return pq_search_refined(codes, emb, model, qvec, k=10, rerank=40)
