@@ -79,6 +79,8 @@ HEADLINE = [
     "grouped_sample_topn",
     "embedding_centroids",
     "events_keep_first",
+    "price_histogram",
+    "orders_scd2",
 ]
 
 

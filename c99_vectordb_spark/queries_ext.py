@@ -921,6 +921,126 @@ ORDER BY user_id, event_type
 """
 
 
+def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-depth histogram of order totals: NTILE(10) over a total
+    order (price, key — the tie-break makes bucket assignment exact
+    across engines), then per-bucket count/min/max. The optimizer
+    statistics shape: equal-POPULATION buckets, robust to skew where
+    equal-WIDTH buckets collapse. One sort-shuffle; at 100 TB you
+    compute it on a deterministic hash sample instead (the
+    grouped_sample_topn machinery)."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    return (
+        orders.select(
+            "o_totalprice", F.ntile(10).over(w).alias("bucket")
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+_ORACLE_PRICE_HISTOGRAM = """
+WITH b AS (
+  SELECT o_totalprice,
+         NTILE(10) OVER (ORDER BY o_totalprice ASC, o_orderkey ASC) AS bucket
+  FROM orders
+)
+SELECT bucket, COUNT(*)::BIGINT AS cnt, MIN(o_totalprice) AS lo, MAX(o_totalprice) AS hi
+FROM b
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+def q_orders_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD type-2 history from an ordered change stream: collapse each
+    customer's order sequence into runs of consecutive equal
+    o_orderpriority, emitting (custkey, priority, valid_from,
+    valid_to, is_current) — valid_to = next run's start date, NULL
+    while current. The warehouse dimension-history shape: one shuffle
+    on the entity key; LAG detects change points, a running SUM names
+    the runs, one aggregate per run, LEAD closes the intervals.
+    Wholly deterministic: ties inside a day break on o_orderkey."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_custkey") < 200
+    )
+    wk = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc()
+    )
+    marked = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        "o_orderdate",
+        "o_orderkey",
+        F.when(
+            F.lag("o_orderpriority").over(wk).isNull()
+            | (F.lag("o_orderpriority").over(wk) != F.col("o_orderpriority")),
+            F.lit(1),
+        )
+        .otherwise(F.lit(0))
+        .alias("chg"),
+    ).withColumn("run_id", F.sum("chg").over(wk))
+    runs = marked.groupBy("o_custkey", "run_id").agg(
+        F.min("o_orderpriority").alias("priority"),
+        F.min("o_orderdate").alias("valid_from"),
+    )
+    wr = Window.partitionBy("o_custkey").orderBy(F.col("run_id").asc())
+    return runs.select(
+        "o_custkey",
+        "priority",
+        F.date_format("valid_from", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(F.lead("valid_from").over(wr), "yyyy-MM-dd").alias("valid_to"),
+        F.lead("valid_from").over(wr).isNull().alias("is_current"),
+    ).orderBy("o_custkey", "valid_from")
+
+
+_ORACLE_ORDERS_SCD2 = """
+WITH o AS (
+  SELECT o_custkey, o_orderpriority, o_orderdate, o_orderkey
+  FROM orders WHERE o_custkey < 200
+),
+marked AS (
+  SELECT *,
+         CASE WHEN LAG(o_orderpriority) OVER w IS NULL
+                OR LAG(o_orderpriority) OVER w != o_orderpriority
+              THEN 1 ELSE 0 END AS chg
+  FROM o
+  WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
+),
+runs_src AS (
+  SELECT *,
+         SUM(chg) OVER (PARTITION BY o_custkey
+                        ORDER BY o_orderdate ASC, o_orderkey ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS run_id
+  FROM marked
+),
+runs AS (
+  SELECT o_custkey, run_id,
+         MIN(o_orderdate) AS valid_from_d,
+         MIN(o_orderpriority) AS priority
+  FROM runs_src
+  GROUP BY o_custkey, run_id
+)
+SELECT o_custkey, priority,
+       strftime(valid_from_d, '%Y-%m-%d') AS valid_from,
+       strftime(LEAD(valid_from_d) OVER wr, '%Y-%m-%d') AS valid_to,
+       LEAD(valid_from_d) OVER wr IS NULL AS is_current
+FROM runs
+WINDOW wr AS (PARTITION BY o_custkey ORDER BY run_id ASC)
+ORDER BY o_custkey, valid_from
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -951,6 +1071,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "grouped_sample_topn": q_grouped_sample_topn,
     "embedding_centroids": q_embedding_centroids,
     "events_keep_first": q_events_keep_first,
+    "price_histogram": q_price_histogram,
+    "orders_scd2": q_orders_scd2,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -977,4 +1099,6 @@ EXT_ORACLES: dict[str, str] = {
     "grouped_sample_topn": _ORACLE_GROUPED_SAMPLE_TOPN,
     "embedding_centroids": _ORACLE_EMBEDDING_CENTROIDS,
     "events_keep_first": _ORACLE_EVENTS_KEEP_FIRST,
+    "price_histogram": _ORACLE_PRICE_HISTOGRAM,
+    "orders_scd2": _ORACLE_ORDERS_SCD2,
 }
