@@ -81,6 +81,7 @@ HEADLINE = [
     "events_keep_first",
     "price_histogram",
     "orders_scd2",
+    "multimodal_meta_roundtrip",
 ]
 
 

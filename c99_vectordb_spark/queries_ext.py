@@ -619,6 +619,53 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_features(media)
 
 
+def q_multimodal_meta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED multimodal round-trip: documents wrapped as real
+    BMP (even ids) / WAV (odd ids) containers, header-decoded by the
+    pure-Python parsers, decoded content measured — and every output
+    value has a CLOSED FORM in the document's UTF-8 byte length, so
+    the DuckDB twin verifies the whole encode->decode->meta pipeline
+    exactly: BMP width=4 / height=ceil(len/12) / content padded to
+    height*12; WAV rate=8000 / bits=16 / content exact. Both stages
+    are map-only mapInPandas; the id join is a broadcast-able
+    co-partitioned equi-join."""
+    from .operators.multimodal import (
+        extract_features,
+        media_decode_meta,
+        media_from_documents_mixed,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = media_from_documents_mixed(docs)
+    meta = media_decode_meta(media).select(
+        "id",
+        "mime",
+        F.when(F.col("mime") == "image/bmp", F.col("meta")["width"].cast("long"))
+        .otherwise(F.col("meta")["sample_rate"].cast("long"))
+        .alias("d1"),
+        F.when(F.col("mime") == "image/bmp", F.col("meta")["height"].cast("long"))
+        .otherwise(F.col("meta")["bits"].cast("long"))
+        .alias("d2"),
+    )
+    feats = extract_features(media).select("id", F.col("n_bytes").cast("long").alias("n_bytes"))
+    return meta.join(feats, "id").orderBy("id")
+
+
+_ORACLE_MULTIMODAL_META = """
+SELECT doc_id AS id,
+       CASE WHEN doc_id % 2 = 0 THEN 'image/bmp' ELSE 'audio/wav' END AS mime,
+       CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 8000 END::BIGINT AS d1,
+       CASE WHEN doc_id % 2 = 0
+            THEN GREATEST(1, (strlen(text) + 11) // 12)
+            ELSE 16 END::BIGINT AS d2,
+       CASE WHEN doc_id % 2 = 0
+            THEN GREATEST(1, (strlen(text) + 11) // 12) * 12
+            ELSE strlen(text) END::BIGINT AS n_bytes
+FROM documents
+ORDER BY id
+"""
+
+
 # ---------------------------------------------------------------------------
 # applyInPandas grouped-map conformance
 # ---------------------------------------------------------------------------
@@ -1073,6 +1120,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_keep_first": q_events_keep_first,
     "price_histogram": q_price_histogram,
     "orders_scd2": q_orders_scd2,
+    "multimodal_meta_roundtrip": q_multimodal_meta_roundtrip,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1101,4 +1149,5 @@ EXT_ORACLES: dict[str, str] = {
     "events_keep_first": _ORACLE_EVENTS_KEEP_FIRST,
     "price_histogram": _ORACLE_PRICE_HISTOGRAM,
     "orders_scd2": _ORACLE_ORDERS_SCD2,
+    "multimodal_meta_roundtrip": _ORACLE_MULTIMODAL_META,
 }
