@@ -82,6 +82,7 @@ HEADLINE = [
     "price_histogram",
     "orders_scd2",
     "multimodal_meta_roundtrip",
+    "events_resample",
 ]
 
 

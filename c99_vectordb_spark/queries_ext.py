@@ -666,6 +666,58 @@ ORDER BY id
 """
 
 
+def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample with gap filling: hourly event counts per
+    type over a DENSE hour grid (empty hours present, zero-filled) —
+    the dashboard/feature-store densification shape. The grid is built
+    JVM-side: one global (min, max) aggregate row, F.sequence + explode
+    (no driver collect, no rand), cross-joined with the tiny distinct
+    type set (broadcast); observed counts left-join onto it. At 100 TB
+    the grid is hours x types — thousands of rows — so the join
+    broadcasts the GRID, not the facts."""
+    from .queries_registry import _read_events
+
+    events = _read_events(spark, sf_dir)
+    hours = events.agg(
+        F.min(F.expr("ts_us div 3600000000")).alias("h0"),
+        F.max(F.expr("ts_us div 3600000000")).alias("h1"),
+    ).select(F.explode(F.sequence("h0", "h1")).alias("hour_idx"))
+    types = events.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    counts = (
+        events.select(F.expr("ts_us div 3600000000").alias("hour_idx"), "event_type")
+        .groupBy("hour_idx", "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return (
+        grid.join(counts, ["hour_idx", "event_type"], "left")
+        .select(
+            "hour_idx",
+            "event_type",
+            F.coalesce("n", F.lit(0)).cast("long").alias("cnt"),
+        )
+        .orderBy("hour_idx", "event_type")
+    )
+
+
+_ORACLE_EVENTS_RESAMPLE = """
+WITH e AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour_idx, event_type FROM events
+),
+bounds AS (SELECT MIN(hour_idx) AS h0, MAX(hour_idx) AS h1 FROM e),
+hours AS (SELECT unnest(generate_series(h0, h1)) AS hour_idx FROM bounds),
+types AS (SELECT DISTINCT event_type FROM e),
+grid AS (SELECT hour_idx, event_type FROM hours CROSS JOIN types),
+counts AS (
+  SELECT hour_idx, event_type, COUNT(*)::BIGINT AS n
+  FROM e GROUP BY hour_idx, event_type
+)
+SELECT g.hour_idx, g.event_type, COALESCE(c.n, 0)::BIGINT AS cnt
+FROM grid g LEFT JOIN counts c USING (hour_idx, event_type)
+ORDER BY g.hour_idx, g.event_type
+"""
+
+
 # ---------------------------------------------------------------------------
 # applyInPandas grouped-map conformance
 # ---------------------------------------------------------------------------
@@ -1121,6 +1173,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_histogram": q_price_histogram,
     "orders_scd2": q_orders_scd2,
     "multimodal_meta_roundtrip": q_multimodal_meta_roundtrip,
+    "events_resample": q_events_resample,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1150,4 +1203,5 @@ EXT_ORACLES: dict[str, str] = {
     "price_histogram": _ORACLE_PRICE_HISTOGRAM,
     "orders_scd2": _ORACLE_ORDERS_SCD2,
     "multimodal_meta_roundtrip": _ORACLE_MULTIMODAL_META,
+    "events_resample": _ORACLE_EVENTS_RESAMPLE,
 }
