@@ -127,3 +127,62 @@ def test_streaming_minhash_pairs_match_batch(spark, tmp_path):
         for r in spark.table("mh_pairs_out").select("id_a", "id_b").distinct().collect()
     }
     assert streamed == batch_pairs
+
+
+def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
+    """Per-user funnel stage minima accumulated across micro-batches
+    must equal the batch per-user aggregate. Update-mode emissions are
+    collapsed with per-column MIN (stage times only ever decrease and
+    NULL->value, so the column-wise min of a user's updates IS the
+    final state)."""
+    from c99_vectordb_spark.queries_registry import _read_events
+    from c99_vectordb_spark.streaming.stateful import streaming_funnel_stages
+
+    typed = (
+        _read_events(spark, sf_dir)
+        .filter(F.col("user_id") < 300)
+        .select("user_id", "event_type", F.col("ts_us").alias("us"))
+    )
+    batch = {
+        r.user_id: (r.t_view, r.t_click, r.t_buy)
+        for r in typed.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("us"))).alias("t_view"),
+            F.min(F.when(F.col("event_type") == "click", F.col("us"))).alias("t_click"),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("us"))).alias("t_buy"),
+        )
+        .collect()
+    }
+
+    src = os.path.join(str(tmp_path), "src")
+    typed.repartition(3).write.parquet(src)  # 3 files -> 3 micro-batches
+    stream = (
+        spark.readStream.schema(typed.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_funnel_stages(stream)
+        .writeStream.format("memory")
+        .queryName("funnel_out")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.user_id: (r.t_view, r.t_click, r.t_buy)
+        for r in spark.table("funnel_out")
+        .groupBy("user_id")
+        .agg(
+            F.min("t_view").alias("t_view"),
+            F.min("t_click").alias("t_click"),
+            F.min("t_buy").alias("t_buy"),
+        )
+        .collect()
+    }
+    # users with no funnel-stage events never enter the stream output;
+    # the batch side lists them with all-NULL stages
+    batch_reachable = {u: v for u, v in batch.items() if v != (None, None, None)}
+    assert got == batch_reachable
