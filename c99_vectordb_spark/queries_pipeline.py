@@ -381,6 +381,203 @@ def q_sim_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# IVF-PQ with pinned coarse centroids + codebooks: the production ANN
+# layout (FAISS IVFPQ), fully hash-checked cross-engine
+# ---------------------------------------------------------------------------
+
+_IVFPQ_NLIST = 16  # coarse clusters
+_IVFPQ_PROBE = 4  # clusters probed per query
+
+
+def _ivfpq_coarse() -> list[list[float]]:
+    """Pinned coarse centroids C0[i][t] = ((11i + 5t) mod 19 - 9)/10."""
+    return [
+        [((11 * i + 5 * t) % 19 - 9) / 10.0 for t in range(64)]
+        for i in range(_IVFPQ_NLIST)
+    ]
+
+
+def _ivfpq_probes() -> list[int]:
+    """The query's nearest coarse clusters (computed driver-side from
+    the same closed forms — deterministic)."""
+    q = _pqf_query_vec()
+    d = [
+        (sum((a - b) * (a - b) for a, b in zip(q, c)), i)
+        for i, c in enumerate(_ivfpq_coarse())
+    ]
+    return [i for _, i in sorted(d)[:_IVFPQ_PROBE]]
+
+
+def _ivfpq_luts() -> dict[int, list[list[float]]]:
+    """Per-probed-cluster ADC lookup tables over the QUERY RESIDUAL
+    (q - C0[cluster]), one m x ksub table per probe."""
+    q = _pqf_query_vec()
+    books = _pqf_codebooks()
+    out: dict[int, list[list[float]]] = {}
+    for c in _ivfpq_probes():
+        qr = [a - b for a, b in zip(q, _ivfpq_coarse()[c])]
+        out[c] = [
+            [
+                sum(
+                    (x - y) * (x - y)
+                    for x, y in zip(qr[j * _PQF_DSUB : (j + 1) * _PQF_DSUB], cent)
+                )
+                for cent in books[j]
+            ]
+            for j in range(_PQF_M)
+        ]
+    return out
+
+
+def q_sim_ivfpq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (FAISS's production ANN layout) with pinned coarse
+    centroids and PQ codebooks, hash-checked end to end: (1) every
+    vector is assigned to its nearest coarse cluster (argmin — at
+    scale this is the PARTITION key, so the probe filter below becomes
+    partition pruning, ivf.py); (2) the RESIDUAL v - C0[cluster] is
+    PQ-encoded with the pinned codebooks; (3) the query probes its 4
+    nearest clusters only — the scan skips 12/16 of the corpus — and
+    ADC-scores codes against per-cluster residual LUTs; (4) top-10 by
+    TakeOrderedAndProject. Every stage is generated SQL text with
+    left-associated float order and CAST('<repr>' AS DOUBLE) literals,
+    bit-identical to the DuckDB CTE twin."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    coarse = _ivfpq_coarse()
+    books = _pqf_codebooks()
+    probes = _ivfpq_probes()
+    luts = _ivfpq_luts()
+
+    def dlit(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    # stage 1: coarse assignment
+    def coarse_dist(c: list[float]) -> str:
+        return "(" + " + ".join(
+            f"(CAST(embedding[{t}] AS DOUBLE) - {dlit(c[t])})"
+            f" * (CAST(embedding[{t}] AS DOUBLE) - {dlit(c[t])})"
+            for t in range(64)
+        ) + ")"
+
+    cd = "array(" + ", ".join(coarse_dist(c) for c in coarse) + ")"
+    assigned = emb.selectExpr(
+        "vec_id",
+        "embedding",
+        f"CAST(array_position({cd}, array_min({cd})) AS INT) - 1 AS cluster",
+    )
+    # stage 2: probe filter BEFORE any residual math (the pruning step)
+    probed = assigned.where(f"cluster IN ({', '.join(str(p) for p in probes)})")
+    # stage 3: residual dims (C0 element selected by cluster)
+    res_exprs = [
+        f"CAST(embedding[{t}] AS DOUBLE) - element_at(array("
+        + ", ".join(dlit(coarse[i][t]) for i in range(_IVFPQ_NLIST))
+        + "), cluster + 1) AS r{t}".replace("{t}", str(t))
+        for t in range(64)
+    ]
+    with_res = probed.selectExpr("vec_id", "cluster", *res_exprs)
+    # stage 4: PQ codes over the residual
+    def sq_dist(j: int, cent: list[float]) -> str:
+        return "(" + " + ".join(
+            f"(r{j * _PQF_DSUB + t} - {dlit(c)}) * (r{j * _PQF_DSUB + t} - {dlit(c)})"
+            for t, c in enumerate(cent)
+        ) + ")"
+
+    code_exprs = []
+    for j in range(_PQF_M):
+        dists = "array(" + ", ".join(sq_dist(j, c) for c in books[j]) + ")"
+        code_exprs.append(
+            f"CAST(array_position({dists}, array_min({dists})) AS INT) AS _c{j}"
+        )
+    coded = with_res.selectExpr("vec_id", "cluster", *code_exprs)
+    # stage 5: per-cluster residual LUT, ADC sum
+    def lut_term(j: int) -> str:
+        cases = " ".join(
+            f"WHEN {c} THEN element_at(array("
+            + ", ".join(dlit(v) for v in luts[c][j])
+            + f"), _c{j})"
+            for c in probes
+        )
+        return f"(CASE cluster {cases} END)"
+
+    score = " + ".join(lut_term(j) for j in range(_PQF_M))
+    return (
+        coded.selectExpr("vec_id", "cluster", f"{score} AS adc_score")
+        .orderBy(F.asc("adc_score"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+def _oracle_sim_ivfpq_fixed() -> str:
+    coarse = _ivfpq_coarse()
+    books = _pqf_codebooks()
+    probes = _ivfpq_probes()
+    luts = _ivfpq_luts()
+
+    def dlit(v: float) -> str:
+        return f"'{v!r}'::DOUBLE"
+
+    def coarse_dist(c: list[float]) -> str:
+        return "(" + " + ".join(
+            f"(embedding[{t + 1}]::DOUBLE - {dlit(c[t])})"
+            f" * (embedding[{t + 1}]::DOUBLE - {dlit(c[t])})"
+            for t in range(64)
+        ) + ")"
+
+    cd = "[" + ", ".join(coarse_dist(c) for c in coarse) + "]"
+    res_cols = ",\n         ".join(
+        f"embedding[{t + 1}]::DOUBLE - (["
+        + ", ".join(dlit(coarse[i][t]) for i in range(_IVFPQ_NLIST))
+        + f"])[cluster + 1] AS r{t}"
+        for t in range(64)
+    )
+
+    def sq_dist(j: int, cent: list[float]) -> str:
+        return "(" + " + ".join(
+            f"(r{j * _PQF_DSUB + t} - {dlit(c)}) * (r{j * _PQF_DSUB + t} - {dlit(c)})"
+            for t, c in enumerate(cent)
+        ) + ")"
+
+    code_cols = []
+    for j in range(_PQF_M):
+        dists = "[" + ", ".join(sq_dist(j, c) for c in books[j]) + "]"
+        code_cols.append(f"list_position({dists}, list_min({dists}))::INT AS _c{j}")
+
+    def lut_term(j: int) -> str:
+        cases = " ".join(
+            f"WHEN {c} THEN (["
+            + ", ".join(dlit(v) for v in luts[c][j])
+            + f"])[_c{j}]"
+            for c in probes
+        )
+        return f"(CASE cluster {cases} END)"
+
+    score = " + ".join(lut_term(j) for j in range(_PQF_M))
+    return f"""
+WITH a AS (
+  SELECT vec_id, embedding,
+         list_position({cd}, list_min({cd}))::INT - 1 AS cluster
+  FROM embeddings
+),
+p AS (
+  SELECT * FROM a WHERE cluster IN ({", ".join(str(x) for x in probes)})
+),
+r AS (
+  SELECT vec_id, cluster,
+         {res_cols}
+  FROM p
+),
+c AS (
+  SELECT vec_id, cluster,
+         {", ".join(code_cols)}
+  FROM r
+)
+SELECT vec_id, cluster, {score} AS adc_score
+FROM c
+ORDER BY adc_score ASC, vec_id ASC
+LIMIT 10
+"""
+
+
 def _oracle_sim_pq_fixed() -> str:
     """Unrolled DuckDB twin: identical literals, identical left-assoc
     float order, list_position(list_min) argmin, list-literal LUT."""
@@ -530,6 +727,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_kmv": q_approx_distinct_kmv,
     "sim_pq": q_sim_pq,
     "sim_pq_fixed": q_sim_pq_fixed,
+    "sim_ivfpq_fixed": q_sim_ivfpq_fixed,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -542,4 +740,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "sketch_heavy_hitters": _oracle_sketch_heavy_hitters(),
     "approx_distinct_kmv": _oracle_approx_distinct_kmv(),
     "sim_pq_fixed": _oracle_sim_pq_fixed(),
+    "sim_ivfpq_fixed": _oracle_sim_ivfpq_fixed(),
 }
