@@ -381,6 +381,91 @@ def q_sim_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test assignment (80/10/10) from the
+    stratified sampling key — the dataset-split primitive: no rand(),
+    no seed files, any cluster size or re-run assigns every document
+    identically, and membership is auditable from (source, doc_id)
+    alone. Map-only; the per-split counts are one partial-aggregated
+    shuffle."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = C.sample_key(F.col("source"), F.col("doc_id")) % 10000
+    split = (
+        F.when(key < 8000, F.lit("train"))
+        .when(key < 9000, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        docs.select("doc_id", key.alias("skey"), split.alias("split"))
+        .orderBy("doc_id")
+    )
+
+
+_ORACLE_CORPUS_SPLIT = f"""
+SELECT doc_id,
+       ({C.duckdb_sample_key_sql('source', 'doc_id')}) % 10000 AS skey,
+       CASE WHEN ({C.duckdb_sample_key_sql('source', 'doc_id')}) % 10000 < 8000 THEN 'train'
+            WHEN ({C.duckdb_sample_key_sql('source', 'doc_id')}) % 10000 < 9000 THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+ORDER BY doc_id
+"""
+
+
+def q_udtf_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF conformance (the lateral-join UDF surface, SURVEY
+    §2.10 UDF/UDAF row): a table function emitting each document's
+    first 5 shingle hashes with their ordinal, LATERAL-joined to the
+    corpus — must match the set-based SQL twin exactly (the shingle
+    fold is the repo hash spec). Row-based UDTFs are the slow path;
+    this pins API semantics, while production shingling stays in the
+    vectorized operators (dedup.minhash_signatures)."""
+    from pyspark.sql.functions import udtf
+
+    from .hashing import token_hash, tokenize
+    from .model import HASH_MOD
+
+    @udtf(returnType="ord: long, sh: long")
+    class FirstShingles:
+        def eval(self, text: str):
+            hs = [token_hash(t) for t in tokenize(text or "")]
+            for i in range(min(max(len(hs) - 2, 0), 5)):
+                acc = 0
+                for h in hs[i : i + 3]:
+                    acc = (acc * 131 + h) % HASH_MOD
+                yield i + 1, acc
+
+    spark.udtf.register("first_shingles", FirstShingles)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    docs.createOrReplaceTempView("_udtf_docs")
+    return spark.sql(
+        "SELECT d.doc_id, s.ord, s.sh "
+        "FROM _udtf_docs d, LATERAL first_shingles(d.text) s "
+        "ORDER BY d.doc_id, s.ord"
+    )
+
+
+def _oracle_udtf_shingles() -> str:
+    from .hashing import duckdb_token_hash_sql, duckdb_tokens_sql
+    from .model import HASH_MOD
+
+    toks = duckdb_tokens_sql("text")
+    th = duckdb_token_hash_sql("t")
+    idx = "range(1, least(greatest(len(hl) - 2, 0), 5) + 1)"
+    return f"""
+WITH hl AS (
+  SELECT doc_id, list_transform({toks}, t -> {th}) AS hl
+  FROM documents
+)
+SELECT doc_id,
+       unnest({idx})::BIGINT AS ord,
+       unnest(list_transform({idx},
+         i -> list_reduce([0::BIGINT] || hl[i:i+2], (a, h) -> (a * 131 + h) % {HASH_MOD}))) AS sh
+FROM hl
+ORDER BY doc_id, ord
+"""
+
+
 # ---------------------------------------------------------------------------
 # IVF-PQ with pinned coarse centroids + codebooks: the production ANN
 # layout (FAISS IVFPQ), fully hash-checked cross-engine
@@ -728,6 +813,8 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_pq": q_sim_pq,
     "sim_pq_fixed": q_sim_pq_fixed,
     "sim_ivfpq_fixed": q_sim_ivfpq_fixed,
+    "corpus_split_assign": q_corpus_split_assign,
+    "udtf_shingles": q_udtf_shingles,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -741,4 +828,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "approx_distinct_kmv": _oracle_approx_distinct_kmv(),
     "sim_pq_fixed": _oracle_sim_pq_fixed(),
     "sim_ivfpq_fixed": _oracle_sim_ivfpq_fixed(),
+    "corpus_split_assign": _ORACLE_CORPUS_SPLIT,
+    "udtf_shingles": _oracle_udtf_shingles(),
 }
