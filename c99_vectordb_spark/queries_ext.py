@@ -718,6 +718,41 @@ ORDER BY g.hour_idx, g.event_type
 """
 
 
+def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the near-dup candidate graph (the
+    boilerplate-clique detector: a triangle means three documents
+    mutually LSH-similar). Edges are already min<max oriented, which
+    IS the classic duplicate-elimination trick: each triangle a<b<c is
+    found exactly once as edges (a,b)+(b,c)+(a,c) — two equi-joins, no
+    cartesian, no post-dedup. At 100 TB you additionally orient by
+    degree so the join fan-out is bounded by the max low-degree
+    adjacency, not the max hub."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    e = minhash_lsh_pairs(docs, id_col="doc_id", body_col="text").select(
+        F.col("id_a").alias("a"), F.col("id_b").alias("b")
+    )
+    e2 = e.select(F.col("a").alias("b"), F.col("b").alias("c"))
+    e3 = e.select(F.col("a").alias("ta"), F.col("b").alias("c"))
+    wedges = e.join(e2, "b")
+    return (
+        wedges.join(e3, (wedges.a == e3.ta) & (wedges.c == e3.c))
+        .select("a", "b", wedges.c)
+        .orderBy("a", "b", "c")
+    )
+
+
+_ORACLE_GRAPH_TRIANGLES = f"""
+WITH {_oracle_minhash_ctes()}
+SELECT e1.id_a AS a, e1.id_b AS b, e2.id_b AS c
+FROM mh_pairs e1
+JOIN mh_pairs e2 ON e1.id_b = e2.id_a
+JOIN mh_pairs e3 ON e3.id_a = e1.id_a AND e3.id_b = e2.id_b
+ORDER BY a, b, c
+"""
+
+
 # ---------------------------------------------------------------------------
 # applyInPandas grouped-map conformance
 # ---------------------------------------------------------------------------
@@ -1174,6 +1209,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_scd2": q_orders_scd2,
     "multimodal_meta_roundtrip": q_multimodal_meta_roundtrip,
     "events_resample": q_events_resample,
+    "graph_triangles": q_graph_triangles,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1204,4 +1240,5 @@ EXT_ORACLES: dict[str, str] = {
     "orders_scd2": _ORACLE_ORDERS_SCD2,
     "multimodal_meta_roundtrip": _ORACLE_MULTIMODAL_META,
     "events_resample": _ORACLE_EVENTS_RESAMPLE,
+    "graph_triangles": _ORACLE_GRAPH_TRIANGLES,
 }
