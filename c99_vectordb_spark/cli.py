@@ -63,9 +63,21 @@ def _display_cell(scalar, tag, list_val):
 
 
 def cmd_recall(spark, base, query, k, filter_expr, as_yaml, verbose) -> int:
-    yaml_path, _ = _db_paths(base)
+    yaml_path, emb_path = _db_paths(base)
     k = R.clamp_k(k)
     records = yaml_io.load_records_yaml(spark, yaml_path)
+    # Use the prebuilt index when present — the reference's recall reads
+    # its .memo index rather than re-embedding the corpus per query
+    # (memo_cli.py:470-479); save/reindex keep <base>.emb derived, and a
+    # missing/corrupt dir self-heals to in-flight embedding (S3
+    # semantics, memo_cli.py:251-262). recall() joins embeddings back to
+    # the filtered record set, so results are identical either way.
+    embeddings = None
+    if os.path.isdir(emb_path):
+        try:
+            embeddings = spark.read.parquet(emb_path)
+        except Exception:
+            embeddings = None
     # R4: diagnostics to stderr only — stdout is the result contract
     # (memo_cli.py:38-40). The count is a full Spark job, so it only
     # runs when -v is actually on.
@@ -87,7 +99,9 @@ def cmd_recall(spark, base, query, k, filter_expr, as_yaml, verbose) -> int:
             return 1
     hits = [
         (r.id, r.score, r.body)
-        for r in R.recall(records, query, k=k, filter_col=fcol, dim=DIM).collect()
+        for r in R.recall(
+            records, query, k=k, filter_col=fcol, dim=DIM, embeddings=embeddings
+        ).collect()
     ]
     if as_yaml:
         print(fmt.recall_yaml(hits))

@@ -234,3 +234,30 @@ def test_rank_structure_matches_reference(spark, reference, golden_db):
         assert rc == 0
         mine = _yaml.safe_load(my_out)["results"]
         assert [r["id"] for r in mine] == ref_rank, f"query={query!r}"
+
+
+def test_recall_prebuilt_index_matches_inflight(spark, tmp_path):
+    """cmd_recall must produce identical output with and without the
+    prebuilt <base>.emb index (reindex derives it; recall self-heals to
+    in-flight embedding when it's absent)."""
+    base = str(tmp_path / "db")
+    # no blank bodies: reindex compaction must be an id-stable no-op so
+    # the only variable between the two recalls is the index source
+    docs = [
+        {"id": i, "metadata": {"k": i}, "body": LiteralStr(body)}
+        for i, (body, _) in enumerate(b for b in CORPUS if b[0].strip())
+    ]
+    with open(base + ".yaml", "w", encoding="utf-8") as f:
+        f.write(
+            _yaml.safe_dump_all(
+                docs, explicit_start=True, sort_keys=False, allow_unicode=True
+            )
+        )
+    before, rc0 = _cap(cli.main, ["-f", base, "recall", "-k", "4", "note coffee"])
+    assert rc0 == 0
+    out, rc = _cap(cli.main, ["-f", base, "reindex"])
+    assert rc == 0, out
+    assert os.path.isdir(base + ".emb")
+    after, rc2 = _cap(cli.main, ["-f", base, "recall", "-k", "4", "note coffee"])
+    assert rc2 == 0
+    assert after == before
