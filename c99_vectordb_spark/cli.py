@@ -7,9 +7,12 @@ parse_args, parse_recall_args, parse_analyze_args, main): ``save``,
 
 Storage layout: ``<base>.yaml`` is the compatibility source of truth
 (S1/S2 adapter) and ``<base>.emb/`` holds the derived embeddings
-parquet (the FAISS ``.memo`` replacement). Recall embeds in-flight
-from the record table, so the reference's save-only-index desync
-quirk (M6) cannot occur; ``reindex`` still rewrites both canonically.
+parquet (the FAISS ``.memo`` replacement). Recall reuses the derived
+index only when its recorded source fingerprint (``_SOURCE_SHA256``,
+the hash of the YAML it was built from) still matches — any external
+edit to the YAML makes recall fall back to in-flight embedding, so the
+reference's save-only-index desync quirk (M6) STILL cannot occur;
+``reindex`` rewrites both canonically.
 
 Usage: ``python -m c99_vectordb_spark.cli [-f base] [-v] <verb> ...``
 """
@@ -39,6 +42,16 @@ def _db_paths(base: str) -> tuple[str, str]:
     return f"{base}.yaml", f"{base}.emb"
 
 
+def _yaml_sha256(yaml_path: str) -> str | None:
+    import hashlib
+
+    try:
+        with open(yaml_path, "rb") as f:
+            return hashlib.sha256(f.read()).hexdigest()
+    except OSError:
+        return None
+
+
 def _get_spark() -> SparkSession:
     from .session import get_spark
 
@@ -66,16 +79,21 @@ def cmd_recall(spark, base, query, k, filter_expr, as_yaml, verbose) -> int:
     yaml_path, emb_path = _db_paths(base)
     k = R.clamp_k(k)
     records = yaml_io.load_records_yaml(spark, yaml_path)
-    # Use the prebuilt index when present — the reference's recall reads
-    # its .memo index rather than re-embedding the corpus per query
-    # (memo_cli.py:470-479); save/reindex keep <base>.emb derived, and a
-    # missing/corrupt dir self-heals to in-flight embedding (S3
-    # semantics, memo_cli.py:251-262). recall() joins embeddings back to
-    # the filtered record set, so results are identical either way.
+    # Use the prebuilt index when present AND still derived from this
+    # exact YAML (fingerprint check) — the reference's recall reads its
+    # .memo index rather than re-embedding the corpus per query
+    # (memo_cli.py:470-479). A missing/corrupt/stale dir self-heals to
+    # in-flight embedding (S3 semantics, memo_cli.py:251-262), which is
+    # how the M6 desync quirk stays impossible here. recall() joins
+    # embeddings back to the filtered record set, so results are
+    # identical either way.
     embeddings = None
     if os.path.isdir(emb_path):
         try:
-            embeddings = spark.read.parquet(emb_path)
+            with open(os.path.join(emb_path, "_SOURCE_SHA256")) as f:
+                recorded = f.read().strip()
+            if recorded and recorded == _yaml_sha256(yaml_path):
+                embeddings = spark.read.parquet(emb_path)
         except Exception:
             embeddings = None
     # R4: diagnostics to stderr only — stdout is the result contract
@@ -265,14 +283,22 @@ def cmd_save(spark, base, save_path, verbose) -> int:
         else:
             print(fmt.memorized(body, rid))
     yaml_io.save_records_yaml(merged.orderBy("id"), yaml_path)
-    _write_embeddings(merged, emb_path)
+    _write_embeddings(merged, emb_path, yaml_path)
     return 0
 
 
-def _write_embeddings(records, emb_path: str) -> None:
+def _write_embeddings(records, emb_path: str, yaml_path: str | None = None) -> None:
     emb = build_embeddings(records, dim=DIM)
     tmp = f"{emb_path}.tmp"
     emb.write.mode("overwrite").parquet(tmp)
+    if yaml_path is not None:
+        # record which YAML this index derives from (underscore-prefixed
+        # files are invisible to Spark's parquet reader); recall only
+        # trusts the index while the fingerprint still matches
+        sha = _yaml_sha256(yaml_path)
+        if sha:
+            with open(os.path.join(tmp, "_SOURCE_SHA256"), "w") as f:
+                f.write(sha)
     if os.path.exists(emb_path):
         shutil.rmtree(emb_path)
     os.rename(tmp, emb_path)
@@ -285,7 +311,7 @@ def cmd_reindex(spark, base, verbose) -> int:
     compacted = M.compact(records).cache()
     n_after = compacted.count()
     yaml_io.save_records_yaml(compacted.orderBy("id"), yaml_path)
-    _write_embeddings(compacted, emb_path)
+    _write_embeddings(compacted, emb_path, yaml_path)
     print(f"Rebuilt index from {os.path.basename(yaml_path)}")
     print(f"Wrote index: {os.path.basename(emb_path)}")
     if n_before - n_after > 0:

@@ -261,3 +261,40 @@ def test_recall_prebuilt_index_matches_inflight(spark, tmp_path):
     after, rc2 = _cap(cli.main, ["-f", base, "recall", "-k", "4", "note coffee"])
     assert rc2 == 0
     assert after == before
+
+
+def test_recall_ignores_stale_index(spark, tmp_path):
+    """Externally editing the YAML after reindex must invalidate the
+    derived index (fingerprint mismatch) — recall re-embeds in flight
+    and reflects the edit, so M6-style desync cannot occur."""
+    base = str(tmp_path / "db")
+    docs = [
+        {"id": i, "metadata": {}, "body": LiteralStr(body)}
+        for i, (body, _) in enumerate(b for b in CORPUS if b[0].strip())
+    ]
+    with open(base + ".yaml", "w", encoding="utf-8") as f:
+        f.write(
+            _yaml.safe_dump_all(
+                docs, explicit_start=True, sort_keys=False, allow_unicode=True
+            )
+        )
+    out, rc = _cap(cli.main, ["-f", base, "reindex"])
+    assert rc == 0, out
+    # external edit: replace the best match for "note coffee" with an
+    # unrelated body; a stale index would still rank old doc 6 first
+    txt = open(base + ".yaml", encoding="utf-8").read()
+    assert "coffee brewing pour over fine grind size" in txt
+    txt = txt.replace(
+        "note coffee brewing pour over fine grind size",
+        "note unrelated filler words entirely different",
+    )
+    open(base + ".yaml", "w", encoding="utf-8").write(txt)
+    out2, rc2 = _cap(cli.main, ["-f", base, "recall", "-k", "2", "note coffee grind"])
+    assert rc2 == 0
+    assert "coffee brewing" not in out2  # edited body cannot appear
+    # the stale-index-bypassing result must equal a fresh rebuild's
+    out3, rc3 = _cap(cli.main, ["-f", base, "reindex"])
+    assert rc3 == 0, out3
+    out4, rc4 = _cap(cli.main, ["-f", base, "recall", "-k", "2", "note coffee grind"])
+    assert rc4 == 0
+    assert out2 == out4
