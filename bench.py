@@ -83,6 +83,8 @@ HEADLINE = [
     "orders_scd2",
     "multimodal_meta_roundtrip",
     "events_resample",
+    "skyline_orders",
+    "cdc_apply_orders",
 ]
 
 

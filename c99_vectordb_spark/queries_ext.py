@@ -753,6 +753,140 @@ ORDER BY a, b, c
 """
 
 
+def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """2-D skyline (Pareto frontier): orders not dominated on (earlier
+    date, higher price) by any other order — computed in ONE
+    sort-window pass (running max of price over the date order; a row
+    is on the frontier iff its price equals the running max), not the
+    textbook O(n^2) dominance anti-join. The window is date-ordered
+    global here; at scale, range-partition by date and stitch the per
+    partition frontiers with a 1-row-per-partition broadcast of each
+    partition's max — same algebra, no single-task window."""
+    from pyspark.sql import Window
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    w = (
+        Window.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    p = F.col("o_totalprice").cast("decimal(18,2)")
+    return (
+        orders.select(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+            p.alias("price"),
+            F.max(p).over(w).alias("runmax"),
+        )
+        .filter(F.col("price") == F.col("runmax"))
+        .select(
+            "o_orderkey", "odate", F.col("price").cast("double").alias("price")
+        )
+        .orderBy("odate", "o_orderkey")
+    )
+
+
+_ORACLE_SKYLINE_ORDERS = """
+WITH r AS (
+  SELECT o_orderkey,
+         strftime(o_orderdate, '%Y-%m-%d') AS odate,
+         CAST(o_totalprice AS DECIMAL(18,2)) AS price,
+         MAX(CAST(o_totalprice AS DECIMAL(18,2)))
+           OVER (ORDER BY o_orderdate ASC, o_orderkey ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS runmax
+  FROM orders
+)
+SELECT o_orderkey, odate, CAST(price AS DOUBLE) AS price
+FROM r
+WHERE price = runmax
+ORDER BY odate, o_orderkey
+"""
+
+
+def q_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC / MERGE-INTO apply: a deterministic change feed (derived
+    from the events table: each event is an upsert or delete on an
+    order key) collapsed to the LATEST op per key (window on event
+    time), then applied to the snapshot in one pass — updates
+    overwrite, deletes drop, inserts append. The Delta-style merge
+    shape: one shuffle each for feed-dedup and the outer join; at
+    100 TB both share the key partitioning. Exact integers/strings
+    end to end."""
+    from pyspark.sql import Window
+    from .queries_registry import _read_events
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    ev = _read_events(spark, sf_dir)
+    # change feed: key targets the order space; op from the event type
+    feed = ev.select(
+        (F.col("event_id") % 10000).alias("key"),
+        F.col("ts_us").alias("ts"),
+        "event_id",
+        F.when(F.col("event_type") == "purchase", F.lit("D"))
+        .otherwise(F.lit("U"))
+        .alias("op"),
+        (F.col("value") * 100).cast("decimal(18,2)").alias("new_price"),
+    )
+    wk = Window.partitionBy("key").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    latest = (
+        feed.select("key", "op", "new_price", F.row_number().over(wk).alias("rn"))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+    joined = orders.join(latest, orders.o_orderkey == latest.key, "full_outer")
+    return (
+        joined.filter(
+            F.col("op").isNull() | (F.col("op") != "D")
+        )  # deletes drop (missing-key deletes are no-ops)
+        .filter(F.col("op").isNotNull() | F.col("o_orderkey").isNotNull())
+        .select(
+            F.coalesce("o_orderkey", "key").alias("okey"),
+            F.when(F.col("op") == "U", F.coalesce("o_orderstatus", F.lit("N")))
+            .otherwise(F.col("o_orderstatus"))
+            .alias("status"),
+            F.when(F.col("op") == "U", F.col("new_price"))
+            .otherwise(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("price"),
+        )
+        .orderBy("okey")
+    )
+
+
+_ORACLE_CDC_APPLY_ORDERS = """
+WITH feed AS (
+  SELECT event_id % 10000 AS key, epoch_us(ts) AS ts, event_id,
+         CASE WHEN event_type = 'purchase' THEN 'D' ELSE 'U' END AS op,
+         CAST(value * 100 AS DECIMAL(18,2)) AS new_price
+  FROM events
+),
+latest AS (
+  SELECT key, op, new_price
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY key
+                                 ORDER BY ts DESC, event_id DESC) AS rn
+    FROM feed
+  ) WHERE rn = 1
+),
+j AS (
+  SELECT o.o_orderkey, o.o_orderstatus, o.o_totalprice, l.key, l.op, l.new_price
+  FROM orders o FULL OUTER JOIN latest l ON o.o_orderkey = l.key
+)
+SELECT COALESCE(o_orderkey, key) AS okey,
+       CASE WHEN op = 'U' THEN COALESCE(o_orderstatus, 'N')
+            ELSE o_orderstatus END AS status,
+       CAST(CASE WHEN op = 'U' THEN new_price
+            ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS DOUBLE) AS price
+FROM j
+WHERE (op IS NULL OR op != 'D')
+  AND (op IS NOT NULL OR o_orderkey IS NOT NULL)
+ORDER BY okey
+"""
+
+
 # ---------------------------------------------------------------------------
 # applyInPandas grouped-map conformance
 # ---------------------------------------------------------------------------
@@ -1210,6 +1344,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta_roundtrip": q_multimodal_meta_roundtrip,
     "events_resample": q_events_resample,
     "graph_triangles": q_graph_triangles,
+    "skyline_orders": q_skyline_orders,
+    "cdc_apply_orders": q_cdc_apply_orders,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1241,4 +1377,6 @@ EXT_ORACLES: dict[str, str] = {
     "multimodal_meta_roundtrip": _ORACLE_MULTIMODAL_META,
     "events_resample": _ORACLE_EVENTS_RESAMPLE,
     "graph_triangles": _ORACLE_GRAPH_TRIANGLES,
+    "skyline_orders": _ORACLE_SKYLINE_ORDERS,
+    "cdc_apply_orders": _ORACLE_CDC_APPLY_ORDERS,
 }

@@ -353,3 +353,19 @@ def test_stats_correlation_single_shuffle(spark, sf_dir):
     plan = _plan(q_stats_correlation(spark, sf_dir))
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange hashpartitioning(l_returnflag") <= 1
+
+
+def test_recall_with_prebuilt_index_skips_embed_udf(spark, documents, tmp_path):
+    """With a prebuilt embeddings DataFrame, the recall plan must not
+    contain a Python UDF stage (the embed pandas UDF) — the index IS
+    the point: scoring reads vectors, it doesn't recompute them."""
+    from c99_vectordb_spark.functions.embed import build_embeddings
+    from c99_vectordb_spark.operators.recall import recall
+
+    records = documents.selectExpr("doc_id as id", "text as body")
+    emb_path = str(tmp_path / "emb.parquet")
+    build_embeddings(records, dim=64).write.parquet(emb_path)
+    emb = spark.read.parquet(emb_path)
+    plan = _plan(recall(records, "spark join", k=5, dim=64, embeddings=emb))
+    assert "EvalPython" not in plan  # no Batch/ArrowEvalPython stage
+    assert "TakeOrderedAndProject" in plan
