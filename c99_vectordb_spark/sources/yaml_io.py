@@ -15,9 +15,12 @@ and get identical semantics:
 - save-batch parsing with the reference's validations
   (memo_cli.py:369-400)
 
-YAML files are human-scale (the reference loads them wholesale per
-command), so the adapter parses driver-side; the resulting DataFrame
-is immediately distributed. A 100 TB corpus lives in Parquet.
+The parse is scale-adaptive: human-scale files (the reference loads
+them wholesale per command) parse driver-side with byte-identical
+error behavior; above DISTRIBUTED_PARSE_BYTES the per-document parse
+and validation distribute as a mapInPandas pass (duplicate-id check =
+one groupBy probe, densification = a range left-join) — property-
+tested equal to the driver path. A 100 TB corpus lives in Parquet.
 """
 
 from __future__ import annotations
@@ -50,26 +53,33 @@ def _parse_docs(text: str) -> list[dict]:
     return [d for d in yaml.safe_load_all(text) if d is not None]
 
 
+def _validate_record_doc(doc) -> tuple[int, str, dict | None]:
+    """Single-record validation shared by the driver-side and
+    distributed parse paths (identical error messages)."""
+    if not isinstance(doc, dict):
+        raise YamlValidationError("record must be a mapping")
+    if "id" not in doc or "body" not in doc:
+        raise YamlValidationError("record requires id and body")
+    rid = doc["id"]
+    if not isinstance(rid, int) or isinstance(rid, bool) or rid < 0:
+        raise YamlValidationError(f"id must be a non-negative int: {rid!r}")
+    body = doc["body"]
+    if not isinstance(body, str):
+        raise YamlValidationError(f"body must be a string (id {rid})")
+    metadata = doc.get("metadata")
+    if metadata is not None and not isinstance(metadata, dict):
+        raise YamlValidationError(f"metadata must be a mapping (id {rid})")
+    return rid, body, metadata or None
+
+
 def parse_records_yaml(text: str) -> list[tuple]:
     """Multi-doc YAML -> validated dense RECORDS_SCHEMA rows."""
     by_id: dict[int, tuple[str, dict | None]] = {}
     for doc in _parse_docs(text):
-        if not isinstance(doc, dict):
-            raise YamlValidationError("record must be a mapping")
-        if "id" not in doc or "body" not in doc:
-            raise YamlValidationError("record requires id and body")
-        rid = doc["id"]
-        if not isinstance(rid, int) or isinstance(rid, bool) or rid < 0:
-            raise YamlValidationError(f"id must be a non-negative int: {rid!r}")
+        rid, body, metadata = _validate_record_doc(doc)
         if rid in by_id:
             raise YamlValidationError(f"duplicate id {rid}")
-        body = doc["body"]
-        if not isinstance(body, str):
-            raise YamlValidationError(f"body must be a string (id {rid})")
-        metadata = doc.get("metadata")
-        if metadata is not None and not isinstance(metadata, dict):
-            raise YamlValidationError(f"metadata must be a mapping (id {rid})")
-        by_id[rid] = (body, metadata or None)
+        by_id[rid] = (body, metadata)
     n = (max(by_id) + 1) if by_id else 0
     rows = []
     for i in range(n):  # densify: gaps become blank records
@@ -79,13 +89,107 @@ def parse_records_yaml(text: str) -> list[tuple]:
     return rows
 
 
-def load_records_yaml(spark: SparkSession, path: str) -> DataFrame:
+#: above this file size the YAML parse distributes across executors;
+#: below it the driver-side path keeps byte-identical error behavior
+#: for the CLI goldens at zero job overhead
+DISTRIBUTED_PARSE_BYTES = 4 << 20
+
+
+def _split_yaml_docs(text: str) -> list[str]:
+    """Split a canonical multi-doc stream on explicit ``---`` separators
+    at column 0 (what both this adapter and the reference write; bodies
+    are literal block scalars, so an unindented ``---`` only occurs as
+    a document separator)."""
+    docs, cur = [], []
+    for line in text.splitlines():
+        if line == "---":
+            if cur and any(s.strip() for s in cur):
+                docs.append("\n".join(cur))
+            cur = []
+        else:
+            cur.append(line)
+    if cur and any(s.strip() for s in cur):
+        docs.append("\n".join(cur))
+    return docs
+
+
+def _parse_records_distributed(spark: SparkSession, text: str) -> DataFrame:
+    """Distributed S1: per-document YAML parse + validation runs as a
+    mapInPandas pass over the split document stream; the two GLOBAL
+    validations (duplicate ids) and densification (gap ids -> blank
+    records) are a groupBy probe and a range left-join. Exactly
+    parse_records_yaml's semantics (property-tested equal), minus the
+    driver bottleneck."""
+    from collections.abc import Iterator
+
+    import pandas as pd
+    from pyspark.sql import functions as F, types as T
+
+    docs = _split_yaml_docs(text)
+    raw = spark.createDataFrame(
+        [(d,) for d in docs], T.StructType([T.StructField("doc", T.StringType())])
+    ).repartition(max(2, spark.sparkContext.defaultParallelism))
+
+    out_schema = T.StructType(
+        [T.StructField("err", T.StringType(), True), *YAML_RECORDS_SCHEMA.fields]
+    )
+
+    def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_text in pdf["doc"]:
+                try:
+                    doc = yaml.safe_load(doc_text)
+                    if doc is None:
+                        continue
+                    rid, body, metadata = _validate_record_doc(doc)
+                    keys = (
+                        [str(k) for k in metadata.keys()] if metadata else None
+                    )
+                    rows.append((None, *record_row(rid, body, metadata), keys))
+                except (YamlValidationError, yaml.YAMLError) as e:
+                    rows.append((str(e), -1, None, None, None, None, None))
+            yield pd.DataFrame(
+                rows, columns=["err", *[f.name for f in YAML_RECORDS_SCHEMA.fields]]
+            )
+
+    parsed = raw.mapInPandas(parse, schema=out_schema).localCheckpoint(eager=True)
+    bad = parsed.filter(F.col("err").isNotNull()).select("err").limit(1).collect()
+    if bad:
+        raise YamlValidationError(bad[0]["err"])
+    dup = (
+        parsed.groupBy("id")
+        .count()
+        .filter(F.col("count") > 1)
+        .orderBy("id")
+        .limit(1)
+        .collect()
+    )
+    if dup:
+        raise YamlValidationError(f"duplicate id {dup[0]['id']}")
+    n = parsed.agg(F.coalesce(F.max("id") + 1, F.lit(0))).collect()[0][0]
+    dense = (
+        spark.range(n)
+        .join(parsed.drop("err"), "id", "left")
+        .withColumn("body", F.coalesce("body", F.lit("")))
+        .select(*[f.name for f in YAML_RECORDS_SCHEMA.fields])
+    )
+    return dense
+
+
+def load_records_yaml(
+    spark: SparkSession,
+    path: str,
+    distributed_bytes: int = DISTRIBUTED_PARSE_BYTES,
+) -> DataFrame:
     try:
         with open(path, encoding="utf-8") as f:
-            rows = parse_records_yaml(f.read())
+            text = f.read()
     except FileNotFoundError:
-        rows = []
-    return spark.createDataFrame(rows, YAML_RECORDS_SCHEMA)
+        return spark.createDataFrame([], YAML_RECORDS_SCHEMA)
+    if len(text) >= distributed_bytes:
+        return _parse_records_distributed(spark, text)
+    return spark.createDataFrame(parse_records_yaml(text), YAML_RECORDS_SCHEMA)
 
 
 def _revive(scalar: str | None, tag: str | None):

@@ -66,3 +66,81 @@ def test_yaml_gap_densification():
     assert len(rows) == 4
     assert rows[1][1] == "" and rows[2][1] == ""  # gaps blank-filled
     assert rows[3][1] == "d"
+
+
+def _canon_rows(df):
+    return sorted(
+        (
+            r.id,
+            r.body,
+            tuple(sorted((r.metadata or {}).items())),
+            tuple(sorted((r.metadata_types or {}).items())),
+            tuple(sorted((k, tuple(v)) for k, v in (r.metadata_lists or {}).items())),
+            tuple(r.metadata_keys) if r.metadata_keys else None,
+        )
+        for r in df.collect()
+    )
+
+
+def test_distributed_yaml_parse_matches_driver(spark, tmp_path):
+    """The distributed S1 path (mapInPandas parse + groupBy dup probe +
+    range densify) must produce exactly the driver-side rows on a
+    corpus with gaps, unicode, blanks, and mixed metadata."""
+    import yaml as _y
+
+    from c99_vectordb_spark.fmt import LiteralStr
+
+    docs = []
+    for i in [0, 1, 2, 5, 6, 9, 12]:  # gaps at 3,4,7,8,10,11
+        md = None
+        if i % 3 == 0:
+            md = {"source": f"src{i}", "priority": i, "tags": ["a", "b"]}
+        elif i % 3 == 1:
+            md = {"note": "ünïcode välue", "score": i / 2.0}
+        body = "  " if i == 6 else f"bödy {i}\nsecond line {i}"
+        docs.append({"id": i, "metadata": md or {}, "body": LiteralStr(body)})
+    path = str(tmp_path / "db.yaml")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(
+            _y.safe_dump_all(
+                docs, explicit_start=True, sort_keys=False, allow_unicode=True
+            )
+        )
+    driver = yaml_io.load_records_yaml(spark, path)
+    dist = yaml_io.load_records_yaml(spark, path, distributed_bytes=0)
+    assert _canon_rows(dist) == _canon_rows(driver)
+    assert dist.count() == 13  # densified through the gaps
+
+
+def test_distributed_yaml_parse_error_parity(spark, tmp_path):
+    """Duplicate-id and invalid-record errors must match the driver
+    path's messages on the distributed path too."""
+    import yaml as _y
+
+    base = str(tmp_path / "dup.yaml")
+    with open(base, "w", encoding="utf-8") as f:
+        f.write(
+            _y.safe_dump_all(
+                [
+                    {"id": 0, "metadata": {}, "body": "a"},
+                    {"id": 1, "metadata": {}, "body": "b"},
+                    {"id": 1, "metadata": {}, "body": "c"},
+                ],
+                explicit_start=True,
+                sort_keys=False,
+            )
+        )
+    with pytest.raises(yaml_io.YamlValidationError, match="duplicate id 1"):
+        yaml_io.load_records_yaml(spark, base, distributed_bytes=0)
+
+    bad = str(tmp_path / "bad.yaml")
+    with open(bad, "w", encoding="utf-8") as f:
+        f.write(
+            _y.safe_dump_all(
+                [{"id": 0, "metadata": {}, "body": "a"}, {"id": -3, "body": "x"}],
+                explicit_start=True,
+                sort_keys=False,
+            )
+        )
+    with pytest.raises(yaml_io.YamlValidationError, match="non-negative int: -3"):
+        yaml_io.load_records_yaml(spark, bad, distributed_bytes=0)
