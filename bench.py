@@ -85,6 +85,7 @@ HEADLINE = [
     "events_resample",
     "skyline_orders",
     "cdc_apply_orders",
+    "events_trailing_24h",
 ]
 
 

@@ -718,6 +718,46 @@ ORDER BY g.hour_idx, g.event_type
 """
 
 
+def q_events_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 24-hour event volume per hour — a RANGE-frame window
+    (value-based: hours with no events still bound the frame), distinct
+    from the ROWS frame window_running_total pins. One shuffle to the
+    hourly pre-aggregate (map-combined), then the window runs over
+    hours — thousands of rows regardless of corpus size, so the sort
+    is trivial at any scale."""
+    from pyspark.sql import Window
+    from .queries_registry import _read_events
+
+    events = _read_events(spark, sf_dir)
+    hourly = (
+        events.select(F.expr("ts_us div 3600000000").alias("hour_idx"))
+        .groupBy("hour_idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.orderBy(F.col("hour_idx").asc()).rangeBetween(-23, 0)
+    return (
+        hourly.select(
+            "hour_idx",
+            "cnt",
+            F.sum("cnt").over(w).alias("trailing_24h"),
+        )
+        .orderBy("hour_idx")
+    )
+
+
+_ORACLE_EVENTS_TRAILING_24H = """
+WITH hourly AS (
+  SELECT epoch_us(ts) // 3600000000 AS hour_idx, COUNT(*)::BIGINT AS cnt
+  FROM events GROUP BY 1
+)
+SELECT hour_idx, cnt,
+       SUM(cnt) OVER (ORDER BY hour_idx ASC
+                      RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS trailing_24h
+FROM hourly
+ORDER BY hour_idx
+"""
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle enumeration over the near-dup candidate graph (the
     boilerplate-clique detector: a triangle means three documents
@@ -1346,6 +1386,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_triangles": q_graph_triangles,
     "skyline_orders": q_skyline_orders,
     "cdc_apply_orders": q_cdc_apply_orders,
+    "events_trailing_24h": q_events_trailing_24h,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -1379,4 +1420,5 @@ EXT_ORACLES: dict[str, str] = {
     "graph_triangles": _ORACLE_GRAPH_TRIANGLES,
     "skyline_orders": _ORACLE_SKYLINE_ORDERS,
     "cdc_apply_orders": _ORACLE_CDC_APPLY_ORDERS,
+    "events_trailing_24h": _ORACLE_EVENTS_TRAILING_24H,
 }
