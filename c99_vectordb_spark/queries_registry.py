@@ -43,6 +43,10 @@ def _read_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import normalize_event_time
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # normalize_event_time's NTZ->epoch conversion is exact only under
+    # a UTC session — pin it here too (runtime-settable), because the
+    # driver's own session may not use our factory defaults
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return normalize_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
 
 

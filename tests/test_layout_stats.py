@@ -122,3 +122,25 @@ def test_events_keep_first_is_min_per_key(spark, sf_dir):
     assert len(got) == len(best)
     for r in got:
         assert best[(r.user_id, r.event_type)] == (r.ts_us, r.event_id)
+
+
+def test_events_ts_us_independent_of_caller_session_tz(spark, sf_dir):
+    """The driver builds its own session and may not pin UTC; the
+    events reader must self-pin so ts_us (and everything derived from
+    it) is identical no matter the caller's timezone."""
+    from c99_vectordb_spark.queries_registry import _read_events
+
+    baseline = {
+        (r.user_id, r.event_type): r.ts_us
+        for r in QE.q_events_keep_first(spark, sf_dir).limit(50).collect()
+    }
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+        again = {
+            (r.user_id, r.event_type): r.ts_us
+            for r in QE.q_events_keep_first(spark, sf_dir).limit(50).collect()
+        }
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+    assert again == baseline
