@@ -23,7 +23,7 @@ deviation, encoded identically in the oracle SQL (SURVEY.md §7 risk 4).
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..model import DEFAULT_LIMIT, DEFAULT_OFFSET, STATS_TOP_N
 from .filters import Resolver, compile_filter
@@ -82,6 +82,12 @@ def value_counts_with_other(
     distinct_cnt is 1 for real values and the residual cardinality for
     the rollup row. Nulls (missing key) excluded first
     (memo_cli.py:583-586).
+
+    Scale shape: top-N via ``orderBy().limit(N)`` — Spark plans that as
+    TakeOrderedAndProject (per-partition heaps, no global sort, no
+    single-task window). The rollup is a broadcast anti-join of the
+    distinct-value counts against the N winners, then one aggregate.
+    Safe for high-cardinality values (user-id-as-metadata).
     """
     counts = (
         matches.select(value.alias("value"))
@@ -89,13 +95,13 @@ def value_counts_with_other(
         .groupBy("value")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.orderBy(F.desc("cnt"), F.asc("value"))
-    ranked = counts.withColumn("rn", F.row_number().over(w))
-    top = ranked.filter(F.col("rn") <= top_n).select(
-        "value", "cnt", F.lit(1).cast("long").alias("distinct_cnt")
+    top = (
+        counts.orderBy(F.desc("cnt"), F.asc("value"))
+        .limit(top_n)
+        .select("value", "cnt", F.lit(1).cast("long").alias("distinct_cnt"))
     )
     other = (
-        ranked.filter(F.col("rn") > top_n)
+        counts.join(F.broadcast(top.select("value")), "value", "left_anti")
         .agg(
             F.coalesce(F.sum("cnt"), F.lit(0)).alias("cnt"),
             F.count(F.lit(1)).alias("distinct_cnt"),

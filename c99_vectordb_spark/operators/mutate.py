@@ -146,7 +146,7 @@ def assign_dense_ids(
     wlocal = Window.partitionBy("_pid").orderBy(order_col)
     return (
         ranged.withColumn(
-            out_col, offmap.getItem(F.col("_pid")) + F.row_number().over(wlocal) - 1
+            out_col, offmap[F.col("_pid")] + F.row_number().over(wlocal) - 1
         )
         .drop("_pid")
     )
@@ -160,6 +160,7 @@ def upsert(
     records: DataFrame,
     batch: DataFrame,
     id_col: str = "id",
+    scalable: bool = False,
 ) -> DataFrame:
     """Apply a save batch: rows with a non-null existing id overwrite in
     place (M2), rows with null id append with dense ids after the
@@ -191,6 +192,7 @@ def upsert(
         order_col="_seq",
         out_col=id_col,
         start=max_id + 1,
+        scalable=scalable,
     ).drop("_seq")
 
     kept = records.join(

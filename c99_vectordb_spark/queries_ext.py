@@ -719,13 +719,17 @@ ORDER BY g.hour_idx, g.event_type
 
 
 def q_events_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Trailing 24-hour event volume per hour — a RANGE-frame window
+    """Trailing 24-hour event volume per hour — RANGE-frame semantics
     (value-based: hours with no events still bound the frame), distinct
-    from the ROWS frame window_running_total pins. One shuffle to the
-    hourly pre-aggregate (map-combined), then the window runs over
-    hours — thousands of rows regardless of corpus size, so the sort
-    is trivial at any scale."""
-    from pyspark.sql import Window
+    from the ROWS frame window_running_total pins.
+
+    Computed WITHOUT any window: each hourly count is exploded to the
+    24 target hours it contributes to (sequence + explode, map-side),
+    then one hash aggregate per target hour and an equi-join back to
+    the observed hours. The sliding sum becomes explode+regroup — a
+    bounded 24x fan-out of the already-aggregated hourly table, fully
+    partitioned at any scale, where the naive formulation is a global
+    unpartitioned RANGE window (single task)."""
     from .queries_registry import _read_events
 
     events = _read_events(spark, sf_dir)
@@ -734,13 +738,18 @@ def q_events_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("hour_idx")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    w = Window.orderBy(F.col("hour_idx").asc()).rangeBetween(-23, 0)
+    contrib = hourly.select(
+        F.explode(
+            F.sequence(F.col("hour_idx"), F.col("hour_idx") + F.lit(23))
+        ).alias("target_hour"),
+        "cnt",
+    )
+    sums = contrib.groupBy("target_hour").agg(
+        F.sum("cnt").alias("trailing_24h")
+    )
     return (
-        hourly.select(
-            "hour_idx",
-            "cnt",
-            F.sum("cnt").over(w).alias("trailing_24h"),
-        )
+        hourly.join(sums, hourly.hour_idx == sums.target_hour)
+        .select("hour_idx", "cnt", "trailing_24h")
         .orderBy("hour_idx")
     )
 
@@ -795,29 +804,30 @@ ORDER BY a, b, c
 
 def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline (Pareto frontier): orders not dominated on (earlier
-    date, higher price) by any other order — computed in ONE
-    sort-window pass (running max of price over the date order; a row
-    is on the frontier iff its price equals the running max), not the
-    textbook O(n^2) dominance anti-join. The window is date-ordered
-    global here; at scale, range-partition by date and stitch the per
-    partition frontiers with a 1-row-per-partition broadcast of each
-    partition's max — same algebra, no single-task window."""
-    from pyspark.sql import Window
+    date, higher price) by any other order — computed as a running max
+    of price over the (date, key) order (a row is on the frontier iff
+    its price equals the running max), not the textbook O(n^2)
+    dominance anti-join. The running max uses the range-partitioned
+    two-pass stitch (operators/scalable_window.running_max): per
+    partition local windows plus a broadcast prefix-scan of partition
+    maxima — same algebra as the global window, no single-task stage."""
+    from .operators.scalable_window import running_max
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    w = (
-        Window.orderBy(F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
     p = F.col("o_totalprice").cast("decimal(18,2)")
+    base = orders.select(
+        "o_orderkey",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
+        p.alias("price"),
+    )
+    stitched = running_max(
+        base,
+        [F.col("odate").asc(), F.col("o_orderkey").asc()],
+        F.col("price"),
+        out_col="runmax",
+    )
     return (
-        orders.select(
-            "o_orderkey",
-            F.date_format("o_orderdate", "yyyy-MM-dd").alias("odate"),
-            p.alias("price"),
-            F.max(p).over(w).alias("runmax"),
-        )
-        .filter(F.col("price") == F.col("runmax"))
+        stitched.filter(F.col("price") == F.col("runmax"))
         .select(
             "o_orderkey", "odate", F.col("price").cast("double").alias("price")
         )
@@ -1236,14 +1246,27 @@ def q_price_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     statistics shape: equal-POPULATION buckets, robust to skew where
     equal-WIDTH buckets collapse. One sort-shuffle; at 100 TB you
     compute it on a deterministic hash sample instead (the
-    grouped_sample_topn machinery)."""
-    from pyspark.sql import Window
+    grouped_sample_topn machinery).
+
+    NTILE here is two-pass, not a global window: a range-partitioned
+    global rank (operators/scalable_window.global_rank — broadcast
+    partition-count prefix offsets + per-partition local windows) and
+    then the bucket number as pure NTILE arithmetic on the rank
+    (scalable_window.ntile_bucket). Bit-identical to NTILE(10) OVER
+    (ORDER BY price, key) with no single-task sort."""
+    from .operators.scalable_window import global_rank, ntile_bucket
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
-    w = Window.orderBy(F.col("o_totalprice").asc(), F.col("o_orderkey").asc())
+    n = orders.count()  # parquet metadata count — no data scan
+    ranked = global_rank(
+        orders.select("o_totalprice", "o_orderkey"),
+        [F.col("o_totalprice").asc(), F.col("o_orderkey").asc()],
+        out_col="rank",
+    )
     return (
-        orders.select(
-            "o_totalprice", F.ntile(10).over(w).alias("bucket")
+        ranked.select(
+            "o_totalprice",
+            ntile_bucket(F.col("rank"), n, 10).alias("bucket"),
         )
         .groupBy("bucket")
         .agg(

@@ -493,7 +493,7 @@ def q_compaction_reseq(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(None).cast("map<string,string>").alias("metadata_types"),
         F.lit(None).cast("map<string,array<string>>").alias("metadata_lists"),
     )
-    out = compact(records, check_body_yaml=False)
+    out = compact(records, check_body_yaml=False, scalable=True)
     return out.select("id", F.length("body").alias("body_len"))
 
 
@@ -530,7 +530,7 @@ def q_upsert_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(None, f"APPENDED {i}", None, None, None) for i in range(5)],
         SAVE_BATCH_SCHEMA,
     )
-    out = upsert(records, overwrites.unionByName(appends))
+    out = upsert(records, overwrites.unionByName(appends), scalable=True)
     return out.select("id", "body")
 
 

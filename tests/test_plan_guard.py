@@ -1,0 +1,67 @@
+"""Registry-wide weak-plan regression guard.
+
+Every registry query's physical plan is scanned for the three
+scale-killers:
+
+1. **Unpartitioned global window** — ``Window.orderBy`` with no
+   ``partitionBy`` moves every row into ONE task (Spark itself warns
+   "Moving all data to a single partition").  Detected textually: the
+   first argument of ``windowspecdefinition(...)`` carries an ASC/DESC
+   marker only when the partition-column list is empty.  No allowlist:
+   round 4 eliminated the last five (skyline_orders, price_histogram,
+   compaction_reseq, upsert_docs, events_trailing_24h).
+2. **CartesianProduct** — never acceptable.  No allowlist.
+3. **BroadcastNestedLoopJoin** — acceptable ONLY when the broadcast
+   side is provably tiny (a scalar aggregate, a literal band/grid
+   table, a bounded query set) or the op is the documented O(n^2)
+   measurement baseline.  Each allowlisted name records its reason;
+   a new BNLJ anywhere else fails the build.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pytest
+
+# BNLJ allowlist: name -> why the broadcast side is bounded at 100 TB
+BNLJ_ALLOWED = {
+    "range_join_bands": "non-equi band join; the band table is a literal handful of rows",
+    "dedup_cosine_pairs": "documented O(n^2) exact baseline for LSH recall measurement (SCALE.md)",
+    "sim_topk_cosine": "exact brute-force baseline; broadcast side is the bounded query set",
+    "sim_ivf": "centroid assignment; broadcast side is the k-centroid table",
+    "sim_ivf_batch": "centroid assignment; broadcast side is the k-centroid table",
+    "events_resample": "gap-fill grid join; broadcast side is the bounded hour grid",
+    "tpch_q11": "1-row scalar aggregate broadcast (global value total)",
+    "tpch_q22": "1-row scalar aggregate broadcast (average balance)",
+}
+
+
+def _global_windows(plan: str) -> list[str]:
+    hits = []
+    for m in re.finditer(r"windowspecdefinition\(([^,)]+)[,)]", plan):
+        first = m.group(1)
+        if " ASC" in first or " DESC" in first:
+            hits.append(first.strip())
+    return hits
+
+
+def _registry():
+    import __spark_entry__ as entry
+
+    return entry.queries()
+
+
+@pytest.mark.parametrize("name", list(_registry()))
+def test_no_weak_plan(name, spark, sf_dir):
+    fn = _registry()[name]
+    df = fn(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    gw = _global_windows(plan)
+    assert not gw, f"{name}: unpartitioned global window over {gw}"
+    assert "CartesianProduct" not in plan, f"{name}: CartesianProduct in plan"
+    if "BroadcastNestedLoopJoin" in plan:
+        assert name in BNLJ_ALLOWED, (
+            f"{name}: BroadcastNestedLoopJoin not allowlisted — either fix the "
+            "join (equi-key / broadcast hash) or add a documented reason"
+        )
