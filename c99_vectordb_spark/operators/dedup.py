@@ -381,16 +381,22 @@ def simhash_near_pairs(
     )
 
 
-#: below this many (undirected) edges the component graph is resolved
+#: below this many UNDIRECTED edges the component graph is resolved
 #: driver-side: the distributed loop's per-round cost is fixed job
-#: overhead, not data, at this size. 2M edges ≈ 32 MB of longs.
+#: overhead, not data, at this size. 2M undirected edges arrive as 4M
+#: directed rows ≈ 64 MB of int64s over Arrow.
 SMALL_GRAPH_EDGES = 2_000_000
 
 
 def _resolve_small_graph(edges: DataFrame) -> DataFrame:
     """Driver-side union-find for small edge sets (same min-label
     semantics as the distributed loop; path-compressed + union by
-    min so canonical = component minimum)."""
+    min so canonical = component minimum).
+
+    The edge list lands via Arrow (``toPandas`` — two int64 numpy
+    arrays, ~16 bytes/edge), not ``collect()``'s Row objects (~10-20x
+    that), so the 2M-undirected-edge default really is ~64 MB of
+    driver memory."""
     parent: dict[int, int] = {}
 
     def find(x: int) -> int:
@@ -401,8 +407,9 @@ def _resolve_small_graph(edges: DataFrame) -> DataFrame:
             parent[x], x = r, parent[x]
         return r
 
-    for row in edges.collect():
-        a, b = int(row["src"]), int(row["dst"])
+    pdf = edges.toPandas()
+    for a, b in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
+        a, b = int(a), int(b)
         parent.setdefault(a, a)
         parent.setdefault(b, b)
         ra, rb = find(a), find(b)
@@ -456,7 +463,10 @@ def resolve_duplicates(
         .distinct()
         .localCheckpoint(eager=True)
     )
-    if edges.count() <= small_graph_edges:
+    # edges holds BOTH orientations, so the materialized count is
+    # directed = 2x undirected; halve it before comparing against the
+    # UNDIRECTED threshold the parameter documents
+    if edges.count() // 2 <= small_graph_edges:
         return _resolve_small_graph(edges)
     labels = (
         edges.select(F.col("src").alias("id"))

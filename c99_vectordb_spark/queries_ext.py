@@ -1125,11 +1125,18 @@ def q_grouped_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
     chosen by rank of a multiplicative key hash — reproducible across
     engines/runs (no rand()), one shuffle on the stratum key, and the
     per-group TOP-N is a bounded heap under the window, not a full
-    sort. The 100 TB shape for building eval/holdout slices."""
+    sort. The 100 TB shape for building eval/holdout slices.
+
+    The key is reduced mod the prime BEFORE the multiply: (MOD-1)*MIX
+    ~ 2.6e18 fits int64, whereas o_orderkey*MIX alone wraps silently in
+    Spark (and errors in DuckDB) once o_orderkey passes ~3.5e9 — i.e.
+    exactly at the SF-hundreds scale this query targets."""
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     from pyspark.sql import Window
 
-    h = (F.col("o_orderkey") * F.lit(_SAMPLE_MIX)) % F.lit(_SAMPLE_MOD)
+    h = (
+        (F.col("o_orderkey") % F.lit(_SAMPLE_MOD)) * F.lit(_SAMPLE_MIX)
+    ) % F.lit(_SAMPLE_MOD)
     w = Window.partitionBy("o_orderpriority").orderBy(
         h.asc(), F.col("o_orderkey").asc()
     )
@@ -1148,7 +1155,7 @@ def q_grouped_sample_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_GROUPED_SAMPLE_TOPN = f"""
 WITH h AS (
   SELECT o_orderpriority, o_orderkey,
-         (o_orderkey * {_SAMPLE_MIX}) % {_SAMPLE_MOD} AS h
+         ((o_orderkey % {_SAMPLE_MOD}) * {_SAMPLE_MIX}) % {_SAMPLE_MOD} AS h
   FROM orders
 ),
 r AS (

@@ -95,14 +95,34 @@ def parse_records_yaml(text: str) -> list[tuple]:
 DISTRIBUTED_PARSE_BYTES = 4 << 20
 
 
+def _split_is_canonical(text: str) -> bool:
+    """True iff the stream uses only the canonical separator forms the
+    textual splitter understands: bare ``---`` (trailing whitespace ok)
+    at column 0. A ``---`` with inline content (``--- {id: 1}``), a
+    ``...`` document-end marker, or a ``%YAML``/``%TAG`` directive are
+    all valid YAML that the line splitter would silently mis-split —
+    those streams fall back to the driver-side ``safe_load_all`` path
+    instead of diverging from it."""
+    for line in text.splitlines():
+        stripped = line.rstrip()
+        if stripped.startswith("---") and stripped != "---":
+            return False
+        if stripped == "..." or stripped.startswith("... "):
+            return False
+        if stripped.startswith("%"):
+            return False
+    return True
+
+
 def _split_yaml_docs(text: str) -> list[str]:
     """Split a canonical multi-doc stream on explicit ``---`` separators
     at column 0 (what both this adapter and the reference write; bodies
     are literal block scalars, so an unindented ``---`` only occurs as
-    a document separator)."""
+    a document separator). Callers gate on :func:`_split_is_canonical`
+    first — non-canonical streams take the driver parse."""
     docs, cur = [], []
     for line in text.splitlines():
-        if line == "---":
+        if line.rstrip() == "---":
             if cur and any(s.strip() for s in cur):
                 docs.append("\n".join(cur))
             cur = []
@@ -127,17 +147,27 @@ def _parse_records_distributed(spark: SparkSession, text: str) -> DataFrame:
 
     docs = _split_yaml_docs(text)
     raw = spark.createDataFrame(
-        [(d,) for d in docs], T.StructType([T.StructField("doc", T.StringType())])
+        [(i, d) for i, d in enumerate(docs)],
+        T.StructType(
+            [
+                T.StructField("doc_idx", T.LongType()),
+                T.StructField("doc", T.StringType()),
+            ]
+        ),
     ).repartition(max(2, spark.sparkContext.defaultParallelism))
 
     out_schema = T.StructType(
-        [T.StructField("err", T.StringType(), True), *YAML_RECORDS_SCHEMA.fields]
+        [
+            T.StructField("doc_idx", T.LongType()),
+            T.StructField("err", T.StringType(), True),
+            *YAML_RECORDS_SCHEMA.fields,
+        ]
     )
 
     def parse(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
-            for doc_text in pdf["doc"]:
+            for doc_idx, doc_text in zip(pdf["doc_idx"], pdf["doc"]):
                 try:
                     doc = yaml.safe_load(doc_text)
                     if doc is None:
@@ -146,17 +176,38 @@ def _parse_records_distributed(spark: SparkSession, text: str) -> DataFrame:
                     keys = (
                         [str(k) for k in metadata.keys()] if metadata else None
                     )
-                    rows.append((None, *record_row(rid, body, metadata), keys))
+                    rows.append(
+                        (int(doc_idx), None, *record_row(rid, body, metadata), keys)
+                    )
                 except (YamlValidationError, yaml.YAMLError) as e:
-                    rows.append((str(e), -1, None, None, None, None, None))
+                    rows.append(
+                        (int(doc_idx), str(e), -1, None, None, None, None, None)
+                    )
             yield pd.DataFrame(
-                rows, columns=["err", *[f.name for f in YAML_RECORDS_SCHEMA.fields]]
+                rows,
+                columns=[
+                    "doc_idx",
+                    "err",
+                    *[f.name for f in YAML_RECORDS_SCHEMA.fields],
+                ],
             )
 
-    parsed = raw.mapInPandas(parse, schema=out_schema).localCheckpoint(eager=True)
-    bad = parsed.filter(F.col("err").isNotNull()).select("err").limit(1).collect()
+    parsed = (
+        raw.mapInPandas(parse, schema=out_schema)
+        .localCheckpoint(eager=True)
+    )
+    # first error in DOCUMENT order — matching the driver path, which
+    # raises on the earliest bad doc, not whichever partition won a race
+    bad = (
+        parsed.filter(F.col("err").isNotNull())
+        .orderBy("doc_idx")
+        .select("err")
+        .limit(1)
+        .collect()
+    )
     if bad:
         raise YamlValidationError(bad[0]["err"])
+    parsed = parsed.drop("doc_idx")
     dup = (
         parsed.groupBy("id")
         .count()
@@ -187,7 +238,7 @@ def load_records_yaml(
             text = f.read()
     except FileNotFoundError:
         return spark.createDataFrame([], YAML_RECORDS_SCHEMA)
-    if len(text) >= distributed_bytes:
+    if len(text) >= distributed_bytes and _split_is_canonical(text):
         return _parse_records_distributed(spark, text)
     return spark.createDataFrame(parse_records_yaml(text), YAML_RECORDS_SCHEMA)
 

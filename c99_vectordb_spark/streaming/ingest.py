@@ -96,20 +96,25 @@ def stream_keep_first(
     watermark: str = "1 hour",
 ) -> DataFrame:
     """Streaming idempotency dedup: first event per (user_id,
-    event_type) wins, duplicates arriving later are dropped —
-    ``dropDuplicates`` keyed state bounded by the watermark (keys older
-    than the watermark are evicted; a duplicate arriving later than
-    the watermark would pass, which is the documented at-least-once
-    residual every streaming dedup has). The batch twin is
-    queries_registry ``events_keep_first`` (oracle-checked); within
-    the watermark the stream emits exactly the batch winners for keys
-    whose first event arrived in event-time order (the file source
-    replays in order, so stream==batch is exact in the test).
+    event_type) wins, duplicates arriving later are dropped.
+
+    Uses ``dropDuplicatesWithinWatermark`` (Spark 3.5+), the variant
+    whose keyed state IS evicted by the watermark even when the
+    event-time column is not part of the dedup key — plain
+    ``dropDuplicates([user_id, event_type])`` would keep state for
+    every key forever on a long-running stream (the watermark only
+    bounds state for dedup keys that INCLUDE the event-time column).
+    The residual: a duplicate arriving more than ``watermark`` after
+    the first occurrence starts a fresh state entry and passes — the
+    documented at-least-once residual every bounded-state streaming
+    dedup has. The batch twin is queries_registry
+    ``events_keep_first`` (oracle-checked); the availableNow file
+    source replays in order, so stream==batch is exact in the test.
     """
     return (
         events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
         .withWatermark("ts", watermark)
-        .dropDuplicates(["user_id", "event_type"])
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
     )
 
 

@@ -144,3 +144,50 @@ def test_distributed_yaml_parse_error_parity(spark, tmp_path):
         )
     with pytest.raises(yaml_io.YamlValidationError, match="non-negative int: -3"):
         yaml_io.load_records_yaml(spark, bad, distributed_bytes=0)
+
+
+def test_noncanonical_stream_falls_back_to_driver_parse(spark, tmp_path):
+    """Valid-YAML forms the line splitter can't segment ('---' with
+    inline content, '...' end markers, %YAML directives) must take the
+    driver safe_load_all path even above the distributed threshold —
+    same rows, no silent mis-split."""
+    text = (
+        "%YAML 1.1\n"
+        "--- {id: 0, metadata: {}, body: flow style}\n"
+        "...\n"
+        "---\nid: 1\nmetadata: {}\nbody: block style\n"
+    )
+    assert not yaml_io._split_is_canonical(text)
+    path = str(tmp_path / "odd.yaml")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(text)
+    # distributed_bytes=0 would normally force the distributed path;
+    # the canonicality gate must reroute to the driver parse
+    dist = yaml_io.load_records_yaml(spark, path, distributed_bytes=0)
+    driver = yaml_io.load_records_yaml(spark, path)
+    assert _canon_rows(dist) == _canon_rows(driver)
+    assert dist.count() == 2
+
+    # trailing whitespace after '---' IS canonical (plain separator)
+    assert yaml_io._split_is_canonical("--- \nid: 0\nbody: a\n")
+
+
+def test_distributed_error_is_first_in_document_order(spark, tmp_path):
+    """With several invalid docs the distributed path must raise the
+    FIRST one in document order (driver-path parity), not whichever
+    partition finished first."""
+    import yaml as _y
+
+    docs = [{"id": 0, "metadata": {}, "body": "ok"}]
+    # doc 1 is the first error; docs 2..40 carry different errors
+    docs.append({"id": -7, "body": "first bad"})
+    for i in range(2, 41):
+        docs.append({"id": i, "body": 123})  # body must be a string
+    path = str(tmp_path / "manybad.yaml")
+    with open(path, "w", encoding="utf-8") as f:
+        f.write(_y.safe_dump_all(docs, explicit_start=True, sort_keys=False))
+    for _ in range(3):  # would be flaky if partition-order-dependent
+        with pytest.raises(
+            yaml_io.YamlValidationError, match="non-negative int: -7"
+        ):
+            yaml_io.load_records_yaml(spark, path, distributed_bytes=0)
