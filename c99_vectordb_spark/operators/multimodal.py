@@ -13,9 +13,13 @@ Codec support is tiered by what this container allows:
   public BMP (BITMAPINFOHEADER, 24/32bpp uncompressed) and WAV/RIFF
   (PCM) formats — header-validated, pixel/sample data decoded to
   bytes. Public-spec formats need no codec library.
+- ``image/png``: REAL pure-stdlib decoder — chunk walk with CRC
+  verification, zlib inflate of the IDAT stream, and full scanline
+  unfiltering (None/Sub/Up/Average/Paeth) for 8-bit gray/RGB/GA/RGBA.
+  PNG's only compression is DEFLATE, which the stdlib ships.
 - ``application/raw``: deterministic identity codec (test/demo path).
-- compressed formats (JPEG/PNG/MP3/H.264...): STUBBED — their codecs
-  need native libraries not installed here; ``decode_payload`` raises
+- lossy formats (JPEG/MP3/H.264...): STUBBED — their codecs need
+  native libraries not installed here; ``decode_payload`` raises
   ``NotImplementedError`` with a clear message. The Spark-side
   plumbing (schema, batching, UDF signatures, partition behavior) is
   identical for all tiers and tested end-to-end.
@@ -24,6 +28,7 @@ Codec support is tiered by what this container allows:
 from __future__ import annotations
 
 import struct
+import zlib
 from collections.abc import Iterator
 
 import pandas as pd
@@ -110,6 +115,176 @@ def decode_wav(payload: bytes) -> tuple[bytes, dict]:
     return data, fmt
 
 
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+#: channels per PNG color type (8-bit only; 3=palette unsupported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def _paeth(a: int, b: int, c: int) -> int:
+    """PNG Paeth predictor (public spec, RFC 2083 §6.6)."""
+    p = a + b - c
+    pa, pb, pc = abs(p - a), abs(p - b), abs(p - c)
+    if pa <= pb and pa <= pc:
+        return a
+    if pb <= pc:
+        return b
+    return c
+
+
+def decode_png(payload: bytes) -> tuple[bytes, dict]:
+    """Parse an 8-bit non-interlaced PNG (public format: RFC 2083):
+    returns (unfiltered pixel bytes top-down, {width, height,
+    bit_depth, color_type}). Pure stdlib — chunk CRCs verified,
+    IDAT inflated with zlib, all five scanline filters inverted."""
+    if len(payload) < 8 or payload[:8] != _PNG_SIG:
+        raise MediaDecodeError("not a PNG: missing signature")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(payload):
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            raise MediaDecodeError(f"chunk {ctype!r} truncated")
+        if pos + 12 + length > len(payload):
+            raise MediaDecodeError(f"chunk {ctype!r} missing CRC")
+        (crc,) = struct.unpack_from(">I", payload, pos + 8 + length)
+        if zlib.crc32(ctype + data) & 0xFFFFFFFF != crc:
+            raise MediaDecodeError(f"chunk {ctype!r} CRC mismatch")
+        if ctype == b"IHDR":
+            if length != 13:
+                raise MediaDecodeError(f"IHDR length {length} != 13")
+            ihdr = struct.unpack(">IIBBBBB", data)
+        elif ctype == b"IDAT":
+            idat += data
+        elif ctype == b"IEND":
+            break
+        pos += 12 + length
+    if ihdr is None:
+        raise MediaDecodeError("PNG missing IHDR chunk")
+    width, height, bit_depth, color_type, comp, filt, interlace = ihdr
+    if comp != 0 or filt != 0:
+        raise MediaDecodeError("nonstandard PNG compression/filter method")
+    if interlace != 0:
+        raise MediaDecodeError("interlaced (Adam7) PNG unsupported")
+    if bit_depth != 8:
+        raise MediaDecodeError(f"only 8-bit PNG supported, got {bit_depth}")
+    if color_type not in _PNG_CHANNELS:
+        raise MediaDecodeError(f"unsupported PNG color type {color_type}")
+    if width <= 0 or height <= 0:
+        raise MediaDecodeError(f"invalid dimensions {width}x{height}")
+    if not idat:
+        raise MediaDecodeError("PNG missing IDAT data")
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise MediaDecodeError(f"IDAT inflate failed: {e}") from e
+    bpp = _PNG_CHANNELS[color_type]  # bytes per pixel at depth 8
+    stride = width * bpp
+    if len(raw) != height * (1 + stride):
+        raise MediaDecodeError(
+            f"decompressed size {len(raw)} != {height * (1 + stride)}"
+        )
+    out = bytearray(height * stride)
+    prev_start = -1
+    for y in range(height):
+        ftype = raw[y * (1 + stride)]
+        line = raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
+        start = y * stride
+        if ftype == 0:  # None
+            out[start : start + stride] = line
+        elif ftype == 1:  # Sub
+            for i, x in enumerate(line):
+                left = out[start + i - bpp] if i >= bpp else 0
+                out[start + i] = (x + left) & 0xFF
+        elif ftype == 2:  # Up
+            for i, x in enumerate(line):
+                up = out[prev_start + i] if y else 0
+                out[start + i] = (x + up) & 0xFF
+        elif ftype == 3:  # Average
+            for i, x in enumerate(line):
+                left = out[start + i - bpp] if i >= bpp else 0
+                up = out[prev_start + i] if y else 0
+                out[start + i] = (x + (left + up) // 2) & 0xFF
+        elif ftype == 4:  # Paeth
+            for i, x in enumerate(line):
+                left = out[start + i - bpp] if i >= bpp else 0
+                up = out[prev_start + i] if y else 0
+                ul = out[prev_start + i - bpp] if (y and i >= bpp) else 0
+                out[start + i] = (x + _paeth(left, up, ul)) & 0xFF
+        else:
+            raise MediaDecodeError(f"unknown PNG filter type {ftype} (row {y})")
+        prev_start = start
+    return bytes(out), {
+        "width": width,
+        "height": height,
+        "bit_depth": bit_depth,
+        "color_type": color_type,
+    }
+
+
+def _png_chunk(ctype: bytes, data: bytes) -> bytes:
+    return (
+        struct.pack(">I", len(data))
+        + ctype
+        + data
+        + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+    )
+
+
+def encode_png(content: bytes, width: int = 4, filter_type: int = 0) -> bytes:
+    """Pack raw bytes as an 8-bit RGB PNG (color type 2). Deterministic
+    inverse of :func:`decode_png` up to zero-padding; ``filter_type``
+    applies the chosen scanline filter to every row so tests can
+    exercise each of the five inverse filters."""
+    bpp = 3
+    stride = width * bpp
+    rows = max(1, -(-len(content) // stride))
+    pix = content.ljust(rows * stride, b"\x00")
+    raw = bytearray()
+    prev = bytes(stride)
+    for y in range(rows):
+        line = pix[y * stride : (y + 1) * stride]
+        raw.append(filter_type)
+        if filter_type == 0:
+            raw += line
+        elif filter_type == 1:  # Sub
+            raw += bytes(
+                (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
+                for i in range(stride)
+            )
+        elif filter_type == 2:  # Up
+            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+        elif filter_type == 3:  # Average
+            raw += bytes(
+                (line[i] - ((line[i - bpp] if i >= bpp else 0) + prev[i]) // 2)
+                & 0xFF
+                for i in range(stride)
+            )
+        elif filter_type == 4:  # Paeth
+            raw += bytes(
+                (
+                    line[i]
+                    - _paeth(
+                        line[i - bpp] if i >= bpp else 0,
+                        prev[i],
+                        prev[i - bpp] if i >= bpp else 0,
+                    )
+                )
+                & 0xFF
+                for i in range(stride)
+            )
+        else:
+            raise ValueError(f"filter_type must be 0..4, got {filter_type}")
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", width, rows, 8, 2, 0, 0, 0)
+    return (
+        _PNG_SIG
+        + _png_chunk(b"IHDR", ihdr)
+        + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + _png_chunk(b"IEND", b"")
+    )
+
+
 def decode_payload(payload: bytes, mime: str):
     """Decode a binary payload to its raw content bytes.
 
@@ -121,6 +296,8 @@ def decode_payload(payload: bytes, mime: str):
         return payload
     if mime == "image/bmp":
         return decode_bmp(payload)[0]
+    if mime == "image/png":
+        return decode_png(payload)[0]
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         return decode_wav(payload)[0]
     raise NotImplementedError(
@@ -191,6 +368,9 @@ def media_decode_meta(media: DataFrame) -> DataFrame:
                         rows.append((r.id, mime, False, "null payload", None))
                     elif mime == "image/bmp":
                         _, m = decode_bmp(bytes(r.payload))
+                        rows.append((r.id, mime, True, None, {k: str(v) for k, v in m.items()}))
+                    elif mime == "image/png":
+                        _, m = decode_png(bytes(r.payload))
                         rows.append((r.id, mime, True, None, {k: str(v) for k, v in m.items()}))
                     elif mime in ("audio/wav", "audio/x-wav", "audio/wave"):
                         _, m = decode_wav(bytes(r.payload))
@@ -291,6 +471,33 @@ def media_from_documents_mixed(docs: DataFrame) -> DataFrame:
                     rows.append(
                         (r.doc_id, "audio", "audio/wav", encode_wav(content), {"lang": r.lang})
                     )
+            yield pd.DataFrame(
+                rows, columns=["id", "modality", "mime", "payload", "meta"]
+            )
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def media_from_documents_png(docs: DataFrame) -> DataFrame:
+    """Synthesize a PNG media table from the documents corpus: every
+    document's UTF-8 bytes compressed into a real RGB PNG (the row's
+    filter type cycles through all five PNG filters by doc_id, so the
+    corpus exercises every inverse filter). Deterministic end to end."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = (r.text or "").encode("utf-8")
+                rows.append(
+                    (
+                        r.doc_id,
+                        "image",
+                        "image/png",
+                        encode_png(content, filter_type=r.doc_id % 5),
+                        {"lang": r.lang},
+                    )
+                )
             yield pd.DataFrame(
                 rows, columns=["id", "modality", "mime", "payload", "meta"]
             )

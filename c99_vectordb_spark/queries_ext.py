@@ -666,6 +666,47 @@ ORDER BY id
 """
 
 
+def q_multimodal_png_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED compressed-codec round-trip: every document's UTF-8
+    bytes packed into a REAL RGB PNG (pure-stdlib encoder; the scanline
+    filter cycles through all five PNG filters by doc_id), then
+    header-decoded (chunk walk + CRC verify) and fully inflated +
+    unfiltered by the pure-stdlib decoder. Every output has a CLOSED
+    FORM in the document byte length — width=4, height=ceil(len/12),
+    decoded bytes=height*12 — so the DuckDB twin verifies the whole
+    deflate->inflate->unfilter pipeline exactly. Both stages map-only
+    mapInPandas (Arrow batches); the id join co-partitions."""
+    from .operators.multimodal import (
+        extract_features,
+        media_decode_meta,
+        media_from_documents_png,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = media_from_documents_png(docs)
+    meta = media_decode_meta(media).select(
+        "id",
+        F.col("meta")["width"].cast("long").alias("width"),
+        F.col("meta")["height"].cast("long").alias("height"),
+        F.col("meta")["bit_depth"].cast("long").alias("bit_depth"),
+    )
+    feats = extract_features(media).select(
+        "id", F.col("n_bytes").cast("long").alias("n_bytes")
+    )
+    return meta.join(feats, "id").orderBy("id")
+
+
+_ORACLE_MULTIMODAL_PNG = """
+SELECT doc_id AS id,
+       4::BIGINT AS width,
+       GREATEST(1, (strlen(text) + 11) // 12)::BIGINT AS height,
+       8::BIGINT AS bit_depth,
+       (GREATEST(1, (strlen(text) + 11) // 12) * 12)::BIGINT AS n_bytes
+FROM documents
+ORDER BY id
+"""
+
+
 def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample with gap filling: hourly event counts per
     type over a DENSE hour grid (empty hours present, zero-filled) —
@@ -1412,6 +1453,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "price_histogram": q_price_histogram,
     "orders_scd2": q_orders_scd2,
     "multimodal_meta_roundtrip": q_multimodal_meta_roundtrip,
+    "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
     "events_resample": q_events_resample,
     "graph_triangles": q_graph_triangles,
     "skyline_orders": q_skyline_orders,
@@ -1446,6 +1488,7 @@ EXT_ORACLES: dict[str, str] = {
     "price_histogram": _ORACLE_PRICE_HISTOGRAM,
     "orders_scd2": _ORACLE_ORDERS_SCD2,
     "multimodal_meta_roundtrip": _ORACLE_MULTIMODAL_META,
+    "multimodal_png_roundtrip": _ORACLE_MULTIMODAL_PNG,
     "events_resample": _ORACLE_EVENTS_RESAMPLE,
     "graph_triangles": _ORACLE_GRAPH_TRIANGLES,
     "skyline_orders": _ORACLE_SKYLINE_ORDERS,

@@ -1644,7 +1644,7 @@ DRIVER_WINDOW = [
     "sim_ivfpq_fixed",
     # multimodal
     "multimodal_meta_roundtrip",
-    "multimodal_features",
+    "multimodal_png_roundtrip",
     # text analysis
     "text_quality",
     "text_langid",

@@ -23,7 +23,7 @@ FAMILIES = {
     "dedup": {"dedup_minhash_pairs", "dedup_survivors"},
     "similarity": {"sim_lsh_bucketed", "sim_ivf_batch", "sim_pq_fixed",
                    "sim_ivfpq_fixed"},
-    "multimodal": {"multimodal_meta_roundtrip"},
+    "multimodal": {"multimodal_meta_roundtrip", "multimodal_png_roundtrip"},
     "text": {"text_quality", "text_langid", "text_fingerprint"},
     "corpus": {"corpus_pipeline", "corpus_tfidf_terms", "corpus_split_assign"},
 }

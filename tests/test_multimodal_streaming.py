@@ -31,7 +31,75 @@ def test_features_deterministic(spark, documents):
 
 def test_decode_stub_raises_for_real_codecs():
     with pytest.raises(NotImplementedError):
+        MM.decode_payload(b"\xff\xd8\xff", "image/jpeg")
+    # PNG moved out of the stub tier: a bare magic without chunks is a
+    # MALFORMED png now, not an unsupported codec
+    with pytest.raises(MM.MediaDecodeError):
         MM.decode_payload(b"\x89PNG", "image/png")
+
+
+def test_png_roundtrip_all_filters():
+    """encode_png -> decode_png must be identity (up to zero padding)
+    under every PNG scanline filter, and the typed metadata must carry
+    the geometry."""
+    for ft in range(5):
+        for n in [0, 1, 11, 12, 13, 100, 997]:
+            content = bytes((i * 37 + ft) % 256 for i in range(n))
+            out, meta = MM.decode_png(MM.encode_png(content, filter_type=ft))
+            rows = max(1, -(-n // 12))
+            assert out == content.ljust(rows * 12, b"\x00"), (ft, n)
+            assert meta == {
+                "width": 4,
+                "height": rows,
+                "bit_depth": 8,
+                "color_type": 2,
+            }
+
+
+def test_png_rejects_malformed():
+    good = MM.encode_png(b"some png content here")
+    with pytest.raises(MM.MediaDecodeError, match="signature"):
+        MM.decode_png(b"not a png at all")
+    with pytest.raises(MM.MediaDecodeError):
+        MM.decode_png(good[:20])  # truncated mid-IHDR
+    corrupt = bytearray(good)
+    corrupt[40] ^= 0xFF  # flip a byte inside IDAT -> CRC mismatch
+    with pytest.raises(MM.MediaDecodeError, match="CRC"):
+        MM.decode_png(bytes(corrupt))
+    # interlaced flag rejected explicitly
+    import struct as _struct
+    import zlib as _zlib
+
+    ihdr = _struct.pack(">IIBBBBB", 4, 1, 8, 2, 0, 0, 1)
+    interlaced = (
+        b"\x89PNG\r\n\x1a\n"
+        + _struct.pack(">I", 13)
+        + b"IHDR"
+        + ihdr
+        + _struct.pack(">I", _zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    )
+    with pytest.raises(MM.MediaDecodeError, match="interlaced"):
+        MM.decode_png(interlaced)
+
+
+def test_png_media_through_arrow_path(spark, documents):
+    """The PNG generator + meta probe + feature extractor through real
+    Spark mapInPandas stages: geometry closed-form, decoded length =
+    height*12."""
+    docs = documents.limit(20)
+    media = MM.media_from_documents_png(docs)
+    meta = MM.media_decode_meta(media)
+    assert meta.filter(~meta.ok).count() == 0
+    feats = MM.extract_features(media)
+    joined = (
+        meta.select("id", "meta")
+        .join(feats.select("id", "n_bytes"), "id")
+        .collect()
+    )
+    assert len(joined) == 20
+    for r in joined:
+        assert int(r.meta["width"]) == 4
+        assert r.n_bytes == int(r.meta["height"]) * 12
 
 
 def test_frame_sample(spark, documents):
