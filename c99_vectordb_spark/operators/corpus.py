@@ -136,3 +136,37 @@ def pack_sequences(
         offset.alias("offset"),
         F.floor(offset / F.lit(budget)).cast("long").alias("seq_bin"),
     )
+
+
+def pack_sequences_global(
+    df: DataFrame,
+    id_col: str,
+    n_tokens_col: str,
+    budget: int,
+) -> DataFrame:
+    """GLOBAL sequence packing: one contiguous bin sequence over the
+    whole corpus in id order, no stratum partitioning — the layout for
+    a final shuffled-and-frozen training corpus where bins must be
+    globally dense.
+
+    Per-stratum :func:`pack_sequences` parallelizes over strata; this
+    variant has no partition key, so the running token offset uses the
+    two-pass range-partition stitch (scalable_window.running_sum:
+    per-partition local window + a broadcast prefix-total) instead of
+    an unpartitioned global window. Returns (id, n_tokens, offset,
+    seq_bin); on a single-stratum corpus it equals pack_sequences
+    exactly (parity-tested)."""
+    from .scalable_window import running_sum
+
+    nt = F.col(n_tokens_col).cast("long")
+    sized = df.select(F.col(id_col).alias("id"), nt.alias("n_tokens"))
+    summed = running_sum(
+        sized, [F.col("id").asc()], F.col("n_tokens"), out_col="cum"
+    )
+    offset = F.col("cum") - F.col("n_tokens")
+    return summed.select(
+        "id",
+        "n_tokens",
+        offset.alias("offset"),
+        F.floor(offset / F.lit(budget)).cast("long").alias("seq_bin"),
+    )

@@ -103,6 +103,49 @@ def running_max(
     )
 
 
+def running_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value: Column,
+    out_col: str = "runsum",
+) -> DataFrame:
+    """Running sum of ``value`` over the global ``order_cols`` order
+    (ROWS UNBOUNDED PRECEDING .. CURRENT ROW), no global window.
+
+    Pass 2 broadcasts the prefix total of all strictly-earlier
+    partitions; partition *i*'s running sum is local running sum +
+    prefix[i]. Exact under integer/decimal values (sum order does not
+    matter); for floats the result is deterministic but may differ
+    from a sequential sum in the last ulp, like any partial-aggregate
+    float sum."""
+    ranged = _ranged(df, order_cols).withColumn("__sw_val", value)
+    psum = (
+        ranged.groupBy(_PID).agg(F.sum("__sw_val").alias("s")).orderBy(_PID).collect()
+    )
+    prefix, acc = {}, None
+    for r in psum:
+        if acc is not None:
+            prefix[r[_PID]] = acc
+        if r["s"] is not None:
+            acc = r["s"] if acc is None else acc + r["s"]
+    wlocal = Window.partitionBy(_PID).orderBy(*order_cols).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    local = F.sum("__sw_val").over(wlocal)
+    sum_type = ranged.select(F.sum("__sw_val")).schema[0].dataType
+    if prefix:
+        prefmap = F.create_map(
+            *[x for pid, s in prefix.items() for x in (F.lit(pid), F.lit(s))]
+        )
+        carried = prefmap[F.col(_PID)].cast(sum_type)
+    else:
+        carried = F.lit(None).cast(sum_type)
+    return (
+        ranged.withColumn(out_col, local + F.coalesce(carried, F.lit(0)))
+        .drop(_PID, "__sw_val")
+    )
+
+
 def ntile_bucket(rank: Column, n_rows: int, n_buckets: int) -> Column:
     """SQL NTILE(k) bucket from a 1-based global rank — pure arithmetic.
 

@@ -111,6 +111,38 @@ ORDER BY id
 """
 
 
+def q_corpus_pack_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the WHOLE corpus into globally-dense 2048-token sequences
+    (no stratum key) — the frozen-final-corpus layout. The global
+    running offset is the two-pass range-partition stitch
+    (scalable_window.running_sum), not an unpartitioned window."""
+    from .operators.textstats import token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = token_counts(docs, "doc_id", "text").select("id", "n_re_tokens")
+    sized = docs.join(counts, docs.doc_id == counts.id).drop("id")
+    return C.pack_sequences_global(
+        sized, "doc_id", "n_re_tokens", budget=2048
+    ).orderBy("id")
+
+
+_ORACLE_CORPUS_PACK_GLOBAL = f"""
+WITH sized AS (
+  SELECT doc_id, len({duckdb_tokens_sql('text')})::BIGINT AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id AS id, n_tokens,
+         SUM(n_tokens) OVER (ORDER BY doc_id
+                             ROWS UNBOUNDED PRECEDING) - n_tokens AS "offset"
+  FROM sized
+)
+SELECT id, n_tokens, "offset",
+       CAST(FLOOR("offset" / 2048.0) AS BIGINT) AS seq_bin
+FROM packed
+ORDER BY id
+"""
+
+
 def q_corpus_bigrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-40 token bigrams: the n-gram language-model counting shape.
     Adjacent pairs come from zip_with(tokens, tokens[1:]) — array ops
@@ -806,6 +838,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_tfidf_terms": q_corpus_tfidf_terms,
     "corpus_sample": q_corpus_sample,
     "corpus_pack": q_corpus_pack,
+    "corpus_pack_global": q_corpus_pack_global,
     "corpus_bigrams": q_corpus_bigrams,
     "corpus_pipeline": q_corpus_pipeline,
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -822,6 +855,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "corpus_tfidf_terms": _ORACLE_CORPUS_TFIDF,
     "corpus_sample": _ORACLE_CORPUS_SAMPLE,
     "corpus_pack": _ORACLE_CORPUS_PACK,
+    "corpus_pack_global": _ORACLE_CORPUS_PACK_GLOBAL,
     "corpus_bigrams": _ORACLE_CORPUS_BIGRAMS,
     "corpus_pipeline": _oracle_corpus_pipeline(),
     "sketch_heavy_hitters": _oracle_sketch_heavy_hitters(),

@@ -175,3 +175,38 @@ def test_vocab_counts_match_python_reference(spark, texts):
         tf.update(toks)
         dfc.update(set(toks))
     assert got == {tok: (tf[tok], dfc[tok]) for tok in tf}
+
+
+def test_pack_global_matches_per_stratum_on_single_stratum(spark, documents):
+    """On a single-stratum corpus the global pack must equal the
+    per-stratum pack bin-for-bin (the parity that proves the stitched
+    running sum implements the same algebra)."""
+    from c99_vectordb_spark.operators import corpus as C
+    from pyspark.sql import functions as F
+
+    sized = documents.select(
+        "doc_id", F.lit("only").alias("src"), (F.col("n_chars") % 700).alias("nt")
+    )
+    per = C.pack_sequences(sized, "src", "doc_id", "nt", budget=2048).select(
+        "id", "n_tokens", "offset", "seq_bin"
+    )
+    glob = C.pack_sequences_global(sized, "doc_id", "nt", budget=2048)
+    a = sorted(map(tuple, per.collect()))
+    b = sorted(map(tuple, glob.collect()))
+    assert a == b
+
+
+def test_pack_global_plan_has_no_global_window(spark, documents):
+    from c99_vectordb_spark.operators import corpus as C
+    from pyspark.sql import functions as F
+    import re
+
+    sized = documents.select("doc_id", (F.col("n_chars") % 700).alias("nt"))
+    plan = (
+        C.pack_sequences_global(sized, "doc_id", "nt", budget=2048)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    for m in re.finditer(r"windowspecdefinition\(([^,)]+)[,)]", plan):
+        assert " ASC" not in m.group(1) and " DESC" not in m.group(1), plan
