@@ -371,11 +371,15 @@ def q_sim_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan shape as exact KNN, which is the point of PQ at scale: the
     scan touches m-byte codes, not 64 floats.
 
-    The ~10k-node expression tree is generated as SQL text and parsed
-    in ONE selectExpr call — building it with Column operators costs
-    ~25s of py4j round-trips for an identical plan. Literals enter via
-    CAST('<repr>' AS DOUBLE) (correctly-rounded string parse) exactly
-    like the DuckDB twin, keeping every double bit-identical."""
+    The distance math is HOF folds (zip_with + aggregate) over literal
+    arrays, not unrolled term strings: aggregate folds left-
+    associatively in element order — bit-identical to the unrolled sum
+    (squared terms are never -0.0, and IEEE 0.0+x == x) — and the
+    generated Java stays small enough for whole-stage codegen, where
+    the ~10k-node unrolled tree janino-failed and ran interpreted.
+    Literals enter via CAST('<repr>' AS DOUBLE) (correctly-rounded
+    string parse) exactly like the DuckDB twin, keeping every double
+    bit-identical."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     books = _pqf_codebooks()
     lut = _pqf_lut()
@@ -383,20 +387,32 @@ def q_sim_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     def dlit(v: float) -> str:
         return f"CAST('{v!r}' AS DOUBLE)"
 
-    def sq_dist_sql(j: int, cent: list[float]) -> str:
-        return "(" + " + ".join(
-            f"(CAST(embedding[{j * _PQF_DSUB + t}] AS DOUBLE) - {dlit(c)})"
-            f" * (CAST(embedding[{j * _PQF_DSUB + t}] AS DOUBLE) - {dlit(c)})"
-            for t, c in enumerate(cent)
-        ) + ")"
+    def dlist(vs: list[float]) -> str:
+        return "array(" + ", ".join(dlit(v) for v in vs) + ")"
 
-    code_exprs = []
-    for j in range(_PQF_M):
-        dists = "array(" + ", ".join(sq_dist_sql(j, c) for c in books[j]) + ")"
-        code_exprs.append(
-            f"CAST(array_position({dists}, array_min({dists})) AS INT) AS _c{j}"
-        )
-    coded = emb.selectExpr("vec_id", *code_exprs)
+    sqsum = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
+    )
+    e = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS _e"
+    )
+    dist_exprs = [
+        "array(" + ", ".join(
+            sqsum.format(
+                a=f"slice(_e, {j * _PQF_DSUB + 1}, {_PQF_DSUB})", b=dlist(c)
+            )
+            for c in books[j]
+        ) + f") AS _d{j}"
+        for j in range(_PQF_M)
+    ]
+    coded = e.selectExpr("vec_id", *dist_exprs).selectExpr(
+        "vec_id",
+        *[
+            f"CAST(array_position(_d{j}, array_min(_d{j})) AS INT) AS _c{j}"
+            for j in range(_PQF_M)
+        ],
+    )
     score = " + ".join(
         f"element_at(array({', '.join(dlit(v) for v in lut[j])}), _c{j})"
         for j in range(_PQF_M)
@@ -568,50 +584,67 @@ def q_sim_ivfpq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     def dlit(v: float) -> str:
         return f"CAST('{v!r}' AS DOUBLE)"
 
-    # stage 1: coarse assignment
-    def coarse_dist(c: list[float]) -> str:
-        return "(" + " + ".join(
-            f"(CAST(embedding[{t}] AS DOUBLE) - {dlit(c[t])})"
-            f" * (CAST(embedding[{t}] AS DOUBLE) - {dlit(c[t])})"
-            for t in range(64)
-        ) + ")"
+    def dlist(vs: list[float]) -> str:
+        return "array(" + ", ".join(dlit(v) for v in vs) + ")"
 
-    cd = "array(" + ", ".join(coarse_dist(c) for c in coarse) + ")"
-    assigned = emb.selectExpr(
+    # All distance sums are HOF folds (zip_with + aggregate), not
+    # unrolled term strings: aggregate folds LEFT-ASSOCIATIVELY in
+    # element order, which is bit-identical to the unrolled
+    # ((d0+d1)+d2)... sum (IEEE 0.0+x == x for the squared terms,
+    # which are never -0.0), while keeping the generated Java small
+    # enough for whole-stage codegen — the unrolled form janino-failed
+    # and ran interpreted, re-evaluating every subexpression.
+    sqsum = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
+    )
+
+    # stage 0: cast once
+    e = emb.selectExpr(
+        "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS _e"
+    )
+    # stage 1: coarse assignment (distance array materialized once)
+    cd = "array(" + ", ".join(
+        sqsum.format(a="_e", b=dlist(c)) for c in coarse
+    ) + ")"
+    assigned = e.selectExpr("vec_id", "_e", f"{cd} AS _cd").selectExpr(
         "vec_id",
-        "embedding",
-        f"CAST(array_position({cd}, array_min({cd})) AS INT) - 1 AS cluster",
+        "_e",
+        "CAST(array_position(_cd, array_min(_cd)) AS INT) - 1 AS cluster",
     )
     # stage 2: probe filter BEFORE any residual math (the pruning step)
     probed = assigned.where(f"cluster IN ({', '.join(str(p) for p in probes)})")
-    # stage 3: residual dims (C0 element selected by cluster)
-    res_exprs = [
-        f"CAST(embedding[{t}] AS DOUBLE) - element_at(array("
-        + ", ".join(dlit(coarse[i][t]) for i in range(_IVFPQ_NLIST))
-        + "), cluster + 1) AS r{t}".replace("{t}", str(t))
-        for t in range(64)
+    # stage 3: residual vector (centroid row selected by cluster)
+    coarse_lit = "array(" + ", ".join(dlist(c) for c in coarse) + ")"
+    with_res = probed.selectExpr(
+        "vec_id",
+        "cluster",
+        f"zip_with(_e, element_at({coarse_lit}, cluster + 1),"
+        " (x, y) -> x - y) AS _r",
+    )
+    # stage 4: PQ codes over the residual subspaces
+    dist_exprs = [
+        "array(" + ", ".join(
+            sqsum.format(
+                a=f"slice(_r, {j * _PQF_DSUB + 1}, {_PQF_DSUB})", b=dlist(c)
+            )
+            for c in books[j]
+        ) + f") AS _d{j}"
+        for j in range(_PQF_M)
     ]
-    with_res = probed.selectExpr("vec_id", "cluster", *res_exprs)
-    # stage 4: PQ codes over the residual
-    def sq_dist(j: int, cent: list[float]) -> str:
-        return "(" + " + ".join(
-            f"(r{j * _PQF_DSUB + t} - {dlit(c)}) * (r{j * _PQF_DSUB + t} - {dlit(c)})"
-            for t, c in enumerate(cent)
-        ) + ")"
-
-    code_exprs = []
-    for j in range(_PQF_M):
-        dists = "array(" + ", ".join(sq_dist(j, c) for c in books[j]) + ")"
-        code_exprs.append(
-            f"CAST(array_position({dists}, array_min({dists})) AS INT) AS _c{j}"
-        )
-    coded = with_res.selectExpr("vec_id", "cluster", *code_exprs)
+    with_dists = with_res.selectExpr("vec_id", "cluster", *dist_exprs)
+    coded = with_dists.selectExpr(
+        "vec_id",
+        "cluster",
+        *[
+            f"CAST(array_position(_d{j}, array_min(_d{j})) AS INT) AS _c{j}"
+            for j in range(_PQF_M)
+        ],
+    )
     # stage 5: per-cluster residual LUT, ADC sum
     def lut_term(j: int) -> str:
         cases = " ".join(
-            f"WHEN {c} THEN element_at(array("
-            + ", ".join(dlit(v) for v in luts[c][j])
-            + f"), _c{j})"
+            f"WHEN {c} THEN element_at({dlist(luts[c][j])}, _c{j})"
             for c in probes
         )
         return f"(CASE cluster {cases} END)"
@@ -633,60 +666,76 @@ def _oracle_sim_ivfpq_fixed() -> str:
     def dlit(v: float) -> str:
         return f"'{v!r}'::DOUBLE"
 
-    def coarse_dist(c: list[float]) -> str:
-        return "(" + " + ".join(
-            f"(embedding[{t + 1}]::DOUBLE - {dlit(c[t])})"
-            f" * (embedding[{t + 1}]::DOUBLE - {dlit(c[t])})"
-            for t in range(64)
-        ) + ")"
+    def dlist(vs: list[float]) -> str:
+        return "[" + ", ".join(dlit(v) for v in vs) + "]"
 
-    cd = "[" + ", ".join(coarse_dist(c) for c in coarse) + "]"
-    res_cols = ",\n         ".join(
-        f"embedding[{t + 1}]::DOUBLE - (["
-        + ", ".join(dlit(coarse[i][t]) for i in range(_IVFPQ_NLIST))
-        + f"])[cluster + 1] AS r{t}"
-        for t in range(64)
-    )
+    # Same HOF-fold shape as the Spark side: list_reduce folds
+    # left-associatively (d0+d1)+d2..., bit-identical to Spark's
+    # aggregate with 0.0 init for the never-negative squared terms.
+    # MATERIALIZED CTEs stop DuckDB's CTE inlining from re-evaluating
+    # the distance lists inside both list_position and list_min.
+    def sqsum(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip({a}, {b}),"
+            " p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, d) -> acc + d)"
+        )
 
-    def sq_dist(j: int, cent: list[float]) -> str:
-        return "(" + " + ".join(
-            f"(r{j * _PQF_DSUB + t} - {dlit(c)}) * (r{j * _PQF_DSUB + t} - {dlit(c)})"
-            for t, c in enumerate(cent)
-        ) + ")"
+    cd = "[" + ", ".join(sqsum("_e", dlist(c)) for c in coarse) + "]"
+    coarse_lit = "[" + ", ".join(dlist(c) for c in coarse) + "]"
 
-    code_cols = []
-    for j in range(_PQF_M):
-        dists = "[" + ", ".join(sq_dist(j, c) for c in books[j]) + "]"
-        code_cols.append(f"list_position({dists}, list_min({dists}))::INT AS _c{j}")
+    dist_cols = [
+        "["
+        + ", ".join(
+            sqsum(f"_r[{j * _PQF_DSUB + 1}:{(j + 1) * _PQF_DSUB}]", dlist(c))
+            for c in books[j]
+        )
+        + f"] AS _d{j}"
+        for j in range(_PQF_M)
+    ]
+    code_cols = [
+        f"list_position(_d{j}, list_min(_d{j}))::INT AS _c{j}"
+        for j in range(_PQF_M)
+    ]
 
     def lut_term(j: int) -> str:
         cases = " ".join(
-            f"WHEN {c} THEN (["
-            + ", ".join(dlit(v) for v in luts[c][j])
-            + f"])[_c{j}]"
-            for c in probes
+            f"WHEN {c} THEN ({dlist(luts[c][j])})[_c{j}]" for c in probes
         )
         return f"(CASE cluster {cases} END)"
 
     score = " + ".join(lut_term(j) for j in range(_PQF_M))
     return f"""
-WITH a AS (
-  SELECT vec_id, embedding,
-         list_position({cd}, list_min({cd}))::INT - 1 AS cluster
+WITH e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS _e
   FROM embeddings
+),
+a0 AS MATERIALIZED (
+  SELECT vec_id, _e, {cd} AS _cd
+  FROM e
+),
+a AS (
+  SELECT vec_id, _e,
+         list_position(_cd, list_min(_cd))::INT - 1 AS cluster
+  FROM a0
 ),
 p AS (
   SELECT * FROM a WHERE cluster IN ({", ".join(str(x) for x in probes)})
 ),
-r AS (
+r AS MATERIALIZED (
   SELECT vec_id, cluster,
-         {res_cols}
+         list_transform(list_zip(_e, ({coarse_lit})[cluster + 1]),
+                        p -> p[1] - p[2]) AS _r
   FROM p
+),
+c0 AS MATERIALIZED (
+  SELECT vec_id, cluster,
+         {", ".join(dist_cols)}
+  FROM r
 ),
 c AS (
   SELECT vec_id, cluster,
          {", ".join(code_cols)}
-  FROM r
+  FROM c0
 )
 SELECT vec_id, cluster, {score} AS adc_score
 FROM c
@@ -701,15 +750,25 @@ def _oracle_sim_pq_fixed() -> str:
     books = _pqf_codebooks()
     lut = _pqf_lut()
 
-    def sq_dist_sql(j: int, cent: list[float]) -> str:
-        return " + ".join(
-            f"(embedding[{j * _PQF_DSUB + t + 1}]::DOUBLE - {c!r})"
-            f" * (embedding[{j * _PQF_DSUB + t + 1}]::DOUBLE - {c!r})"
-            for t, c in enumerate(cent)
+    def dlist(vs: list[float]) -> str:
+        return "[" + ", ".join(f"'{v!r}'::DOUBLE" for v in vs) + "]"
+
+    # HOF folds matching the Spark side (left-associated, bit-equal to
+    # the unrolled sum); MATERIALIZED CTEs stop DuckDB's CTE inlining
+    # from re-evaluating each distance list in list_position + list_min
+    def sqsum(a: str, b: str) -> str:
+        return (
+            f"list_reduce(list_transform(list_zip({a}, {b}),"
+            " p -> (p[1] - p[2]) * (p[1] - p[2])), (acc, d) -> acc + d)"
         )
 
     dist_lists = ",\n         ".join(
-        "[" + ", ".join(sq_dist_sql(j, c) for c in books[j]) + f"] AS d{j}"
+        "["
+        + ", ".join(
+            sqsum(f"_e[{j * _PQF_DSUB + 1}:{(j + 1) * _PQF_DSUB}]", dlist(c))
+            for c in books[j]
+        )
+        + f"] AS d{j}"
         for j in range(_PQF_M)
     )
     code_cols = ",\n         ".join(
@@ -726,10 +785,14 @@ def _oracle_sim_pq_fixed() -> str:
     )
     codes_concat = ", ".join(f"c{j}" for j in range(_PQF_M))
     return f"""
-WITH d AS (
+WITH e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS _e
+  FROM embeddings
+),
+d AS MATERIALIZED (
   SELECT vec_id,
          {dist_lists}
-  FROM embeddings
+  FROM e
 ),
 c AS (
   SELECT vec_id,
