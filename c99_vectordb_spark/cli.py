@@ -38,6 +38,29 @@ def _log(verbose: bool, msg: str) -> None:
         print(msg, file=sys.stderr)
 
 
+def _hint_native_migration(verbose: bool, yaml_path: str) -> None:
+    """-v hint once the YAML passes the distributed-parse threshold:
+    the adapter path tracks the reference within ~1.6x (HEADTOHEAD.md)
+    because it pays the YAML parse + JVM round-trips; the native
+    parquet store measured 2.5-8x FASTER than the reference. Surfaced
+    here so the measured caveat reaches users before their store grows
+    further."""
+    if not verbose:
+        return
+    try:
+        size = os.path.getsize(yaml_path)
+    except OSError:
+        return
+    if size >= yaml_io.DISTRIBUTED_PARSE_BYTES:
+        _log(
+            verbose,
+            f"hint: {yaml_path} is {size >> 20} MiB; the YAML adapter "
+            "path costs ~1.6x the native parquet store on reads "
+            "(HEADTOHEAD.md) — consider migrating: save once, then "
+            "point the tooling at the parquet store directory",
+        )
+
+
 def _db_paths(base: str) -> tuple[str, str]:
     return f"{base}.yaml", f"{base}.emb"
 
@@ -102,6 +125,7 @@ def cmd_recall(spark, base, query, k, filter_expr, as_yaml, verbose) -> int:
     if verbose:
         _log(verbose, f"loaded {records.count()} records from {yaml_path}")
         _log(verbose, f"recall k={k} filter={'yes' if filter_expr else 'no'}")
+        _hint_native_migration(verbose, yaml_path)
     if not as_yaml:
         print(fmt.recall_header(k))
     fcol = None
@@ -306,6 +330,7 @@ def _write_embeddings(records, emb_path: str, yaml_path: str | None = None) -> N
 
 def cmd_reindex(spark, base, verbose) -> int:
     yaml_path, emb_path = _db_paths(base)
+    _hint_native_migration(verbose, yaml_path)
     records = yaml_io.load_records_yaml(spark, yaml_path)
     n_before = records.count()
     compacted = M.compact(records).cache()

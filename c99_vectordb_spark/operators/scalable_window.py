@@ -28,9 +28,16 @@ _PID = "__sw_pid"
 
 
 def _ranged(df: DataFrame, order_cols: list[Column]) -> DataFrame:
-    """Range-partition on the order columns and tag the partition id."""
-    return df.repartitionByRange(*order_cols).withColumn(
-        _PID, F.spark_partition_id()
+    """Range-partition on the order columns and tag the partition id.
+
+    Eagerly localCheckpointed: the per-partition aggregate (pass 1) and
+    the stitched output (pass 2) both consume this shuffle, and the
+    checkpoint also pins the partitioning so the sampled range
+    boundaries cannot differ between the two passes."""
+    return (
+        df.repartitionByRange(*order_cols)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=True)
     )
 
 

@@ -304,3 +304,24 @@ def test_clean_messages(spark, db_base):
     assert out1.startswith("Cleared memory database")
     out2, _ = _mine(spark, db_base, ["clean"])
     assert out2.startswith("Database already empty")
+
+
+def test_verbose_hints_native_migration_above_threshold(tmp_path, capsys):
+    """-v on a YAML at/above the distributed-parse threshold must emit
+    the measured adapter-cost hint on stderr; small stores stay quiet."""
+    from c99_vectordb_spark import cli
+
+    big = tmp_path / "big.yaml"
+    big.write_text("---\nid: 0\nbody: x\n" + "#pad\n" * 10)
+    # small file: no hint
+    cli._hint_native_migration(True, str(big))
+    assert "native parquet store" not in capsys.readouterr().err
+    # inflate past the threshold: hint appears, stderr only, -v only
+    with open(big, "a") as f:
+        f.write("#" * cli.yaml_io.DISTRIBUTED_PARSE_BYTES + "\n")
+    cli._hint_native_migration(True, str(big))
+    captured = capsys.readouterr()
+    assert "native parquet store" in captured.err
+    assert captured.out == ""
+    cli._hint_native_migration(False, str(big))
+    assert "native parquet store" not in capsys.readouterr().err
