@@ -108,6 +108,101 @@ def stratified_sample(
     return df.withColumn("skey", key).filter(F.col("skey") < rate_bp)
 
 
+def contamination_hits(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "id",
+    body_col: str = "body",
+    n: int = 3,
+) -> DataFrame:
+    """Benchmark-decontamination probe: for each training document, the
+    number of distinct hashed token n-grams it shares with ANY eval
+    document — the GPT-3/Pile-style n-gram-collision test.
+
+    Plan: both corpora shingle map-only (dedup.shingles, Arrow UDF,
+    per-doc distinct inside the batch); the eval side collapses to its
+    DISTINCT shingle set (eval sets are small — benchmark suites, not
+    corpora — so AQE broadcasts it); one equi-join on the shingle hash
+    and a per-doc count. Shuffle volume is shingle-keyed longs, never
+    documents. Returns (id, hits) for contaminated docs only.
+    """
+    from .dedup import shingles
+
+    tr = shingles(train, id_col, body_col, n)
+    ev = shingles(eval_df, id_col, body_col, n).select("sh").distinct()
+    return (
+        tr.join(ev, "sh")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("hits"))
+    )
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "id",
+    body_col: str = "body",
+    n: int = 3,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Drop training documents overlapping the eval set by at least
+    ``min_hits`` distinct n-grams (anti-join on the contaminated id
+    set — ships only ids, broadcast when small)."""
+    bad = contamination_hits(train, eval_df, id_col, body_col, n).filter(
+        F.col("hits") >= min_hits
+    )
+    return train.join(
+        bad.select(F.col("id").alias(id_col)), id_col, "left_anti"
+    )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str = "id",
+    body_col: str = "body",
+    chunk_tokens: int = 64,
+    overlap_tokens: int = 16,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    context-window preprocessing step (RAG indexing, long-doc training).
+
+    Pure JVM: tokenize once, posexplode a sequence of chunk starts
+    (stride = chunk - overlap), slice the token array per chunk. No
+    Python, no shuffle — a map-only fan-out whose output is bounded by
+    total tokens / stride. Empty documents produce no chunks. Returns
+    (id, chunk_idx, start_tok, n_chunk_tokens, chunk_text).
+    """
+    if overlap_tokens >= chunk_tokens:
+        raise ValueError("overlap_tokens must be < chunk_tokens")
+    step = chunk_tokens - overlap_tokens
+    toks = tokens(F.col(body_col))
+    with_toks = df.select(F.col(id_col).alias("id"), toks.alias("_toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(F.size("_toks") - 1, F.lit(0)), F.lit(step)
+    )
+    return (
+        with_toks.select(
+            "id",
+            F.size("_toks").alias("_n"),
+            "_toks",
+            F.posexplode(starts).alias("chunk_idx", "start_tok"),
+        )
+        .filter(F.col("start_tok") < F.col("_n"))
+        .select(
+            "id",
+            F.col("chunk_idx").cast("long").alias("chunk_idx"),
+            F.col("start_tok").cast("long").alias("start_tok"),
+            F.least(
+                F.lit(chunk_tokens), (F.col("_n") - F.col("start_tok"))
+            ).cast("long").alias("n_chunk_tokens"),
+            F.array_join(
+                F.slice(F.col("_toks"), F.col("start_tok") + 1, chunk_tokens),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     stratum_col: str,

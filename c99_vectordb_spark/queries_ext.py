@@ -216,6 +216,105 @@ WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id != canonical_id)
 """
 
 
+def q_decontaminate_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3/Pile n-gram collision): docs
+    with doc_id % 23 == 0 act as the held-out eval suite; every other
+    doc is training data. Output: contaminated training docs with their
+    distinct shared-3-gram count. Map-only shingles both sides, the
+    eval side collapses to a distinct shingle set (AQE-broadcastable),
+    one equi-join on the shingle hash + per-doc count — documents
+    never enter the shuffle."""
+    from .operators.corpus import contamination_hits
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 23 == 0)
+    tr = docs.filter(F.col("doc_id") % 23 != 0)
+    return (
+        contamination_hits(tr, ev, id_col="doc_id", body_col="text")
+        .orderBy("id")
+    )
+
+
+_ORACLE_DECONTAMINATE_EVAL = f"""
+WITH {_duck_hl_cte()},
+ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 23 = 0),
+tr AS (SELECT doc_id, sh FROM sh WHERE doc_id % 23 != 0)
+SELECT tr.doc_id AS id, COUNT(*)::BIGINT AS hits
+FROM tr JOIN ev USING (sh)
+GROUP BY tr.doc_id
+ORDER BY id
+"""
+
+
+def q_decontaminate_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The decontaminated corpus: training docs sharing >= 3 distinct
+    3-grams with the eval slice are dropped by an id anti-join (the
+    contaminated set ships only ids)."""
+    from .operators.corpus import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 23 == 0)
+    tr = docs.filter(F.col("doc_id") % 23 != 0)
+    out = decontaminate(tr, ev, id_col="doc_id", body_col="text", min_hits=3)
+    return out.select(F.col("doc_id").alias("id"), "n_chars").orderBy("id")
+
+
+_ORACLE_DECONTAMINATE_SURVIVORS = f"""
+WITH {_duck_hl_cte()},
+ev AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 23 = 0),
+bad AS (
+  SELECT tr.doc_id
+  FROM (SELECT doc_id, sh FROM sh WHERE doc_id % 23 != 0) tr
+  JOIN ev USING (sh)
+  GROUP BY tr.doc_id
+  HAVING COUNT(*) >= 3
+)
+SELECT d.doc_id AS id, d.n_chars
+FROM documents d
+WHERE d.doc_id % 23 != 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)
+ORDER BY id
+"""
+
+
+def q_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunking (64-token chunks, 16-token
+    overlap) — the RAG-indexing / long-doc preprocessing step. Pure
+    JVM map-only fan-out: tokenize once, posexplode chunk starts,
+    slice the token array; output volume ~ total tokens / stride."""
+    from .operators.corpus import chunk_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").filter(
+        F.col("doc_id") < 200
+    )
+    return chunk_documents(
+        docs, id_col="doc_id", body_col="text", chunk_tokens=64,
+        overlap_tokens=16,
+    ).orderBy("id", "chunk_idx")
+
+
+_ORACLE_CHUNK_DOCUMENTS = f"""
+WITH t AS (
+  SELECT doc_id, {hashing.duckdb_tokens_sql("text")} AS toks
+  FROM documents WHERE doc_id < 200
+),
+c AS (
+  SELECT doc_id, len(toks) AS n, toks,
+         unnest(range(0, greatest(len(toks) - 1, 0) + 1, 48)) AS start_tok,
+         generate_subscripts(range(0, greatest(len(toks) - 1, 0) + 1, 48), 1) - 1
+           AS chunk_idx
+  FROM t
+)
+SELECT doc_id AS id,
+       chunk_idx::BIGINT AS chunk_idx,
+       start_tok::BIGINT AS start_tok,
+       LEAST(64, n - start_tok)::BIGINT AS n_chunk_tokens,
+       array_to_string(toks[start_tok + 1:start_tok + 64], ' ') AS chunk_text
+FROM c
+WHERE start_tok < n
+ORDER BY id, chunk_idx
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup: SimHash signatures + near pairs
 # ---------------------------------------------------------------------------
@@ -1454,6 +1553,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_scd2": q_orders_scd2,
     "multimodal_meta_roundtrip": q_multimodal_meta_roundtrip,
     "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
+    "decontaminate_eval": q_decontaminate_eval,
+    "decontaminate_survivors": q_decontaminate_survivors,
+    "chunk_documents": q_chunk_documents,
     "events_resample": q_events_resample,
     "graph_triangles": q_graph_triangles,
     "skyline_orders": q_skyline_orders,
@@ -1489,6 +1591,9 @@ EXT_ORACLES: dict[str, str] = {
     "orders_scd2": _ORACLE_ORDERS_SCD2,
     "multimodal_meta_roundtrip": _ORACLE_MULTIMODAL_META,
     "multimodal_png_roundtrip": _ORACLE_MULTIMODAL_PNG,
+    "decontaminate_eval": _ORACLE_DECONTAMINATE_EVAL,
+    "decontaminate_survivors": _ORACLE_DECONTAMINATE_SURVIVORS,
+    "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
     "events_resample": _ORACLE_EVENTS_RESAMPLE,
     "graph_triangles": _ORACLE_GRAPH_TRIANGLES,
     "skyline_orders": _ORACLE_SKYLINE_ORDERS,

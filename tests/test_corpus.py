@@ -210,3 +210,42 @@ def test_pack_global_plan_has_no_global_window(spark, documents):
     )
     for m in re.finditer(r"windowspecdefinition\(([^,)]+)[,)]", plan):
         assert " ASC" not in m.group(1) and " DESC" not in m.group(1), plan
+
+
+def test_chunk_documents_edges(spark):
+    from c99_vectordb_spark.operators.corpus import chunk_documents
+    import pytest as _pytest
+
+    df = spark.createDataFrame(
+        [(0, ""), (1, "one two three"), (2, " ".join(f"w{i}" for i in range(130)))],
+        "id long, body string",
+    )
+    out = chunk_documents(df, chunk_tokens=64, overlap_tokens=16)
+    rows = {r.id: r for r in out.collect() if True}
+    by_id = {}
+    for r in out.collect():
+        by_id.setdefault(r.id, []).append(r)
+    assert 0 not in by_id  # empty doc -> no chunks
+    assert len(by_id[1]) == 1 and by_id[1][0].n_chunk_tokens == 3
+    # 130 tokens, stride 48 -> starts 0, 48, 96
+    assert [r.start_tok for r in sorted(by_id[2], key=lambda r: r.chunk_idx)] == [0, 48, 96]
+    assert sorted(by_id[2], key=lambda r: r.chunk_idx)[-1].n_chunk_tokens == 34
+    # overlap: chunk 1 starts 16 tokens before chunk 0 ends
+    c0, c1 = sorted(by_id[2], key=lambda r: r.chunk_idx)[:2]
+    assert c0.chunk_text.split()[48:] == c1.chunk_text.split()[:16]
+    with _pytest.raises(ValueError):
+        chunk_documents(df, chunk_tokens=16, overlap_tokens=16)
+
+
+def test_decontaminate_drops_only_overlapping(spark):
+    from c99_vectordb_spark.operators.corpus import decontaminate
+
+    train = spark.createDataFrame(
+        [(0, "alpha beta gamma delta"), (1, "totally different words here")],
+        "id long, body string",
+    )
+    ev = spark.createDataFrame(
+        [(100, "alpha beta gamma epsilon")], "id long, body string"
+    )
+    out = decontaminate(train, ev, min_hits=1)
+    assert [r.id for r in out.collect()] == [1]
