@@ -176,3 +176,67 @@ def fingerprints(df: DataFrame, id_col: str, body_col: str) -> DataFrame:
     return df.select(
         F.col(id_col).alias("id"), D.fingerprint_udf()(F.col(body_col)).alias("fp")
     )
+
+
+#: PII patterns — deliberately conservative subset that parses
+#: identically under Java regex (Spark) and RE2 (DuckDB): no
+#: backrefs, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PHONE_RE = r"\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}"
+
+
+def scrub_pii(df: DataFrame, id_col: str, body_col: str) -> DataFrame:
+    """PII scrubbing pass: redact email addresses and phone numbers,
+    report per-document match counts — the compliance step every
+    training-data pipeline runs before anything else sees the text.
+
+    Pure JVM (regexp_replace / regexp_extract_all), map-only; the
+    patterns avoid constructs where Java regex and RE2 diverge, so the
+    DuckDB oracle reproduces the scrub byte-for-byte. Emails redact
+    first so a phone-looking fragment inside an email can't double-
+    count. Returns (id, n_emails, n_phones, scrubbed).
+    """
+    body = F.col(body_col)
+    n_emails = F.size(F.regexp_extract_all(body, F.lit(EMAIL_RE), 0)).cast("long")
+    no_email = F.regexp_replace(body, EMAIL_RE, "<EMAIL>")
+    n_phones = F.size(
+        F.regexp_extract_all(no_email, F.lit(PHONE_RE), 0)
+    ).cast("long")
+    return df.select(
+        F.col(id_col).alias("id"),
+        n_emails.alias("n_emails"),
+        n_phones.alias("n_phones"),
+        F.regexp_replace(no_email, PHONE_RE, "<PHONE>").alias("scrubbed"),
+    )
+
+
+def repetition_stats(
+    df: DataFrame, id_col: str, body_col: str, n: int = 3
+) -> DataFrame:
+    """Intra-document repetition score: 1 - distinct/total token
+    n-grams, as floored integer ppm (cross-engine exact, same
+    convention as quality_features_exact). High repetition flags
+    boilerplate/spam/looping text — a standard pretraining quality
+    gate. Pure JVM: tokens -> n-gram strings via transform over start
+    offsets -> array_distinct. Map-only."""
+    toks = Ft.tokens(F.col(body_col))
+    total = F.greatest(F.size(toks) - (n - 1), F.lit(0)).cast("long")
+    grams = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+    )
+    # guard: Spark's sequence(1, 0) is DESCENDING ([1, 0]), so short
+    # docs must report 0 explicitly rather than count bogus grams
+    distinct = F.when(
+        total > 0, F.size(F.array_distinct(grams)).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    rep_ppm = F.when(
+        total > 0,
+        F.floor((total - distinct) * F.lit(1000000) / total).cast("long"),
+    ).otherwise(F.lit(0).cast("long"))
+    return df.select(
+        F.col(id_col).alias("id"),
+        total.alias("n_grams"),
+        distinct.alias("n_distinct"),
+        rep_ppm.alias("rep_ppm"),
+    )

@@ -315,6 +315,109 @@ ORDER BY id, chunk_idx
 """
 
 
+def q_text_scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (emails then phones redacted, per-doc counts) —
+    byte-exact across engines because the patterns avoid every
+    Java-regex/RE2 divergence (no backrefs/lookaround). A synthetic
+    PII suffix derived from doc_id is appended so the scrubber has
+    deterministic real matches to find at any scale."""
+    from .operators.textstats import scrub_pii
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.col("text"),
+                F.lit(" reach user"),
+                F.col("doc_id"),
+                F.lit("@example.com or 555-010-"),
+                F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return scrub_pii(seeded, id_col="doc_id", body_col="text").orderBy("id")
+
+
+_ORACLE_TEXT_SCRUB_PII = """
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 3 = 0
+              THEN text || ' reach user' || doc_id ||
+                   '@example.com or 555-010-' ||
+                   lpad((doc_id % 10000)::VARCHAR, 4, '0')
+              ELSE text END AS text
+  FROM documents
+),
+e AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+         regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS no_email
+  FROM seeded
+)
+SELECT doc_id AS id,
+       n_emails,
+       len(regexp_extract_all(no_email, '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}'))::BIGINT AS n_phones,
+       regexp_replace(no_email, '\\+?[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS scrubbed
+FROM e
+ORDER BY id
+"""
+
+
+def q_text_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Intra-document n-gram repetition score (1 - distinct/total
+    trigrams, floored integer ppm) — the boilerplate/spam pretraining
+    gate. Map-only JVM array ops. A repeated-sentence suffix is
+    appended to every 5th doc so the score has deterministic signal."""
+    from .operators.textstats import repetition_stats
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.col("text"), F.repeat(F.lit(" spam looping text"), 8)),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    return repetition_stats(seeded, id_col="doc_id", body_col="text").orderBy(
+        "id"
+    )
+
+
+_ORACLE_TEXT_REPETITION = f"""
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 5 = 0
+              THEN text || repeat(' spam looping text', 8)
+              ELSE text END AS text
+  FROM documents
+),
+t AS (
+  SELECT doc_id, {hashing.duckdb_tokens_sql("text")} AS toks FROM seeded
+),
+g AS (
+  SELECT doc_id,
+         greatest(len(toks) - 2, 0)::BIGINT AS n_grams,
+         CASE WHEN len(toks) >= 3
+              THEN len(list_distinct(list_transform(range(1, len(toks) - 1),
+                        i -> array_to_string(toks[i:i+2], ' '))))::BIGINT
+              ELSE 0 END AS n_distinct
+  FROM t
+)
+SELECT doc_id AS id, n_grams, n_distinct,
+       CASE WHEN n_grams > 0
+            THEN floor((n_grams - n_distinct) * 1000000 / n_grams)::BIGINT
+            ELSE 0 END AS rep_ppm
+FROM g
+ORDER BY id
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup: SimHash signatures + near pairs
 # ---------------------------------------------------------------------------
@@ -1556,6 +1659,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "decontaminate_eval": q_decontaminate_eval,
     "decontaminate_survivors": q_decontaminate_survivors,
     "chunk_documents": q_chunk_documents,
+    "text_scrub_pii": q_text_scrub_pii,
+    "text_repetition": q_text_repetition,
     "events_resample": q_events_resample,
     "graph_triangles": q_graph_triangles,
     "skyline_orders": q_skyline_orders,
@@ -1594,6 +1699,8 @@ EXT_ORACLES: dict[str, str] = {
     "decontaminate_eval": _ORACLE_DECONTAMINATE_EVAL,
     "decontaminate_survivors": _ORACLE_DECONTAMINATE_SURVIVORS,
     "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
+    "text_scrub_pii": _ORACLE_TEXT_SCRUB_PII,
+    "text_repetition": _ORACLE_TEXT_REPETITION,
     "events_resample": _ORACLE_EVENTS_RESAMPLE,
     "graph_triangles": _ORACLE_GRAPH_TRIANGLES,
     "skyline_orders": _ORACLE_SKYLINE_ORDERS,

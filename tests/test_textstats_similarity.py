@@ -142,3 +142,39 @@ def test_lsh_multiprobe_recall_beats_single_probe(spark, embeddings):
         ms = by_q_multi.get(qid, [])
         assert len(ms) >= len(ss)
         assert min(ms) >= min(ss) - 1e-9 or len(ms) == k
+
+
+def test_scrub_pii_redacts_and_counts(spark):
+    from c99_vectordb_spark.operators.textstats import scrub_pii
+
+    df = spark.createDataFrame(
+        [
+            (0, "mail a@b.io and c.d+x@e-f.org, call 555-123-4567."),
+            (1, "no pii here"),
+            (2, ""),
+        ],
+        "id long, body string",
+    )
+    rows = {r.id: r for r in scrub_pii(df, "id", "body").collect()}
+    assert rows[0].n_emails == 2 and rows[0].n_phones == 1
+    assert rows[0].scrubbed == "mail <EMAIL> and <EMAIL>, call <PHONE>."
+    assert rows[1].n_emails == 0 and rows[1].n_phones == 0
+    assert rows[2].scrubbed == ""
+
+
+def test_repetition_stats_exact_and_short_doc_guard(spark):
+    from c99_vectordb_spark.operators.textstats import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            (0, "a b c a b c a b c"),  # 7 trigrams, 3 distinct
+            (1, "x y"),  # under n: must be all zeros (sequence(1,0) trap)
+            (2, "unique tokens only here now"),
+        ],
+        "id long, body string",
+    )
+    rows = {r.id: r for r in repetition_stats(df, "id", "body").collect()}
+    assert rows[0].n_grams == 7 and rows[0].n_distinct == 3
+    assert rows[0].rep_ppm == (7 - 3) * 1000000 // 7
+    assert (rows[1].n_grams, rows[1].n_distinct, rows[1].rep_ppm) == (0, 0, 0)
+    assert rows[2].rep_ppm == 0
