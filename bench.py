@@ -90,6 +90,11 @@ HEADLINE = [
     "corpus_pack_global",
     "sim_pq_fixed",
     "sim_ivfpq_fixed",
+    "decontaminate_eval",
+    "decontaminate_survivors",
+    "chunk_documents",
+    "text_scrub_pii",
+    "text_repetition",
 ]
 
 

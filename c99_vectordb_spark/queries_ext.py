@@ -1010,6 +1010,59 @@ ORDER BY hour_idx
 """
 
 
+def q_events_attribution_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution interval join — the BATCH twin of the stream-stream
+    join (streaming/ingest.stream_view_purchase_join): every (view,
+    purchase) pair by the same user with the purchase within 1 hour
+    after the view. Plan: equi-join on user_id with the time bound as
+    a join filter — one key-partitioned shuffle, no cartesian; at
+    100 TB both sides co-partition on the user key. Exact integers
+    end to end (micros)."""
+    from .queries_registry import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    views = ev.filter(F.col("event_type") == "view").select(
+        F.col("user_id").alias("v_user"),
+        F.col("event_id").alias("view_id"),
+        F.col("ts_us").alias("view_us"),
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("p_user"),
+        F.col("event_id").alias("purchase_id"),
+        F.col("ts_us").alias("purchase_us"),
+    )
+    return (
+        views.join(
+            purchases,
+            (F.col("v_user") == F.col("p_user"))
+            & (F.col("purchase_us") >= F.col("view_us"))
+            & (F.col("purchase_us") <= F.col("view_us") + F.lit(3_600_000_000)),
+        )
+        .select(
+            F.col("v_user").alias("user_id"),
+            "view_id",
+            "purchase_id",
+            (F.col("purchase_us") - F.col("view_us")).alias("lag_us"),
+        )
+        .orderBy("user_id", "view_id", "purchase_id")
+    )
+
+
+_ORACLE_EVENTS_ATTRIBUTION = """
+SELECT v.user_id,
+       v.event_id AS view_id,
+       p.event_id AS purchase_id,
+       epoch_us(p.ts) - epoch_us(v.ts) AS lag_us
+FROM events v
+JOIN events p
+  ON v.user_id = p.user_id
+ AND p.ts >= v.ts
+ AND epoch_us(p.ts) <= epoch_us(v.ts) + 3600000000
+WHERE v.event_type = 'view' AND p.event_type = 'purchase'
+ORDER BY v.user_id, view_id, purchase_id
+"""
+
+
 def q_graph_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle enumeration over the near-dup candidate graph (the
     boilerplate-clique detector: a triangle means three documents
@@ -1661,6 +1714,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "chunk_documents": q_chunk_documents,
     "text_scrub_pii": q_text_scrub_pii,
     "text_repetition": q_text_repetition,
+    "events_attribution_pairs": q_events_attribution_pairs,
     "events_resample": q_events_resample,
     "graph_triangles": q_graph_triangles,
     "skyline_orders": q_skyline_orders,
@@ -1701,6 +1755,7 @@ EXT_ORACLES: dict[str, str] = {
     "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,
     "text_scrub_pii": _ORACLE_TEXT_SCRUB_PII,
     "text_repetition": _ORACLE_TEXT_REPETITION,
+    "events_attribution_pairs": _ORACLE_EVENTS_ATTRIBUTION,
     "events_resample": _ORACLE_EVENTS_RESAMPLE,
     "graph_triangles": _ORACLE_GRAPH_TRIANGLES,
     "skyline_orders": _ORACLE_SKYLINE_ORDERS,

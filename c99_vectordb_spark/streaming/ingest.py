@@ -118,6 +118,62 @@ def stream_keep_first(
     )
 
 
+def stream_view_purchase_join(
+    events_stream: DataFrame,
+    attribution_window: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream INNER join (the attribution shape): every (view,
+    purchase) pair by the same user where the purchase lands within
+    ``attribution_window`` AFTER the view.
+
+    Both sides carry watermarks and the join condition bounds event
+    time in both directions — the two requirements for Spark to EVICT
+    join state: a buffered view can be dropped once the purchase-side
+    watermark passes view_ts + window, and vice versa. Without the
+    time bound the join would be correct but its state unbounded.
+    State is partitioned by user_id across executors. The batch twin
+    is queries_ext ``events_attribution_pairs`` (exact oracle);
+    stream==batch is asserted with an availableNow replay.
+    """
+    ev = events_stream.withColumn("ts", F.col("ts").cast("timestamp"))
+    views = (
+        ev.filter(F.col("event_type") == "view")
+        .select(
+            F.col("user_id").alias("v_user"),
+            F.col("event_id").alias("view_id"),
+            F.col("ts").alias("view_ts"),
+        )
+        .withWatermark("view_ts", watermark)
+    )
+    purchases = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("ts").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    joined = views.join(
+        purchases,
+        F.expr(
+            "v_user = p_user AND "
+            "purchase_ts >= view_ts AND "
+            f"purchase_ts <= view_ts + interval {attribution_window}"
+        ),
+    )
+    lag_us = (
+        F.unix_micros("purchase_ts") - F.unix_micros("view_ts")
+    ).cast("long")
+    return joined.select(
+        F.col("v_user").alias("user_id"),
+        "view_id",
+        "purchase_id",
+        lag_us.alias("lag_us"),
+    )
+
+
 def stream_session_events(
     events_stream: DataFrame,
     gap: str = "30 minutes",

@@ -186,3 +186,46 @@ def test_streaming_funnel_matches_batch(spark, sf_dir, tmp_path):
     # the batch side lists them with all-NULL stages
     batch_reachable = {u: v for u, v in batch.items() if v != (None, None, None)}
     assert got == batch_reachable
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir):
+    """Watermarked stream-stream attribution join == the batch interval
+    join on an availableNow replay. Inner join + two-sided time bound:
+    with all data inside one replay, the stream must emit exactly the
+    batch pairs (inner-join emissions don't wait for the watermark)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from c99_vectordb_spark.queries_ext import q_events_attribution_pairs
+    from c99_vectordb_spark.queries_registry import _read_events
+    from c99_vectordb_spark.streaming.ingest import stream_view_purchase_join
+
+    batch = {
+        (r.user_id, r.view_id, r.purchase_id, r.lag_us)
+        for r in q_events_attribution_pairs(spark, sf_dir).collect()
+    }
+    events = _read_events(spark, sf_dir).select(
+        "user_id", "event_id", "event_type", "ts"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        events.orderBy("ts", "event_id").coalesce(1).write.parquet(src)
+        stream = spark.readStream.schema(events.schema).parquet(src)
+        q = (
+            stream_view_purchase_join(stream)
+            .writeStream.format("memory")
+            .queryName("attr_out")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = {
+            (r.user_id, r.view_id, r.purchase_id, r.lag_us)
+            for r in spark.table("attr_out").collect()
+        }
+    assert got == batch
+    assert len(got) > 0
