@@ -8,6 +8,7 @@ reproducible in DuckDB SQL for the correctness oracle.
 
 from __future__ import annotations
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve in module globals
 from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions import text as Ft
@@ -210,32 +211,65 @@ def scrub_pii(df: DataFrame, id_col: str, body_col: str) -> DataFrame:
     )
 
 
+def _rep_counts_udf(n: int):
+    """Arrow UDF: body -> (n_grams, n_distinct) over HASHED token
+    n-grams (the repo shingle spec: fold with 131 mod HASH_MOD).
+    Hashing instead of materializing gram strings follows the
+    dedup.shingles convention — the expression form re-folds every
+    character of every token and measured ~20x slower at sf0.1."""
+    import pandas as pd
+
+    from ..hashing import HASH_MOD, token_hash, tokenize
+
+    @F.pandas_udf("array<long>")
+    def _rep(bodies: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+
+        def counts(b):
+            toks = tokenize(b or "")
+            if len(toks) < n:
+                return [0, 0]
+            hl = []
+            for t in toks:
+                h = cache.get(t)
+                if h is None:
+                    h = token_hash(t)
+                    cache[t] = h
+                hl.append(h)
+            seen = set()
+            total = len(hl) - n + 1
+            for i in range(total):
+                acc = 0
+                for h in hl[i : i + n]:
+                    acc = (acc * 131 + h) % HASH_MOD
+                seen.add(acc)
+            return [total, len(seen)]
+
+        return bodies.map(counts)
+
+    return _rep
+
+
 def repetition_stats(
     df: DataFrame, id_col: str, body_col: str, n: int = 3
 ) -> DataFrame:
-    """Intra-document repetition score: 1 - distinct/total token
+    """Intra-document repetition score: 1 - distinct/total HASHED token
     n-grams, as floored integer ppm (cross-engine exact, same
     convention as quality_features_exact). High repetition flags
     boilerplate/spam/looping text — a standard pretraining quality
-    gate. Pure JVM: tokens -> n-gram strings via transform over start
-    offsets -> array_distinct. Map-only."""
-    toks = Ft.tokens(F.col(body_col))
-    total = F.greatest(F.size(toks) - (n - 1), F.lit(0)).cast("long")
-    grams = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(toks) - (n - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
-    )
-    # guard: Spark's sequence(1, 0) is DESCENDING ([1, 0]), so short
-    # docs must report 0 explicitly rather than count bogus grams
-    distinct = F.when(
-        total > 0, F.size(F.array_distinct(grams)).cast("long")
-    ).otherwise(F.lit(0).cast("long"))
+    gate. N-grams are compared by their shingle hash (dedup spec),
+    so the DuckDB oracle reproduces the counts exactly — including
+    any hash collision, which lands identically in both engines.
+    Map-only Arrow pass, no shuffle."""
+    counts = _rep_counts_udf(n)(F.col(body_col))
+    total = F.col("_rc")[0]
+    distinct = F.col("_rc")[1]
     rep_ppm = F.when(
         total > 0,
         F.floor((total - distinct) * F.lit(1000000) / total).cast("long"),
     ).otherwise(F.lit(0).cast("long"))
-    return df.select(
-        F.col(id_col).alias("id"),
+    return df.select(F.col(id_col).alias("id"), counts.alias("_rc")).select(
+        "id",
         total.alias("n_grams"),
         distinct.alias("n_distinct"),
         rep_ppm.alias("rep_ppm"),

@@ -398,14 +398,18 @@ WITH seeded AS (
   FROM documents
 ),
 t AS (
-  SELECT doc_id, {hashing.duckdb_tokens_sql("text")} AS toks FROM seeded
+  SELECT doc_id,
+         list_transform({hashing.duckdb_tokens_sql("text")},
+                        t -> {hashing.duckdb_token_hash_sql("t")}) AS hl
+  FROM seeded
 ),
 g AS (
   SELECT doc_id,
-         greatest(len(toks) - 2, 0)::BIGINT AS n_grams,
-         CASE WHEN len(toks) >= 3
-              THEN len(list_distinct(list_transform(range(1, len(toks) - 1),
-                        i -> array_to_string(toks[i:i+2], ' '))))::BIGINT
+         greatest(len(hl) - 2, 0)::BIGINT AS n_grams,
+         CASE WHEN len(hl) >= 3
+              THEN len(list_distinct(list_transform(range(1, len(hl) - 1),
+                        i -> list_reduce([0::BIGINT] || hl[i:i+2],
+                             (a, h) -> (a * 131 + h) % {HASH_MOD}))))::BIGINT
               ELSE 0 END AS n_distinct
   FROM t
 )
