@@ -171,6 +171,13 @@ def chunk_documents(
     Python, no shuffle — a map-only fan-out whose output is bounded by
     total tokens / stride. Empty documents produce no chunks. Returns
     (id, chunk_idx, start_tok, n_chunk_tokens, chunk_text).
+
+    Standard-chunker boundary rule: a non-first chunk is emitted only
+    if it contributes at least one NEW token (start + overlap < n) —
+    without this, a doc with n in (k*stride, k*stride + overlap] would
+    end with a trailing chunk fully contained in its predecessor (a
+    49-token doc at 64/16 would add a redundant 1-token chunk). Only
+    the final start can violate the rule, so chunk_idx stays dense.
     """
     if overlap_tokens >= chunk_tokens:
         raise ValueError("overlap_tokens must be < chunk_tokens")
@@ -187,7 +194,13 @@ def chunk_documents(
             "_toks",
             F.posexplode(starts).alias("chunk_idx", "start_tok"),
         )
-        .filter(F.col("start_tok") < F.col("_n"))
+        .filter(
+            (F.col("start_tok") < F.col("_n"))
+            & (
+                (F.col("start_tok") == 0)
+                | (F.col("start_tok") + overlap_tokens < F.col("_n"))
+            )
+        )
         .select(
             "id",
             F.col("chunk_idx").cast("long").alias("chunk_idx"),

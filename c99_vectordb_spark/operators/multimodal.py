@@ -18,7 +18,13 @@ Codec support is tiered by what this container allows:
   unfiltering (None/Sub/Up/Average/Paeth) for 8-bit gray/RGB/GA/RGBA.
   PNG's only compression is DEFLATE, which the stdlib ships.
 - ``application/raw``: deterministic identity codec (test/demo path).
-- lossy formats (JPEG/MP3/H.264...): STUBBED — their codecs need
+- ``image/jpeg``: HEADER tier — a real marker-stream walk (public
+  ITU-T T.81 framing) validating segment structure and extracting
+  SOF0/SOF1/SOF2 geometry (width/height/components/precision/mode),
+  so JPEG joins the typed-metadata path like BMP/WAV/PNG headers.
+  Full entropy decode (huffman + IDCT) stays STUBBED —
+  ``decode_payload`` raises ``NotImplementedError``.
+- other lossy formats (MP3/H.264...): STUBBED — their codecs need
   native libraries not installed here; ``decode_payload`` raises
   ``NotImplementedError`` with a clear message. The Spark-side
   plumbing (schema, batching, UDF signatures, partition behavior) is
@@ -31,6 +37,7 @@ import struct
 import zlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
@@ -131,6 +138,21 @@ def _paeth(a: int, b: int, c: int) -> int:
     return c
 
 
+def _paeth_vec(a: "np.ndarray", b: "np.ndarray", c: "np.ndarray") -> "np.ndarray":
+    """Vectorized Paeth predictor over int16 lane arrays."""
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
+
+
+def _shift_left(line: "np.ndarray", bpp: int) -> "np.ndarray":
+    """The 'pixel to the left' array: line shifted right by one pixel,
+    zero-filled — x[i-bpp] with the spec's out-of-range-is-zero rule."""
+    out = np.zeros_like(line)
+    out[bpp:] = line[:-bpp]
+    return out
+
+
 def decode_png(payload: bytes) -> tuple[bytes, dict]:
     """Parse an 8-bit non-interlaced PNG (public format: RFC 2083):
     returns (unfiltered pixel bytes top-down, {width, height,
@@ -184,37 +206,65 @@ def decode_png(payload: bytes) -> tuple[bytes, dict]:
         raise MediaDecodeError(
             f"decompressed size {len(raw)} != {height * (1 + stride)}"
         )
-    out = bytearray(height * stride)
-    prev_start = -1
-    for y in range(height):
-        ftype = raw[y * (1 + stride)]
-        line = raw[y * (1 + stride) + 1 : (y + 1) * (1 + stride)]
-        start = y * stride
-        if ftype == 0:  # None
-            out[start : start + stride] = line
-        elif ftype == 1:  # Sub
-            for i, x in enumerate(line):
-                left = out[start + i - bpp] if i >= bpp else 0
-                out[start + i] = (x + left) & 0xFF
-        elif ftype == 2:  # Up
-            for i, x in enumerate(line):
-                up = out[prev_start + i] if y else 0
-                out[start + i] = (x + up) & 0xFF
-        elif ftype == 3:  # Average
-            for i, x in enumerate(line):
-                left = out[start + i - bpp] if i >= bpp else 0
-                up = out[prev_start + i] if y else 0
-                out[start + i] = (x + (left + up) // 2) & 0xFF
-        elif ftype == 4:  # Paeth
-            for i, x in enumerate(line):
-                left = out[start + i - bpp] if i >= bpp else 0
-                up = out[prev_start + i] if y else 0
-                ul = out[prev_start + i - bpp] if (y and i >= bpp) else 0
-                out[start + i] = (x + _paeth(left, up, ul)) & 0xFF
-        else:
-            raise MediaDecodeError(f"unknown PNG filter type {ftype} (row {y})")
-        prev_start = start
-    return bytes(out), {
+    # Vectorized unfilter (round 5 — the per-byte loops dominated the
+    # PNG roundtrip query): rows of the raw stream as a (height,
+    # 1+stride) uint8 matrix; None rows copy, Sub rows are a per-lane
+    # cumsum within the row, runs of Up rows are a cumsum down the
+    # column block (uint8 accumulate == mod-256 by construction), and
+    # the pixel-sequential Average/Paeth rows loop per PIXEL with all
+    # lanes vectorized. Bad filter bytes are detected up front.
+    mat = np.frombuffer(raw, dtype=np.uint8).reshape(height, 1 + stride)
+    ftypes, lines = mat[:, 0], mat[:, 1:]
+    bad = np.nonzero(ftypes > 4)[0]
+    if bad.size:
+        y = int(bad[0])
+        raise MediaDecodeError(
+            f"unknown PNG filter type {int(ftypes[y])} (row {y})"
+        )
+    out2d = np.empty((height, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    y = 0
+    while y < height:
+        ft = int(ftypes[y])
+        if ft == 2:  # Up: cumsum the whole consecutive run at once
+            y2 = y + 1
+            while y2 < height and ftypes[y2] == 2:
+                y2 += 1
+            block = np.cumsum(lines[y:y2], axis=0, dtype=np.uint8)
+            block += prev  # broadcast the base row
+            out2d[y:y2] = block
+            prev = out2d[y2 - 1]
+            y = y2
+            continue
+        line = lines[y]
+        if ft == 0:  # None
+            cur = line.copy()
+        elif ft == 1:  # Sub: per-lane prefix sum within the row
+            cur = np.cumsum(
+                line.reshape(-1, bpp), axis=0, dtype=np.uint8
+            ).reshape(-1)
+        elif ft == 3:  # Average: sequential in x, vector across lanes
+            cur = np.empty(stride, dtype=np.uint8)
+            lp, up16 = line.astype(np.int16), prev.astype(np.int16)
+            left = np.zeros(bpp, dtype=np.int16)
+            for x in range(0, stride, bpp):
+                px = (lp[x : x + bpp] + ((left + up16[x : x + bpp]) >> 1)) & 0xFF
+                cur[x : x + bpp] = px.astype(np.uint8)
+                left = px
+        else:  # Paeth
+            cur = np.empty(stride, dtype=np.uint8)
+            lp, up16 = line.astype(np.int16), prev.astype(np.int16)
+            left = np.zeros(bpp, dtype=np.int16)
+            ul = np.zeros(bpp, dtype=np.int16)
+            for x in range(0, stride, bpp):
+                upx = up16[x : x + bpp]
+                px = (lp[x : x + bpp] + _paeth_vec(left, upx, ul)) & 0xFF
+                cur[x : x + bpp] = px.astype(np.uint8)
+                left, ul = px, upx
+        out2d[y] = cur
+        prev = cur
+        y += 1
+    return out2d.tobytes(), {
         "width": width,
         "height": height,
         "bit_depth": bit_depth,
@@ -236,46 +286,43 @@ def encode_png(content: bytes, width: int = 4, filter_type: int = 0) -> bytes:
     inverse of :func:`decode_png` up to zero-padding; ``filter_type``
     applies the chosen scanline filter to every row so tests can
     exercise each of the five inverse filters."""
+    if filter_type not in range(5):
+        raise ValueError(f"filter_type must be 0..4, got {filter_type}")
     bpp = 3
     stride = width * bpp
     rows = max(1, -(-len(content) // stride))
-    pix = content.ljust(rows * stride, b"\x00")
-    raw = bytearray()
-    prev = bytes(stride)
-    for y in range(rows):
-        line = pix[y * stride : (y + 1) * stride]
-        raw.append(filter_type)
-        if filter_type == 0:
-            raw += line
-        elif filter_type == 1:  # Sub
-            raw += bytes(
-                (line[i] - (line[i - bpp] if i >= bpp else 0)) & 0xFF
-                for i in range(stride)
-            )
+    pix = np.frombuffer(
+        content.ljust(rows * stride, b"\x00"), dtype=np.uint8
+    ).reshape(rows, stride)
+    # Filters predict from RAW neighbor bytes (unlike decode, which
+    # predicts from decoded ones), so every filter vectorizes over the
+    # whole image: left = row shifted one pixel, up = previous raw row.
+    if filter_type == 0:
+        filt = pix
+    else:
+        up = np.zeros_like(pix)
+        up[1:] = pix[:-1]
+        left = np.zeros_like(pix)
+        left[:, bpp:] = pix[:, :-bpp]
+        if filter_type == 1:  # Sub
+            filt = pix - left
         elif filter_type == 2:  # Up
-            raw += bytes((line[i] - prev[i]) & 0xFF for i in range(stride))
+            filt = pix - up
         elif filter_type == 3:  # Average
-            raw += bytes(
-                (line[i] - ((line[i - bpp] if i >= bpp else 0) + prev[i]) // 2)
-                & 0xFF
-                for i in range(stride)
+            filt = pix - (
+                ((left.astype(np.int16) + up.astype(np.int16)) >> 1)
+            ).astype(np.uint8)
+        else:  # Paeth
+            ul = np.zeros_like(pix)
+            ul[1:, bpp:] = pix[:-1, :-bpp]
+            pred = _paeth_vec(
+                left.astype(np.int16), up.astype(np.int16), ul.astype(np.int16)
             )
-        elif filter_type == 4:  # Paeth
-            raw += bytes(
-                (
-                    line[i]
-                    - _paeth(
-                        line[i - bpp] if i >= bpp else 0,
-                        prev[i],
-                        prev[i - bpp] if i >= bpp else 0,
-                    )
-                )
-                & 0xFF
-                for i in range(stride)
-            )
-        else:
-            raise ValueError(f"filter_type must be 0..4, got {filter_type}")
-        prev = line
+            filt = pix - pred.astype(np.uint8)
+    raw = np.empty((rows, 1 + stride), dtype=np.uint8)
+    raw[:, 0] = filter_type
+    raw[:, 1:] = filt
+    raw = raw.tobytes()
     ihdr = struct.pack(">IIBBBBB", width, rows, 8, 2, 0, 0, 0)
     return (
         _PNG_SIG
@@ -283,6 +330,125 @@ def encode_png(content: bytes, width: int = 4, filter_type: int = 0) -> bytes:
         + _png_chunk(b"IDAT", zlib.compress(bytes(raw)))
         + _png_chunk(b"IEND", b"")
     )
+
+
+#: SOF markers that carry frame geometry (ITU-T T.81 table B.1).
+#: C4=DHT, C8=JPG, CC=DAC are NOT frame headers; other Cx SOFs
+#: (lossless/arithmetic) are rejected as unsupported below.
+_JPEG_SOF = {0xC0: "baseline", 0xC1: "extended", 0xC2: "progressive"}
+_JPEG_SOF_OTHER = frozenset(
+    range(0xC3, 0xD0)
+) - {0xC4, 0xC8, 0xCC} - set(_JPEG_SOF)
+
+
+def decode_jpeg_meta(payload: bytes) -> dict:
+    """Parse the JPEG marker stream (public ITU-T T.81 / JFIF framing)
+    up to SOS and return the SOF frame geometry: {width, height,
+    components, precision, mode}. Validates SOI, per-segment length
+    fields, and the SOF payload size. Entropy-coded data is NOT
+    decoded (the container says what the image is; decoding what it
+    contains needs the stubbed huffman/IDCT tier)."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise MediaDecodeError("not a JPEG: missing SOI marker")
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise MediaDecodeError(f"expected marker at offset {pos}")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # fill bytes before a marker are legal
+        marker = payload[pos + 1]
+        if marker in (0xD9, 0xDA):  # EOI / start-of-scan: no SOF seen
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2  # TEM / RSTn: standalone, no length field
+            continue
+        if pos + 4 > len(payload):
+            raise MediaDecodeError("truncated JPEG segment header")
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if seglen < 2 or pos + 2 + seglen > len(payload):
+            raise MediaDecodeError(
+                f"segment 0xFF{marker:02X} length {seglen} overruns payload"
+            )
+        if marker in _JPEG_SOF:
+            precision, height, width, ncomp = struct.unpack_from(
+                ">BHHB", payload, pos + 4
+            )
+            if seglen != 8 + 3 * ncomp:
+                raise MediaDecodeError(
+                    f"SOF length {seglen} != {8 + 3 * ncomp} for {ncomp} components"
+                )
+            if width <= 0 or height <= 0 or ncomp not in (1, 3, 4):
+                raise MediaDecodeError(
+                    f"invalid SOF geometry {width}x{height}x{ncomp}"
+                )
+            return {
+                "width": width,
+                "height": height,
+                "components": ncomp,
+                "precision": precision,
+                "mode": _JPEG_SOF[marker],
+            }
+        if marker in _JPEG_SOF_OTHER:
+            raise MediaDecodeError(
+                f"unsupported JPEG coding process (SOF marker 0xFF{marker:02X})"
+            )
+        pos += 2 + seglen
+    raise MediaDecodeError("JPEG missing SOF frame header")
+
+
+#: standard JFIF APP0 body: identifier, v1.01, DPI units, 72x72, no thumb
+_JFIF_APP0 = b"JFIF\x00\x01\x01\x01\x00\x48\x00\x48\x00\x00"
+#: flat luminance quant table (all 16s) — deterministic filler
+_JPEG_DQT = bytes([0x00]) + bytes([16] * 64)
+#: minimal DC huffman table: 1 code of length 2 mapping to symbol 0
+_JPEG_DHT = bytes([0x00]) + bytes([0, 1] + [0] * 14) + bytes([0])
+
+
+def _jpeg_seg(marker: int, body: bytes) -> bytes:
+    return bytes([0xFF, marker]) + struct.pack(">H", 2 + len(body)) + body
+
+
+def encode_jpeg_container(
+    content: bytes, width: int = 4, stride_px: int = 4
+) -> bytes:
+    """Wrap raw bytes in a structurally-valid baseline-JPEG container:
+    SOI + JFIF APP0 + DQT + SOF0 (3 components, 8-bit, geometry derived
+    from the content length exactly like encode_png) + DHT + SOS +
+    content as the entropy segment + EOI. The entropy bytes are the
+    content verbatim — NOT a real huffman stream (this is the header
+    tier's deterministic test payload, not an encoder) — which is safe
+    iff the content contains no 0xFF byte (0xFF would need stuffing and
+    would end the scan early); UTF-8 text never does. Total size is
+    therefore closed-form: len(content) + fixed overhead
+    (:data:`JPEG_CONTAINER_OVERHEAD`)."""
+    if b"\xff" in content:
+        raise ValueError("content with 0xFF bytes needs real entropy coding")
+    bpp = 3
+    stride = stride_px * bpp
+    rows = max(1, -(-len(content) // stride))
+    sof = struct.pack(">BHHB", 8, rows, width, 3) + bytes(
+        [1, 0x11, 0, 2, 0x11, 0, 3, 0x11, 0]
+    )
+    sos = bytes([3, 1, 0x00, 2, 0x00, 3, 0x00, 0, 63, 0])
+    return (
+        b"\xff\xd8"
+        + _jpeg_seg(0xE0, _JFIF_APP0)
+        + _jpeg_seg(0xDB, _JPEG_DQT)
+        + _jpeg_seg(0xC0, sof)
+        + _jpeg_seg(0xC4, _JPEG_DHT)
+        + _jpeg_seg(0xDA, sos)
+        + content
+        + b"\xff\xd9"
+    )
+
+
+#: fixed container bytes around the entropy segment (SOI + APP0 + DQT
+#: + SOF0[3 comps] + DHT + SOS + EOI) — pinned by a test and by the
+#: multimodal_jpeg_meta oracle's closed-form n_bytes
+JPEG_CONTAINER_OVERHEAD = (
+    2 + (4 + len(_JFIF_APP0)) + (4 + len(_JPEG_DQT)) + (4 + 6 + 3 * 3)
+    + (4 + len(_JPEG_DHT)) + (4 + 10) + 2
+)
 
 
 def decode_payload(payload: bytes, mime: str):
@@ -300,6 +466,13 @@ def decode_payload(payload: bytes, mime: str):
         return decode_png(payload)[0]
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         return decode_wav(payload)[0]
+    if mime == "image/jpeg":
+        raise NotImplementedError(
+            "JPEG entropy decode (huffman + IDCT) not available in this "
+            "environment — header geometry IS supported via "
+            "decode_jpeg_meta / media_decode_meta; plug a full decoder "
+            "(PIL/libjpeg) here on a cluster image"
+        )
     raise NotImplementedError(
         f"codec for {mime!r} not available in this environment; "
         "plug a real decoder here (PIL/libav/...) on a cluster image"
@@ -374,6 +547,9 @@ def media_decode_meta(media: DataFrame) -> DataFrame:
                         rows.append((r.id, mime, True, None, {k: str(v) for k, v in m.items()}))
                     elif mime in ("audio/wav", "audio/x-wav", "audio/wave"):
                         _, m = decode_wav(bytes(r.payload))
+                        rows.append((r.id, mime, True, None, {k: str(v) for k, v in m.items()}))
+                    elif mime == "image/jpeg":
+                        m = decode_jpeg_meta(bytes(r.payload))
                         rows.append((r.id, mime, True, None, {k: str(v) for k, v in m.items()}))
                     elif mime == "application/raw":
                         rows.append(
@@ -480,9 +656,40 @@ def media_from_documents_mixed(docs: DataFrame) -> DataFrame:
 
 def media_from_documents_png(docs: DataFrame) -> DataFrame:
     """Synthesize a PNG media table from the documents corpus: every
-    document's UTF-8 bytes compressed into a real RGB PNG (the row's
-    filter type cycles through all five PNG filters by doc_id, so the
-    corpus exercises every inverse filter). Deterministic end to end."""
+    document's UTF-8 bytes compressed into a real RGB PNG. Filter 0
+    (None) by default — like a real screenshot/chart corpus, where
+    most encoders emit None/Up — with a deterministic 25% slice
+    (doc_id % 20 < 5) cycling through filters 0-4 so every inverse
+    filter stays exercised at any scale. Deterministic end to end."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = (r.text or "").encode("utf-8")
+                ft = r.doc_id % 5 if r.doc_id % 20 < 5 else 0
+                rows.append(
+                    (
+                        r.doc_id,
+                        "image",
+                        "image/png",
+                        encode_png(content, filter_type=ft),
+                        {"lang": r.lang},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "modality", "mime", "payload", "meta"]
+            )
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def media_from_documents_jpeg(docs: DataFrame) -> DataFrame:
+    """Synthesize a JPEG media table from the documents corpus: every
+    document's UTF-8 bytes wrapped in a structurally-valid baseline
+    JPEG container (SOF0 geometry derived from the byte length exactly
+    like the PNG generator). Deterministic end to end; exercises the
+    marker-stream parser through the full Arrow path."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -493,8 +700,8 @@ def media_from_documents_png(docs: DataFrame) -> DataFrame:
                     (
                         r.doc_id,
                         "image",
-                        "image/png",
-                        encode_png(content, filter_type=r.doc_id % 5),
+                        "image/jpeg",
+                        encode_jpeg_container(content),
                         {"lang": r.lang},
                     )
                 )

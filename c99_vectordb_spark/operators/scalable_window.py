@@ -18,27 +18,90 @@ scheme:
 
 Same algebra as the global window, no single-task stage anywhere.
 The pattern generalizes ``mutate.assign_dense_ids(scalable=True)``.
+
+Checkpoint footprint: ``pre_range`` eagerly ``localCheckpoint``s the
+range-shuffled dataset to executor-local block storage. That is one
+materialized copy of the input — parallel, partition-sized blocks, no
+driver involvement — held until the checkpointed RDD goes out of
+reference, at which point Spark's ContextCleaner drops the blocks
+asynchronously. At real scale, budget executor storage for one extra
+copy of the stitched dataset per in-flight stitched plan, and reuse a
+single ``pre_range`` across multiple stitched ops over the same order
+(the ops detect an already-ranged input and will NOT re-checkpoint;
+see ``tests/test_scalable_window.py``).
+
+Prefix distribution: the per-partition prefix (offset / max / sum) is
+attached either as a ``create_map`` literal (small partition counts)
+or, above ``_PREFIX_LITERAL_MAX`` partitions, as an explicit broadcast
+hash join on the partition id — a ~10k-partition literal map would be
+a ~20k-node expression tree, past janino's ~5k-node whole-stage
+codegen ceiling, forcing the stage to run interpreted.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import types as T
 
 _PID = "__sw_pid"
 
+#: Above this many partitions the prefix ships as a broadcast-joined
+#: table instead of a create_map literal (2 expression nodes per
+#: partition; stay far below the ~5k-node codegen ceiling).
+_PREFIX_LITERAL_MAX = 256
 
-def _ranged(df: DataFrame, order_cols: list[Column]) -> DataFrame:
+
+def pre_range(df: DataFrame, order_cols: list[Column]) -> DataFrame:
     """Range-partition on the order columns and tag the partition id.
 
     Eagerly localCheckpointed: the per-partition aggregate (pass 1) and
     the stitched output (pass 2) both consume this shuffle, and the
     checkpoint also pins the partitioning so the sampled range
-    boundaries cannot differ between the two passes."""
+    boundaries cannot differ between the two passes.
+
+    Idempotent: an input that already carries the partition-id column
+    is returned as-is, so composing several stitched ops over the same
+    total order costs ONE shuffle + ONE checkpoint — call ``pre_range``
+    once and feed the result to each op.
+    """
+    if _PID in df.columns:
+        return df
     return (
         df.repartitionByRange(*order_cols)
         .withColumn(_PID, F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
+
+
+_ranged = pre_range
+
+
+def _attach_prefix(
+    ranged: DataFrame, mapping: dict, cast_type: T.DataType, out_col: str
+) -> DataFrame:
+    """Attach per-partition prefix values as ``out_col`` (NULL on miss).
+
+    Literal ``create_map`` lookup for small partition counts; explicit
+    broadcast hash join above ``_PREFIX_LITERAL_MAX`` so the expression
+    tree stays inside whole-stage codegen limits at 10k+ partitions.
+    """
+    if not mapping:
+        return ranged.withColumn(out_col, F.lit(None).cast(cast_type))
+    if len(mapping) <= _PREFIX_LITERAL_MAX:
+        prefmap = F.create_map(
+            *[x for k, v in mapping.items() for x in (F.lit(k), F.lit(v))]
+        )
+        return ranged.withColumn(out_col, prefmap[F.col(_PID)].cast(cast_type))
+    schema = T.StructType(
+        [
+            T.StructField(_PID, T.IntegerType(), False),
+            T.StructField(out_col, cast_type, True),
+        ]
+    )
+    pref = ranged.sparkSession.createDataFrame(
+        [(int(k), v) for k, v in mapping.items()], schema
+    )
+    return ranged.join(F.broadcast(pref), on=_PID, how="left")
 
 
 def global_rank(
@@ -52,20 +115,20 @@ def global_rank(
     with ties the rank among equal keys follows the local sort and is
     nondeterministic, exactly like ``row_number`` over a non-total order.
     """
-    ranged = _ranged(df, order_cols)
+    had_pid = _PID in df.columns
+    ranged = pre_range(df, order_cols)
     counts = ranged.groupBy(_PID).count().orderBy(_PID).collect()
     offsets, acc = {}, 0
     for r in counts:
         offsets[r[_PID]] = acc
         acc += r["count"]
-    offmap = F.create_map(*[F.lit(x) for kv in offsets.items() for x in kv])
     wlocal = Window.partitionBy(_PID).orderBy(*order_cols)
-    return (
-        ranged.withColumn(
-            out_col, offmap[F.col(_PID)] + F.row_number().over(wlocal)
-        )
-        .drop(_PID)
+    out = (
+        _attach_prefix(ranged, offsets, T.LongType(), "__sw_off")
+        .withColumn(out_col, F.col("__sw_off") + F.row_number().over(wlocal))
+        .drop("__sw_off")
     )
+    return out if had_pid else out.drop(_PID)
 
 
 def running_max(
@@ -80,7 +143,8 @@ def running_max(
     Pass 2 broadcasts each partition's max; partition *i*'s running max
     is ``greatest(local running max, max of all partitions < i)``.
     """
-    ranged = _ranged(df, order_cols).withColumn("__sw_val", value)
+    had_pid = _PID in df.columns
+    ranged = pre_range(df, order_cols).withColumn("__sw_val", value)
     pmax = (
         ranged.groupBy(_PID).agg(F.max("__sw_val").alias("m")).orderBy(_PID).collect()
     )
@@ -94,20 +158,15 @@ def running_max(
         Window.unboundedPreceding, Window.currentRow
     )
     local = F.max("__sw_val").over(wlocal)
-    if prefix:  # partitions with no earlier max simply miss the map -> NULL
-        prefmap = F.create_map(
-            *[x for pid, mx in prefix.items() for x in (F.lit(pid), F.lit(mx))]
-        )
-        carried = prefmap[F.col(_PID)].cast(
-            ranged.schema["__sw_val"].dataType
-        )
-    else:
-        carried = F.lit(None).cast(ranged.schema["__sw_val"].dataType)
     # greatest() ignores NULLs, so a missing carried max falls back to local
-    return (
-        ranged.withColumn(out_col, F.greatest(local, carried))
-        .drop(_PID, "__sw_val")
+    out = (
+        _attach_prefix(
+            ranged, prefix, ranged.schema["__sw_val"].dataType, "__sw_carried"
+        )
+        .withColumn(out_col, F.greatest(local, F.col("__sw_carried")))
+        .drop("__sw_carried", "__sw_val")
     )
+    return out if had_pid else out.drop(_PID)
 
 
 def running_sum(
@@ -125,7 +184,8 @@ def running_sum(
     matter); for floats the result is deterministic but may differ
     from a sequential sum in the last ulp, like any partial-aggregate
     float sum."""
-    ranged = _ranged(df, order_cols).withColumn("__sw_val", value)
+    had_pid = _PID in df.columns
+    ranged = pre_range(df, order_cols).withColumn("__sw_val", value)
     psum = (
         ranged.groupBy(_PID).agg(F.sum("__sw_val").alias("s")).orderBy(_PID).collect()
     )
@@ -140,17 +200,12 @@ def running_sum(
     )
     local = F.sum("__sw_val").over(wlocal)
     sum_type = ranged.select(F.sum("__sw_val")).schema[0].dataType
-    if prefix:
-        prefmap = F.create_map(
-            *[x for pid, s in prefix.items() for x in (F.lit(pid), F.lit(s))]
-        )
-        carried = prefmap[F.col(_PID)].cast(sum_type)
-    else:
-        carried = F.lit(None).cast(sum_type)
-    return (
-        ranged.withColumn(out_col, local + F.coalesce(carried, F.lit(0)))
-        .drop(_PID, "__sw_val")
+    out = (
+        _attach_prefix(ranged, prefix, sum_type, "__sw_carried")
+        .withColumn(out_col, local + F.coalesce(F.col("__sw_carried"), F.lit(0)))
+        .drop("__sw_carried", "__sw_val")
     )
+    return out if had_pid else out.drop(_PID)
 
 
 def ntile_bucket(rank: Column, n_rows: int, n_buckets: int) -> Column:

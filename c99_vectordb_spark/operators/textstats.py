@@ -135,20 +135,9 @@ def lang_id(df: DataFrame, id_col: str, body_col: str) -> DataFrame:
     oracle is a literal transliteration.
     """
     toks = Ft.tokens(F.col(body_col))
-    hit_cols = []
-    for lang, markers in sorted(LANG_MARKERS.items()):
-        arr = F.array(*[F.lit(m) for m in markers])
-        hit_cols.append(
-            F.struct(
-                F.size(F.filter(toks, lambda t: F.array_contains(arr, t))).alias(
-                    "hits"
-                ),
-                F.lit(lang).alias("lang"),
-            )
-        )
-    best = F.array_max(F.array(*hit_cols))  # struct compare: hits, then lang desc
-    # array_max on (hits, lang) breaks ties by lang DESC; we want ASC ->
-    # compare on (hits, negated lang rank) instead: encode rank explicitly
+    # argmax via array_max over (hits, nrank, lang) structs: struct compare
+    # is lexicographic, and nrank = -index-in-sorted-order makes ties on
+    # hits resolve to the alphabetically FIRST language code.
     ranked = []
     for i, (lang, markers) in enumerate(sorted(LANG_MARKERS.items())):
         arr = F.array(*[F.lit(m) for m in markers])

@@ -311,6 +311,7 @@ SELECT doc_id AS id,
        array_to_string(toks[start_tok + 1:start_tok + 64], ' ') AS chunk_text
 FROM c
 WHERE start_tok < n
+  AND (start_tok = 0 OR start_tok + 16 < n)
 ORDER BY id, chunk_idx
 """
 
@@ -913,6 +914,46 @@ ORDER BY id
 """
 
 
+def q_multimodal_jpeg_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED JPEG header tier: every document's UTF-8 bytes
+    wrapped in a structurally-valid baseline-JPEG container, then the
+    marker stream walked (SOI / segment lengths validated) and the SOF0
+    geometry extracted. Every output has a CLOSED FORM in the document
+    byte length — width=4, height=ceil(len/12), components=3,
+    payload n_bytes = len + JPEG_CONTAINER_OVERHEAD (UTF-8 never
+    contains 0xFF, so the entropy segment is length-preserving) — so
+    the DuckDB twin verifies the whole wrap->parse pipeline exactly.
+    Both stages map-only mapInPandas; the id join co-partitions."""
+    from .operators.multimodal import media_decode_meta, media_from_documents_jpeg
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = media_from_documents_jpeg(docs)
+    meta = media_decode_meta(media).select(
+        "id",
+        F.col("meta")["width"].cast("long").alias("width"),
+        F.col("meta")["height"].cast("long").alias("height"),
+        F.col("meta")["components"].cast("long").alias("components"),
+        F.col("meta")["mode"].alias("mode"),
+    )
+    sizes = media.select("id", F.length("payload").cast("long").alias("n_bytes"))
+    return meta.join(sizes, "id").orderBy("id")
+
+
+def _oracle_multimodal_jpeg() -> str:
+    from .operators.multimodal import JPEG_CONTAINER_OVERHEAD
+
+    return f"""
+SELECT doc_id AS id,
+       4::BIGINT AS width,
+       GREATEST(1, (strlen(text) + 11) // 12)::BIGINT AS height,
+       3::BIGINT AS components,
+       'baseline' AS mode,
+       (strlen(text) + {JPEG_CONTAINER_OVERHEAD})::BIGINT AS n_bytes
+FROM documents
+ORDER BY id
+"""
+
+
 def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample with gap filling: hourly event counts per
     type over a DENSE hour grid (empty hours present, zero-filled) —
@@ -1007,8 +1048,8 @@ WITH hourly AS (
   FROM events GROUP BY 1
 )
 SELECT hour_idx, cnt,
-       SUM(cnt) OVER (ORDER BY hour_idx ASC
-                      RANGE BETWEEN 23 PRECEDING AND CURRENT ROW) AS trailing_24h
+       (SUM(cnt) OVER (ORDER BY hour_idx ASC
+                       RANGE BETWEEN 23 PRECEDING AND CURRENT ROW))::BIGINT AS trailing_24h
 FROM hourly
 ORDER BY hour_idx
 """
@@ -1713,6 +1754,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_scd2": q_orders_scd2,
     "multimodal_meta_roundtrip": q_multimodal_meta_roundtrip,
     "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
+    "multimodal_jpeg_meta": q_multimodal_jpeg_meta,
     "decontaminate_eval": q_decontaminate_eval,
     "decontaminate_survivors": q_decontaminate_survivors,
     "chunk_documents": q_chunk_documents,
@@ -1754,6 +1796,7 @@ EXT_ORACLES: dict[str, str] = {
     "orders_scd2": _ORACLE_ORDERS_SCD2,
     "multimodal_meta_roundtrip": _ORACLE_MULTIMODAL_META,
     "multimodal_png_roundtrip": _ORACLE_MULTIMODAL_PNG,
+    "multimodal_jpeg_meta": _oracle_multimodal_jpeg(),
     "decontaminate_eval": _ORACLE_DECONTAMINATE_EVAL,
     "decontaminate_survivors": _ORACLE_DECONTAMINATE_SURVIVORS,
     "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,

@@ -100,8 +100,8 @@ WITH sized AS (
   FROM documents
 ), packed AS (
   SELECT doc_id AS id, source AS stratum, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) - n_tokens AS "offset"
+         (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS "offset"
   FROM sized
 )
 SELECT id, stratum, n_tokens, "offset",
@@ -132,8 +132,8 @@ WITH sized AS (
   FROM documents
 ), packed AS (
   SELECT doc_id AS id, n_tokens,
-         SUM(n_tokens) OVER (ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) - n_tokens AS "offset"
+         (SUM(n_tokens) OVER (ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS "offset"
   FROM sized
 )
 SELECT id, n_tokens, "offset",
@@ -885,8 +885,8 @@ sized AS (
 ),
 packed AS (
   SELECT doc_id AS id, source AS stratum, n_tokens,
-         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                             ROWS UNBOUNDED PRECEDING) - n_tokens AS "offset"
+         (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS "offset"
   FROM sized
 )
 SELECT id, stratum, n_tokens, "offset",

@@ -1589,45 +1589,49 @@ _ORACLES: dict[str, str] = {
 # (LSH/IVF/PQ), multimodal, text, corpus, sketches, UDTF — has at
 # least one independently-verified representative per round. Queries
 # past the window keep full local-oracle coverage (tools/verify_oracle).
+#
+# Rotation policy (round 5+): each round, swap long-green veterans out
+# for never-driver-checked siblings so the unchecked pool shrinks
+# monotonically while every family keeps >=1 representative. Round-5
+# first-timers: tpch_q7/q10/q18, corpus_pack, corpus_pack_global,
+# chunk_documents, text_scrub_pii, text_repetition, graph_triangles,
+# decontaminate_eval, events_attribution_pairs (veterans they replaced
+# remain fully covered by tools/verify_oracle past the window).
 DRIVER_WINDOW = [
     # core reference surface (recall / filter / analyze / mutate)
     "recall_topk_int",
     "embed_build_norms",
     "knn_embeddings",
     "filter_orders_page",
-    "filter_variant_metadata",
     "analyze_default_fields",
     "stats_topk_other",
     "compaction_reseq",
     "upsert_docs",
     # TPC-H tour (agg, star broadcast, correlated, semi/anti, scalar)
-    "tpch_q1",
-    "tpch_q5",
-    "tpch_q9",
+    "tpch_q7",
+    "tpch_q10",
+    "tpch_q18",
     "tpch_q17",
     "tpch_q21",
     "tpch_q22",
     # join strategies
-    "revenue_by_nation",
     "salted_join_revenue",
     "range_join_bands",
     "asof_join_events",
     "semi_anti_joins",
+    "graph_triangles",
     # windows / ordered analytics (incl. the de-globalized plans)
     "orders_scd2",
     "events_trailing_24h",
     "skyline_orders",
-    "price_histogram",
-    "grouped_sample_topn",
     "cdc_apply_orders",
-    "events_keep_first",
     # aggregation / function library
     "setops_custkeys",
     "rollup_revenue",
     "scalar_functions",
-    "stats_correlation",
-    # streaming batch-twin
+    # streaming batch-twins
     "events_sessions",
+    "events_attribution_pairs",
     # approximate aggregates (deterministic, fully oracled)
     "approx_distinct_kmv",
     "sketch_heavy_hitters",
@@ -1642,17 +1646,21 @@ DRIVER_WINDOW = [
     "sim_ivf_batch",
     "sim_pq_fixed",
     "sim_ivfpq_fixed",
-    # multimodal
-    "multimodal_meta_roundtrip",
+    # multimodal (jpeg_meta new in r5 — the JPEG header tier)
+    "multimodal_jpeg_meta",
     "multimodal_png_roundtrip",
     # text analysis
     "text_quality",
-    "text_langid",
-    "text_fingerprint",
+    "text_scrub_pii",
+    "text_repetition",
     # corpus / training-data pipeline
     "corpus_pipeline",
     "corpus_tfidf_terms",
     "corpus_split_assign",
+    "corpus_pack",
+    "corpus_pack_global",
+    "chunk_documents",
+    "decontaminate_eval",
 ]
 
 

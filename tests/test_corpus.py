@@ -217,11 +217,20 @@ def test_chunk_documents_edges(spark):
     import pytest as _pytest
 
     df = spark.createDataFrame(
-        [(0, ""), (1, "one two three"), (2, " ".join(f"w{i}" for i in range(130)))],
+        [
+            (0, ""),
+            (1, "one two three"),
+            (2, " ".join(f"w{i}" for i in range(130))),
+            # 49 tokens: start 48 would add a chunk whose single token is
+            # already the tail of chunk 0's overlap — standard semantics
+            # drop it (round-5 boundary rule)
+            (3, " ".join(f"w{i}" for i in range(49))),
+            # 65 tokens: start 48 contributes token 64 -> kept
+            (4, " ".join(f"w{i}" for i in range(65))),
+        ],
         "id long, body string",
     )
     out = chunk_documents(df, chunk_tokens=64, overlap_tokens=16)
-    rows = {r.id: r for r in out.collect() if True}
     by_id = {}
     for r in out.collect():
         by_id.setdefault(r.id, []).append(r)
@@ -233,6 +242,10 @@ def test_chunk_documents_edges(spark):
     # overlap: chunk 1 starts 16 tokens before chunk 0 ends
     c0, c1 = sorted(by_id[2], key=lambda r: r.chunk_idx)[:2]
     assert c0.chunk_text.split()[48:] == c1.chunk_text.split()[:16]
+    # fully-contained trailing chunk suppressed; new-token chunk kept
+    assert [r.start_tok for r in by_id[3]] == [0]
+    assert [r.start_tok for r in sorted(by_id[4], key=lambda r: r.chunk_idx)] == [0, 48]
+    assert sorted(by_id[4], key=lambda r: r.chunk_idx)[-1].n_chunk_tokens == 17
     with _pytest.raises(ValueError):
         chunk_documents(df, chunk_tokens=16, overlap_tokens=16)
 

@@ -3,29 +3,54 @@
 DRIVER_WINDOW pins that prefix so every operator family gets an
 independent driver-verified row each round (round-3 verdict: half the
 registry had only local verification because the window filled up with
-redundant filter/stats variants). These tests keep the pin honest
+redundant filter/stats variants). Round 5 adds the rotation policy:
+each round swaps long-green veterans for never-driver-checked siblings,
+so the tests check FAMILY coverage (>=1 representative from each pool)
+rather than pinning exact names, and enforce that each round's window
+actually contains first-timers. These tests keep the pin honest
 without starting Spark.
 """
 
 from __future__ import annotations
 
-FAMILIES = {
-    "core": {"recall_topk_int", "filter_orders_page", "stats_topk_other",
-             "compaction_reseq", "upsert_docs"},
-    "tpch": {"tpch_q1", "tpch_q5", "tpch_q21"},
-    "joins": {"salted_join_revenue", "range_join_bands", "asof_join_events",
-              "semi_anti_joins"},
-    "windows": {"orders_scd2", "events_trailing_24h", "skyline_orders",
-                "price_histogram"},
-    "streaming_twin": {"events_sessions"},
-    "approx": {"approx_distinct_kmv", "sketch_heavy_hitters"},
-    "udtf": {"udtf_shingles", "grouped_rank"},
-    "dedup": {"dedup_minhash_pairs", "dedup_survivors"},
-    "similarity": {"sim_lsh_bucketed", "sim_ivf_batch", "sim_pq_fixed",
-                   "sim_ivfpq_fixed"},
-    "multimodal": {"multimodal_meta_roundtrip", "multimodal_png_roundtrip"},
-    "text": {"text_quality", "text_langid", "text_fingerprint"},
-    "corpus": {"corpus_pipeline", "corpus_tfidf_terms", "corpus_split_assign"},
+import glob
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+# family -> pool of acceptable representatives; the window must contain
+# at least MINIMUM members from each pool (rotation picks which).
+FAMILIES: dict[str, tuple[set[str], int]] = {
+    "core": ({"recall_topk_int", "knn_embeddings", "filter_orders_page",
+              "filter_variant_metadata", "stats_topk_other",
+              "analyze_default_fields", "compaction_reseq", "upsert_docs",
+              "embed_build_norms"}, 5),
+    "tpch": ({"tpch_q1", "tpch_q2", "tpch_q4", "tpch_q5", "tpch_q7",
+              "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
+              "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
+              "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22"}, 4),
+    "joins": ({"revenue_by_nation", "salted_join_revenue", "range_join_bands",
+               "asof_join_events", "semi_anti_joins", "graph_triangles"}, 4),
+    "windows": ({"orders_scd2", "events_trailing_24h", "skyline_orders",
+                 "price_histogram", "grouped_sample_topn", "cdc_apply_orders",
+                 "window_running_total", "grouped_rank"}, 4),
+    "streaming_twin": ({"events_sessions", "events_keep_first",
+                        "events_attribution_pairs", "events_resample"}, 2),
+    "approx": ({"approx_distinct_kmv", "sketch_heavy_hitters"}, 2),
+    "udtf": ({"udtf_shingles", "grouped_rank"}, 1),
+    "dedup": ({"dedup_exact", "dedup_minhash_pairs", "dedup_jaccard_pairs",
+               "dedup_simhash", "dedup_survivors"}, 2),
+    "similarity": ({"sim_lsh_bucketed", "sim_lsh_multiprobe", "sim_ivf_batch",
+                    "sim_pq_fixed", "sim_ivfpq_fixed"}, 3),
+    "multimodal": ({"multimodal_meta_roundtrip", "multimodal_png_roundtrip",
+                    "multimodal_jpeg_meta"}, 2),
+    "text": ({"text_quality", "text_langid", "text_fingerprint",
+              "text_scrub_pii", "text_repetition"}, 3),
+    "corpus": ({"corpus_pipeline", "corpus_tfidf_terms", "corpus_split_assign",
+                "corpus_pack", "corpus_pack_global", "chunk_documents",
+                "decontaminate_eval", "decontaminate_survivors", "corpus_vocab",
+                "corpus_sample", "corpus_bigrams"}, 4),
 }
 
 
@@ -35,6 +60,7 @@ def test_window_is_first_50_and_complete():
 
     names = list(entry.queries())
     assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
     assert names[:50] == DRIVER_WINDOW
     assert len(names) == len(set(names))
 
@@ -43,17 +69,37 @@ def test_window_covers_every_family():
     from c99_vectordb_spark.queries_registry import DRIVER_WINDOW
 
     window = set(DRIVER_WINDOW)
-    for family, reps in FAMILIES.items():
-        assert reps & window == reps, f"family {family}: missing {reps - window}"
+    for family, (pool, minimum) in FAMILIES.items():
+        got = pool & window
+        assert len(got) >= minimum, (
+            f"family {family}: only {sorted(got)} in window, need >={minimum}"
+        )
+
+
+def test_window_rotates_in_first_timers():
+    """Each round the window must contain >=2 queries never checked by a
+    prior driver round, so the never-driver-verified pool shrinks
+    monotonically (round-4 verdict item #3)."""
+    from c99_vectordb_spark.queries_registry import DRIVER_WINDOW
+
+    seen: set[str] = set()
+    for path in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")):
+        with open(path) as f:
+            seen |= set(json.load(f))
+    if not seen:  # fresh checkout without driver artifacts
+        return
+    first_timers = set(DRIVER_WINDOW) - seen
+    assert len(first_timers) >= 2, (
+        f"window has only {sorted(first_timers)} first-timers; rotate more in"
+    )
 
 
 def test_window_oracle_coverage():
-    """Every window entry except the documented rows-only ones must
-    carry an exact DuckDB oracle."""
+    """Every window entry must carry an exact DuckDB oracle — rows-only
+    queries (COVERAGE.md) may not occupy driver-hash slots."""
     import __spark_entry__ as entry
     from c99_vectordb_spark.queries_registry import DRIVER_WINDOW
 
     oracles = entry.oracle_sql()
-    rows_only = {"multimodal_features"}  # COVERAGE.md: no closed SQL form
-    missing = [n for n in DRIVER_WINDOW if n not in oracles and n not in rows_only]
+    missing = [n for n in DRIVER_WINDOW if n not in oracles]
     assert not missing, f"window entries without oracle: {missing}"

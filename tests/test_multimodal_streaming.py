@@ -102,6 +102,68 @@ def test_png_media_through_arrow_path(spark, documents):
         assert r.n_bytes == int(r.meta["height"]) * 12
 
 
+def test_jpeg_container_meta_roundtrip():
+    """encode_jpeg_container -> decode_jpeg_meta carries the SOF0
+    geometry with closed-form dimensions, and total payload size is
+    content + JPEG_CONTAINER_OVERHEAD (UTF-8 content has no 0xFF, so
+    the entropy segment is length-preserving)."""
+    for n in [0, 1, 11, 12, 13, 100, 997]:
+        content = bytes((i * 37) % 255 for i in range(n))  # 255: avoid 0xFF
+        p = MM.encode_jpeg_container(content)
+        meta = MM.decode_jpeg_meta(p)
+        assert meta == {
+            "width": 4,
+            "height": max(1, -(-n // 12)),
+            "components": 3,
+            "precision": 8,
+            "mode": "baseline",
+        }
+        assert len(p) == n + MM.JPEG_CONTAINER_OVERHEAD
+    with pytest.raises(ValueError, match="0xFF"):
+        MM.encode_jpeg_container(b"\xff")
+
+
+def test_jpeg_meta_rejects_malformed():
+    good = MM.encode_jpeg_container(b"jpeg header tier")
+    with pytest.raises(MM.MediaDecodeError, match="SOI"):
+        MM.decode_jpeg_meta(b"not a jpeg")
+    with pytest.raises(MM.MediaDecodeError):
+        MM.decode_jpeg_meta(good[:10])  # truncated mid-APP0
+    with pytest.raises(MM.MediaDecodeError, match="missing SOF"):
+        MM.decode_jpeg_meta(b"\xff\xd8\xff\xd9")  # SOI + EOI, no frame
+    # segment length overruns the payload
+    with pytest.raises(MM.MediaDecodeError, match="overruns"):
+        MM.decode_jpeg_meta(b"\xff\xd8\xff\xe0\xff\xff")
+    # progressive SOF2 is still geometry; lossless SOF3 is rejected
+    assert MM.decode_jpeg_meta(
+        good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    )["mode"] == "progressive"
+    with pytest.raises(MM.MediaDecodeError, match="coding process"):
+        MM.decode_jpeg_meta(good.replace(b"\xff\xc0", b"\xff\xc3", 1))
+    # full pixel decode remains the documented stub
+    with pytest.raises(NotImplementedError, match="header geometry IS"):
+        MM.decode_payload(good, "image/jpeg")
+
+
+def test_jpeg_media_through_arrow_path(spark, documents):
+    """JPEG generator + meta probe through real mapInPandas stages:
+    geometry closed-form in the document byte length."""
+    docs = documents.limit(20)
+    media = MM.media_from_documents_jpeg(docs)
+    meta = MM.media_decode_meta(media)
+    assert meta.filter(~meta.ok).count() == 0
+    rows = (
+        meta.select("id", "meta")
+        .join(docs.selectExpr("doc_id as id", "octet_length(text) as n"), "id")
+        .collect()
+    )
+    assert len(rows) == 20
+    for r in rows:
+        assert int(r.meta["width"]) == 4
+        assert int(r.meta["height"]) == max(1, -(-r.n // 12))
+        assert r.meta["mode"] == "baseline"
+
+
 def test_frame_sample(spark, documents):
     media = MM.media_from_documents(documents.limit(5))
     frames = MM.frame_sample(media, every_n_bytes=50).collect()
@@ -240,18 +302,24 @@ def test_bmp_rejects_bad_dimensions():
 
 
 def test_meta_probe_honest_for_stubbed_mimes(spark):
-    """media_decode_meta must not claim ok=True for a mime
-    decode_payload would refuse."""
+    """media_decode_meta must not claim ok=True for a mime whose
+    headers it cannot actually parse: fully-stubbed codecs report the
+    missing-codec error, and a malformed payload of a header-tier mime
+    (JPEG since r5) reports the decode error, never ok=True."""
     media = spark.createDataFrame(
         [
-            (1, "image", "image/jpeg", b"\xff\xd8\xff", None),
+            (1, "image", "image/jpeg", b"\xff\xd8\xff", None),  # truncated
             (2, "text", "application/raw", b"abc", None),
+            (3, "audio", "audio/mpeg", b"ID3\x04", None),  # stub tier
+            (4, "image", "image/jpeg", MM.encode_jpeg_container(b"px"), None),
         ],
         MM.MEDIA_SCHEMA,
     )
     by_id = {m.id: m for m in MM.media_decode_meta(media).collect()}
-    assert by_id[1].ok is False and "codec" in by_id[1].error
+    assert by_id[1].ok is False and by_id[1].error
     assert by_id[2].ok is True
+    assert by_id[3].ok is False and "codec" in by_id[3].error
+    assert by_id[4].ok is True and by_id[4].meta["mode"] == "baseline"
 
 
 def test_decode_rejects_malformed():

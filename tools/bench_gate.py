@@ -12,6 +12,13 @@ than REGRESSION_FACTOR (1.3x) — the "correct but slower" failure mode
 the test suite can't see. New queries and faster runs update the best
 file only with --update (so a one-off slow CI box can't poison it,
 and a gate run never silently rewrites history).
+
+Breach confirmation (round 5): this box sees transient CPU-steal
+windows that made plan-identical queries read +34..45% in round 4.
+Before failing, the gate re-executes each breaching query once (min of
+2 fresh samples in a new session); a re-run back inside the threshold
+is recorded as noise — reported, not failed — so rounds don't chase
+ghosts. --no-confirm restores the raw single-sample behavior.
 """
 
 from __future__ import annotations
@@ -19,6 +26,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import time
 
 REGRESSION_FACTOR = 1.3
 #: absolute grace on top of the factor — scheduler/noop-sink jitter is
@@ -28,11 +36,49 @@ ABS_SLACK_SEC = 0.25
 MIN_GATED_SEC = 0.3
 
 BEST_PATH = os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_best.json")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _confirm_rerun(names: list[str], sf: str) -> dict[str, float]:
+    """Fresh min-of-2 samples for the breaching queries only.
+
+    Uses the same noop-sink execution as bench.py; the chained-dedup
+    pair re-runs through bench._chained_dedup so its timing base matches
+    how its stored best was measured (shared pairs/components stage)."""
+    sys.path.insert(0, REPO)
+    import bench as benchmod
+    from c99_vectordb_spark import queries_registry as QR
+    from c99_vectordb_spark.session import get_spark
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", f"/root/testdata/sf{sf}")
+    spark = get_spark("bench_gate_confirm")
+    qs = QR.queries()
+    out: dict[str, float] = {}
+    try:
+        spark.read.parquet(f"{sf_dir}/region.parquet").count()
+        chained = {"dedup_components", "dedup_survivors"} & set(names)
+        if chained:
+            runs = [benchmod._chained_dedup(spark, sf_dir) for _ in range(2)]
+            out["dedup_components"] = round(min(r[0] for r in runs), 3)
+            out["dedup_survivors"] = round(min(r[1] for r in runs), 3)
+        for name in names:
+            if name in out or name not in qs:
+                continue
+            samples = []
+            for _ in range(3):  # min-of-3: one steal window can't dominate
+                t0 = time.time()
+                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                samples.append(time.time() - t0)
+            out[name] = round(min(samples), 3)
+    finally:
+        spark.stop()
+    return out
 
 
 def main(argv: list[str]) -> int:
     update = "--update" in argv
-    args = [a for a in argv if a != "--update"]
+    confirm = "--no-confirm" not in argv
+    args = [a for a in argv if a not in ("--update", "--no-confirm")]
     if args:
         with open(args[0], encoding="utf-8") as f:
             bench = json.load(f)
@@ -60,18 +106,42 @@ def main(argv: list[str]) -> int:
         if update and (prior is None or sec < prior):
             best_sf[name] = sec
 
+    noise: list[tuple[str, float, float, float]] = []
+    if regressions and confirm:
+        rerun = _confirm_rerun([n for n, _, _ in regressions], sf)
+        confirmed = []
+        for name, prior, sec in regressions:
+            sec2 = rerun.get(name, sec)
+            if sec2 > prior * REGRESSION_FACTOR + ABS_SLACK_SEC:
+                confirmed.append((name, prior, min(sec, sec2)))
+            else:
+                noise.append((name, prior, sec, sec2))
+                # a confirmed-noise sample may still be a new best
+                if update and sec2 < prior:
+                    best_sf[name] = sec2
+        regressions = confirmed
+
     if update:
         with open(BEST_PATH, "w", encoding="utf-8") as f:
             json.dump(best, f, indent=1, sort_keys=True)
 
+    for name, prior, sec, sec2 in sorted(noise):
+        print(
+            f"bench gate NOISE: {name} read {sec:.3f}s vs best {prior:.3f}s "
+            f"but re-ran at {sec2:.3f}s — transient, not a regression"
+        )
     if regressions:
-        print(f"BENCH REGRESSION (> {REGRESSION_FACTOR}x stored best at sf={sf}):")
+        print(
+            f"BENCH REGRESSION (> {REGRESSION_FACTOR}x stored best at sf={sf}, "
+            + ("confirmed by re-run):" if confirm else "unconfirmed):")
+        )
         for name, prior, sec in sorted(regressions):
             print(f"  {name}: {sec:.3f}s vs best {prior:.3f}s ({sec / prior:.2f}x)")
         return 1
     print(
         f"bench gate OK: {len(queries)} queries within {REGRESSION_FACTOR}x of best"
         + (" (bests updated)" if update else "")
+        + (f"; {len(noise)} noise sample(s) re-run and cleared" if noise else "")
     )
     return 0
 

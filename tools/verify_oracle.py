@@ -25,24 +25,65 @@ TABLES = (
 ).split()
 
 
-def canon(df: pd.DataFrame) -> pd.DataFrame:
+def canon(df: pd.DataFrame) -> tuple[pd.DataFrame, dict[str, str]]:
+    """Canonicalize for order-insensitive compare; return (frame, dtype kinds).
+
+    The driver's hash gate is TYPE-sensitive: DuckDB HUGEINT surfacing as
+    float64 against Spark's int64 is a red row even when every value matches
+    (round-4 postmortem). So we record each column's dtype *kind* before any
+    width normalization and the caller fails on kind divergence.
+    Kinds: i=integer (any width, incl. unsigned), f=float, b=bool,
+    M=datetime, O=object/string.
+    """
     df = df.reindex(sorted(df.columns), axis=1)
-    # normalize dtypes for comparison
+    kinds: dict[str, str] = {}
     for c in df.columns:
+        k = df[c].dtype.kind
+        kinds[c] = "i" if k in "iu" else k
         if pd.api.types.is_datetime64_any_dtype(df[c]):
             df[c] = df[c].astype("datetime64[us]")
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_object_dtype(df[c]):
             df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
+    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True), kinds
+
+
+_WIDE_INT_TYPES = ("HUGEINT", "UHUGEINT")
+
+
+def typesweep(con, oracles: dict[str, str], only: set[str] | None = None) -> list[str]:
+    """DESCRIBE every oracle and flag 128-bit integer output columns.
+
+    DuckDB SUM(BIGINT) returns HUGEINT; pandas renders it float64, the
+    driver's type-sensitive hash then diverges from Spark's BIGINT even when
+    the values are identical. Every windowed/aggregated SUM over an integer
+    column must be cast back with ::BIGINT in the oracle SQL.
+    """
+    bad = []
+    for name, sql in sorted(oracles.items()):
+        if only and name not in only:
+            continue
+        try:
+            desc = con.execute(f"DESCRIBE {sql}").fetchall()
+        except Exception as e:  # noqa: BLE001
+            print(f"TYPESWEEP-ERR {name}: {e}")
+            bad.append(name)
+            continue
+        wide = [(cn, ct) for cn, ct, *_ in desc if any(w in ct.upper() for w in _WIDE_INT_TYPES)]
+        if wide:
+            print(f"TYPESWEEP-FAIL {name}: {wide}")
+            bad.append(name)
+    return bad
 
 
 def main() -> int:
     import __spark_entry__ as entrymod
     from c99_vectordb_spark.session import get_spark
 
-    only = set(sys.argv[1:])
+    argv = [a for a in sys.argv[1:] if a != "--typesweep"]
+    sweep_only = "--typesweep" in sys.argv[1:]
+    only = set(argv)
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
 
@@ -51,6 +92,15 @@ def main() -> int:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
         )
+
+    wide = typesweep(con, oracles, only or None)
+    if wide:
+        print(f"typesweep: {len(wide)} oracles emit 128-bit int columns: {wide}")
+        if sweep_only:
+            return 1
+    elif sweep_only:
+        print("typesweep: clean")
+        return 0
 
     os.environ.setdefault("SPARK_GRAFT_CPUS", "8")
     spark = get_spark("verify_oracle", shuffle_partitions=8)
@@ -75,12 +125,15 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
-        a, b = canon(sdf), canon(ddf)
+        (a, ak), (b, bk) = canon(sdf), canon(ddf)
         status = []
         if len(a) != len(b):
             status.append(f"rowcount {len(a)} != {len(b)}")
         if list(a.columns) != list(b.columns):
             status.append(f"columns {list(a.columns)} != {list(b.columns)}")
+        elif ak != bk:
+            mism = {c: (ak[c], bk[c]) for c in ak if ak[c] != bk[c]}
+            status.append(f"dtype-kind mismatch (spark, duck): {mism}")
         if not status:
             if len(a) and not a.equals(b):
                 # find first differing cell for diagnostics
