@@ -226,23 +226,41 @@ def decode_png(payload: bytes) -> tuple[bytes, dict]:
     y = 0
     while y < height:
         ft = int(ftypes[y])
-        if ft == 2:  # Up: cumsum the whole consecutive run at once
-            y2 = y + 1
-            while y2 < height and ftypes[y2] == 2:
+        if ft in (0, 1, 2):  # row-independent or cumsum shapes: do the
+            y2 = y + 1       # whole consecutive run in one numpy op
+            while y2 < height and ftypes[y2] == ft:
                 y2 += 1
-            block = np.cumsum(lines[y:y2], axis=0, dtype=np.uint8)
-            block += prev  # broadcast the base row
-            out2d[y:y2] = block
+            if ft == 0:  # None
+                out2d[y:y2] = lines[y:y2]
+            elif ft == 1:  # Sub: per-lane prefix sum within each row
+                out2d[y:y2] = np.cumsum(
+                    lines[y:y2].reshape(y2 - y, -1, bpp), axis=1, dtype=np.uint8
+                ).reshape(y2 - y, -1)
+            else:  # Up: prefix sum down the rows, seeded by prev
+                block = np.cumsum(lines[y:y2], axis=0, dtype=np.uint8)
+                block += prev  # broadcast the base row
+                out2d[y:y2] = block
             prev = out2d[y2 - 1]
             y = y2
             continue
+        # Average/Paeth decode needs the DECODED left pixel — a true
+        # x-sequential recurrence. Below ~64 bytes/row (our width-4
+        # payloads) scalar byte ops beat numpy's per-slice overhead;
+        # wide scanlines use int16 lane vectors.
         line = lines[y]
-        if ft == 0:  # None
-            cur = line.copy()
-        elif ft == 1:  # Sub: per-lane prefix sum within the row
-            cur = np.cumsum(
-                line.reshape(-1, bpp), axis=0, dtype=np.uint8
-            ).reshape(-1)
+        if stride < 64:
+            lpy, upy = line.tolist(), prev.tolist()
+            curl = [0] * stride
+            if ft == 3:  # Average
+                for i in range(stride):
+                    left = curl[i - bpp] if i >= bpp else 0
+                    curl[i] = (lpy[i] + ((left + upy[i]) >> 1)) & 0xFF
+            else:  # Paeth
+                for i in range(stride):
+                    left = curl[i - bpp] if i >= bpp else 0
+                    ul = upy[i - bpp] if i >= bpp else 0
+                    curl[i] = (lpy[i] + _paeth(left, upy[i], ul)) & 0xFF
+            cur = np.array(curl, dtype=np.uint8)
         elif ft == 3:  # Average: sequential in x, vector across lanes
             cur = np.empty(stride, dtype=np.uint8)
             lp, up16 = line.astype(np.int16), prev.astype(np.int16)
@@ -251,7 +269,7 @@ def decode_png(payload: bytes) -> tuple[bytes, dict]:
                 px = (lp[x : x + bpp] + ((left + up16[x : x + bpp]) >> 1)) & 0xFF
                 cur[x : x + bpp] = px.astype(np.uint8)
                 left = px
-        else:  # Paeth
+        else:  # Paeth, wide rows
             cur = np.empty(stride, dtype=np.uint8)
             lp, up16 = line.astype(np.int16), prev.astype(np.int16)
             left = np.zeros(bpp, dtype=np.int16)
