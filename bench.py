@@ -83,6 +83,7 @@ HEADLINE = [
     "orders_scd2",
     "multimodal_meta_roundtrip",
     "multimodal_png_roundtrip",
+    "multimodal_jpeg_pixel",
     "events_resample",
     "skyline_orders",
     "cdc_apply_orders",

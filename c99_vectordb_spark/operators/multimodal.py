@@ -18,12 +18,15 @@ Codec support is tiered by what this container allows:
   unfiltering (None/Sub/Up/Average/Paeth) for 8-bit gray/RGB/GA/RGBA.
   PNG's only compression is DEFLATE, which the stdlib ships.
 - ``application/raw``: deterministic identity codec (test/demo path).
-- ``image/jpeg``: HEADER tier — a real marker-stream walk (public
-  ITU-T T.81 framing) validating segment structure and extracting
-  SOF0/SOF1/SOF2 geometry (width/height/components/precision/mode),
-  so JPEG joins the typed-metadata path like BMP/WAV/PNG headers.
-  Full entropy decode (huffman + IDCT) stays STUBBED —
-  ``decode_payload`` raises ``NotImplementedError``.
+- ``image/jpeg``: REAL two-level support. Header tier: a marker-stream
+  walk (public ITU-T T.81 framing) validating segment structure and
+  extracting SOF0/SOF1/SOF2 geometry without touching entropy data
+  (``decode_jpeg_meta`` — cheap, used by ``media_decode_meta``).
+  Pixel tier: a full pure-numpy baseline codec
+  (``operators/jpeg_codec.py``: canonical Huffman, DC prediction,
+  byte stuffing, restart markers, dequant + IDCT, YCbCr) behind
+  ``decode_payload`` — baseline sequential 4:4:4 only; progressive /
+  subsampled streams raise a clear ``MediaDecodeError``.
 - other lossy formats (MP3/H.264...): STUBBED — their codecs need
   native libraries not installed here; ``decode_payload`` raises
   ``NotImplementedError`` with a clear message. The Spark-side
@@ -485,12 +488,12 @@ def decode_payload(payload: bytes, mime: str):
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         return decode_wav(payload)[0]
     if mime == "image/jpeg":
-        raise NotImplementedError(
-            "JPEG entropy decode (huffman + IDCT) not available in this "
-            "environment — header geometry IS supported via "
-            "decode_jpeg_meta / media_decode_meta; plug a full decoder "
-            "(PIL/libjpeg) here on a cluster image"
-        )
+        from .jpeg_codec import JpegError, decode_jpeg
+
+        try:
+            return decode_jpeg(payload)[0].tobytes()
+        except JpegError as e:
+            raise MediaDecodeError(str(e)) from e
     raise NotImplementedError(
         f"codec for {mime!r} not available in this environment; "
         "plug a real decoder here (PIL/libav/...) on a cluster image"
@@ -728,6 +731,77 @@ def media_from_documents_jpeg(docs: DataFrame) -> DataFrame:
             )
 
     return docs.select("doc_id", "text", "lang").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+def media_from_documents_jpeg_real(docs: DataFrame) -> DataFrame:
+    """Synthesize REAL baseline JPEGs from the documents corpus: one
+    8px-wide image per document, ceil(len/64) stacked 8x8 blocks, each
+    block a uniform gray v_b = (7*doc_id + 13*b) % 256. Uniform blocks
+    round-trip EXACTLY under the flat quant table (DC step 8 — see
+    jpeg_codec), while the varying per-block grays drive real DC
+    prediction diffs, Huffman categories and bit stuffing. Every
+    decoded byte therefore has a closed form in (doc_id, block index),
+    which the multimodal_jpeg_pixel oracle exploits."""
+    from .jpeg_codec import encode_jpeg
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                n = len((r.text or "").encode("utf-8"))
+                nb = max(1, -(-n // 64))
+                blocks = (
+                    (7 * r.doc_id + 13 * np.arange(nb)) % 256
+                ).astype(np.uint8)
+                img = np.repeat(blocks, 64).reshape(nb * 8, 8)
+                rows.append(
+                    (
+                        r.doc_id,
+                        "image",
+                        "image/jpeg",
+                        encode_jpeg(np.stack([img] * 3, axis=-1)),
+                        {"lang": r.lang},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "modality", "mime", "payload", "meta"]
+            )
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+PIXEL_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("byte_sum", T.LongType(), True),
+        T.StructField("head_hash", T.LongType(), True),
+    ]
+)
+
+
+def media_pixel_stats(media: DataFrame) -> DataFrame:
+    """Decode every payload via :func:`decode_payload` and emit content
+    statistics that probe EVERY decoded byte: total count, byte sum,
+    and the head hash. Map-only mapInPandas — at 100 TB the decode cost
+    parallelizes per batch and nothing shuffles."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                data = decode_payload(
+                    bytes(r.payload), r.mime or "application/raw"
+                )
+                arr = np.frombuffer(data, dtype=np.uint8)
+                rows.append(
+                    (r.id, len(data), int(arr.sum()), _head_hash(data))
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "n_bytes", "byte_sum", "head_hash"]
+            )
+
+    return media.mapInPandas(gen, schema=PIXEL_STATS_SCHEMA)
 
 
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:

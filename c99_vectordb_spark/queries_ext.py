@@ -954,6 +954,59 @@ ORDER BY id
 """
 
 
+def q_multimodal_jpeg_pixel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED full-JPEG round-trip (the lossy codec tier's PNG
+    moment): per document a REAL baseline JPEG of ceil(len/64) uniform
+    8x8 blocks with per-block gray (7*doc_id + 13*b) % 256, decoded by
+    the pure-numpy entropy decoder (canonical Huffman, DC prediction
+    chain, dequant + IDCT, YCbCr). Uniform blocks round-trip EXACTLY
+    under the flat DC-step-8 quant table, so EVERY decoded byte has a
+    closed form: the DuckDB twin checks geometry, decoded byte count
+    (192*nb), the whole-content byte sum (192 * sum of block grays), and
+    the 16-byte head hash ((7*doc_id)%256 times a fixed polynomial
+    constant). Both stages map-only mapInPandas; the id join
+    co-partitions."""
+    from .operators.multimodal import (
+        media_decode_meta,
+        media_from_documents_jpeg_real,
+        media_pixel_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = media_from_documents_jpeg_real(docs)
+    meta = media_decode_meta(media).select(
+        "id",
+        F.col("meta")["width"].cast("long").alias("width"),
+        F.col("meta")["height"].cast("long").alias("height"),
+        F.col("meta")["components"].cast("long").alias("components"),
+    )
+    stats = media_pixel_stats(media)
+    return meta.join(stats, "id").orderBy("id")
+
+
+def _oracle_multimodal_jpeg_pixel() -> str:
+    head_c = sum(31**i for i in range(16)) % 1_000_000_007
+    return f"""
+WITH d AS (
+  SELECT doc_id, GREATEST(1, (strlen(text) + 63) // 64) AS nb FROM documents
+),
+s AS (
+  SELECT doc_id, nb, SUM((7 * doc_id + 13 * blk) % 256)::BIGINT AS vsum
+  FROM (SELECT doc_id, nb, unnest(range(nb)) AS blk FROM d)
+  GROUP BY doc_id, nb
+)
+SELECT doc_id AS id,
+       8::BIGINT AS width,
+       (8 * nb)::BIGINT AS height,
+       3::BIGINT AS components,
+       (192 * nb)::BIGINT AS n_bytes,
+       (192 * vsum)::BIGINT AS byte_sum,
+       ((((7 * doc_id) % 256) * {head_c}) % 1000000007)::BIGINT AS head_hash
+FROM s
+ORDER BY id
+"""
+
+
 def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample with gap filling: hourly event counts per
     type over a DENSE hour grid (empty hours present, zero-filled) —
@@ -1755,6 +1808,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_meta_roundtrip": q_multimodal_meta_roundtrip,
     "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
     "multimodal_jpeg_meta": q_multimodal_jpeg_meta,
+    "multimodal_jpeg_pixel": q_multimodal_jpeg_pixel,
     "decontaminate_eval": q_decontaminate_eval,
     "decontaminate_survivors": q_decontaminate_survivors,
     "chunk_documents": q_chunk_documents,
@@ -1797,6 +1851,7 @@ EXT_ORACLES: dict[str, str] = {
     "multimodal_meta_roundtrip": _ORACLE_MULTIMODAL_META,
     "multimodal_png_roundtrip": _ORACLE_MULTIMODAL_PNG,
     "multimodal_jpeg_meta": _oracle_multimodal_jpeg(),
+    "multimodal_jpeg_pixel": _oracle_multimodal_jpeg_pixel(),
     "decontaminate_eval": _ORACLE_DECONTAMINATE_EVAL,
     "decontaminate_survivors": _ORACLE_DECONTAMINATE_SURVIVORS,
     "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,

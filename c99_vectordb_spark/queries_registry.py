@@ -1644,10 +1644,12 @@ DRIVER_WINDOW = [
     # similarity family (LSH / IVF / PQ / IVF-PQ)
     "sim_lsh_bucketed",
     "sim_ivf_batch",
-    "sim_pq_fixed",
     "sim_ivfpq_fixed",
-    # multimodal (jpeg_meta new in r5 — the JPEG header tier)
+    # multimodal (new in r5: the JPEG header tier and the full
+    # huffman+IDCT pixel round-trip; sim_pq_fixed rotated out to make
+    # room — still fully oracled past the window)
     "multimodal_jpeg_meta",
+    "multimodal_jpeg_pixel",
     "multimodal_png_roundtrip",
     # text analysis
     "text_quality",

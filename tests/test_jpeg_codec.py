@@ -1,0 +1,101 @@
+"""Baseline JPEG codec (operators/jpeg_codec) — pure numpy T.81 tier.
+
+Round-trip properties: uniform 8x8 blocks are EXACT under the flat
+DC-step-8 quant table (the multimodal_jpeg_pixel oracle's foundation);
+arbitrary images are lossy-but-bounded at quant 1; restart markers and
+odd geometries round-trip; malformed/unsupported streams raise.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from c99_vectordb_spark.operators.jpeg_codec import (
+    FLAT_QTABLE,
+    JpegError,
+    decode_jpeg,
+    encode_jpeg,
+)
+
+
+def _uniform_stack(doc_id: int, nb: int) -> np.ndarray:
+    blocks = ((7 * doc_id + 13 * np.arange(nb)) % 256).astype(np.uint8)
+    img = np.repeat(blocks, 64).reshape(nb * 8, 8)
+    return np.stack([img] * 3, axis=-1)
+
+
+def test_uniform_blocks_roundtrip_exact():
+    for doc_id in (0, 1, 17, 255, 9999):
+        img = _uniform_stack(doc_id, 9)
+        out, meta = decode_jpeg(encode_jpeg(img))
+        assert np.array_equal(out, img)
+        assert meta == {
+            "width": 8, "height": 72, "components": 3,
+            "precision": 8, "mode": "baseline",
+        }
+
+
+def test_random_image_bounded_error_q1():
+    rng = np.random.RandomState(5)
+    img = rng.randint(0, 256, (24, 40, 3), dtype=np.uint8)
+    out, _ = decode_jpeg(encode_jpeg(img, qtable=[1] * 64))
+    assert int(np.abs(out.astype(int) - img.astype(int)).max()) <= 4
+
+
+def test_lossy_flat_qtable_changes_but_tracks():
+    rng = np.random.RandomState(6)
+    img = rng.randint(0, 256, (16, 16, 3), dtype=np.uint8)
+    out, _ = decode_jpeg(encode_jpeg(img, qtable=FLAT_QTABLE))
+    # lossy: not equal, but mean error bounded by the quant step scale
+    assert not np.array_equal(out, img)
+    assert float(np.abs(out.astype(int) - img.astype(int)).mean()) < 16
+
+
+def test_odd_geometry_and_determinism():
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (13, 21, 3), dtype=np.uint8)
+    p1, p2 = encode_jpeg(img), encode_jpeg(img)
+    assert p1 == p2
+    out, meta = decode_jpeg(p1)
+    assert out.shape == (13, 21, 3)
+    assert (meta["width"], meta["height"]) == (21, 13)
+
+
+def test_restart_markers_equivalent():
+    rng = np.random.RandomState(8)
+    img = rng.randint(0, 256, (40, 24, 3), dtype=np.uint8)
+    base, _ = decode_jpeg(encode_jpeg(img, qtable=[1] * 64))
+    for ri in (1, 3, 7):
+        out, _ = decode_jpeg(encode_jpeg(img, qtable=[1] * 64, restart_interval=ri))
+        assert np.array_equal(base, out), ri
+
+
+def test_rejects_malformed_and_unsupported():
+    good = encode_jpeg(_uniform_stack(3, 2))
+    with pytest.raises(JpegError, match="SOI"):
+        decode_jpeg(b"not a jpeg")
+    with pytest.raises(JpegError):
+        decode_jpeg(good[:30])
+    with pytest.raises(JpegError, match="progressive"):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc2", 1))
+    with pytest.raises(JpegError, match="coding process"):
+        decode_jpeg(good.replace(b"\xff\xc0", b"\xff\xc3", 1))
+    # subsampling flag rejected: patch the Y component's 0x11 factors
+    sof_at = good.index(b"\xff\xc0")
+    bad = bytearray(good)
+    bad[sof_at + 11] = 0x22  # component 1 sampling 2x2
+    with pytest.raises(JpegError, match="subsampl"):
+        decode_jpeg(bytes(bad))
+    # truncated entropy stream
+    with pytest.raises(JpegError):
+        decode_jpeg(good[:-4])
+
+
+def test_encoder_validates_inputs():
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((4, 4), dtype=np.uint8))
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((4, 4, 3), dtype=np.float64))
+    with pytest.raises(ValueError):
+        encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), qtable=[0] * 64)

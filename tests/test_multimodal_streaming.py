@@ -30,12 +30,16 @@ def test_features_deterministic(spark, documents):
 
 
 def test_decode_stub_raises_for_real_codecs():
-    with pytest.raises(NotImplementedError):
+    # JPEG moved out of the stub tier in r5: a truncated payload is a
+    # MALFORMED jpeg now, not an unsupported codec
+    with pytest.raises(MM.MediaDecodeError):
         MM.decode_payload(b"\xff\xd8\xff", "image/jpeg")
-    # PNG moved out of the stub tier: a bare magic without chunks is a
-    # MALFORMED png now, not an unsupported codec
+    # PNG likewise (r4)
     with pytest.raises(MM.MediaDecodeError):
         MM.decode_payload(b"\x89PNG", "image/png")
+    # genuinely stubbed codecs still say so
+    with pytest.raises(NotImplementedError):
+        MM.decode_payload(b"ID3\x04", "audio/mpeg")
 
 
 def test_png_roundtrip_all_filters():
@@ -140,8 +144,9 @@ def test_jpeg_meta_rejects_malformed():
     )["mode"] == "progressive"
     with pytest.raises(MM.MediaDecodeError, match="coding process"):
         MM.decode_jpeg_meta(good.replace(b"\xff\xc0", b"\xff\xc3", 1))
-    # full pixel decode remains the documented stub
-    with pytest.raises(NotImplementedError, match="header geometry IS"):
+    # the header-tier container carries fake entropy bytes — the REAL
+    # pixel decoder must reject it as malformed, not crash or return
+    with pytest.raises(MM.MediaDecodeError):
         MM.decode_payload(good, "image/jpeg")
 
 
@@ -333,7 +338,8 @@ def test_decode_rejects_malformed():
     good = MM.encode_bmp(b"abc" * 24)
     with _pytest.raises(MM.MediaDecodeError):
         MM.decode_bmp(good[:-5])
-    with _pytest.raises(NotImplementedError):
+    # JPEG is a real codec since r5: malformed -> MediaDecodeError
+    with _pytest.raises(MM.MediaDecodeError):
         MM.decode_payload(b"\xff\xd8\xff", "image/jpeg")
 
 
