@@ -84,6 +84,7 @@ HEADLINE = [
     "multimodal_meta_roundtrip",
     "multimodal_png_roundtrip",
     "multimodal_jpeg_pixel",
+    "multimodal_resize",
     "events_resample",
     "skyline_orders",
     "cdc_apply_orders",

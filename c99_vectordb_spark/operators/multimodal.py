@@ -804,6 +804,113 @@ def media_pixel_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(gen, schema=PIXEL_STATS_SCHEMA)
 
 
+def decode_image_array(payload: bytes, mime: str) -> "np.ndarray":
+    """Decode an image payload to an (h, w, channels) uint8 array —
+    the shape-aware sibling of :func:`decode_payload` that resize /
+    feature stages need. BMP rows are un-padded and flipped to
+    top-down; PNG reshapes by color type; JPEG decodes directly."""
+    if mime == "image/bmp":
+        pix, m = decode_bmp(payload)
+        w, hgt, bpp = m["width"], m["height"], m["bpp"]
+        rows, ch = abs(hgt), bpp // 8
+        stride = ((w * bpp // 8) + 3) & ~3
+        arr = np.frombuffer(pix, dtype=np.uint8).reshape(rows, stride)
+        arr = arr[:, : w * ch].reshape(rows, w, ch)
+        return arr[::-1] if hgt > 0 else arr  # positive height = bottom-up
+    if mime == "image/png":
+        content, m = decode_png(payload)
+        ch = _PNG_CHANNELS[m["color_type"]]
+        return np.frombuffer(content, dtype=np.uint8).reshape(
+            m["height"], m["width"], ch
+        )
+    if mime == "image/jpeg":
+        from .jpeg_codec import JpegError, decode_jpeg
+
+        try:
+            return decode_jpeg(payload)[0]
+        except JpegError as e:
+            raise MediaDecodeError(str(e)) from e
+    raise MediaDecodeError(f"not an image mime: {mime!r}")
+
+
+def resize_image(
+    img: "np.ndarray", out_h: int, out_w: int, method: str = "nearest"
+) -> "np.ndarray":
+    """Resize an (h, w, c) uint8 image — pure numpy, deterministic.
+
+    nearest: each target pixel samples floor((i+0.5)*scale) (the
+    standard pixel-center mapping). bilinear: half-pixel-center
+    weights (align_corners=False convention), rounded half-up to
+    uint8. Both are index-math only — no codec libraries."""
+    if out_h <= 0 or out_w <= 0:
+        raise ValueError("output dimensions must be positive")
+    h, w = img.shape[:2]
+    if method == "nearest":
+        ys = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(np.int64), h - 1)
+        xs = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(np.int64), w - 1)
+        return img[ys][:, xs]
+    if method == "bilinear":
+        fy = (np.arange(out_h) + 0.5) * h / out_h - 0.5
+        fx = (np.arange(out_w) + 0.5) * w / out_w - 0.5
+        y0, x0 = np.floor(fy).astype(np.int64), np.floor(fx).astype(np.int64)
+        wy, wx = fy - y0, fx - x0
+        y0c, y1c = np.clip(y0, 0, h - 1), np.clip(y0 + 1, 0, h - 1)
+        x0c, x1c = np.clip(x0, 0, w - 1), np.clip(x0 + 1, 0, w - 1)
+        f = img.astype(np.float64)
+        top = f[y0c][:, x0c] * (1 - wx)[None, :, None] + f[y0c][:, x1c] * wx[None, :, None]
+        bot = f[y1c][:, x0c] * (1 - wx)[None, :, None] + f[y1c][:, x1c] * wx[None, :, None]
+        out = top * (1 - wy)[:, None, None] + bot * wy[:, None, None]
+        return np.clip(np.floor(out + 0.5), 0, 255).astype(np.uint8)
+    raise ValueError(f"unknown resize method {method!r}")
+
+
+RESIZE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("byte_sum", T.LongType(), True),
+    ]
+)
+
+
+def media_resize_stats(
+    media: DataFrame, scale: float = 0.5, method: str = "nearest"
+) -> DataFrame:
+    """Decode -> resize -> measure, per payload: the training-data
+    image-preprocessing shape (thumbnailing / model-input resize) as a
+    map-only mapInPandas stage. Emits the resized geometry plus byte
+    count and byte sum over every resized pixel, so an oracle can pin
+    the whole decode->resize path."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_image_array(
+                    bytes(r.payload), r.mime or "application/raw"
+                )
+                h, w = img.shape[:2]
+                out = resize_image(
+                    img, max(1, int(h * scale)), max(1, int(w * scale)), method
+                )
+                rows.append(
+                    (
+                        r.id,
+                        out.shape[1],
+                        out.shape[0],
+                        out.size,
+                        int(out.sum(dtype=np.int64)),
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "width", "height", "n_bytes", "byte_sum"]
+            )
+
+    return media.mapInPandas(gen, schema=RESIZE_STATS_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: emit one row per sampled offset of
     each payload (what real video frame extraction would do), as a

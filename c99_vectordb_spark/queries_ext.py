@@ -1007,6 +1007,44 @@ ORDER BY id
 """
 
 
+def q_multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED decode->resize pipeline (the model-input
+    preprocessing shape): the per-doc uniform-block JPEGs decoded by
+    the full codec, then half-scale nearest-neighbor resized. Target
+    rows 4b..4b+3 sample source rows 8b+1..8b+7 — inside block b — so
+    the resized image is per-block uniform too and byte count (48*nb)
+    and byte sum (48 * sum of block grays) stay closed-form for the
+    DuckDB twin. Map-only mapInPandas; no shuffle."""
+    from .operators.multimodal import (
+        media_from_documents_jpeg_real,
+        media_resize_stats,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = media_from_documents_jpeg_real(docs)
+    return media_resize_stats(media, scale=0.5, method="nearest").orderBy("id")
+
+
+def _oracle_multimodal_resize() -> str:
+    return """
+WITH d AS (
+  SELECT doc_id, GREATEST(1, (strlen(text) + 63) // 64) AS nb FROM documents
+),
+s AS (
+  SELECT doc_id, nb, SUM((7 * doc_id + 13 * blk) % 256)::BIGINT AS vsum
+  FROM (SELECT doc_id, nb, unnest(range(nb)) AS blk FROM d)
+  GROUP BY doc_id, nb
+)
+SELECT doc_id AS id,
+       4::BIGINT AS width,
+       (4 * nb)::BIGINT AS height,
+       (48 * nb)::BIGINT AS n_bytes,
+       (48 * vsum)::BIGINT AS byte_sum
+FROM s
+ORDER BY id
+"""
+
+
 def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample with gap filling: hourly event counts per
     type over a DENSE hour grid (empty hours present, zero-filled) —
@@ -1809,6 +1847,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_png_roundtrip": q_multimodal_png_roundtrip,
     "multimodal_jpeg_meta": q_multimodal_jpeg_meta,
     "multimodal_jpeg_pixel": q_multimodal_jpeg_pixel,
+    "multimodal_resize": q_multimodal_resize,
     "decontaminate_eval": q_decontaminate_eval,
     "decontaminate_survivors": q_decontaminate_survivors,
     "chunk_documents": q_chunk_documents,
@@ -1852,6 +1891,7 @@ EXT_ORACLES: dict[str, str] = {
     "multimodal_png_roundtrip": _ORACLE_MULTIMODAL_PNG,
     "multimodal_jpeg_meta": _oracle_multimodal_jpeg(),
     "multimodal_jpeg_pixel": _oracle_multimodal_jpeg_pixel(),
+    "multimodal_resize": _oracle_multimodal_resize(),
     "decontaminate_eval": _ORACLE_DECONTAMINATE_EVAL,
     "decontaminate_survivors": _ORACLE_DECONTAMINATE_SURVIVORS,
     "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,

@@ -92,6 +92,50 @@ def test_rejects_malformed_and_unsupported():
         decode_jpeg(good[:-4])
 
 
+def test_geometry_roundtrip_property():
+    """Any (h, w) in a broad range round-trips to the exact shape, and
+    uniform images of any gray decode exactly (hypothesis-style sweep,
+    deterministic seeds)."""
+    from hypothesis import given, settings, strategies as st
+
+    @settings(max_examples=40, deadline=None)
+    @given(
+        h=st.integers(1, 33),
+        w=st.integers(1, 33),
+        v=st.integers(0, 255),
+    )
+    def prop(h: int, w: int, v: int) -> None:
+        img = np.full((h, w, 3), v, dtype=np.uint8)
+        out, meta = decode_jpeg(encode_jpeg(img))
+        assert out.shape == (h, w, 3)
+        assert (meta["width"], meta["height"]) == (w, h)
+        # uniform image: exact under the flat DC-step-8 table
+        assert np.array_equal(out, img), (h, w, v)
+
+    prop()
+
+
+def test_bitwriter_bitreader_inverse():
+    """The entropy bit layer round-trips arbitrary bit strings through
+    byte stuffing (the 0xFF00 path included)."""
+    from hypothesis import given, settings, strategies as st
+
+    from c99_vectordb_spark.operators.jpeg_codec import _BitReader, _BitWriter
+
+    @settings(max_examples=60, deadline=None)
+    @given(st.lists(st.tuples(st.integers(0, 0xFFFF), st.integers(1, 16)), max_size=40))
+    def prop(chunks: list[tuple[int, int]]) -> None:
+        bw = _BitWriter()
+        for value, nbits in chunks:
+            bw.write(value, nbits)
+        bw.flush()
+        br = _BitReader(bytes(bw.out), 0)
+        for value, nbits in chunks:
+            assert br.read_bits(nbits) == value & ((1 << nbits) - 1)
+
+    prop()
+
+
 def test_encoder_validates_inputs():
     with pytest.raises(ValueError):
         encode_jpeg(np.zeros((4, 4), dtype=np.uint8))

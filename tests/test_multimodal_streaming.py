@@ -169,6 +169,55 @@ def test_jpeg_media_through_arrow_path(spark, documents):
         assert r.meta["mode"] == "baseline"
 
 
+def test_decode_image_array_shapes():
+    import numpy as np
+
+    # BMP: bottom-up storage comes back top-down
+    img = np.arange(4 * 4 * 3, dtype=np.uint8).reshape(4, 4, 3)
+    bmp = MM.encode_bmp(img[::-1].tobytes(), width=4)  # encode stores bottom-up
+    arr = MM.decode_image_array(bmp, "image/bmp")
+    assert arr.shape == (4, 4, 3)
+    # BGR/row-order details are the format's own; shape + byte content pin it
+    assert arr.sum() == img.sum()
+    # PNG round-trips content exactly
+    content = bytes(range(48)) * 2
+    arr = MM.decode_image_array(MM.encode_png(content, filter_type=2), "image/png")
+    assert arr.tobytes() == content.ljust(arr.size, b"\x00")
+    # JPEG via the full codec
+    from c99_vectordb_spark.operators.jpeg_codec import encode_jpeg
+
+    rgb = np.full((8, 8, 3), 77, dtype=np.uint8)
+    arr = MM.decode_image_array(encode_jpeg(rgb), "image/jpeg")
+    assert arr.shape == (8, 8, 3) and (arr == 77).all()
+    with pytest.raises(MM.MediaDecodeError):
+        MM.decode_image_array(b"abc", "audio/wav")
+
+
+def test_resize_image_nearest_and_bilinear():
+    import numpy as np
+
+    img = np.arange(8 * 8 * 3, dtype=np.uint8).reshape(8, 8, 3)
+    # nearest half-scale: samples odd rows/cols (pixel-center mapping)
+    out = MM.resize_image(img, 4, 4, "nearest")
+    assert np.array_equal(out, img[1::2, 1::2])
+    # upscale nearest: every source pixel appears, shape exact
+    up = MM.resize_image(img, 16, 16, "nearest")
+    assert up.shape == (16, 16, 3)
+    assert np.array_equal(up[::2, ::2], img)
+    # constant image is invariant under both methods
+    flat = np.full((8, 8, 3), 123, dtype=np.uint8)
+    for m in ("nearest", "bilinear"):
+        assert (MM.resize_image(flat, 5, 7, m) == 123).all()
+    # bilinear on a linear ramp stays within rounding of the ramp
+    ramp = np.tile(np.arange(0, 255, 2, dtype=np.uint8)[None, :, None], (8, 1, 3))
+    rb = MM.resize_image(ramp, 8, 64, "bilinear").astype(int)
+    assert np.abs(np.diff(rb[0, :, 0])).max() <= 4  # smooth, no blockiness
+    with pytest.raises(ValueError):
+        MM.resize_image(img, 0, 4, "nearest")
+    with pytest.raises(ValueError):
+        MM.resize_image(img, 4, 4, "lanczos")
+
+
 def test_frame_sample(spark, documents):
     media = MM.media_from_documents(documents.limit(5))
     frames = MM.frame_sample(media, every_n_bytes=50).collect()
