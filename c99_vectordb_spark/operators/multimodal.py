@@ -636,6 +636,18 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
     return media.mapInPandas(gen, schema=FEATURES_SCHEMA)
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Repartition to the cluster's parallelism before a codec stage.
+
+    Codec stages are CPU-bound Python (encode/decode per row); the
+    shuffle moves only document rows (KBs), which is noise next to the
+    per-row codec cost, and it also levels out payload-size skew. At
+    toy scale this matters even more: a single small parquet file
+    arrives as ONE split, which would serialize the whole Arrow stage
+    (measured: 10s -> sub-second for the JPEG pipeline at sf0.1)."""
+    return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+
 def media_from_documents(docs: DataFrame) -> DataFrame:
     """Synthesize a media table from the documents corpus (UTF-8 bytes
     as 'application/raw' payloads) — deterministic test/demo input
@@ -672,7 +684,9 @@ def media_from_documents_mixed(docs: DataFrame) -> DataFrame:
                 rows, columns=["id", "modality", "mime", "payload", "meta"]
             )
 
-    return docs.select("doc_id", "text", "lang").mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _fan_out(docs.select("doc_id", "text", "lang")).mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
 
 
 def media_from_documents_png(docs: DataFrame) -> DataFrame:
@@ -702,7 +716,9 @@ def media_from_documents_png(docs: DataFrame) -> DataFrame:
                 rows, columns=["id", "modality", "mime", "payload", "meta"]
             )
 
-    return docs.select("doc_id", "text", "lang").mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _fan_out(docs.select("doc_id", "text", "lang")).mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
 
 
 def media_from_documents_jpeg(docs: DataFrame) -> DataFrame:
@@ -730,7 +746,9 @@ def media_from_documents_jpeg(docs: DataFrame) -> DataFrame:
                 rows, columns=["id", "modality", "mime", "payload", "meta"]
             )
 
-    return docs.select("doc_id", "text", "lang").mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _fan_out(docs.select("doc_id", "text", "lang")).mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
 
 
 def media_from_documents_jpeg_real(docs: DataFrame) -> DataFrame:
@@ -767,12 +785,17 @@ def media_from_documents_jpeg_real(docs: DataFrame) -> DataFrame:
                 rows, columns=["id", "modality", "mime", "payload", "meta"]
             )
 
-    return docs.select("doc_id", "text", "lang").mapInPandas(gen, schema=MEDIA_SCHEMA)
+    return _fan_out(docs.select("doc_id", "text", "lang")).mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
 
 
-PIXEL_STATS_SCHEMA = T.StructType(
+IMAGE_STATS_SCHEMA = T.StructType(
     [
         T.StructField("id", T.LongType(), False),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("components", T.LongType(), True),
         T.StructField("n_bytes", T.LongType(), True),
         T.StructField("byte_sum", T.LongType(), True),
         T.StructField("head_hash", T.LongType(), True),
@@ -780,28 +803,34 @@ PIXEL_STATS_SCHEMA = T.StructType(
 )
 
 
-def media_pixel_stats(media: DataFrame) -> DataFrame:
-    """Decode every payload via :func:`decode_payload` and emit content
-    statistics that probe EVERY decoded byte: total count, byte sum,
-    and the head hash. Map-only mapInPandas — at 100 TB the decode cost
-    parallelizes per batch and nothing shuffles."""
+def media_image_stats(media: DataFrame) -> DataFrame:
+    """Geometry + whole-content statistics in ONE decode pass per
+    payload (the two-stage meta-join variant decoded AND re-encoded the
+    corpus twice; this is the pipeline shape a user actually runs).
+    Map-only mapInPandas; nothing shuffles."""
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for r in pdf.itertuples(index=False):
-                data = decode_payload(
+                img = decode_image_array(
                     bytes(r.payload), r.mime or "application/raw"
                 )
-                arr = np.frombuffer(data, dtype=np.uint8)
+                data = img.tobytes()
                 rows.append(
-                    (r.id, len(data), int(arr.sum()), _head_hash(data))
+                    (
+                        r.id,
+                        img.shape[1],
+                        img.shape[0],
+                        img.shape[2],
+                        len(data),
+                        int(img.sum(dtype=np.int64)),
+                        _head_hash(data),
+                    )
                 )
-            yield pd.DataFrame(
-                rows, columns=["id", "n_bytes", "byte_sum", "head_hash"]
-            )
+            yield pd.DataFrame(rows, columns=[f.name for f in IMAGE_STATS_SCHEMA])
 
-    return media.mapInPandas(gen, schema=PIXEL_STATS_SCHEMA)
+    return media.mapInPandas(gen, schema=IMAGE_STATS_SCHEMA)
 
 
 def decode_image_array(payload: bytes, mime: str) -> "np.ndarray":

@@ -964,24 +964,17 @@ def q_multimodal_jpeg_pixel(spark: SparkSession, sf_dir: str) -> DataFrame:
     closed form: the DuckDB twin checks geometry, decoded byte count
     (192*nb), the whole-content byte sum (192 * sum of block grays), and
     the 16-byte head hash ((7*doc_id)%256 times a fixed polynomial
-    constant). Both stages map-only mapInPandas; the id join
-    co-partitions."""
+    constant). ONE decode pass emits geometry and content stats
+    together (media_image_stats); everything is map-only mapInPandas
+    after a fan-out repartition that levels the codec CPU cost."""
     from .operators.multimodal import (
-        media_decode_meta,
         media_from_documents_jpeg_real,
-        media_pixel_stats,
+        media_image_stats,
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = media_from_documents_jpeg_real(docs)
-    meta = media_decode_meta(media).select(
-        "id",
-        F.col("meta")["width"].cast("long").alias("width"),
-        F.col("meta")["height"].cast("long").alias("height"),
-        F.col("meta")["components"].cast("long").alias("components"),
-    )
-    stats = media_pixel_stats(media)
-    return meta.join(stats, "id").orderBy("id")
+    return media_image_stats(media).orderBy("id")
 
 
 def _oracle_multimodal_jpeg_pixel() -> str:
