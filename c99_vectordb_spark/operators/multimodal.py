@@ -637,14 +637,17 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
-    """Repartition to the cluster's parallelism before a codec stage.
+    """Repartition to the cluster's parallelism before a HEAVY codec
+    stage (PNG deflate, JPEG DCT+Huffman).
 
-    Codec stages are CPU-bound Python (encode/decode per row); the
-    shuffle moves only document rows (KBs), which is noise next to the
-    per-row codec cost, and it also levels out payload-size skew. At
-    toy scale this matters even more: a single small parquet file
-    arrives as ONE split, which would serialize the whole Arrow stage
-    (measured: 10s -> sub-second for the JPEG pipeline at sf0.1)."""
+    Those stages are CPU-bound Python (ms per row); the shuffle moves
+    only document rows (KBs), which is noise next to the per-row codec
+    cost, and it also levels out payload-size skew. At toy scale this
+    matters even more: a single small parquet file arrives as ONE
+    split, which would serialize the whole Arrow stage (measured:
+    jpeg_pixel 10s -> ~2s at sf0.1). Cheap generators (BMP/WAV struct
+    packing) deliberately skip it — there the shuffle costs more than
+    the serial encode."""
     return df.repartition(df.sparkSession.sparkContext.defaultParallelism)
 
 
@@ -684,7 +687,9 @@ def media_from_documents_mixed(docs: DataFrame) -> DataFrame:
                 rows, columns=["id", "modality", "mime", "payload", "meta"]
             )
 
-    return _fan_out(docs.select("doc_id", "text", "lang")).mapInPandas(
+    # no fan-out: BMP/WAV packing is struct-copy cheap — a repartition
+    # would cost more than the serial encode (measured at sf0.1)
+    return docs.select("doc_id", "text", "lang").mapInPandas(
         gen, schema=MEDIA_SCHEMA
     )
 
