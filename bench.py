@@ -85,6 +85,7 @@ HEADLINE = [
     "multimodal_png_roundtrip",
     "multimodal_jpeg_pixel",
     "multimodal_resize",
+    "multimodal_audio_stats",
     "events_resample",
     "skyline_orders",
     "cdc_apply_orders",

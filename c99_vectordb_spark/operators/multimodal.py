@@ -945,6 +945,82 @@ def media_resize_stats(
     return media.mapInPandas(gen, schema=RESIZE_STATS_SCHEMA)
 
 
+def media_from_documents_wav_pcm(docs: DataFrame) -> DataFrame:
+    """Synthesize PCM WAVs with deterministic int16 samples: per doc,
+    n = max(8, strlen(text)//2) samples with
+    sample[k] = ((31*doc_id + 17*k) mod 65536) - 32768. Closed-form in
+    (doc_id, k), so sample-level statistics computed after a REAL
+    RIFF/fmt/data decode have exact SQL twins. No fan-out — sample
+    synthesis + WAV packing is struct-copy cheap."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                n = max(8, len((r.text or "").encode("utf-8")) // 2)
+                k = np.arange(n, dtype=np.int64)
+                samples = ((31 * r.doc_id + 17 * k) % 65536 - 32768).astype(
+                    "<i2"
+                )
+                rows.append(
+                    (
+                        r.doc_id,
+                        "audio",
+                        "audio/wav",
+                        encode_wav(samples.tobytes(), channels=1, rate=8000, bits=16),
+                        {"lang": r.lang},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "modality", "mime", "payload", "meta"]
+            )
+
+    return docs.select("doc_id", "text", "lang").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("n_samples", T.LongType(), True),
+        T.StructField("sample_rate", T.LongType(), True),
+        T.StructField("zero_crossings", T.LongType(), True),
+        T.StructField("abs_sum", T.LongType(), True),
+        T.StructField("peak", T.LongType(), True),
+    ]
+)
+
+
+def media_audio_stats(media: DataFrame) -> DataFrame:
+    """Audio analysis over decoded PCM: sample count, zero-crossing
+    count (sign flips between consecutive samples, zeros counted as
+    non-negative), total |amplitude| and peak — the VAD / level-meter
+    shape. Real decode_wav parse, int16 interpretation, integer-exact
+    outputs. Map-only mapInPandas."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                data, fmt = decode_wav(bytes(r.payload))
+                if fmt["bits"] != 16:
+                    raise MediaDecodeError("media_audio_stats expects 16-bit PCM")
+                s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                neg = s < 0
+                rows.append(
+                    (
+                        r.id,
+                        s.size,
+                        fmt["sample_rate"],
+                        int((neg[1:] != neg[:-1]).sum()),
+                        int(np.abs(s).sum()),
+                        int(np.abs(s).max()) if s.size else 0,
+                    )
+                )
+            yield pd.DataFrame(rows, columns=[f.name for f in AUDIO_STATS_SCHEMA])
+
+    return media.mapInPandas(gen, schema=AUDIO_STATS_SCHEMA)
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: emit one row per sampled offset of
     each payload (what real video frame extraction would do), as a

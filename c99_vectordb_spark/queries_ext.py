@@ -1038,6 +1038,51 @@ ORDER BY id
 """
 
 
+def q_multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED audio-analysis pipeline: deterministic int16 PCM
+    synthesized per doc (sample[k] = (31*doc_id + 17*k) mod 65536 -
+    32768), wrapped in a REAL RIFF/WAV container, re-parsed by
+    decode_wav, and reduced to VAD/level-meter statistics (sample
+    count, zero crossings, |amplitude| sum, peak). Integer-exact, so
+    the DuckDB twin recomputes every statistic from the closed-form
+    sample expression. Map-only mapInPandas; no shuffle."""
+    from .operators.multimodal import (
+        media_audio_stats,
+        media_from_documents_wav_pcm,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = media_from_documents_wav_pcm(docs)
+    return media_audio_stats(media).orderBy("id")
+
+
+_ORACLE_MULTIMODAL_AUDIO = """
+WITH d AS (
+  SELECT doc_id, GREATEST(8, strlen(text) // 2) AS n FROM documents
+),
+v AS (
+  SELECT doc_id, n, k, ((31 * doc_id + 17 * k) % 65536 - 32768)::BIGINT AS smp
+  FROM (SELECT doc_id, n, unnest(range(n)) AS k FROM d)
+),
+w AS (
+  SELECT doc_id, n, smp,
+         CASE WHEN LAG(smp) OVER (PARTITION BY doc_id ORDER BY k) IS NULL THEN 0
+              WHEN (smp < 0) <> (LAG(smp) OVER (PARTITION BY doc_id ORDER BY k) < 0)
+              THEN 1 ELSE 0 END AS zc
+  FROM v
+)
+SELECT doc_id AS id,
+       MAX(n)::BIGINT AS n_samples,
+       8000::BIGINT AS sample_rate,
+       SUM(zc)::BIGINT AS zero_crossings,
+       SUM(ABS(smp))::BIGINT AS abs_sum,
+       MAX(ABS(smp))::BIGINT AS peak
+FROM w
+GROUP BY doc_id
+ORDER BY id
+"""
+
+
 def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample with gap filling: hourly event counts per
     type over a DENSE hour grid (empty hours present, zero-filled) —
@@ -1841,6 +1886,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "multimodal_jpeg_meta": q_multimodal_jpeg_meta,
     "multimodal_jpeg_pixel": q_multimodal_jpeg_pixel,
     "multimodal_resize": q_multimodal_resize,
+    "multimodal_audio_stats": q_multimodal_audio_stats,
     "decontaminate_eval": q_decontaminate_eval,
     "decontaminate_survivors": q_decontaminate_survivors,
     "chunk_documents": q_chunk_documents,
@@ -1885,6 +1931,7 @@ EXT_ORACLES: dict[str, str] = {
     "multimodal_jpeg_meta": _oracle_multimodal_jpeg(),
     "multimodal_jpeg_pixel": _oracle_multimodal_jpeg_pixel(),
     "multimodal_resize": _oracle_multimodal_resize(),
+    "multimodal_audio_stats": _ORACLE_MULTIMODAL_AUDIO,
     "decontaminate_eval": _ORACLE_DECONTAMINATE_EVAL,
     "decontaminate_survivors": _ORACLE_DECONTAMINATE_SURVIVORS,
     "chunk_documents": _ORACLE_CHUNK_DOCUMENTS,

@@ -45,7 +45,7 @@ FAMILIES: dict[str, tuple[set[str], int]] = {
                     "sim_pq_fixed", "sim_ivfpq_fixed"}, 3),
     "multimodal": ({"multimodal_meta_roundtrip", "multimodal_png_roundtrip",
                     "multimodal_jpeg_meta", "multimodal_jpeg_pixel",
-                    "multimodal_resize"}, 2),
+                    "multimodal_resize", "multimodal_audio_stats"}, 2),
     "text": ({"text_quality", "text_langid", "text_fingerprint",
               "text_scrub_pii", "text_repetition"}, 3),
     "corpus": ({"corpus_pipeline", "corpus_tfidf_terms", "corpus_split_assign",

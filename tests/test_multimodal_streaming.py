@@ -218,6 +218,23 @@ def test_resize_image_nearest_and_bilinear():
         MM.resize_image(img, 4, 4, "lanczos")
 
 
+def test_audio_stats_hand_checked(spark):
+    import numpy as np
+
+    samples = np.array([0, 5, -3, -1, 2, 0, -7, 7], dtype="<i2")
+    media = spark.createDataFrame(
+        [(1, "audio", "audio/wav", MM.encode_wav(samples.tobytes()), None)],
+        MM.MEDIA_SCHEMA,
+    )
+    r = MM.media_audio_stats(media).collect()[0]
+    # sign flips (zeros are non-negative): 0|5 no, 5|-3 yes, -3|-1 no,
+    # -1|2 yes, 2|0 no, 0|-7 yes, -7|7 yes -> 4
+    assert (r.n_samples, r.zero_crossings) == (8, 4)
+    assert r.abs_sum == sum(abs(int(x)) for x in samples)
+    assert r.peak == 7
+    assert r.sample_rate == 8000
+
+
 def test_frame_sample(spark, documents):
     media = MM.media_from_documents(documents.limit(5))
     frames = MM.frame_sample(media, every_n_bytes=50).collect()
