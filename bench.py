@@ -70,6 +70,7 @@ HEADLINE = [
     "corpus_sample",
     "corpus_pack",
     "corpus_bigrams",
+    "corpus_bpe_merges",
     "corpus_pipeline",
     "sketch_heavy_hitters",
     "approx_distinct_kmv",

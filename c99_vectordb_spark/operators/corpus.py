@@ -278,3 +278,149 @@ def pack_sequences_global(
         offset.alias("offset"),
         F.floor(offset / F.lit(budget)).cast("long").alias("seq_bin"),
     )
+
+
+def bpe_train_merges(
+    df: DataFrame,
+    body_col: str = "text",
+    n_merges: int = 8,
+    top_words: int = 400,
+) -> DataFrame:
+    """Distributed mini-BPE trainer: learn the first ``n_merges`` merge
+    rules over the corpus word-frequency table — the canonical
+    iterative training-data algorithm (count adjacent symbol pairs ->
+    argmax merge -> apply -> repeat), expressed as driver-looped
+    DataFrame ops with NO Python UDFs.
+
+    Per iteration: one vocabulary-sized shuffle (pair counts) and a
+    ONE-ROW collect (the argmax), so the driver traffic is O(n_merges)
+    regardless of corpus size; the word table itself is capped at
+    ``top_words`` rows by (freq DESC, word ASC) and cached once. At
+    100 TB the only corpus-sized stage is the initial token explode.
+
+    Cross-engine exactness trick: symbols are joined with DOUBLE
+    spaces (" a  b  c  "). A literal non-overlapping left-to-right
+    replace of " x  y " with " xy " then merges consecutive
+    occurrences exactly like canonical BPE (single-space separators
+    would make adjacent matches share the delimiter and skip every
+    other one; regex lookarounds are unavailable in DuckDB's RE2), so
+    the DuckDB oracle can unroll the SAME algebra stage by stage with
+    plain replace(). Returns (merge_rank, pair, merged, cnt) with
+    ties broken by pair string ascending.
+    """
+    spark = df.sparkSession
+    base = (
+        df.select(F.explode(tokens(F.col(body_col))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("word"))
+        .limit(top_words)
+        # " a  b  c  ": leading single space, two spaces after each symbol
+        .select(
+            "word",
+            "freq",
+            F.concat(
+                F.lit(" "), F.regexp_replace("word", "(.)", "$1  ")
+            ).alias("sym"),
+        )
+        .persist()
+    )
+    try:
+        sym = F.col("sym")
+        merges: list[tuple[int, str, str, int]] = []
+        for rank in range(1, n_merges + 1):
+            pairs = (
+                base.select("freq", sym.alias("s"))
+                .select(
+                    "freq",
+                    F.split(F.trim(F.col("s")), "  ").alias("syms"),
+                )
+                .filter(F.size("syms") >= 2)
+                .select(
+                    "freq",
+                    F.explode(
+                        F.expr(
+                            "transform(sequence(1, size(syms) - 1), "
+                            "i -> concat(element_at(syms, i), ' ', element_at(syms, i + 1)))"
+                        )
+                    ).alias("pair"),
+                )
+            )
+            best = (
+                pairs.groupBy("pair")
+                .agg(F.sum("freq").alias("cnt"))
+                .orderBy(F.desc("cnt"), F.asc("pair"))
+                .limit(1)
+                .collect()
+            )
+            if not best:
+                break
+            pair, cnt = best[0]["pair"], int(best[0]["cnt"])
+            x, y = pair.split(" ")
+            merged = x + y
+            merges.append((rank, pair, merged, cnt))
+            sym = F.replace(
+                sym, F.lit(f" {x}  {y} "), F.lit(f" {merged} ")
+            )
+        return spark.createDataFrame(
+            merges, "merge_rank long, pair string, merged string, cnt long"
+        )
+    finally:
+        base.unpersist()
+
+
+def duckdb_bpe_sql(
+    n_merges: int = 8, top_words: int = 400, table: str = "documents"
+) -> str:
+    """Stage-unrolled DuckDB twin of :func:`bpe_train_merges`: the
+    iterative loop becomes n_merges CTE stages of the SAME pair-count /
+    argmax / literal-replace algebra (see the double-space invariant in
+    bpe_train_merges)."""
+    from ..hashing import duckdb_tokens_sql
+
+    toks = duckdb_tokens_sql("text")
+    parts = [
+        f"""WITH w AS MATERIALIZED (
+  SELECT word, COUNT(*)::BIGINT AS freq
+  FROM (SELECT unnest({toks}) AS word FROM {table})
+  GROUP BY word ORDER BY freq DESC, word LIMIT {top_words}
+),
+s0 AS MATERIALIZED (
+  SELECT word, freq,
+         ' ' || regexp_replace(word, '(.)', '\\1  ', 'g') AS sym
+  FROM w
+)"""
+    ]
+    for r in range(1, n_merges + 1):
+        prev = f"s{r - 1}"
+        parts.append(
+            f""",
+p{r} AS MATERIALIZED (
+  SELECT pair, SUM(freq)::BIGINT AS cnt FROM (
+    SELECT freq,
+           unnest(list_transform(range(1, len(syms)),
+                  i -> syms[i] || ' ' || syms[i + 1])) AS pair
+    FROM (SELECT freq, string_split(trim(sym), '  ') AS syms FROM {prev})
+    WHERE len(syms) >= 2
+  ) GROUP BY pair
+),
+b{r} AS MATERIALIZED (
+  SELECT {r}::BIGINT AS merge_rank, pair,
+         replace(pair, ' ', '') AS merged, cnt
+  FROM p{r} ORDER BY cnt DESC, pair LIMIT 1
+),
+s{r} AS MATERIALIZED (
+  SELECT word, freq,
+         replace(sym,
+                 ' ' || split_part((SELECT pair FROM b{r}), ' ', 1)
+                     || '  ' || split_part((SELECT pair FROM b{r}), ' ', 2) || ' ',
+                 ' ' || (SELECT merged FROM b{r}) || ' ') AS sym
+  FROM {prev}
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT merge_rank, pair, merged, cnt FROM b{r}"
+        for r in range(1, n_merges + 1)
+    )
+    parts.append(f"\n{union}\nORDER BY merge_rank")
+    return "".join(parts)

@@ -896,8 +896,28 @@ ORDER BY id
 """
 
 
+def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed mini-BPE training (operators/corpus.bpe_train_merges):
+    the first 8 merge rules over the corpus word-frequency table, via
+    the iterative pair-count -> argmax -> literal-replace loop (no
+    UDFs; one vocabulary-sized shuffle + a ONE-ROW collect per
+    iteration). The DuckDB twin unrolls the same algebra into 8
+    MATERIALIZED CTE stages — hash-exact including tie-breaks."""
+    from .operators.corpus import bpe_train_merges
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_train_merges(docs, body_col="text", n_merges=8, top_words=400)
+
+
+def _oracle_corpus_bpe() -> str:
+    from .operators.corpus import duckdb_bpe_sql
+
+    return duckdb_bpe_sql(n_merges=8, top_words=400)
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_vocab": q_corpus_vocab,
+    "corpus_bpe_merges": q_corpus_bpe_merges,
     "corpus_tfidf_terms": q_corpus_tfidf_terms,
     "corpus_sample": q_corpus_sample,
     "corpus_pack": q_corpus_pack,
@@ -915,6 +935,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 PIPELINE_ORACLES: dict[str, str] = {
     "corpus_vocab": _ORACLE_CORPUS_VOCAB,
+    "corpus_bpe_merges": _oracle_corpus_bpe(),
     "corpus_tfidf_terms": _ORACLE_CORPUS_TFIDF,
     "corpus_sample": _ORACLE_CORPUS_SAMPLE,
     "corpus_pack": _ORACLE_CORPUS_PACK,

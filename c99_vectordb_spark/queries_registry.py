@@ -563,15 +563,33 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum(dec("l_quantity")).cast("double").alias("sum_qty"),
-            F.sum(dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            # All money sums: exact decimal arithmetic, ROUND to scale 2
+            # while still decimal, THEN cast double. A >16-significant-
+            # digit decimal converts to double with engine-dependent
+            # last-ulp rounding (Java BigDecimal vs DuckDB int128 path;
+            # seen at sf0.001/sf0.1); a 12-digit scale-2 decimal
+            # converts identically everywhere. sum_charge additionally
+            # narrows its factor casts — with (18,4) factors the triple
+            # product overflows precision 38 and Spark rounds
+            # mid-expression: (12,4)*(6,4)*(6,4) stays exact.
+            F.round(F.sum(dec("l_quantity")), 2).cast("double").alias("sum_qty"),
+            F.round(F.sum(dec("l_extendedprice")), 2).cast("double").alias("sum_base_price"),
+            F.round(
+                F.sum(
+                    dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+                ),
+                2,
+            )
             .cast("double")
             .alias("sum_disc_price"),
-            F.sum(
-                dec("l_extendedprice")
-                * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
-                * (F.lit(1).cast("decimal(18,4)") + dec("l_tax"))
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(12,4)")
+                    * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+                    * (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
+                ),
+                2,
             )
             .cast("double")
             .alias("sum_charge"),
@@ -586,10 +604,10 @@ def q_tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_TPCH_Q1 = """
 SELECT l_returnflag, l_linestatus,
-       CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_base_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS sum_disc_price,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4))) * (1 + CAST(l_tax AS DECIMAL(18,4)))) AS DOUBLE) AS sum_charge,
+       CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) * CAST(1 - l_discount AS DECIMAL(6,4)) * CAST(1 + l_tax AS DECIMAL(6,4))), 2) AS DOUBLE) AS sum_charge,
        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_qty,
        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_price,
        ROUND(CAST(SUM(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*), 4) AS avg_disc,

@@ -262,3 +262,39 @@ def test_decontaminate_drops_only_overlapping(spark):
     )
     out = decontaminate(train, ev, min_hits=1)
     assert [r.id for r in out.collect()] == [1]
+
+
+def test_bpe_train_merges_hand_checked(spark):
+    """Canonical BPE on a tiny corpus, fully hand-derived: word 'aaab'
+    with freq 2. Pair counts weight every adjacent position (a|a twice
+    per word), the 'a b' vs 'aa a' tie resolves by pair-string order,
+    and training stops early when no pairs remain."""
+    from c99_vectordb_spark.operators.corpus import bpe_train_merges
+
+    df = spark.createDataFrame([(1, "aaab aaab")], "id long, text string")
+    rows = [
+        (r.merge_rank, r.pair, r.merged, r.cnt)
+        for r in bpe_train_merges(df, n_merges=8).orderBy("merge_rank").collect()
+    ]
+    assert rows == [
+        (1, "a a", "aa", 4),
+        (2, "a b", "ab", 2),
+        (3, "aa ab", "aaab", 2),
+    ]
+
+
+def test_bpe_consecutive_pair_merge_not_skipped(spark):
+    """The double-space separator invariant: merging (a, b) in 'abab'
+    must merge BOTH occurrences in one pass (single-space separators
+    would share the delimiter and skip every other match)."""
+    from c99_vectordb_spark.operators.corpus import bpe_train_merges
+
+    df = spark.createDataFrame([(1, "abab abab abab")], "id long, text string")
+    rows = {
+        r.merge_rank: (r.pair, r.merged, r.cnt)
+        for r in bpe_train_merges(df, n_merges=2).collect()
+    }
+    # pairs of 'abab': a|b (x2), b|a (x1) per word, freq 3
+    assert rows[1] == ("a b", "ab", 6)
+    # after merging both a|b occurrences the word is 'ab ab'
+    assert rows[2] == ("ab ab", "abab", 3)

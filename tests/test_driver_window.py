@@ -51,7 +51,7 @@ FAMILIES: dict[str, tuple[set[str], int]] = {
     "corpus": ({"corpus_pipeline", "corpus_tfidf_terms", "corpus_split_assign",
                 "corpus_pack", "corpus_pack_global", "chunk_documents",
                 "decontaminate_eval", "decontaminate_survivors", "corpus_vocab",
-                "corpus_sample", "corpus_bigrams"}, 4),
+                "corpus_sample", "corpus_bigrams", "corpus_bpe_merges"}, 4),
 }
 
 
