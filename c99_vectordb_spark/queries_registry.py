@@ -634,7 +634,8 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.coalesce(
-                F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double"),
+                F.round(F.sum(dec("l_extendedprice") * dec("l_discount")), 2)
+                .cast("double"),
                 F.lit(0.0),
             ).alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
@@ -643,7 +644,7 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_TPCH_Q6 = """
-SELECT COALESCE(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE), 0.0) AS revenue,
+SELECT COALESCE(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * CAST(l_discount AS DECIMAL(18,4))), 2) AS DOUBLE), 0.0) AS revenue,
        COUNT(*)::BIGINT AS n_items
 FROM lineitem
 WHERE l_shipdate >= TIMESTAMP '1996-01-01'
@@ -719,7 +720,13 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
-            F.sum(dec("l_extendedprice") * (F.lit(1).cast("decimal(18,4)") - dec("l_discount")))
+            F.round(
+                F.sum(
+                    dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(18,4)") - dec("l_discount"))
+                ),
+                2,
+            )
             .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
@@ -730,7 +737,7 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_REVENUE_BY_NATION = """
 SELECT r_name AS region, n_name AS nation,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue,
        COUNT(*)::BIGINT AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -800,7 +807,7 @@ def q_events_tumbling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("window_start", "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum("v").cast("double").alias("sum_value"),
+            F.round(F.sum("v"), 2).cast("double").alias("sum_value"),
         )
         .orderBy("window_start", "event_type")
     )
@@ -810,7 +817,7 @@ _ORACLE_EVENTS_TUMBLING = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS window_start,
        event_type,
        COUNT(*)::BIGINT AS cnt,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
 FROM events
 GROUP BY 1, 2
 ORDER BY window_start, event_type
@@ -869,7 +876,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         joined.rollup(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
         .agg(
             F.grouping_id().alias("gid"),
-            F.sum(F.col("l_extendedprice").cast("decimal(18,4)"))
+            F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2)
             .cast("double")
             .alias("revenue"),
             F.count(F.lit(1)).alias("n_items"),
@@ -888,7 +895,7 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_ROLLUP_REVENUE = """
 SELECT COALESCE(r_name, '(all)') AS region, COALESCE(n_name, '(all)') AS nation,
        GROUPING(r_name) * 2 + GROUPING(n_name) AS gid,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
        COUNT(*)::BIGINT AS n_items
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
@@ -1217,23 +1224,23 @@ def q_pivot_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("yr")
         .pivot("pri", ["1", "2", "3", "4", "5"])
-        .agg(F.sum("price").cast("double"))
+        .agg(F.round(F.sum("price"), 2).cast("double"))
         .orderBy("yr")
     )
 
 
 _ORACLE_PIVOT_REVENUE = """
 SELECT EXTRACT(year FROM o_orderdate)::BIGINT AS yr,
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-            FILTER (WHERE o_orderpriority LIKE '1-%') AS DOUBLE) AS "1",
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-            FILTER (WHERE o_orderpriority LIKE '2-%') AS DOUBLE) AS "2",
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-            FILTER (WHERE o_orderpriority LIKE '3-%') AS DOUBLE) AS "3",
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-            FILTER (WHERE o_orderpriority LIKE '4-%') AS DOUBLE) AS "4",
-       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
-            FILTER (WHERE o_orderpriority LIKE '5-%') AS DOUBLE) AS "5",
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            FILTER (WHERE o_orderpriority LIKE '1-%'), 2) AS DOUBLE) AS "1",
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            FILTER (WHERE o_orderpriority LIKE '2-%'), 2) AS DOUBLE) AS "2",
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            FILTER (WHERE o_orderpriority LIKE '3-%'), 2) AS DOUBLE) AS "3",
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            FILTER (WHERE o_orderpriority LIKE '4-%'), 2) AS DOUBLE) AS "4",
+       CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+            FILTER (WHERE o_orderpriority LIKE '5-%'), 2) AS DOUBLE) AS "5",
 FROM orders
 GROUP BY 1
 ORDER BY yr
@@ -1254,7 +1261,10 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.filter(F.col("user_id") < 100)
         .select("user_id", ts.alias("t"), F.col("value").cast("decimal(18,6)").alias("v"))
         .groupBy("user_id", F.session_window("t", "30 minutes").alias("w"))
-        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("v").cast("double").alias("sum_value"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("v"), 2).cast("double").alias("sum_value"),
+        )
         .select(
             "user_id",
             F.date_format("w.start", "yyyy-MM-dd HH:mm:ss").alias("session_start"),
@@ -1288,7 +1298,7 @@ SELECT user_id,
        strftime(MIN(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
        strftime(MAX(ts) + INTERVAL 30 MINUTE, '%Y-%m-%d %H:%M:%S') AS session_end,
        COUNT(*)::BIGINT AS cnt,
-       CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
 FROM ids
 GROUP BY user_id, sess
 ORDER BY user_id, session_start
@@ -1323,7 +1333,7 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("o_orderpriority")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum("price").cast("double").alias("revenue"),
+            F.round(F.sum("price"), 2).cast("double").alias("revenue"),
         )
         .orderBy("o_orderpriority")
     )
@@ -1332,7 +1342,7 @@ def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_SALTED_JOIN = """
 SELECT o_orderpriority,
        COUNT(*)::BIGINT AS cnt,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
 FROM lineitem JOIN orders ON l_orderkey = o_orderkey
 GROUP BY o_orderpriority
 ORDER BY o_orderpriority

@@ -121,14 +121,14 @@ def q_tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .join(F.broadcast(asia_nations), F.col("s_nationkey") == F.col("n_nationkey"))
         .groupBy(F.col("n_name").alias("nation"))
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
         .orderBy(F.desc("revenue"), F.asc("nation"))
     )
 
 
 _ORACLE_TPCH_Q5 = """
 SELECT n_name AS nation,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -175,13 +175,13 @@ def q_tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(
             "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
         )
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
     )
 
 
 _ORACLE_TPCH_Q7 = """
-SELECT supp_nation, cust_nation, l_year, CAST(SUM(volume) AS DOUBLE) AS revenue
+SELECT supp_nation, cust_nation, l_year, CAST(ROUND(SUM(volume), 2) AS DOUBLE) AS revenue
 FROM (
   SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
          EXTRACT(year FROM l_shipdate)::BIGINT AS l_year,
@@ -223,7 +223,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .groupBy("o_custkey")
-        .agg(F.sum(_rev()).cast("double").alias("revenue"))
+        .agg(F.round(F.sum(_rev()), 2).cast("double").alias("revenue"))
     )
     return (
         agg.join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
@@ -243,7 +243,7 @@ def q_tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
 _ORACLE_TPCH_Q10 = """
 SELECT c_custkey AS custkey, c_name AS name, ROUND(c_acctbal, 2) AS acctbal,
        n_name AS nation,
-       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE) AS revenue
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE) AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -312,12 +312,14 @@ def q_tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("promo"),
         F.sum(_rev()).alias("total"),
     )
+    # round-to-scale-2 while decimal, THEN cast: >16-digit decimals
+    # convert to double with engine-dependent last-ulp rounding
+    pr = F.round(F.col("promo"), 2).cast("double")
+    tr = F.round(F.col("total"), 2).cast("double")
     return agg.select(
-        F.col("promo").cast("double").alias("promo_revenue"),
-        F.col("total").cast("double").alias("total_revenue"),
-        F.floor(
-            F.lit(1000000.0) * F.col("promo").cast("double") / F.col("total").cast("double")
-        ).cast("long").alias("promo_ppm"),
+        pr.alias("promo_revenue"),
+        tr.alias("total_revenue"),
+        F.floor(F.lit(1000000.0) * pr / tr).cast("long").alias("promo_ppm"),
     )
 
 
@@ -332,9 +334,10 @@ WITH agg AS (
   WHERE l_shipdate >= TIMESTAMP '1997-03-01'
     AND l_shipdate <  TIMESTAMP '1997-04-01'
 )
-SELECT CAST(promo AS DOUBLE) AS promo_revenue,
-       CAST(total AS DOUBLE) AS total_revenue,
-       FLOOR(1000000.0 * CAST(promo AS DOUBLE) / CAST(total AS DOUBLE))::BIGINT AS promo_ppm
+SELECT CAST(ROUND(promo, 2) AS DOUBLE) AS promo_revenue,
+       CAST(ROUND(total, 2) AS DOUBLE) AS total_revenue,
+       FLOOR(1000000.0 * CAST(ROUND(promo, 2) AS DOUBLE)
+             / CAST(ROUND(total, 2) AS DOUBLE))::BIGINT AS promo_ppm
 FROM agg
 """
 
@@ -411,14 +414,14 @@ def q_tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
         .filter(band)
         .agg(
-            F.coalesce(F.sum(_rev()).cast("double"), F.lit(0.0)).alias("revenue"),
+            F.coalesce(F.round(F.sum(_rev()), 2).cast("double"), F.lit(0.0)).alias("revenue"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
 
 
 _ORACLE_TPCH_Q19 = """
-SELECT COALESCE(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))) AS DOUBLE), 0.0) AS revenue,
+SELECT COALESCE(CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))), 2) AS DOUBLE), 0.0) AS revenue,
        COUNT(*)::BIGINT AS n_lines
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -464,7 +467,7 @@ def q_tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         idle.groupBy(F.col("c_nationkey").cast("long").alias("nationkey"))
         .agg(
             F.count(F.lit(1)).alias("numcust"),
-            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+            F.round(F.sum(_dec("c_acctbal")), 2).cast("double").alias("totacctbal"),
         )
         .orderBy("nationkey")
     )
@@ -476,7 +479,7 @@ WITH thresh AS (
   FROM customer WHERE c_acctbal > 0
 )
 SELECT c_nationkey::BIGINT AS nationkey, COUNT(*)::BIGINT AS numcust,
-       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS totacctbal
+       CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS totacctbal
 FROM customer, thresh
 WHERE CAST(c_acctbal AS DECIMAL(18,4)) * n > total
   AND NOT EXISTS (
@@ -526,12 +529,12 @@ def q_tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(
             "o_year",
-            F.col("nation_vol").cast("double").alias("nation_volume"),
-            F.col("total_vol").cast("double").alias("total_volume"),
+            F.round(F.col("nation_vol"), 2).cast("double").alias("nation_volume"),
+            F.round(F.col("total_vol"), 2).cast("double").alias("total_volume"),
             F.floor(
                 F.lit(1000000.0)
-                * F.col("nation_vol").cast("double")
-                / F.col("total_vol").cast("double")
+                * F.round(F.col("nation_vol"), 2).cast("double")
+                / F.round(F.col("total_vol"), 2).cast("double")
             ).cast("long").alias("mkt_share_ppm"),
         )
         .orderBy("o_year")
@@ -555,9 +558,10 @@ WITH vols AS (
   WHERE r_name = 'EUROPE'
   GROUP BY 1
 )
-SELECT o_year, CAST(nation_vol AS DOUBLE) AS nation_volume,
-       CAST(total_vol AS DOUBLE) AS total_volume,
-       FLOOR(1000000.0 * CAST(nation_vol AS DOUBLE) / CAST(total_vol AS DOUBLE))::BIGINT AS mkt_share_ppm
+SELECT o_year, CAST(ROUND(nation_vol, 2) AS DOUBLE) AS nation_volume,
+       CAST(ROUND(total_vol, 2) AS DOUBLE) AS total_volume,
+       FLOOR(1000000.0 * CAST(ROUND(nation_vol, 2) AS DOUBLE)
+             / CAST(ROUND(total_vol, 2) AS DOUBLE))::BIGINT AS mkt_share_ppm
 FROM vols
 ORDER BY o_year
 """
@@ -627,7 +631,7 @@ def q_tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("s_suppkey").alias("suppkey"),
             F.col("s_name").alias("name"),
-            F.col("total_rev").cast("double").alias("total_revenue"),
+            F.round(F.col("total_rev"), 2).cast("double").alias("total_revenue"),
         )
         .orderBy("suppkey")
     )
@@ -643,7 +647,7 @@ WITH rev AS (
   GROUP BY l_suppkey
 )
 SELECT s_suppkey AS suppkey, s_name AS name,
-       CAST(total_rev AS DOUBLE) AS total_revenue
+       CAST(ROUND(total_rev, 2) AS DOUBLE) AS total_revenue
 FROM rev JOIN supplier ON l_suppkey = s_suppkey
 WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
 ORDER BY suppkey
@@ -672,7 +676,7 @@ def q_tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_part, F.col("l_partkey") == F.col("pk"))
         .filter(_dec("l_quantity") * 5 * F.col("qty_n") < F.col("qty_sum"))
         .agg(
-            F.sum(_dec("l_extendedprice")).cast("double").alias("total_extprice"),
+            F.round(F.sum(_dec("l_extendedprice")), 2).cast("double").alias("total_extprice"),
             F.count(F.lit(1)).alias("n_lines"),
         )
     )
@@ -684,7 +688,7 @@ WITH per_part AS (
          COUNT(*)::BIGINT AS qty_n
   FROM lineitem GROUP BY l_partkey
 )
-SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,4))) AS DOUBLE) AS total_extprice,
+SELECT CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_extprice,
        COUNT(*)::BIGINT AS n_lines
 FROM lineitem
 JOIN part ON l_partkey = p_partkey
@@ -802,13 +806,13 @@ def q_tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_name").alias("nation"),
             F.year("o_orderdate").alias("o_year"),
         )
-        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .agg(F.round(F.sum(amount), 2).cast("double").alias("sum_profit"))
         .orderBy(F.asc("nation"), F.desc("o_year"))
     )
 
 
 _ORACLE_TPCH_Q9 = """
-SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_profit
+SELECT nation, o_year, CAST(ROUND(SUM(amount), 2) AS DOUBLE) AS sum_profit
 FROM (
   SELECT n_name AS nation, EXTRACT(year FROM o_orderdate)::BIGINT AS o_year,
          CAST(l_extendedprice AS DECIMAL(18,4)) * (1 - CAST(l_discount AS DECIMAL(18,4)))
@@ -854,7 +858,7 @@ def q_tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         val.crossJoin(F.broadcast(total))
         .filter(F.col("val") * 1000 > F.col("total"))
-        .select("partkey", F.col("val").cast("double").alias("value"))
+        .select("partkey", F.round(F.col("val"), 2).cast("double").alias("value"))
         .orderBy(F.desc("value"), F.asc("partkey"))
     )
 
@@ -868,7 +872,7 @@ WITH val AS (
   WHERE n_name = 'NATION_3'
   GROUP BY l_partkey
 )
-SELECT partkey, CAST(val AS DOUBLE) AS value
+SELECT partkey, CAST(ROUND(val, 2) AS DOUBLE) AS value
 FROM val
 WHERE val * 1000 > (SELECT SUM(val) FROM val)
 ORDER BY value DESC, partkey ASC

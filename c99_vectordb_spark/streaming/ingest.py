@@ -76,9 +76,9 @@ def stream_windowed_events(
         .groupBy(F.window("ts", window).alias("w"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
-                "sum_value"
-            ),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm:ss").alias(
@@ -193,9 +193,9 @@ def stream_session_events(
         .groupBy("user_id", F.session_window("ts", gap).alias("w"))
         .agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias(
-                "sum_value"
-            ),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 2)
+            .cast("double")
+            .alias("sum_value"),
         )
         .select(
             "user_id",
