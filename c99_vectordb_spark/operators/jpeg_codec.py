@@ -386,7 +386,11 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
                 htables[(tc, th)] = _decode_table(bits, symbols)
                 i += 17 + n
         elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if len(body) < 6:
+                raise JpegError("SOF body truncated")
             precision, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+            if len(body) < 6 + 3 * ncomp:
+                raise JpegError("SOF component list truncated")
             if precision != 8:
                 raise JpegError(f"only 8-bit precision supported, got {precision}")
             if ncomp not in (1, 3):
@@ -408,9 +412,15 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
                 f"unsupported coding process (SOF marker 0xFF{marker:02X})"
             )
         elif marker == 0xDD:  # DRI
+            if len(body) < 2:
+                raise JpegError("DRI body truncated")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
         elif marker == 0xDA:  # SOS: entropy data follows
+            if len(body) < 1:
+                raise JpegError("SOS body truncated")
             ns = body[0]
+            if len(body) < 1 + 2 * ns:
+                raise JpegError("SOS component list truncated")
             scan_comps = []
             for c in range(ns):
                 cs, tables = body[1 + 2 * c], body[2 + 2 * c]

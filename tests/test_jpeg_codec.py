@@ -136,6 +136,34 @@ def test_bitwriter_bitreader_inverse():
     prop()
 
 
+def test_decoder_never_crashes_on_fuzz():
+    """Arbitrary bytes — random, truncations of valid streams, and
+    valid streams with flipped bytes — must either decode or raise
+    JpegError; no IndexError/struct.error/overflow leaks."""
+    from hypothesis import given, settings, strategies as st
+
+    good = encode_jpeg(_uniform_stack(5, 3), qtable=[1] * 64)
+
+    @settings(max_examples=150, deadline=None)
+    @given(st.data())
+    def prop(data) -> None:
+        mode = data.draw(st.integers(0, 2))
+        if mode == 0:
+            payload = data.draw(st.binary(max_size=200))
+        elif mode == 1:
+            payload = good[: data.draw(st.integers(0, len(good)))]
+        else:
+            i = data.draw(st.integers(0, len(good) - 1))
+            b = data.draw(st.integers(0, 255))
+            payload = good[:i] + bytes([b]) + good[i + 1 :]
+        try:
+            decode_jpeg(payload)
+        except JpegError:
+            pass
+
+    prop()
+
+
 def test_encoder_validates_inputs():
     with pytest.raises(ValueError):
         encode_jpeg(np.zeros((4, 4), dtype=np.uint8))

@@ -235,6 +235,41 @@ def test_audio_stats_hand_checked(spark):
     assert r.sample_rate == 8000
 
 
+def test_parsers_never_crash_on_fuzz():
+    """Every pure-Python parser must either parse or raise
+    MediaDecodeError on arbitrary bytes — random, truncated-valid, and
+    single-byte-flipped-valid inputs. No IndexError/struct.error."""
+    from hypothesis import given, settings, strategies as st
+
+    goods = {
+        MM.decode_bmp: MM.encode_bmp(b"fuzz content here" * 3),
+        MM.decode_wav: MM.encode_wav(b"fuzz samples" * 4),
+        MM.decode_png: MM.encode_png(b"fuzz png bytes" * 5, filter_type=3),
+        MM.decode_jpeg_meta: MM.encode_jpeg_container(b"fuzz jpeg body"),
+    }
+
+    @settings(max_examples=120, deadline=None)
+    @given(st.data())
+    def prop(data) -> None:
+        parser = data.draw(st.sampled_from(list(goods)))
+        good = goods[parser]
+        mode = data.draw(st.integers(0, 2))
+        if mode == 0:
+            payload = data.draw(st.binary(max_size=120))
+        elif mode == 1:
+            payload = good[: data.draw(st.integers(0, len(good)))]
+        else:
+            i = data.draw(st.integers(0, len(good) - 1))
+            b = data.draw(st.integers(0, 255))
+            payload = good[:i] + bytes([b]) + good[i + 1 :]
+        try:
+            parser(payload)
+        except MM.MediaDecodeError:
+            pass
+
+    prop()
+
+
 def test_frame_sample(spark, documents):
     media = MM.media_from_documents(documents.limit(5))
     frames = MM.frame_sample(media, every_n_bytes=50).collect()
