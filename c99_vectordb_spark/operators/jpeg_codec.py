@@ -63,6 +63,51 @@ class JpegError(ValueError):
     """Malformed or unsupported JPEG stream."""
 
 
+#: per-frame pixel-allocation cap (pixels x components): a ~100-byte
+#: crafted payload can claim 65500x65500x3 in its SOF, which would
+#: np.empty ~100 GiB before any entropy byte is read — cap it so a
+#: malformed payload raises JpegError instead of OOM-killing the task
+MAX_DECODE_PIXELS = 1 << 26
+
+
+def iter_jpeg_segments(payload: bytes):
+    """Walk the marker stream, yielding (marker, body, next_pos) for
+    every length-bearing segment. Shared by the full decoder and the
+    header tier (multimodal.decode_jpeg_meta) so hardening lives in ONE
+    place. Validates SOI, fill-byte runs, and per-segment bounds;
+    skips standalone TEM/RSTn; stops after SOS (entropy follows at
+    next_pos) or EOI."""
+    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
+        raise JpegError("not a JPEG: missing SOI marker")
+    pos = 2
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            raise JpegError(f"expected marker at offset {pos}")
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1  # fill bytes before a marker are legal
+        if pos + 2 > len(payload):
+            raise JpegError("truncated marker at end of payload")
+        marker = payload[pos + 1]
+        if marker == 0xD9:  # EOI
+            return
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            pos += 2  # TEM / RSTn: standalone, no length field
+            continue
+        if pos + 4 > len(payload):
+            raise JpegError("truncated segment header")
+        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
+        if seglen < 2 or pos + 2 + seglen > len(payload):
+            raise JpegError(
+                f"segment 0xFF{marker:02X} length {seglen} overruns payload"
+            )
+        body = payload[pos + 4 : pos + 2 + seglen]
+        next_pos = pos + 2 + seglen
+        yield marker, body, next_pos
+        if marker == 0xDA:  # start of scan: entropy data follows
+            return
+        pos = next_pos
+
+
 def _canonical_codes(bits: list[int], symbols: list[int]) -> dict[int, tuple[int, int]]:
     """symbol -> (code, length) per the canonical algorithm (T.81 C.2):
     codes of each length are consecutive, doubling when length grows."""
@@ -337,31 +382,13 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
     (h, w, ncomp) uint8 array + header metadata. Huffman and quant
     tables are read from the stream; progressive / subsampled /
     arithmetic streams raise JpegError."""
-    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
-        raise JpegError("not a JPEG: missing SOI marker")
-    pos = 2
     qtables: dict[int, np.ndarray] = {}
     htables: dict[tuple[int, int], dict[tuple[int, int], int]] = {}
     sof = None
     scan_comps = None
     restart_interval = 0
-    while pos + 2 <= len(payload):
-        if payload[pos] != 0xFF:
-            raise JpegError(f"expected marker at offset {pos}")
-        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
-            pos += 1
-        marker = payload[pos + 1]
-        if marker == 0xD9:
-            break
-        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
-            pos += 2
-            continue
-        if pos + 4 > len(payload):
-            raise JpegError("truncated segment header")
-        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
-        if seglen < 2 or pos + 2 + seglen > len(payload):
-            raise JpegError(f"segment 0xFF{marker:02X} overruns payload")
-        body = payload[pos + 4 : pos + 2 + seglen]
+    pos = len(payload)
+    for marker, body, next_pos in iter_jpeg_segments(payload):
         if marker == 0xDB:  # DQT (possibly several tables per segment)
             i = 0
             while i < len(body):
@@ -377,6 +404,8 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
         elif marker == 0xC4:  # DHT (possibly several tables)
             i = 0
             while i < len(body):
+                if i + 17 > len(body):
+                    raise JpegError("DHT truncated")
                 tc, th = body[i] >> 4, body[i] & 0x0F
                 bits = list(body[i + 1 : i + 17])
                 n = sum(bits)
@@ -415,7 +444,7 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
             if len(body) < 2:
                 raise JpegError("DRI body truncated")
             (restart_interval,) = struct.unpack_from(">H", body, 0)
-        elif marker == 0xDA:  # SOS: entropy data follows
+        elif marker == 0xDA:  # SOS: entropy data follows at next_pos
             if len(body) < 1:
                 raise JpegError("SOS body truncated")
             ns = body[0]
@@ -425,9 +454,7 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
             for c in range(ns):
                 cs, tables = body[1 + 2 * c], body[2 + 2 * c]
                 scan_comps.append((cs, tables >> 4, tables & 0x0F))
-            pos = pos + 2 + seglen
-            break
-        pos += 2 + seglen
+            pos = next_pos
     if sof is None:
         raise JpegError("JPEG missing SOF frame header")
     if scan_comps is None:
@@ -437,6 +464,11 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
         raise JpegError("scan component count != frame component count")
     bh, bw_ = -(-h // 8), -(-w // 8)
     ncomp = len(comps)
+    if bh * 8 * bw_ * 8 * ncomp > MAX_DECODE_PIXELS:
+        raise JpegError(
+            f"frame {w}x{h}x{ncomp} exceeds the decoder pixel cap "
+            f"({MAX_DECODE_PIXELS} component-pixels)"
+        )
     planes = np.empty((bh * 8, bw_ * 8, ncomp), dtype=np.float64)
     qs, dcs, acs = [], [], []
     for (cid, tq), (scs, td, ta) in zip(comps, scan_comps):
@@ -461,8 +493,13 @@ def decode_jpeg(payload: bytes) -> tuple[np.ndarray, dict]:
                     raise JpegError(f"expected restart marker before MCU {mcu}")
                 preds = [0] * ncomp
             for c in range(ncomp):
-                zz = np.zeros(64, dtype=np.int32)
+                zz = np.zeros(64, dtype=np.int64)
                 s = _read_symbol(br, dcs[c])
+                if s > 15:
+                    # a corrupt DHT can map a code to an arbitrary
+                    # symbol; an unchecked size would read a huge bit
+                    # field and overflow downstream arithmetic
+                    raise JpegError(f"DC size category {s} out of range")
                 diff = _extend(br.read_bits(s), s) if s else 0
                 preds[c] += diff
                 zz[0] = preds[c]

@@ -148,14 +148,6 @@ def _paeth_vec(a: "np.ndarray", b: "np.ndarray", c: "np.ndarray") -> "np.ndarray
     return np.where((pa <= pb) & (pa <= pc), a, np.where(pb <= pc, b, c))
 
 
-def _shift_left(line: "np.ndarray", bpp: int) -> "np.ndarray":
-    """The 'pixel to the left' array: line shifted right by one pixel,
-    zero-filled — x[i-bpp] with the spec's out-of-range-is-zero rule."""
-    out = np.zeros_like(line)
-    out[bpp:] = line[:-bpp]
-    return out
-
-
 def decode_png(payload: bytes) -> tuple[bytes, dict]:
     """Parse an 8-bit non-interlaced PNG (public format: RFC 2083):
     returns (unfiltered pixel bytes top-down, {width, height,
@@ -365,55 +357,42 @@ _JPEG_SOF_OTHER = frozenset(
 def decode_jpeg_meta(payload: bytes) -> dict:
     """Parse the JPEG marker stream (public ITU-T T.81 / JFIF framing)
     up to SOS and return the SOF frame geometry: {width, height,
-    components, precision, mode}. Validates SOI, per-segment length
-    fields, and the SOF payload size. Entropy-coded data is NOT
-    decoded (the container says what the image is; decoding what it
-    contains needs the stubbed huffman/IDCT tier)."""
-    if len(payload) < 4 or payload[:2] != b"\xff\xd8":
-        raise MediaDecodeError("not a JPEG: missing SOI marker")
-    pos = 2
-    while pos + 2 <= len(payload):
-        if payload[pos] != 0xFF:
-            raise MediaDecodeError(f"expected marker at offset {pos}")
-        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
-            pos += 1  # fill bytes before a marker are legal
-        marker = payload[pos + 1]
-        if marker in (0xD9, 0xDA):  # EOI / start-of-scan: no SOF seen
-            break
-        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
-            pos += 2  # TEM / RSTn: standalone, no length field
-            continue
-        if pos + 4 > len(payload):
-            raise MediaDecodeError("truncated JPEG segment header")
-        (seglen,) = struct.unpack_from(">H", payload, pos + 2)
-        if seglen < 2 or pos + 2 + seglen > len(payload):
-            raise MediaDecodeError(
-                f"segment 0xFF{marker:02X} length {seglen} overruns payload"
-            )
-        if marker in _JPEG_SOF:
-            precision, height, width, ncomp = struct.unpack_from(
-                ">BHHB", payload, pos + 4
-            )
-            if seglen != 8 + 3 * ncomp:
-                raise MediaDecodeError(
-                    f"SOF length {seglen} != {8 + 3 * ncomp} for {ncomp} components"
+    components, precision, mode}. The hardened marker walk is SHARED
+    with the full decoder (jpeg_codec.iter_jpeg_segments — one place
+    to fix bounds bugs, per the round-5 review); entropy-coded data is
+    never touched here."""
+    from .jpeg_codec import JpegError, iter_jpeg_segments
+
+    try:
+        for marker, body, _ in iter_jpeg_segments(payload):
+            if marker in _JPEG_SOF:
+                if len(body) < 6:
+                    raise MediaDecodeError("SOF body truncated")
+                precision, height, width, ncomp = struct.unpack_from(
+                    ">BHHB", body, 0
                 )
-            if width <= 0 or height <= 0 or ncomp not in (1, 3, 4):
+                if len(body) != 6 + 3 * ncomp:
+                    raise MediaDecodeError(
+                        f"SOF length {2 + len(body)} != {8 + 3 * ncomp} "
+                        f"for {ncomp} components"
+                    )
+                if width <= 0 or height <= 0 or ncomp not in (1, 3, 4):
+                    raise MediaDecodeError(
+                        f"invalid SOF geometry {width}x{height}x{ncomp}"
+                    )
+                return {
+                    "width": width,
+                    "height": height,
+                    "components": ncomp,
+                    "precision": precision,
+                    "mode": _JPEG_SOF[marker],
+                }
+            if marker in _JPEG_SOF_OTHER:
                 raise MediaDecodeError(
-                    f"invalid SOF geometry {width}x{height}x{ncomp}"
+                    f"unsupported JPEG coding process (SOF marker 0xFF{marker:02X})"
                 )
-            return {
-                "width": width,
-                "height": height,
-                "components": ncomp,
-                "precision": precision,
-                "mode": _JPEG_SOF[marker],
-            }
-        if marker in _JPEG_SOF_OTHER:
-            raise MediaDecodeError(
-                f"unsupported JPEG coding process (SOF marker 0xFF{marker:02X})"
-            )
-        pos += 2 + seglen
+    except JpegError as e:
+        raise MediaDecodeError(str(e)) from e
     raise MediaDecodeError("JPEG missing SOF frame header")
 
 

@@ -15,10 +15,11 @@ and a gate run never silently rewrites history).
 
 Breach confirmation (round 5): this box sees transient CPU-steal
 windows that made plan-identical queries read +34..45% in round 4.
-Before failing, the gate re-executes each breaching query once (min of
-2 fresh samples in a new session); a re-run back inside the threshold
-is recorded as noise — reported, not failed — so rounds don't chase
-ghosts. --no-confirm restores the raw single-sample behavior.
+Before failing, the gate re-executes each breaching query (min of 3
+fresh samples in a new session; min of 2 for the chained-dedup pair);
+a re-run back inside the threshold is recorded as noise — reported,
+not failed — so rounds don't chase ghosts. --no-confirm restores the
+raw single-sample behavior.
 """
 
 from __future__ import annotations
@@ -40,11 +41,12 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def _confirm_rerun(names: list[str], sf: str) -> dict[str, float]:
-    """Fresh min-of-2 samples for the breaching queries only.
+    """Fresh samples for the breaching queries only.
 
-    Uses the same noop-sink execution as bench.py; the chained-dedup
-    pair re-runs through bench._chained_dedup so its timing base matches
-    how its stored best was measured (shared pairs/components stage)."""
+    Min-of-3 noop-sink samples per query (min-of-2 for the chained-
+    dedup pair, which re-runs through bench._chained_dedup so its
+    timing base matches how its stored best was measured — the shared
+    pairs/components stage)."""
     sys.path.insert(0, REPO)
     import bench as benchmod
     from c99_vectordb_spark import queries_registry as QR
