@@ -48,6 +48,21 @@ def string_hash(c: Column) -> Column:
     return token_hash(c)
 
 
+def string_hash_wide(c: Column) -> Column:
+    """~60-bit wide fingerprint fold (hashing.fingerprint_wide spec):
+    fp1 * HASH_MOD2 + fp2 with two independent polynomial folds —
+    collision-safe dedup keys at corpus scale."""
+    from ..model import HASH_BASE2, HASH_MOD2
+
+    chars = F.filter(F.split(c, ""), lambda ch: ch != F.lit(""))
+    h2 = F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda h, ch: (h * F.lit(HASH_BASE2) + F.ascii(ch)) % F.lit(HASH_MOD2),
+    )
+    return token_hash(c) * F.lit(HASH_MOD2) + h2
+
+
 def normalize_event_time(df: "DataFrame") -> "DataFrame":
     """Normalize the events table's ``ts`` column across driver testdata
     vintages to two canonical columns every downstream consumer uses:

@@ -36,9 +36,23 @@ TOKEN_RE = re.compile(r"[a-z0-9_]+")
 def normalize_ws(text: str) -> str:
     """Collapse all whitespace runs to single spaces and strip.
 
-    Mirrors the reference's normalize_text (memo_cli.py:138-139).
+    Mirrors the reference's normalize_text (memo_cli.py:138-139) —
+    Python's UNICODE \\s, like the reference. For parity with the
+    Spark-expression / DuckDB-SQL normalizers (Java regex / RE2, whose
+    \\s is ASCII-only) use :func:`normalize_ws_ascii` instead.
     """
     return re.sub(r"\s+", " ", text).strip()
+
+
+def normalize_ws_ascii(text: str) -> str:
+    """ASCII-\\s whitespace collapse + space-strip — byte-exact twin of
+    the Spark expression ``trim(regexp_replace(c, '\\s+', ' '))`` (Java
+    regex) and the DuckDB ``trim(regexp_replace(.., '\\s+', ' ', 'g'))``
+    (RE2): both treat \\s as [ \\t\\n\\x0B\\f\\r] and trim the space
+    character only. Python's Unicode \\s additionally collapses NBSP
+    etc., which would silently diverge the UDF fingerprint path from
+    the expression/oracle path (round-5 review finding)."""
+    return re.sub(r"\s+", " ", text, flags=re.ASCII).strip(" ")
 
 
 def tokenize(text: str) -> list[str]:
@@ -161,6 +175,39 @@ def duckdb_token_hash_sql(tok_expr: str) -> str:
         f"list_reduce([0::BIGINT] || list_transform(range(1, len({tok_expr})+1), "
         f"i -> ascii({tok_expr}[i])::BIGINT), (h,c) -> (h*{HASH_BASE}+c) % {HASH_MOD})"
     )
+
+
+def token_hash2(token: str) -> int:
+    """The second independent fold (HASH_BASE2/HASH_MOD2) for the wide
+    fingerprint."""
+    from .model import HASH_BASE2, HASH_MOD2
+
+    h = 0
+    for ch in token:
+        h = (h * HASH_BASE2 + ord(ch)) % HASH_MOD2
+    return h
+
+
+def fingerprint_wide(normalized: str) -> int:
+    """~60-bit content fingerprint of an ALREADY-normalized string:
+    fp1 * HASH_MOD2 + fp2 with two independent polynomial folds. The
+    single fold's ~2^30 space mass-collides at corpus scale (birthday
+    bound ~37k docs for 50%); the pair is collision-safe to ~2^30
+    documents. SQL twin: :func:`duckdb_fingerprint_wide_sql`."""
+    from .model import HASH_MOD2
+
+    return token_hash(normalized) * HASH_MOD2 + token_hash2(normalized)
+
+
+def duckdb_fingerprint_wide_sql(norm_expr: str) -> str:
+    """DuckDB SQL computing fingerprint_wide(norm_expr) exactly."""
+    from .model import HASH_BASE2, HASH_MOD2
+
+    fold2 = (
+        f"list_reduce([0::BIGINT] || list_transform(range(1, len({norm_expr})+1), "
+        f"i -> ascii({norm_expr}[i])::BIGINT), (h,c) -> (h*{HASH_BASE2}+c) % {HASH_MOD2})"
+    )
+    return f"(({duckdb_token_hash_sql(norm_expr)}) * {HASH_MOD2} + ({fold2}))"
 
 
 def duckdb_tokens_sql(text_expr: str) -> str:

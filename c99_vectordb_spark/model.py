@@ -45,6 +45,12 @@ STATS_TOP_N = 4
 #: fold is expressible in both Spark SQL and DuckDB SQL.
 HASH_MOD = 1_000_000_007
 HASH_BASE = 31
+#: second independent fold for the WIDE fingerprint (dedup keys): the
+#: single ~2^30 hash space mass-collides at corpus scale (birthday at
+#: ~37k docs); pairing two independent folds gives ~2^60 —
+#: fp_wide = fp1 * HASH_MOD2 + fp2, still < 2^63
+HASH_MOD2 = 998_244_353
+HASH_BASE2 = 137
 
 METADATA_TYPE = T.MapType(T.StringType(), T.StringType())
 METADATA_LISTS_TYPE = T.MapType(T.StringType(), T.ArrayType(T.StringType()))

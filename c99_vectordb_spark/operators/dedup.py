@@ -30,7 +30,7 @@ from __future__ import annotations
 # resolves against this module's globals, not the factory's locals —
 # a factory-local import makes every UDF in this file fail to compile.
 import pandas as pd  # noqa: F401
-from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, functions as F
 
 from ..functions import text as Ft
 from ..model import HASH_MOD
@@ -50,27 +50,63 @@ SIMHASH_BITS = 60
 
 
 def normalized_body(c: Column) -> Column:
-    """lower + whitespace-collapse canonical form for dedup keys."""
-    return F.lower(Ft.normalize_ws(c))
+    """lower + whitespace-collapse canonical form for dedup keys.
+    NULL coalesces to '' so every engine path (expr, Arrow UDF, DuckDB
+    list_reduce — whose fold yields 0 for empty) agrees: NULL body ->
+    fp 0, one consistent spec."""
+    return F.lower(Ft.normalize_ws(F.coalesce(c, F.lit(""))))
 
 
 def fingerprint(c: Column) -> Column:
-    """Stable content fingerprint: polynomial hash of the normalized
-    text (exact-dedup key; also textstats.py document fingerprint).
+    """Stable content fingerprint: single polynomial fold of the
+    normalized text (~2^30 space — fine as a VALUE, e.g. the KMV
+    distinct-count domain, but NOT as a dedup key at corpus scale;
+    use :func:`fingerprint_wide` for keys).
     Pure-expression form — fine for predicates/short strings."""
     return Ft.string_hash(normalized_body(c))
+
+
+def fingerprint_wide(c: Column) -> Column:
+    """~60-bit content fingerprint (two independent folds packed into
+    one BIGINT) — the exact-dedup / streaming-dedup KEY spec
+    (hashing.fingerprint_wide). Pure-expression form; the Arrow twin
+    is :func:`fingerprint_wide_udf`."""
+    return Ft.string_hash_wide(normalized_body(c))
 
 
 def fingerprint_udf():
     """Arrow-batched fingerprint of the normalized text — identical
     integers to :func:`fingerprint`, ~30x faster on long documents
-    (the expression form folds char-by-char through Catalyst)."""
-    from ..hashing import normalize_ws, token_hash
+    (the expression form folds char-by-char through Catalyst).
+
+    Round-5 parity fix: the normalization is ASCII-\\s
+    (normalize_ws_ascii) because the expression/oracle twins use Java
+    regex / RE2 whose \\s never matches NBSP etc.; NULL ≡ '' -> fp 0
+    on every path (the DuckDB fold naturally yields 0)."""
+    from ..hashing import normalize_ws_ascii, token_hash
 
     @F.pandas_udf("long")
     def _fp(bodies: pd.Series) -> pd.Series:
         return bodies.map(
-            lambda b: token_hash(normalize_ws(b or "").lower())
+            lambda b: token_hash(normalize_ws_ascii(b or "").lower())
+        )
+
+    return _fp
+
+
+def fingerprint_wide_udf():
+    """Arrow-batched ~60-bit fingerprint (hashing.fingerprint_wide):
+    two independent folds packed into one BIGINT. This is the DEDUP
+    key — the single ~2^30 fold mass-collides at corpus scale
+    (round-5 review; birthday bound ~37k docs), which would silently
+    merge unrelated documents. SQL twin:
+    hashing.duckdb_fingerprint_wide_sql."""
+    from ..hashing import fingerprint_wide, normalize_ws_ascii
+
+    @F.pandas_udf("long")
+    def _fp(bodies: pd.Series) -> pd.Series:
+        return bodies.map(
+            lambda b: fingerprint_wide(normalize_ws_ascii(b or "").lower())
         )
 
     return _fp
@@ -83,10 +119,15 @@ def exact_dedup(
 
     Returns (id, fp, dup_cnt) for surviving records. One hash-partition
     shuffle of (fp, id); map-side combine reduces it to one row per
-    distinct fp per partition.
+    distinct fp per partition. The key is the WIDE (~60-bit)
+    fingerprint — collision-safe to ~2^30 documents, unlike the single
+    ~2^30 fold (round-5 review finding).
     """
     return (
-        df.select(F.col(id_col).alias("id"), fingerprint_udf()(F.col(body_col)).alias("fp"))
+        df.select(
+            F.col(id_col).alias("id"),
+            fingerprint_wide_udf()(F.col(body_col)).alias("fp"),
+        )
         .groupBy("fp")
         .agg(F.min("id").alias("id"), F.count(F.lit(1)).alias("dup_cnt"))
         .select("id", "fp", "dup_cnt")
@@ -158,8 +199,16 @@ def ngram_jaccard_pairs(
     guard (measurement baseline only — unbounded join fan-out).
     Output (id_a, id_b, jaccard) with id_a < id_b.
     """
+    # cache: sh feeds the freq filter, the size aggregate, and both
+    # sides of the self-join. DataFrame cache() is MEMORY_AND_DISK with
+    # LRU eviction, so repeated calls degrade gracefully rather than
+    # leak unboundedly; an explicit unpersist would have to outlive the
+    # returned (lazy) plan, which the operator cannot see.
     sh = shingles(df, id_col, body_col, n).cache()
     if max_shingle_freq == "auto":
+        # df.count() (not sh-derived): the cap spec counts ALL documents
+        # incl. shingle-less ones, exactly like the oracle's COUNT(*);
+        # over parquet this is a column-pruned row-group-count scan.
         max_shingle_freq = auto_shingle_cap(df.count())
     if max_shingle_freq is not None:
         rare = sh.groupBy("sh").count().filter(F.col("count") <= max_shingle_freq)
@@ -172,18 +221,20 @@ def ngram_jaccard_pairs(
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count(F.lit(1)).alias("inter"))
     )
+    # threshold compare is integer cross-multiplied (inter * 1e6 >=
+    # ppm * union) so the boundary is EXACT and engine-identical — a
+    # filter on the rounded float diverged from the oracle's raw-ratio
+    # filter for near-boundary pairs (round-5 review finding)
+    thresh_ppm = round(threshold * 1_000_000)
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
     return (
         shared.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
         .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .filter(F.col("inter") * 1_000_000 >= F.lit(thresh_ppm) * union)
         .withColumn(
             "jaccard",
-            F.round(
-                F.col("inter")
-                / (F.col("sz_a") + F.col("sz_b") - F.col("inter")).cast("double"),
-                6,
-            ),
+            F.round(F.col("inter") / union.cast("double"), 6),
         )
-        .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
 
@@ -491,6 +542,11 @@ def resolve_duplicates(
                     F.col("old_label"), F.coalesce("nbr_min", F.col("old_label"))
                 ).alias("label"),
             )
+            # checkpoint BEFORE deriving ptr: the jump join consumes
+            # stepped on both sides, and without materialization the
+            # round's expensive edge-join + min-aggregate subtree would
+            # execute twice per round (round-5 review finding)
+            .localCheckpoint(eager=True)
         )
         # pointer jumping: label <- label(label); the old label rides
         # along so the convergence probe below is a scan of the

@@ -22,7 +22,6 @@ exactness property.
 
 from __future__ import annotations
 
-import math
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -131,8 +130,12 @@ def ivf_search_batch(
         .select("qid", "qvec", "cluster")
     )
     w_topk = Window.partitionBy("qid").orderBy(F.asc("score"), F.asc("id"))
+    # broadcast the tiny probe table: a plain equi-join would shuffle
+    # the WHOLE index onto <= n_centroids hash keys (extreme skew) and
+    # could never partition-prune; the broadcast join streams only the
+    # probed posting lists (round-5 review finding)
     return (
-        index.assigned.join(probes, "cluster")
+        index.assigned.join(F.broadcast(probes), "cluster")
         .withColumn("score", F.round(_sq_l2_cols(F.col("vec"), F.col("qvec")), 4))
         .filter(F.col("id") != F.col("qid"))
         .withColumn("_rk", F.row_number().over(w_topk))

@@ -94,16 +94,34 @@ def pq_encode(
     cb = [np.asarray(b, dtype=np.float64) for b in model.codebooks]
     dsub, mm = model.dsub, model.m
 
+    dim = dsub * mm
+
     @F.pandas_udf("array<int>")
     def _enc(vecs: pd.Series) -> pd.Series:
-        X = np.stack([np.asarray(v, dtype=np.float64) for v in vecs])
-        codes = np.empty((X.shape[0], mm), dtype=np.int32)
-        for j in range(mm):
-            S = X[:, j * dsub : (j + 1) * dsub]
-            C = cb[j]
-            d = (S * S).sum(1)[:, None] - 2.0 * S @ C.T + (C * C).sum(1)[None, :]
-            codes[:, j] = d.argmin(1)
-        return pd.Series([list(map(int, row)) for row in codes])
+        # NULL / wrong-length vectors encode to NULL instead of letting
+        # np.stack raise on a ragged batch and abort the whole job
+        # (round-5 review finding)
+        vals = [
+            None
+            if v is None or len(v) != dim
+            else np.asarray(v, dtype=np.float64)
+            for v in vecs
+        ]
+        good = [v for v in vals if v is not None]
+        out: list[list[int] | None] = [None] * len(vals)
+        if good:
+            X = np.stack(good)
+            codes = np.empty((X.shape[0], mm), dtype=np.int32)
+            for j in range(mm):
+                S = X[:, j * dsub : (j + 1) * dsub]
+                C = cb[j]
+                d = (S * S).sum(1)[:, None] - 2.0 * S @ C.T + (C * C).sum(1)[None, :]
+                codes[:, j] = d.argmin(1)
+            it = iter(codes)
+            for i, v in enumerate(vals):
+                if v is not None:
+                    out[i] = list(map(int, next(it)))
+        return pd.Series(out)
 
     return emb.select(F.col(id_col).alias("id"), _enc(F.col(vec_col)).alias("codes"))
 

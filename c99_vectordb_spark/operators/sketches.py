@@ -26,7 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from ..hashing import HASH_MOD, duckdb_token_hash_sql, duckdb_tokens_sql
+from ..hashing import HASH_MOD
 from ..functions.text import token_hash, tokens
 
 CMS_DEPTH = 4
@@ -53,15 +53,34 @@ def cms_build(
     Explode tokens, hash once, derive the d row columns, aggregate —
     the shuffle key domain is d*width cells. Two sketches over
     different corpus shards merge by adding cells."""
+    # ONE corpus scan: hash each token once, explode its d (j, col)
+    # cells MAP-SIDE, aggregate once. The earlier unionByName-of-d-
+    # branches re-executed the scan + tokenize + char-fold hash d times
+    # (round-5 review finding). A single aggregation (not a pre-
+    # aggregate on h) keeps the operator a valid STREAMING aggregate —
+    # chained groupBys are unsupported under readStream; partial
+    # aggregation still collapses the shuffle to d*width cells per
+    # partition.
     tok = df.select(F.explode(tokens(F.col(body_col))).alias("tok"))
     th = tok.select(token_hash(F.col("tok")).alias("h"))
-    rows = None
-    for j in range(depth):
-        part = th.select(
-            F.lit(j).alias("j"), _cms_col(F.col("h"), j, width).alias("col")
-        )
-        rows = part if rows is None else rows.unionByName(part)
-    return rows.groupBy("j", "col").agg(F.count(F.lit(1)).alias("n"))
+    cells = th.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"),
+                        _cms_col(F.col("h"), j, width).alias("col"),
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("s")
+    )
+    return (
+        cells.select("s.j", "s.col")
+        .groupBy("j", "col")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
 
 
 def cms_estimate(
@@ -76,14 +95,19 @@ def cms_estimate(
     The probe side derives its d (j, col) keys and equi-joins the
     sketch — sketch cells broadcast (d*width rows)."""
     h = token_hash(F.col(probe_col))
-    keyed = None
-    for j in range(depth):
-        part = probes.select(
-            F.col(probe_col),
-            F.lit(j).alias("j"),
-            _cms_col(h, j, width).alias("col"),
-        )
-        keyed = part if keyed is None else keyed.unionByName(part)
+    keyed = probes.select(
+        F.col(probe_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("j"), _cms_col(h, j, width).alias("col")
+                    )
+                    for j in range(depth)
+                ]
+            )
+        ).alias("s"),
+    ).select(probe_col, "s.j", "s.col")
     return (
         keyed.join(F.broadcast(sketch), ["j", "col"], "left")
         .groupBy(probe_col)

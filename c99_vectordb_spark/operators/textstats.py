@@ -161,10 +161,13 @@ def lang_id(df: DataFrame, id_col: str, body_col: str) -> DataFrame:
 
 
 def fingerprints(df: DataFrame, id_col: str, body_col: str) -> DataFrame:
-    """Document fingerprint: polynomial rolling hash of the normalized
-    text (id, fp). Same spec as exact-dedup keys (Arrow UDF path)."""
+    """Document fingerprint: the WIDE (~60-bit, two independent folds)
+    content hash of the normalized text (id, fp). Same spec as the
+    exact-dedup key (Arrow UDF path; hashing.fingerprint_wide) — the
+    single ~2^30 fold mass-collides at corpus scale."""
     return df.select(
-        F.col(id_col).alias("id"), D.fingerprint_udf()(F.col(body_col)).alias("fp")
+        F.col(id_col).alias("id"),
+        D.fingerprint_wide_udf()(F.col(body_col)).alias("fp"),
     )
 
 

@@ -55,7 +55,7 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_DEDUP_EXACT = f"""
 WITH fp AS (
-  SELECT doc_id, {hashing.duckdb_token_hash_sql(_NORM_TEXT)} AS fp
+  SELECT doc_id, {hashing.duckdb_fingerprint_wide_sql(_NORM_TEXT)} AS fp
   FROM documents
 )
 SELECT MIN(doc_id) AS id, fp, COUNT(*)::BIGINT AS dup_cnt
@@ -103,7 +103,7 @@ SELECT ia AS id_a, ib AS id_b,
 FROM shared
 JOIN sizes sa ON ia = sa.doc_id
 JOIN sizes sb ON ib = sb.doc_id
-WHERE CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter) >= {JACCARD_THRESHOLD}
+WHERE inter * 1000000 >= {round(JACCARD_THRESHOLD * 1_000_000)} * (sa.sz + sb.sz - inter)
 """
 
 
@@ -705,7 +705,7 @@ def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_TEXT_FINGERPRINT = f"""
-SELECT doc_id AS id, {hashing.duckdb_token_hash_sql(_NORM_TEXT)} AS fp
+SELECT doc_id AS id, {hashing.duckdb_fingerprint_wide_sql(_NORM_TEXT)} AS fp
 FROM documents
 """
 

@@ -262,14 +262,19 @@ def q_approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_approx_distinct_kmv() -> str:
-    from .hashing import HASH_MOD, duckdb_token_hash_sql
+    from .hashing import (
+        HASH_MOD,
+        duckdb_fingerprint_wide_sql,
+        duckdb_token_hash_sql,
+    )
     from .operators.sketches import KMV_K, KMV_MIX_A
     from .queries_ext import _NORM_TEXT
 
     k = KMV_K
+    # fpv mirrors textstats.fingerprints — the WIDE fingerprint (r5)
     return f"""
 WITH fp AS (
-  SELECT lang AS grp, {duckdb_token_hash_sql(_NORM_TEXT)} AS fpv FROM documents
+  SELECT lang AS grp, {duckdb_fingerprint_wide_sql(_NORM_TEXT)} AS fpv FROM documents
 ),
 hashed AS (
   SELECT DISTINCT grp,

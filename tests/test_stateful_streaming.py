@@ -9,7 +9,7 @@ from pyspark.sql import functions as F
 
 
 def test_streaming_dedup_across_batches(spark):
-    from c99_vectordb_spark.operators.dedup import fingerprint
+    from c99_vectordb_spark.operators.dedup import fingerprint_wide
     from c99_vectordb_spark.streaming.stateful import streaming_exact_dedup
 
     with tempfile.TemporaryDirectory() as tmp:
@@ -45,7 +45,7 @@ def test_streaming_dedup_across_batches(spark):
             .option("recursiveFileLookup", "true")
             .option("maxFilesPerTrigger", "1")
             .parquet(src)
-            .select(fingerprint(F.col("body")).alias("fp"), "id", "body")
+            .select(fingerprint_wide(F.col("body")).alias("fp"), "id", "body")
         )
         out = streaming_exact_dedup(stream)
         q = (
