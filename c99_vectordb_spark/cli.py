@@ -62,7 +62,28 @@ def _hint_native_migration(verbose: bool, yaml_path: str) -> None:
 
 
 def _db_paths(base: str) -> tuple[str, str]:
-    return f"{base}.yaml", f"{base}.emb"
+    """Path derivation parity (memo_cli.py:47-58 build_db_paths): the
+    reference REPLACES the base's last suffix via Path.with_suffix, so
+    ``-f data.v1`` addresses data.yaml — appending would silently point
+    a dotted base at a different database."""
+    from pathlib import Path
+
+    p = Path(base)
+    return str(p.with_suffix(".yaml")), str(p.with_suffix(".emb"))
+
+
+def _load_records_or_error(spark, yaml_path: str):
+    """Load the database YAML with the reference's error contract
+    (memo_cli.py:338-341 etc): any load failure prints one line to
+    stderr and the verb returns 1 — never a traceback."""
+    try:
+        return yaml_io.load_records_yaml(spark, yaml_path), 0
+    except Exception as e:  # noqa: BLE001 — the reference catches Exception
+        print(
+            f"Error: failed to load database YAML '{yaml_path}': {e}",
+            file=sys.stderr,
+        )
+        return None, 1
 
 
 def _yaml_sha256(yaml_path: str) -> str | None:
@@ -83,9 +104,16 @@ def _get_spark() -> SparkSession:
     return get_spark("memo-spark-cli")
 
 
-def _display_cell(scalar, tag, list_val):
-    """format_cell parity (memo_cli.py:552-557): lists/maps render as
-    YAML flow; scalars via the stored str()."""
+def _display_cell(scalar, tag, list_val, yrepr=None):
+    """format_cell parity (memo_cli.py:552-557) on the ORIGINAL value.
+
+    With the adapter's metadata_yaml column the original object comes
+    back exactly (safe_load of the canonical per-key dump), so
+    format_cell renders byte-identically to the reference — including
+    int list elements ([1, 2], not ['1', '2']) and strings needing
+    YAML quotes. The stringly fallback covers rows without the column."""
+    if yrepr is not None:
+        return fmt.format_cell(_yaml.safe_load(yrepr))
     if list_val is not None:
         return fmt.format_cell(list(list_val))
     if scalar is None:
@@ -101,7 +129,9 @@ def _display_cell(scalar, tag, list_val):
 def cmd_recall(spark, base, query, k, filter_expr, as_yaml, verbose) -> int:
     yaml_path, emb_path = _db_paths(base)
     k = R.clamp_k(k)
-    records = yaml_io.load_records_yaml(spark, yaml_path)
+    records, rc = _load_records_or_error(spark, yaml_path)
+    if rc:
+        return rc
     # Use the prebuilt index when present AND still derived from this
     # exact YAML (fingerprint check) — the reference's recall reads its
     # .memo index rather than re-embedding the corpus per query
@@ -129,7 +159,10 @@ def cmd_recall(spark, base, query, k, filter_expr, as_yaml, verbose) -> int:
     if not as_yaml:
         print(fmt.recall_header(k))
     fcol = None
-    if filter_expr:
+    # `is not None`, not truthiness: --filter "" parses to the EMPTY
+    # map, which still applies the nonempty-metadata gate
+    # (memo_cli.py:483-506) — a falsy check would skip filtering
+    if filter_expr is not None:
         try:
             fcol = Flt.compile_filter(
                 filter_expr,
@@ -164,7 +197,9 @@ def cmd_analyze(spark, base, filter_expr, fields, stats_key, limit, offset) -> i
     if offset < 0:
         print("Error: --offset must be >= 0", file=sys.stderr)
         return 1
-    records = yaml_io.load_records_yaml(spark, yaml_path)
+    records, rc = _load_records_or_error(spark, yaml_path)
+    if rc:
+        return rc
     try:
         fcol = Flt.compile_filter(
             filter_expr, Flt.map_resolver(), nonempty=Flt.records_nonempty_metadata()
@@ -180,7 +215,11 @@ def cmd_analyze(spark, base, filter_expr, fields, stats_key, limit, offset) -> i
     # default projection: id + first 3 sorted metadata keys
     # (memo_cli.py:560-565)
     selected = fields if fields else ["id", *A.default_fields(matches)]
-    extra = ["metadata_keys"] if "metadata_keys" in matches.columns else []
+    extra = [
+        c
+        for c in ("metadata_yaml", "metadata_keys")
+        if c in matches.columns
+    ]
     page = (
         matches.orderBy("id")
         .offset(offset)
@@ -199,11 +238,16 @@ def cmd_analyze(spark, base, filter_expr, fields, stats_key, limit, offset) -> i
                 row.append(fmt.format_cell(yaml_io.revive_metadata(r)))
                 continue
             key = field[len("metadata.") :] if field.startswith("metadata.") else field
+            try:
+                yrepr = (r.metadata_yaml or {}).get(key)
+            except AttributeError:
+                yrepr = None
             row.append(
                 _display_cell(
                     (r.metadata or {}).get(key),
                     (r.metadata_types or {}).get(key),
                     (r.metadata_lists or {}).get(key),
+                    yrepr,
                 )
             )
         rows.append(row)
@@ -214,27 +258,67 @@ def cmd_analyze(spark, base, filter_expr, fields, stats_key, limit, offset) -> i
     return 0
 
 
+def _print_stats_metadata(matches, key: str) -> int:
+    """--stats metadata special case (memo_cli.py:543-547 resolve +
+    581-597): each matched record contributes its WHOLE metadata dict,
+    counted by format_cell rendering. Driver-side over the collected
+    matches — the reference is driver-side too, and the YAML adapter is
+    human-scale by contract. Dicts are never numeric or date-like
+    (float(str(dict)) and parse_iso both fail), so no range prints."""
+    from collections import Counter
+
+    extras = [
+        c
+        for c in ("metadata_yaml", "metadata_keys")
+        if c in matches.columns
+    ]
+    rows = (
+        matches.orderBy("id")
+        .select("id", "metadata", "metadata_types", "metadata_lists", *extras)
+        .collect()
+    )
+    counter: Counter = Counter(
+        fmt.format_cell(yaml_io.revive_metadata(r)) for r in rows
+    )
+    top = counter.most_common(STATS_TOP_N)
+    other = None
+    if len(counter) > STATS_TOP_N:
+        residual = sum(counter.values()) - sum(c for _, c in top)
+        other = (len(counter) - STATS_TOP_N, residual)
+    print(fmt.stats_block(key, len(counter), top, other, None, None))
+    return 0
+
+
 def _print_stats(matches, key: str) -> int:
     """Stats block (memo_cli.py:581-633). Top-4 tie-break: the
     reference's Counter insertion order equals first-occurrence order
     of an id-ascending scan, so (count desc, min(id) asc) reproduces
     it exactly AND is deterministic distributed."""
+    if key == "metadata":
+        return _print_stats_metadata(matches, key)
     k = key[len("metadata.") :] if key.startswith("metadata.") else key
     if key == "id":
         value = F.col("id").cast("string")
         numeric_src = F.col("id").cast("double")
         tag = F.lit("int")
     else:
-        # list values stringify YAML-flow-style for counting parity
-        # with format_cell (memo_cli.py:552-557): "[a, b]" — checked
-        # BEFORE the scalars map, which holds the python repr for
-        # compare_values parity
+        tag = F.coalesce(F.col("metadata_types").getItem(k), F.lit("str"))
+        # list/map values count by their format_cell rendering
+        # (memo_cli.py:588): the canonical flow dump in metadata_yaml
+        # IS that rendering (quoted elements included); the legacy
+        # join/repr forms are the fallback for rows without the column
         lv = F.col("metadata_lists").getItem(k)
-        value = F.when(
+        legacy = F.when(
             lv.isNotNull(),
             F.concat(F.lit("["), F.array_join(lv, ", "), F.lit("]")),
         ).otherwise(F.col("metadata").getItem(k))
-        tag = F.coalesce(F.col("metadata_types").getItem(k), F.lit("str"))
+        if "metadata_yaml" in matches.columns:
+            value = F.when(
+                tag.isin("list", "map"),
+                F.coalesce(F.col("metadata_yaml").getItem(k), legacy),
+            ).otherwise(F.col("metadata").getItem(k))
+        else:
+            value = legacy
         # reference numeric path: isinstance(v,(int,float)) OR float(str(v));
         # booleans are ints in python -> True=1.0 (memo_cli.py:601-604)
         numeric_src = F.when(tag == "bool", (F.col("metadata").getItem(k) == "True").cast("double")).otherwise(
@@ -288,24 +372,27 @@ def cmd_save(spark, base, save_path, verbose) -> int:
         print(f"Error: {e}", file=sys.stderr)
         return 1
     batch = spark.createDataFrame(rows, yaml_io.YAML_BATCH_SCHEMA)
-    records = yaml_io.load_records_yaml(spark, yaml_path)
-    bad = M.validate_overwrites(records, batch)
-    if bad:
-        print(f"Error: override id {bad[0]} does not exist", file=sys.stderr)
-        return 1
+    records, rc = _load_records_or_error(spark, yaml_path)
+    if rc:
+        return rc
+    bad_ids = set(M.validate_overwrites(records, batch))
     max_id = records.agg(F.coalesce(F.max("id"), F.lit(-1))).collect()[0][0]
-    merged = M.upsert(records, batch)
-    _log(verbose, f"save: {len(rows)} entries applied onto max_id={max_id}")
-    # echo in apply order (memo_cli.py:420-440): overwrites keep their
-    # id; appends take dense ids after max in batch order (matching
-    # upsert's _seq-ordered assignment)
+    # echo in apply order (memo_cli.py:420-440): the reference prints a
+    # Memorized line per entry AS IT GOES and errors on the FIRST bad
+    # overwrite in batch order — earlier echoes already emitted, but
+    # nothing is written to disk (files are saved after the loop)
     next_id = max_id + 1
     for rid, body, *_ in rows:
         if rid is None:
             print(fmt.memorized(body, next_id))
             next_id += 1
+        elif rid in bad_ids:
+            print(f"Error: override id {rid} does not exist", file=sys.stderr)
+            return 1
         else:
             print(fmt.memorized(body, rid))
+    merged = M.upsert(records, batch)
+    _log(verbose, f"save: {len(rows)} entries applied onto max_id={max_id}")
     yaml_io.save_records_yaml(merged.orderBy("id"), yaml_path)
     _write_embeddings(merged, emb_path, yaml_path)
     return 0
@@ -331,7 +418,9 @@ def _write_embeddings(records, emb_path: str, yaml_path: str | None = None) -> N
 def cmd_reindex(spark, base, verbose) -> int:
     yaml_path, emb_path = _db_paths(base)
     _hint_native_migration(verbose, yaml_path)
-    records = yaml_io.load_records_yaml(spark, yaml_path)
+    records, rc = _load_records_or_error(spark, yaml_path)
+    if rc:
+        return rc
     n_before = records.count()
     compacted = M.compact(records).cache()
     n_after = compacted.count()

@@ -15,12 +15,33 @@ TOKEN_PATTERN = "[a-z0-9_]+"
 
 
 def normalize_ws(c: Column) -> Column:
-    """Collapse whitespace runs to single spaces, strip (memo_cli.py:138-139)."""
+    """Collapse whitespace runs to single spaces, strip.
+
+    Java \\s here is ASCII-only — this variant is the one DuckDB
+    oracles mirror (RE2 \\s is also ASCII), used by the hash/dedup and
+    token-count operators. The REFERENCE's Python \\s is Unicode; the
+    reference-parity surface uses :func:`normalize_ws_unicode`."""
     return F.trim(F.regexp_replace(c, r"\s+", " "))
 
 
+def normalize_ws_unicode(c: Column) -> Column:
+    """Whitespace collapse with UNICODE \\s ((?U) = Java
+    UNICODE_CHARACTER_CLASS) — matches the reference's Python re
+    semantics, where e.g. U+00A0 NBSP is whitespace
+    (memo_cli.py:138-139)."""
+    return F.trim(F.regexp_replace(c, r"(?U)\s+", " "))
+
+
 def is_blank(c: Column) -> Column:
-    """Whitespace-only / empty body test (memo_cli.py:142-143)."""
+    """Whitespace-only / empty body test (memo_cli.py:142-143) —
+    UNICODE whitespace, like the reference: a body of only NBSP is
+    blank (skipped from recall, dropped by compaction). Oracle-tied
+    operators that need the ASCII twin use :func:`is_blank_ascii`."""
+    return normalize_ws_unicode(F.coalesce(c, F.lit(""))) == F.lit("")
+
+
+def is_blank_ascii(c: Column) -> Column:
+    """ASCII-\\s blank test — byte-exact DuckDB-oracle twin."""
     return normalize_ws(F.coalesce(c, F.lit(""))) == F.lit("")
 
 

@@ -49,7 +49,11 @@ def _body_tombstone_udf():
                 return False
             try:
                 parsed = yaml.safe_load(b)
-            except yaml.YAMLError:
+            # Exception, not just YAMLError: PyYAML raises plain
+            # ValueError on e.g. out-of-range timestamps ("when:
+            # 2001-99-99"), and the reference treats ANY parse failure
+            # as not-deleted (memo_cli.py:150-155) instead of crashing
+            except Exception:  # noqa: BLE001
                 return False
             return isinstance(parsed, dict) and bool(parsed.get("deleted"))
 

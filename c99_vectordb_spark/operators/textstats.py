@@ -29,11 +29,12 @@ def token_counts(df: DataFrame, id_col: str, body_col: str) -> DataFrame:
     """Token counting two ways (whitespace split vs BPE-ish regex) plus
     char length: (id, n_chars, n_ws_tokens, n_re_tokens)."""
     body = F.col(body_col)
+    # ASCII \s on both count paths — the DuckDB oracle twin is RE2
     ws = F.split(Ft.normalize_ws(body), " ")
     return df.select(
         F.col(id_col).alias("id"),
         F.length(body).cast("long").alias("n_chars"),
-        F.when(Ft.is_blank(body), F.lit(0))
+        F.when(Ft.is_blank_ascii(body), F.lit(0))
         .otherwise(F.size(ws))
         .cast("long")
         .alias("n_ws_tokens"),

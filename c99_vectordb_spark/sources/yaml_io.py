@@ -41,8 +41,34 @@ from .convert import record_row, split_metadata
 #: save_yaml_tables with sort_keys=False). The adapter carries the
 #: original key order in an extra column.
 _KEYS_FIELD = T.StructField("metadata_keys", T.ArrayType(T.StringType()), True)
-YAML_RECORDS_SCHEMA = T.StructType([*RECORDS_SCHEMA.fields, _KEYS_FIELD])
-YAML_BATCH_SCHEMA = T.StructType([*SAVE_BATCH_SCHEMA.fields, _KEYS_FIELD])
+#: per-key canonical YAML of the ORIGINAL value (safe_dump flow style):
+#: the stringly triple cannot reproduce the reference's format_cell
+#: rendering or round-trip typed values (dates, nested maps, non-string
+#: list elements) through save — this column can do both, because
+#: yaml.safe_load(metadata_yaml[k]) == the original object (round-5
+#: review findings on display/save/stats parity).
+_YREPR_FIELD = T.StructField(
+    "metadata_yaml", T.MapType(T.StringType(), T.StringType()), True
+)
+YAML_RECORDS_SCHEMA = T.StructType(
+    [*RECORDS_SCHEMA.fields, _YREPR_FIELD, _KEYS_FIELD]
+)
+YAML_BATCH_SCHEMA = T.StructType(
+    [*SAVE_BATCH_SCHEMA.fields, _YREPR_FIELD, _KEYS_FIELD]
+)
+
+
+def _yaml_extras(metadata: dict | None) -> tuple[dict | None, list | None]:
+    """(metadata_yaml, metadata_keys) for one record's original dict."""
+    if not metadata:
+        return None, None
+    yrepr = {
+        str(k): yaml.safe_dump(
+            v, default_flow_style=True, sort_keys=False, allow_unicode=True
+        ).strip()
+        for k, v in metadata.items()
+    }
+    return yrepr, [str(k) for k in metadata.keys()]
 
 
 class YamlValidationError(ValueError):
@@ -84,8 +110,8 @@ def parse_records_yaml(text: str) -> list[tuple]:
     rows = []
     for i in range(n):  # densify: gaps become blank records
         body, metadata = by_id.get(i, ("", None))
-        keys = [str(k) for k in metadata.keys()] if metadata else None
-        rows.append((*record_row(i, body, metadata), keys))
+        yrepr, keys = _yaml_extras(metadata)
+        rows.append((*record_row(i, body, metadata), yrepr, keys))
     return rows
 
 
@@ -173,15 +199,19 @@ def _parse_records_distributed(spark: SparkSession, text: str) -> DataFrame:
                     if doc is None:
                         continue
                     rid, body, metadata = _validate_record_doc(doc)
-                    keys = (
-                        [str(k) for k in metadata.keys()] if metadata else None
-                    )
+                    yrepr, keys = _yaml_extras(metadata)
                     rows.append(
-                        (int(doc_idx), None, *record_row(rid, body, metadata), keys)
+                        (
+                            int(doc_idx),
+                            None,
+                            *record_row(rid, body, metadata),
+                            yrepr,
+                            keys,
+                        )
                     )
                 except (YamlValidationError, yaml.YAMLError) as e:
                     rows.append(
-                        (int(doc_idx), str(e), -1, None, None, None, None, None)
+                        (int(doc_idx), str(e), -1, None, None, None, None, None, None)
                     )
             yield pd.DataFrame(
                 rows,
@@ -259,10 +289,20 @@ def _revive(scalar: str | None, tag: str | None):
 
 def revive_metadata(r) -> dict[str, Any]:
     """Reconstruct the dynamic metadata dict of one collected row, in
-    original key order when ``metadata_keys`` is available."""
+    original key order when ``metadata_keys`` is available.
+
+    When the ``metadata_yaml`` column is present the ORIGINAL values
+    come back exactly (safe_load of the canonical per-key dump —
+    dates stay dates, nested maps stay maps, int list elements stay
+    ints); the stringly-triple fallback covers rows from the native
+    store, which does not carry the column."""
     scalars = r["metadata"] or {}
     tags = r["metadata_types"] or {}
     lists = r["metadata_lists"] or {}
+    try:
+        yrepr = r["metadata_yaml"] or {}
+    except (KeyError, ValueError):
+        yrepr = {}
     try:
         order = r["metadata_keys"]
     except (KeyError, ValueError):
@@ -271,7 +311,9 @@ def revive_metadata(r) -> dict[str, Any]:
         order = [*scalars.keys(), *[k for k in lists.keys() if k not in scalars]]
     md: dict[str, Any] = {}
     for k in order:
-        if k in lists and lists[k] is not None:
+        if k in yrepr and yrepr[k] is not None:
+            md[k] = yaml.safe_load(yrepr[k])
+        elif k in lists and lists[k] is not None:
             md[k] = list(lists[k])
         elif k in scalars:
             md[k] = _revive(scalars[k], tags.get(k))
@@ -326,8 +368,8 @@ def parse_save_batch_yaml(text: str) -> list[tuple]:
         if metadata is not None and not isinstance(metadata, dict):
             raise YamlValidationError("metadata must be a mapping")
         scalars, tags, lists = split_metadata(metadata or None)
-        keys = [str(k) for k in metadata.keys()] if metadata else None
-        rows.append((rid, body, scalars, tags, lists, keys))
+        yrepr, keys = _yaml_extras(metadata or None)
+        rows.append((rid, body, scalars, tags, lists, yrepr, keys))
     return rows
 
 
