@@ -309,6 +309,17 @@ def bpe_train_merges(
     ties broken by pair string ascending.
     """
     spark = df.sparkSession
+    merges = _bpe_train_list(df, body_col, n_merges, top_words)
+    return spark.createDataFrame(
+        merges, "merge_rank long, pair string, merged string, cnt long"
+    )
+
+
+def _bpe_train_list(
+    df: DataFrame, body_col: str, n_merges: int, top_words: int
+) -> list[tuple[int, str, str, int]]:
+    """Driver-side merge list for :func:`bpe_train_merges` /
+    :func:`bpe_encode_counts` — O(n_merges) rows of driver traffic."""
     base = (
         df.select(F.explode(tokens(F.col(body_col))).alias("word"))
         .groupBy("word")
@@ -362,11 +373,96 @@ def bpe_train_merges(
             sym = F.replace(
                 sym, F.lit(f" {x}  {y} "), F.lit(f" {merged} ")
             )
-        return spark.createDataFrame(
-            merges, "merge_rank long, pair string, merged string, cnt long"
-        )
+        return merges
     finally:
         base.unpersist()
+
+
+def bpe_encode_counts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    body_col: str = "text",
+    n_merges: int = 8,
+    top_words: int = 400,
+) -> DataFrame:
+    """Apply trained BPE merges to every document — the ENCODE half of
+    the tokenizer pair (:func:`bpe_train_merges` is the TRAIN half):
+    per document, each word is exploded to its double-space symbol
+    form, the n_merges rules are applied in rank order as chained
+    literal replaces, and the surviving symbol count is summed.
+    Returns (id, n_words, n_char_symbols, n_bpe_tokens) — all BIGINT,
+    so the cross-engine hash is exact.
+
+    Scale shape: training is O(n_merges) one-row collects over a
+    top_words-bounded table (see bpe_train_merges); the collected
+    rules re-enter the plan as LITERALS, so encoding is a pure
+    map-only JVM expression over the corpus — no UDF, no shuffle, no
+    join; a 100 TB encode is embarrassingly parallel. The same
+    double-space invariant as the trainer makes non-overlapping
+    left-to-right replace equal canonical BPE application, and lets
+    the DuckDB twin (:func:`duckdb_bpe_encode_sql`) unroll the SAME
+    replace chain after its training stages.
+    """
+    merges = _bpe_train_list(df, body_col, n_merges, top_words)
+    body = F.col(body_col)
+    toks = tokens(body)
+    # ' a  b  c ' symbol form, then the rank-ordered merge chain
+    chain = "concat(' ', regexp_replace(w, '(.)', '$1  '))"
+    for _rank, pair, merged, _cnt in merges:
+        x, y = pair.split(" ")
+        chain = f"replace({chain}, ' {x}  {y} ', ' {merged} ')"
+    per_word = f"size(split(trim({chain}), '  '))"
+    toks_sql = f"regexp_extract_all(lower({body_col}), '[a-z0-9_]+', 0)"
+    n_bpe = F.expr(
+        f"aggregate(transform({toks_sql}, w -> {per_word}), "
+        "CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))"
+    )
+    n_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x.cast("long"),
+    )
+    return df.select(
+        F.col(id_col).alias("id"),
+        F.size(toks).cast("long").alias("n_words"),
+        n_chars.alias("n_char_symbols"),
+        n_bpe.alias("n_bpe_tokens"),
+    )
+
+
+def duckdb_bpe_encode_sql(
+    n_merges: int = 8, top_words: int = 400, table: str = "documents"
+) -> str:
+    """DuckDB twin of :func:`bpe_encode_counts`: reuses the trainer's
+    unrolled stages (w, s0, p/b/s per rank — :func:`duckdb_bpe_sql`),
+    gathers the learned search/replace literals into a ONE-ROW table,
+    and applies the same chained replace per word. The merge literals
+    enter the lambda as correlated columns of the cross-joined one-row
+    table because DuckDB lambdas cannot contain subqueries."""
+    from ..hashing import duckdb_tokens_sql
+
+    # training stages: reuse the trainer SQL up to its final UNION
+    train = duckdb_bpe_sql(n_merges=n_merges, top_words=top_words, table=table)
+    stages = train[: train.index("\nSELECT merge_rank")]
+    toks = duckdb_tokens_sql("text")
+    rule_cols = ", ".join(
+        f"(SELECT ' ' || split_part(pair, ' ', 1) || '  ' || "
+        f"split_part(pair, ' ', 2) || ' ' FROM b{r}) AS s{r}_pat, "
+        f"(SELECT ' ' || merged || ' ' FROM b{r}) AS s{r}_rep"
+        for r in range(1, n_merges + 1)
+    )
+    chain = "(' ' || regexp_replace(w, '(.)', '\\1  ', 'g'))"
+    for r in range(1, n_merges + 1):
+        chain = f"replace({chain}, s{r}_pat, s{r}_rep)"
+    return f"""{stages},
+rules AS MATERIALIZED (SELECT {rule_cols})
+SELECT doc_id AS id,
+       len(toks)::BIGINT AS n_words,
+       COALESCE(CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS BIGINT), 0) AS n_char_symbols,
+       COALESCE(CAST(list_sum(list_transform(toks,
+           w -> len(string_split(trim({chain}), '  ')))) AS BIGINT), 0) AS n_bpe_tokens
+FROM (SELECT doc_id, {toks} AS toks FROM {table}), rules
+"""
 
 
 def duckdb_bpe_sql(

@@ -267,3 +267,68 @@ def repetition_stats(
         distinct.alias("n_distinct"),
         rep_ppm.alias("rep_ppm"),
     )
+
+
+def gopher_rules(df: DataFrame, id_col: str, body_col: str) -> DataFrame:
+    """Gopher-style document quality RULES (Rae et al. 2021 §A1.1,
+    adapted to the corpus token model): per-document boolean gates a
+    pretraining pipeline filters on, alongside the integer features
+    that drive them. All thresholds are the published ones where the
+    rule translates (word count >= 50, mean word length in [3, 10],
+    >= 2 stopword hits, >= 80% alphabetic words, symbol ratio <=
+    10%); features are floored integer ppm so every value is
+    cross-engine exact (see quality_features_exact for why floored
+    ppm is deterministic where decimal rounding is not).
+
+    Distinct from quality_features_exact: that operator produces a
+    blended SCORE for ranking; this one produces the hard PASS/FAIL
+    gates (the standard first stage of a corpus funnel). Pure
+    map-only JVM expressions — codegen-eligible, no shuffle, filter
+    pushes to the scan.
+    """
+    body = F.col(body_col)
+    toks = Ft.tokens(body)
+    n_tok = F.size(toks).cast("long")
+    n_chars = F.length(body).cast("long")
+    stop_arr = F.array(*[F.lit(s) for s in STOPWORDS])
+    n_stop = F.size(
+        F.filter(toks, lambda t: F.array_contains(stop_arr, t))
+    ).cast("long")
+    n_alpha = F.size(
+        F.filter(toks, lambda t: t.rlike("[a-z]"))
+    ).cast("long")
+    tok_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t)),
+        F.lit(0).cast("long"),
+        lambda a, x: a + x.cast("long"),
+    )
+    # non-token symbol mass: chars outside [a-z0-9_ ] (lowercased view)
+    n_sym = F.length(
+        F.regexp_replace(F.lower(body), "[a-z0-9_ ]", "")
+    ).cast("long")
+    ppm = lambda num, den: F.when(  # noqa: E731
+        den > 0, F.floor(num * F.lit(1000000) / den).cast("long")
+    ).otherwise(F.lit(0).cast("long"))
+    out = df.select(
+        F.col(id_col).alias("id"),
+        n_tok.alias("n_tokens"),
+        ppm(tok_chars, n_tok).alias("mtl_ppm"),
+        n_stop.alias("stop_hits"),
+        ppm(n_alpha, n_tok).alias("alpha_ppm"),
+        ppm(n_sym, n_chars).alias("sym_ppm"),
+    )
+    p_wc = (F.col("n_tokens") >= 50) & (F.col("n_tokens") <= 100000)
+    p_mtl = (F.col("mtl_ppm") >= 3000000) & (F.col("mtl_ppm") <= 10000000)
+    p_stop = F.col("stop_hits") >= 2
+    p_alpha = F.col("alpha_ppm") >= 800000
+    p_sym = F.col("sym_ppm") <= 100000
+    return (
+        out.withColumn("pass_word_count", p_wc)
+        .withColumn("pass_mean_len", p_mtl)
+        .withColumn("pass_stop", p_stop)
+        .withColumn("pass_alpha", p_alpha)
+        .withColumn("pass_symbol", p_sym)
+        .withColumn(
+            "gopher_pass", p_wc & p_mtl & p_stop & p_alpha & p_sym
+        )
+    )

@@ -710,6 +710,49 @@ FROM documents
 """
 
 
+def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.textstats import gopher_rules
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return gopher_rules(docs, "doc_id", "text")
+
+
+def _oracle_gopher_rules() -> str:
+    from .operators.textstats import STOPWORDS
+
+    stops = "[" + ", ".join(f"'{s}'" for s in STOPWORDS) + "]"
+    toks = hashing.duckdb_tokens_sql("text")
+    return f"""
+WITH feat AS (
+  SELECT doc_id,
+         LENGTH(text)::BIGINT AS n_chars,
+         LENGTH(regexp_replace(lower(text), '[a-z0-9_ ]', '', 'g'))::BIGINT AS n_sym,
+         {toks} AS toks
+  FROM documents
+),
+f2 AS (
+  SELECT doc_id,
+         len(toks)::BIGINT AS n_tokens,
+         CASE WHEN len(toks) > 0 THEN FLOOR(CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS BIGINT) * 1000000.0 / len(toks))::BIGINT ELSE 0 END AS mtl_ppm,
+         len(list_filter(toks, t -> list_contains({stops}, t)))::BIGINT AS stop_hits,
+         CASE WHEN len(toks) > 0 THEN FLOOR(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) * 1000000.0 / len(toks))::BIGINT ELSE 0 END AS alpha_ppm,
+         CASE WHEN n_chars > 0 THEN FLOOR(n_sym * 1000000.0 / n_chars)::BIGINT ELSE 0 END AS sym_ppm
+  FROM feat
+)
+SELECT doc_id AS id, n_tokens, mtl_ppm, stop_hits, alpha_ppm, sym_ppm,
+       (n_tokens >= 50 AND n_tokens <= 100000) AS pass_word_count,
+       (mtl_ppm >= 3000000 AND mtl_ppm <= 10000000) AS pass_mean_len,
+       (stop_hits >= 2) AS pass_stop,
+       (alpha_ppm >= 800000) AS pass_alpha,
+       (sym_ppm <= 100000) AS pass_symbol,
+       (n_tokens >= 50 AND n_tokens <= 100000
+        AND mtl_ppm >= 3000000 AND mtl_ppm <= 10000000
+        AND stop_hits >= 2 AND alpha_ppm >= 800000
+        AND sym_ppm <= 100000) AS gopher_pass
+FROM f2
+"""
+
+
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (KMeans coarse quantizer) ANN: probe 3 of 8 posting lists
     per query, served on the batch path (query TABLE in, one join plan,
@@ -1869,6 +1912,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_gopher_rules": q_text_gopher_rules,
     "grouped_rank": q_grouped_rank,
     "sim_ivf": q_sim_ivf,
     "sim_ivf_batch": q_sim_ivf_batch,
@@ -1916,6 +1960,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_quality": _oracle_quality(),
     "text_langid": _oracle_langid(),
     "text_fingerprint": _ORACLE_TEXT_FINGERPRINT,
+    "text_gopher_rules": _oracle_gopher_rules(),
     "grouped_rank": _ORACLE_GROUPED_RANK,
     "sim_ivf_batch": _ORACLE_SIM_IVF_BATCH,
     "filter_variant_metadata": _ORACLE_FILTER_VARIANT,

@@ -920,9 +920,30 @@ def _oracle_corpus_bpe() -> str:
     return duckdb_bpe_sql(n_merges=8, top_words=400)
 
 
+def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENCODE half of the tokenizer pair
+    (operators/corpus.bpe_encode_counts): train the first 8 merges,
+    then apply them to every document as a map-only literal-replace
+    chain — per-doc word / char-symbol / BPE-token counts, all
+    BIGINT. The DuckDB twin replays training stage-by-stage and
+    applies the identical chain, so counts are hash-exact including
+    merge tie-breaks."""
+    from .operators.corpus import bpe_encode_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return bpe_encode_counts(docs, "doc_id", "text", n_merges=8, top_words=400)
+
+
+def _oracle_corpus_bpe_encode() -> str:
+    from .operators.corpus import duckdb_bpe_encode_sql
+
+    return duckdb_bpe_encode_sql(n_merges=8, top_words=400)
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_vocab": q_corpus_vocab,
     "corpus_bpe_merges": q_corpus_bpe_merges,
+    "corpus_bpe_encode": q_corpus_bpe_encode,
     "corpus_tfidf_terms": q_corpus_tfidf_terms,
     "corpus_sample": q_corpus_sample,
     "corpus_pack": q_corpus_pack,
@@ -941,6 +962,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 PIPELINE_ORACLES: dict[str, str] = {
     "corpus_vocab": _ORACLE_CORPUS_VOCAB,
     "corpus_bpe_merges": _oracle_corpus_bpe(),
+    "corpus_bpe_encode": _oracle_corpus_bpe_encode(),
     "corpus_tfidf_terms": _ORACLE_CORPUS_TFIDF,
     "corpus_sample": _ORACLE_CORPUS_SAMPLE,
     "corpus_pack": _ORACLE_CORPUS_PACK,

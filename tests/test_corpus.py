@@ -298,3 +298,39 @@ def test_bpe_consecutive_pair_merge_not_skipped(spark):
     assert rows[1] == ("a b", "ab", 6)
     # after merging both a|b occurrences the word is 'ab ab'
     assert rows[2] == ("ab ab", "abab", 3)
+
+
+def test_bpe_encode_counts_hand_checked(spark):
+    """Encode with the merges learned on the same corpus: 'aaab' trains
+    (a a)->aa, (a b)->ab, (aa ab)->aaab, so every 'aaab' encodes to ONE
+    token; an unseen word only merges the rules that apply left-to-right."""
+    from c99_vectordb_spark.operators.corpus import bpe_encode_counts
+
+    df = spark.createDataFrame(
+        [(1, "aaab aaab"), (2, "ba"), (3, "")], "doc_id long, text string"
+    )
+    out = {
+        r.id: (r.n_words, r.n_char_symbols, r.n_bpe_tokens)
+        for r in bpe_encode_counts(df, n_merges=8).collect()
+    }
+    assert out[1] == (2, 8, 2)  # each 'aaab' -> the single merged token
+    # 'ba' is in the training corpus too: rank-4 learns (b a)->ba
+    assert out[2] == (1, 2, 1)
+    assert out[3] == (0, 0, 0)
+
+
+def test_bpe_encode_merge_count_monotone(spark, documents):
+    """More merge rules can only shrink (or keep) the BPE token count,
+    and 0 merges means one token per character."""
+    from c99_vectordb_spark.operators.corpus import bpe_encode_counts
+
+    e0 = bpe_encode_counts(documents, n_merges=0, top_words=50)
+    e4 = bpe_encode_counts(documents, n_merges=4, top_words=50)
+    j = (
+        e0.select("id", F.col("n_bpe_tokens").alias("t0"), "n_char_symbols")
+        .join(e4.select("id", F.col("n_bpe_tokens").alias("t4")), "id")
+    )
+    assert j.filter(F.col("t0") != F.col("n_char_symbols")).count() == 0
+    assert j.filter(F.col("t4") > F.col("t0")).count() == 0
+    # the merges must actually fire somewhere on the real corpus
+    assert j.filter(F.col("t4") < F.col("t0")).count() > 0

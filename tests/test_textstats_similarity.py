@@ -178,3 +178,53 @@ def test_repetition_stats_exact_and_short_doc_guard(spark):
     assert rows[0].rep_ppm == (7 - 3) * 1000000 // 7
     assert (rows[1].n_grams, rows[1].n_distinct, rows[1].rep_ppm) == (0, 0, 0)
     assert rows[2].rep_ppm == 0
+
+
+def test_gopher_rules_flags(spark):
+    df = spark.createDataFrame(
+        [
+            # 64 words, mean length ~4.1, 8 stopword hits: passes everything
+            (1, ("the quick brown fox jumps over lazy dogs " * 8).strip()),
+            # too short (8 words) but otherwise clean
+            (2, "the cat and the dog in the house"),
+            # long enough but zero stopwords
+            (3, " ".join(f"word{i}" for i in range(60))),
+            # symbol-heavy: same words plus a block of punctuation
+            (4, ("the and of to in is it " * 9) + "!!!???;;;###" * 10),
+            (5, ""),
+        ],
+        "id long, body string",
+    )
+    out = {
+        r["id"]: r.asDict()
+        for r in TS.gopher_rules(df, "id", "body").collect()
+    }
+    assert out[1]["gopher_pass"] is True
+    assert out[2]["pass_word_count"] is False and out[2]["gopher_pass"] is False
+    assert out[3]["pass_stop"] is False and out[3]["stop_hits"] == 0
+    assert out[4]["pass_symbol"] is False and out[4]["sym_ppm"] > 100000
+    # empty doc: every ppm feature is 0, word-count rule fails
+    assert out[5]["n_tokens"] == 0 and out[5]["gopher_pass"] is False
+
+
+def test_gopher_rules_match_quality_features(spark, documents):
+    """mtl_ppm and stop_hits must agree with quality_features_exact —
+    same token model, two operators."""
+    g = TS.gopher_rules(documents, "doc_id", "text").select(
+        "id", "mtl_ppm", F.col("stop_hits").alias("g_stop")
+    )
+    q = TS.quality_features_exact(documents, "doc_id", "text").select(
+        "id", F.col("mtl_ppm").alias("q_mtl"), "stop_ppm", "n_tokens"
+    )
+    j = g.join(q, "id")
+    bad = j.filter(
+        (F.col("mtl_ppm") != F.col("q_mtl"))
+        | (
+            (F.col("n_tokens") > 0)
+            & (
+                F.floor(F.col("g_stop") * F.lit(1000000) / F.col("n_tokens"))
+                != F.col("stop_ppm")
+            )
+        )
+    ).count()
+    assert bad == 0
