@@ -599,6 +599,46 @@ def q_sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _sq_query_vec() -> list[float]:
+    """Same deterministic 64-d query family as the pinned PQ/KNN
+    queries (queries_pipeline._pqf_query_vec)."""
+    return [((i * 37) % 19 - 9) / 10.0 for i in range(64)]
+
+
+def q_sim_sq_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """int8 scalar-quantization ANN (operators/similarity.sq_topk):
+    global-affine uint8 codes, pure-BIGINT squared-L2 in code space,
+    TakeOrderedAndProject top-10 — the train-free 4x scan-compression
+    tier between exact KNN and PQ. Integer arithmetic end to end, so
+    the oracle is exact with no float-fold-order contract."""
+    from .operators.similarity import sq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sq_topk(emb, _sq_query_vec(), k=10)
+
+
+def _oracle_sim_sq_int8() -> str:
+    import math
+
+    qc = [int(math.floor((v + 1.0) * 127.5 + 0.5)) for v in _sq_query_vec()]
+    qlit = "[" + ", ".join(f"{c}::BIGINT" for c in qc) + "]"
+    return f"""
+WITH coded AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+             x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5 + 0.5) AS BIGINT)) AS codes
+  FROM embeddings
+)
+SELECT id,
+       CAST(list_sum(codes) AS BIGINT) AS code_sum,
+       CAST(list_sum(list_transform(range(1, 65),
+            i -> (codes[i] - ({qlit})[i]) * (codes[i] - ({qlit})[i]))) AS BIGINT) AS qdist
+FROM coded
+ORDER BY qdist ASC, id ASC
+LIMIT 10
+"""
+
+
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
@@ -1908,6 +1948,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_lsh_bucketed": q_sim_lsh_bucketed,
     "sim_lsh_multiprobe": q_sim_lsh_multiprobe,
+    "sim_sq_int8": q_sim_sq_int8,
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -1956,6 +1997,7 @@ EXT_ORACLES: dict[str, str] = {
     "sim_topk_cosine": _ORACLE_SIM_TOPK,
     "sim_lsh_bucketed": _oracle_lsh(),
     "sim_lsh_multiprobe": _oracle_lsh(multiprobe=True),
+    "sim_sq_int8": _oracle_sim_sq_int8(),
     "text_token_counts": _ORACLE_TEXT_TOKEN_COUNTS,
     "text_quality": _oracle_quality(),
     "text_langid": _oracle_langid(),

@@ -228,3 +228,48 @@ def test_gopher_rules_match_quality_features(spark, documents):
         )
     ).count()
     assert bad == 0
+
+
+def test_sq_codes_bounded_and_reconstruction_error(spark, embeddings):
+    from c99_vectordb_spark.operators.similarity import sq_quantize
+
+    coded = sq_quantize(embeddings).join(
+        embeddings.select(F.col("vec_id").alias("id"), "embedding"), "id"
+    )
+    bad = coded.filter(
+        F.exists(F.col("codes"), lambda c: (c < 0) | (c > 255))
+    ).count()
+    assert bad == 0
+    # dequantized value within half a quantization step of the source
+    err = coded.select(
+        F.expr(
+            "aggregate(zip_with(codes, embedding, "
+            "(c, x) -> abs(c / 127.5D - 1.0D - CAST(x AS DOUBLE))), "
+            "0.0D, (a, e) -> greatest(a, e))"
+        ).alias("maxerr")
+    ).agg(F.max("maxerr")).collect()[0][0]
+    assert err <= 0.5 / 127.5 + 1e-12
+
+
+def test_sq_topk_tracks_exact_l2(spark, embeddings):
+    """256-level SQ is near-lossless on 64-d vectors: its top-10 by
+    code-space L2 must heavily overlap the exact float L2 top-10."""
+    from c99_vectordb_spark.operators.similarity import sq_topk
+    from c99_vectordb_spark.queries_ext import _sq_query_vec
+
+    q = _sq_query_vec()
+    qlit = "array(" + ", ".join(f"CAST({v!r} AS DOUBLE)" for v in q) + ")"
+    exact = [
+        r.id
+        for r in embeddings.selectExpr(
+            "vec_id AS id",
+            f"aggregate(zip_with(embedding, {qlit}, "
+            "(a, b) -> (CAST(a AS DOUBLE) - b) * (CAST(a AS DOUBLE) - b)), "
+            "0.0D, (acc, d) -> acc + d) AS d2",
+        )
+        .orderBy(F.asc("d2"), F.asc("id"))
+        .limit(10)
+        .collect()
+    ]
+    approx = [r.id for r in sq_topk(embeddings, q, k=10).collect()]
+    assert len(set(exact) & set(approx)) >= 8
