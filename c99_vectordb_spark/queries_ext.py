@@ -1355,6 +1355,62 @@ ORDER BY a, b, c
 """
 
 
+def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-point PageRank (operators/graph.pagerank) over the
+    customer->supplier purchase graph (distinct (custkey, suppkey)
+    pairs through orders |x| lineitem; node ids namespaced as
+    2*custkey / 2*suppkey+1). Three iterations of integer-exact rank
+    propagation, top-20 by final rank. The iterative-join loop
+    composes on the driver — no collect() in the body; the DuckDB
+    twin unrolls the identical integer algebra into 3 CTE rounds."""
+    from .operators.graph import pagerank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+    )
+    pr = pagerank(edges, iters=3)
+    return (
+        pr.select(
+            "node",
+            F.when(F.col("node") % 2 == 0, F.lit("cust"))
+            .otherwise(F.lit("supp"))
+            .alias("kind"),
+            "pr_fp",
+        )
+        .orderBy(F.desc("pr_fp"), F.asc("node"))
+        .limit(20)
+    )
+
+
+def _oracle_graph_pagerank() -> str:
+    from .operators.graph import duckdb_pagerank_sql
+
+    edges_cte = """edges AS MATERIALIZED (
+  SELECT DISTINCT (o.o_custkey * 2)::BIGINT AS src,
+                  (l.l_suppkey * 2 + 1)::BIGINT AS dst
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+)"""
+    pr = duckdb_pagerank_sql(edges_cte, iters=3)
+    return f"""{pr.replace("SELECT node, pr_fp FROM r3", '''
+SELECT node,
+       CASE WHEN node % 2 = 0 THEN 'cust' ELSE 'supp' END AS kind,
+       pr_fp
+FROM r3
+ORDER BY pr_fp DESC, node ASC
+LIMIT 20''')}"""
+
+
 def q_skyline_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """2-D skyline (Pareto frontier): orders not dominated on (earlier
     date, higher price) by any other order — computed as a running max
@@ -1980,6 +2036,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_attribution_pairs": q_events_attribution_pairs,
     "events_resample": q_events_resample,
     "graph_triangles": q_graph_triangles,
+    "graph_pagerank": q_graph_pagerank,
     "skyline_orders": q_skyline_orders,
     "cdc_apply_orders": q_cdc_apply_orders,
     "events_trailing_24h": q_events_trailing_24h,
@@ -2027,6 +2084,7 @@ EXT_ORACLES: dict[str, str] = {
     "events_attribution_pairs": _ORACLE_EVENTS_ATTRIBUTION,
     "events_resample": _ORACLE_EVENTS_RESAMPLE,
     "graph_triangles": _ORACLE_GRAPH_TRIANGLES,
+    "graph_pagerank": _oracle_graph_pagerank(),
     "skyline_orders": _ORACLE_SKYLINE_ORDERS,
     "cdc_apply_orders": _ORACLE_CDC_APPLY_ORDERS,
     "events_trailing_24h": _ORACLE_EVENTS_TRAILING_24H,
