@@ -520,3 +520,71 @@ s{r} AS MATERIALIZED (
     )
     parts.append(f"\n{union}\nORDER BY merge_rank")
     return "".join(parts)
+
+
+def mixture_weights(
+    df: DataFrame,
+    stratum_col: str = "source",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Domain-mixture rebalancing (the Pile / DoReMi-style first pass):
+    cap every over-represented source at the corpus's mean per-source
+    size by deterministic hash-sampling, keep small sources whole.
+
+    target    = floor(total_docs / n_sources)   (scalar, from one agg)
+    w_ppm(s)  = min(1e6, target*1e6 DIV n_s)     per source
+    keep(doc) = sample_key(source, id) % 1e6 < w_ppm(source)
+
+    Returns per-source (source, n_docs, weight_ppm, n_sampled) —
+    all BIGINT, cross-engine exact (integer DIV, polynomial hash).
+
+    Plan shape: one partial-aggregated count by source (vocabulary- not
+    corpus-sized shuffle), the scalar target folded via a window-free
+    cross join of the ONE-ROW totals aggregate (broadcast), then the
+    keep-test is evaluated map-side per doc and re-aggregated by
+    source. At 100 TB the corpus is scanned twice; materializing
+    (source, skey) once would trade a cache for the second scan. The
+    ACCEPTANCE itself needs no second pass in production — w_ppm is a
+    tiny broadcast table and keep() is a map-only filter, exactly like
+    stratified_sample."""
+    counts = df.groupBy(F.col(stratum_col).alias("source")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    totals = counts.agg(
+        F.sum("n_docs").alias("total"), F.count(F.lit(1)).alias("n_src")
+    )
+    weights = (
+        counts.crossJoin(F.broadcast(totals))
+        .select(
+            "source",
+            "n_docs",
+            F.least(
+                F.lit(1_000_000).cast("long"),
+                F.expr("((total DIV n_src) * 1000000) DIV n_docs"),
+            ).alias("weight_ppm"),
+        )
+    )
+    keyed = df.select(
+        F.col(stratum_col).alias("source"),
+        (sample_key(F.col(stratum_col), F.col(id_col)) % 1_000_000).alias(
+            "skey"
+        ),
+    )
+    sampled = (
+        keyed.join(F.broadcast(weights), "source")
+        .filter(F.col("skey") < F.col("weight_ppm"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return (
+        weights.join(sampled, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "weight_ppm",
+            F.coalesce(F.col("n_sampled"), F.lit(0)).cast("long").alias(
+                "n_sampled"
+            ),
+        )
+        .orderBy("source")
+    )

@@ -434,6 +434,48 @@ def q_sim_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture rebalancing (operators/corpus.mixture_weights):
+    cap over-represented sources at the mean per-source size via the
+    deterministic hash key — per-source doc count, acceptance weight
+    (ppm), and the exact accepted count. Integer DIV end to end."""
+    from .operators.corpus import mixture_weights
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return mixture_weights(docs, "source", "doc_id")
+
+
+_ORACLE_CORPUS_MIXTURE = f"""
+WITH counts AS (
+  SELECT source, COUNT(*)::BIGINT AS n_docs FROM documents GROUP BY source
+),
+t AS (
+  SELECT SUM(n_docs)::BIGINT AS total, COUNT(*)::BIGINT AS n_src FROM counts
+),
+w AS (
+  SELECT source, n_docs,
+         LEAST(1000000::BIGINT,
+               ((total // n_src) * 1000000) // n_docs)::BIGINT AS weight_ppm
+  FROM counts, t
+),
+k AS (
+  SELECT source,
+         ({C.duckdb_sample_key_sql('source', 'doc_id')}) % 1000000 AS skey
+  FROM documents
+),
+s AS (
+  SELECT k.source, COUNT(*)::BIGINT AS n_sampled
+  FROM k JOIN w USING (source)
+  WHERE k.skey < w.weight_ppm
+  GROUP BY k.source
+)
+SELECT w.source, w.n_docs, w.weight_ppm,
+       COALESCE(s.n_sampled, 0)::BIGINT AS n_sampled
+FROM w LEFT JOIN s USING (source)
+ORDER BY source
+"""
+
+
 def q_corpus_split_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Deterministic train/val/test assignment (80/10/10) from the
     stratified sampling key — the dataset-split primitive: no rand(),
@@ -956,6 +998,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_pq_fixed": q_sim_pq_fixed,
     "sim_ivfpq_fixed": q_sim_ivfpq_fixed,
     "corpus_split_assign": q_corpus_split_assign,
+    "corpus_mixture": q_corpus_mixture,
     "udtf_shingles": q_udtf_shingles,
 }
 
@@ -974,5 +1017,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "sim_pq_fixed": _oracle_sim_pq_fixed(),
     "sim_ivfpq_fixed": _oracle_sim_ivfpq_fixed(),
     "corpus_split_assign": _ORACLE_CORPUS_SPLIT,
+    "corpus_mixture": _ORACLE_CORPUS_MIXTURE,
     "udtf_shingles": _oracle_udtf_shingles(),
 }

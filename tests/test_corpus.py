@@ -334,3 +334,45 @@ def test_bpe_encode_merge_count_monotone(spark, documents):
     assert j.filter(F.col("t4") > F.col("t0")).count() == 0
     # the merges must actually fire somewhere on the real corpus
     assert j.filter(F.col("t4") < F.col("t0")).count() > 0
+
+
+def test_mixture_weights_caps_large_sources(spark):
+    """Three sources of size 8/4/0... sizes 8, 4, 2 -> target = 4:
+    the size-8 source gets weight 500000 ppm, smaller ones keep all."""
+    rows = (
+        [(i, "a " * 3, "big") for i in range(8)]
+        + [(100 + i, "b " * 3, "mid") for i in range(4)]
+        + [(200 + i, "c " * 3, "small") for i in range(2)]
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    from c99_vectordb_spark.operators.corpus import mixture_weights
+
+    out = {r.source: r for r in mixture_weights(df).collect()}
+    assert out["big"].weight_ppm == 4 * 1000000 // 8
+    assert out["mid"].weight_ppm == 1000000
+    assert out["small"].weight_ppm == 1000000
+    # full-weight sources keep every doc; capped sources keep a subset
+    assert out["mid"].n_sampled == 4 and out["small"].n_sampled == 2
+    assert 0 <= out["big"].n_sampled <= 8
+    # determinism: same input -> identical acceptance
+    again = {r.source: r.n_sampled for r in mixture_weights(df).collect()}
+    assert again == {s: r.n_sampled for s, r in out.items()}
+
+
+def test_mixture_weights_sampled_matches_stratified_key(spark, documents):
+    """The acceptance rule must agree with the shared sample_key spec:
+    recompute n_sampled per source independently from the key."""
+    from c99_vectordb_spark.operators.corpus import mixture_weights, sample_key
+
+    out = mixture_weights(documents).collect()
+    w = {r.source: r.weight_ppm for r in out}
+    keyed = documents.select(
+        "source", (sample_key(F.col("source"), F.col("doc_id")) % 1000000).alias("k")
+    ).collect()
+    expect: dict[str, int] = {}
+    for r in keyed:
+        if r.k < w[r.source]:
+            expect[r.source] = expect.get(r.source, 0) + 1
+    assert {r.source: r.n_sampled for r in out} == {
+        s: expect.get(s, 0) for s in w
+    }
