@@ -99,6 +99,11 @@ HEADLINE = [
     "chunk_documents",
     "text_scrub_pii",
     "text_repetition",
+    "text_gopher_rules",
+    "corpus_bpe_encode",
+    "corpus_mixture",
+    "sim_sq_int8",
+    "graph_pagerank",
 ]
 
 

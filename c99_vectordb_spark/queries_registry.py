@@ -1623,13 +1623,15 @@ _ORACLES: dict[str, str] = {
 # monotonically while every family keeps >=1 representative. Round-5
 # first-timers: tpch_q7/q10/q18, corpus_pack, corpus_pack_global,
 # chunk_documents, text_scrub_pii, text_repetition, graph_triangles,
-# decontaminate_eval, events_attribution_pairs (veterans they replaced
-# remain fully covered by tools/verify_oracle past the window).
+# decontaminate_eval, events_attribution_pairs, plus the five operators
+# NEW this round — sim_sq_int8, graph_pagerank, corpus_bpe_encode,
+# corpus_mixture, text_gopher_rules — pinned in over five multi-round
+# green veterans (knn_embeddings, embed_build_norms, text_quality,
+# corpus_tfidf_terms, corpus_split_assign; all remain fully covered by
+# tools/verify_oracle past the window).
 DRIVER_WINDOW = [
     # core reference surface (recall / filter / analyze / mutate)
     "recall_topk_int",
-    "embed_build_norms",
-    "knn_embeddings",
     "filter_orders_page",
     "analyze_default_fields",
     "stats_topk_other",
@@ -1648,6 +1650,7 @@ DRIVER_WINDOW = [
     "asof_join_events",
     "semi_anti_joins",
     "graph_triangles",
+    "graph_pagerank",
     # windows / ordered analytics (incl. the de-globalized plans)
     "orders_scd2",
     "events_trailing_24h",
@@ -1673,6 +1676,7 @@ DRIVER_WINDOW = [
     "sim_lsh_bucketed",
     "sim_ivf_batch",
     "sim_ivfpq_fixed",
+    "sim_sq_int8",
     # multimodal (new in r5: the JPEG header tier and the full
     # huffman+IDCT pixel round-trip; sim_pq_fixed rotated out to make
     # room — still fully oracled past the window)
@@ -1680,13 +1684,13 @@ DRIVER_WINDOW = [
     "multimodal_jpeg_pixel",
     "multimodal_png_roundtrip",
     # text analysis
-    "text_quality",
+    "text_gopher_rules",
     "text_scrub_pii",
     "text_repetition",
     # corpus / training-data pipeline
     "corpus_pipeline",
-    "corpus_tfidf_terms",
-    "corpus_split_assign",
+    "corpus_bpe_encode",
+    "corpus_mixture",
     "corpus_pack",
     "corpus_pack_global",
     "chunk_documents",

@@ -213,3 +213,79 @@ def streaming_funnel_stages(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+KMV_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("grp", T.StringType(), False),
+        T.StructField("kmv_est", T.LongType(), False),
+    ]
+)
+
+KMV_STATE_SCHEMA = T.StructType(
+    [T.StructField("mins", T.ArrayType(T.LongType()), False)]
+)
+
+
+def streaming_kmv_distinct(hashed: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming distinct-count estimation with a MERGEABLE KMV sketch
+    — the streaming twin of operators/sketches.kmv_distinct, same
+    estimator algebra on the same hash spec.
+
+    Input stream must carry (grp STRING, h BIGINT) with h already
+    mixed per the KMV spec ((token_hash(value) * KMV_MIX_A) %
+    HASH_MOD). Grouped state per grp is the <= k smallest DISTINCT
+    hashes seen so far — the canonical mergeable sketch merge (union,
+    re-take k smallest) applied incrementally per micro-batch; state
+    is bounded at k longs per group no matter how many events arrive.
+    Each batch that changes a group's sketch emits the group's current
+    estimate (update semantics): floor((k-1)*HASH_MOD / h_k) once k
+    hashes exist, exact |sketch| before that — identical to the batch
+    operator, so after any availableNow replay the LAST emission per
+    group equals the batch kmv_est exactly (test-pinned).
+    """
+    from ..model import HASH_MOD
+
+    def kmv_fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cur = list(state.get[0]) if state.exists else []
+        have = set(cur)
+        changed = False
+        for pdf in pdfs:
+            for h in pdf["h"]:
+                h = int(h)
+                if h in have:
+                    continue
+                # accept if the sketch is not full or h beats the max
+                if len(cur) < k:
+                    cur.append(h)
+                    have.add(h)
+                    changed = True
+                else:
+                    mx = max(cur)
+                    if h < mx:
+                        cur.remove(mx)
+                        have.discard(mx)
+                        cur.append(h)
+                        have.add(h)
+                        changed = True
+        if changed:
+            cur.sort()
+            state.update((cur,))
+            est = (
+                (k - 1) * HASH_MOD // cur[k - 1] if len(cur) >= k else len(cur)
+            )
+            yield pd.DataFrame(
+                [[str(key[0]), int(est)]], columns=["grp", "kmv_est"]
+            )
+
+    return hashed.groupBy("grp").applyInPandasWithState(
+        kmv_fn,
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

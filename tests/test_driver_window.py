@@ -31,7 +31,8 @@ FAMILIES: dict[str, tuple[set[str], int]] = {
               "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
               "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22"}, 4),
     "joins": ({"revenue_by_nation", "salted_join_revenue", "range_join_bands",
-               "asof_join_events", "semi_anti_joins", "graph_triangles"}, 4),
+               "asof_join_events", "semi_anti_joins", "graph_triangles",
+               "graph_pagerank"}, 4),
     "windows": ({"orders_scd2", "events_trailing_24h", "skyline_orders",
                  "price_histogram", "grouped_sample_topn", "cdc_apply_orders",
                  "window_running_total", "grouped_rank"}, 4),
@@ -42,16 +43,17 @@ FAMILIES: dict[str, tuple[set[str], int]] = {
     "dedup": ({"dedup_exact", "dedup_minhash_pairs", "dedup_jaccard_pairs",
                "dedup_simhash", "dedup_survivors"}, 2),
     "similarity": ({"sim_lsh_bucketed", "sim_lsh_multiprobe", "sim_ivf_batch",
-                    "sim_pq_fixed", "sim_ivfpq_fixed"}, 3),
+                    "sim_pq_fixed", "sim_ivfpq_fixed", "sim_sq_int8"}, 3),
     "multimodal": ({"multimodal_meta_roundtrip", "multimodal_png_roundtrip",
                     "multimodal_jpeg_meta", "multimodal_jpeg_pixel",
                     "multimodal_resize", "multimodal_audio_stats"}, 2),
     "text": ({"text_quality", "text_langid", "text_fingerprint",
-              "text_scrub_pii", "text_repetition"}, 3),
+              "text_scrub_pii", "text_repetition", "text_gopher_rules"}, 3),
     "corpus": ({"corpus_pipeline", "corpus_tfidf_terms", "corpus_split_assign",
                 "corpus_pack", "corpus_pack_global", "chunk_documents",
                 "decontaminate_eval", "decontaminate_survivors", "corpus_vocab",
-                "corpus_sample", "corpus_bigrams", "corpus_bpe_merges"}, 4),
+                "corpus_sample", "corpus_bigrams", "corpus_bpe_merges",
+                "corpus_bpe_encode", "corpus_mixture"}, 4),
 }
 
 

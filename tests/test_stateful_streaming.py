@@ -229,3 +229,68 @@ def test_stream_stream_join_matches_batch(spark, sf_dir):
         }
     assert got == batch
     assert len(got) > 0
+
+
+def test_streaming_kmv_matches_batch(spark, sf_dir, tmp_path):
+    """Mergeable-KMV streaming sketch: after an availableNow replay of
+    the events split across two micro-batches, the LAST emitted
+    estimate per group equals the batch kmv_distinct exactly — both
+    the small-group exact branch (<k sketch) and the estimator branch
+    (k-th minimum) with k=16."""
+    import os
+    import time as _t
+
+    from c99_vectordb_spark.functions.text import token_hash
+    from c99_vectordb_spark.operators.sketches import KMV_MIX_A, kmv_distinct
+    from c99_vectordb_spark.hashing import HASH_MOD
+    from c99_vectordb_spark.streaming.stateful import streaming_kmv_distinct
+
+    k = 16
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("grp"), F.col("user_id").alias("val")
+    )
+    batch = {
+        r.grp: r.kmv_est
+        for r in kmv_distinct(events, "grp", "val", k=k).collect()
+    }
+
+    hashed = events.select(
+        "grp",
+        ((token_hash(F.col("val").cast("string")) * F.lit(KMV_MIX_A)) % F.lit(HASH_MOD)).alias("h"),
+    )
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    h1, h2 = hashed.randomSplit([0.5, 0.5], seed=7)
+    h1.coalesce(1).write.parquet(os.path.join(src, "b1.parquet"))
+    h2.coalesce(1).write.parquet(os.path.join(src, "b2.parquet"))
+    now = _t.time()
+    for sub, ts in (("b1.parquet", now - 60), ("b2.parquet", now)):
+        d = os.path.join(src, sub)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+        os.utime(d, (ts, ts))
+
+    stream = (
+        spark.readStream.schema("grp STRING, h LONG")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_kmv_distinct(stream, k=k)
+        .writeStream.format("memory")
+        .queryName("kmv_out")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    # memory sink appends update-mode rows in batch order; the last
+    # emission per group is the final sketch state
+    rows = spark.sql("SELECT * FROM kmv_out").collect()
+    final = {}
+    for r in rows:
+        final[r.grp] = r.kmv_est  # later rows overwrite earlier
+    assert final == batch
