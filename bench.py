@@ -104,6 +104,7 @@ HEADLINE = [
     "corpus_mixture",
     "sim_sq_int8",
     "graph_pagerank",
+    "approx_quantiles_bottomk",
 ]
 
 

@@ -153,3 +153,70 @@ def kmv_distinct(
         F.floor(F.lit((k - 1) * HASH_MOD) / F.col("h_k")).cast("long"),
     ).otherwise(F.col("n_distinct"))
     return per_grp.select("grp", "n_distinct", est.alias("kmv_est"))
+
+
+def bottomk_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    id_col: str,
+    k: int = 256,
+    qs: tuple[int, ...] = (25, 50, 75),
+) -> DataFrame:
+    """Approximate per-group quantiles from a DETERMINISTIC bottom-k
+    hash sample — the quantile-sketch counterpart of kmv_distinct.
+
+    Membership: the k rows whose mixed id-hash is smallest form a
+    uniform-without-replacement sample whose composition depends only
+    on the data (no rand(), no seed) — so the estimate is an exact
+    integer the DuckDB twin reproduces, and approximation error comes
+    from k alone. Quantile rule over the sorted sample (v asc):
+    element at row floor(q*(n-1)/100) + 1, the lower-nearest-rank
+    convention in both engines.
+
+    Scale shape: the sample IS mergeable (union partials, re-take k
+    smallest hashes — same merge as KMV), so a production aggregate
+    implements it as a partial top-k without materializing either
+    window; this expression form keeps the algebra oracle-checkable.
+    State/shuffle is k rows per group, independent of group size.
+    Ties: the hash orders (h, v, id) totally, value ranks (v, h)
+    totally — both engines agree on every boundary.
+    """
+    hashed = df.select(
+        F.col(group_col).alias("grp"),
+        F.col(value_col).alias("v"),
+        (
+            (token_hash(F.col(id_col).cast("string")) * F.lit(KMV_MIX_A))
+            % F.lit(HASH_MOD)
+        ).alias("h"),
+    )
+    wh = Window.partitionBy("grp").orderBy("h", "v")
+    sample = (
+        hashed.withColumn("rn", F.row_number().over(wh))
+        .filter(F.col("rn") <= k)
+        .drop("rn")
+    )
+    wv = Window.partitionBy("grp").orderBy("v", "h")
+    ranked = sample.withColumn("rv", F.row_number().over(wv))
+    n_s = ranked.groupBy("grp").agg(F.count(F.lit(1)).alias("n_sample"))
+    picks = [
+        F.max(
+            F.when(
+                F.col("rv")
+                == F.floor(F.lit(q) * (F.col("n_sample") - 1) / 100).cast("int")
+                + 1,
+                F.col("v"),
+            )
+        ).alias(f"p{q}")
+        for q in qs
+    ]
+    totals = df.groupBy(F.col(group_col).alias("grp")).agg(
+        F.count(F.lit(1)).alias("n_total")
+    )
+    return (
+        ranked.join(n_s, "grp")
+        .groupBy("grp")
+        .agg(F.max("n_sample").alias("n_sample"), *picks)
+        .join(totals, "grp")
+        .select("grp", "n_total", "n_sample", *[f"p{q}" for q in qs])
+    )

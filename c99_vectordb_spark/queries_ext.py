@@ -1355,6 +1355,75 @@ ORDER BY a, b, c
 """
 
 
+def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly spike detection per event type: flag hours whose count
+    exceeds 1.5x the trailing-6-observed-hour average (ROWS frame —
+    empty hours don't dilute the baseline; the RANGE twin is
+    events_trailing_24h). The 1.5x test is cross-multiplied to pure
+    integers (4*cnt > base6 <=> cnt > 1.5*base6/6) and the reported
+    spike percentage is an integer DIV — no float anywhere. The
+    window is PARTITIONED by event type (plan-guard clean); at scale
+    each type's hourly series is tiny relative to the raw events, so
+    the aggregate dominates and the window is free."""
+    from .queries_registry import _read_events
+
+    events = _read_events(spark, sf_dir)
+    from pyspark.sql import Window
+
+    hourly = (
+        events.select(
+            "event_type", F.expr("ts_us div 3600000000").alias("hour_idx")
+        )
+        .groupBy("event_type", "hour_idx")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour_idx")
+        .rowsBetween(-6, -1)
+    )
+    scored = hourly.select(
+        "event_type",
+        "hour_idx",
+        "cnt",
+        F.sum("cnt").over(w).alias("base6"),
+        F.count(F.lit(1)).over(w).alias("nprev"),
+    )
+    return (
+        scored.filter((F.col("nprev") == 6) & (F.col("cnt") * 4 > F.col("base6")))
+        .select(
+            "event_type",
+            "hour_idx",
+            "cnt",
+            "base6",
+            F.expr("(cnt * 600) DIV base6").alias("pct_of_avg"),
+        )
+        .orderBy("event_type", "hour_idx")
+    )
+
+
+_ORACLE_EVENTS_ANOMALY = """
+WITH hourly AS (
+  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+         COUNT(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, hour_idx, cnt,
+         SUM(cnt) OVER (PARTITION BY event_type ORDER BY hour_idx
+                        ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)::BIGINT AS base6,
+         COUNT(*) OVER (PARTITION BY event_type ORDER BY hour_idx
+                        ROWS BETWEEN 6 PRECEDING AND 1 PRECEDING)::BIGINT AS nprev
+  FROM hourly
+)
+SELECT event_type, hour_idx, cnt, base6,
+       ((cnt * 600) // base6)::BIGINT AS pct_of_avg
+FROM scored
+WHERE nprev = 6 AND cnt * 4 > base6
+ORDER BY event_type, hour_idx
+"""
+
+
 def q_graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-point PageRank (operators/graph.pagerank) over the
     customer->supplier purchase graph (distinct (custkey, suppkey)
@@ -2037,6 +2106,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_resample": q_events_resample,
     "graph_triangles": q_graph_triangles,
     "graph_pagerank": q_graph_pagerank,
+    "events_anomaly": q_events_anomaly,
     "skyline_orders": q_skyline_orders,
     "cdc_apply_orders": q_cdc_apply_orders,
     "events_trailing_24h": q_events_trailing_24h,
@@ -2085,6 +2155,7 @@ EXT_ORACLES: dict[str, str] = {
     "events_resample": _ORACLE_EVENTS_RESAMPLE,
     "graph_triangles": _ORACLE_GRAPH_TRIANGLES,
     "graph_pagerank": _oracle_graph_pagerank(),
+    "events_anomaly": _ORACLE_EVENTS_ANOMALY,
     "skyline_orders": _ORACLE_SKYLINE_ORDERS,
     "cdc_apply_orders": _ORACLE_CDC_APPLY_ORDERS,
     "events_trailing_24h": _ORACLE_EVENTS_TRAILING_24H,

@@ -434,6 +434,65 @@ def q_sim_pq_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_approx_quantiles_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic bottom-k-sample quantile sketch
+    (operators/sketches.bottomk_quantiles): per order-priority
+    p25/p50/p75 of the total price in cents, estimated from the 256
+    rows with smallest mixed id-hash — mergeable like KMV, exact
+    integers, k-bounded state per group."""
+    from .operators.sketches import bottomk_quantiles
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority",
+        (F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    return bottomk_quantiles(
+        orders, "o_orderpriority", "cents", "o_orderkey", k=256
+    ).orderBy("grp")
+
+
+def _oracle_approx_quantiles_bottomk() -> str:
+    from .operators.sketches import KMV_MIX_A
+    from .hashing import HASH_MOD, duckdb_token_hash_sql
+
+    h = duckdb_token_hash_sql("CAST(o_orderkey AS VARCHAR)")
+    pick = (
+        "MAX(CASE WHEN rv = FLOOR({q} * (n_sample - 1) / 100)::INT + 1 "
+        "THEN v END)::BIGINT AS p{q}"
+    )
+    return f"""
+WITH hashed AS (
+  SELECT o_orderpriority AS grp,
+         CAST(o_totalprice * 100 AS BIGINT) AS v,
+         (({h}) * {KMV_MIX_A}) % {HASH_MOD} AS h
+  FROM orders
+),
+sample AS (
+  SELECT grp, v, h FROM (
+    SELECT grp, v, h,
+           ROW_NUMBER() OVER (PARTITION BY grp ORDER BY h, v) AS rn
+    FROM hashed
+  ) WHERE rn <= 256
+),
+ranked AS (
+  SELECT grp, v,
+         ROW_NUMBER() OVER (PARTITION BY grp ORDER BY v, h) AS rv
+  FROM sample
+),
+ns AS (SELECT grp, COUNT(*)::BIGINT AS n_sample FROM sample GROUP BY grp),
+tot AS (
+  SELECT o_orderpriority AS grp, COUNT(*)::BIGINT AS n_total
+  FROM orders GROUP BY 1
+)
+SELECT r.grp, t.n_total, n.n_sample,
+       {pick.format(q=25)}, {pick.format(q=50)}, {pick.format(q=75)}
+FROM ranked r JOIN ns n USING (grp) JOIN tot t USING (grp)
+GROUP BY r.grp, t.n_total, n.n_sample
+ORDER BY grp
+"""
+
+
 def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture rebalancing (operators/corpus.mixture_weights):
     cap over-represented sources at the mean per-source size via the
@@ -999,6 +1058,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_ivfpq_fixed": q_sim_ivfpq_fixed,
     "corpus_split_assign": q_corpus_split_assign,
     "corpus_mixture": q_corpus_mixture,
+    "approx_quantiles_bottomk": q_approx_quantiles_bottomk,
     "udtf_shingles": q_udtf_shingles,
 }
 
@@ -1018,5 +1078,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "sim_ivfpq_fixed": _oracle_sim_ivfpq_fixed(),
     "corpus_split_assign": _ORACLE_CORPUS_SPLIT,
     "corpus_mixture": _ORACLE_CORPUS_MIXTURE,
+    "approx_quantiles_bottomk": _oracle_approx_quantiles_bottomk(),
     "udtf_shingles": _oracle_udtf_shingles(),
 }

@@ -34,6 +34,7 @@ BNLJ_ALLOWED = {
     "events_resample": "gap-fill grid join; broadcast side is the bounded hour grid",
     "tpch_q11": "1-row scalar aggregate broadcast (global value total)",
     "tpch_q22": "1-row scalar aggregate broadcast (average balance)",
+    "corpus_mixture": "1-row scalar aggregate broadcast (corpus total + source count)",
 }
 
 

@@ -90,3 +90,51 @@ def test_cms_is_a_streaming_aggregate(spark, documents, tmp_path):
     }
     want = {(r.j, r.col): r.n for r in SK.cms_build(documents, "text").collect()}
     assert got == want
+
+
+def test_bottomk_quantiles_sample_and_accuracy(spark, sf_dir):
+    from c99_vectordb_spark.operators.sketches import bottomk_quantiles
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderpriority",
+        (F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        "o_orderkey",
+    )
+    out = bottomk_quantiles(
+        orders, "o_orderpriority", "cents", "o_orderkey", k=64
+    ).collect()
+    rows = {r.grp: r for r in out}
+    exact = {
+        r.o_orderpriority: r.med
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.expr("percentile(cents, 0.5)").alias("med"))
+        .collect()
+    }
+    for grp, r in rows.items():
+        assert r.n_sample == min(64, r.n_total)
+        assert r.p25 <= r.p50 <= r.p75
+        # a 64-row uniform sample's median lands within the exact
+        # group's IQR-scale band (loose: 35% relative)
+        assert abs(r.p50 - exact[grp]) <= 0.35 * exact[grp]
+    # deterministic: identical on re-run
+    again = {
+        r.grp: (r.p25, r.p50, r.p75)
+        for r in bottomk_quantiles(
+            orders, "o_orderpriority", "cents", "o_orderkey", k=64
+        ).collect()
+    }
+    assert again == {g: (r.p25, r.p50, r.p75) for g, r in rows.items()}
+
+
+def test_bottomk_quantiles_small_group_is_exact(spark):
+    """A group smaller than k samples everything: the p50 rule then
+    gives the exact lower-median of the group."""
+    from c99_vectordb_spark.operators.sketches import bottomk_quantiles
+
+    df = spark.createDataFrame(
+        [("g", v, i) for i, v in enumerate([10, 20, 30, 40, 50])],
+        "grp string, v long, id long",
+    )
+    r = bottomk_quantiles(df, "grp", "v", "id", k=256).collect()[0]
+    assert (r.n_total, r.n_sample) == (5, 5)
+    assert (r.p25, r.p50, r.p75) == (20, 30, 40)
