@@ -105,6 +105,8 @@ HEADLINE = [
     "sim_sq_int8",
     "graph_pagerank",
     "approx_quantiles_bottomk",
+    "events_anomaly",
+    "text_lm_coverage",
 ]
 
 

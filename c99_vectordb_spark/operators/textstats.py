@@ -332,3 +332,74 @@ def gopher_rules(df: DataFrame, id_col: str, body_col: str) -> DataFrame:
             "gopher_pass", p_wc & p_mtl & p_stop & p_alpha & p_sym
         )
     )
+
+
+def lm_coverage(
+    df: DataFrame,
+    id_col: str,
+    body_col: str,
+    top_bigrams: int = 1000,
+) -> DataFrame:
+    """CCNet-style language-model quality proxy, integer-exact: score
+    each document by how much of it a reference bigram table explains.
+
+    A real CCNet filter buckets documents by KenLM perplexity; the
+    cross-engine-exact stand-in is bigram COVERAGE against the
+    corpus's own top-N bigram table (count desc, bigram asc — the
+    deterministic tie rule): cov_ppm = floor(1e6 * occurrences of
+    in-table bigrams / total bigrams). Log-prob itself is
+    deliberately avoided — float log sums diverge across engines;
+    coverage ranks boilerplate vs gibberish the same way at the
+    filter threshold.
+
+    Plan: the bigram table is vocabulary-bounded (one partial-agg
+    shuffle + top-N) and BROADCASTS to the per-doc join; per-doc
+    totals are a map-only array expression; the known-count is one
+    broadcast-hash join + per-doc partial count. Nothing corpus-sized
+    shuffles except the doc-keyed count itself.
+    Output (id, n_bigrams, n_known, cov_ppm).
+    """
+    body = F.col(body_col)
+    toks = Ft.tokens(body)
+    pairs = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    real_pairs = F.filter(pairs, lambda b: b.contains(" "))
+    lm = (
+        df.select(F.explode(pairs).alias("bigram"))
+        .filter(F.col("bigram").contains(" "))
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("n"), F.asc("bigram"))
+        .limit(top_bigrams)
+        .select("bigram")
+    )
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(pairs).alias("bigram")
+    ).filter(F.col("bigram").contains(" "))
+    known = (
+        exploded.join(F.broadcast(lm), "bigram")
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("n_known"))
+    )
+    totals = df.select(
+        F.col(id_col).alias("id"),
+        F.size(real_pairs).cast("long").alias("n_bigrams"),
+    )
+    return totals.join(known, "id", "left").select(
+        "id",
+        "n_bigrams",
+        F.coalesce(F.col("n_known"), F.lit(0)).cast("long").alias("n_known"),
+        F.when(
+            F.col("n_bigrams") > 0,
+            F.floor(
+                F.coalesce(F.col("n_known"), F.lit(0))
+                * F.lit(1000000)
+                / F.col("n_bigrams")
+            ).cast("long"),
+        )
+        .otherwise(F.lit(0).cast("long"))
+        .alias("cov_ppm"),
+    )

@@ -793,6 +793,53 @@ FROM f2
 """
 
 
+def q_text_lm_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style LM quality proxy (operators/textstats.lm_coverage):
+    per-document bigram coverage against the corpus's own top-1000
+    bigram table — the integer-exact stand-in for a KenLM perplexity
+    bucket. Table broadcasts; totals are map-only array expressions."""
+    from .operators.textstats import lm_coverage
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return lm_coverage(docs, "doc_id", "text", top_bigrams=1000)
+
+
+def _oracle_lm_coverage() -> str:
+    toks = hashing.duckdb_tokens_sql("text")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, {toks} AS ts FROM documents
+),
+pairs AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(ts)), i -> ts[i] || ' ' || ts[i+1])) AS bigram
+  FROM tok
+),
+lm AS (
+  SELECT bigram FROM (
+    SELECT bigram, COUNT(*)::BIGINT AS n FROM pairs GROUP BY bigram
+    ORDER BY n DESC, bigram ASC LIMIT 1000
+  )
+),
+tot AS (
+  SELECT doc_id, COUNT(*)::BIGINT AS n_bigrams FROM pairs GROUP BY doc_id
+),
+kn AS (
+  SELECT p.doc_id, COUNT(*)::BIGINT AS n_known
+  FROM pairs p JOIN lm USING (bigram) GROUP BY p.doc_id
+)
+SELECT d.doc_id AS id,
+       COALESCE(t.n_bigrams, 0)::BIGINT AS n_bigrams,
+       COALESCE(k.n_known, 0)::BIGINT AS n_known,
+       CASE WHEN COALESCE(t.n_bigrams, 0) > 0
+            THEN FLOOR(COALESCE(k.n_known, 0) * 1000000.0 / t.n_bigrams)::BIGINT
+            ELSE 0 END AS cov_ppm
+FROM documents d
+LEFT JOIN tot t ON t.doc_id = d.doc_id
+LEFT JOIN kn k ON k.doc_id = d.doc_id
+"""
+
+
 def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF (KMeans coarse quantizer) ANN: probe 3 of 8 posting lists
     per query, served on the batch path (query TABLE in, one join plan,
@@ -2079,6 +2126,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_gopher_rules": q_text_gopher_rules,
+    "text_lm_coverage": q_text_lm_coverage,
     "grouped_rank": q_grouped_rank,
     "sim_ivf": q_sim_ivf,
     "sim_ivf_batch": q_sim_ivf_batch,
@@ -2130,6 +2178,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_langid": _oracle_langid(),
     "text_fingerprint": _ORACLE_TEXT_FINGERPRINT,
     "text_gopher_rules": _oracle_gopher_rules(),
+    "text_lm_coverage": _oracle_lm_coverage(),
     "grouped_rank": _ORACLE_GROUPED_RANK,
     "sim_ivf_batch": _ORACLE_SIM_IVF_BATCH,
     "filter_variant_metadata": _ORACLE_FILTER_VARIANT,

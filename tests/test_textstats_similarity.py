@@ -273,3 +273,45 @@ def test_sq_topk_tracks_exact_l2(spark, embeddings):
     ]
     approx = [r.id for r in sq_topk(embeddings, q, k=10).collect()]
     assert len(set(exact) & set(approx)) >= 8
+
+
+def test_lm_coverage_hand_checked(spark):
+    """3-doc corpus, top-2 bigram table derived by hand: 'a b' (3
+    occurrences) and 'b c' (2) make the table; doc coverage counts
+    per-OCCURRENCE membership."""
+    from c99_vectordb_spark.operators.textstats import lm_coverage
+
+    df = spark.createDataFrame(
+        [
+            (1, "a b c a b"),    # bigrams: ab bc ca ab -> table hits: ab,bc,ab = 3/4
+            (2, "a b c"),        # ab bc -> 2/2
+            (3, "x y"),          # xy -> 0/1
+            (4, "solo"),         # no bigrams
+        ],
+        "id long, body string",
+    )
+    out = {
+        r.id: (r.n_bigrams, r.n_known, r.cov_ppm)
+        for r in lm_coverage(df, "id", "body", top_bigrams=2).collect()
+    }
+    assert out[1] == (4, 3, 750000)
+    assert out[2] == (2, 2, 1000000)
+    assert out[3] == (1, 0, 0)
+    assert out[4] == (0, 0, 0)
+
+
+def test_lm_coverage_ranks_boilerplate_above_gibberish(spark, documents):
+    """On the real corpus the average coverage must be high (docs are
+    drawn from a shared vocabulary) and a shuffled-alphabet gibberish
+    doc appended to the corpus must score below the corpus median."""
+    from c99_vectordb_spark.operators.textstats import lm_coverage
+
+    gib = documents.sparkSession.createDataFrame(
+        [(999999, "zq wv xk jq qz vxw kzz qjx wqv zxq", "xx", "xx", 30)],
+        documents.schema,
+    )
+    out = lm_coverage(documents.union(gib), "doc_id", "text", top_bigrams=500)
+    rows = {r.id: r.cov_ppm for r in out.collect()}
+    gib_cov = rows.pop(999999)
+    med = sorted(rows.values())[len(rows) // 2]
+    assert gib_cov < med
