@@ -107,6 +107,7 @@ HEADLINE = [
     "approx_quantiles_bottomk",
     "events_anomaly",
     "text_lm_coverage",
+    "corpus_weighted_sample",
 ]
 
 

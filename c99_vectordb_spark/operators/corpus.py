@@ -588,3 +588,49 @@ def mixture_weights(
         )
         .orderBy("source")
     )
+
+
+def weighted_bottomk(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    k: int = 100,
+    stratum_col: str | None = None,
+) -> DataFrame:
+    """Deterministic weighted sampling without replacement: integerized
+    Efraimidis-Spirakis bottom-k. Each row's priority key is
+    mixed_hash(id) DIV max(weight, 1); the k smallest keys win, so a
+    row with twice the weight halves its expected key — inclusion
+    odds scale with weight — while membership stays an exact integer
+    function of the data (no rand(), reproducible on any cluster
+    size, oracle-checkable). The float-exponent original (u^(1/w))
+    is deliberately avoided: cross-engine pow() differs in ulps.
+
+    Scale shape: the key is map-only; bottom-k overall is one
+    TakeOrdered (per-partition heaps, no global sort). With
+    ``stratum_col`` the ranking windows per stratum instead — k rows
+    PER stratum, one partitioned window, no global stage.
+    Output (id, weight, skey [, stratum]).
+    """
+    mixed = (
+        token_hash(F.col(id_col).cast("string")) * F.lit(2654435761)
+    ) % F.lit(1_000_000_007)
+    base = df.select(
+        *([F.col(stratum_col).alias("stratum")] if stratum_col else []),
+        F.col(id_col).alias("id"),
+        F.col(weight_col).cast("long").alias("weight"),
+        mixed.alias("_h"),
+    ).selectExpr(
+        *(["stratum"] if stratum_col else []),
+        "id",
+        "weight",
+        "_h DIV greatest(weight, 1L) AS skey",
+    )
+    if stratum_col:
+        w = Window.partitionBy("stratum").orderBy("skey", "id")
+        return (
+            base.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") <= k)
+            .select("stratum", "id", "weight", "skey")
+        )
+    return base.orderBy(F.asc("skey"), F.asc("id")).limit(k)

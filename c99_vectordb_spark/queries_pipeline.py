@@ -493,6 +493,33 @@ ORDER BY grp
 """
 
 
+def q_corpus_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling (operators/corpus.
+    weighted_bottomk): 100 documents drawn with inclusion odds
+    proportional to n_chars via the integerized Efraimidis-Spirakis
+    key hash DIV weight — map-only key, TakeOrdered bottom-k, no
+    rand()."""
+    from .operators.corpus import weighted_bottomk
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return weighted_bottomk(docs, "doc_id", "n_chars", k=100)
+
+
+def _oracle_corpus_weighted_sample() -> str:
+    from .hashing import duckdb_token_hash_sql
+
+    h = duckdb_token_hash_sql("CAST(doc_id AS VARCHAR)")
+    return f"""
+SELECT doc_id AS id,
+       CAST(n_chars AS BIGINT) AS weight,
+       ((({h}) * 2654435761) % 1000000007)
+         // GREATEST(CAST(n_chars AS BIGINT), 1) AS skey
+FROM documents
+ORDER BY skey ASC, id ASC
+LIMIT 100
+"""
+
+
 def q_corpus_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Domain-mixture rebalancing (operators/corpus.mixture_weights):
     cap over-represented sources at the mean per-source size via the
@@ -1059,6 +1086,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_split_assign": q_corpus_split_assign,
     "corpus_mixture": q_corpus_mixture,
     "approx_quantiles_bottomk": q_approx_quantiles_bottomk,
+    "corpus_weighted_sample": q_corpus_weighted_sample,
     "udtf_shingles": q_udtf_shingles,
 }
 
@@ -1079,5 +1107,6 @@ PIPELINE_ORACLES: dict[str, str] = {
     "corpus_split_assign": _ORACLE_CORPUS_SPLIT,
     "corpus_mixture": _ORACLE_CORPUS_MIXTURE,
     "approx_quantiles_bottomk": _oracle_approx_quantiles_bottomk(),
+    "corpus_weighted_sample": _oracle_corpus_weighted_sample(),
     "udtf_shingles": _oracle_udtf_shingles(),
 }

@@ -376,3 +376,37 @@ def test_mixture_weights_sampled_matches_stratified_key(spark, documents):
     assert {r.source: r.n_sampled for r in out} == {
         s: expect.get(s, 0) for s in w
     }
+
+
+def test_weighted_bottomk_favors_heavy_rows(spark):
+    """Rows with weight 100 vs weight 1: the 100-heavy half must
+    dominate a k=50 sample of 200 rows, and membership is exactly the
+    recomputed key order (python twin)."""
+    from c99_vectordb_spark.hashing import token_hash as py_hash
+    from c99_vectordb_spark.operators.corpus import weighted_bottomk
+
+    rows = [(i, 100 if i % 2 == 0 else 1) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, w long")
+    got = [(r.id, r.skey) for r in weighted_bottomk(df, "id", "w", k=50).collect()]
+    heavy = sum(1 for i, _ in got if i % 2 == 0)
+    assert heavy >= 40  # ~100x odds ratio: light rows are rare
+    keys = sorted(
+        ((py_hash(str(i)) * 2654435761) % 1000000007 // max(w, 1), i)
+        for i, w in rows
+    )[:50]
+    assert sorted(got) == sorted((i, k) for k, i in keys)
+
+
+def test_weighted_bottomk_stratified_is_partitioned(spark, documents):
+    """Stratified variant: k rows per source through ONE partitioned
+    window (plan has no unpartitioned window), sizes == min(k, |src|)."""
+    from c99_vectordb_spark.operators.corpus import weighted_bottomk
+
+    out = weighted_bottomk(
+        documents, "doc_id", "n_chars", k=5, stratum_col="source"
+    )
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "windowspecdefinition(source" in plan or "windowspecdefinition(stratum" in plan
+    sizes = {r.stratum: r.n for r in out.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()}
+    src_sizes = {r.source: r.n for r in documents.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sizes == {s: min(5, n) for s, n in src_sizes.items()}
