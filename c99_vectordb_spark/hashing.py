@@ -129,6 +129,38 @@ def shingle_hashes(text: str, n: int = 3, cache: dict | None = None) -> list[int
     return sorted(out)
 
 
+def window_hashes(text: str, w: int, cache: dict | None = None) -> list[int]:
+    """POSITIONAL rolling token-window hashes (NOT distinct): entry i is
+    the fold of token hashes i..i+w-1 with multiplier 131 mod HASH_MOD —
+    the same fold as :func:`shingle_hashes` but keeping order and
+    duplicates, so index-in-list IS the window's token offset. This is
+    the key for substring-level dedup (operators/dedup.duplicate_spans):
+    a window hash shared across documents marks a w-token exact repeat
+    at a known position. Vectorized over token-hash prefix sums is not
+    possible mod a prime without inverse tricks; w is small (<=64) so
+    the O(n*w) fold with a cross-row token cache is the practical path."""
+    toks = tokenize(text)
+    if len(toks) < w:
+        return []
+    if cache is None:
+        hl = [token_hash(t) for t in toks]
+    else:
+        hl = []
+        for t in toks:
+            h = cache.get(t)
+            if h is None:
+                h = token_hash(t)
+                cache[t] = h
+            hl.append(h)
+    out = []
+    for i in range(len(hl) - w + 1):
+        acc = 0
+        for h in hl[i : i + w]:
+            acc = (acc * 131 + h) % HASH_MOD
+        out.append(acc)
+    return out
+
+
 def simhash_signature(text: str, bits: int, cache: dict | None = None) -> int:
     """SimHash signature of `bits` bits (operators/dedup.SIMHASH_BITS
     governs the spec-wide width): bit j = sign of token votes, where a token votes +1 iff

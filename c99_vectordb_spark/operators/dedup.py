@@ -30,7 +30,7 @@ from __future__ import annotations
 # resolves against this module's globals, not the factory's locals —
 # a factory-local import makes every UDF in this file fail to compile.
 import pandas as pd  # noqa: F401
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from ..functions import text as Ft
 from ..model import HASH_MOD
@@ -580,6 +580,81 @@ def dedup_survivors(
         F.col("id").alias(id_col)
     )
     return df.join(losers, id_col, "left_anti")
+
+
+def _window_hashes_udf(w: int):
+    """Arrow-batched UDF: body -> POSITIONAL rolling window hashes
+    (hashing.window_hashes spec — index in the returned list is the
+    window's token offset). Shares the per-batch token-hash cache
+    trick with _shingles_udf."""
+    import pandas as pd
+
+    from ..hashing import window_hashes
+
+    @F.pandas_udf("array<long>")
+    def _wh(bodies: pd.Series) -> pd.Series:
+        cache: dict[str, int] = {}
+        return bodies.map(lambda b: window_hashes(b or "", w, cache))
+
+    return _wh
+
+
+def duplicate_spans(
+    df: DataFrame,
+    id_col: str = "id",
+    body_col: str = "body",
+    window: int = 16,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Substring-level exact dedup: maximal token spans repeated across
+    documents — the training-data operator of Lee et al. 2021
+    ("Deduplicating Training Data Makes Language Models Better"),
+    re-expressed as joins instead of a suffix array.
+
+    Plan (all relational, no all-pairs):
+    1. map-only Arrow UDF emits every ``window``-token rolling hash
+       with its position; posexplode -> (id, pos, wh).
+    2. window hashes seen in >= ``min_docs`` DISTINCT docs form the
+       duplicated-hash set — a (wh, id) shuffle with partial
+       aggregation, never the text itself.
+    3. left-semi join the positional windows against that set
+       (co-partitioned on wh; AQE broadcasts when the dup set is
+       small).
+    4. adjacent duplicated positions merge into maximal spans with the
+       island-gap trick: pos - row_number() is constant within a run.
+       The window is PARTITIONED per document, bounded by doc length.
+
+    At 100 TB the suffix-array approach needs a global sort of every
+    token; this formulation shuffles only (hash, id, pos) triples and
+    each stage is an equi-join — the standard scale trade (it finds
+    repeats of >= window tokens rather than all maximal repeats, which
+    is the knob real pipelines use, typically 50 tokens).
+
+    Output: (id, span_start, span_end, n_windows) — token offsets,
+    end-exclusive; a span covers tokens [span_start, span_end).
+    """
+    wins = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_window_hashes_udf(window)(F.col(body_col))).alias("pos", "wh"),
+    )
+    dup = (
+        wins.groupBy("wh")
+        .agg(F.count_distinct("id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("wh")
+    )
+    hits = wins.join(dup, "wh", "left_semi")
+    win_spec = Window.partitionBy("id").orderBy("pos")
+    return (
+        hits.withColumn("_grp", F.col("pos") - F.row_number().over(win_spec))
+        .groupBy("id", "_grp")
+        .agg(
+            F.min("pos").alias("span_start"),
+            (F.max("pos") + F.lit(window)).cast("long").alias("span_end"),
+            F.count(F.lit(1)).cast("long").alias("n_windows"),
+        )
+        .select("id", "span_start", "span_end", "n_windows")
+    )
 
 
 def cosine_top_pairs(

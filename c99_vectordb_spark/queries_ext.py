@@ -64,6 +64,52 @@ FROM fp GROUP BY fp
 
 
 # ---------------------------------------------------------------------------
+# dedup: substring-level duplicate spans (Lee et al. 2021 re-expressed
+# as equi-joins — see operators/dedup.duplicate_spans)
+# ---------------------------------------------------------------------------
+
+SUBSTRING_WINDOW = 16
+
+
+def q_dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal >=16-token spans repeated verbatim across documents.
+    Shuffles only (window-hash, id, pos) triples; the span merge is a
+    per-document window (bounded partitions)."""
+    from .operators.dedup import duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return duplicate_spans(
+        docs, id_col="doc_id", body_col="text", window=SUBSTRING_WINDOW
+    ).orderBy("id", "span_start")
+
+
+def _oracle_substring_spans(w: int = SUBSTRING_WINDOW) -> str:
+    toks = hashing.duckdb_tokens_sql("text")
+    th = hashing.duckdb_token_hash_sql("t")
+    return f"""
+WITH hl AS (
+  SELECT doc_id, list_transform({toks}, t -> {th}) AS hl FROM documents
+),
+win AS (
+  SELECT doc_id, u.pos AS pos, u.wh AS wh FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(hl) - {w - 1}, 0) + 1),
+      i -> {{'pos': i - 1, 'wh': list_reduce([0::BIGINT] || hl[i:i+{w - 1}],
+                                             (a, h) -> (a * 131 + h) % {HASH_MOD})}})) AS u
+    FROM hl) t
+),
+dup AS (SELECT wh FROM win GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
+hit AS (SELECT doc_id, pos FROM win WHERE wh IN (SELECT wh FROM dup)),
+grp AS (SELECT doc_id, pos,
+               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
+        FROM hit)
+SELECT doc_id AS id, MIN(pos)::BIGINT AS span_start,
+       (MAX(pos) + {w})::BIGINT AS span_end, COUNT(*)::BIGINT AS n_windows
+FROM grp GROUP BY doc_id, g
+ORDER BY id, span_start
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup: n-gram Jaccard pairs
 # ---------------------------------------------------------------------------
 
@@ -2111,6 +2157,7 @@ ORDER BY o_custkey, valid_from
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_components": q_dedup_components,
     "dedup_survivors": q_dedup_survivors,
@@ -2163,6 +2210,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 EXT_ORACLES: dict[str, str] = {
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_jaccard_pairs": _ORACLE_DEDUP_JACCARD,
+    "dedup_substring_spans": _oracle_substring_spans(),
     "dedup_minhash_pairs": _oracle_minhash(),
     "dedup_components": _ORACLE_DEDUP_COMPONENTS,
     "dedup_survivors": _ORACLE_DEDUP_SURVIVORS,

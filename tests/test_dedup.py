@@ -221,3 +221,46 @@ def test_simhash_max_chunk_freq_knob(spark, corpus):
     }
     assert capped <= unbounded
     assert loose == unbounded
+
+
+def test_duplicate_spans_semantics(spark):
+    # docs 0 and 1 share tokens "a1..a8" verbatim at different offsets;
+    # doc 2 is unrelated. window=4 -> shared windows are exactly the
+    # rolling 4-grams inside the 8-token repeat.
+    shared = " ".join(f"a{i}" for i in range(8))
+    rows = [
+        (0, f"{shared} tail0 tail1 tail2"),
+        (1, f"lead0 lead1 {shared}"),
+        (2, "nothing in common with the others at all whatsoever"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "body"])
+    spans = {r.id: r for r in D.duplicate_spans(df, window=4).collect()}
+    assert set(spans) == {0, 1}
+    # doc 0: repeat at tokens [0, 8); 5 windows of size 4
+    assert (spans[0].span_start, spans[0].span_end, spans[0].n_windows) == (0, 8, 5)
+    # doc 1: same repeat shifted by the 2-token lead
+    assert (spans[1].span_start, spans[1].span_end, spans[1].n_windows) == (2, 10, 5)
+
+
+def test_duplicate_spans_merges_adjacent_and_splits_gaps(spark):
+    # one doc carries TWO disjoint repeats of doc 3's content -> two
+    # spans, not one merged span.
+    r1 = " ".join(f"x{i}" for i in range(5))
+    r2 = " ".join(f"y{i}" for i in range(5))
+    rows = [
+        (0, f"{r1} filler1 filler2 filler3 {r2}"),
+        (1, r1),
+        (2, r2),
+    ]
+    df = spark.createDataFrame(rows, ["id", "body"])
+    out = sorted(
+        (r.id, r.span_start, r.span_end)
+        for r in D.duplicate_spans(df, window=5).collect()
+    )
+    assert out == [(0, 0, 5), (0, 8, 13), (1, 0, 5), (2, 0, 5)]
+
+
+def test_duplicate_spans_short_docs_no_windows(spark):
+    rows = [(0, "too short"), (1, "too short")]
+    df = spark.createDataFrame(rows, ["id", "body"])
+    assert D.duplicate_spans(df, window=16).count() == 0
