@@ -590,6 +590,93 @@ def mixture_weights(
     )
 
 
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str],
+    id_col: str = "doc_id",
+    body_col: str = "text",
+    k: int = 20,
+) -> DataFrame:
+    """BM25-int top-k document retrieval: Okapi BM25 (k1=1.2, b=0.75)
+    with every step integerized so the ranking is an exact integer
+    function of the corpus — bit-identical cross-engine (repo float
+    convention; cross-engine ln()/pow() differ in ulps).
+
+    The integerization, all floor divisions (`div`):
+    - avgdl_m  = 1000*T div N          (avg doc length, milli)
+    - ratio_m  = 1000000*dl div avgdl_m            (dl/avgdl, milli)
+    - denom_m  = 1000*tf + k1_m*(250 + b_m*ratio_m div 1000) div 1000
+      with k1_m=1200, b_m=750, 250 = 1000*(1-b)   (BM25 denominator)
+    - tf_q16   = 65536*2200*tf div denom_m   (2200 = 1000*(k1+1))
+    - idf: the scaled odds R = (2*(N-df)+1)*2^20 div (2*df+1)
+      (clamped >=1), then a PIECEWISE-LINEAR log2 — msb = bitlength-1
+      via conv(r,10,2), fractional part linear in q10 — instead of
+      float ln: idf_q10 = max((msb-20)*1024 + (R-2^msb)*1024 div
+      2^msb, 0). Monotone in the true idf, within 0.086 of log2,
+      clamped non-negative like Lucene's idf.
+    - score_q26 = sum over matched terms of tf_q16 * idf_q10.
+
+    Scale shape: the query-term set broadcasts as an isin filter BEFORE
+    any shuffle, so the (doc, term) aggregation carries only matching
+    postings; df-per-term and the (N, T) scalars are tiny broadcast
+    sides; top-k is one TakeOrdered (per-partition heaps, no global
+    sort). The only corpus-sized pass is the shared token scan that
+    also feeds dl. Overflow-safe to N ~ 1e11 docs (R < 2^42 * 2^20).
+
+    Output: (id, score_q26, n_terms), ties broken by id asc.
+    """
+    qt = sorted({t.lower() for t in query_terms})
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(body_col))).alias("term")
+    )
+    dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    scal = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("t_tokens")
+    ).selectExpr("n_docs", "(1000 * t_tokens) div n_docs AS avgdl_m")
+    hits = tok.filter(F.col("term").isin(qt))
+    tf = hits.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = hits.groupBy("term").agg(F.count_distinct("id").alias("dfq"))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(scal))
+        .selectExpr(
+            "id",
+            "tf",
+            "dfq",
+            "n_docs",
+            "(1000000 * dl) div avgdl_m AS ratio_m",
+        )
+        .selectExpr(
+            "id",
+            "1000 * tf + (1200 * (250 + (750 * ratio_m) div 1000)) div 1000 AS denom_m",
+            "tf",
+            "greatest(((2 * (n_docs - dfq) + 1) * 1048576) div (2 * dfq + 1), 1L) AS r",
+        )
+        .selectExpr(
+            "id",
+            "(65536 * 2200 * tf) div denom_m AS tf_q16",
+            "length(conv(r, 10, 2)) - 1 AS msb",
+            "r",
+        )
+        .selectExpr(
+            "id",
+            "tf_q16",
+            "greatest((msb - 20) * 1024 "
+            "+ ((r - shiftleft(1L, msb)) * 1024) div shiftleft(1L, msb), 0L) AS idf_q10",
+        )
+    )
+    return (
+        scored.groupBy("id")
+        .agg(
+            F.sum(F.expr("tf_q16 * idf_q10")).cast("long").alias("score_q26"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+        .orderBy(F.desc("score_q26"), F.asc("id"))
+        .limit(k)
+    )
+
+
 def weighted_bottomk(
     df: DataFrame,
     id_col: str,

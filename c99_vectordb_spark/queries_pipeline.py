@@ -1062,6 +1062,61 @@ def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_counts(docs, "doc_id", "text", n_merges=8, top_words=400)
 
 
+BM25_QUERY = ("hash", "join", "spark", "window")
+
+
+def q_corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 documents for a 4-term query under integer-exact BM25
+    (operators/corpus.bm25_topk — see its docstring for the BM25-int
+    quantization spec)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return C.bm25_topk(docs, list(BM25_QUERY), "doc_id", "text", k=20)
+
+
+def _oracle_corpus_bm25() -> str:
+    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
+    return f"""
+WITH tok AS (
+  SELECT doc_id AS id, unnest({duckdb_tokens_sql('text')}) AS term FROM documents
+), dl AS (
+  SELECT id, COUNT(*)::BIGINT AS dl FROM tok GROUP BY id
+), scal AS (
+  SELECT COUNT(*)::BIGINT AS n_docs,
+         ((1000 * SUM(dl)) // COUNT(*))::BIGINT AS avgdl_m FROM dl
+), hits AS (
+  SELECT id, term FROM tok WHERE term IN ({terms})
+), tf AS (
+  SELECT id, term, COUNT(*)::BIGINT AS tf FROM hits GROUP BY id, term
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT id)::BIGINT AS dfq FROM hits GROUP BY term
+), j AS (
+  SELECT tf.id, tf.tf, dfreq.dfq, s.n_docs,
+         (1000000 * dl.dl) // s.avgdl_m AS ratio_m
+  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.id = dl.id CROSS JOIN scal s
+), d AS (
+  SELECT id, tf,
+         1000 * tf + (1200 * (250 + (750 * ratio_m) // 1000)) // 1000 AS denom_m,
+         greatest(((2 * (n_docs - dfq) + 1) * 1048576) // (2 * dfq + 1),
+                  1::BIGINT) AS r
+  FROM j
+), p AS (
+  SELECT id, (65536 * 2200 * tf) // denom_m AS tf_q16,
+         length(format('{{:b}}', r)) - 1 AS msb, r
+  FROM d
+), i AS (
+  SELECT id, tf_q16,
+         greatest((msb - 20) * 1024
+                  + ((r - (1::BIGINT << msb)) * 1024) // (1::BIGINT << msb),
+                  0::BIGINT) AS idf_q10
+  FROM p
+)
+SELECT id, SUM(tf_q16 * idf_q10)::BIGINT AS score_q26, COUNT(*)::BIGINT AS n_terms
+FROM i GROUP BY id
+ORDER BY score_q26 DESC, id ASC
+LIMIT 20
+"""
+
+
 def _oracle_corpus_bpe_encode() -> str:
     from .operators.corpus import duckdb_bpe_encode_sql
 
@@ -1073,6 +1128,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_bpe_merges": q_corpus_bpe_merges,
     "corpus_bpe_encode": q_corpus_bpe_encode,
     "corpus_tfidf_terms": q_corpus_tfidf_terms,
+    "corpus_bm25_topk": q_corpus_bm25_topk,
     "corpus_sample": q_corpus_sample,
     "corpus_pack": q_corpus_pack,
     "corpus_pack_global": q_corpus_pack_global,
@@ -1095,6 +1151,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "corpus_bpe_merges": _oracle_corpus_bpe(),
     "corpus_bpe_encode": _oracle_corpus_bpe_encode(),
     "corpus_tfidf_terms": _ORACLE_CORPUS_TFIDF,
+    "corpus_bm25_topk": _oracle_corpus_bm25(),
     "corpus_sample": _ORACLE_CORPUS_SAMPLE,
     "corpus_pack": _ORACLE_CORPUS_PACK,
     "corpus_pack_global": _ORACLE_CORPUS_PACK_GLOBAL,

@@ -410,3 +410,45 @@ def test_weighted_bottomk_stratified_is_partitioned(spark, documents):
     sizes = {r.stratum: r.n for r in out.groupBy("stratum").agg(F.count(F.lit(1)).alias("n")).collect()}
     src_sizes = {r.source: r.n for r in documents.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
     assert sizes == {s: min(5, n) for s, n in src_sizes.items()}
+
+
+def test_bm25_topk_ranking_semantics(spark):
+    # corpus: 'rare' appears only in docs 1-2; 'common' in every doc.
+    # query = [rare, common]: doc 1 (rare x2) > doc 2 (rare x1) > the
+    # common-only docs (idf of an everywhere-term clamps to ~0).
+    rows = [
+        (1, "rare rare common filler1 filler2"),
+        (2, "rare common filler3 filler4 filler5"),
+        (3, "common filler6 filler7 filler8 filler9"),
+        (4, "common stuff more words here today"),
+        (5, "common other text goes right here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = C.bm25_topk(df, ["rare", "common"], "doc_id", "text", k=5).collect()
+    ids = [r.id for r in out]
+    assert ids[0] == 1 and ids[1] == 2
+    scores = {r.id: r.score_q26 for r in out}
+    assert scores[1] > scores[2] > scores[3]
+    # n_terms counts matched query terms per doc
+    nt = {r.id: r.n_terms for r in out}
+    assert nt[1] == 2 and nt[3] == 1
+
+
+def test_bm25_topk_no_hits_empty(spark):
+    df = spark.createDataFrame([(1, "alpha beta")], "doc_id LONG, text STRING")
+    assert C.bm25_topk(df, ["missing"], "doc_id", "text").count() == 0
+
+
+def test_bm25_length_normalization(spark):
+    # same tf of the query term; shorter doc scores higher (b=0.75)
+    rows = [
+        (1, "term " + " ".join(f"f{i}" for i in range(4))),
+        (2, "term " + " ".join(f"g{i}" for i in range(40))),
+        (3, "unrelated words without the query token"),
+        (4, "more unrelated padding text entirely distinct"),
+        (5, "yet another filler document for idf headroom"),
+        (6, "final background document keeps df below half"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    out = {r.id: r.score_q26 for r in C.bm25_topk(df, ["term"], "doc_id", "text").collect()}
+    assert out[1] > out[2]
