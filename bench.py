@@ -108,6 +108,9 @@ HEADLINE = [
     "events_anomaly",
     "text_lm_coverage",
     "corpus_weighted_sample",
+    "dedup_substring_spans",
+    "corpus_bm25_topk",
+    "dedup_incremental",
 ]
 
 

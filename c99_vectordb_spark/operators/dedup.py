@@ -582,6 +582,70 @@ def dedup_survivors(
     return df.join(losers, id_col, "left_anti")
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    seen_fps: DataFrame,
+    seen_bands: DataFrame,
+    id_col: str = "id",
+    body_col: str = "body",
+    n: int = 3,
+) -> DataFrame:
+    """Ingest-time dedup of a NEW batch against a standing corpus,
+    WITHOUT rescanning the corpus. The corpus is represented only by
+    its two index tables — ``seen_fps`` (fp) for exact matches and
+    ``seen_bands`` (band, bsig) for MinHash-LSH near matches — which a
+    100 TB pipeline maintains incrementally (append the survivors'
+    rows after each batch).
+
+    Each batch document gets a disposition, checked in precedence
+    order:
+    - ``exact_dup_corpus``: its wide fingerprint is already indexed;
+    - ``exact_dup_batch``: a smaller id in the SAME batch shares the
+      fingerprint (keep-min-id, the exact_dedup rule);
+    - ``near_dup_corpus``: any of its MinHash bands hits an indexed
+      band bucket (LSH candidate — the same banding as
+      minhash_lsh_pairs, so thresholds match the batch operator);
+    - ``kept``: new content; its fp/band rows are what the caller
+      appends to the index tables.
+
+    Every probe is an equi-join on the index key (fp or (band, bsig)):
+    the index tables stay hash-partitioned on those keys and the
+    small batch side broadcasts under AQE — the corpus is never
+    shuffled, which is the entire point at scale.
+
+    Output: (id, fp, disposition).
+    """
+    fps = batch.select(
+        F.col(id_col).alias("id"),
+        fingerprint_wide_udf()(F.col(body_col)).alias("fp"),
+    )
+    corpus_fp = (
+        seen_fps.select("fp").distinct().withColumn("_corpus_fp", F.lit(True))
+    )
+    wmin = fps.groupBy("fp").agg(F.min("id").alias("_min_id"))
+    near_ids = (
+        minhash_bands(batch, id_col, body_col, n)
+        .join(seen_bands.select("band", "bsig").distinct(), ["band", "bsig"], "left_semi")
+        .select("id")
+        .distinct()
+        .withColumn("_near", F.lit(True))
+    )
+    return (
+        fps.join(corpus_fp, "fp", "left")
+        .join(wmin, "fp")
+        .join(near_ids, "id", "left")
+        .select(
+            "id",
+            "fp",
+            F.when(F.col("_corpus_fp"), F.lit("exact_dup_corpus"))
+            .when(F.col("id") != F.col("_min_id"), F.lit("exact_dup_batch"))
+            .when(F.col("_near"), F.lit("near_dup_corpus"))
+            .otherwise(F.lit("kept"))
+            .alias("disposition"),
+        )
+    )
+
+
 def _window_hashes_udf(w: int):
     """Arrow-batched UDF: body -> POSITIONAL rolling window hashes
     (hashing.window_hashes spec — index in the returned list is the

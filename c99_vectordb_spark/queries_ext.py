@@ -204,6 +204,56 @@ SELECT id_a, id_b FROM mh_pairs
 
 
 # ---------------------------------------------------------------------------
+# dedup: incremental batch-vs-corpus (ingest-time, index-table probes)
+# ---------------------------------------------------------------------------
+
+
+def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup the 'new ingest batch' (doc_id % 3 != 0) against the
+    standing corpus (doc_id % 3 == 0) represented ONLY by its
+    fingerprint and MinHash-band index tables — the incremental
+    pipeline shape (operators/dedup.incremental_dedup)."""
+    from .operators.dedup import exact_dedup, incremental_dedup, minhash_bands
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    seen_fps = exact_dedup(seen, id_col="doc_id", body_col="text").select("fp")
+    seen_bands = minhash_bands(seen, id_col="doc_id", body_col="text").select(
+        "band", "bsig"
+    )
+    return incremental_dedup(
+        batch, seen_fps, seen_bands, id_col="doc_id", body_col="text"
+    ).orderBy("id")
+
+
+def _oracle_dedup_incremental() -> str:
+    fpw = hashing.duckdb_fingerprint_wide_sql(_NORM_TEXT)
+    return f"""
+WITH {_oracle_minhash_ctes()},
+fpt AS (
+  SELECT doc_id, {fpw} AS fp FROM documents
+),
+seen_fp AS (SELECT DISTINCT fp FROM fpt WHERE doc_id % 3 = 0),
+batch_fp AS (SELECT doc_id, fp FROM fpt WHERE doc_id % 3 <> 0),
+seen_bands AS (SELECT DISTINCT band, bsig FROM bands WHERE doc_id % 3 = 0),
+batch_bands AS (SELECT doc_id, band, bsig FROM bands WHERE doc_id % 3 <> 0),
+wmin AS (SELECT fp, MIN(doc_id) AS min_id FROM batch_fp GROUP BY fp),
+near AS (
+  SELECT DISTINCT b.doc_id FROM batch_bands b
+  JOIN seen_bands s USING (band, bsig)
+)
+SELECT b.doc_id AS id, b.fp,
+       CASE WHEN b.fp IN (SELECT fp FROM seen_fp) THEN 'exact_dup_corpus'
+            WHEN b.doc_id <> w.min_id THEN 'exact_dup_batch'
+            WHEN b.doc_id IN (SELECT doc_id FROM near) THEN 'near_dup_corpus'
+            ELSE 'kept' END AS disposition
+FROM batch_fp b JOIN wmin w ON b.fp = w.fp
+ORDER BY id
+"""
+
+
+# ---------------------------------------------------------------------------
 # dedup: pair -> survivor resolution (connected components, keep-min-id)
 # ---------------------------------------------------------------------------
 
@@ -2158,6 +2208,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_substring_spans": q_dedup_substring_spans,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_components": q_dedup_components,
     "dedup_survivors": q_dedup_survivors,
@@ -2211,6 +2262,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_jaccard_pairs": _ORACLE_DEDUP_JACCARD,
     "dedup_substring_spans": _oracle_substring_spans(),
+    "dedup_incremental": _oracle_dedup_incremental(),
     "dedup_minhash_pairs": _oracle_minhash(),
     "dedup_components": _ORACLE_DEDUP_COMPONENTS,
     "dedup_survivors": _ORACLE_DEDUP_SURVIVORS,

@@ -264,3 +264,37 @@ def test_duplicate_spans_short_docs_no_windows(spark):
     rows = [(0, "too short"), (1, "too short")]
     df = spark.createDataFrame(rows, ["id", "body"])
     assert D.duplicate_spans(df, window=16).count() == 0
+
+
+def test_incremental_dedup_dispositions(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    # one appended token: high shingle overlap, verified offline to
+    # share 4/4 MinHash bands under the fixed hash constants
+    near = base + "cat"
+    corpus = spark.createDataFrame(
+        [(100, base), (101, "standing corpus filler document body")], ["id", "body"]
+    )
+    batch = spark.createDataFrame(
+        [
+            (1, base),  # exact dup of corpus 100
+            (2, base),  # also exact-corpus (corpus precedence over batch)
+            (3, near),  # high-overlap near dup
+            (4, "completely unrelated fresh content about engines"),
+            (5, "novel content appearing twice in this batch only"),
+            (6, "novel content appearing twice in this batch only"),
+        ],
+        ["id", "body"],
+    )
+    seen_fps = D.exact_dedup(corpus).select("fp")
+    seen_bands = D.minhash_bands(corpus).select("band", "bsig")
+    out = {
+        r.id: r.disposition
+        for r in D.incremental_dedup(batch, seen_fps, seen_bands).collect()
+    }
+    assert out[1] == "exact_dup_corpus"
+    assert out[2] == "exact_dup_corpus"
+    assert out[4] == "kept"
+    assert out[5] == "kept"
+    assert out[6] == "exact_dup_batch"
+    print("doc3 disposition:", out[3])
+    assert out[3] == "near_dup_corpus"
