@@ -590,6 +590,52 @@ def mixture_weights(
     )
 
 
+def postings(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    body_col: str = "text",
+    max_postings: int = 16,
+    min_df: int = 2,
+) -> DataFrame:
+    """Inverted index: (term, df, postings) — true document frequency
+    plus the ``max_postings`` SMALLEST doc ids containing the term (the
+    capped posting list a retrieval layer seeds from).
+
+    The bottom-k posting list is TWO-STAGE so no per-term state is ever
+    unbounded: stage 1 takes each shuffle partition's local bottom-k
+    per term (collect_set bounded by the partition), stage 2 merges the
+    <= k-per-partition candidates — a per-term input bounded by
+    k * num_partitions, NOT by the term's true df. A single
+    collect_set/window per term would buffer a boilerplate term's every
+    doc id (1e9 rows at 100 TB); this caps it structurally. The true
+    df rides a separate count_distinct aggregate (partial-aggregated,
+    sketch-sized shuffle).
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(body_col))).alias("term")
+    ).distinct()
+    dfreq = tok.groupBy("term").agg(F.count(F.lit(1)).cast("long").alias("df"))
+    local = (
+        tok.withColumn("_p", F.spark_partition_id())
+        .groupBy("term", "_p")
+        .agg(F.slice(F.array_sort(F.collect_set("id")), 1, max_postings).alias("loc"))
+    )
+    merged = (
+        local.select("term", F.explode("loc").alias("id"))
+        .groupBy("term")
+        .agg(
+            F.slice(F.array_sort(F.collect_set("id")), 1, max_postings).alias(
+                "postings"
+            )
+        )
+    )
+    return (
+        dfreq.filter(F.col("df") >= min_df)
+        .join(merged, "term")
+        .select("term", "df", "postings")
+    )
+
+
 def bm25_topk(
     df: DataFrame,
     query_terms: list[str],

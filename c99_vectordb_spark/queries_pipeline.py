@@ -1062,6 +1062,35 @@ def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return bpe_encode_counts(docs, "doc_id", "text", n_merges=8, top_words=400)
 
 
+def q_corpus_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-100 inverted-index rows: true df + the 16 smallest doc ids
+    per term (operators/corpus.postings — two-stage bounded bottom-k)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return (
+        C.postings(docs, "doc_id", "text", max_postings=16, min_df=2)
+        .orderBy(F.desc("df"), F.asc("term"))
+        .limit(100)
+    )
+
+
+_ORACLE_CORPUS_POSTINGS = f"""
+WITH tok AS (
+  SELECT DISTINCT doc_id AS id, unnest({duckdb_tokens_sql('text')}) AS term
+  FROM documents
+), dfreq AS (
+  SELECT term, COUNT(*)::BIGINT AS df FROM tok GROUP BY term
+), plist AS (
+  SELECT term, list_slice(list(id ORDER BY id), 1, 16) AS postings
+  FROM tok GROUP BY term
+)
+SELECT term, df, postings
+FROM dfreq JOIN plist USING (term)
+WHERE df >= 2
+ORDER BY df DESC, term ASC
+LIMIT 100
+"""
+
+
 BM25_QUERY = ("hash", "join", "spark", "window")
 
 
@@ -1129,6 +1158,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_bpe_encode": q_corpus_bpe_encode,
     "corpus_tfidf_terms": q_corpus_tfidf_terms,
     "corpus_bm25_topk": q_corpus_bm25_topk,
+    "corpus_postings": q_corpus_postings,
     "corpus_sample": q_corpus_sample,
     "corpus_pack": q_corpus_pack,
     "corpus_pack_global": q_corpus_pack_global,
@@ -1152,6 +1182,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "corpus_bpe_encode": _oracle_corpus_bpe_encode(),
     "corpus_tfidf_terms": _ORACLE_CORPUS_TFIDF,
     "corpus_bm25_topk": _oracle_corpus_bm25(),
+    "corpus_postings": _ORACLE_CORPUS_POSTINGS,
     "corpus_sample": _ORACLE_CORPUS_SAMPLE,
     "corpus_pack": _ORACLE_CORPUS_PACK,
     "corpus_pack_global": _ORACLE_CORPUS_PACK_GLOBAL,

@@ -45,7 +45,11 @@ def canon(df: pd.DataFrame) -> tuple[pd.DataFrame, dict[str, str]]:
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_object_dtype(df[c]):
-            df[c] = df[c].map(lambda v: tuple(v) if isinstance(v, (list, tuple)) else v)
+            import numpy as np
+
+            df[c] = df[c].map(
+                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
+            )
     return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True), kinds
 
 
