@@ -1623,11 +1623,14 @@ _ORACLES: dict[str, str] = {
 # monotonically while every family keeps >=1 representative. Round-5
 # first-timers: tpch_q7/q10/q18, corpus_pack, corpus_pack_global,
 # chunk_documents, text_scrub_pii, text_repetition, graph_triangles,
-# decontaminate_eval, events_attribution_pairs, plus the five operators
+# decontaminate_eval, events_attribution_pairs, plus the nine operators
 # NEW this round — sim_sq_int8, graph_pagerank, corpus_bpe_encode,
-# corpus_mixture, text_gopher_rules — pinned in over five multi-round
+# corpus_mixture, text_gopher_rules, and (session 3) the four new
+# pipeline operators dedup_substring_spans, dedup_incremental,
+# corpus_bm25_topk, corpus_postings — pinned in over nine multi-round
 # green veterans (knn_embeddings, embed_build_norms, text_quality,
-# corpus_tfidf_terms, corpus_split_assign; all remain fully covered by
+# corpus_tfidf_terms, corpus_split_assign, tpch_q10, sim_ivf_batch,
+# dedup_survivors, corpus_pack; all remain fully covered by
 # tools/verify_oracle past the window).
 DRIVER_WINDOW = [
     # core reference surface (recall / filter / analyze / mutate)
@@ -1639,7 +1642,6 @@ DRIVER_WINDOW = [
     "upsert_docs",
     # TPC-H tour (agg, star broadcast, correlated, semi/anti, scalar)
     "tpch_q7",
-    "tpch_q10",
     "tpch_q18",
     "tpch_q17",
     "tpch_q21",
@@ -1671,10 +1673,10 @@ DRIVER_WINDOW = [
     "grouped_rank",
     # dedup family
     "dedup_minhash_pairs",
-    "dedup_survivors",
+    "dedup_substring_spans",
+    "dedup_incremental",
     # similarity family (LSH / IVF / PQ / IVF-PQ)
     "sim_lsh_bucketed",
-    "sim_ivf_batch",
     "sim_ivfpq_fixed",
     "sim_sq_int8",
     # multimodal (new in r5: the JPEG header tier and the full
@@ -1691,7 +1693,8 @@ DRIVER_WINDOW = [
     "corpus_pipeline",
     "corpus_bpe_encode",
     "corpus_mixture",
-    "corpus_pack",
+    "corpus_bm25_topk",
+    "corpus_postings",
     "corpus_pack_global",
     "chunk_documents",
     "decontaminate_eval",

@@ -41,7 +41,8 @@ FAMILIES: dict[str, tuple[set[str], int]] = {
     "approx": ({"approx_distinct_kmv", "sketch_heavy_hitters"}, 2),
     "udtf": ({"udtf_shingles", "grouped_rank"}, 1),
     "dedup": ({"dedup_exact", "dedup_minhash_pairs", "dedup_jaccard_pairs",
-               "dedup_simhash", "dedup_survivors"}, 2),
+               "dedup_simhash", "dedup_survivors", "dedup_substring_spans",
+               "dedup_incremental"}, 2),
     "similarity": ({"sim_lsh_bucketed", "sim_lsh_multiprobe", "sim_ivf_batch",
                     "sim_pq_fixed", "sim_ivfpq_fixed", "sim_sq_int8"}, 3),
     "multimodal": ({"multimodal_meta_roundtrip", "multimodal_png_roundtrip",
@@ -53,7 +54,8 @@ FAMILIES: dict[str, tuple[set[str], int]] = {
                 "corpus_pack", "corpus_pack_global", "chunk_documents",
                 "decontaminate_eval", "decontaminate_survivors", "corpus_vocab",
                 "corpus_sample", "corpus_bigrams", "corpus_bpe_merges",
-                "corpus_bpe_encode", "corpus_mixture"}, 4),
+                "corpus_bpe_encode", "corpus_mixture", "corpus_bm25_topk",
+                "corpus_postings"}, 4),
 }
 
 
