@@ -7,7 +7,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from . import hashing
 from .model import HASH_MOD
@@ -793,6 +793,91 @@ SELECT doc_id AS id, punct_ppm, digit_ppm, stop_ppm, mtl_ppm, n_tokens,
         + 4 * (1000000 - least(digit_ppm * 10, 1000000))
         + least(greatest(mtl_ppm - 2000000, 0), 4000000))::BIGINT AS quality_q16
 FROM feat2
+"""
+
+
+def q_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum assignment: exact per-source quality deciles via
+    ntile(10) over (quality_q16, doc_id) — the bucketing a curriculum
+    sampler (easy->hard schedule) consumes. The window partitions per
+    SOURCE: right-sized when strata are numerous (domains/crawls —
+    the common corpus shape); for a few huge strata, rebuild on the
+    scalable_window range-stitch instead (one slice per range
+    partition, broadcast prefix)."""
+    from .operators.textstats import quality_features_exact
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    scored = quality_features_exact(docs, "doc_id", "text").select(
+        "id", "quality_q16"
+    )
+    j = docs.select("doc_id", "source").join(
+        scored, docs.doc_id == scored.id
+    )
+    w = Window.partitionBy("source").orderBy(
+        F.asc("quality_q16"), F.asc("doc_id")
+    )
+    return j.select(
+        "doc_id",
+        "source",
+        "quality_q16",
+        F.ntile(10).over(w).cast("long").alias("bucket"),
+    ).orderBy("doc_id")
+
+
+def _oracle_curriculum() -> str:
+    return f"""
+WITH q AS ({_oracle_quality()})
+SELECT d.doc_id, d.source, q.quality_q16,
+       NTILE(10) OVER (PARTITION BY d.source
+                       ORDER BY q.quality_q16 ASC, q.id ASC)::BIGINT AS bucket
+FROM documents d JOIN q ON d.doc_id = q.id
+ORDER BY d.doc_id
+"""
+
+
+def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: MinHash-LSH near-dup pair
+    counts per (source, source) cell — which provenances duplicate
+    each other (crawl overlap, mirror sites). Reuses the banded pair
+    join; the two source lookups are equi-joins on the doc id."""
+    from .operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, id_col="doc_id", body_col="text")
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+            "id_b",
+        )
+    )
+    return (
+        j.select(
+            F.least("sa", "sb").alias("src_a"), F.greatest("sa", "sb").alias("src_b")
+        )
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("src_a", "src_b")
+    )
+
+
+def _oracle_cross_source() -> str:
+    return f"""
+WITH {_oracle_minhash_ctes()},
+lab AS (
+  SELECT p.id_a, p.id_b, da.source AS sa, db.source AS sb
+  FROM mh_pairs p
+  JOIN documents da ON p.id_a = da.doc_id
+  JOIN documents db ON p.id_b = db.doc_id
+)
+SELECT least(sa, sb) AS src_a, greatest(sa, sb) AS src_b,
+       COUNT(*)::BIGINT AS n_pairs
+FROM lab GROUP BY 1, 2
+ORDER BY src_a, src_b
 """
 
 
@@ -2222,6 +2307,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
+    "corpus_curriculum": q_corpus_curriculum,
+    "dedup_cross_source": q_dedup_cross_source,
     "text_fingerprint": q_text_fingerprint,
     "text_gopher_rules": q_text_gopher_rules,
     "text_lm_coverage": q_text_lm_coverage,
@@ -2276,6 +2363,8 @@ EXT_ORACLES: dict[str, str] = {
     "text_token_counts": _ORACLE_TEXT_TOKEN_COUNTS,
     "text_quality": _oracle_quality(),
     "text_langid": _oracle_langid(),
+    "corpus_curriculum": _oracle_curriculum(),
+    "dedup_cross_source": _oracle_cross_source(),
     "text_fingerprint": _ORACLE_TEXT_FINGERPRINT,
     "text_gopher_rules": _oracle_gopher_rules(),
     "text_lm_coverage": _oracle_lm_coverage(),

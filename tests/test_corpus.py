@@ -452,3 +452,20 @@ def test_bm25_length_normalization(spark):
     df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
     out = {r.id: r.score_q26 for r in C.bm25_topk(df, ["term"], "doc_id", "text").collect()}
     assert out[1] > out[2]
+
+
+def test_curriculum_buckets_per_source(spark):
+    # ntile(4) over 8 docs in one source: 2 per bucket, ordered by score
+    from pyspark.sql import Window
+
+    rows = [(i, "s0", i * 100) for i in range(8)] + [(10, "s1", 5)]
+    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, quality_q16 LONG")
+    w = Window.partitionBy("source").orderBy(F.asc("quality_q16"), F.asc("doc_id"))
+    out = {
+        (r.doc_id): r.bucket
+        for r in df.select(
+            "doc_id", F.ntile(4).over(w).cast("long").alias("bucket")
+        ).collect()
+    }
+    assert [out[i] for i in range(8)] == [1, 1, 2, 2, 3, 3, 4, 4]
+    assert out[10] == 1  # lone doc in s1 lands in bucket 1

@@ -298,3 +298,26 @@ def test_incremental_dedup_dispositions(spark):
     assert out[6] == "exact_dup_batch"
     print("doc3 disposition:", out[3])
     assert out[3] == "near_dup_corpus"
+
+
+def test_cross_source_matrix_symmetric_counts(spark):
+    # near-identical docs across two sources -> one (a, b) cell;
+    # least/greatest folds both directions into the same cell
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    docs = spark.createDataFrame(
+        [(1, base, "a"), (2, base, "b"), (3, base + "cat", "b"),
+         (4, "entirely unrelated text body", "a")],
+        ["doc_id", "text", "source"],
+    )
+    pairs = D.minhash_lsh_pairs(docs, id_col="doc_id", body_col="text")
+    src = docs.select("doc_id", "source")
+    j = (
+        pairs.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")
+        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")), "id_b")
+        .select(F.least("sa", "sb").alias("src_a"), F.greatest("sa", "sb").alias("src_b"))
+        .groupBy("src_a", "src_b").count()
+    )
+    out = {(r.src_a, r.src_b): r["count"] for r in j.collect()}
+    # (1,2) and (1,3) cross a-b; (2,3) within b
+    assert out[("a", "b")] == 2
+    assert out[("b", "b")] == 1
