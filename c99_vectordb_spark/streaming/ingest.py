@@ -91,6 +91,48 @@ def stream_windowed_events(
     )
 
 
+def stream_incremental_dedup(
+    docs_stream: DataFrame,
+    seen_fps: DataFrame,
+    seen_bands: DataFrame,
+    sink_fn,
+    checkpoint_dir: str,
+    id_col: str = "id",
+    body_col: str = "body",
+):
+    """Streaming ingest-time dedup: each micro-batch of new documents
+    is deduped against the STANDING corpus via
+    operators/dedup.incremental_dedup (exact fingerprint + MinHash
+    band probes) inside ``foreachBatch``, and the dispositions are
+    handed to ``sink_fn(df, batch_id)`` — which in a real pipeline
+    appends the 'kept' rows' fp/band entries back to the index tables
+    so the NEXT batch sees them.
+
+    foreachBatch (not a stream-static join chain) because the
+    disposition needs a per-document any-band aggregate, which as a
+    pure streaming aggregation would demand a watermark on data that
+    has no event time; the micro-batch is a bounded DataFrame where
+    the batch operator — and its exact-oracle semantics — applies
+    verbatim. Index tables are static-side equi-joins, so the corpus
+    is never rescanned (the scale contract of the batch twin).
+    """
+    from ..operators.dedup import incremental_dedup
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        out = incremental_dedup(
+            batch_df, seen_fps, seen_bands, id_col=id_col, body_col=body_col
+        )
+        sink_fn(out, batch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def stream_keep_first(
     events_stream: DataFrame,
     watermark: str = "1 hour",

@@ -294,3 +294,51 @@ def test_streaming_kmv_matches_batch(spark, sf_dir, tmp_path):
     for r in rows:
         final[r.grp] = r.kmv_est  # later rows overwrite earlier
     assert final == batch
+
+
+def test_stream_incremental_dedup_matches_batch(spark):
+    """availableNow replay of a doc batch through the foreachBatch
+    incremental dedup == the batch operator's dispositions (whose
+    DuckDB oracle covers semantics)."""
+    from c99_vectordb_spark.operators.dedup import (
+        exact_dedup,
+        incremental_dedup,
+        minhash_bands,
+    )
+    from c99_vectordb_spark.streaming.ingest import stream_incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    with tempfile.TemporaryDirectory() as tmp:
+        corpus = spark.createDataFrame(
+            [(100, base), (101, "standing corpus filler body")], ["id", "body"]
+        )
+        seen_fps = exact_dedup(corpus).select("fp")
+        seen_bands = minhash_bands(corpus).select("band", "bsig")
+        batch = spark.createDataFrame(
+            [(1, base), (2, base + "cat"), (3, "fresh novel content"),
+             (4, "fresh novel content")],
+            ["id", "body"],
+        )
+        src = os.path.join(tmp, "src")
+        batch.coalesce(1).write.parquet(src)
+        got: dict[int, str] = {}
+
+        def sink(df, batch_id):
+            got.update({r.id: r.disposition for r in df.collect()})
+
+        q = stream_incremental_dedup(
+            spark.readStream.schema("id LONG, body STRING").parquet(src),
+            seen_fps,
+            seen_bands,
+            sink,
+            os.path.join(tmp, "ckpt"),
+        ).start()
+        q.awaitTermination(120)
+        want = {
+            r.id: r.disposition
+            for r in incremental_dedup(batch, seen_fps, seen_bands).collect()
+        }
+        assert got == want
+        assert want[1] == "exact_dup_corpus"
+        assert want[2] == "near_dup_corpus"
+        assert want[3] == "kept" and want[4] == "exact_dup_batch"
