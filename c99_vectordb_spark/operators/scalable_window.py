@@ -208,6 +208,37 @@ def running_sum(
     return out if had_pid else out.drop(_PID)
 
 
+def exact_quantiles(
+    df: DataFrame,
+    order_cols: list[Column],
+    percents: list[int],
+    p_col: str = "p",
+) -> DataFrame:
+    """EXACT global percentiles without a single-task sort: the rows
+    sitting at rank floor((n-1)*p/100)+1 of the total order (lower /
+    'disc' interpolation, pure integer arithmetic so any engine lands
+    on the same row).
+
+    approx_percentile trades error bounds for one pass; this is the
+    exact complement built on :func:`global_rank` — range shuffle,
+    per-partition local windows, a one-row-per-partition offset
+    broadcast, then a broadcast join of the |percents| target ranks.
+    The only driver-side values are the partition counts and n.
+    ``order_cols`` must be a total order (unique tie-break), else the
+    selected row among equal keys is nondeterministic.
+
+    Output: the matched rows with ``p_col`` prepended; a percent whose
+    target rank collides with another's returns one row per percent.
+    """
+    ranked = global_rank(df, order_cols, "__sw_rk")
+    n = ranked.count()
+    if n == 0:
+        return ranked.withColumn(p_col, F.lit(None).cast("long")).drop("__sw_rk")
+    targets = [(int(p), (n - 1) * int(p) // 100 + 1) for p in percents]
+    tdf = ranked.sparkSession.createDataFrame(targets, f"{p_col} LONG, __sw_rk LONG")
+    return ranked.join(F.broadcast(tdf), "__sw_rk").drop("__sw_rk")
+
+
 def ntile_bucket(rank: Column, n_rows: int, n_buckets: int) -> Column:
     """SQL NTILE(k) bucket from a 1-based global rank — pure arithmetic.
 

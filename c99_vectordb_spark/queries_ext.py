@@ -796,6 +796,35 @@ FROM feat2
 """
 
 
+def q_quantiles_exact_global(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT global order-price percentiles (25/50/75/90/99) on the
+    range-stitch rank — the exact complement of the approx_percentile
+    query, no single-task global sort anywhere
+    (operators/scalable_window.exact_quantiles)."""
+    from .operators.scalable_window import exact_quantiles
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    out = exact_quantiles(
+        orders.select("o_orderkey", "o_totalprice"),
+        [F.asc("o_totalprice"), F.asc("o_orderkey")],
+        [25, 50, 75, 90, 99],
+    )
+    return out.select("p", "o_totalprice", "o_orderkey").orderBy("p", "o_orderkey")
+
+
+_ORACLE_QUANTILES_EXACT = """
+WITH v AS (
+  SELECT o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (ORDER BY o_totalprice, o_orderkey) AS rk,
+         COUNT(*) OVER () AS n
+  FROM orders
+), t AS (SELECT unnest([25, 50, 75, 90, 99]::BIGINT[]) AS p)
+SELECT t.p, v.o_totalprice, v.o_orderkey
+FROM t JOIN v ON v.rk = (v.n - 1) * t.p // 100 + 1
+ORDER BY p, o_orderkey
+"""
+
+
 def q_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum assignment: exact per-source quality deciles via
     ntile(10) over (quality_q16, doc_id) — the bucketing a curriculum
@@ -2307,6 +2336,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
+    "quantiles_exact_global": q_quantiles_exact_global,
     "corpus_curriculum": q_corpus_curriculum,
     "dedup_cross_source": q_dedup_cross_source,
     "text_fingerprint": q_text_fingerprint,
@@ -2363,6 +2393,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_token_counts": _ORACLE_TEXT_TOKEN_COUNTS,
     "text_quality": _oracle_quality(),
     "text_langid": _oracle_langid(),
+    "quantiles_exact_global": _ORACLE_QUANTILES_EXACT,
     "corpus_curriculum": _oracle_curriculum(),
     "dedup_cross_source": _oracle_cross_source(),
     "text_fingerprint": _ORACLE_TEXT_FINGERPRINT,

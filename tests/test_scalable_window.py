@@ -125,3 +125,28 @@ def test_composed_ops_share_one_checkpoint(spark, nums):
     pb = b._jdf.queryExecution().executedPlan().toString()
     assert pa.count("Exchange rangepartitioning") == 0
     assert pb.count("Exchange rangepartitioning") == 0
+
+
+def test_exact_quantiles_disc_semantics(spark):
+    from pyspark.sql import functions as F
+
+    from c99_vectordb_spark.operators.scalable_window import exact_quantiles
+
+    # values 10..100 step 10 (n=10): p50 -> rank (9*50)//100+1 = 5 -> 50
+    df = spark.createDataFrame([(i, i * 10) for i in range(1, 11)], "id LONG, v LONG")
+    out = {
+        r.p: r.v
+        for r in exact_quantiles(
+            df, [F.asc("v"), F.asc("id")], [0, 50, 100]
+        ).collect()
+    }
+    assert out == {0: 10, 50: 50, 100: 100}
+
+
+def test_exact_quantiles_empty_input(spark):
+    from pyspark.sql import functions as F
+
+    from c99_vectordb_spark.operators.scalable_window import exact_quantiles
+
+    df = spark.createDataFrame([], "id LONG, v LONG")
+    assert exact_quantiles(df, [F.asc("v"), F.asc("id")], [50]).count() == 0
