@@ -111,6 +111,11 @@ HEADLINE = [
     "dedup_substring_spans",
     "corpus_bm25_topk",
     "dedup_incremental",
+    "dedup_span_removal",
+    "dedup_cross_source",
+    "corpus_postings",
+    "corpus_curriculum",
+    "quantiles_exact_global",
 ]
 
 

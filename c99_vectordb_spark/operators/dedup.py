@@ -663,6 +663,79 @@ def _window_hashes_udf(w: int):
     return _wh
 
 
+def remove_duplicate_spans(
+    df: DataFrame,
+    id_col: str = "id",
+    body_col: str = "body",
+    window: int = 16,
+) -> DataFrame:
+    """The TRANSFORMATION half of substring dedup: cut cross-document
+    repeated spans from every document except the canonical occurrence
+    (Lee et al. 2021 drop-all-but-one, made deterministic at window
+    granularity): token t of doc d is REMOVED iff some ``window``-token
+    rolling window covering t also occurs in a document with a SMALLER
+    id — so the min-id document keeps its text and every later copy
+    loses exactly the repeated region.
+
+    Pipeline: positional window hashes (map-only Arrow UDF) ->
+    per-hash min doc id (partial-aggregated (wh, id) shuffle) -> the
+    covered token positions of non-canonical occurrences (bounded
+    explode: window tokens per duplicated window) -> anti-join against
+    the doc's token positions -> per-document ordered reassembly
+    (sort_array over a doc-bounded collected list — the only per-doc
+    state, bounded by doc length like the chunker).
+
+    Output: (id, clean_text, n_tokens, n_removed) where clean_text is
+    the surviving tokens joined by single spaces (token-normalized
+    output — the same normalization the dedup keys already use).
+    """
+    wins = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(_window_hashes_udf(window)(F.col(body_col))).alias("pos", "wh"),
+    )
+    canon = wins.groupBy("wh").agg(F.min("id").alias("_min_id"))
+    removed = (
+        wins.join(canon, "wh")
+        .filter(F.col("id") > F.col("_min_id"))
+        .select(
+            "id",
+            F.explode(F.sequence(F.col("pos"), F.col("pos") + F.lit(window - 1))).alias(
+                "tokpos"
+            ),
+        )
+        .distinct()
+    )
+    toks = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(Ft.tokens(F.col(body_col))).alias("tokpos", "tok"),
+    )
+    kept = toks.join(removed, ["id", "tokpos"], "left_anti")
+    n_removed = removed.groupBy("id").agg(F.count(F.lit(1)).alias("_nrm"))
+    rebuilt = kept.groupBy("id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tokpos", "tok"))),
+                lambda s: s["tok"],
+            ),
+            " ",
+        ).alias("_ct"),
+        F.count(F.lit(1)).cast("long").alias("_nt"),
+    )
+    # right-join back onto the full id set: fully-removed or token-less
+    # documents still get a row (empty clean_text), mirroring how a
+    # real pipeline rewrites every record
+    return (
+        rebuilt.join(n_removed, "id", "full")
+        .join(df.select(F.col(id_col).alias("id")), "id", "right")
+        .select(
+            "id",
+            F.coalesce(F.col("_ct"), F.lit("")).alias("clean_text"),
+            F.coalesce(F.col("_nt"), F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce(F.col("_nrm"), F.lit(0)).cast("long").alias("n_removed"),
+        )
+    )
+
+
 def duplicate_spans(
     df: DataFrame,
     id_col: str = "id",

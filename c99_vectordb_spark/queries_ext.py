@@ -109,6 +109,67 @@ ORDER BY id, span_start
 """
 
 
+def q_dedup_span_removal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cut cross-document repeated >=16-token regions from every doc
+    except the min-id canonical occurrence; emit the rewritten
+    (token-normalized) text (operators/dedup.remove_duplicate_spans)."""
+    from .operators.dedup import remove_duplicate_spans
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return remove_duplicate_spans(
+        docs, id_col="doc_id", body_col="text", window=SUBSTRING_WINDOW
+    ).orderBy("id")
+
+
+def _oracle_span_removal(w: int = SUBSTRING_WINDOW) -> str:
+    toks = hashing.duckdb_tokens_sql("text")
+    th = hashing.duckdb_token_hash_sql("t")
+    return f"""
+WITH tk AS (
+  SELECT doc_id, {toks} AS tk FROM documents
+),
+tokpos AS (
+  SELECT doc_id, u.p - 1 AS tokpos, u.t AS tok FROM (
+    SELECT doc_id, unnest(list_transform(range(1, len(tk) + 1),
+                                         i -> {{'p': i, 't': tk[i]}})) AS u
+    FROM tk) y
+),
+hl AS (
+  SELECT doc_id, list_transform(tk, t -> {th}) AS hl FROM tk
+),
+win AS (
+  SELECT doc_id, u.pos AS pos, u.wh AS wh FROM (
+    SELECT doc_id, unnest(list_transform(range(1, greatest(len(hl) - {w - 1}, 0) + 1),
+      i -> {{'pos': i - 1, 'wh': list_reduce([0::BIGINT] || hl[i:i+{w - 1}],
+                                             (a, h) -> (a * 131 + h) % {HASH_MOD})}})) AS u
+    FROM hl) t
+),
+canon AS (SELECT wh, MIN(doc_id) AS min_id FROM win GROUP BY wh),
+removed AS (
+  SELECT DISTINCT w.doc_id, w.pos + g.g AS tokpos
+  FROM win w
+  JOIN canon c ON w.wh = c.wh AND w.doc_id > c.min_id,
+       (SELECT unnest(range(0, {w})) AS g) g
+),
+kept AS (
+  SELECT t.doc_id, t.tokpos, t.tok FROM tokpos t
+  ANTI JOIN removed r USING (doc_id, tokpos)
+),
+rebuilt AS (
+  SELECT doc_id, string_agg(tok, ' ' ORDER BY tokpos) AS ct,
+         COUNT(*)::BIGINT AS nt
+  FROM kept GROUP BY doc_id
+),
+nrm AS (SELECT doc_id, COUNT(*)::BIGINT AS nrm FROM removed GROUP BY doc_id)
+SELECT d.doc_id AS id, coalesce(ct, '') AS clean_text,
+       coalesce(nt, 0)::BIGINT AS n_tokens,
+       coalesce(nrm, 0)::BIGINT AS n_removed
+FROM documents d LEFT JOIN rebuilt ON d.doc_id = rebuilt.doc_id
+LEFT JOIN nrm ON d.doc_id = nrm.doc_id
+ORDER BY id
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup: n-gram Jaccard pairs
 # ---------------------------------------------------------------------------
@@ -2323,6 +2384,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_span_removal": q_dedup_span_removal,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_components": q_dedup_components,
     "dedup_survivors": q_dedup_survivors,
@@ -2380,6 +2442,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_jaccard_pairs": _ORACLE_DEDUP_JACCARD,
     "dedup_substring_spans": _oracle_substring_spans(),
     "dedup_incremental": _oracle_dedup_incremental(),
+    "dedup_span_removal": _oracle_span_removal(),
     "dedup_minhash_pairs": _oracle_minhash(),
     "dedup_components": _ORACLE_DEDUP_COMPONENTS,
     "dedup_survivors": _ORACLE_DEDUP_SURVIVORS,

@@ -321,3 +321,20 @@ def test_cross_source_matrix_symmetric_counts(spark):
     # (1,2) and (1,3) cross a-b; (2,3) within b
     assert out[("a", "b")] == 2
     assert out[("b", "b")] == 1
+
+
+def test_remove_duplicate_spans_rewrites_later_copies(spark):
+    shared = " ".join(f"a{i}" for i in range(8))
+    rows = [
+        (0, f"{shared} tail0 tail1"),       # canonical: untouched
+        (1, f"lead0 lead1 {shared}"),       # loses the 8-token repeat
+        (2, "unique body stays intact ok"), # untouched
+        (3, shared),                        # fully removed
+    ]
+    df = spark.createDataFrame(rows, ["id", "body"])
+    out = {r.id: r for r in D.remove_duplicate_spans(df, window=4).collect()}
+    assert set(out) == {0, 1, 2, 3}
+    assert out[0].clean_text == f"{shared} tail0 tail1" and out[0].n_removed == 0
+    assert out[1].clean_text == "lead0 lead1" and out[1].n_removed == 8
+    assert out[2].clean_text == "unique body stays intact ok"
+    assert out[3].clean_text == "" and out[3].n_tokens == 0 and out[3].n_removed == 8
