@@ -116,6 +116,7 @@ HEADLINE = [
     "corpus_postings",
     "corpus_curriculum",
     "quantiles_exact_global",
+    "events_rollup_incremental",
 ]
 
 

@@ -857,6 +857,34 @@ FROM feat2
 """
 
 
+def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Continuous-aggregate maintenance: the hourly rollup built as a
+    MERGE of two batch states (event_id parity split) — the oracle
+    recomputes the rollup directly from the full table, so the hash
+    match proves incremental merge == full recompute
+    (operators/rollup.py)."""
+    from .operators.rollup import hourly_rollup, merge_rollups, rollup_report
+    from .queries_registry import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    old = ev.filter(F.col("event_id") % 2 == 0)
+    new = ev.filter(F.col("event_id") % 2 == 1)
+    state = merge_rollups(hourly_rollup(old), hourly_rollup(new))
+    return rollup_report(state).orderBy("hour_idx", "event_type")
+
+
+_ORACLE_EVENTS_ROLLUP = """
+SELECT epoch_us(ts) // 3600000000 AS hour_idx, event_type,
+       COUNT(*)::BIGINT AS cnt,
+       CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
+       CAST(MIN(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
+       CAST(MAX(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS max_value
+FROM events
+GROUP BY 1, 2
+ORDER BY hour_idx, event_type
+"""
+
+
 def q_quantiles_exact_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT global order-price percentiles (25/50/75/90/99) on the
     range-stitch rank — the exact complement of the approx_percentile
@@ -2398,6 +2426,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
+    "events_rollup_incremental": q_events_rollup_incremental,
     "quantiles_exact_global": q_quantiles_exact_global,
     "corpus_curriculum": q_corpus_curriculum,
     "dedup_cross_source": q_dedup_cross_source,
@@ -2456,6 +2485,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_token_counts": _ORACLE_TEXT_TOKEN_COUNTS,
     "text_quality": _oracle_quality(),
     "text_langid": _oracle_langid(),
+    "events_rollup_incremental": _ORACLE_EVENTS_ROLLUP,
     "quantiles_exact_global": _ORACLE_QUANTILES_EXACT,
     "corpus_curriculum": _oracle_curriculum(),
     "dedup_cross_source": _oracle_cross_source(),

@@ -469,3 +469,43 @@ def test_curriculum_buckets_per_source(spark):
     }
     assert [out[i] for i in range(8)] == [1, 1, 2, 2, 3, 3, 4, 4]
     assert out[10] == 1  # lone doc in s1 lands in bucket 1
+
+
+def test_rollup_merge_associative_and_matches_direct(spark):
+    from c99_vectordb_spark.operators import rollup as R
+
+    rows = [
+        (1, 0, "a", 1.25),
+        (2, 1800 * 1000000, "a", 2.50),       # same hour as 1
+        (3, 7200 * 1000000, "b", -3.75),
+        (4, 7200 * 1000000, "a", 0.125),
+        (5, 7200 * 1000000 + 1, "a", 10.0),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id LONG, ts_us LONG, event_type STRING, value DOUBLE"
+    )
+    direct = R.rollup_report(R.hourly_rollup(ev)).collect()
+
+    def split(pred):
+        return R.hourly_rollup(ev.filter(pred))
+
+    two = R.rollup_report(
+        R.merge_rollups(split(F.col("event_id") % 2 == 0), split(F.col("event_id") % 2 == 1))
+    ).collect()
+    three = R.rollup_report(
+        R.merge_rollups(
+            split(F.col("event_id") == 5),
+            split(F.col("event_id") <= 2),
+            split((F.col("event_id") > 2) & (F.col("event_id") < 5)),
+        )
+    ).collect()
+    key = lambda r: (r.hour_idx, r.event_type)  # noqa: E731
+    assert sorted(map(tuple, two), key=lambda t: t[:2]) == sorted(
+        map(tuple, direct), key=lambda t: t[:2]
+    )
+    assert sorted(map(tuple, three), key=lambda t: t[:2]) == sorted(
+        map(tuple, direct), key=lambda t: t[:2]
+    )
+    byk = {key(r): r for r in direct}
+    assert byk[(0, "a")].cnt == 2 and byk[(0, "a")].sum_value == 3.75
+    assert byk[(2, "a")].min_value == 0.125 and byk[(2, "a")].max_value == 10.0
