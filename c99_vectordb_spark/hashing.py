@@ -152,13 +152,17 @@ def window_hashes(text: str, w: int, cache: dict | None = None) -> list[int]:
                 h = token_hash(t)
                 cache[t] = h
             hl.append(h)
-    out = []
-    for i in range(len(hl) - w + 1):
-        acc = 0
-        for h in hl[i : i + w]:
-            acc = (acc * 131 + h) % HASH_MOD
-        out.append(acc)
-    return out
+    # vectorized fold: one length-(n-w+1) vector op per window ROW
+    # instead of Python loops over every (window, row) pair — same
+    # integers (acc < MOD ~2^30, acc*131 + h < 2^38, int64-safe)
+    import numpy as np
+
+    arr = np.asarray(hl, dtype=np.int64)
+    m = len(arr) - w + 1
+    acc = np.zeros(m, dtype=np.int64)
+    for k in range(w):
+        acc = (acc * 131 + arr[k : k + m]) % HASH_MOD
+    return acc.tolist()
 
 
 def simhash_signature(text: str, bits: int, cache: dict | None = None) -> int:
