@@ -666,8 +666,12 @@ def bm25_topk(
     any shuffle, so the (doc, term) aggregation carries only matching
     postings; df-per-term and the (N, T) scalars are tiny broadcast
     sides; top-k is one TakeOrdered (per-partition heaps, no global
-    sort). The only corpus-sized pass is the shared token scan that
-    also feeds dl. Overflow-safe to N ~ 1e11 docs (R < 2^42 * 2^20).
+    sort). The corpus-sized token scan runs TWICE (the dl branch and
+    the filtered postings branch — Catalyst has no exchange to reuse
+    between them); a production deployment amortizes both behind the
+    standing (term, doc, tf) + (id, dl) index tables that
+    :func:`postings` builds, making each query index-sized. Overflow-
+    safe to N ~ 1e11 docs (R < 2^42 * 2^20).
 
     Output: (id, score_q26, n_terms), ties broken by id asc.
     """

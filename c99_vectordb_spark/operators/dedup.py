@@ -757,9 +757,12 @@ def duplicate_spans(
     3. left-semi join the positional windows against that set
        (co-partitioned on wh; AQE broadcasts when the dup set is
        small).
-    4. adjacent duplicated positions merge into maximal spans with the
-       island-gap trick: pos - row_number() is constant within a run.
-       The window is PARTITIONED per document, bounded by doc length.
+    4. duplicated positions merge into maximal NON-overlapping spans:
+       a new span starts only when the gap to the previous duplicated
+       position is >= ``window`` (smaller gaps mean the two windows
+       share tokens, so they are one region). Cumulative-sum-of-flags
+       grouping over a window PARTITIONED per document (bounded
+       partitions).
 
     At 100 TB the suffix-array approach needs a global sort of every
     token; this formulation shuffles only (hash, id, pos) triples and
@@ -782,8 +785,15 @@ def duplicate_spans(
     )
     hits = wins.join(dup, "wh", "left_semi")
     win_spec = Window.partitionBy("id").orderBy("pos")
+    new_run = F.when(
+        F.lag("pos").over(win_spec).isNull()
+        | (F.col("pos") - F.lag("pos").over(win_spec) >= F.lit(window)),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    run_spec = win_spec.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     return (
-        hits.withColumn("_grp", F.col("pos") - F.row_number().over(win_spec))
+        hits.withColumn("_new", new_run)
+        .withColumn("_grp", F.sum("_new").over(run_spec))
         .groupBy("id", "_grp")
         .agg(
             F.min("pos").alias("span_start"),

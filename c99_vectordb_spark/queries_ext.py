@@ -99,9 +99,16 @@ win AS (
 ),
 dup AS (SELECT wh FROM win GROUP BY wh HAVING COUNT(DISTINCT doc_id) >= 2),
 hit AS (SELECT doc_id, pos FROM win WHERE wh IN (SELECT wh FROM dup)),
+lagged AS (
+  SELECT doc_id, pos,
+         LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+  FROM hit
+),
 grp AS (SELECT doc_id, pos,
-               pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS g
-        FROM hit)
+               SUM(CASE WHEN prev IS NULL OR pos - prev >= {w} THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS UNBOUNDED PRECEDING) AS g
+        FROM lagged)
 SELECT doc_id AS id, MIN(pos)::BIGINT AS span_start,
        (MAX(pos) + {w})::BIGINT AS span_end, COUNT(*)::BIGINT AS n_windows
 FROM grp GROUP BY doc_id, g

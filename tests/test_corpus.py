@@ -454,20 +454,21 @@ def test_bm25_length_normalization(spark):
     assert out[1] > out[2]
 
 
-def test_curriculum_buckets_per_source(spark):
-    # ntile(4) over 8 docs in one source: 2 per bucket, ordered by score
-    from pyspark.sql import Window
+def test_curriculum_buckets_per_source(spark, tmp_path):
+    # runs the SHIPPED registry query end to end on a constructed
+    # documents table (review finding: the earlier version re-built the
+    # ntile window inline, testing Spark against itself).
+    from c99_vectordb_spark.queries_ext import q_corpus_curriculum
 
-    rows = [(i, "s0", i * 100) for i in range(8)] + [(10, "s1", 5)]
-    df = spark.createDataFrame(rows, "doc_id LONG, source STRING, quality_q16 LONG")
-    w = Window.partitionBy("source").orderBy(F.asc("quality_q16"), F.asc("doc_id"))
-    out = {
-        (r.doc_id): r.bucket
-        for r in df.select(
-            "doc_id", F.ntile(4).over(w).cast("long").alias("bucket")
-        ).collect()
-    }
-    assert [out[i] for i in range(8)] == [1, 1, 2, 2, 3, 3, 4, 4]
+    # identical per-token stats -> equal quality_q16 -> ntile(10) order
+    # falls to the doc_id tie-break; 8 docs over 10 buckets = one each
+    rows = [(i, "wordy " * (i + 3), "s0") for i in range(8)] + [
+        (10, "lone doc", "s1")
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING, source STRING")
+    df.write.parquet(str(tmp_path / "documents.parquet"))
+    out = {r.doc_id: r.bucket for r in q_corpus_curriculum(spark, str(tmp_path)).collect()}
+    assert [out[i] for i in range(8)] == [i + 1 for i in range(8)]
     assert out[10] == 1  # lone doc in s1 lands in bucket 1
 
 

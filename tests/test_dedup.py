@@ -296,7 +296,6 @@ def test_incremental_dedup_dispositions(spark):
     assert out[4] == "kept"
     assert out[5] == "kept"
     assert out[6] == "exact_dup_batch"
-    print("doc3 disposition:", out[3])
     assert out[3] == "near_dup_corpus"
 
 
@@ -309,15 +308,16 @@ def test_cross_source_matrix_symmetric_counts(spark):
          (4, "entirely unrelated text body", "a")],
         ["doc_id", "text", "source"],
     )
-    pairs = D.minhash_lsh_pairs(docs, id_col="doc_id", body_col="text")
-    src = docs.select("doc_id", "source")
-    j = (
-        pairs.join(src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")), "id_a")
-        .join(src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")), "id_b")
-        .select(F.least("sa", "sb").alias("src_a"), F.greatest("sa", "sb").alias("src_b"))
-        .groupBy("src_a", "src_b").count()
-    )
-    out = {(r.src_a, r.src_b): r["count"] for r in j.collect()}
+    import tempfile
+
+    from c99_vectordb_spark.queries_ext import q_dedup_cross_source
+
+    with tempfile.TemporaryDirectory() as tmp:
+        docs.write.parquet(f"{tmp}/documents.parquet")
+        out = {
+            (r.src_a, r.src_b): r.n_pairs
+            for r in q_dedup_cross_source(spark, tmp).collect()
+        }
     # (1,2) and (1,3) cross a-b; (2,3) within b
     assert out[("a", "b")] == 2
     assert out[("b", "b")] == 1
@@ -338,3 +338,22 @@ def test_remove_duplicate_spans_rewrites_later_copies(spark):
     assert out[1].clean_text == "lead0 lead1" and out[1].n_removed == 8
     assert out[2].clean_text == "unique body stays intact ok"
     assert out[3].clean_text == "" and out[3].n_tokens == 0 and out[3].n_removed == 8
+
+
+def test_duplicate_spans_near_gap_merges_no_overlap(spark):
+    # doc 0 = t0..t5; doc 1 matches its first 4 tokens, doc 2 its last
+    # 4; no doc matches the middle window. Duplicated positions in doc
+    # 0 are {0, 2} — gap 2 < window — so they are ONE region [0, 6),
+    # not two overlapping spans [0,4)+[2,6) (review finding: summing
+    # span lengths must never double-count tokens).
+    rows = [
+        (0, "t0 t1 t2 t3 t4 t5"),
+        (1, "t0 t1 t2 t3"),
+        (2, "t2 t3 t4 t5"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "body"])
+    spans = sorted(
+        (r.id, r.span_start, r.span_end, r.n_windows)
+        for r in D.duplicate_spans(df, window=4).collect()
+    )
+    assert spans == [(0, 0, 6, 2), (1, 0, 4, 1), (2, 0, 4, 1)]

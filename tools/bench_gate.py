@@ -139,8 +139,13 @@ def main(argv: list[str]) -> int:
         prior = best_sf.get(name)
         if prior is not None and prior >= MIN_GATED_SEC and _breach(sec, prior):
             regressions.append((name, prior, sec))
-        if update and (prior is None or sec < prior):
-            best_sf[name] = sec
+        # bests are stored in FAST-host units (sec / drift): a best
+        # recorded on a temporarily slow box must not permanently
+        # loosen the gate (review finding — the exact poisoning
+        # --update exists to prevent)
+        sec_norm = round(sec / drift, 3)
+        if update and (prior is None or sec_norm < prior):
+            best_sf[name] = sec_norm
 
     noise: list[tuple[str, float, float, float]] = []
     if regressions and confirm:
@@ -153,8 +158,8 @@ def main(argv: list[str]) -> int:
             else:
                 noise.append((name, prior, sec, sec2))
                 # a confirmed-noise sample may still be a new best
-                if update and sec2 < prior:
-                    best_sf[name] = sec2
+                if update and round(sec2 / drift, 3) < prior:
+                    best_sf[name] = round(sec2 / drift, 3)
         regressions = confirmed
 
     if update and (best.get("__calib__") is None or calib_now < best["__calib__"]):
