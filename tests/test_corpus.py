@@ -510,3 +510,67 @@ def test_rollup_merge_associative_and_matches_direct(spark):
     byk = {key(r): r for r in direct}
     assert byk[(0, "a")].cnt == 2 and byk[(0, "a")].sum_value == 3.75
     assert byk[(2, "a")].min_value == 0.125 and byk[(2, "a")].max_value == 10.0
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: integer BM25 vs a Python reference of the quantized formula
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_bm25_corpora = st.lists(
+    st.lists(st.sampled_from(["q1", "q2", "x", "y", "z"]), min_size=1, max_size=15).map(
+        " ".join
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _bm25_reference(texts, terms, k):
+    import re
+    from collections import Counter
+
+    docs = {i: re.findall(r"[a-z0-9_]+", t.lower()) for i, t in enumerate(texts)}
+    n_docs = len(docs)
+    t_tokens = sum(len(v) for v in docs.values())
+    avgdl_m = 1000 * t_tokens // n_docs
+    dfq = Counter()
+    for toks in docs.values():
+        for t in set(toks) & set(terms):
+            dfq[t] += 1
+    rows = []
+    for i, toks in docs.items():
+        dl = len(toks)
+        tf = Counter(t for t in toks if t in terms)
+        if not tf:
+            continue
+        score = 0
+        for t, f in tf.items():
+            ratio_m = 1000000 * dl // avgdl_m
+            denom_m = 1000 * f + (1200 * (250 + (750 * ratio_m) // 1000)) // 1000
+            tf_q16 = (65536 * 2200 * f) // denom_m
+            r = max(((2 * (n_docs - dfq[t]) + 1) * 1048576) // (2 * dfq[t] + 1), 1)
+            msb = r.bit_length() - 1
+            idf_q10 = max((msb - 20) * 1024 + ((r - (1 << msb)) * 1024) // (1 << msb), 0)
+            score += tf_q16 * idf_q10
+        rows.append((i, score, len(tf)))
+    rows.sort(key=lambda x: (-x[1], x[0]))
+    return rows[:k]
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(texts=_bm25_corpora)
+def test_bm25_matches_python_reference(spark, texts):
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id LONG, text STRING")
+    got = [
+        (r.id, r.score_q26, r.n_terms)
+        for r in C.bm25_topk(df, ["q1", "q2"], "doc_id", "text", k=4).collect()
+    ]
+    assert got == _bm25_reference(texts, ["q1", "q2"], 4)

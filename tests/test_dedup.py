@@ -357,3 +357,65 @@ def test_duplicate_spans_near_gap_merges_no_overlap(spark):
         for r in D.duplicate_spans(df, window=4).collect()
     )
     assert spans == [(0, 0, 6, 2), (1, 0, 4, 1), (2, 0, 4, 1)]
+
+
+# ---------------------------------------------------------------------------
+# hypothesis: substring dedup vs a brute-force Python reference
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_corpora = st.lists(
+    st.lists(st.sampled_from("abcde"), min_size=0, max_size=12).map(
+        lambda toks: " ".join(toks)
+    ),
+    min_size=1,
+    max_size=6,
+)
+
+
+def _spans_reference(texts, w):
+    """Brute-force: duplicated windows by literal token-tuple equality,
+    then non-overlapping run merge with the gap < w rule."""
+    import re
+
+    docs = {i: re.findall(r"[a-z0-9_]+", t.lower()) for i, t in enumerate(texts)}
+    owner: dict[tuple, set] = {}
+    for i, toks in docs.items():
+        for p in range(len(toks) - w + 1):
+            owner.setdefault(tuple(toks[p : p + w]), set()).add(i)
+    out = []
+    for i, toks in docs.items():
+        dup_pos = sorted(
+            p
+            for p in range(len(toks) - w + 1)
+            if len(owner[tuple(toks[p : p + w])]) >= 2
+        )
+        run = []
+        for p in dup_pos:
+            if run and p - run[-1] < w:
+                run.append(p)
+            else:
+                if run:
+                    out.append((i, run[0], run[-1] + w, len(run)))
+                run = [p]
+        if run:
+            out.append((i, run[0], run[-1] + w, len(run)))
+    return sorted(out)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(texts=_corpora, w=st.sampled_from([2, 3]))
+def test_duplicate_spans_matches_python_reference(spark, texts, w):
+    df = spark.createDataFrame(list(enumerate(texts)), "id LONG, body STRING")
+    got = sorted(
+        (r.id, r.span_start, r.span_end, r.n_windows)
+        for r in D.duplicate_spans(df, window=w).collect()
+    )
+    assert got == _spans_reference(texts, w)
