@@ -117,6 +117,7 @@ HEADLINE = [
     "corpus_curriculum",
     "quantiles_exact_global",
     "events_rollup_incremental",
+    "corpus_bm25_batch",
 ]
 
 

@@ -676,46 +676,7 @@ def bm25_topk(
     Output: (id, score_q26, n_terms), ties broken by id asc.
     """
     qt = sorted({t.lower() for t in query_terms})
-    tok = df.select(
-        F.col(id_col).alias("id"), F.explode(tokens(F.col(body_col))).alias("term")
-    )
-    dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
-    scal = dl.agg(
-        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("t_tokens")
-    ).selectExpr("n_docs", "(1000 * t_tokens) div n_docs AS avgdl_m")
-    hits = tok.filter(F.col("term").isin(qt))
-    tf = hits.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dfreq = hits.groupBy("term").agg(F.count_distinct("id").alias("dfq"))
-    scored = (
-        tf.join(F.broadcast(dfreq), "term")
-        .join(dl, "id")
-        .crossJoin(F.broadcast(scal))
-        .selectExpr(
-            "id",
-            "tf",
-            "dfq",
-            "n_docs",
-            "(1000000 * dl) div avgdl_m AS ratio_m",
-        )
-        .selectExpr(
-            "id",
-            "1000 * tf + (1200 * (250 + (750 * ratio_m) div 1000)) div 1000 AS denom_m",
-            "tf",
-            "greatest(((2 * (n_docs - dfq) + 1) * 1048576) div (2 * dfq + 1), 1L) AS r",
-        )
-        .selectExpr(
-            "id",
-            "(65536 * 2200 * tf) div denom_m AS tf_q16",
-            "length(conv(r, 10, 2)) - 1 AS msb",
-            "r",
-        )
-        .selectExpr(
-            "id",
-            "tf_q16",
-            "greatest((msb - 20) * 1024 "
-            "+ ((r - shiftleft(1L, msb)) * 1024) div shiftleft(1L, msb), 0L) AS idf_q10",
-        )
-    )
+    scored = _bm25_term_scores(df, id_col, body_col, lambda tok: tok.filter(F.col("term").isin(qt)))
     return (
         scored.groupBy("id")
         .agg(
@@ -724,6 +685,99 @@ def bm25_topk(
         )
         .orderBy(F.desc("score_q26"), F.asc("id"))
         .limit(k)
+    )
+
+
+def _bm25_term_scores(df: DataFrame, id_col: str, body_col: str, term_filter):
+    """Shared BM25-int scoring chain: (id, term, tf_q16, idf_q10) for
+    every (doc, matched-term) pair. ``term_filter`` narrows the token
+    stream to query terms BEFORE any shuffle — an isin literal for a
+    fixed query, a broadcast semi-join for a query table."""
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(F.col(body_col))).alias("term")
+    )
+    dl = tok.groupBy("id").agg(F.count(F.lit(1)).alias("dl"))
+    scal = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("dl").alias("t_tokens")
+    ).selectExpr("n_docs", "(1000 * t_tokens) div n_docs AS avgdl_m")
+    hits = term_filter(tok)
+    tf = hits.groupBy("id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = hits.groupBy("term").agg(F.count_distinct("id").alias("dfq"))
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .join(dl, "id")
+        .crossJoin(F.broadcast(scal))
+        .selectExpr(
+            "id",
+            "term",
+            "tf",
+            "dfq",
+            "n_docs",
+            "(1000000 * dl) div avgdl_m AS ratio_m",
+        )
+        .selectExpr(
+            "id",
+            "term",
+            "1000 * tf + (1200 * (250 + (750 * ratio_m) div 1000)) div 1000 AS denom_m",
+            "tf",
+            "greatest(((2 * (n_docs - dfq) + 1) * 1048576) div (2 * dfq + 1), 1L) AS r",
+        )
+        .selectExpr(
+            "id",
+            "term",
+            "(65536 * 2200 * tf) div denom_m AS tf_q16",
+            "length(conv(r, 10, 2)) - 1 AS msb",
+            "r",
+        )
+        .selectExpr(
+            "id",
+            "term",
+            "tf_q16",
+            "greatest((msb - 20) * 1024 "
+            "+ ((r - shiftleft(1L, msb)) * 1024) div shiftleft(1L, msb), 0L) AS idf_q10",
+        )
+    )
+
+
+def bm25_topk_batch(
+    df: DataFrame,
+    queries_df: DataFrame,
+    id_col: str = "doc_id",
+    body_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Multi-query BM25 serving: score a TABLE of queries
+    (qid, term) in one plan and return each query's top-k documents —
+    the batch-retrieval shape (eval-suite lookup, hard-negative
+    mining) where per-query jobs would be absurd at scale.
+
+    Same BM25-int quantization as :func:`bm25_topk`; a term shared by
+    two queries is scored once (df over the DISTINCT term set) and
+    fanned out by a broadcast join on the query table. Top-k per query
+    is a window PARTITIONED by qid — bounded by that query's candidate
+    set, never global.
+
+    Output: (qid, id, score_q26, n_terms, rank), rank 1..k per qid.
+    """
+    qt = queries_df.select("qid", F.lower(F.col("term")).alias("term")).distinct()
+    terms = qt.select("term").distinct()
+    scored = _bm25_term_scores(
+        df, id_col, body_col,
+        lambda tok: tok.join(F.broadcast(terms), "term", "left_semi"),
+    )
+    per_query = (
+        scored.join(F.broadcast(qt), "term")
+        .groupBy("qid", "id")
+        .agg(
+            F.sum(F.expr("tf_q16 * idf_q10")).cast("long").alias("score_q26"),
+            F.count(F.lit(1)).cast("long").alias("n_terms"),
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score_q26"), F.asc("id"))
+    return (
+        per_query.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("qid", "id", "score_q26", "n_terms", "rank")
     )
 
 

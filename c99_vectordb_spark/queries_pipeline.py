@@ -1146,6 +1146,78 @@ LIMIT 20
 """
 
 
+BM25_BATCH = [
+    (0, "hash"), (0, "join"),
+    (1, "spark"), (1, "window"), (1, "group"),
+    (2, "stream"), (2, "batch"),
+]
+
+
+def q_corpus_bm25_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three queries scored in ONE plan, top-5 docs each
+    (operators/corpus.bm25_topk_batch — the batch-retrieval serving
+    shape)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qdf = spark.createDataFrame(BM25_BATCH, "qid LONG, term STRING")
+    return C.bm25_topk_batch(docs, qdf, "doc_id", "text", k=5).orderBy(
+        "qid", "rank"
+    )
+
+
+def _oracle_corpus_bm25_batch() -> str:
+    values = ", ".join(f"({q}, '{t}')" for q, t in BM25_BATCH)
+    return f"""
+WITH qt(qid, term) AS (VALUES {values}),
+tok AS (
+  SELECT doc_id AS id, unnest({duckdb_tokens_sql('text')}) AS term FROM documents
+), dl AS (
+  SELECT id, COUNT(*)::BIGINT AS dl FROM tok GROUP BY id
+), scal AS (
+  SELECT COUNT(*)::BIGINT AS n_docs,
+         ((1000 * SUM(dl)) // COUNT(*))::BIGINT AS avgdl_m FROM dl
+), hits AS (
+  SELECT id, term FROM tok WHERE term IN (SELECT DISTINCT term FROM qt)
+), tf AS (
+  SELECT id, term, COUNT(*)::BIGINT AS tf FROM hits GROUP BY id, term
+), dfreq AS (
+  SELECT term, COUNT(DISTINCT id)::BIGINT AS dfq FROM hits GROUP BY term
+), j AS (
+  SELECT tf.id, tf.term, tf.tf, dfreq.dfq, s.n_docs,
+         (1000000 * dl.dl) // s.avgdl_m AS ratio_m
+  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.id = dl.id CROSS JOIN scal s
+), d AS (
+  SELECT id, term, tf,
+         1000 * tf + (1200 * (250 + (750 * ratio_m) // 1000)) // 1000 AS denom_m,
+         greatest(((2 * (n_docs - dfq) + 1) * 1048576) // (2 * dfq + 1),
+                  1::BIGINT) AS r
+  FROM j
+), p AS (
+  SELECT id, term, (65536 * 2200 * tf) // denom_m AS tf_q16,
+         length(format('{{:b}}', r)) - 1 AS msb, r
+  FROM d
+), i AS (
+  SELECT id, term, tf_q16,
+         greatest((msb - 20) * 1024
+                  + ((r - (1::BIGINT << msb)) * 1024) // (1::BIGINT << msb),
+                  0::BIGINT) AS idf_q10
+  FROM p
+), pq AS (
+  SELECT qt.qid, i.id,
+         SUM(tf_q16 * idf_q10)::BIGINT AS score_q26,
+         COUNT(*)::BIGINT AS n_terms
+  FROM i JOIN qt ON i.term = qt.term
+  GROUP BY qt.qid, i.id
+), ranked AS (
+  SELECT qid, id, score_q26, n_terms,
+         ROW_NUMBER() OVER (PARTITION BY qid
+                            ORDER BY score_q26 DESC, id ASC)::BIGINT AS rank
+  FROM pq
+)
+SELECT qid, id, score_q26, n_terms, rank FROM ranked WHERE rank <= 5
+ORDER BY qid, rank
+"""
+
+
 def _oracle_corpus_bpe_encode() -> str:
     from .operators.corpus import duckdb_bpe_encode_sql
 
@@ -1159,6 +1231,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_tfidf_terms": q_corpus_tfidf_terms,
     "corpus_bm25_topk": q_corpus_bm25_topk,
     "corpus_postings": q_corpus_postings,
+    "corpus_bm25_batch": q_corpus_bm25_batch,
     "corpus_sample": q_corpus_sample,
     "corpus_pack": q_corpus_pack,
     "corpus_pack_global": q_corpus_pack_global,
@@ -1183,6 +1256,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "corpus_tfidf_terms": _ORACLE_CORPUS_TFIDF,
     "corpus_bm25_topk": _oracle_corpus_bm25(),
     "corpus_postings": _ORACLE_CORPUS_POSTINGS,
+    "corpus_bm25_batch": _oracle_corpus_bm25_batch(),
     "corpus_sample": _ORACLE_CORPUS_SAMPLE,
     "corpus_pack": _ORACLE_CORPUS_PACK,
     "corpus_pack_global": _ORACLE_CORPUS_PACK_GLOBAL,

@@ -574,3 +574,28 @@ def test_bm25_matches_python_reference(spark, texts):
         for r in C.bm25_topk(df, ["q1", "q2"], "doc_id", "text", k=4).collect()
     ]
     assert got == _bm25_reference(texts, ["q1", "q2"], 4)
+
+
+def test_bm25_batch_matches_single_query(spark):
+    # a one-query batch must reproduce bm25_topk's ranking exactly
+    rows = [
+        (1, "rare rare common filler1 filler2"),
+        (2, "rare common filler3 filler4 filler5"),
+        (3, "common filler6 filler7 filler8 filler9"),
+        (4, "common stuff more words here today"),
+        (5, "other text entirely without matches"),
+        (6, "and one more background document here"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    single = [
+        (r.id, r.score_q26, r.n_terms)
+        for r in C.bm25_topk(df, ["rare", "common"], "doc_id", "text", k=4).collect()
+    ]
+    qdf = spark.createDataFrame([(7, "rare"), (7, "common")], "qid LONG, term STRING")
+    batch = [
+        (r.id, r.score_q26, r.n_terms)
+        for r in C.bm25_topk_batch(df, qdf, "doc_id", "text", k=4)
+        .orderBy("rank")
+        .collect()
+    ]
+    assert batch == single

@@ -36,6 +36,7 @@ BNLJ_ALLOWED = {
     "tpch_q22": "1-row scalar aggregate broadcast (average balance)",
     "corpus_mixture": "1-row scalar aggregate broadcast (corpus total + source count)",
     "corpus_bm25_topk": "1-row scalar aggregate broadcast (N docs + avg doc length)",
+    "corpus_bm25_batch": "1-row scalar aggregate broadcast (N docs + avg doc length)",
 }
 
 
