@@ -118,6 +118,7 @@ HEADLINE = [
     "quantiles_exact_global",
     "events_rollup_incremental",
     "corpus_bm25_batch",
+    "embed_random_projection",
 ]
 
 

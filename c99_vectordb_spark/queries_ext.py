@@ -921,6 +921,37 @@ ORDER BY p, o_orderkey
 """
 
 
+RP_OUT_DIM = 16
+
+
+def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL-compress the 64-d embedding table to 16 deterministic ±1
+    hyperplane components (operators/similarity.random_projection) —
+    map-only, hash-checkable without rounding thanks to the ordered
+    left-fold contract."""
+    from .operators.similarity import random_projection
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return random_projection(emb, "vec_id", "embedding", RP_OUT_DIM).orderBy("id")
+
+
+def _oracle_random_projection(out_dim: int = RP_OUT_DIM) -> str:
+    comps = ", ".join(
+        f"""list_reduce([0.0::DOUBLE] || list_transform(range(1, len(embedding) + 1),
+            i -> embedding[i]::DOUBLE *
+                 (CASE WHEN (((i - 1) * 2654435761 % {HASH_MOD}) * {2 * j + 3}
+                             + {7 * j + 1}) % {HASH_MOD} % 2 = 1
+                       THEN 1.0 ELSE -1.0 END)),
+            (a, x) -> a + x)"""
+        for j in range(out_dim)
+    )
+    return f"""
+SELECT vec_id AS id, [{comps}] AS proj
+FROM embeddings
+ORDER BY id
+"""
+
+
 def q_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum assignment: exact per-source quality deciles via
     ntile(10) over (quality_q16, doc_id) — the bucketing a curriculum
@@ -2435,6 +2466,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": q_text_langid,
     "events_rollup_incremental": q_events_rollup_incremental,
     "quantiles_exact_global": q_quantiles_exact_global,
+    "embed_random_projection": q_embed_random_projection,
     "corpus_curriculum": q_corpus_curriculum,
     "dedup_cross_source": q_dedup_cross_source,
     "text_fingerprint": q_text_fingerprint,
@@ -2494,6 +2526,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_langid": _oracle_langid(),
     "events_rollup_incremental": _ORACLE_EVENTS_ROLLUP,
     "quantiles_exact_global": _ORACLE_QUANTILES_EXACT,
+    "embed_random_projection": _oracle_random_projection(),
     "corpus_curriculum": _oracle_curriculum(),
     "dedup_cross_source": _oracle_cross_source(),
     "text_fingerprint": _ORACLE_TEXT_FINGERPRINT,

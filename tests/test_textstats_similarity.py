@@ -315,3 +315,42 @@ def test_lm_coverage_ranks_boilerplate_above_gibberish(spark, documents):
     gib_cov = rows.pop(999999)
     med = sorted(rows.values())[len(rows) // 2]
     assert gib_cov < med
+
+
+def test_random_projection_map_only_and_shape(spark, embeddings):
+    from c99_vectordb_spark.operators.similarity import random_projection
+
+    out = random_projection(embeddings, "vec_id", "embedding", 8)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan  # pure map-side expressions
+    rows = out.limit(5).collect()
+    assert all(len(r.proj) == 8 for r in rows)
+
+
+def test_random_projection_preserves_relative_distances(spark, embeddings):
+    """JL sanity: for vectors a, b, c where |a-b| << |a-c| in 64-d,
+    the 16-d projection keeps the ordering (a crude but determinstic
+    check of the distance-preservation property on real vectors)."""
+    import math
+
+    from c99_vectordb_spark.operators.similarity import random_projection
+
+    rows = {r.vec_id: list(r.embedding) for r in embeddings.limit(50).collect()}
+    proj = {
+        r.id: list(r.proj)
+        for r in random_projection(
+            embeddings.limit(50), "vec_id", "embedding", 16
+        ).collect()
+    }
+    ids = sorted(rows)
+    a = ids[0]
+
+    def d(u, v):
+        return math.sqrt(sum((x - y) ** 2 for x, y in zip(u, v)))
+
+    # nearest and farthest of a in the original space
+    others = [(d(rows[a], rows[i]), i) for i in ids[1:]]
+    others.sort()
+    near, far = others[0][1], others[-1][1]
+    if others[-1][0] > 2.5 * others[0][0]:  # only when the gap is wide
+        assert d(proj[a], proj[near]) < d(proj[a], proj[far])
