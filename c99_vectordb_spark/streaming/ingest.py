@@ -133,6 +133,40 @@ def stream_incremental_dedup(
     )
 
 
+def stream_rollup_merge(
+    events_stream: DataFrame,
+    sink_fn,
+    checkpoint_dir: str,
+):
+    """Streaming continuous-aggregate maintenance: each micro-batch's
+    hourly partials (operators/rollup.hourly_rollup — count / decimal
+    sum / min / max) are handed to ``sink_fn(partials_df, batch_id)``,
+    which merges them into the standing rollup table with
+    rollup.merge_rollups. foreachBatch rather than a streaming
+    aggregation because the standing state lives in a TABLE the batch
+    side owns (upsertable, queryable mid-stream), not in stream
+    operator state — the continuous-aggregate shape, and the exact
+    streaming mirror of the oracled batch query
+    events_rollup_incremental (merge == full recompute).
+
+    The batch twin's associativity test means arrival order across
+    micro-batches cannot change the merged state.
+    """
+    from ..functions.text import normalize_event_time
+    from ..operators.rollup import hourly_rollup
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sink_fn(hourly_rollup(normalize_event_time(batch_df)), batch_id)
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )
+
+
 def stream_keep_first(
     events_stream: DataFrame,
     watermark: str = "1 hour",

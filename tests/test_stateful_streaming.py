@@ -342,3 +342,62 @@ def test_stream_incremental_dedup_matches_batch(spark):
         assert want[1] == "exact_dup_corpus"
         assert want[2] == "near_dup_corpus"
         assert want[3] == "kept" and want[4] == "exact_dup_batch"
+
+
+def test_stream_rollup_merge_matches_batch(spark):
+    """Two micro-batches of events through the foreachBatch rollup
+    maintenance == one batch rollup over all events (the incremental
+    merge proof, now across real micro-batch boundaries)."""
+    import datetime as dt
+
+    from c99_vectordb_spark.functions.text import normalize_event_time
+    from c99_vectordb_spark.operators.rollup import (
+        hourly_rollup,
+        merge_rollups,
+        rollup_report,
+    )
+    from c99_vectordb_spark.streaming.ingest import stream_rollup_merge
+
+    def ev(i, minute, typ, val):
+        return (i, dt.datetime(2024, 1, 1, minute // 60, minute % 60), 1, typ, val)
+
+    b1 = [ev(1, 10, "view", 1.5), ev(2, 70, "view", 2.0), ev(3, 15, "buy", -0.5)]
+    b2 = [ev(4, 20, "view", 3.25), ev(5, 130, "buy", 7.0), ev(6, 75, "view", 0.125)]
+    schema = "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING, value DOUBLE"
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        spark.createDataFrame(b1, schema).coalesce(1).write.parquet(
+            os.path.join(src, "b1.parquet")
+        )
+        spark.createDataFrame(b2, schema).coalesce(1).write.parquet(
+            os.path.join(src, "b2.parquet")
+        )
+        import time as _t
+
+        now = _t.time()
+        for sub, ts in (("b1.parquet", now - 60), ("b2.parquet", now)):
+            for root, _dirs, files in os.walk(os.path.join(src, sub)):
+                for f in files:
+                    os.utime(os.path.join(root, f), (ts, ts))
+        states = []
+
+        def sink(df, batch_id):
+            states.append(df.localCheckpoint(eager=True))
+
+        q = stream_rollup_merge(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src),
+            sink,
+            os.path.join(tmp, "ckpt"),
+        ).start()
+        q.awaitTermination(120)
+        assert len(states) == 2, "expected two micro-batches"
+        got = sorted(map(tuple, rollup_report(merge_rollups(*states)).collect()))
+        allev = spark.createDataFrame(b1 + b2, schema)
+        want = sorted(
+            map(tuple, rollup_report(hourly_rollup(normalize_event_time(allev))).collect())
+        )
+        assert got == want
