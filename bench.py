@@ -119,6 +119,7 @@ HEADLINE = [
     "events_rollup_incremental",
     "corpus_bm25_batch",
     "embed_random_projection",
+    "sim_diverse_topk",
 ]
 
 

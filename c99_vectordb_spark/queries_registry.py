@@ -123,6 +123,103 @@ LIMIT 10
 """
 
 
+DIVERSE_N_CANDS = 20
+DIVERSE_K = 5
+
+
+def q_sim_diverse_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Diversity re-ranking: top-20 candidates by exact integer
+    relevance (same spec as recall_topk_int), reduced to 5 by greedy
+    max-min selection on integer BoW dot-similarities
+    (operators/similarity.greedy_max_min).
+
+    Shape: candidate generation is the distributed TakeOrdered top-N;
+    the rerank sees ONLY those N rows — their vectors are a bounded
+    collect (same class as the BPE merge-rule collects), and the
+    pairwise dot matrix is N^2/2 integer dots computed driver-side.
+    At 100 TB nothing changes: N stays 20 regardless of corpus size.
+    """
+    from .functions.embed import embed_pandas_udf
+    from .operators.recall import score_sq_l2_int_sparse
+    from .operators.similarity import greedy_max_min
+
+    q = hashing.embed_text_int(RECALL_QUERY_TEXT, DIM)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cands = (
+        docs.select(F.col("doc_id").alias("id"), "text")
+        .withColumn("vec", embed_pandas_udf(DIM)(F.col("text")))
+        .select("id", "vec", score_sq_l2_int_sparse(F.col("vec"), q).alias("score"))
+        .orderBy(F.asc("score"), F.asc("id"))
+        .limit(DIVERSE_N_CANDS)
+    )
+    rows = cands.collect()
+    vecs = {r.id: list(r.vec) for r in rows}
+    ids = sorted(vecs)
+    dots = {
+        (a, b): sum(x * y for x, y in zip(vecs[a], vecs[b]))
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+    }
+    sel = greedy_max_min([(r.id, r.score) for r in rows], dots, DIVERSE_K)
+    return spark.createDataFrame(sel, "rank LONG, id LONG, score LONG").orderBy("rank")
+
+
+def _oracle_sim_diverse_topk(k: int = DIVERSE_K, n: int = DIVERSE_N_CANDS) -> str:
+    qvec = hashing.embed_text_int(RECALL_QUERY_TEXT, DIM)
+    q2 = sum(w * w for w in qvec)
+    qrows = ", ".join(f"({b}, {w})" for b, w in enumerate(qvec) if w)
+    stages = []
+    sel_union = "SELECT doc_id, score FROM s1"
+    final = "SELECT 1 AS rank, doc_id, score FROM s1"
+    for t in range(2, k + 1):
+        stages.append(f"""
+sel{t - 1} AS ({sel_union}),
+m{t} AS (
+  SELECT c.doc_id, c.score, MAX(COALESCE(pd.dot, 0)) AS mx
+  FROM cands c
+  CROSS JOIN sel{t - 1} s
+  LEFT JOIN pdots pd ON pd.a = least(c.doc_id, s.doc_id)
+                    AND pd.b = greatest(c.doc_id, s.doc_id)
+  WHERE c.doc_id NOT IN (SELECT doc_id FROM sel{t - 1})
+  GROUP BY c.doc_id, c.score
+),
+s{t} AS (SELECT doc_id, score FROM m{t} ORDER BY mx, score, doc_id LIMIT 1)""")
+        sel_union += f" UNION ALL SELECT doc_id, score FROM s{t}"
+        final += f" UNION ALL SELECT {t}, doc_id, score FROM s{t}"
+    stage_sql = ",".join(stages)
+    return f"""
+WITH {_duck_doc_vec_cte(DIM)},
+norms AS (
+  SELECT doc_id, SUM(w * w)::BIGINT AS d2 FROM vec GROUP BY 1
+),
+qv(bucket, w) AS (VALUES {qrows}),
+qdots AS (
+  SELECT v.doc_id, SUM(v.w * qv.w)::BIGINT AS dot
+  FROM vec v JOIN qv ON v.bucket = qv.bucket
+  GROUP BY 1
+),
+cands AS (
+  SELECT d.doc_id,
+         (COALESCE(n.d2, 0) + {q2} - 2 * COALESCE(t.dot, 0))::BIGINT AS score
+  FROM documents d
+  LEFT JOIN norms n ON d.doc_id = n.doc_id
+  LEFT JOIN qdots t ON d.doc_id = t.doc_id
+  ORDER BY score ASC, d.doc_id ASC
+  LIMIT {n}
+),
+pdots AS (
+  SELECT x.doc_id AS a, y.doc_id AS b, SUM(x.w * y.w)::BIGINT AS dot
+  FROM vec x JOIN vec y ON x.bucket = y.bucket AND x.doc_id < y.doc_id
+  WHERE x.doc_id IN (SELECT doc_id FROM cands)
+    AND y.doc_id IN (SELECT doc_id FROM cands)
+  GROUP BY 1, 2
+),
+s1 AS (SELECT doc_id, score FROM cands ORDER BY score, doc_id LIMIT 1),{stage_sql}
+SELECT rank::BIGINT AS rank, doc_id AS id, score FROM ({final})
+ORDER BY rank
+"""
+
+
 # ---------------------------------------------------------------------------
 # V5 — embedding/index build over every document (SURVEY §2.4)
 # ---------------------------------------------------------------------------
@@ -1530,6 +1627,7 @@ FROM per_user
 
 _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "recall_topk_int": q_recall_topk_int,
+    "sim_diverse_topk": q_sim_diverse_topk,
     "embed_build_norms": q_embed_build_norms,
     "knn_embeddings": q_knn_embeddings,
     "filter_orders_page": q_filter_orders_page,
@@ -1571,6 +1669,7 @@ _QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 _ORACLES: dict[str, str] = {
     "recall_topk_int": _oracle_recall_topk_int(),
+    "sim_diverse_topk": _oracle_sim_diverse_topk(),
     "embed_build_norms": _oracle_embed_build_norms(),
     "knn_embeddings": _oracle_knn_embeddings(),
     "filter_orders_page": _ORACLE_FILTER_ORDERS_PAGE,

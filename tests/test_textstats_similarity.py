@@ -354,3 +354,21 @@ def test_random_projection_preserves_relative_distances(spark, embeddings):
     near, far = others[0][1], others[-1][1]
     if others[-1][0] > 2.5 * others[0][0]:  # only when the gap is wide
         assert d(proj[a], proj[near]) < d(proj[a], proj[far])
+
+
+def test_greedy_max_min_prefers_diverse_over_relevant():
+    from c99_vectordb_spark.operators.similarity import greedy_max_min
+
+    # doc 1: best score; doc 2: second-best but near-identical to 1
+    # (huge dot); doc 3: slightly worse score, orthogonal. k=2 must
+    # pick 1 then 3, skipping the redundant 2.
+    scores = [(1, 100), (2, 110), (3, 120)]
+    dots = {(1, 2): 900, (1, 3): 0, (2, 3): 5}
+    assert greedy_max_min(scores, dots, 2) == [(1, 1, 100), (2, 3, 120)]
+    # k=3 then takes 2 last
+    assert greedy_max_min(scores, dots, 3)[2] == (3, 2, 110)
+    # ties on max-dot fall to score then id
+    scores2 = [(7, 50), (8, 60), (9, 60)]
+    dots2 = {}
+    assert greedy_max_min(scores2, dots2, 3) == [(1, 7, 50), (2, 8, 60), (3, 9, 60)]
+    assert greedy_max_min([], {}, 3) == []
