@@ -120,6 +120,7 @@ HEADLINE = [
     "corpus_bm25_batch",
     "embed_random_projection",
     "sim_diverse_topk",
+    "orders_price_outliers",
 ]
 
 

@@ -952,6 +952,70 @@ ORDER BY id
 """
 
 
+def q_orders_price_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust outlier detection: orders whose price deviates from the
+    EXACT median by more than 2x the exact median absolute deviation
+    — both medians via the range-stitch exact_quantiles (no global
+    window, no approx error), composed: the 1-row median broadcasts
+    into the deviation pass. Integer cents end to end. Top-50 by
+    deviation."""
+    from .operators.scalable_window import exact_quantiles
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = orders.select(
+        "o_orderkey",
+        (F.col("o_totalprice").cast("decimal(15,2)") * 100).cast("long").alias("cents"),
+    )
+    med = (
+        exact_quantiles(c, [F.asc("cents"), F.asc("o_orderkey")], [50])
+        .select(F.col("cents").alias("med"))
+    )
+    d = c.crossJoin(F.broadcast(med)).withColumn(
+        "dev", F.abs(F.col("cents") - F.col("med"))
+    )
+    mad = (
+        exact_quantiles(
+            d.select("o_orderkey", "dev"), [F.asc("dev"), F.asc("o_orderkey")], [50]
+        )
+        .select(F.col("dev").alias("mad"))
+    )
+    return (
+        d.crossJoin(F.broadcast(mad))
+        .filter(F.col("dev") > 2 * F.col("mad"))
+        .select("o_orderkey", "cents", "med", "mad", "dev")
+        .orderBy(F.desc("dev"), F.asc("o_orderkey"))
+        .limit(50)
+    )
+
+
+_ORACLE_ORDERS_OUTLIERS = """
+WITH c AS (
+  SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(15,2)) * 100 AS BIGINT) AS cents
+  FROM orders
+),
+r1 AS (
+  SELECT o_orderkey, cents,
+         ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rk,
+         COUNT(*) OVER () AS n
+  FROM c
+),
+med AS (SELECT cents AS med FROM r1 WHERE rk = (n - 1) * 50 // 100 + 1),
+d AS (SELECT o_orderkey, cents, med, ABS(cents - med) AS dev FROM c, med),
+r2 AS (
+  SELECT o_orderkey, dev,
+         ROW_NUMBER() OVER (ORDER BY dev, o_orderkey) AS rk,
+         COUNT(*) OVER () AS n
+  FROM d
+),
+mad AS (SELECT dev AS mad FROM r2 WHERE rk = (n - 1) * 50 // 100 + 1)
+SELECT d.o_orderkey, d.cents, d.med, m.mad, d.dev
+FROM d, mad m
+WHERE d.dev > 2 * m.mad
+ORDER BY d.dev DESC, d.o_orderkey ASC
+LIMIT 50
+"""
+
+
 def q_corpus_curriculum(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Curriculum assignment: exact per-source quality deciles via
     ntile(10) over (quality_q16, doc_id) — the bucketing a curriculum
@@ -2466,6 +2530,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_langid": q_text_langid,
     "events_rollup_incremental": q_events_rollup_incremental,
     "quantiles_exact_global": q_quantiles_exact_global,
+    "orders_price_outliers": q_orders_price_outliers,
     "embed_random_projection": q_embed_random_projection,
     "corpus_curriculum": q_corpus_curriculum,
     "dedup_cross_source": q_dedup_cross_source,
@@ -2526,6 +2591,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_langid": _oracle_langid(),
     "events_rollup_incremental": _ORACLE_EVENTS_ROLLUP,
     "quantiles_exact_global": _ORACLE_QUANTILES_EXACT,
+    "orders_price_outliers": _ORACLE_ORDERS_OUTLIERS,
     "embed_random_projection": _oracle_random_projection(),
     "corpus_curriculum": _oracle_curriculum(),
     "dedup_cross_source": _oracle_cross_source(),
