@@ -121,6 +121,7 @@ HEADLINE = [
     "embed_random_projection",
     "sim_diverse_topk",
     "orders_price_outliers",
+    "corpus_fertility",
 ]
 
 

@@ -1146,6 +1146,57 @@ LIMIT 20
 """
 
 
+def q_corpus_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility: BPE tokens per 1000 words and
+    milli-chars per BPE token, from the trained 8-rule tokenizer
+    (operators/corpus.bpe_encode_counts) — the metric that tells you
+    which sources your tokenizer compresses badly. Integer floor-div
+    ratios, rollup-sized output."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_doc = C.bpe_encode_counts(docs, "doc_id", "text")
+    j = per_doc.join(
+        docs.select(F.col("doc_id").alias("id"), "source"), "id"
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_words").cast("long").alias("words"),
+            F.sum("n_char_symbols").cast("long").alias("chars"),
+            F.sum("n_bpe_tokens").cast("long").alias("bpe_tokens"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "words",
+            "chars",
+            "bpe_tokens",
+            "(1000 * bpe_tokens) div words AS bpe_per_kword",
+            "(1000 * chars) div bpe_tokens AS chars_per_bpe_m",
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_corpus_fertility() -> str:
+    from .operators.corpus import duckdb_bpe_encode_sql
+
+    enc = duckdb_bpe_encode_sql(n_merges=8, top_words=400)
+    return f"""
+WITH enc AS ({enc})
+SELECT d.source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(enc.n_words)::BIGINT AS words,
+       SUM(enc.n_char_symbols)::BIGINT AS chars,
+       SUM(enc.n_bpe_tokens)::BIGINT AS bpe_tokens,
+       ((1000 * SUM(enc.n_bpe_tokens)) // SUM(enc.n_words))::BIGINT AS bpe_per_kword,
+       ((1000 * SUM(enc.n_char_symbols)) // SUM(enc.n_bpe_tokens))::BIGINT AS chars_per_bpe_m
+FROM enc JOIN documents d ON enc.id = d.doc_id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 BM25_BATCH = [
     (0, "hash"), (0, "join"),
     (1, "spark"), (1, "window"), (1, "group"),
@@ -1232,6 +1283,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_bm25_topk": q_corpus_bm25_topk,
     "corpus_postings": q_corpus_postings,
     "corpus_bm25_batch": q_corpus_bm25_batch,
+    "corpus_fertility": q_corpus_fertility,
     "corpus_sample": q_corpus_sample,
     "corpus_pack": q_corpus_pack,
     "corpus_pack_global": q_corpus_pack_global,
@@ -1257,6 +1309,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "corpus_bm25_topk": _oracle_corpus_bm25(),
     "corpus_postings": _ORACLE_CORPUS_POSTINGS,
     "corpus_bm25_batch": _oracle_corpus_bm25_batch(),
+    "corpus_fertility": _oracle_corpus_fertility(),
     "corpus_sample": _ORACLE_CORPUS_SAMPLE,
     "corpus_pack": _ORACLE_CORPUS_PACK,
     "corpus_pack_global": _ORACLE_CORPUS_PACK_GLOBAL,
