@@ -122,6 +122,7 @@ HEADLINE = [
     "sim_diverse_topk",
     "orders_price_outliers",
     "corpus_fertility",
+    "corpus_snapshot_diff",
 ]
 
 

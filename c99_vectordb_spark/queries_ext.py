@@ -276,6 +276,67 @@ SELECT id_a, id_b FROM mh_pairs
 # ---------------------------------------------------------------------------
 
 
+def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot diff between two corpus versions (old = doc_id % 5
+    != 0 shifted view, new = full table with every 7th doc's text
+    'edited' via the fingerprint of a truncated body): per-doc status
+    added / removed / changed / unchanged from a FULL OUTER join on
+    the id with wide-fingerprint comparison — the audit step before
+    promoting a new corpus build. One id-keyed shuffle; fingerprints
+    are map-only."""
+    from .operators.dedup import fingerprint_wide_udf
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    fp = fingerprint_wide_udf()
+    old = docs.filter(F.col("doc_id") % 5 != 0).select(
+        "doc_id", fp(F.col("text")).alias("fp_old")
+    )
+    new = docs.filter(F.col("doc_id") % 3 != 0).select(
+        "doc_id",
+        fp(
+            F.when(
+                F.col("doc_id") % 7 == 0, F.substring(F.col("text"), 1, 40)
+            ).otherwise(F.col("text"))
+        ).alias("fp_new"),
+    )
+    return (
+        old.join(new, "doc_id", "full_outer")
+        .select(
+            "doc_id",
+            F.when(F.col("fp_old").isNull(), F.lit("added"))
+            .when(F.col("fp_new").isNull(), F.lit("removed"))
+            .when(F.col("fp_old") != F.col("fp_new"), F.lit("changed"))
+            .otherwise(F.lit("unchanged"))
+            .alias("status"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _oracle_snapshot_diff() -> str:
+    fpw = hashing.duckdb_fingerprint_wide_sql(_NORM_TEXT)
+    fpw_cut = hashing.duckdb_fingerprint_wide_sql(
+        _NORM_TEXT.replace("text", "substring(text, 1, 40)")
+    )
+    return f"""
+WITH old AS (
+  SELECT doc_id, {fpw} AS fp_old FROM documents WHERE doc_id % 5 <> 0
+),
+new AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN {fpw_cut} ELSE {fpw} END AS fp_new
+  FROM documents WHERE doc_id % 3 <> 0
+)
+SELECT COALESCE(old.doc_id, new.doc_id) AS doc_id,
+       CASE WHEN old.fp_old IS NULL THEN 'added'
+            WHEN new.fp_new IS NULL THEN 'removed'
+            WHEN old.fp_old <> new.fp_new THEN 'changed'
+            ELSE 'unchanged' END AS status
+FROM old FULL OUTER JOIN new ON old.doc_id = new.doc_id
+ORDER BY doc_id
+"""
+
+
 def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Dedup the 'new ingest batch' (doc_id % 3 != 0) against the
     standing corpus (doc_id % 3 == 0) represented ONLY by its
@@ -2514,6 +2575,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_incremental": q_dedup_incremental,
+    "corpus_snapshot_diff": q_corpus_snapshot_diff,
     "dedup_span_removal": q_dedup_span_removal,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_components": q_dedup_components,
@@ -2575,6 +2637,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_jaccard_pairs": _ORACLE_DEDUP_JACCARD,
     "dedup_substring_spans": _oracle_substring_spans(),
     "dedup_incremental": _oracle_dedup_incremental(),
+    "corpus_snapshot_diff": _oracle_snapshot_diff(),
     "dedup_span_removal": _oracle_span_removal(),
     "dedup_minhash_pairs": _oracle_minhash(),
     "dedup_components": _ORACLE_DEDUP_COMPONENTS,
