@@ -123,6 +123,7 @@ HEADLINE = [
     "orders_price_outliers",
     "corpus_fertility",
     "corpus_snapshot_diff",
+    "events_enrich_segments",
 ]
 
 

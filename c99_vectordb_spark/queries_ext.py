@@ -953,6 +953,42 @@ ORDER BY hour_idx, event_type
 """
 
 
+def q_events_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch twin of streaming.stream_enrich_events (the stream-static
+    broadcast enrichment join — the operator body is IDENTICAL on a
+    batch frame), rolled up per (segment, event_type): the enriched-
+    firehose report. Decimal-exact value sums."""
+    from .queries_registry import _read_events
+    from .streaming.ingest import stream_enrich_events
+
+    ev = _read_events(spark, sf_dir)
+    customers = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    enriched = stream_enrich_events(ev, customers)
+    return (
+        enriched.select(
+            "segment",
+            "event_type",
+            F.col("value").cast("decimal(18,6)").alias("v"),
+        )
+        .groupBy("segment", "event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("cnt"),
+            F.round(F.sum("v"), 2).cast("double").alias("sum_value"),
+        )
+        .orderBy("segment", "event_type")
+    )
+
+
+_ORACLE_EVENTS_ENRICH = """
+SELECT c.c_mktsegment AS segment, e.event_type,
+       COUNT(*)::BIGINT AS cnt,
+       CAST(ROUND(SUM(CAST(e.value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY 1, 2
+ORDER BY segment, event_type
+"""
+
+
 def q_quantiles_exact_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EXACT global order-price percentiles (25/50/75/90/99) on the
     range-stitch rank — the exact complement of the approx_percentile
@@ -2591,6 +2627,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "events_rollup_incremental": q_events_rollup_incremental,
+    "events_enrich_segments": q_events_enrich_segments,
     "quantiles_exact_global": q_quantiles_exact_global,
     "orders_price_outliers": q_orders_price_outliers,
     "embed_random_projection": q_embed_random_projection,
@@ -2653,6 +2690,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_quality": _oracle_quality(),
     "text_langid": _oracle_langid(),
     "events_rollup_incremental": _ORACLE_EVENTS_ROLLUP,
+    "events_enrich_segments": _ORACLE_EVENTS_ENRICH,
     "quantiles_exact_global": _ORACLE_QUANTILES_EXACT,
     "orders_price_outliers": _ORACLE_ORDERS_OUTLIERS,
     "embed_random_projection": _oracle_random_projection(),

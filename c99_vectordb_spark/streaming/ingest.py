@@ -133,6 +133,35 @@ def stream_incremental_dedup(
     )
 
 
+def stream_enrich_events(
+    events_stream: DataFrame,
+    customers: DataFrame,
+) -> DataFrame:
+    """Stream-static ENRICHMENT join: the live event stream joined to
+    a static customer dimension INSIDE the streaming plan (not
+    foreachBatch) — Spark re-plans the static side per micro-batch, so
+    a broadcast-sized dim rides as a broadcast hash join with no
+    stream-side state at all (nothing to watermark: the static side
+    never changes mid-query, and an inner equi-join on the key needs
+    no buffering).
+
+    At scale the dim either broadcasts (small) or the join falls back
+    to a shuffled hash join per micro-batch (big dim) — both without
+    state store growth, unlike a stream-stream join. Returns the
+    enriched stream: event fields + customer segment key.
+    """
+    dim = customers.select(
+        F.col("c_custkey").alias("user_id"),
+        F.col("c_mktsegment").alias("segment"),
+        F.col("c_nationkey").alias("nationkey"),
+    )
+    return (
+        events_stream.select("event_id", "user_id", "event_type", "value")
+        .join(F.broadcast(dim), "user_id")
+        .select("event_id", "user_id", "event_type", "value", "segment", "nationkey")
+    )
+
+
 def stream_rollup_merge(
     events_stream: DataFrame,
     sink_fn,

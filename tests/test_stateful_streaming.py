@@ -401,3 +401,49 @@ def test_stream_rollup_merge_matches_batch(spark):
             map(tuple, rollup_report(hourly_rollup(normalize_event_time(allev))).collect())
         )
         assert got == want
+
+
+def test_stream_enrich_static_join_matches_batch(spark):
+    """Stream-static broadcast enrichment: availableNow replay of an
+    event file joined to the static customer dim == the same join in
+    batch. No state store involved (inner equi-join, static side)."""
+    from c99_vectordb_spark.streaming.ingest import stream_enrich_events
+
+    customers = spark.createDataFrame(
+        [(1, "BUILDING", 7), (2, "MACHINERY", 3)],
+        "c_custkey LONG, c_mktsegment STRING, c_nationkey LONG",
+    )
+    events = [
+        (10, 1, "view", 1.0),
+        (11, 2, "buy", 2.0),
+        (12, 99, "view", 3.0),  # no dim row -> dropped by inner join
+    ]
+    schema = "event_id LONG, user_id LONG, event_type STRING, value DOUBLE"
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        spark.createDataFrame(events, schema).coalesce(1).write.parquet(src)
+        out = stream_enrich_events(
+            spark.readStream.schema(schema).parquet(src), customers
+        )
+        q = (
+            out.writeStream.format("memory")
+            .queryName("enriched_out")
+            .outputMode("append")
+            .option("checkpointLocation", os.path.join(tmp, "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        got = sorted(
+            map(tuple, spark.sql("SELECT * FROM enriched_out").collect())
+        )
+        want = sorted(
+            map(
+                tuple,
+                stream_enrich_events(
+                    spark.createDataFrame(events, schema), customers
+                ).collect(),
+            )
+        )
+        assert got == want
+        assert len(got) == 2 and all(len(r) == 6 for r in got)
