@@ -124,6 +124,7 @@ HEADLINE = [
     "corpus_fertility",
     "corpus_snapshot_diff",
     "events_enrich_segments",
+    "events_decayed_value",
 ]
 
 

@@ -953,6 +953,61 @@ ORDER BY hour_idx, event_type
 """
 
 
+def q_events_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency-weighted user value: each event's micros-exact value is
+    halved per 24h of age (integer bit-shift decay, q16 weights —
+    2^-age_days exactly, no float pow), summed per user in q16 units
+    (no final division — sign-safe and engine-agnostic); top-25 users.
+    The reference timestamp is the corpus max — a 1-row broadcast.
+    Shift clamped at 62: Java/DuckDB shifts wrap at 64, which would
+    resurrect ancient events. Map-only weighting, one user-keyed
+    partial-aggregated shuffle, TakeOrdered top-k."""
+    from .queries_registry import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    ref = ev.agg(F.max("ts_us").alias("ref_us"))
+    return (
+        ev.select(
+            "user_id",
+            (F.col("value").cast("decimal(18,6)") * 1000000)
+            .cast("long")
+            .alias("micros"),
+            "ts_us",
+        )
+        .crossJoin(F.broadcast(ref))
+        .selectExpr(
+            "user_id",
+            "micros * shiftright(65536L, "
+            "  cast(least((ref_us - ts_us) div 86400000000, 62L) as int)) AS wv",
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("wv").cast("long").alias("decayed_q16_micros"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy(F.desc("decayed_q16_micros"), F.asc("user_id"))
+        .limit(25)
+    )
+
+
+_ORACLE_EVENTS_DECAYED = """
+WITH ref AS (SELECT MAX(epoch_us(ts)) AS ref_us FROM events),
+w AS (
+  SELECT e.user_id,
+         CAST(CAST(e.value AS DECIMAL(18,6)) * 1000000 AS BIGINT)
+           * (65536::BIGINT >> least((r.ref_us - epoch_us(e.ts)) // 86400000000,
+                                     62)::INTEGER) AS wv
+  FROM events e, ref r
+)
+SELECT user_id,
+       SUM(wv)::BIGINT AS decayed_q16_micros,
+       COUNT(*)::BIGINT AS n_events
+FROM w GROUP BY user_id
+ORDER BY decayed_q16_micros DESC, user_id ASC
+LIMIT 25
+"""
+
+
 def q_events_enrich_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch twin of streaming.stream_enrich_events (the stream-static
     broadcast enrichment join — the operator body is IDENTICAL on a
@@ -2627,6 +2682,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "events_rollup_incremental": q_events_rollup_incremental,
+    "events_decayed_value": q_events_decayed_value,
     "events_enrich_segments": q_events_enrich_segments,
     "quantiles_exact_global": q_quantiles_exact_global,
     "orders_price_outliers": q_orders_price_outliers,
@@ -2690,6 +2746,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_quality": _oracle_quality(),
     "text_langid": _oracle_langid(),
     "events_rollup_incremental": _ORACLE_EVENTS_ROLLUP,
+    "events_decayed_value": _ORACLE_EVENTS_DECAYED,
     "events_enrich_segments": _ORACLE_EVENTS_ENRICH,
     "quantiles_exact_global": _ORACLE_QUANTILES_EXACT,
     "orders_price_outliers": _ORACLE_ORDERS_OUTLIERS,
