@@ -277,9 +277,11 @@ SELECT id_a, id_b FROM mh_pairs
 
 
 def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Snapshot diff between two corpus versions (old = doc_id % 5
-    != 0 shifted view, new = full table with every 7th doc's text
-    'edited' via the fingerprint of a truncated body): per-doc status
+    """Snapshot diff between two corpus versions (old = docs with
+    doc_id % 5 != 0; new = docs with doc_id % 3 != 0, every 7th doc's
+    text 'edited' via the fingerprint of a truncated body — so
+    multiples of 5 read as added, multiples of 3 as removed, of 7 as
+    changed): per-doc status
     added / removed / changed / unchanged from a FULL OUTER join on
     the id with wide-fingerprint comparison — the audit step before
     promoting a new corpus build. One id-keyed shuffle; fingerprints

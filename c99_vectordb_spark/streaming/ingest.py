@@ -145,10 +145,14 @@ def stream_enrich_events(
     never changes mid-query, and an inner equi-join on the key needs
     no buffering).
 
-    At scale the dim either broadcasts (small) or the join falls back
-    to a shuffled hash join per micro-batch (big dim) — both without
-    state store growth, unlike a stream-stream join. Returns the
-    enriched stream: event fields + customer segment key.
+    At scale the dim either broadcasts (small — Spark's size-based
+    planning picks this automatically) or the join falls back to a
+    shuffled hash join per micro-batch (big dim) — both without state
+    store growth, unlike a stream-stream join. No broadcast HINT for
+    exactly that reason: forcing it would turn the big-dim case into a
+    driver OOM instead of the documented shuffle fallback (round-5
+    review finding). Returns the enriched stream: event fields +
+    customer segment key.
     """
     dim = customers.select(
         F.col("c_custkey").alias("user_id"),
@@ -157,7 +161,7 @@ def stream_enrich_events(
     )
     return (
         events_stream.select("event_id", "user_id", "event_type", "value")
-        .join(F.broadcast(dim), "user_id")
+        .join(dim, "user_id")
         .select("event_id", "user_id", "event_type", "value", "segment", "nationkey")
     )
 

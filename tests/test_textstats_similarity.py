@@ -327,33 +327,31 @@ def test_random_projection_map_only_and_shape(spark, embeddings):
     assert all(len(r.proj) == 8 for r in rows)
 
 
-def test_random_projection_preserves_relative_distances(spark, embeddings):
-    """JL sanity: for vectors a, b, c where |a-b| << |a-c| in 64-d,
-    the 16-d projection keeps the ordering (a crude but determinstic
-    check of the distance-preservation property on real vectors)."""
+def test_random_projection_preserves_relative_distances(spark):
+    """JL sanity with a GUARANTEED gap (the earlier fixture-based gate
+    never fired — review finding): for single-coordinate differences a
+    ±1 projection scales every distance by exactly sqrt(out_dim), so
+    the near/far ordering MUST survive, whatever the signs."""
     import math
 
     from c99_vectordb_spark.operators.similarity import random_projection
 
-    rows = {r.vec_id: list(r.embedding) for r in embeddings.limit(50).collect()}
-    proj = {
-        r.id: list(r.proj)
-        for r in random_projection(
-            embeddings.limit(50), "vec_id", "embedding", 16
-        ).collect()
-    }
-    ids = sorted(rows)
-    a = ids[0]
+    dim = 64
+    base = [0.0] * dim
+    near = list(base); near[3] = 0.125          # |a-b| = 0.125
+    far = list(base); far[7] = 8.0              # |a-c| = 8.0
+    df = spark.createDataFrame(
+        [(0, base), (1, near), (2, far)], "vec_id LONG, embedding ARRAY<FLOAT>"
+    )
+    proj = {r.id: list(r.proj) for r in random_projection(df, out_dim=16).collect()}
 
     def d(u, v):
         return math.sqrt(sum((x - y) ** 2 for x, y in zip(u, v)))
 
-    # nearest and farthest of a in the original space
-    others = [(d(rows[a], rows[i]), i) for i in ids[1:]]
-    others.sort()
-    near, far = others[0][1], others[-1][1]
-    if others[-1][0] > 2.5 * others[0][0]:  # only when the gap is wide
-        assert d(proj[a], proj[near]) < d(proj[a], proj[far])
+    # exactly sqrt(16)*0.125 and sqrt(16)*8.0
+    assert abs(d(proj[0], proj[1]) - 4 * 0.125) < 1e-9
+    assert abs(d(proj[0], proj[2]) - 4 * 8.0) < 1e-9
+    assert d(proj[0], proj[1]) < d(proj[0], proj[2])
 
 
 def test_greedy_max_min_prefers_diverse_over_relevant():
@@ -372,3 +370,10 @@ def test_greedy_max_min_prefers_diverse_over_relevant():
     dots2 = {}
     assert greedy_max_min(scores2, dots2, 3) == [(1, 7, 50), (2, 8, 60), (3, 9, 60)]
     assert greedy_max_min([], {}, 3) == []
+
+
+def test_greedy_max_min_k_nonpositive():
+    from c99_vectordb_spark.operators.similarity import greedy_max_min
+
+    assert greedy_max_min([(1, 100)], {}, 0) == []
+    assert greedy_max_min([(1, 100)], {}, -2) == []
