@@ -125,6 +125,7 @@ HEADLINE = [
     "corpus_snapshot_diff",
     "events_enrich_segments",
     "events_decayed_value",
+    "profile_orders",
 ]
 
 

@@ -34,6 +34,47 @@ def matched(df: DataFrame, filter_expr, resolver: Resolver, nonempty=None) -> Da
     return df.filter(compile_filter(filter_expr, resolver, nonempty=nonempty))
 
 
+def profile_table(df: "DataFrame", columns: list[str]) -> "DataFrame":
+    """Data-quality profile: one row per column with null count, exact
+    distinct count, and lexicographic min/max of the string rendering —
+    the ingestion-gate report a pipeline runs before accepting a drop.
+
+    ONE pass over the data: every per-column aggregate rides in a
+    single groupBy-less aggregation (Spark fuses them into one
+    partial-aggregated stage), then a literal-size explode pivots the
+    row to (column, metrics) — no per-column scans, no shuffle beyond
+    the scalar aggregate tree. Distincts are exact count_distinct,
+    partial-aggregated; swap in approx_count_distinct at 100 TB when
+    the exact distinct shuffle on a high-cardinality column dominates
+    (documented knob, same report schema).
+    """
+    aggs = []
+    for c in columns:
+        sc = F.col(c).cast("string")
+        aggs += [
+            F.sum(F.when(F.col(c).isNull(), 1).otherwise(0)).cast("long").alias(f"__n_{c}"),
+            F.count_distinct(F.col(c)).cast("long").alias(f"__d_{c}"),
+            F.min(sc).alias(f"__mn_{c}"),
+            F.max(sc).alias(f"__mx_{c}"),
+        ]
+    one = df.agg(*aggs)
+    cols = F.array(
+        *[
+            F.struct(
+                F.lit(c).alias("col_name"),
+                F.col(f"__n_{c}").alias("n_nulls"),
+                F.col(f"__d_{c}").alias("n_distinct"),
+                F.col(f"__mn_{c}").alias("min_str"),
+                F.col(f"__mx_{c}").alias("max_str"),
+            )
+            for c in columns
+        ]
+    )
+    return one.select(F.explode(cols).alias("p")).select(
+        "p.col_name", "p.n_nulls", "p.n_distinct", "p.min_str", "p.max_str"
+    )
+
+
 def project_page(
     matches: DataFrame,
     field_cols: dict[str, Column],

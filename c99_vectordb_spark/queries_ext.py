@@ -955,6 +955,34 @@ ORDER BY hour_idx, event_type
 """
 
 
+PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
+
+
+def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ingestion-gate data profile of the orders table: null count,
+    exact distinct count, lexicographic min/max per column — ONE fused
+    aggregation pass, then a literal-size pivot
+    (operators/analyze.profile_table). Int/string columns only: double
+    and timestamp STRING renderings are engine-specific, so the
+    cross-engine report sticks to stable renderings."""
+    from .operators.analyze import profile_table
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    return profile_table(orders, PROFILE_COLS).orderBy("col_name")
+
+
+def _oracle_profile_orders() -> str:
+    parts = [
+        f"""SELECT '{c}' AS col_name,
+       SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+       COUNT(DISTINCT {c})::BIGINT AS n_distinct,
+       MIN({c}::VARCHAR) AS min_str, MAX({c}::VARCHAR) AS max_str
+FROM orders"""
+        for c in PROFILE_COLS
+    ]
+    return "\nUNION ALL\n".join(parts) + "\nORDER BY col_name"
+
+
 def q_events_decayed_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency-weighted user value: each event's micros-exact value is
     halved per 24h of age (integer bit-shift decay, q16 weights —
@@ -2684,6 +2712,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "events_rollup_incremental": q_events_rollup_incremental,
+    "profile_orders": q_profile_orders,
     "events_decayed_value": q_events_decayed_value,
     "events_enrich_segments": q_events_enrich_segments,
     "quantiles_exact_global": q_quantiles_exact_global,
@@ -2748,6 +2777,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_quality": _oracle_quality(),
     "text_langid": _oracle_langid(),
     "events_rollup_incremental": _ORACLE_EVENTS_ROLLUP,
+    "profile_orders": _oracle_profile_orders(),
     "events_decayed_value": _ORACLE_EVENTS_DECAYED,
     "events_enrich_segments": _ORACLE_EVENTS_ENRICH,
     "quantiles_exact_global": _ORACLE_QUANTILES_EXACT,

@@ -599,3 +599,30 @@ def test_bm25_batch_matches_single_query(spark):
         .collect()
     ]
     assert batch == single
+
+
+def test_postings_partition_invariance(spark):
+    """The two-stage bottom-k must be independent of physical
+    partitioning (the local bottom-k union argument) and match a
+    direct python reference."""
+    import re
+
+    rows = [(i, " ".join(f"t{(i + j) % 7}" for j in range(4))) for i in range(40)]
+    want = {}
+    for i, t in rows:
+        for tok in set(re.findall(r"[a-z0-9_]+", t)):
+            want.setdefault(tok, []).append(i)
+    want = {
+        t: (len(ids), tuple(sorted(ids)[:5]))
+        for t, ids in want.items()
+        if len(ids) >= 2
+    }
+    for nparts in (1, 3, 11):
+        df = spark.createDataFrame(rows, "doc_id LONG, text STRING").repartition(
+            nparts
+        )
+        got = {
+            r.term: (r.df, tuple(r.postings))
+            for r in C.postings(df, max_postings=5).collect()
+        }
+        assert got == want, f"nparts={nparts}"
