@@ -615,10 +615,16 @@ def incremental_dedup(
 
     Output: (id, fp, disposition).
     """
+    # two consumers (corpus probe + within-batch min) would re-run the
+    # fingerprint UDF; the (id, fp) frame is 16 B/row of BATCH-sized
+    # data, so materializing it is strictly cheaper than recomputing —
+    # the materialize-small / recompute-big rule (plan audit: no
+    # ReusedExchange is possible here, the two subtrees shuffle
+    # differently)
     fps = batch.select(
         F.col(id_col).alias("id"),
         fingerprint_wide_udf()(F.col(body_col)).alias("fp"),
-    )
+    ).localCheckpoint(eager=True)
     corpus_fp = (
         seen_fps.select("fp").distinct().withColumn("_corpus_fp", F.lit(True))
     )
@@ -753,7 +759,12 @@ def duplicate_spans(
        with its position; posexplode -> (id, pos, wh).
     2. window hashes seen in >= ``min_docs`` DISTINCT docs form the
        duplicated-hash set — a (wh, id) shuffle with partial
-       aggregation, never the text itself.
+       aggregation, never the text itself. The groupBy+semi-join pair
+       does recompute the window UDF once (no exchange shape to
+       reuse); the alternative — min/max-over-a-wh-partitioned-window
+       in one pass — was rejected because AQE splits skewed JOIN
+       partitions but cannot split a skewed WINDOW partition, and
+       boilerplate hashes are exactly the skewed keys.
     3. left-semi join the positional windows against that set
        (co-partitioned on wh; AQE broadcasts when the dup set is
        small).
