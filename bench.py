@@ -126,6 +126,7 @@ HEADLINE = [
     "events_enrich_segments",
     "events_decayed_value",
     "profile_orders",
+    "corpus_shuffle_order",
 ]
 
 

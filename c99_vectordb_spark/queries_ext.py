@@ -955,6 +955,46 @@ ORDER BY hour_idx, event_type
 """
 
 
+SHUFFLE_SEED = 5
+
+
+def q_corpus_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: every document gets a
+    dense global position in hash order — mixed_hash(seed, id) is the
+    sort key, so the order is pseudo-random yet reproducible on any
+    cluster size with NO rand(). The dense rank is the range-stitch
+    global_rank (no single-task window). This is the final
+    order-randomization step before writing training shards; re-seed
+    per epoch for a new order."""
+    from .functions.text import token_hash
+    from .operators.scalable_window import global_rank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    key = (
+        token_hash(F.concat_ws(":", F.lit(str(SHUFFLE_SEED)), F.col("doc_id")))
+        * F.lit(2654435761)
+    ) % F.lit(1_000_000_007)
+    keyed = docs.select("doc_id", key.alias("okey"))
+    return (
+        global_rank(keyed, [F.asc("okey"), F.asc("doc_id")], "position")
+        .select("doc_id", "okey", "position")
+        .orderBy("position")
+    )
+
+
+def _oracle_shuffle_order() -> str:
+    kh = hashing.duckdb_token_hash_sql(f"('{SHUFFLE_SEED}:' || doc_id)")
+    return f"""
+WITH keyed AS (
+  SELECT doc_id, (({kh}) * 2654435761) % 1000000007 AS okey FROM documents
+)
+SELECT doc_id, okey,
+       ROW_NUMBER() OVER (ORDER BY okey, doc_id)::BIGINT AS position
+FROM keyed
+ORDER BY position
+"""
+
+
 PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
 
 
@@ -2712,6 +2752,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "events_rollup_incremental": q_events_rollup_incremental,
+    "corpus_shuffle_order": q_corpus_shuffle_order,
     "profile_orders": q_profile_orders,
     "events_decayed_value": q_events_decayed_value,
     "events_enrich_segments": q_events_enrich_segments,
@@ -2777,6 +2818,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_quality": _oracle_quality(),
     "text_langid": _oracle_langid(),
     "events_rollup_incremental": _ORACLE_EVENTS_ROLLUP,
+    "corpus_shuffle_order": _oracle_shuffle_order(),
     "profile_orders": _oracle_profile_orders(),
     "events_decayed_value": _ORACLE_EVENTS_DECAYED,
     "events_enrich_segments": _ORACLE_EVENTS_ENRICH,
