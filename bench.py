@@ -127,6 +127,9 @@ HEADLINE = [
     "events_decayed_value",
     "profile_orders",
     "corpus_shuffle_order",
+    "events_transitions",
+    "events_time_to_convert",
+    "dedup_cluster_sizes",
 ]
 
 

@@ -955,6 +955,125 @@ ORDER BY hour_idx, event_type
 """
 
 
+def q_events_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user event-type transition matrix (the Markov-chain count
+    table behind next-event prediction): LAG over each user's
+    time-ordered stream, then a (prev, next)-keyed count. The window
+    partitions per user (bounded); the count shuffle is
+    |event_types|^2-sized. Total order tie-break on event_id makes
+    simultaneous events deterministic."""
+    from .queries_registry import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
+    return (
+        ev.select("user_id", "event_type", "ts_us", "event_id")
+        .withColumn("prev_type", F.lag("event_type").over(w))
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+        .orderBy("prev_type", "next_type")
+    )
+
+
+_ORACLE_EVENTS_TRANSITIONS = """
+WITH seq AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev_type
+  FROM events
+)
+SELECT prev_type, event_type AS next_type, COUNT(*)::BIGINT AS n
+FROM seq WHERE prev_type IS NOT NULL
+GROUP BY 1, 2
+ORDER BY prev_type, next_type
+"""
+
+
+def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: hours from each user's FIRST view
+    to their FIRST later purchase, bucketed into an hour histogram.
+    Two per-user scalar aggregates (partial-aggregated, no window at
+    all), one histogram-keyed count. Integer hours end to end."""
+    from .queries_registry import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    firsts = (
+        ev.groupBy("user_id")
+        .agg(
+            F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias(
+                "first_view"
+            ),
+            F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias(
+                "first_buy"
+            ),
+        )
+        .filter(
+            F.col("first_view").isNotNull()
+            & F.col("first_buy").isNotNull()
+            & (F.col("first_buy") >= F.col("first_view"))
+        )
+    )
+    return (
+        firsts.selectExpr(
+            "(first_buy - first_view) div 3600000000 AS hours_to_convert"
+        )
+        .groupBy("hours_to_convert")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("hours_to_convert")
+    )
+
+
+_ORACLE_TIME_TO_CONVERT = """
+WITH firsts AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
+         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_buy
+  FROM events GROUP BY user_id
+)
+SELECT (first_buy - first_view) // 3600000000 AS hours_to_convert,
+       COUNT(*)::BIGINT AS n_users
+FROM firsts
+WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
+  AND first_buy >= first_view
+GROUP BY 1
+ORDER BY hours_to_convert
+"""
+
+
+def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup cluster-size distribution: how big are the duplicate
+    groups (the report that sizes dedup's win before you run the
+    removal)? Components from the MinHash pair graph, grouped by
+    canonical id, then a size histogram — two rollup-sized shuffles on
+    top of the banded pair join."""
+    from .operators.dedup import minhash_lsh_pairs, resolve_duplicates
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    comps = resolve_duplicates(
+        minhash_lsh_pairs(docs, id_col="doc_id", body_col="text")
+    )
+    return (
+        comps.groupBy("canonical_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
+def _oracle_cluster_sizes() -> str:
+    return f"""
+WITH RECURSIVE {_DUCK_COMPONENTS_CTES}
+SELECT cluster_size, COUNT(*)::BIGINT AS n_clusters FROM (
+  SELECT canonical_id, COUNT(*)::BIGINT AS cluster_size
+  FROM comp GROUP BY canonical_id
+)
+GROUP BY cluster_size
+ORDER BY cluster_size
+"""
+
+
 SHUFFLE_SEED = 5
 
 
@@ -2752,6 +2871,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "events_rollup_incremental": q_events_rollup_incremental,
+    "events_transitions": q_events_transitions,
+    "events_time_to_convert": q_events_time_to_convert,
+    "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "corpus_shuffle_order": q_corpus_shuffle_order,
     "profile_orders": q_profile_orders,
     "events_decayed_value": q_events_decayed_value,
@@ -2818,6 +2940,9 @@ EXT_ORACLES: dict[str, str] = {
     "text_quality": _oracle_quality(),
     "text_langid": _oracle_langid(),
     "events_rollup_incremental": _ORACLE_EVENTS_ROLLUP,
+    "events_transitions": _ORACLE_EVENTS_TRANSITIONS,
+    "events_time_to_convert": _ORACLE_TIME_TO_CONVERT,
+    "dedup_cluster_sizes": _oracle_cluster_sizes(),
     "corpus_shuffle_order": _oracle_shuffle_order(),
     "profile_orders": _oracle_profile_orders(),
     "events_decayed_value": _ORACLE_EVENTS_DECAYED,
