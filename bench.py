@@ -130,6 +130,7 @@ HEADLINE = [
     "events_transitions",
     "events_time_to_convert",
     "dedup_cluster_sizes",
+    "text_novelty",
 ]
 
 

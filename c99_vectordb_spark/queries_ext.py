@@ -1479,6 +1479,55 @@ FROM best
 """
 
 
+def q_text_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document novelty: the ppm fraction of a doc's distinct 3-gram
+    shingles that appear in NO other document — the inverse of
+    cross-corpus repetition, a data-curation signal (high novelty =
+    fresh content, near-zero = boilerplate). The df-per-shingle side is
+    a partial-aggregated (sh, id) shuffle; the per-doc rollup joins on
+    the shingle key. Integer ppm exact."""
+    from .operators.dedup import shingles
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    sh = shingles(docs, id_col="doc_id", body_col="text")
+    dfreq = sh.groupBy("sh").agg(F.count_distinct("id").alias("sdf"))
+    per_doc = (
+        sh.join(dfreq, "sh")
+        .groupBy("id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            F.sum(F.when(F.col("sdf") == 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_unique"),
+        )
+    )
+    return per_doc.selectExpr(
+        "id", "n_shingles", "n_unique",
+        "(1000000 * n_unique) div n_shingles AS novelty_ppm",
+    ).orderBy("id")
+
+
+def _oracle_text_novelty() -> str:
+    return f"""
+WITH {_duck_hl_cte()},
+dfreq AS (
+  SELECT sh.sh, COUNT(DISTINCT sh.doc_id)::BIGINT AS sdf
+  FROM sh GROUP BY sh.sh
+),
+per_doc AS (
+  SELECT sh.doc_id AS id,
+         COUNT(*)::BIGINT AS n_shingles,
+         SUM(CASE WHEN d.sdf = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique
+  FROM sh JOIN dfreq d ON sh.sh = d.sh
+  GROUP BY sh.doc_id
+)
+SELECT id, n_shingles, n_unique,
+       (1000000 * n_unique) // n_shingles AS novelty_ppm
+FROM per_doc
+ORDER BY id
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import fingerprints
 
@@ -2884,6 +2933,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_curriculum": q_corpus_curriculum,
     "dedup_cross_source": q_dedup_cross_source,
     "text_fingerprint": q_text_fingerprint,
+    "text_novelty": q_text_novelty,
     "text_gopher_rules": q_text_gopher_rules,
     "text_lm_coverage": q_text_lm_coverage,
     "grouped_rank": q_grouped_rank,
@@ -2953,6 +3003,7 @@ EXT_ORACLES: dict[str, str] = {
     "corpus_curriculum": _oracle_curriculum(),
     "dedup_cross_source": _oracle_cross_source(),
     "text_fingerprint": _ORACLE_TEXT_FINGERPRINT,
+    "text_novelty": _oracle_text_novelty(),
     "text_gopher_rules": _oracle_gopher_rules(),
     "text_lm_coverage": _oracle_lm_coverage(),
     "grouped_rank": _ORACLE_GROUPED_RANK,
