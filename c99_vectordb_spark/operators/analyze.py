@@ -39,14 +39,15 @@ def profile_table(df: "DataFrame", columns: list[str]) -> "DataFrame":
     distinct count, and lexicographic min/max of the string rendering —
     the ingestion-gate report a pipeline runs before accepting a drop.
 
-    ONE pass over the data: every per-column aggregate rides in a
-    single groupBy-less aggregation (Spark fuses them into one
-    partial-aggregated stage), then a literal-size explode pivots the
-    row to (column, metrics) — no per-column scans, no shuffle beyond
-    the scalar aggregate tree. Distincts are exact count_distinct,
-    partial-aggregated; swap in approx_count_distinct at 100 TB when
-    the exact distinct shuffle on a high-cardinality column dominates
-    (documented knob, same report schema).
+    One SCAN of the data (not one pass through the aggregate: multiple
+    exact count_distinct on different columns force Spark's
+    Expand-based multi-distinct plan, which replicates each input row
+    once per profiled column before the shuffle — cost grows linearly
+    in len(columns)). That trade buys oracle-exact distincts at test
+    scale; at 100 TB swap count_distinct for approx_count_distinct,
+    which genuinely fuses all columns into one partial-aggregated pass
+    with no Expand (same report schema — the documented scale default).
+    The literal-size explode pivot at the end is free.
     """
     aggs = []
     for c in columns:

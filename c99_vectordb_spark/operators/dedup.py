@@ -617,14 +617,18 @@ def incremental_dedup(
     """
     # two consumers (corpus probe + within-batch min) would re-run the
     # fingerprint UDF; the (id, fp) frame is 16 B/row of BATCH-sized
-    # data, so materializing it is strictly cheaper than recomputing —
-    # the materialize-small / recompute-big rule (plan audit: no
+    # data, so caching it is strictly cheaper than recomputing — the
+    # materialize-small / recompute-big rule (plan audit: no
     # ReusedExchange is possible here, the two subtrees shuffle
-    # differently)
+    # differently). persist(), NOT localCheckpoint: checkpointed
+    # blocks are unrecoverable after executor loss (fatal on spot/
+    # decommissioning clusters, and in the streaming foreachBatch
+    # caller) while a cached frame recomputes from lineage; the
+    # ContextCleaner drops the cache when the frame goes out of scope.
     fps = batch.select(
         F.col(id_col).alias("id"),
         fingerprint_wide_udf()(F.col(body_col)).alias("fp"),
-    ).localCheckpoint(eager=True)
+    ).persist()
     corpus_fp = (
         seen_fps.select("fp").distinct().withColumn("_corpus_fp", F.lit(True))
     )

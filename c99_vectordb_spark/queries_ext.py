@@ -992,30 +992,34 @@ ORDER BY prev_type, next_type
 
 def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-to-convert distribution: hours from each user's FIRST view
-    to their FIRST later purchase, bucketed into an hour histogram.
-    Two per-user scalar aggregates (partial-aggregated, no window at
-    all), one histogram-keyed count. Integer hours end to end."""
+    to their first purchase AT OR AFTER that view, bucketed into an
+    hour histogram. A user whose only purchases precede their first
+    view does not convert; a pre-view purchase does NOT hide a later
+    one (round-5 review finding — the earlier single-aggregate form
+    took the globally-first purchase). Per-user first-view aggregate,
+    co-partitioned join back to the purchase stream, per-user min,
+    histogram count. Integer hours end to end."""
     from .queries_registry import _read_events
 
     ev = _read_events(spark, sf_dir)
-    firsts = (
-        ev.groupBy("user_id")
+    fv = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_us").alias("first_view"))
+    )
+    conv = (
+        ev.filter(F.col("event_type") == "purchase")
+        .select("user_id", "ts_us")
+        .join(fv, "user_id")
+        .filter(F.col("ts_us") >= F.col("first_view"))
+        .groupBy("user_id")
         .agg(
-            F.min(F.when(F.col("event_type") == "view", F.col("ts_us"))).alias(
-                "first_view"
-            ),
-            F.min(F.when(F.col("event_type") == "purchase", F.col("ts_us"))).alias(
-                "first_buy"
-            ),
-        )
-        .filter(
-            F.col("first_view").isNotNull()
-            & F.col("first_buy").isNotNull()
-            & (F.col("first_buy") >= F.col("first_view"))
+            F.min("ts_us").alias("first_buy"),
+            F.min("first_view").alias("first_view"),
         )
     )
     return (
-        firsts.selectExpr(
+        conv.selectExpr(
             "(first_buy - first_view) div 3600000000 AS hours_to_convert"
         )
         .groupBy("hours_to_convert")
@@ -1025,17 +1029,19 @@ def q_events_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_TIME_TO_CONVERT = """
-WITH firsts AS (
-  SELECT user_id,
-         MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS first_view,
-         MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS first_buy
-  FROM events GROUP BY user_id
+WITH fv AS (
+  SELECT user_id, MIN(epoch_us(ts)) AS first_view
+  FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+conv AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS first_buy, MIN(fv.first_view) AS first_view
+  FROM events e JOIN fv ON e.user_id = fv.user_id
+  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) >= fv.first_view
+  GROUP BY e.user_id
 )
 SELECT (first_buy - first_view) // 3600000000 AS hours_to_convert,
        COUNT(*)::BIGINT AS n_users
-FROM firsts
-WHERE first_view IS NOT NULL AND first_buy IS NOT NULL
-  AND first_buy >= first_view
+FROM conv
 GROUP BY 1
 ORDER BY hours_to_convert
 """
