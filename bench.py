@@ -131,6 +131,7 @@ HEADLINE = [
     "events_time_to_convert",
     "dedup_cluster_sizes",
     "text_novelty",
+    "sim_knn_join",
 ]
 
 

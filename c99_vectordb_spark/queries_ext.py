@@ -812,6 +812,67 @@ SELECT qid, id, score FROM (
 """
 
 
+def q_sim_knn_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-BIG-sets kNN JOIN: every odd-id vector finds its top-3
+    neighbors among the even-id vectors — LSH bucket equi-join with NO
+    broadcast (both sides corpus-sized at scale), exact cosine re-rank
+    per bucket, per-query windowed top-k. This is the hard-negative /
+    cross-snapshot-matching shape where the query side is itself a
+    corpus."""
+    from .operators.similarity import lsh_bucketed_neighbors
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    corpus = emb.filter(F.col("id") % 2 == 0)
+    queries = emb.filter(F.col("id") % 2 == 1).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    return lsh_bucketed_neighbors(
+        corpus,
+        queries,
+        dim=LSH_DIM,
+        k=3,
+        n_planes=LSH_PLANES,
+        broadcast_queries=False,
+    ).orderBy("qid", "id")
+
+
+def _oracle_knn_join() -> str:
+    def plane_lit(p: int) -> str:
+        return "[" + ", ".join(f"{x!r}::DOUBLE" for x in hyperplane(p, LSH_DIM)) + "]"
+
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {_DUCK_DOT.format(a='{v}', b=plane_lit(p))} >= 0 THEN 1::BIGINT ELSE 0 END << {p})"
+        for p in range(LSH_PLANES)
+    )
+    eb = bucket_terms.replace("{v}", "embedding")
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, embedding, ({eb}) AS bucket
+  FROM embeddings WHERE vec_id % 2 = 0
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec, ({eb}) AS bucket
+  FROM embeddings WHERE vec_id % 2 = 1
+),
+joined AS (
+  SELECT q.qid, e.id,
+         ROUND({_DUCK_DOT.format(a='e.embedding', b='q.qvec')}
+               / (sqrt({_DUCK_DOT.format(a='e.embedding', b='e.embedding')})
+                  * sqrt({_DUCK_DOT.format(a='q.qvec', b='q.qvec')})), 4) AS score
+  FROM e JOIN q ON e.bucket = q.bucket
+  WHERE e.id != q.qid
+)
+SELECT qid, id, score FROM (
+  SELECT qid, id, score,
+         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rnk
+  FROM joined
+) WHERE rnk <= 3
+ORDER BY qid, id
+"""
+
+
 def q_sim_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.similarity import lsh_bucketed_neighbors
 
@@ -2921,6 +2982,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_topk_cosine": q_sim_topk_cosine,
     "sim_lsh_bucketed": q_sim_lsh_bucketed,
     "sim_lsh_multiprobe": q_sim_lsh_multiprobe,
+    "sim_knn_join": q_sim_knn_join,
     "sim_sq_int8": q_sim_sq_int8,
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
@@ -2991,6 +3053,7 @@ EXT_ORACLES: dict[str, str] = {
     "sim_topk_cosine": _ORACLE_SIM_TOPK,
     "sim_lsh_bucketed": _oracle_lsh(),
     "sim_lsh_multiprobe": _oracle_lsh(multiprobe=True),
+    "sim_knn_join": _oracle_knn_join(),
     "sim_sq_int8": _oracle_sim_sq_int8(),
     "text_token_counts": _ORACLE_TEXT_TOKEN_COUNTS,
     "text_quality": _oracle_quality(),
