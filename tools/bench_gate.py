@@ -121,31 +121,38 @@ def main(argv: list[str]) -> int:
     best_sf = best.setdefault(sf, {})
 
     calib_now = _calibrate()
-    calib_best = best.get("__calib__")
-    if calib_best is None:
-        calib_best = calib_now
-    drift = min(max(1.0, calib_now / calib_best), CALIB_MAX_RATIO)
-    if drift > 1.05:
-        print(
-            f"bench gate: host calibration {calib_now:.3f}s vs best "
-            f"{calib_best:.3f}s — thresholds stretched {drift:.2f}x for drift"
-        )
+    fallback_calib = best.get("__calib__") or calib_now
 
-    def _breach(sec: float, prior: float) -> bool:
+    # Each best is stored PAIRED with the host calibration at record
+    # time: {"sec": s, "calib": c}. The threshold for an entry scales
+    # by calib_now/its-own-calib (clamped >= 1, capped) — so a best
+    # recorded on a fast host stretches on today's slow host, while a
+    # best recorded on a slow host is compared as-is when the host
+    # recovers. This replaces global sec/drift normalization, which
+    # could fabricate bests BELOW any achievable time for queries
+    # whose cost is not purely CPU-speed-scaled (round-5 session-3
+    # gate finding: dedup_simhash_pairs). Legacy float entries are
+    # migrated with the file-level __calib__.
+    def _entry(name):
+        e = best_sf.get(name)
+        if e is None:
+            return None
+        if isinstance(e, dict):
+            return e["sec"], e.get("calib", fallback_calib)
+        return float(e), fallback_calib
+
+    def _breach(sec: float, name: str) -> bool:
+        prior, pcal = _entry(name)
+        drift = min(max(1.0, calib_now / pcal), CALIB_MAX_RATIO)
         return sec > prior * drift * REGRESSION_FACTOR + ABS_SLACK_SEC
 
     regressions = []
     for name, sec in queries.items():
-        prior = best_sf.get(name)
-        if prior is not None and prior >= MIN_GATED_SEC and _breach(sec, prior):
-            regressions.append((name, prior, sec))
-        # bests are stored in FAST-host units (sec / drift): a best
-        # recorded on a temporarily slow box must not permanently
-        # loosen the gate (review finding — the exact poisoning
-        # --update exists to prevent)
-        sec_norm = round(sec / drift, 3)
-        if update and (prior is None or sec_norm < prior):
-            best_sf[name] = sec_norm
+        ent = _entry(name)
+        if ent is not None and ent[0] >= MIN_GATED_SEC and _breach(sec, name):
+            regressions.append((name, ent[0], sec))
+        if update and (ent is None or sec < ent[0]):
+            best_sf[name] = {"sec": round(sec, 3), "calib": calib_now}
 
     noise: list[tuple[str, float, float, float]] = []
     if regressions and confirm:
@@ -153,13 +160,13 @@ def main(argv: list[str]) -> int:
         confirmed = []
         for name, prior, sec in regressions:
             sec2 = rerun.get(name, sec)
-            if _breach(sec2, prior):
+            if _breach(sec2, name):
                 confirmed.append((name, prior, min(sec, sec2)))
             else:
                 noise.append((name, prior, sec, sec2))
                 # a confirmed-noise sample may still be a new best
-                if update and round(sec2 / drift, 3) < prior:
-                    best_sf[name] = round(sec2 / drift, 3)
+                if update and sec2 < prior:
+                    best_sf[name] = {"sec": round(sec2, 3), "calib": calib_now}
         regressions = confirmed
 
     if update and (best.get("__calib__") is None or calib_now < best["__calib__"]):
