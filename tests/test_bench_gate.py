@@ -1,0 +1,69 @@
+"""bench_gate threshold logic: per-entry calibration pairing."""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_gate():
+    spec = importlib.util.spec_from_file_location(
+        "bench_gate_mod", os.path.join(REPO, "tools", "bench_gate.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _run(tmp_path, monkeypatch, best, bench, calib_now, update=False):
+    g = _load_gate()
+    best_path = tmp_path / "best.json"
+    best_path.write_text(json.dumps(best))
+    bench_path = tmp_path / "bench.json"
+    bench_path.write_text(json.dumps(bench))
+    monkeypatch.setattr(g, "BEST_PATH", str(best_path))
+    monkeypatch.setattr(g, "_calibrate", lambda: calib_now)
+    monkeypatch.setattr(g, "_confirm_rerun", lambda names, sf: {})
+    argv = [str(bench_path)] + (["--update"] if update else [])
+    rc = g.main(argv)
+    return rc, json.loads(best_path.read_text())
+
+
+def test_fast_era_best_stretches_on_slow_host(tmp_path, monkeypatch):
+    # best 1.0s at calib 0.10; host now at 0.15 (1.5x slower): a 1.8s
+    # reading is within 1.0 * 1.5 * 1.3 + 0.25 and must NOT fail
+    best = {"0.1": {"q": {"sec": 1.0, "calib": 0.10}}, "__calib__": 0.10}
+    bench = {"sf": 0.1, "queries": {"q": 1.8}}
+    rc, _ = _run(tmp_path, monkeypatch, best, bench, calib_now=0.15)
+    assert rc == 0
+
+
+def test_slow_era_best_not_stretched_on_same_host(tmp_path, monkeypatch):
+    # best recorded at calib 0.15; same host: a 2.2x regression fails
+    best = {"0.1": {"q": {"sec": 1.0, "calib": 0.15}}, "__calib__": 0.10}
+    bench = {"sf": 0.1, "queries": {"q": 2.2}}
+    rc, _ = _run(tmp_path, monkeypatch, best, bench, calib_now=0.15)
+    assert rc == 1
+
+
+def test_update_records_raw_sec_with_current_calib(tmp_path, monkeypatch):
+    best = {"0.1": {}, "__calib__": 0.10}
+    bench = {"sf": 0.1, "queries": {"q": 0.8}}
+    rc, out = _run(tmp_path, monkeypatch, best, bench, calib_now=0.15, update=True)
+    assert rc == 0
+    assert out["0.1"]["q"] == {"sec": 0.8, "calib": 0.15}
+    # __calib__ only ever lowers
+    assert out["__calib__"] == 0.10
+
+
+def test_legacy_float_entries_use_file_calib(tmp_path, monkeypatch):
+    best = {"0.1": {"q": 1.0}, "__calib__": 0.10}
+    bench = {"sf": 0.1, "queries": {"q": 1.8}}
+    rc, _ = _run(tmp_path, monkeypatch, best, bench, calib_now=0.15)
+    assert rc == 0  # stretched via the file-level calibration
+    rc2, _ = _run(tmp_path, monkeypatch, best, bench, calib_now=0.10)
+    assert rc2 == 1  # same reading on the fast host IS a regression
