@@ -236,6 +236,34 @@ def main() -> None:
     if errors:
         out["errors"] = errors
     print(json.dumps(out))
+    # The driver's stdout capture keeps only the TAIL of the output; the
+    # full per-query line outgrew it at ~110 queries (BENCH_r05 recorded
+    # "parsed": null with the line's head cut off). Emit a compact
+    # summary as the LAST line so tail capture always ends with complete
+    # JSON, and persist the full per-query record to a file the judge
+    # can read.
+    try:
+        with open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_FULL.json"),
+            "w",
+        ) as fh:
+            json.dump(out, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass
+    compact = {
+        "metric": "headline_queries_total",
+        "value": out["value"],
+        "unit": "sec",
+        "n": len(timings),
+        "n_errors": len(errors),
+        "sf": out["sf"],
+        "queries_file": "BENCH_FULL.json",
+        "slowest": dict(
+            sorted(timings.items(), key=lambda kv: -kv[1])[:15]
+        ),
+    }
+    print(json.dumps(compact))
     spark.stop()
     # rc stays 0 even with per-query errors: the JSON line (with its
     # "errors" field) is the contract; a nonzero rc would make the

@@ -1336,27 +1336,34 @@ def q_embed_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """JL-compress the 64-d embedding table to 16 deterministic ±1
     hyperplane components (operators/similarity.random_projection) —
     map-only, hash-checkable without rounding thanks to the ordered
-    left-fold contract."""
+    left-fold contract.
+
+    Output is EXPLODED to scalar (id, j, comp) rows: the driver's
+    canonicalizer cannot hash an ARRAY<DOUBLE> cell (round-5 red-row
+    class), and exploding keeps the doubles bit-exact cross-engine
+    where string-serializing them would not."""
     from .operators.similarity import random_projection
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return random_projection(emb, "vec_id", "embedding", RP_OUT_DIM).orderBy("id")
+    proj = random_projection(emb, "vec_id", "embedding", RP_OUT_DIM)
+    return (
+        proj.select("id", F.posexplode("proj").alias("j", "comp"))
+        .withColumn("j", F.col("j").cast("long"))
+        .orderBy("id", "j")
+    )
 
 
 def _oracle_random_projection(out_dim: int = RP_OUT_DIM) -> str:
-    comps = ", ".join(
-        f"""list_reduce([0.0::DOUBLE] || list_transform(range(1, len(embedding) + 1),
-            i -> embedding[i]::DOUBLE *
-                 (CASE WHEN (((i - 1) * 2654435761 % {HASH_MOD}) * {2 * j + 3}
-                             + {7 * j + 1}) % {HASH_MOD} % 2 = 1
-                       THEN 1.0 ELSE -1.0 END)),
-            (a, x) -> a + x)"""
-        for j in range(out_dim)
-    )
     return f"""
-SELECT vec_id AS id, [{comps}] AS proj
-FROM embeddings
-ORDER BY id
+SELECT vec_id AS id, j::BIGINT AS j,
+       list_reduce([0.0::DOUBLE] || list_transform(range(1, len(embedding) + 1),
+           i -> embedding[i]::DOUBLE *
+                (CASE WHEN (((i - 1) * 2654435761 % {HASH_MOD}) * (2 * j + 3)
+                            + (7 * j + 1)) % {HASH_MOD} % 2 = 1
+                      THEN 1.0 ELSE -1.0 END)),
+           (a, x) -> a + x) AS comp
+FROM embeddings, range({out_dim}) AS t(j)
+ORDER BY id, j
 """
 
 
@@ -1811,7 +1818,15 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     media = media_from_documents_mixed(docs)
-    return extract_features(media)
+    # serialize the feature vector — driver canonicalization cannot hash
+    # array cells (rows-only check today, but the no-complex-output
+    # contract is registry-wide)
+    return extract_features(media).withColumn(
+        "feature",
+        F.array_join(
+            F.transform(F.col("feature"), lambda v: F.format_number(v, 6)), ","
+        ),
+    )
 
 
 def q_multimodal_meta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1064,10 +1064,16 @@ def q_corpus_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def q_corpus_postings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-100 inverted-index rows: true df + the 16 smallest doc ids
-    per term (operators/corpus.postings — two-stage bounded bottom-k)."""
+    per term (operators/corpus.postings — two-stage bounded bottom-k).
+
+    The posting list is serialized to a comma-joined STRING column:
+    the driver's canonicalizer (pandas sort over all columns) cannot
+    hash ARRAY<BIGINT> cells, so every registry query must emit only
+    scalar columns (see tests/test_registry_output_types.py)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return (
         C.postings(docs, "doc_id", "text", max_postings=16, min_df=2)
+        .withColumn("postings", F.array_join(F.col("postings"), ","))
         .orderBy(F.desc("df"), F.asc("term"))
         .limit(100)
     )
@@ -1080,7 +1086,8 @@ WITH tok AS (
 ), dfreq AS (
   SELECT term, COUNT(*)::BIGINT AS df FROM tok GROUP BY term
 ), plist AS (
-  SELECT term, list_slice(list(id ORDER BY id), 1, 16) AS postings
+  SELECT term,
+         array_to_string(list_slice(list(id ORDER BY id), 1, 16), ',') AS postings
   FROM tok GROUP BY term
 )
 SELECT term, df, postings

@@ -34,9 +34,19 @@ def canon(df: pd.DataFrame) -> tuple[pd.DataFrame, dict[str, str]]:
     width normalization and the caller fails on kind divergence.
     Kinds: i=integer (any width, incl. unsigned), f=float, b=bool,
     M=datetime, O=object/string.
+
+    DRIVER-STRICT on complex cells: the driver's canonicalizer dies on
+    list/array cells (unhashable in its pandas sort — round 5's one red
+    row). This gate used to tuple-ize them, masking exactly that class;
+    it now records the offending columns so the caller FAILS the query
+    instead (the same local-must-be-stricter lesson as the round-4
+    dtype-kind fix, one layer up).
     """
+    import numpy as np
+
     df = df.reindex(sorted(df.columns), axis=1)
     kinds: dict[str, str] = {}
+    complex_cols: list[str] = []
     for c in df.columns:
         k = df[c].dtype.kind
         kinds[c] = "i" if k in "iu" else k
@@ -45,12 +55,21 @@ def canon(df: pd.DataFrame) -> tuple[pd.DataFrame, dict[str, str]]:
         elif pd.api.types.is_integer_dtype(df[c]):
             df[c] = df[c].astype("int64")
         elif pd.api.types.is_object_dtype(df[c]):
-            import numpy as np
-
-            df[c] = df[c].map(
-                lambda v: tuple(v) if isinstance(v, (list, tuple, np.ndarray)) else v
-            )
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True), kinds
+            if df[c].map(
+                lambda v: isinstance(v, (list, tuple, dict, np.ndarray))
+            ).any():
+                complex_cols.append(c)
+                # tuple-ize so the sort below still works for diagnostics
+                df[c] = df[c].map(
+                    lambda v: tuple(v)
+                    if isinstance(v, (list, tuple, np.ndarray))
+                    else v
+                )
+    return (
+        df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True),
+        kinds,
+        complex_cols,
+    )
 
 
 _WIDE_INT_TYPES = ("HUGEINT", "UHUGEINT")
@@ -129,8 +148,12 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
-        (a, ak), (b, bk) = canon(sdf), canon(ddf)
+        (a, ak, acx), (b, bk, bcx) = canon(sdf), canon(ddf)
         status = []
+        if acx or bcx:
+            status.append(
+                f"complex (driver-unhashable) columns: spark={acx} duck={bcx}"
+            )
         if len(a) != len(b):
             status.append(f"rowcount {len(a)} != {len(b)}")
         if list(a.columns) != list(b.columns):
