@@ -136,12 +136,17 @@ HEADLINE = [
 
 
 def _chained_dedup(spark, sf_dir):
-    """dedup_components + dedup_survivors as the PIPELINE users run:
-    components computed once and persisted, survivors as the
-    incremental anti-join on top. Benching the registry entries
-    standalone double-counts the shared pairs+components stage (each
-    recomputes it); these timings reflect the cost paid once. Mirrors
-    q_dedup_components / q_dedup_survivors exactly."""
+    """The dedup report FAMILY as the pipeline users run it: the banded
+    MinHash pair join is computed ONCE and persisted, components once on
+    top of it, and survivors / cluster-size histogram / cross-source
+    matrix are each timed as the incremental stage they add. Benching
+    the four registry entries standalone triple-counts the shared
+    pairs(+components) stage (each recomputes it — round-5 verdict
+    finding #4); these timings reflect the cost paid once.
+    dedup_components keeps its standalone meaning (pairs + resolve);
+    the other three record only their increment. Oracles unchanged —
+    the registry entries still recompute from scratch for correctness.
+    """
     import time
 
     from pyspark.sql import functions as F
@@ -154,20 +159,61 @@ def _chained_dedup(spark, sf_dir):
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t0 = time.time()
-    pairs = minhash_lsh_pairs(docs, id_col="doc_id", body_col="text")
-    comps = resolve_duplicates(pairs).persist()
-    comps.write.format("noop").mode("overwrite").save()
-    t_components = time.time() - t0
+    pairs = minhash_lsh_pairs(docs, id_col="doc_id", body_col="text").persist()
+    pairs.write.format("noop").mode("overwrite").save()
+    t_pairs = time.time() - t0
     try:
         t0 = time.time()
-        surv = dedup_survivors(docs, comps, id_col="doc_id").select(
-            F.col("doc_id").alias("id"), "n_chars"
+        comps = resolve_duplicates(pairs).persist()
+        comps.write.format("noop").mode("overwrite").save()
+        t_components = t_pairs + (time.time() - t0)
+        try:
+            t0 = time.time()
+            surv = dedup_survivors(docs, comps, id_col="doc_id").select(
+                F.col("doc_id").alias("id"), "n_chars"
+            )
+            surv.write.format("noop").mode("overwrite").save()
+            t_survivors = time.time() - t0
+
+            t0 = time.time()
+            (
+                comps.groupBy("canonical_id")
+                .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+                .groupBy("cluster_size")
+                .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+                .write.format("noop")
+                .mode("overwrite")
+                .save()
+            )
+            t_cluster_sizes = time.time() - t0
+        finally:
+            comps.unpersist()
+
+        t0 = time.time()
+        src = docs.select("doc_id", "source")
+        (
+            pairs.join(
+                src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+                "id_a",
+            )
+            .join(
+                src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+                "id_b",
+            )
+            .select(
+                F.least("sa", "sb").alias("src_a"),
+                F.greatest("sa", "sb").alias("src_b"),
+            )
+            .groupBy("src_a", "src_b")
+            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+            .write.format("noop")
+            .mode("overwrite")
+            .save()
         )
-        surv.write.format("noop").mode("overwrite").save()
-        t_survivors = time.time() - t0
+        t_cross_source = time.time() - t0
     finally:
-        comps.unpersist()
-    return t_components, t_survivors
+        pairs.unpersist()
+    return t_components, t_survivors, t_cluster_sizes, t_cross_source
 
 
 def main() -> None:
@@ -186,13 +232,16 @@ def main() -> None:
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
 
-    # components+survivors share their pairs/components stage — bench
-    # them chained (computed once, persisted) like the pipeline users
+    # the dedup report family shares its pairs/components stage — bench
+    # it chained (computed once, persisted) like the pipeline users
     # run, min-of-2 like everything else
     try:
         runs = [_chained_dedup(spark, SF_DIR) for _ in range(2)]
-        timings["dedup_components"] = round(min(r[0] for r in runs), 3)
-        timings["dedup_survivors"] = round(min(r[1] for r in runs), 3)
+        for i, name in enumerate(
+            ("dedup_components", "dedup_survivors", "dedup_cluster_sizes",
+             "dedup_cross_source")
+        ):
+            timings[name] = round(min(r[i] for r in runs), 3)
     except Exception as exc:  # noqa: BLE001 — keep benching the rest
         errors["dedup_components"] = f"{type(exc).__name__}: {exc}"[:500]
         print(

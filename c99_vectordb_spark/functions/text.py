@@ -84,6 +84,24 @@ def string_hash_wide(c: Column) -> Column:
     return token_hash(c) * F.lit(HASH_MOD2) + h2
 
 
+def floor_div_sql(expr: str, divisor: int) -> str:
+    """SQL for FLOORED integer division of a BIGINT expression by a
+    positive integer literal — the semantics of DuckDB/Python ``//``.
+
+    Spark's ``div`` truncates toward zero, so a negative dividend (a
+    pre-1970 epoch bucketing into hours) lands one bucket HIGH vs the
+    DuckDB oracle's ``//`` (round-5 advisor note — current testdata is
+    all post-1970, so the oracles alone can't catch it). Pure integer
+    arithmetic: exact at any int64 magnitude, unlike a float detour.
+    """
+    if divisor <= 0:
+        raise ValueError(f"divisor must be positive, got {divisor}")
+    return (
+        f"(({expr}) div {divisor} - (CASE WHEN ({expr}) % {divisor} < 0 "
+        f"THEN 1 ELSE 0 END))"
+    )
+
+
 def normalize_event_time(df: "DataFrame") -> "DataFrame":
     """Normalize the events table's ``ts`` column across driver testdata
     vintages to two canonical columns every downstream consumer uses:
@@ -102,7 +120,7 @@ def normalize_event_time(df: "DataFrame") -> "DataFrame":
     """
     dt = dict(df.dtypes).get("ts")
     if dt == "bigint":  # TIMESTAMP(NANOS)-as-long vintage
-        return df.withColumn("ts_us", F.expr("ts div 1000")).withColumn(
+        return df.withColumn("ts_us", F.expr(floor_div_sql("ts", 1000))).withColumn(
             "ts", F.timestamp_micros(F.col("ts_us")).cast("timestamp_ntz")
         )
     ntz = F.col("ts").cast("timestamp_ntz")

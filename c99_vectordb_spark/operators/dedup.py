@@ -589,6 +589,7 @@ def incremental_dedup(
     id_col: str = "id",
     body_col: str = "body",
     n: int = 3,
+    cache_tracker: list | None = None,
 ) -> DataFrame:
     """Ingest-time dedup of a NEW batch against a standing corpus,
     WITHOUT rescanning the corpus. The corpus is represented only by
@@ -625,10 +626,17 @@ def incremental_dedup(
     # decommissioning clusters, and in the streaming foreachBatch
     # caller) while a cached frame recomputes from lineage; the
     # ContextCleaner drops the cache when the frame goes out of scope.
+    # A long-lived caller that invokes this repeatedly (the streaming
+    # foreachBatch loop) must not wait on GC for that — pass
+    # cache_tracker and unpersist its entries once the output action
+    # completes (round-5 advisor note: one cached batch frame per
+    # micro-batch otherwise accumulates in executor storage memory).
     fps = batch.select(
         F.col(id_col).alias("id"),
         fingerprint_wide_udf()(F.col(body_col)).alias("fp"),
     ).persist()
+    if cache_tracker is not None:
+        cache_tracker.append(fps)
     corpus_fp = (
         seen_fps.select("fp").distinct().withColumn("_corpus_fp", F.lit(True))
     )

@@ -32,9 +32,11 @@ def hourly_rollup(events: DataFrame) -> DataFrame:
     (hour_idx, event_type, cnt, sum_v, min_v, max_v). One
     partial-aggregated shuffle on the bucket key; output is
     rollup-sized (hours x types), not event-sized."""
+    from ..functions.text import floor_div_sql
+
     return (
         events.select(
-            F.expr(f"ts_us div {HOUR_US}").alias("hour_idx"),
+            F.expr(floor_div_sql("ts_us", HOUR_US)).alias("hour_idx"),
             "event_type",
             F.col("value").cast("decimal(18,6)").alias("v"),
         )

@@ -20,7 +20,17 @@ from .operators.dedup import (
 )
 from .operators.similarity import hyperplane
 
-_NORM_TEXT = "lower(trim(regexp_replace(text, '\\s+', ' ', 'g')))"
+def _norm_expr(col_sql: str = "text") -> str:
+    """Whitespace-collapse + lowercase normalization over an arbitrary
+    input expression. Parameterized (not string-replaced into a baked
+    constant) so callers that normalize a DERIVED expression — e.g. the
+    snapshot-diff oracle's substring(text, 1, 40) — cannot silently
+    corrupt the SQL if the constant ever gains another occurrence of
+    the token being substituted (round-5 advisor note)."""
+    return f"lower(trim(regexp_replace({col_sql}, '\\s+', ' ', 'g')))"
+
+
+_NORM_TEXT = _norm_expr("text")
 
 
 def _duck_hl_cte(n_shingle: int = 3) -> str:
@@ -318,7 +328,7 @@ def q_corpus_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _oracle_snapshot_diff() -> str:
     fpw = hashing.duckdb_fingerprint_wide_sql(_NORM_TEXT)
     fpw_cut = hashing.duckdb_fingerprint_wide_sql(
-        _NORM_TEXT.replace("text", "substring(text, 1, 40)")
+        _norm_expr("substring(text, 1, 40)")
     )
     return f"""
 WITH old AS (
@@ -2097,15 +2107,18 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcasts the GRID, not the facts."""
     from .queries_registry import _read_events
 
+    from .functions.text import floor_div_sql
+
     events = _read_events(spark, sf_dir)
+    hour_sql = floor_div_sql("ts_us", 3_600_000_000)  # //-floored like the oracle
     hours = events.agg(
-        F.min(F.expr("ts_us div 3600000000")).alias("h0"),
-        F.max(F.expr("ts_us div 3600000000")).alias("h1"),
+        F.min(F.expr(hour_sql)).alias("h0"),
+        F.max(F.expr(hour_sql)).alias("h1"),
     ).select(F.explode(F.sequence("h0", "h1")).alias("hour_idx"))
     types = events.select("event_type").distinct()
     grid = hours.crossJoin(F.broadcast(types))
     counts = (
-        events.select(F.expr("ts_us div 3600000000").alias("hour_idx"), "event_type")
+        events.select(F.expr(hour_sql).alias("hour_idx"), "event_type")
         .groupBy("hour_idx", "event_type")
         .agg(F.count(F.lit(1)).alias("n"))
     )

@@ -108,6 +108,21 @@ def stream_incremental_dedup(
     appends the 'kept' rows' fp/band entries back to the index tables
     so the NEXT batch sees them.
 
+    ``seen_fps`` / ``seen_bands`` may each be a DataFrame or a
+    ZERO-ARG CALLABLE returning one. Pass callables (e.g.
+    ``lambda: spark.read.parquet(fp_index_path)``) whenever sink_fn
+    appends to the index between batches: a DataFrame captured at
+    wiring time may serve a cached file listing, so with
+    trigger(availableNow) splitting a run into several micro-batches,
+    batch N+1 would not see batch N's appended index rows (round-5
+    advisor note). The callable is re-invoked inside every
+    apply_batch, so each batch probes the index as it exists THEN.
+    Note also that within one micro-batch, near-duplicate pairs both
+    read 'kept' (the batch operator resolves exact dups in-batch via
+    keep-min-id but near-dups only against the corpus); if in-batch
+    near-dup resolution matters, run minhash_lsh_pairs over the kept
+    set as a separate pass.
+
     foreachBatch (not a stream-static join chain) because the
     disposition needs a per-document any-band aggregate, which as a
     pure streaming aggregation would demand a watermark on data that
@@ -121,10 +136,21 @@ def stream_incremental_dedup(
     def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
         if batch_df.isEmpty():
             return
-        out = incremental_dedup(
-            batch_df, seen_fps, seen_bands, id_col=id_col, body_col=body_col
-        )
-        sink_fn(out, batch_id)
+        fps = seen_fps() if callable(seen_fps) else seen_fps
+        bands = seen_bands() if callable(seen_bands) else seen_bands
+        caches: list[DataFrame] = []
+        try:
+            out = incremental_dedup(
+                batch_df, fps, bands,
+                id_col=id_col, body_col=body_col, cache_tracker=caches,
+            )
+            sink_fn(out, batch_id)
+        finally:
+            # sink_fn has run its action; release the batch-sized cache
+            # now instead of waiting on the ContextCleaner (one cached
+            # frame per micro-batch otherwise accumulates on long runs)
+            for c in caches:
+                c.unpersist()
 
     return (
         docs_stream.writeStream.foreachBatch(apply_batch)

@@ -447,3 +447,107 @@ def test_stream_enrich_static_join_matches_batch(spark):
         )
         assert got == want
         assert len(got) == 2 and all(len(r) == 6 for r in got)
+
+
+def test_hourly_rollup_floors_negative_epochs(spark):
+    """Spark `div` truncates toward zero; DuckDB `//` floors. hour_idx
+    must FLOOR so a pre-1970 event buckets identically cross-engine
+    (round-5 advisor note — post-1970 testdata can't catch this)."""
+    from c99_vectordb_spark.operators.rollup import HOUR_US, hourly_rollup
+
+    ts = [-1, -HOUR_US, -HOUR_US - 1, 0, HOUR_US - 1, HOUR_US, 2 * HOUR_US + 5]
+    df = spark.createDataFrame(
+        [(t, "e", 1.0) for t in ts], "ts_us long, event_type string, value double"
+    )
+    got = {
+        r.hour_idx: r.cnt
+        for r in hourly_rollup(df).select("hour_idx", "cnt").collect()
+    }
+    want: dict[int, int] = {}
+    for t in ts:
+        want[t // HOUR_US] = want.get(t // HOUR_US, 0) + 1
+    assert got == want
+
+
+def test_floor_div_sql_matches_python_floordiv(spark):
+    from c99_vectordb_spark.functions.text import floor_div_sql
+    from pyspark.sql import functions as F
+
+    vals = [-(10**18) - 7, -1001, -1000, -999, -1, 0, 1, 999, 1000, 10**18 + 7]
+    df = spark.createDataFrame([(v,) for v in vals], "x long")
+    for d in (1000, 3_600_000_000):
+        got = [
+            r.q
+            for r in df.select(F.expr(floor_div_sql("x", d)).alias("q"))
+            .orderBy("x")
+            .collect()
+        ]
+        assert got == [v // d for v in sorted(vals)]
+
+
+def test_stream_incremental_dedup_loader_sees_prior_batches(spark):
+    """With index LOADER CALLABLES (re-read inside every apply_batch)
+    and sink_fn appending kept docs' fp/band rows, a micro-batch must
+    be deduped against earlier micro-batches' kept docs — the
+    round-5 advisor gap: frames captured at wiring time may serve a
+    cached file listing and miss appended index files."""
+    from c99_vectordb_spark.operators.dedup import exact_dedup, minhash_bands
+    from c99_vectordb_spark.streaming.ingest import stream_incremental_dedup
+
+    base = "the quick brown fox jumps over the lazy dog " * 4
+    with tempfile.TemporaryDirectory() as tmp:
+        fp_ix = os.path.join(tmp, "fp_ix")
+        band_ix = os.path.join(tmp, "band_ix")
+        # seed the index with one standing doc so the paths exist
+        corpus = spark.createDataFrame([(100, "standing corpus filler")],
+                                       ["id", "body"])
+        exact_dedup(corpus).select("fp").write.parquet(fp_ix)
+        minhash_bands(corpus).select("band", "bsig").write.parquet(band_ix)
+
+        src = os.path.join(tmp, "src")
+        # two source files -> two micro-batches under maxFilesPerTrigger=1
+        spark.createDataFrame([(1, base)], ["id", "body"]).coalesce(1) \
+            .write.parquet(os.path.join(src, "b1"))
+        spark.createDataFrame([(2, base)], ["id", "body"]).coalesce(1) \
+            .write.parquet(os.path.join(src, "b2"))
+
+        got: dict[int, str] = {}
+
+        def sink(df, batch_id):
+            rows = df.collect()
+            got.update({r.id: r.disposition for r in rows})
+            kept = [r for r in rows if r.disposition == "kept"]
+            if kept:
+                kept_df = spark.createDataFrame(
+                    [(r.id,) for r in kept], ["id"]
+                ).join(
+                    spark.createDataFrame(
+                        [(r.id, r.fp) for r in rows], ["id", "fp"]
+                    ),
+                    "id",
+                )
+                kept_df.select("fp").write.mode("append").parquet(fp_ix)
+                docs = spark.createDataFrame(
+                    [(1, base), (2, base)], ["id", "body"]
+                ).join(kept_df.select("id"), "id")
+                minhash_bands(docs).select("band", "bsig") \
+                    .write.mode("append").parquet(band_ix)
+
+        q = (
+            stream_incremental_dedup(
+                spark.readStream.schema("id LONG, body STRING")
+                .option("maxFilesPerTrigger", 1)
+                .option("latestFirst", "false")
+                .parquet(os.path.join(src, "*")),
+                lambda: spark.read.parquet(fp_ix),
+                lambda: spark.read.parquet(band_ix),
+                sink,
+                os.path.join(tmp, "ckpt"),
+            )
+            .start()
+        )
+        q.awaitTermination(120)
+        assert len(got) == 2
+        # exactly one of the two identical docs was kept; the other was
+        # flagged against the index built from the earlier micro-batch
+        assert sorted(got.values()) == ["exact_dup_corpus", "kept"]
