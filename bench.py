@@ -132,6 +132,7 @@ HEADLINE = [
     "dedup_cluster_sizes",
     "text_novelty",
     "sim_knn_join",
+    "sim_recall_report",
 ]
 
 

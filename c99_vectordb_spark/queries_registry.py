@@ -1768,10 +1768,11 @@ DRIVER_WINDOW = [
     "dedup_cluster_sizes",
     "dedup_cross_source",
     "dedup_span_removal",
-    # similarity family (pool reps + the two first-time headliners)
+    # similarity family (pool reps + the two first-time headliners +
+    # the round-6 ANN recall@k report, new this round)
     "sim_lsh_bucketed",
     "sim_ivfpq_fixed",
-    "sim_sq_int8",
+    "sim_recall_report",
     "sim_knn_join",
     "sim_diverse_topk",
     # embeddings (first-time: the de-arrayed exploded projection)

@@ -67,3 +67,23 @@ def test_legacy_float_entries_use_file_calib(tmp_path, monkeypatch):
     assert rc == 0  # stretched via the file-level calibration
     rc2, _ = _run(tmp_path, monkeypatch, best, bench, calib_now=0.10)
     assert rc2 == 1  # same reading on the fast host IS a regression
+
+
+def test_inherited_calib_stretch_is_capped_tighter(tmp_path, monkeypatch):
+    # legacy float best with __calib__ = fastest-ever 0.10; host now 2x
+    # slower. A recorded-calib entry would stretch 2.0x (cap), letting
+    # 2.5s pass; an INHERITED calib caps at 1.25x, so 2.5s must fail
+    # (round-5 advisor: full-cap stretch on inherited calib lets a real
+    # ~2.85x regression pass as host drift).
+    best = {"0.1": {"q": 1.0}, "__calib__": 0.10}
+    bench = {"sf": 0.1, "queries": {"q": 2.5}}
+    rc, _ = _run(tmp_path, monkeypatch, best, bench, calib_now=0.20)
+    assert rc == 1
+    # the same reading with a RECORDED calib is within the 2.0x cap
+    best2 = {"0.1": {"q": {"sec": 1.0, "calib": 0.10}}, "__calib__": 0.10}
+    rc2, _ = _run(tmp_path, monkeypatch, best2, bench, calib_now=0.20)
+    assert rc2 == 0
+    # within the tighter cap, an inherited-calib entry still stretches
+    bench3 = {"sf": 0.1, "queries": {"q": 1.8}}
+    rc3, _ = _run(tmp_path, monkeypatch, best, bench3, calib_now=0.20)
+    assert rc3 == 0

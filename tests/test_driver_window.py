@@ -44,7 +44,8 @@ FAMILIES: dict[str, tuple[set[str], int]] = {
                "dedup_simhash", "dedup_survivors", "dedup_substring_spans",
                "dedup_incremental"}, 2),
     "similarity": ({"sim_lsh_bucketed", "sim_lsh_multiprobe", "sim_ivf_batch",
-                    "sim_pq_fixed", "sim_ivfpq_fixed", "sim_sq_int8"}, 3),
+                    "sim_pq_fixed", "sim_ivfpq_fixed", "sim_sq_int8",
+                    "sim_recall_report"}, 3),
     "multimodal": ({"multimodal_meta_roundtrip", "multimodal_png_roundtrip",
                     "multimodal_jpeg_meta", "multimodal_jpeg_pixel",
                     "multimodal_resize", "multimodal_audio_stats"}, 2),

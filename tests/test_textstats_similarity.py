@@ -377,3 +377,37 @@ def test_greedy_max_min_k_nonpositive():
 
     assert greedy_max_min([(1, 100)], {}, 0) == []
     assert greedy_max_min([(1, 100)], {}, -2) == []
+
+
+def test_sq_topk_batch_matches_single_query(spark, embeddings):
+    """The batch-serving SQ tier must agree with the single-query
+    operator for each query in the table (same codes, same integer
+    distances, same tie-breaks)."""
+    from c99_vectordb_spark.operators.similarity import sq_topk, sq_topk_batch
+    from pyspark.sql import functions as F
+
+    qvecs = {
+        r.vec_id: list(r.embedding)
+        for r in embeddings.filter(F.col("vec_id") < 3).collect()
+    }
+    queries = embeddings.filter(F.col("vec_id") < 3).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+    )
+    batch = sq_topk_batch(embeddings, queries, k=5)
+    got = {
+        qid: [(r.id, r.qdist) for r in rows]
+        for qid, rows in (
+            (q, sorted(
+                [r for r in batch.collect() if r.qid == q],
+                key=lambda r: (r.qdist, r.id),
+            ))
+            for q in qvecs
+        )
+    }
+    for qid, qv in qvecs.items():
+        want = [
+            (r.id, r.qdist)
+            for r in sq_topk(embeddings, qv, k=6).collect()
+            if r.id != qid
+        ][:5]
+        assert got[qid] == want, f"qid {qid}"

@@ -41,6 +41,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 #: host-drift calibration cap: thresholds stretch at most this much
 CALIB_MAX_RATIO = 2.0
+#: tighter cap for entries whose calibration is INHERITED from the
+#: file-level fastest-ever __calib__ rather than recorded with the best
+INHERITED_CALIB_MAX_RATIO = 1.25
 
 
 def _calibrate() -> float:
@@ -131,19 +134,24 @@ def main(argv: list[str]) -> int:
     # recovers. This replaces global sec/drift normalization, which
     # could fabricate bests BELOW any achievable time for queries
     # whose cost is not purely CPU-speed-scaled (round-5 session-3
-    # gate finding: dedup_simhash_pairs). Legacy float entries are
-    # migrated with the file-level __calib__.
+    # gate finding: dedup_simhash_pairs). Legacy float entries carry
+    # the file-level __calib__ — the FASTEST calibration ever seen, so
+    # stretching them by the full cap would let a real ~2.85x
+    # regression pass as host drift (round-5 advisor note); inherited
+    # calibs therefore stretch at most INHERITED_CALIB_MAX_RATIO until
+    # an --update pairs them with a recorded calibration.
     def _entry(name):
         e = best_sf.get(name)
         if e is None:
             return None
         if isinstance(e, dict):
-            return e["sec"], e.get("calib", fallback_calib)
-        return float(e), fallback_calib
+            return e["sec"], e.get("calib", fallback_calib), "calib" in e
+        return float(e), fallback_calib, False
 
     def _breach(sec: float, name: str) -> bool:
-        prior, pcal = _entry(name)
-        drift = min(max(1.0, calib_now / pcal), CALIB_MAX_RATIO)
+        prior, pcal, recorded = _entry(name)
+        cap = CALIB_MAX_RATIO if recorded else INHERITED_CALIB_MAX_RATIO
+        drift = min(max(1.0, calib_now / pcal), cap)
         return sec > prior * drift * REGRESSION_FACTOR + ABS_SLACK_SEC
 
     regressions = []
