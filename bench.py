@@ -133,6 +133,7 @@ HEADLINE = [
     "text_novelty",
     "sim_knn_join",
     "sim_recall_report",
+    "dedup_recall_report",
 ]
 
 

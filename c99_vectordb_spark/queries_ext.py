@@ -281,6 +281,92 @@ SELECT id_a, id_b FROM mh_pairs
 """
 
 
+def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DEDUP QUALITY REPORT: how good a near-dup filter is the banded
+    MinHash-LSH candidate set, measured against the exact
+    capped-shingle Jaccard pairs at the same threshold — the sibling
+    of sim_recall_report for the dedup tier. recall_ppm = what
+    fraction of true near-dup pairs the bands surface; precision_ppm
+    = what fraction of surfaced candidates are true near-dups (the
+    rest are the verification cost a pipeline pays downstream).
+    Exact integer arithmetic; one report row.
+
+    Scale: both inputs are the already-scale-shaped pair operators
+    (banded equi-join / df-capped shingle join); the comparison adds
+    one (id_a, id_b) equi-join and 1-row aggregates. A 100 TB user
+    runs this on a SAMPLE to choose (k, bands) before paying for the
+    full-corpus dedup."""
+    from .operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    exact = ngram_jaccard_pairs(
+        docs, id_col="doc_id", body_col="text", threshold=JACCARD_THRESHOLD
+    ).select("id_a", "id_b")
+    cand = minhash_lsh_pairs(docs, id_col="doc_id", body_col="text").select(
+        "id_a", "id_b"
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
+    n_hit = (
+        exact.join(cand, ["id_a", "id_b"])
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_exact",
+            "n_candidates",
+            "n_hits",
+            F.expr(
+                "CASE WHEN n_exact > 0 THEN (1000000 * n_hits) div n_exact "
+                "ELSE 0 END"
+            ).alias("recall_ppm"),
+            F.expr(
+                "CASE WHEN n_candidates > 0 THEN (1000000 * n_hits) div n_candidates "
+                "ELSE 0 END"
+            ).alias("precision_ppm"),
+        )
+    )
+
+
+def _oracle_dedup_recall_report() -> str:
+    return f"""
+WITH {_oracle_minhash_ctes()},
+cap AS (SELECT greatest(16, (COUNT(*) + 199) // 200) AS v FROM documents),
+freq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+shc AS (
+  SELECT s.doc_id, s.sh
+  FROM sh s JOIN freq f ON s.sh = f.sh CROSS JOIN cap
+  WHERE f.df <= cap.v
+),
+sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM shc GROUP BY 1),
+shared AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*)::BIGINT AS inter
+  FROM shc a JOIN shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+jp AS (
+  SELECT ia AS id_a, ib AS id_b
+  FROM shared
+  JOIN sizes sa ON ia = sa.doc_id
+  JOIN sizes sb ON ib = sb.doc_id
+  WHERE inter * 1000000 >= {round(JACCARD_THRESHOLD * 1_000_000)} * (sa.sz + sb.sz - inter)
+),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM jp)::BIGINT AS n_exact,
+         (SELECT COUNT(*) FROM mh_pairs)::BIGINT AS n_candidates,
+         (SELECT COUNT(*) FROM jp JOIN mh_pairs USING (id_a, id_b))::BIGINT AS n_hits
+)
+SELECT n_exact, n_candidates, n_hits,
+       (CASE WHEN n_exact > 0 THEN (1000000 * n_hits) // n_exact
+             ELSE 0 END)::BIGINT AS recall_ppm,
+       (CASE WHEN n_candidates > 0 THEN (1000000 * n_hits) // n_candidates
+             ELSE 0 END)::BIGINT AS precision_ppm
+FROM agg
+"""
+
+
 # ---------------------------------------------------------------------------
 # dedup: incremental batch-vs-corpus (ingest-time, index-table probes)
 # ---------------------------------------------------------------------------
@@ -3199,6 +3285,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_knn_join": q_sim_knn_join,
     "sim_sq_int8": q_sim_sq_int8,
     "sim_recall_report": q_sim_recall_report,
+    "dedup_recall_report": q_dedup_recall_report,
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -3271,6 +3358,7 @@ EXT_ORACLES: dict[str, str] = {
     "sim_knn_join": _oracle_knn_join(),
     "sim_sq_int8": _oracle_sim_sq_int8(),
     "sim_recall_report": _oracle_sim_recall_report(),
+    "dedup_recall_report": _oracle_dedup_recall_report(),
     "text_token_counts": _ORACLE_TEXT_TOKEN_COUNTS,
     "text_quality": _oracle_quality(),
     "text_langid": _oracle_langid(),
