@@ -1064,6 +1064,9 @@ def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("id") < RECALL_N_Q).select(
         F.col("id").alias("qid"), F.col("vec").alias("qvec")
     )
+    # NOT persisted: measured at sf0.1, caching the 160-row ground
+    # truth costs more (materialization barrier) than the post-hoisting
+    # recompute it would save across the two LSH hit-joins
     exact_cos = topk_neighbors(emb, queries, k=RECALL_K).select("qid", "id")
     exact_l2 = topk_neighbors(emb, queries, k=RECALL_K, metric="sq_l2").select(
         "qid", "id"
