@@ -384,6 +384,7 @@ def bpe_encode_counts(
     body_col: str = "text",
     n_merges: int = 8,
     top_words: int = 400,
+    merges: list[tuple[int, str, str, int]] | None = None,
 ) -> DataFrame:
     """Apply trained BPE merges to every document — the ENCODE half of
     the tokenizer pair (:func:`bpe_train_merges` is the TRAIN half):
@@ -403,7 +404,12 @@ def bpe_encode_counts(
     the DuckDB twin (:func:`duckdb_bpe_encode_sql`) unroll the SAME
     replace chain after its training stages.
     """
-    merges = _bpe_train_list(df, body_col, n_merges, top_words)
+    # pass `merges` (from _bpe_train_list) to encode with an
+    # already-trained tokenizer — a pipeline trains once and encodes
+    # many batches, so callers shouldn't pay the training loop per
+    # encode (bench chains the merges/encode/fertility family this way)
+    if merges is None:
+        merges = _bpe_train_list(df, body_col, n_merges, top_words)
     body = F.col(body_col)
     toks = tokens(body)
     # ' a  b  c ' symbol form, then the rank-ordered merge chain

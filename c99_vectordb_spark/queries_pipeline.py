@@ -1153,14 +1153,10 @@ LIMIT 20
 """
 
 
-def q_corpus_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-source tokenizer fertility: BPE tokens per 1000 words and
-    milli-chars per BPE token, from the trained 8-rule tokenizer
-    (operators/corpus.bpe_encode_counts) — the metric that tells you
-    which sources your tokenizer compresses badly. Integer floor-div
-    ratios, rollup-sized output."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    per_doc = C.bpe_encode_counts(docs, "doc_id", "text")
+def fertility_rollup(per_doc: DataFrame, docs: DataFrame) -> DataFrame:
+    """Per-source fertility rollup over bpe_encode_counts output —
+    shared by q_corpus_fertility and bench.py's chained-BPE family
+    (which trains the tokenizer once and reuses it here)."""
     j = per_doc.join(
         docs.select(F.col("doc_id").alias("id"), "source"), "id"
     )
@@ -1183,6 +1179,17 @@ def q_corpus_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+def q_corpus_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer fertility: BPE tokens per 1000 words and
+    milli-chars per BPE token, from the trained 8-rule tokenizer
+    (operators/corpus.bpe_encode_counts) — the metric that tells you
+    which sources your tokenizer compresses badly. Integer floor-div
+    ratios, rollup-sized output."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    per_doc = C.bpe_encode_counts(docs, "doc_id", "text")
+    return fertility_rollup(per_doc, docs)
 
 
 def _oracle_corpus_fertility() -> str:

@@ -85,11 +85,18 @@ def _confirm_rerun(names: list[str], sf: str) -> dict[str, float]:
     out: dict[str, float] = {}
     try:
         spark.read.parquet(f"{sf_dir}/region.parquet").count()
-        chained = {"dedup_components", "dedup_survivors"} & set(names)
-        if chained:
+        dedup_family = ("dedup_components", "dedup_survivors",
+                        "dedup_cluster_sizes", "dedup_cross_source")
+        if set(dedup_family) & set(names):
             runs = [benchmod._chained_dedup(spark, sf_dir) for _ in range(2)]
-            out["dedup_components"] = round(min(r[0] for r in runs), 3)
-            out["dedup_survivors"] = round(min(r[1] for r in runs), 3)
+            for i, n in enumerate(dedup_family):
+                out[n] = round(min(r[i] for r in runs), 3)
+        bpe_family = ("corpus_bpe_merges", "corpus_bpe_encode",
+                      "corpus_fertility")
+        if set(bpe_family) & set(names):
+            runs = [benchmod._chained_bpe(spark, sf_dir) for _ in range(2)]
+            for i, n in enumerate(bpe_family):
+                out[n] = round(min(r[i] for r in runs), 3)
         for name in names:
             if name in out or name not in qs:
                 continue
