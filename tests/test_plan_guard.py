@@ -39,6 +39,7 @@ BNLJ_ALLOWED = {
     "corpus_bm25_topk": "1-row scalar aggregate broadcast (N docs + avg doc length)",
     "corpus_bm25_batch": "1-row scalar aggregate broadcast (N docs + avg doc length)",
     "orders_price_outliers": "two 1-row broadcasts (exact median, exact MAD)",
+    "dedup_recall_report": "three 1-row scalar aggregate broadcasts (n_exact, n_candidates, n_hits)",
     "events_decayed_value": "1-row scalar aggregate broadcast (reference max timestamp)",
 }
 
