@@ -1036,13 +1036,18 @@ def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tiers (all deterministic, all SQL-expressible, so the whole report
     is hash-exact):
     - ``lsh``            — 8-plane bucketed, exact-cosine re-rank,
-                           vs exact cosine top-k;
+                           vs exact cosine top-k (16 queries);
     - ``lsh_multiprobe`` — + hamming-1 probe fan-out, vs the same;
     - ``sq_int8``        — batch int8 code-space L2
                            (operators/similarity.sq_topk_batch),
                            vs exact float squared-L2 top-k (so the gap
                            is pure quantization loss, not metric
-                           mismatch).
+                           mismatch; 16 queries);
+    - ``pq_fixed``       — pinned-codebook PQ ADC top-k
+                           (queries_pipeline.q_sim_pq_fixed) vs exact
+                           squared-L2 for ITS pinned query vector —
+                           n_queries=1 (the codebook-oracle-able
+                           query), honestly marked in the row.
 
     recall_ppm = floor(1e6 * |ann ∩ exact| / (n_queries * k)) — exact
     integer arithmetic in both engines. Each tier's denominator is the
@@ -1098,20 +1103,45 @@ def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_l2,
         ),
     ]
-    denom = RECALL_N_Q * RECALL_K
-    reports = [
-        ann.select("qid", "id")
-        .join(truth, ["qid", "id"])
-        .agg(F.count(F.lit(1)).cast("long").alias("total_hits"))
-        .select(
+    def report_row(name, hits_df, n_q):
+        denom = n_q * RECALL_K
+        return hits_df.agg(
+            F.count(F.lit(1)).cast("long").alias("total_hits")
+        ).select(
             F.lit(name).alias("tier"),
-            F.lit(RECALL_N_Q).cast("long").alias("n_queries"),
+            F.lit(n_q).cast("long").alias("n_queries"),
             F.lit(RECALL_K).cast("long").alias("k"),
             "total_hits",
             F.expr(f"(1000000 * total_hits) div {denom}").alias("recall_ppm"),
         )
+
+    reports = [
+        report_row(name, ann.select("qid", "id").join(truth, ["qid", "id"]), RECALL_N_Q)
         for name, ann, truth in tiers
     ]
+
+    # pq_fixed: single pinned query (the codebook-oracle-able one) —
+    # ADC top-k vs exact float squared-L2 for the same query vector
+    from .queries_pipeline import _pqf_query_vec, q_sim_pq_fixed
+
+    qlit = "array(" + ", ".join(
+        f"CAST('{v!r}' AS DOUBLE)" for v in _pqf_query_vec()
+    ) + ")"
+    pq_gt = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .selectExpr(
+            "vec_id AS id",
+            f"round(aggregate(zip_with(transform(embedding, x -> CAST(x AS DOUBLE)),"
+            f" {qlit}, (x, y) -> (x - y) * (x - y)),"
+            " CAST(0 AS DOUBLE), (a, d) -> a + d), 4) AS d2",
+        )
+        .orderBy(F.asc("d2"), F.asc("id"))
+        .limit(RECALL_K)
+        .select("id")
+    )
+    pq_top = q_sim_pq_fixed(spark, sf_dir).select(F.col("vec_id").alias("id"))
+    reports.append(report_row("pq_fixed", pq_top.join(pq_gt, "id"), 1))
+
     out = reports[0]
     for r in reports[1:]:
         out = out.unionByName(r)
@@ -1119,6 +1149,11 @@ def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_sim_recall_report() -> str:
+    from .queries_pipeline import _pqf_oracle_ctes, _pqf_query_vec
+
+    pq_ctes, pq_scored = _pqf_oracle_ctes(prefix="pq_")
+    pq_qlit = "[" + ", ".join(f"'{v!r}'::DOUBLE" for v in _pqf_query_vec()) + "]"
+
     def plane_lit(p: int) -> str:
         return "[" + ", ".join(f"{x!r}::DOUBLE" for x in hyperplane(p, LSH_DIM)) + "]"
 
@@ -1134,7 +1169,6 @@ def _oracle_sim_recall_report() -> str:
         f" / (sqrt({_DUCK_DOT.format(a='e.embedding', b='e.embedding')})"
         f" * sqrt({_DUCK_DOT.format(a='q.qvec', b='q.qvec')})), 4)"
     )
-    denom = RECALL_N_Q * RECALL_K
     return f"""
 WITH e AS (SELECT vec_id AS id, embedding, ({eb}) AS bucket FROM embeddings),
 q AS (
@@ -1192,21 +1226,42 @@ sq AS (
     FROM coded c CROSS JOIN qcoded q WHERE c.id != q.qid
   ) WHERE rnk <= {RECALL_K}
 ),
+{pq_ctes},
+pq_top AS (
+  SELECT vec_id AS id FROM ({pq_scored})
+  ORDER BY adc_score ASC, vec_id ASC
+  LIMIT {RECALL_K}
+),
+pq_gt AS (
+  SELECT vec_id AS id FROM (
+    SELECT vec_id,
+           ROUND(list_reduce(list_transform(
+               list_zip(list_transform(embedding, x -> x::DOUBLE), {pq_qlit}),
+               p -> (p[1] - p[2]) * (p[1] - p[2])),
+               (a, d) -> a + d), 4) AS d2
+    FROM embeddings
+  )
+  ORDER BY d2 ASC, id ASC
+  LIMIT {RECALL_K}
+),
 tiers AS (
-  SELECT 'lsh' AS tier,
+  SELECT 'lsh' AS tier, {RECALL_N_Q} AS n_q,
          (SELECT COUNT(*) FROM lsh JOIN exact_cos USING (qid, id)) AS total_hits
   UNION ALL
-  SELECT 'lsh_multiprobe',
+  SELECT 'lsh_multiprobe', {RECALL_N_Q},
          (SELECT COUNT(*) FROM lsh_mp JOIN exact_cos USING (qid, id))
   UNION ALL
-  SELECT 'sq_int8',
+  SELECT 'sq_int8', {RECALL_N_Q},
          (SELECT COUNT(*) FROM sq JOIN exact_l2 USING (qid, id))
+  UNION ALL
+  SELECT 'pq_fixed', 1,
+         (SELECT COUNT(*) FROM pq_top JOIN pq_gt USING (id))
 )
 SELECT tier,
-       {RECALL_N_Q}::BIGINT AS n_queries,
+       n_q::BIGINT AS n_queries,
        {RECALL_K}::BIGINT AS k,
        total_hits::BIGINT AS total_hits,
-       ((1000000 * total_hits) // {denom})::BIGINT AS recall_ppm
+       ((1000000 * total_hits) // (n_q * {RECALL_K}))::BIGINT AS recall_ppm
 FROM tiers
 ORDER BY tier
 """

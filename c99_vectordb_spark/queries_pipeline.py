@@ -877,11 +877,18 @@ LIMIT 10
 """
 
 
-def _oracle_sim_pq_fixed() -> str:
-    """Unrolled DuckDB twin: identical literals, identical left-assoc
-    float order, list_position(list_min) argmin, list-literal LUT."""
+def _pqf_oracle_ctes(prefix: str = "") -> tuple[str, str]:
+    """DuckDB CTE chain for the pinned-codebook PQ encode + the final
+    scoring SELECT's column expressions — identical literals, identical
+    left-assoc float order, list_position(list_min) argmin,
+    list-literal LUT. ``prefix`` namespaces the CTEs so the chain can
+    compose into a larger WITH (sim_recall_report) without colliding
+    with its other CTE names. Returns (ctes_sql, scored_select_sql)
+    where scored_select_sql yields (vec_id, codes, adc_score) unsorted.
+    """
     books = _pqf_codebooks()
     lut = _pqf_lut()
+    p = prefix
 
     def dlist(vs: list[float]) -> str:
         return "[" + ", ".join(f"'{v!r}'::DOUBLE" for v in vs) + "]"
@@ -917,25 +924,32 @@ def _oracle_sim_pq_fixed() -> str:
         for j in range(_PQF_M)
     )
     codes_concat = ", ".join(f"c{j}" for j in range(_PQF_M))
-    return f"""
-WITH e AS MATERIALIZED (
+    ctes = f"""{p}e AS MATERIALIZED (
   SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS _e
   FROM embeddings
 ),
-d AS MATERIALIZED (
+{p}d AS MATERIALIZED (
   SELECT vec_id,
          {dist_lists}
-  FROM e
+  FROM {p}e
 ),
-c AS (
+{p}c AS (
   SELECT vec_id,
          {code_cols}
-  FROM d
-)
-SELECT vec_id,
+  FROM {p}d
+)"""
+    scored = f"""SELECT vec_id,
        concat_ws('-', {codes_concat}) AS codes,
        {lut_terms} AS adc_score
-FROM c
+FROM {p}c"""
+    return ctes, scored
+
+
+def _oracle_sim_pq_fixed() -> str:
+    ctes, scored = _pqf_oracle_ctes()
+    return f"""
+WITH {ctes}
+{scored}
 ORDER BY adc_score ASC, vec_id ASC
 LIMIT 10
 """
