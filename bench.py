@@ -158,6 +158,10 @@ def _chained_dedup(spark, sf_dir):
         minhash_lsh_pairs,
         resolve_duplicates,
     )
+    from c99_vectordb_spark.queries_ext import (
+        cluster_size_rollup,
+        cross_source_rollup,
+    )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     t0 = time.time()
@@ -178,40 +182,17 @@ def _chained_dedup(spark, sf_dir):
             t_survivors = time.time() - t0
 
             t0 = time.time()
-            (
-                comps.groupBy("canonical_id")
-                .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
-                .groupBy("cluster_size")
-                .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
-                .write.format("noop")
-                .mode("overwrite")
-                .save()
-            )
+            cluster_size_rollup(comps).write.format("noop").mode(
+                "overwrite"
+            ).save()
             t_cluster_sizes = time.time() - t0
         finally:
             comps.unpersist()
 
         t0 = time.time()
-        src = docs.select("doc_id", "source")
-        (
-            pairs.join(
-                src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
-                "id_a",
-            )
-            .join(
-                src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
-                "id_b",
-            )
-            .select(
-                F.least("sa", "sb").alias("src_a"),
-                F.greatest("sa", "sb").alias("src_b"),
-            )
-            .groupBy("src_a", "src_b")
-            .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
-            .write.format("noop")
-            .mode("overwrite")
-            .save()
-        )
+        cross_source_rollup(pairs, docs).write.format("noop").mode(
+            "overwrite"
+        ).save()
         t_cross_source = time.time() - t0
     finally:
         pairs.unpersist()
@@ -243,15 +224,21 @@ def _chained_bpe(spark, sf_dir):
     t_train = time.time() - t0
 
     t0 = time.time()
-    per_doc = bpe_encode_counts(docs, "doc_id", "text", merges=merges)
+    per_doc = bpe_encode_counts(docs, "doc_id", "text", merges=merges).persist()
     per_doc.write.format("noop").mode("overwrite").save()
     t_encode = time.time() - t0
 
-    t0 = time.time()
-    fertility_rollup(
-        bpe_encode_counts(docs, "doc_id", "text", merges=merges), docs
-    ).write.format("noop").mode("overwrite").save()
-    t_fertility = time.time() - t0
+    # fertility times ONLY its rollup increment over the persisted
+    # encode output — re-encoding here would double-count the stage
+    # this chained design exists to deduplicate
+    try:
+        t0 = time.time()
+        fertility_rollup(per_doc, docs).write.format("noop").mode(
+            "overwrite"
+        ).save()
+        t_fertility = time.time() - t0
+    finally:
+        per_doc.unpersist()
     return t_train, t_encode, t_fertility
 
 

@@ -1448,6 +1448,19 @@ ORDER BY hours_to_convert
 """
 
 
+def cluster_size_rollup(comps: DataFrame) -> DataFrame:
+    """Cluster-size histogram over resolve_duplicates output — shared
+    by q_dedup_cluster_sizes and bench.py's chained dedup family so
+    the benched plan can never drift from the shipped query."""
+    return (
+        comps.groupBy("canonical_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .orderBy("cluster_size")
+    )
+
+
 def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup cluster-size distribution: how big are the duplicate
     groups (the report that sizes dedup's win before you run the
@@ -1460,13 +1473,7 @@ def q_dedup_cluster_sizes(spark: SparkSession, sf_dir: str) -> DataFrame:
     comps = resolve_duplicates(
         minhash_lsh_pairs(docs, id_col="doc_id", body_col="text")
     )
-    return (
-        comps.groupBy("canonical_id")
-        .agg(F.count(F.lit(1)).cast("long").alias("cluster_size"))
-        .groupBy("cluster_size")
-        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
-        .orderBy("cluster_size")
-    )
+    return cluster_size_rollup(comps)
 
 
 def _oracle_cluster_sizes() -> str:
@@ -1819,6 +1826,13 @@ def q_dedup_cross_source(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     pairs = minhash_lsh_pairs(docs, id_col="doc_id", body_col="text")
+    return cross_source_rollup(pairs, docs)
+
+
+def cross_source_rollup(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """Cross-source contamination matrix over a near-dup pair set —
+    shared by q_dedup_cross_source and bench.py's chained dedup family
+    so the benched plan can never drift from the shipped query."""
     src = docs.select("doc_id", "source")
     j = (
         pairs.join(
@@ -2493,11 +2507,12 @@ def q_events_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
     bounded 24x fan-out of the already-aggregated hourly table, fully
     partitioned at any scale, where the naive formulation is a global
     unpartitioned RANGE window (single task)."""
+    from .functions.text import floor_div_sql
     from .queries_registry import _read_events
 
     events = _read_events(spark, sf_dir)
     hourly = (
-        events.select(F.expr("ts_us div 3600000000").alias("hour_idx"))
+        events.select(F.expr(floor_div_sql("ts_us", 3_600_000_000)).alias("hour_idx"))
         .groupBy("hour_idx")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
@@ -2628,6 +2643,7 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     window is PARTITIONED by event type (plan-guard clean); at scale
     each type's hourly series is tiny relative to the raw events, so
     the aggregate dominates and the window is free."""
+    from .functions.text import floor_div_sql
     from .queries_registry import _read_events
 
     events = _read_events(spark, sf_dir)
@@ -2635,7 +2651,7 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     hourly = (
         events.select(
-            "event_type", F.expr("ts_us div 3600000000").alias("hour_idx")
+            "event_type", F.expr(floor_div_sql("ts_us", 3_600_000_000)).alias("hour_idx")
         )
         .groupBy("event_type", "hour_idx")
         .agg(F.count(F.lit(1)).alias("cnt"))

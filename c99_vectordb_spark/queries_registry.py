@@ -1547,8 +1547,10 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
     counted distinct at each later day offset. Two user-keyed
     aggregates (first-seen, then activity) joined on user_id — the
     join and both aggregates share one shuffle key."""
+    from .functions.text import floor_div_sql
+
     events = _read_events(spark, sf_dir)
-    day = F.expr("ts_us div 86400000000")  # exact epoch-day from micros
+    day = F.expr(floor_div_sql("ts_us", 86_400_000_000))  # floored epoch-day from micros
     ue = events.select("user_id", day.alias("day_idx"))
     first = ue.groupBy("user_id").agg(F.min("day_idx").alias("cohort_day"))
     return (

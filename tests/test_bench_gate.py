@@ -87,3 +87,29 @@ def test_inherited_calib_stretch_is_capped_tighter(tmp_path, monkeypatch):
     bench3 = {"sf": 0.1, "queries": {"q": 1.8}}
     rc3, _ = _run(tmp_path, monkeypatch, best, bench3, calib_now=0.20)
     assert rc3 == 0
+
+
+def test_stdin_mode_skips_compact_summary_line(tmp_path, monkeypatch):
+    """bench.py prints the full per-query line FIRST and a compact
+    summary (no 'queries') LAST; the stdin gate must scan back to the
+    per-query line instead of gating zero queries against the summary
+    (round-6 self-review: the documented pipe invocation silently
+    passed any regression)."""
+    import io
+
+    g = _load_gate()
+    best_path = tmp_path / "best.json"
+    best_path.write_text(json.dumps(
+        {"0.1": {"q": {"sec": 1.0, "calib": 0.10}}, "__calib__": 0.10}
+    ))
+    monkeypatch.setattr(g, "BEST_PATH", str(best_path))
+    monkeypatch.setattr(g, "_calibrate", lambda: 0.10)
+    monkeypatch.setattr(g, "_confirm_rerun", lambda names, sf: {})
+    full = json.dumps({"sf": 0.1, "queries": {"q": 9.9}})
+    compact = json.dumps({"sf": 0.1, "value": 9.9, "n": 1})
+    monkeypatch.setattr("sys.stdin", io.StringIO(full + "\n" + compact + "\n"))
+    assert g.main([]) == 1  # the 9.9s regression must be SEEN and fail
+
+    # summary-only stdin is an explicit error, not a silent pass
+    monkeypatch.setattr("sys.stdin", io.StringIO(compact + "\n"))
+    assert g.main([]) == 2

@@ -119,7 +119,31 @@ def main(argv: list[str]) -> int:
         with open(args[0], encoding="utf-8") as f:
             bench = json.load(f)
     else:
-        bench = json.loads(sys.stdin.read().strip().splitlines()[-1])
+        # bench.py prints the full per-query line FIRST and a compact
+        # summary (no "queries" key) LAST for the driver's tail capture
+        # — scan backwards for the last line that actually carries
+        # per-query timings, else the gate would "pass" on an empty
+        # dict and silently gate nothing
+        bench = None
+        for line in reversed(sys.stdin.read().strip().splitlines()):
+            try:
+                cand = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(cand, dict) and cand.get("queries"):
+                bench = cand
+                break
+            if bench is None and isinstance(cand, dict):
+                bench = cand  # fallback: summary-only input
+        if bench is None:
+            print("bench gate: no JSON bench line on stdin", file=sys.stderr)
+            return 2
+        if not bench.get("queries"):
+            print(
+                "bench gate: stdin carried only the compact summary "
+                "(no per-query timings) — nothing gated", file=sys.stderr,
+            )
+            return 2
 
     best = {}
     if os.path.exists(BEST_PATH):

@@ -59,11 +59,14 @@ def canon(df: pd.DataFrame) -> tuple[pd.DataFrame, dict[str, str]]:
                 lambda v: isinstance(v, (list, tuple, dict, np.ndarray))
             ).any():
                 complex_cols.append(c)
-                # tuple-ize so the sort below still works for diagnostics
+                # make every complex cell ORDERABLE so the sort below
+                # still works for diagnostics — dicts have no < and
+                # would otherwise blow up the whole verify run, not
+                # just this query's row
                 df[c] = df[c].map(
                     lambda v: tuple(v)
                     if isinstance(v, (list, tuple, np.ndarray))
-                    else v
+                    else (repr(sorted(v.items())) if isinstance(v, dict) else v)
                 )
     return (
         df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True),
@@ -148,7 +151,13 @@ def main() -> int:
             print(f"FAIL {name}: duckdb error: {e}")
             failures.append(name)
             continue
-        (a, ak, acx), (b, bk, bcx) = canon(sdf), canon(ddf)
+        try:
+            (a, ak, acx), (b, bk, bcx) = canon(sdf), canon(ddf)
+        except Exception as e:  # noqa: BLE001 — one query's canon crash
+            # must not abort the other 150 queries' verification
+            print(f"FAIL {name}: canonicalize error: {e}")
+            failures.append(name)
+            continue
         status = []
         if acx or bcx:
             status.append(
