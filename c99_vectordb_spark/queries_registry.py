@@ -1724,17 +1724,28 @@ _ORACLES: dict[str, str] = {
 # monotonically while every family keeps >=1 representative.
 #
 # Round-6 rotation: the never-driver-checked pool was 49/149 after r5;
-# this window rotates in 25 first-timers (5 TPC-H, events_resample,
-# multimodal_resize/audio_stats, corpus_bpe_merges/vocab/bigrams, and
-# 14 non-pool headliners incl. every name the r5 judge pre-verified:
-# sim_knn_join, sim_diverse_topk, orders_price_outliers,
-# quantiles_exact_global, dedup_cluster_sizes, corpus_fertility),
-# dropping the pool to ~24. corpus_postings stays pinned to prove the
-# round-6 scalar-serialization fix (its one r5 row was red on schema
-# shape, not values); embed_random_projection is pinned first-time for
-# the same reason (its array output was restructured to exploded
-# scalar rows this round). Everything rotated out remains fully
-# oracle-covered past the window via tools/verify_oracle.
+# this window rotates in 26 first-timers (5 TPC-H, events_resample,
+# multimodal_resize/audio_stats, corpus_bpe_merges/vocab/bigrams/
+# sample, the NEW sim_recall_report, and the non-pool headliners incl.
+# every name the r5 judge pre-verified: sim_knn_join, sim_diverse_topk,
+# orders_price_outliers, quantiles_exact_global, dedup_cluster_sizes,
+# corpus_fertility), dropping the pool 49 -> 25. corpus_postings stays
+# pinned to prove the round-6 scalar-serialization fix (its one r5 row
+# was red on schema shape, not values); embed_random_projection is
+# pinned first-time for the same reason (its array output was
+# restructured to exploded scalar rows this round). Everything rotated
+# out remains fully oracle-covered past the window via
+# tools/verify_oracle.
+#
+# Round-7 rotation TODO: the remaining window-eligible never-checked
+# pool (23 names; multimodal_features and sim_pq are rows-only and
+# cannot occupy hash slots): dedup_recall_report (new in r6),
+# tpch_q2/q10/q11/q12/q15/q16/q20, approx_quantiles_bottomk,
+# corpus_curriculum, corpus_pack, corpus_shuffle_order,
+# corpus_snapshot_diff, corpus_weighted_sample, decontaminate_survivors,
+# embedding_centroids, events_anomaly, events_decayed_value,
+# events_enrich_segments, events_time_to_convert, events_transitions,
+# text_novelty, zorder_layout.
 DRIVER_WINDOW = [
     # core reference surface (recall / filter / analyze / mutate)
     "recall_topk_int",
