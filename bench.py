@@ -134,6 +134,7 @@ HEADLINE = [
     "sim_knn_join",
     "sim_recall_report",
     "dedup_recall_report",
+    "corpus_pipeline_incremental",
 ]
 
 

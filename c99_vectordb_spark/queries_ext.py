@@ -454,11 +454,13 @@ def q_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("id")
 
 
-def _oracle_dedup_incremental() -> str:
+def _oracle_incremental_ctes() -> str:
+    """CTE chain for the batch-vs-standing-corpus dedup disposition
+    (appended after _oracle_minhash_ctes, which provides ``bands``) —
+    shared by the dedup_incremental oracle and the incremental corpus
+    pipeline's oracle."""
     fpw = hashing.duckdb_fingerprint_wide_sql(_NORM_TEXT)
-    return f"""
-WITH {_oracle_minhash_ctes()},
-fpt AS (
+    return f"""fpt AS (
   SELECT doc_id, {fpw} AS fp FROM documents
 ),
 seen_fp AS (SELECT DISTINCT fp FROM fpt WHERE doc_id % 3 = 0),
@@ -469,7 +471,13 @@ wmin AS (SELECT fp, MIN(doc_id) AS min_id FROM batch_fp GROUP BY fp),
 near AS (
   SELECT DISTINCT b.doc_id FROM batch_bands b
   JOIN seen_bands s USING (band, bsig)
-)
+)"""
+
+
+def _oracle_dedup_incremental() -> str:
+    return f"""
+WITH {_oracle_minhash_ctes()},
+{_oracle_incremental_ctes()}
 SELECT b.doc_id AS id, b.fp,
        CASE WHEN b.fp IN (SELECT fp FROM seen_fp) THEN 'exact_dup_corpus'
             WHEN b.doc_id <> w.min_id THEN 'exact_dup_batch'

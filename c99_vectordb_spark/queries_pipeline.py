@@ -1043,6 +1043,102 @@ ORDER BY id
 """
 
 
+def q_corpus_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The INCREMENTAL twin of q_corpus_pipeline — the daily-ingest
+    shape: a NEW batch (doc_id % 3 != 0) is processed against the
+    STANDING corpus (doc_id % 3 == 0) without rescanning it. Dedup is
+    operators/dedup.incremental_dedup probing only the corpus's fp and
+    MinHash-band INDEX tables (the contract that matters at 100 TB:
+    each day's cost is O(batch), not O(corpus)); quality floor, langid
+    gate, reproducible sample, and sequence packing then run on the
+    surviving batch docs exactly as in the full pipeline. Returns the
+    packed sequences for the new batch. The DuckDB twin chains the
+    incremental-dedup oracle CTEs with the same stage oracles, so the
+    whole incremental path is hash-checked end to end."""
+    from .operators.dedup import exact_dedup, incremental_dedup, minhash_bands
+    from .operators.textstats import lang_id, quality_features_exact, token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    seen_fps = exact_dedup(seen, id_col="doc_id", body_col="text").select("fp")
+    seen_bands = minhash_bands(seen, id_col="doc_id", body_col="text").select(
+        "band", "bsig"
+    )
+    kept_ids = (
+        incremental_dedup(batch, seen_fps, seen_bands, id_col="doc_id", body_col="text")
+        .filter(F.col("disposition") == "kept")
+        .select("id")
+    )
+    qual_ok = (
+        quality_features_exact(batch, "doc_id", "text")
+        .filter(F.col("quality_q16") >= _QUALITY_MIN_Q16)
+        .select("id")
+    )
+    lang_ok = (
+        lang_id(batch, "doc_id", "text")
+        .filter(F.col("lang_pred") == "en")
+        .select("id")
+    )
+    kept = (
+        batch.join(kept_ids, batch.doc_id == kept_ids.id, "left_semi")
+        .join(qual_ok, batch.doc_id == qual_ok.id, "left_semi")
+        .join(lang_ok, batch.doc_id == lang_ok.id, "left_semi")
+    )
+    kept = C.stratified_sample(kept, "source", "doc_id", F.lit(_PIPELINE_RATE_BP))
+    counts = token_counts(kept, "doc_id", "text").select("id", "n_re_tokens")
+    sized = kept.join(counts, kept.doc_id == counts.id).drop("id")
+    return C.pack_sequences(
+        sized, "source", "doc_id", "n_re_tokens", budget=_PIPELINE_BUDGET
+    ).orderBy("id")
+
+
+def _oracle_corpus_pipeline_incremental() -> str:
+    from .queries_ext import (
+        _oracle_incremental_ctes,
+        _oracle_langid,
+        _oracle_minhash_ctes,
+        _oracle_quality,
+    )
+
+    return f"""
+WITH {_oracle_minhash_ctes()},
+{_oracle_incremental_ctes()},
+kept_ids AS (
+  SELECT b.doc_id FROM batch_fp b JOIN wmin w ON b.fp = w.fp
+  WHERE NOT b.fp IN (SELECT fp FROM seen_fp)
+    AND b.doc_id = w.min_id
+    AND NOT b.doc_id IN (SELECT doc_id FROM near)
+),
+q AS ({_oracle_quality()}),
+l AS ({_oracle_langid()}),
+kept AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d
+  JOIN kept_ids k ON d.doc_id = k.doc_id
+  JOIN q ON d.doc_id = q.id
+  JOIN l ON d.doc_id = l.id
+  WHERE q.quality_q16 >= {_QUALITY_MIN_Q16}
+    AND l.lang_pred = 'en'
+    AND ({C.duckdb_sample_key_sql('d.source', 'd.doc_id')}) % 10000 < {_PIPELINE_RATE_BP}
+),
+sized AS (
+  SELECT doc_id, source, len({duckdb_tokens_sql('text')})::BIGINT AS n_tokens
+  FROM kept
+),
+packed AS (
+  SELECT doc_id AS id, source AS stratum, n_tokens,
+         (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS "offset"
+  FROM sized
+)
+SELECT id, stratum, n_tokens, "offset",
+       CAST(FLOOR("offset" / {_PIPELINE_BUDGET}.0) AS BIGINT) AS seq_bin
+FROM packed
+ORDER BY id
+"""
+
+
 def q_corpus_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed mini-BPE training (operators/corpus.bpe_train_merges):
     the first 8 merge rules over the corpus word-frequency table, via
@@ -1317,6 +1413,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pack_global": q_corpus_pack_global,
     "corpus_bigrams": q_corpus_bigrams,
     "corpus_pipeline": q_corpus_pipeline,
+    "corpus_pipeline_incremental": q_corpus_pipeline_incremental,
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "approx_distinct_kmv": q_approx_distinct_kmv,
     "sim_pq": q_sim_pq,
@@ -1343,6 +1440,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "corpus_pack_global": _ORACLE_CORPUS_PACK_GLOBAL,
     "corpus_bigrams": _ORACLE_CORPUS_BIGRAMS,
     "corpus_pipeline": _oracle_corpus_pipeline(),
+    "corpus_pipeline_incremental": _oracle_corpus_pipeline_incremental(),
     "sketch_heavy_hitters": _oracle_sketch_heavy_hitters(),
     "approx_distinct_kmv": _oracle_approx_distinct_kmv(),
     "sim_pq_fixed": _oracle_sim_pq_fixed(),
