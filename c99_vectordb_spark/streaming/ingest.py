@@ -342,3 +342,87 @@ def stream_session_events(
             "sum_value",
         )
     )
+
+
+def stream_corpus_pipeline(
+    docs_stream: DataFrame,
+    seen_fps,
+    seen_bands,
+    sink_fn,
+    checkpoint_dir: str,
+    quality_min_q16: int,
+    rate_bp: int,
+    budget: int,
+    id_col: str = "doc_id",
+    body_col: str = "text",
+):
+    """Streaming twin of queries_pipeline.q_corpus_pipeline_incremental
+    — the full daily-ingest path per micro-batch: incremental dedup
+    against the standing corpus's fp/band index tables, quality floor,
+    langid gate, reproducible sample, and sequence packing, with the
+    packed sequences handed to ``sink_fn(df, batch_id)``.
+
+    ``seen_fps`` / ``seen_bands`` follow the same DataFrame-or-loader
+    contract as stream_incremental_dedup (pass loaders when sink_fn
+    appends kept docs' index rows between batches). Sequence bins are
+    scoped PER MICRO-BATCH (offsets restart each batch): training
+    shards are written per ingest window, exactly like the batch twin
+    run once per day — a cross-batch bin stitch would need the last
+    partial bin's fill as state, which belongs to the shard writer,
+    not the pipeline. Every stage is the oracle-checked batch
+    operator, so the streaming path adds only incremental execution.
+    """
+    from ..operators.corpus import pack_sequences, stratified_sample
+    from ..operators.dedup import incremental_dedup
+    from ..operators.textstats import lang_id, quality_features_exact, token_counts
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        fps = seen_fps() if callable(seen_fps) else seen_fps
+        bands = seen_bands() if callable(seen_bands) else seen_bands
+        caches: list[DataFrame] = []
+        try:
+            kept_ids = (
+                incremental_dedup(
+                    batch_df, fps, bands,
+                    id_col=id_col, body_col=body_col, cache_tracker=caches,
+                )
+                .filter(F.col("disposition") == "kept")
+                .select("id")
+            )
+            qual_ok = (
+                quality_features_exact(batch_df, id_col, body_col)
+                .filter(F.col("quality_q16") >= quality_min_q16)
+                .select("id")
+            )
+            lang_ok = (
+                lang_id(batch_df, id_col, body_col)
+                .filter(F.col("lang_pred") == "en")
+                .select("id")
+            )
+            kept = (
+                batch_df.join(
+                    kept_ids, batch_df[id_col] == kept_ids.id, "left_semi"
+                )
+                .join(qual_ok, batch_df[id_col] == qual_ok.id, "left_semi")
+                .join(lang_ok, batch_df[id_col] == lang_ok.id, "left_semi")
+            )
+            kept = stratified_sample(kept, "source", id_col, F.lit(rate_bp))
+            counts = token_counts(kept, id_col, body_col).select(
+                "id", "n_re_tokens"
+            )
+            sized = kept.join(counts, kept[id_col] == counts.id).drop("id")
+            packed = pack_sequences(
+                sized, "source", id_col, "n_re_tokens", budget=budget
+            )
+            sink_fn(packed, batch_id)
+        finally:
+            for c in caches:
+                c.unpersist()
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

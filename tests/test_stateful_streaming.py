@@ -551,3 +551,50 @@ def test_stream_incremental_dedup_loader_sees_prior_batches(spark):
         # exactly one of the two identical docs was kept; the other was
         # flagged against the index built from the earlier micro-batch
         assert sorted(got.values()) == ["exact_dup_corpus", "kept"]
+
+
+def test_stream_corpus_pipeline_matches_batch(spark, sf_dir):
+    """availableNow replay of the ingest batch through the foreachBatch
+    incremental PIPELINE (dedup -> quality -> langid -> sample -> pack)
+    == the oracle-checked batch twin q_corpus_pipeline_incremental."""
+    from c99_vectordb_spark.operators.dedup import exact_dedup, minhash_bands
+    from c99_vectordb_spark.queries_pipeline import (
+        _PIPELINE_BUDGET,
+        _PIPELINE_RATE_BP,
+        _QUALITY_MIN_Q16,
+        q_corpus_pipeline_incremental,
+    )
+    from c99_vectordb_spark.streaming.ingest import stream_corpus_pipeline
+    from pyspark.sql import functions as F
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    seen = docs.filter(F.col("doc_id") % 3 == 0)
+    batch = docs.filter(F.col("doc_id") % 3 != 0)
+    seen_fps = exact_dedup(seen, id_col="doc_id", body_col="text").select("fp")
+    seen_bands = minhash_bands(seen, id_col="doc_id", body_col="text").select(
+        "band", "bsig"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        batch.coalesce(1).write.parquet(src)
+        got: list[tuple] = []
+
+        def sink(df, batch_id):
+            got.extend(map(tuple, df.collect()))
+
+        q = stream_corpus_pipeline(
+            spark.readStream.schema(batch.schema).parquet(src),
+            seen_fps,
+            seen_bands,
+            sink,
+            os.path.join(tmp, "ckpt"),
+            quality_min_q16=_QUALITY_MIN_Q16,
+            rate_bp=_PIPELINE_RATE_BP,
+            budget=_PIPELINE_BUDGET,
+        ).start()
+        q.awaitTermination(180)
+        want = sorted(
+            map(tuple, q_corpus_pipeline_incremental(spark, sf_dir).collect())
+        )
+        assert sorted(got) == want
+        assert len(want) > 0
