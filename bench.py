@@ -135,6 +135,7 @@ HEADLINE = [
     "sim_recall_report",
     "dedup_recall_report",
     "corpus_pipeline_incremental",
+    "corpus_pack_report",
 ]
 
 

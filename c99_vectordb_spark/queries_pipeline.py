@@ -111,6 +111,63 @@ ORDER BY id
 """
 
 
+def q_corpus_pack_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Packing-EFFICIENCY report: per source, how full the 2048-token
+    training sequences actually are — n_docs, n_bins, total tokens,
+    and fill_ppm = 1e6 * total_tokens / (n_bins * budget). Fill ratio
+    is tokens-per-GPU-step; a low-fill source means its document
+    length distribution wastes sequence budget and the packer (or
+    chunker upstream) needs retuning. Rollup-sized output on top of
+    the oracle-checked pack plan; exact integers."""
+    from .operators.textstats import token_counts
+
+    budget = 2048
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    counts = token_counts(docs, "doc_id", "text").select("id", "n_re_tokens")
+    sized = docs.join(counts, docs.doc_id == counts.id).drop("id")
+    packed = C.pack_sequences(sized, "source", "doc_id", "n_re_tokens", budget=budget)
+    return (
+        packed.groupBy("stratum")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            (F.max("seq_bin") + 1).cast("long").alias("n_bins"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .selectExpr(
+            "stratum",
+            "n_docs",
+            "n_bins",
+            "total_tokens",
+            f"(1000000 * total_tokens) div (n_bins * {budget}) AS fill_ppm",
+        )
+        .orderBy("stratum")
+    )
+
+
+_ORACLE_CORPUS_PACK_REPORT = f"""
+WITH sized AS (
+  SELECT doc_id, source, len({duckdb_tokens_sql('text')})::BIGINT AS n_tokens
+  FROM documents
+), packed AS (
+  SELECT doc_id AS id, source AS stratum, n_tokens,
+         (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS "offset"
+  FROM sized
+), binned AS (
+  SELECT stratum, n_tokens, CAST(FLOOR("offset" / 2048.0) AS BIGINT) AS seq_bin
+  FROM packed
+)
+SELECT stratum,
+       COUNT(*)::BIGINT AS n_docs,
+       (MAX(seq_bin) + 1)::BIGINT AS n_bins,
+       SUM(n_tokens)::BIGINT AS total_tokens,
+       ((1000000 * SUM(n_tokens)) // ((MAX(seq_bin) + 1) * 2048))::BIGINT AS fill_ppm
+FROM binned
+GROUP BY stratum
+ORDER BY stratum
+"""
+
+
 def q_corpus_pack_global(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack the WHOLE corpus into globally-dense 2048-token sequences
     (no stratum key) — the frozen-final-corpus layout. The global
@@ -1410,6 +1467,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_fertility": q_corpus_fertility,
     "corpus_sample": q_corpus_sample,
     "corpus_pack": q_corpus_pack,
+    "corpus_pack_report": q_corpus_pack_report,
     "corpus_pack_global": q_corpus_pack_global,
     "corpus_bigrams": q_corpus_bigrams,
     "corpus_pipeline": q_corpus_pipeline,
@@ -1437,6 +1495,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "corpus_fertility": _oracle_corpus_fertility(),
     "corpus_sample": _ORACLE_CORPUS_SAMPLE,
     "corpus_pack": _ORACLE_CORPUS_PACK,
+    "corpus_pack_report": _ORACLE_CORPUS_PACK_REPORT,
     "corpus_pack_global": _ORACLE_CORPUS_PACK_GLOBAL,
     "corpus_bigrams": _ORACLE_CORPUS_BIGRAMS,
     "corpus_pipeline": _oracle_corpus_pipeline(),
