@@ -136,6 +136,7 @@ HEADLINE = [
     "dedup_recall_report",
     "corpus_pipeline_incremental",
     "corpus_pack_report",
+    "corpus_filter_funnel",
 ]
 
 

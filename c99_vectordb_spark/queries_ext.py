@@ -1984,6 +1984,84 @@ def q_text_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gopher_rules(docs, "doc_id", "text")
 
 
+def q_corpus_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filter-FUNNEL report: per source, how many documents survive
+    each quality gate (quality floor, English langid, Gopher rules)
+    and all three together — the dashboard every filtering pipeline
+    runs before committing to a configuration, showing which sources a
+    gate change would decimate. One pass per gate (all map-only
+    feature extractors), id-keyed joins, rollup-sized output, exact
+    integers."""
+    from .operators.textstats import gopher_rules, lang_id, quality_features_exact
+    from .queries_pipeline import _QUALITY_MIN_Q16
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    q = quality_features_exact(docs, "doc_id", "text").select(
+        "id", (F.col("quality_q16") >= _QUALITY_MIN_Q16).alias("p_q")
+    )
+    lid = lang_id(docs, "doc_id", "text").select(
+        "id", (F.col("lang_pred") == "en").alias("p_l")
+    )
+    g = gopher_rules(docs, "doc_id", "text").select(
+        "id", F.col("gopher_pass").alias("p_g")
+    )
+    j = (
+        docs.select(F.col("doc_id").alias("id"), "source")
+        .join(q, "id")
+        .join(lid, "id")
+        .join(g, "id")
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("p_q").cast("long")).cast("long").alias("n_quality"),
+            F.sum(F.col("p_l").cast("long")).cast("long").alias("n_lang_en"),
+            F.sum(F.col("p_g").cast("long")).cast("long").alias("n_gopher"),
+            F.sum((F.col("p_q") & F.col("p_l") & F.col("p_g")).cast("long"))
+            .cast("long")
+            .alias("n_all"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_quality",
+            "n_lang_en",
+            "n_gopher",
+            "n_all",
+            "(1000000 * n_all) div n_docs AS pass_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_corpus_filter_funnel() -> str:
+    from .queries_pipeline import _QUALITY_MIN_Q16
+
+    return f"""
+WITH q AS ({_oracle_quality()}),
+l AS ({_oracle_langid()}),
+g AS ({_oracle_gopher_rules()})
+SELECT d.source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN q.quality_q16 >= {_QUALITY_MIN_Q16} THEN 1 ELSE 0 END)::BIGINT AS n_quality,
+       SUM(CASE WHEN l.lang_pred = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_lang_en,
+       SUM(CASE WHEN g.gopher_pass THEN 1 ELSE 0 END)::BIGINT AS n_gopher,
+       SUM(CASE WHEN q.quality_q16 >= {_QUALITY_MIN_Q16}
+                 AND l.lang_pred = 'en' AND g.gopher_pass
+            THEN 1 ELSE 0 END)::BIGINT AS n_all,
+       ((1000000 * SUM(CASE WHEN q.quality_q16 >= {_QUALITY_MIN_Q16}
+                             AND l.lang_pred = 'en' AND g.gopher_pass
+                        THEN 1 ELSE 0 END)) // COUNT(*))::BIGINT AS pass_ppm
+FROM documents d
+JOIN q ON d.doc_id = q.id
+JOIN l ON d.doc_id = l.id
+JOIN g ON d.doc_id = g.id
+GROUP BY d.source
+ORDER BY d.source
+"""
+
+
 def _oracle_gopher_rules() -> str:
     from .operators.textstats import STOPWORDS
 
@@ -3368,6 +3446,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_sq_int8": q_sim_sq_int8,
     "sim_recall_report": q_sim_recall_report,
     "dedup_recall_report": q_dedup_recall_report,
+    "corpus_filter_funnel": q_corpus_filter_funnel,
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -3441,6 +3520,7 @@ EXT_ORACLES: dict[str, str] = {
     "sim_sq_int8": _oracle_sim_sq_int8(),
     "sim_recall_report": _oracle_sim_recall_report(),
     "dedup_recall_report": _oracle_dedup_recall_report(),
+    "corpus_filter_funnel": _oracle_corpus_filter_funnel(),
     "text_token_counts": _ORACLE_TEXT_TOKEN_COUNTS,
     "text_quality": _oracle_quality(),
     "text_langid": _oracle_langid(),
