@@ -137,6 +137,7 @@ HEADLINE = [
     "corpus_pipeline_incremental",
     "corpus_pack_report",
     "corpus_filter_funnel",
+    "multimodal_adpcm_roundtrip",
 ]
 
 

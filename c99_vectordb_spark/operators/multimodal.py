@@ -475,7 +475,10 @@ def decode_payload(payload: bytes, mime: str):
             raise MediaDecodeError(str(e)) from e
     raise NotImplementedError(
         f"codec for {mime!r} not available in this environment; "
-        "plug a real decoder here (PIL/libav/...) on a cluster image"
+        "plug a real decoder here (PIL/libav/...) on a cluster image. "
+        "(BMP/PNG/WAV/JPEG above and IMA-ADPCM in operators/adpcm.py "
+        "are REAL implementations; only MP3/H.264-class float-"
+        "filterbank codecs remain stubbed)"
     )
 
 

@@ -2269,6 +2269,101 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy audio codec, hash-checked: the odd-id documents'
+    WAV payloads run through the IMA-ADPCM encoder
+    (operators/adpcm.py — the public-spec integer state machine), and
+    the per-document transcode metrics (sample count, 4:1 packed code
+    size, max/total reconstruction error, final codec state) are
+    verified value-exactly against a DuckDB RECURSIVE-CTE twin that
+    replays the same per-sample predictor/step-index recursion. The
+    one lossy audio codec with an exact SQL twin — MP3/AAC-class
+    float filterbanks stay documented stubs. Map-only mapInPandas."""
+    from .operators.adpcm import media_adpcm_metrics
+    from .operators.multimodal import media_from_documents_mixed
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = media_from_documents_mixed(docs).filter(F.col("mime") == "audio/wav")
+    return media_adpcm_metrics(media).orderBy("id")
+
+
+def _oracle_adpcm_roundtrip() -> str:
+    from .operators.adpcm import INDEX_TABLE, STEP_TABLE
+
+    steps = "[" + ", ".join(str(v) for v in STEP_TABLE) + "]"
+    idxs = "[" + ", ".join(str(v) for v in INDEX_TABLE) + "]"
+    # One recursion level per sample, all audio docs advancing in
+    # lockstep: rows per level = n_docs, depth = max sample count
+    # (text is ASCII, so byte i of the WAV payload is
+    # ascii(substr(text, i, 1)) and samples are little-endian pairs).
+    # The encoder algebra below is the exact integer spec: sign split,
+    # three successive-approximation bits against step/2^k, vpdiff
+    # accumulation, int16 clamp, index clamp. DuckDB's // floors, but
+    # every divisor application here is on non-negative step values so
+    # it equals the spec's >> shifts.
+    return f"""
+WITH RECURSIVE params AS (
+  SELECT doc_id, text, (strlen(text) // 2)::BIGINT AS n FROM documents
+  WHERE doc_id % 2 = 1
+),
+walk(doc_id, i, predictor, idx, max_err, sum_err) AS (
+  SELECT doc_id, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT, 0::BIGINT
+  FROM params
+  UNION ALL
+  SELECT doc_id, i + 1,
+         new_pred,
+         greatest(0, least(88, idx + ({idxs})[nib + 1])),
+         greatest(max_err, abs(s - new_pred)),
+         sum_err + abs(s - new_pred)
+  FROM (
+    SELECT w.doc_id, w.i, w.idx, w.max_err, w.sum_err, t2.s, t2.nib,
+           greatest(-32768, least(32767,
+             w.predictor + CASE WHEN t2.sg THEN -t2.vp ELSE t2.vp END
+           )) AS new_pred
+    FROM walk w
+    JOIN params p ON w.doc_id = p.doc_id AND w.i < p.n,
+    LATERAL (
+      SELECT ascii(substr(p.text, 2 * w.i + 1, 1))
+             + 256 * ascii(substr(p.text, 2 * w.i + 2, 1)) AS s,
+             ({steps})[w.idx + 1] AS st
+    ) t0,
+    LATERAL (
+      SELECT abs(t0.s - w.predictor) AS ad, t0.s - w.predictor < 0 AS sg
+    ) t1,
+    LATERAL (
+      SELECT
+        (CASE WHEN t1.ad >= t0.st THEN 4 ELSE 0 END
+         + CASE WHEN t1.ad - (CASE WHEN t1.ad >= t0.st THEN t0.st ELSE 0 END)
+                     >= t0.st // 2 THEN 2 ELSE 0 END
+         + CASE WHEN t1.ad - (CASE WHEN t1.ad >= t0.st THEN t0.st ELSE 0 END)
+                     - (CASE WHEN t1.ad - (CASE WHEN t1.ad >= t0.st THEN t0.st ELSE 0 END)
+                                  >= t0.st // 2 THEN t0.st // 2 ELSE 0 END)
+                     >= t0.st // 4 THEN 1 ELSE 0 END
+         + CASE WHEN t1.sg THEN 8 ELSE 0 END) AS nib,
+        (t0.st // 8
+         + CASE WHEN t1.ad >= t0.st THEN t0.st ELSE 0 END
+         + CASE WHEN t1.ad - (CASE WHEN t1.ad >= t0.st THEN t0.st ELSE 0 END)
+                     >= t0.st // 2 THEN t0.st // 2 ELSE 0 END
+         + CASE WHEN t1.ad - (CASE WHEN t1.ad >= t0.st THEN t0.st ELSE 0 END)
+                     - (CASE WHEN t1.ad - (CASE WHEN t1.ad >= t0.st THEN t0.st ELSE 0 END)
+                                  >= t0.st // 2 THEN t0.st // 2 ELSE 0 END)
+                     >= t0.st // 4 THEN t0.st // 4 ELSE 0 END) AS vp,
+        t0.s AS s, t1.sg AS sg
+    ) t2
+  )
+)
+SELECT p.doc_id AS id,
+       p.n AS n_samples,
+       ((p.n + 1) // 2)::BIGINT AS code_bytes,
+       w.max_err AS max_abs_err,
+       w.sum_err AS sum_abs_err,
+       w.predictor AS end_predictor,
+       w.idx AS end_index
+FROM walk w JOIN params p ON w.doc_id = p.doc_id AND w.i = p.n
+ORDER BY id
+"""
+
+
 def q_multimodal_meta_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HASH-CHECKED multimodal round-trip: documents wrapped as real
     BMP (even ids) / WAV (odd ids) containers, header-decoded by the
@@ -3447,6 +3542,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_recall_report": q_sim_recall_report,
     "dedup_recall_report": q_dedup_recall_report,
     "corpus_filter_funnel": q_corpus_filter_funnel,
+    "multimodal_adpcm_roundtrip": q_multimodal_adpcm_roundtrip,
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -3521,6 +3617,7 @@ EXT_ORACLES: dict[str, str] = {
     "sim_recall_report": _oracle_sim_recall_report(),
     "dedup_recall_report": _oracle_dedup_recall_report(),
     "corpus_filter_funnel": _oracle_corpus_filter_funnel(),
+    "multimodal_adpcm_roundtrip": _oracle_adpcm_roundtrip(),
     "text_token_counts": _ORACLE_TEXT_TOKEN_COUNTS,
     "text_quality": _oracle_quality(),
     "text_langid": _oracle_langid(),

@@ -171,3 +171,60 @@ def test_encoder_validates_inputs():
         encode_jpeg(np.zeros((4, 4, 3), dtype=np.float64))
     with pytest.raises(ValueError):
         encode_jpeg(np.zeros((8, 8, 3), dtype=np.uint8), qtable=[0] * 64)
+
+
+# ---------------------------------------------------------------------------
+# IMA-ADPCM (operators/adpcm.py) — the lossy AUDIO codec tier
+# ---------------------------------------------------------------------------
+
+def test_adpcm_decode_matches_encoder_reconstruction():
+    from c99_vectordb_spark.operators.adpcm import adpcm_decode, adpcm_encode
+
+    samples = [0, 100, -200, 5000, -30000, 32767, -32768, 7, 7, 7, 0]
+    code, recon = adpcm_encode(samples)
+    assert len(code) == (len(samples) + 1) // 2
+    assert adpcm_decode(code, len(samples)) == recon
+
+
+def test_adpcm_tracks_signal_within_step_size():
+    """After convergence, reconstruction error is bounded by the step
+    size — the defining property of ADPCM. A slow ramp keeps the codec
+    in small-step territory, so error stays tiny relative to int16."""
+    from c99_vectordb_spark.operators.adpcm import adpcm_encode
+
+    ramp = [i * 3 for i in range(500)]
+    _, recon = adpcm_encode(ramp)
+    tail_errs = [abs(s - p) for s, p in zip(ramp[50:], recon[50:])]
+    assert max(tail_errs) <= 16  # small steps once locked on
+
+
+def test_adpcm_random_roundtrip_property():
+    import random
+
+    from c99_vectordb_spark.operators.adpcm import (
+        STEP_TABLE,
+        adpcm_decode,
+        adpcm_encode,
+    )
+
+    rng = random.Random(7)
+    for _ in range(20):
+        n = rng.randrange(1, 200)
+        samples = [rng.randrange(-32768, 32768) for _ in range(n)]
+        code, recon = adpcm_encode(samples)
+        out = adpcm_decode(code, n)
+        assert out == recon
+        assert all(-32768 <= v <= 32767 for v in out)
+        # per-step error can never exceed sample range + max step
+        assert all(
+            abs(s - p) <= 65535 + STEP_TABLE[-1]
+            for s, p in zip(samples, recon)
+        )
+
+
+def test_adpcm_compression_ratio_is_4x():
+    from c99_vectordb_spark.operators.adpcm import adpcm_encode
+
+    n = 1000
+    code, _ = adpcm_encode([0] * n)
+    assert len(code) * 4 == n * 2  # 0.5 B/sample vs 2 B/sample PCM
