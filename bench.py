@@ -138,6 +138,7 @@ HEADLINE = [
     "corpus_pack_report",
     "corpus_filter_funnel",
     "multimodal_adpcm_roundtrip",
+    "multimodal_video_frames",
 ]
 
 

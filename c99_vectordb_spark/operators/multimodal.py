@@ -1003,6 +1003,171 @@ def media_audio_stats(media: DataFrame) -> DataFrame:
     return media.mapInPandas(gen, schema=AUDIO_STATS_SCHEMA)
 
 
+def encode_avi(
+    content: bytes, width: int = 4, height: int = 3, fps: int = 10
+) -> bytes:
+    """Pack raw bytes as an UNCOMPRESSED AVI (public RIFF format,
+    'vids'/'DIB ' stream): content is chunked into 24bpp frames of
+    ``width*height*3`` bytes (last frame zero-padded), wrapped in the
+    standard RIFF('AVI ') -> LIST(hdrl: avih + LIST(strl: strh,strf))
+    -> LIST(movi: '00db'*n) layout. Deterministic inverse of
+    :func:`decode_avi` up to the padding — the VIDEO counterpart of
+    encode_bmp/encode_wav for exercising a real container parser.
+    Width must keep the DIB stride 4-aligned (width*3 % 4 == 0)."""
+    stride = width * 3
+    if stride % 4:
+        raise ValueError("choose width with width*3 % 4 == 0")
+    frame_bytes = stride * height
+    n_frames = max(1, -(-len(content) // frame_bytes))
+    padded = content.ljust(n_frames * frame_bytes, b"\x00")
+
+    def chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) % 2 else b"")
+
+    def list_chunk(kind: bytes, body: bytes) -> bytes:
+        return chunk(b"LIST", kind + body)
+
+    avih = struct.pack(
+        "<IIIIIIIIII4I",
+        1_000_000 // fps, frame_bytes * fps, 0, 0, n_frames, 0, 1,
+        frame_bytes, width, height, 0, 0, 0, 0,
+    )
+    strh = (
+        b"vids" + b"DIB " + struct.pack("<IHHIIIIIIII", 0, 0, 0, 0, 1, fps, 0, n_frames, frame_bytes, 0, 0)
+        + struct.pack("<hhhh", 0, 0, width, height)
+    )
+    strf = struct.pack(
+        "<IiiHHIIiiII", 40, width, height, 1, 24, 0, frame_bytes, 2835, 2835, 0, 0
+    )
+    hdrl = list_chunk(b"hdrl", chunk(b"avih", avih) + list_chunk(b"strl", chunk(b"strh", strh) + chunk(b"strf", strf)))
+    movi = list_chunk(
+        b"movi",
+        b"".join(
+            chunk(b"00db", padded[i * frame_bytes : (i + 1) * frame_bytes])
+            for i in range(n_frames)
+        ),
+    )
+    body = b"AVI " + hdrl + movi
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_avi(payload: bytes) -> tuple[list[bytes], dict]:
+    """Parse an uncompressed AVI (public RIFF format): returns
+    (frames, {width, height, n_frames, fps, frame_bytes}). Walks the
+    RIFF chunk tree — avih for geometry, strh for the rate, the movi
+    LIST for '00db'/'00dc' frame chunks — and validates every frame
+    against the declared 24bpp stride."""
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"AVI ":
+        raise MediaDecodeError("not an AVI: missing RIFF/'AVI ' magic")
+    meta: dict = {}
+    frames: list[bytes] = []
+
+    def walk(buf: bytes, pos: int, end: int) -> None:
+        while pos + 8 <= end:
+            cid = buf[pos : pos + 4]
+            size = struct.unpack_from("<I", buf, pos + 4)[0]
+            body_start = pos + 8
+            if body_start + size > end:
+                raise MediaDecodeError(
+                    f"chunk {cid!r} truncated: {size} > {end - body_start}"
+                )
+            if cid == b"LIST":
+                walk(buf, body_start + 4, body_start + size)
+            elif cid == b"avih" and size >= 40:
+                (us_pf, _, _, _, total, _, _, _, w, h) = struct.unpack_from(
+                    "<IIIIIIIIII", buf, body_start
+                )
+                meta.update(
+                    width=w, height=h, n_frames=total,
+                    fps=(1_000_000 // us_pf if us_pf else 0),
+                )
+            elif cid in (b"00db", b"00dc"):
+                frames.append(buf[body_start : body_start + size])
+            pos = body_start + size + (size & 1)
+
+    walk(payload, 12, len(payload))
+    if not meta:
+        raise MediaDecodeError("AVI missing avih header")
+    stride = meta["width"] * 3
+    meta["frame_bytes"] = stride * meta["height"]
+    if len(frames) != meta["n_frames"]:
+        raise MediaDecodeError(
+            f"frame count mismatch: header {meta['n_frames']}, movi {len(frames)}"
+        )
+    for i, fr in enumerate(frames):
+        if len(fr) != meta["frame_bytes"]:
+            raise MediaDecodeError(
+                f"frame {i} size {len(fr)} != declared {meta['frame_bytes']}"
+            )
+    return frames, meta
+
+
+VIDEO_FRAMES_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), True),
+        T.StructField("n_frames", T.LongType(), True),
+        T.StructField("width", T.LongType(), True),
+        T.StructField("height", T.LongType(), True),
+        T.StructField("frame_sum", T.LongType(), True),
+    ]
+)
+
+
+def media_video_frames(media: DataFrame, every_n: int = 4) -> DataFrame:
+    """REAL frame sampling: decode each AVI payload through the RIFF
+    parser and emit every ``every_n``-th frame's row with its byte sum
+    — the decode -> sample -> per-frame-feature shape of real video
+    preprocessing, over a real container format. Map-only mapInPandas;
+    output rows ~ n_frames / every_n per document."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                frames, meta = decode_avi(bytes(r.payload))
+                for i in range(0, len(frames), every_n):
+                    rows.append(
+                        (
+                            r.id,
+                            i,
+                            meta["n_frames"],
+                            meta["width"],
+                            meta["height"],
+                            int(sum(frames[i])),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=[f.name for f in VIDEO_FRAMES_SCHEMA])
+
+    return media.mapInPandas(gen, schema=VIDEO_FRAMES_SCHEMA)
+
+
+def media_video_from_documents(docs: DataFrame) -> DataFrame:
+    """Synthesize a video table: every document's UTF-8 bytes packed
+    as a real uncompressed AVI (4x3 24bpp frames). Deterministic;
+    exercises the full RIFF encode path through Arrow batches."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                (r.doc_id, "video", "video/avi", encode_avi((r.text or "").encode("utf-8")))
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(rows, columns=["id", "modality", "mime", "payload"])
+
+    return docs.select("doc_id", "text").mapInPandas(
+        gen,
+        schema=T.StructType(
+            [
+                T.StructField("id", T.LongType(), False),
+                T.StructField("modality", T.StringType(), False),
+                T.StructField("mime", T.StringType(), False),
+                T.StructField("payload", T.BinaryType(), True),
+            ]
+        ),
+    )
+
+
 def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
     """'Frame sampling' stand-in: emit one row per sampled offset of
     each payload (what real video frame extraction would do), as a

@@ -2269,6 +2269,46 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_multimodal_video_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video container round-trip with frame sampling: every
+    document's bytes packed as an uncompressed AVI (RIFF 'vids'/'DIB '
+    — operators/multimodal.encode_avi), decoded by the real RIFF
+    parser, every 4th frame emitted with its byte sum. The geometry
+    and per-frame sums have closed forms in the document's bytes
+    (4x3x24bpp frames = 36 bytes, zero padding adds 0), so the DuckDB
+    twin verifies the whole encode->parse->sample pipeline exactly.
+    Both stages map-only mapInPandas."""
+    from .operators.multimodal import media_video_frames, media_video_from_documents
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return media_video_frames(media_video_from_documents(docs), every_n=4).orderBy(
+        "id", "frame_idx"
+    )
+
+
+_ORACLE_MULTIMODAL_VIDEO = """
+WITH p AS (
+  SELECT doc_id, text,
+         GREATEST(1, (strlen(text) + 35) // 36)::BIGINT AS n
+  FROM documents
+),
+fr AS (
+  SELECT doc_id, text, n, unnest(range(0, n, 4)) AS f FROM p
+)
+SELECT doc_id AS id,
+       f::BIGINT AS frame_idx,
+       n AS n_frames,
+       4::BIGINT AS width,
+       3::BIGINT AS height,
+       COALESCE(list_sum(list_transform(
+           range(1, len(substr(text, (36 * f + 1)::INT, 36)) + 1),
+           i -> ascii(substr(substr(text, (36 * f + 1)::INT, 36), i, 1)))),
+         0)::BIGINT AS frame_sum
+FROM fr
+ORDER BY id, frame_idx
+"""
+
+
 def q_multimodal_adpcm_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """REAL lossy audio codec, hash-checked: the odd-id documents'
     WAV payloads run through the IMA-ADPCM encoder
@@ -3543,6 +3583,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_recall_report": q_dedup_recall_report,
     "corpus_filter_funnel": q_corpus_filter_funnel,
     "multimodal_adpcm_roundtrip": q_multimodal_adpcm_roundtrip,
+    "multimodal_video_frames": q_multimodal_video_frames,
     "text_token_counts": q_text_token_counts,
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
@@ -3618,6 +3659,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_recall_report": _oracle_dedup_recall_report(),
     "corpus_filter_funnel": _oracle_corpus_filter_funnel(),
     "multimodal_adpcm_roundtrip": _oracle_adpcm_roundtrip(),
+    "multimodal_video_frames": _ORACLE_MULTIMODAL_VIDEO,
     "text_token_counts": _ORACLE_TEXT_TOKEN_COUNTS,
     "text_quality": _oracle_quality(),
     "text_langid": _oracle_langid(),

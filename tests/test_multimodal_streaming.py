@@ -573,3 +573,52 @@ def test_streaming_keep_first_matches_batch(spark, sf_dir):
             for r in spark.table("keepfirst_out").collect()
         }
     assert got == batch
+
+
+# ---------------------------------------------------------------------------
+# AVI container (encode_avi / decode_avi) — the real video tier
+# ---------------------------------------------------------------------------
+
+def test_avi_roundtrip_preserves_content():
+    from c99_vectordb_spark.operators.multimodal import decode_avi, encode_avi
+
+    content = bytes(range(256)) * 3
+    payload = encode_avi(content)
+    frames, meta = decode_avi(payload)
+    assert meta["width"] == 4 and meta["height"] == 3
+    assert meta["frame_bytes"] == 36 and meta["fps"] == 10
+    assert meta["n_frames"] == -(-len(content) // 36)
+    joined = b"".join(frames)
+    assert joined[: len(content)] == content
+    assert set(joined[len(content):]) <= {0}  # zero padding only
+
+
+def test_avi_decode_rejects_garbage():
+    import pytest
+
+    from c99_vectordb_spark.operators.multimodal import (
+        MediaDecodeError,
+        decode_avi,
+        encode_avi,
+    )
+
+    with pytest.raises(MediaDecodeError):
+        decode_avi(b"RIFFxxxxWAVE")
+    with pytest.raises(MediaDecodeError):
+        decode_avi(b"not a riff at all")
+    good = encode_avi(b"hello world " * 10)
+    with pytest.raises(MediaDecodeError):
+        decode_avi(good[:40])  # truncated mid-chunk
+    # corrupt a movi frame size -> frame/stride mismatch or truncation
+    bad = bytearray(good)
+    pos = bad.find(b"00db")
+    bad[pos + 4] = 7  # declared size no longer stride*height
+    with pytest.raises(MediaDecodeError):
+        decode_avi(bytes(bad))
+
+
+def test_avi_single_frame_minimum():
+    from c99_vectordb_spark.operators.multimodal import decode_avi, encode_avi
+
+    frames, meta = decode_avi(encode_avi(b""))
+    assert meta["n_frames"] == 1 and frames == [b"\x00" * 36]
