@@ -1738,8 +1738,10 @@ _ORACLES: dict[str, str] = {
 # tools/verify_oracle.
 #
 # Round-7 rotation TODO: the remaining window-eligible never-checked
-# pool (23 names; multimodal_features and sim_pq are rows-only and
-# cannot occupy hash slots): dedup_recall_report (new in r6),
+# pool (multimodal_features and sim_pq are rows-only and cannot occupy
+# hash slots): the six NEW oracled r6 queries dedup_recall_report,
+# corpus_pipeline_incremental, corpus_pack_report, corpus_filter_funnel,
+# multimodal_adpcm_roundtrip, multimodal_video_frames; plus
 # tpch_q2/q10/q11/q12/q15/q16/q20, approx_quantiles_bottomk,
 # corpus_curriculum, corpus_pack, corpus_shuffle_order,
 # corpus_snapshot_diff, corpus_weighted_sample, decontaminate_survivors,
