@@ -139,6 +139,7 @@ HEADLINE = [
     "corpus_filter_funnel",
     "multimodal_adpcm_roundtrip",
     "multimodal_video_frames",
+    "corpus_kn_counts",
 ]
 
 

@@ -241,6 +241,109 @@ LIMIT 40
 """
 
 
+def q_corpus_kn_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney bigram statistics (Chen & Goodman 1999): per-token
+    continuation counts — N1+(., w) distinct LEFT contexts (the KN
+    unigram numerator), N1+(w, .) distinct RIGHT continuations (the
+    backoff normalizer) — alongside raw bigram/unigram totals and the
+    global count-of-counts n1/n2 that drive the absolute-discount
+    D = n1/(n1+2*n2). Everything a smoothed-LM count pipeline needs,
+    as pure BIGINTs.
+
+    Plan shape: one bigram-keyed partial-agg shuffle builds c(w1,w2);
+    the three per-token rollups and the 1-row n1/n2 aggregate all
+    derive from it (token-keyed shuffles, then a broadcast of the
+    1-row scalar); top-30 is TakeOrdered. At 100 TB the bigram table
+    is the only corpus-sized shuffle and it partial-aggregates
+    map-side."""
+    from .functions.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens(F.col("text"))
+    pairs = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    big = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        # zip_with pads the short side with NULL: the last slot has no
+        # successor and is not a bigram
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    left_ctx = big.groupBy(F.col("w2").alias("token")).agg(
+        F.count(F.lit(1)).cast("long").alias("cont_left"),
+        F.sum("c").cast("long").alias("big_total"),
+    )
+    right_ctx = big.groupBy(F.col("w1").alias("token")).agg(
+        F.count(F.lit(1)).cast("long").alias("cont_right")
+    )
+    uni = (
+        docs.select(F.explode(toks).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("uni"))
+    )
+    coc = big.agg(
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n1"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0)).cast("long").alias("n2"),
+    )
+    return (
+        left_ctx.join(right_ctx, "token", "left")
+        .join(uni, "token")
+        .crossJoin(F.broadcast(coc))
+        .select(
+            "token",
+            "cont_left",
+            F.coalesce(F.col("cont_right"), F.lit(0).cast("long")).alias(
+                "cont_right"
+            ),
+            "big_total",
+            "uni",
+            "n1",
+            "n2",
+        )
+        .orderBy(F.desc("cont_left"), F.asc("token"))
+        .limit(30)
+    )
+
+
+_ORACLE_CORPUS_KN_COUNTS = f"""
+WITH tok AS (
+  SELECT doc_id, {duckdb_tokens_sql('text')} AS ts FROM documents
+), pairs AS (
+  SELECT unnest(list_slice(ts, 1, len(ts)-1)) AS w1,
+         unnest(list_slice(ts, 2, len(ts))) AS w2
+  FROM tok WHERE len(ts) >= 2
+), big AS (
+  SELECT w1, w2, COUNT(*)::BIGINT AS c FROM pairs GROUP BY w1, w2
+), left_ctx AS (
+  SELECT w2 AS token, COUNT(*)::BIGINT AS cont_left, SUM(c)::BIGINT AS big_total
+  FROM big GROUP BY w2
+), right_ctx AS (
+  SELECT w1 AS token, COUNT(*)::BIGINT AS cont_right FROM big GROUP BY w1
+), uni AS (
+  SELECT t AS token, COUNT(*)::BIGINT AS uni
+  FROM (SELECT unnest(ts) AS t FROM tok) GROUP BY t
+), coc AS (
+  SELECT SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END)::BIGINT AS n1,
+         SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END)::BIGINT AS n2
+  FROM big
+)
+SELECT l.token, l.cont_left,
+       COALESCE(r.cont_right, 0)::BIGINT AS cont_right,
+       l.big_total, u.uni, coc.n1, coc.n2
+FROM left_ctx l
+LEFT JOIN right_ctx r ON r.token = l.token
+JOIN uni u ON u.token = l.token
+CROSS JOIN coc
+ORDER BY l.cont_left DESC, l.token ASC
+LIMIT 30
+"""
+
+
 # ---------------------------------------------------------------------------
 # deterministic sketches: approximate aggregates WITH oracles
 # ---------------------------------------------------------------------------
@@ -1470,6 +1573,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pack_report": q_corpus_pack_report,
     "corpus_pack_global": q_corpus_pack_global,
     "corpus_bigrams": q_corpus_bigrams,
+    "corpus_kn_counts": q_corpus_kn_counts,
     "corpus_pipeline": q_corpus_pipeline,
     "corpus_pipeline_incremental": q_corpus_pipeline_incremental,
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -1498,6 +1602,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "corpus_pack_report": _ORACLE_CORPUS_PACK_REPORT,
     "corpus_pack_global": _ORACLE_CORPUS_PACK_GLOBAL,
     "corpus_bigrams": _ORACLE_CORPUS_BIGRAMS,
+    "corpus_kn_counts": _ORACLE_CORPUS_KN_COUNTS,
     "corpus_pipeline": _oracle_corpus_pipeline(),
     "corpus_pipeline_incremental": _oracle_corpus_pipeline_incremental(),
     "sketch_heavy_hitters": _oracle_sketch_heavy_hitters(),

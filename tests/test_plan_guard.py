@@ -41,6 +41,7 @@ BNLJ_ALLOWED = {
     "orders_price_outliers": "two 1-row broadcasts (exact median, exact MAD)",
     "dedup_recall_report": "three 1-row scalar aggregate broadcasts (n_exact, n_candidates, n_hits)",
     "events_decayed_value": "1-row scalar aggregate broadcast (reference max timestamp)",
+    "corpus_kn_counts": "1-row scalar aggregate broadcast (global count-of-counts n1/n2)",
 }
 
 
