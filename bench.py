@@ -140,6 +140,7 @@ HEADLINE = [
     "multimodal_adpcm_roundtrip",
     "multimodal_video_frames",
     "corpus_kn_counts",
+    "corpus_dsir_weights",
 ]
 
 

@@ -344,6 +344,159 @@ LIMIT 30
 """
 
 
+_DSIR_BUCKETS = 1024
+_DSIR_TARGET_SOURCE = "src0"
+_DSIR_TOP_K = 500
+
+
+def q_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023): score every candidate document by how much its hashed-bigram
+    feature distribution looks like a TARGET domain (here: source
+    'src0') versus the RAW pool, then keep the top-k — the standard
+    recipe for carving a domain-matched subset out of a web-scale crawl.
+
+    Integer-exact surrogate of the paper's log-likelihood-ratio: each
+    of the 1024 hashed-bigram buckets gets weight
+    w_f = (1e6 * T_f) div T_tot - (1e6 * R_f) div R_tot  (Laplace +1
+    smoothed, floored-ppm probabilities — deterministic where logs are
+    not), and a doc's score is sum_f c_f * w_f. Monotone in the
+    per-feature probability GAP rather than the log ratio; same
+    architecture, exact oracle.
+
+    Plan shape at 100 TB: the only corpus-sized shuffles are the
+    (doc, bucket) partial-agg count and the final per-doc score rollup;
+    the bucket stats collapse to 1024 cells, the weight table and the
+    1-row totals broadcast, and top-k is TakeOrdered. Bucket counts
+    reach ~1e12 at 100 TB so 1e6-scaled numerators stay inside BIGINT
+    (9.2e18) with 1000x headroom."""
+    from .functions.text import token_hash, tokens
+    from .model import HASH_MOD
+
+    B = _DSIR_BUCKETS
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    hl = F.transform(tokens(F.col("text")), token_hash)
+    bih = F.zip_with(
+        hl,
+        F.slice(hl, 2, F.greatest(F.size(hl) - 1, F.lit(0))),
+        lambda a, b: (a * F.lit(131) + b) % F.lit(HASH_MOD),
+    )
+    feat = (
+        docs.select(
+            F.col("doc_id").alias("id"),
+            "source",
+            F.explode(bih).alias("bh"),
+        )
+        # zip_with pads the short side with NULL: no successor, no bigram
+        .filter(F.col("bh").isNotNull())
+        .select("id", "source", (F.col("bh") % F.lit(B)).alias("bucket"))
+        .groupBy("id", "source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    is_tgt = F.col("source") == _DSIR_TARGET_SOURCE
+    tstats = (
+        feat.filter(is_tgt)
+        .groupBy("bucket")
+        .agg(F.sum("c").cast("long").alias("tf"))
+    )
+    rstats = (
+        feat.filter(~is_tgt)
+        .groupBy("bucket")
+        .agg(F.sum("c").cast("long").alias("rf"))
+    )
+    grid = spark.range(B).select(F.col("id").alias("bucket"))
+    bt = (
+        grid.join(tstats, "bucket", "left")
+        .join(rstats, "bucket", "left")
+        .select(
+            "bucket",
+            (F.coalesce(F.col("tf"), F.lit(0)) + F.lit(1))
+            .cast("long")
+            .alias("tf"),
+            (F.coalesce(F.col("rf"), F.lit(0)) + F.lit(1))
+            .cast("long")
+            .alias("rf"),
+        )
+    )
+    totals = bt.agg(
+        F.sum("tf").cast("long").alias("ttot"),
+        F.sum("rf").cast("long").alias("rtot"),
+    )
+    # all-positive operands: Spark's truncating `div` == DuckDB's
+    # flooring `//`, so the ppm weights are engine-exact
+    weights = (
+        bt.crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "bucket",
+            "(1000000 * tf) div ttot - (1000000 * rf) div rtot AS w",
+        )
+    )
+    return (
+        feat.filter(~is_tgt)
+        .join(F.broadcast(weights), "bucket")
+        .groupBy("id", "source")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("w")).cast("long").alias("dsir_score"),
+        )
+        .orderBy(F.desc("dsir_score"), F.asc("id"))
+        .limit(_DSIR_TOP_K)
+    )
+
+
+def _oracle_corpus_dsir_weights() -> str:
+    from . import hashing
+    from .model import HASH_MOD
+
+    B = _DSIR_BUCKETS
+    th = hashing.duckdb_token_hash_sql("t")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, {duckdb_tokens_sql('text')} AS ts FROM documents
+), hl AS (
+  SELECT doc_id, source, list_transform(ts, t -> {th}) AS hl FROM tok
+), bi AS (
+  SELECT doc_id, source,
+         unnest(list_transform(range(1, len(hl)),
+           i -> ((hl[i] * 131 + hl[i+1]) % {HASH_MOD}) % {B})) AS bucket
+  FROM hl WHERE len(hl) >= 2
+), feat AS (
+  SELECT doc_id AS id, source, bucket, COUNT(*)::BIGINT AS c
+  FROM bi GROUP BY 1, 2, 3
+), grid AS (
+  SELECT range::BIGINT AS bucket FROM range(0, {B})
+), t AS (
+  SELECT bucket, SUM(c)::BIGINT AS tf FROM feat
+  WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY bucket
+), r AS (
+  SELECT bucket, SUM(c)::BIGINT AS rf FROM feat
+  WHERE source != '{_DSIR_TARGET_SOURCE}' GROUP BY bucket
+), bt AS (
+  SELECT g.bucket,
+         (COALESCE(t.tf, 0) + 1)::BIGINT AS tf,
+         (COALESCE(r.rf, 0) + 1)::BIGINT AS rf
+  FROM grid g
+  LEFT JOIN t ON t.bucket = g.bucket
+  LEFT JOIN r ON r.bucket = g.bucket
+), tot AS (
+  SELECT SUM(tf)::BIGINT AS ttot, SUM(rf)::BIGINT AS rtot FROM bt
+), w AS (
+  SELECT bucket,
+         ((1000000 * tf) // ttot - (1000000 * rf) // rtot)::BIGINT AS w
+  FROM bt CROSS JOIN tot
+)
+SELECT f.id, f.source,
+       SUM(f.c)::BIGINT AS n_bigrams,
+       SUM(f.c * w.w)::BIGINT AS dsir_score
+FROM feat f
+JOIN w ON w.bucket = f.bucket
+WHERE f.source != '{_DSIR_TARGET_SOURCE}'
+GROUP BY f.id, f.source
+ORDER BY dsir_score DESC, f.id ASC
+LIMIT {_DSIR_TOP_K}
+"""
+
+
 # ---------------------------------------------------------------------------
 # deterministic sketches: approximate aggregates WITH oracles
 # ---------------------------------------------------------------------------
@@ -1574,6 +1727,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pack_global": q_corpus_pack_global,
     "corpus_bigrams": q_corpus_bigrams,
     "corpus_kn_counts": q_corpus_kn_counts,
+    "corpus_dsir_weights": q_corpus_dsir_weights,
     "corpus_pipeline": q_corpus_pipeline,
     "corpus_pipeline_incremental": q_corpus_pipeline_incremental,
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
@@ -1603,6 +1757,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "corpus_pack_global": _ORACLE_CORPUS_PACK_GLOBAL,
     "corpus_bigrams": _ORACLE_CORPUS_BIGRAMS,
     "corpus_kn_counts": _ORACLE_CORPUS_KN_COUNTS,
+    "corpus_dsir_weights": _oracle_corpus_dsir_weights(),
     "corpus_pipeline": _oracle_corpus_pipeline(),
     "corpus_pipeline_incremental": _oracle_corpus_pipeline_incremental(),
     "sketch_heavy_hitters": _oracle_sketch_heavy_hitters(),
