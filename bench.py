@@ -141,6 +141,7 @@ HEADLINE = [
     "multimodal_video_frames",
     "corpus_kn_counts",
     "corpus_dsir_weights",
+    "dedup_semantic",
 ]
 
 

@@ -1190,6 +1190,174 @@ LIMIT 10
 """
 
 
+_SEMD_K = 8
+_SEMD_THRESHOLD = 0.4  # compared against round(cos, 4); data-scale knob
+
+
+def _semd_centroids() -> list[list[float]]:
+    """Pinned SemDeDup cluster centroids C[i][t] = ((7i+3t) mod 17 - 8)/10
+    — the deterministic stand-in for a trained k-means codebook (same
+    pinning pattern as _ivfpq_coarse: the clustering TRAINER is
+    engine-specific, the clustered-dedup PLAN is what's under test)."""
+    return [
+        [((7 * i + 3 * t) % 17 - 8) / 10.0 for t in range(64)]
+        for i in range(_SEMD_K)
+    ]
+
+
+def q_dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication over an
+    embedding table — cluster with a pinned coarse codebook, then
+    within each cluster mark a vector as a duplicate if some
+    SMALLER-id cluster-mate has cosine >= threshold (the deterministic
+    dominance variant of the paper's keep-one-per-group rule; the
+    survivor is always the smallest id, matching the repo's other
+    dedup tiers). Output: per-vector verdicts with the evidence —
+    candidate count, the max cosine seen, and the dominating id.
+
+    Plan shape at 100 TB: centroid assignment is a map-only argmin
+    against the broadcast codebook; the candidate join is an EQUI-join
+    on the cluster key (never all-pairs — the cluster count is the
+    fan-out knob, production SemDeDup uses ~100k clusters so each
+    cell stays small); the verdict is one per-vector rollup. Floats
+    follow the repo's exactness contract: repr-cast literals,
+    left-assoc HOF folds with explicit 0.0 init on both engines,
+    round(cos, 4) (+0.0 to kill -0.0) before compare/aggregate."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+    def dlit(v: float) -> str:
+        return f"CAST('{v!r}' AS DOUBLE)"
+
+    def dlist(vs: list[float]) -> str:
+        return "array(" + ", ".join(dlit(v) for v in vs) + ")"
+
+    sqsum = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
+    )
+    cd = "array(" + ", ".join(
+        sqsum.format(a="_e", b=dlist(c)) for c in _semd_centroids()
+    ) + ")"
+    assigned = (
+        emb.selectExpr(
+            "vec_id", "transform(embedding, x -> CAST(x AS DOUBLE)) AS _e"
+        )
+        .selectExpr("vec_id", "_e", f"{cd} AS _cd")
+        .selectExpr(
+            "vec_id",
+            "_e",
+            "CAST(array_position(_cd, array_min(_cd)) AS INT) - 1 AS cluster",
+            "sqrt(aggregate(_e, CAST(0 AS DOUBLE),"
+            " (acc, x) -> acc + x * x)) AS _n",
+        )
+    )
+    a = assigned.select(
+        F.col("vec_id").alias("vid"),
+        F.col("cluster").alias("cl"),
+        F.col("_e").alias("_ea"),
+        F.col("_n").alias("_na"),
+    )
+    b = assigned.select(
+        F.col("vec_id").alias("vid_b"),
+        F.col("cluster").alias("cl_b"),
+        F.col("_e").alias("_eb"),
+        F.col("_n").alias("_nb"),
+    )
+    thr = F.expr(f"CAST('{_SEMD_THRESHOLD!r}' AS DOUBLE)")
+    pairs = (
+        a.join(b, (F.col("cl") == F.col("cl_b")) & (F.col("vid_b") < F.col("vid")))
+        .selectExpr(
+            "vid",
+            "cl",
+            "vid_b",
+            "round(aggregate(zip_with(_ea, _eb, (x, y) -> x * y),"
+            " CAST(0 AS DOUBLE), (acc, d) -> acc + d) / (_na * _nb), 4)"
+            " + CAST(0 AS DOUBLE) AS cos_r",
+        )
+    )
+    verdicts = pairs.groupBy("vid", "cl").agg(
+        F.count(F.lit(1)).cast("long").alias("n_prior"),
+        F.max("cos_r").alias("max_cos"),
+        F.min(F.when(F.col("cos_r") >= thr, F.col("vid_b"))).alias("dup_of"),
+    )
+    return (
+        assigned.select("vec_id", F.col("cluster").cast("long").alias("cluster"))
+        .join(
+            verdicts,
+            (F.col("vec_id") == F.col("vid")),
+            "left",
+        )
+        .select(
+            "vec_id",
+            "cluster",
+            F.coalesce(F.col("n_prior"), F.lit(0).cast("long")).alias("n_prior"),
+            (F.coalesce(F.col("max_cos"), F.expr("CAST('-2.0' AS DOUBLE)"))
+             + F.expr("CAST(0 AS DOUBLE)")).alias("max_cos"),
+            F.col("dup_of").isNotNull().alias("removed"),
+            F.coalesce(F.col("dup_of"), F.lit(-1).cast("long")).alias("dup_of"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+def _oracle_dedup_semantic() -> str:
+    def dlist(vs: list[float]) -> str:
+        return "[" + ", ".join(f"'{v!r}'::DOUBLE" for v in vs) + "]"
+
+    # explicit 0.0 init prepended so the fold matches Spark's
+    # aggregate(.., 0.0, +) even when the first product is -0.0
+    def foldsum(terms: str) -> str:
+        return f"list_reduce(['0.0'::DOUBLE] || ({terms}), (acc, d) -> acc + d)"
+
+    def sqsum(av: str, bv: str) -> str:
+        return foldsum(
+            f"list_transform(list_zip({av}, {bv}), p -> (p[1] - p[2]) * (p[1] - p[2]))"
+        )
+
+    cd = "[" + ", ".join(sqsum("_e", dlist(c)) for c in _semd_centroids()) + "]"
+    dot = foldsum("list_transform(list_zip(a._ea, b._eb), p -> p[1] * p[2])")
+    thr = f"'{_SEMD_THRESHOLD!r}'::DOUBLE"
+    return f"""
+WITH e AS MATERIALIZED (
+  SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS _e
+  FROM embeddings
+),
+a0 AS MATERIALIZED (
+  SELECT vec_id, _e, {cd} AS _cd,
+         sqrt(list_reduce(['0.0'::DOUBLE] || list_transform(_e, x -> x * x),
+                          (acc, x) -> acc + x)) AS _n
+  FROM e
+),
+asn AS MATERIALIZED (
+  SELECT vec_id, _e, _n,
+         list_position(_cd, list_min(_cd))::BIGINT - 1 AS cluster
+  FROM a0
+),
+a AS (SELECT vec_id AS vid, cluster AS cl, _e AS _ea, _n AS _na FROM asn),
+b AS (SELECT vec_id AS vid_b, cluster AS cl_b, _e AS _eb, _n AS _nb FROM asn),
+pairs AS MATERIALIZED (
+  SELECT a.vid, a.cl, b.vid_b,
+         round(({dot}) / (a._na * b._nb), 4) + '0.0'::DOUBLE AS cos_r
+  FROM a JOIN b ON a.cl = b.cl_b AND b.vid_b < a.vid
+),
+verdicts AS (
+  SELECT vid, cl,
+         COUNT(*)::BIGINT AS n_prior,
+         MAX(cos_r) AS max_cos,
+         MIN(CASE WHEN cos_r >= {thr} THEN vid_b END)::BIGINT AS dup_of
+  FROM pairs GROUP BY vid, cl
+)
+SELECT asn.vec_id, asn.cluster,
+       COALESCE(v.n_prior, 0)::BIGINT AS n_prior,
+       COALESCE(v.max_cos, '-2.0'::DOUBLE) + '0.0'::DOUBLE AS max_cos,
+       (v.dup_of IS NOT NULL) AS removed,
+       COALESCE(v.dup_of, -1)::BIGINT AS dup_of
+FROM asn
+LEFT JOIN verdicts v ON v.vid = asn.vec_id
+ORDER BY asn.vec_id
+"""
+
+
 def _pqf_oracle_ctes(prefix: str = "") -> tuple[str, str]:
     """DuckDB CTE chain for the pinned-codebook PQ encode + the final
     scoring SELECT's column expressions — identical literals, identical
@@ -1735,6 +1903,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_pq": q_sim_pq,
     "sim_pq_fixed": q_sim_pq_fixed,
     "sim_ivfpq_fixed": q_sim_ivfpq_fixed,
+    "dedup_semantic": q_dedup_semantic,
     "corpus_split_assign": q_corpus_split_assign,
     "corpus_mixture": q_corpus_mixture,
     "approx_quantiles_bottomk": q_approx_quantiles_bottomk,
@@ -1764,6 +1933,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "approx_distinct_kmv": _oracle_approx_distinct_kmv(),
     "sim_pq_fixed": _oracle_sim_pq_fixed(),
     "sim_ivfpq_fixed": _oracle_sim_ivfpq_fixed(),
+    "dedup_semantic": _oracle_dedup_semantic(),
     "corpus_split_assign": _ORACLE_CORPUS_SPLIT,
     "corpus_mixture": _ORACLE_CORPUS_MIXTURE,
     "approx_quantiles_bottomk": _oracle_approx_quantiles_bottomk(),
