@@ -142,6 +142,7 @@ HEADLINE = [
     "corpus_kn_counts",
     "corpus_dsir_weights",
     "dedup_semantic",
+    "corpus_vocab_sweep",
 ]
 
 
@@ -221,6 +222,7 @@ def _chained_bpe(spark, sf_dir):
     from c99_vectordb_spark.operators.corpus import (
         _bpe_train_list,
         bpe_encode_counts,
+        bpe_vocab_sweep,
     )
     from c99_vectordb_spark.queries_pipeline import fertility_rollup
 
@@ -247,7 +249,15 @@ def _chained_bpe(spark, sf_dir):
         t_fertility = time.time() - t0
     finally:
         per_doc.unpersist()
-    return t_train, t_encode, t_fertility
+
+    # the vocab sweep reuses the SAME trained merges (prefix chains),
+    # so its increment is one multi-checkpoint encode scan + rollups
+    t0 = time.time()
+    bpe_vocab_sweep(docs, "text", merges=merges).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t_sweep = time.time() - t0
+    return t_train, t_encode, t_fertility, t_sweep
 
 
 def main() -> None:
@@ -287,7 +297,8 @@ def main() -> None:
     try:
         runs = [_chained_bpe(spark, SF_DIR) for _ in range(2)]
         for i, name in enumerate(
-            ("corpus_bpe_merges", "corpus_bpe_encode", "corpus_fertility")
+            ("corpus_bpe_merges", "corpus_bpe_encode", "corpus_fertility",
+             "corpus_vocab_sweep")
         ):
             timings[name] = round(min(r[i] for r in runs), 3)
     except Exception as exc:  # noqa: BLE001 — keep benching the rest

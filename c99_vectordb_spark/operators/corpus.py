@@ -471,6 +471,153 @@ FROM (SELECT doc_id, {toks} AS toks FROM {table}), rules
 """
 
 
+def bpe_vocab_sweep(
+    df: DataFrame,
+    body_col: str = "text",
+    ckpts: tuple[int, ...] = (2, 4, 8),
+    n_merges: int = 8,
+    top_words: int = 400,
+    merges: list[tuple[int, str, str, int]] | None = None,
+) -> DataFrame:
+    """Vocab-size SWEEP for the BPE tokenizer: corpus-level token
+    counts, fertility, and char-compression at several merge-count
+    checkpoints — the measurement a pipeline runs to pick a vocabulary
+    size before committing to a tokenizer. BPE merge rules form a
+    rank-ordered chain, so "vocab size v" = the first v merges: ONE
+    training pass serves every checkpoint, and all checkpoint encodes
+    evaluate in a SINGLE map-only projection over the corpus (shared
+    scan, one expression per checkpoint). vocab_size = distinct base
+    characters + n_merges.
+
+    Scale shape: training is top_words-bounded (bpe_train_merges); the
+    sweep adds one corpus scan with len(ckpts) literal replace-chains,
+    two scalar aggregates, and a broadcast of the two 1-row results —
+    no extra shuffle per checkpoint. Integer ppm outputs, exact oracle
+    via :func:`duckdb_bpe_sweep_sql`.
+    """
+    if merges is None:
+        merges = _bpe_train_list(df, body_col, n_merges, top_words)
+    toks_sql = f"regexp_extract_all(lower({body_col}), '[a-z0-9_]+', 0)"
+
+    def bpe_expr(mlist: list[tuple[int, str, str, int]]) -> str:
+        chain = "concat(' ', regexp_replace(w, '(.)', '$1  '))"
+        for _rank, pair, merged, _cnt in mlist:
+            x, y = pair.split(" ")
+            chain = f"replace({chain}, ' {x}  {y} ', ' {merged} ')"
+        per_word = f"size(split(trim({chain}), '  '))"
+        return (
+            f"aggregate(transform({toks_sql}, w -> {per_word}), "
+            "CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT))"
+        )
+
+    per_doc = df.selectExpr(
+        f"CAST(size({toks_sql}) AS BIGINT) AS n_words",
+        f"aggregate(transform({toks_sql}, t -> length(t)), "
+        "CAST(0 AS BIGINT), (a, x) -> a + CAST(x AS BIGINT)) AS n_chars",
+        *[f"{bpe_expr(merges[:m])} AS bpe_{m}" for m in ckpts],
+    )
+    stats = per_doc.agg(
+        F.sum("n_words").cast("long").alias("tw"),
+        F.sum("n_chars").cast("long").alias("tc"),
+        *[F.sum(f"bpe_{m}").cast("long").alias(f"b{m}") for m in ckpts],
+    )
+    base = (
+        df.selectExpr(
+            f"explode(regexp_extract_all(lower({body_col}), '[a-z0-9_]', 0)) AS ch"
+        )
+        .agg(F.count_distinct("ch").cast("long").alias("n_base"))
+    )
+    one = stats.crossJoin(F.broadcast(base))
+    stack_args = ", ".join(
+        f"CAST({m} AS BIGINT), n_base + CAST({m} AS BIGINT), tw, tc, b{m}"
+        for m in ckpts
+    )
+    return (
+        one.selectExpr(
+            f"stack({len(ckpts)}, {stack_args}) AS "
+            "(n_merges, vocab_size, total_words, total_char_symbols, "
+            "total_bpe_tokens)"
+        )
+        .selectExpr(
+            "n_merges",
+            "vocab_size",
+            "total_words",
+            "total_char_symbols",
+            "total_bpe_tokens",
+            "(1000000 * total_bpe_tokens) div total_words AS fertility_ppm",
+            "(1000000 * total_bpe_tokens) div total_char_symbols"
+            " AS compression_ppm",
+        )
+        .orderBy("n_merges")
+    )
+
+
+def duckdb_bpe_sweep_sql(
+    ckpts: tuple[int, ...] = (2, 4, 8),
+    n_merges: int = 8,
+    top_words: int = 400,
+    table: str = "documents",
+) -> str:
+    """DuckDB twin of :func:`bpe_vocab_sweep`: unrolled training stages
+    (:func:`duckdb_bpe_sql`), one-row rules table, prefix replace-chains
+    per checkpoint, scalar rollups, checkpoint grid."""
+    from ..hashing import duckdb_tokens_sql
+
+    train = duckdb_bpe_sql(n_merges=n_merges, top_words=top_words, table=table)
+    stages = train[: train.index("\nSELECT merge_rank")]
+    toks = duckdb_tokens_sql("text")
+    rule_cols = ", ".join(
+        f"(SELECT ' ' || split_part(pair, ' ', 1) || '  ' || "
+        f"split_part(pair, ' ', 2) || ' ' FROM b{r}) AS s{r}_pat, "
+        f"(SELECT ' ' || merged || ' ' FROM b{r}) AS s{r}_rep"
+        for r in range(1, n_merges + 1)
+    )
+
+    def chain(m: int) -> str:
+        c = "(' ' || regexp_replace(w, '(.)', '\\1  ', 'g'))"
+        for r in range(1, m + 1):
+            c = f"replace({c}, s{r}_pat, s{r}_rep)"
+        return c
+
+    bpe_cols = ", ".join(
+        f"COALESCE(CAST(list_sum(list_transform(toks, "
+        f"w -> len(string_split(trim({chain(m)}), '  ')))) AS BIGINT), 0)"
+        f" AS bpe_{m}"
+        for m in ckpts
+    )
+    sum_cols = ", ".join(f"SUM(bpe_{m})::BIGINT AS b{m}" for m in ckpts)
+    grid = " UNION ALL ".join(f"SELECT {m}::BIGINT AS n_merges" for m in ckpts)
+    tbt_case = " ".join(f"WHEN {m} THEN b{m}" for m in ckpts)
+    return f"""{stages},
+rules AS MATERIALIZED (SELECT {rule_cols}),
+per_doc AS (
+  SELECT len(toks)::BIGINT AS n_words,
+         COALESCE(CAST(list_sum(list_transform(toks, t -> LENGTH(t))) AS BIGINT), 0) AS n_chars,
+         {bpe_cols}
+  FROM (SELECT {toks} AS toks FROM {table}), rules
+),
+stats AS (SELECT SUM(n_words)::BIGINT AS tw, SUM(n_chars)::BIGINT AS tc, {sum_cols} FROM per_doc),
+base AS (
+  SELECT COUNT(DISTINCT ch)::BIGINT AS n_base FROM (
+    SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]')) AS ch
+    FROM {table})
+),
+grid AS ({grid}),
+sel AS (
+  SELECT g.n_merges,
+         (base.n_base + g.n_merges)::BIGINT AS vocab_size,
+         stats.tw, stats.tc,
+         (CASE g.n_merges {tbt_case} END)::BIGINT AS tbt
+  FROM grid g CROSS JOIN stats CROSS JOIN base
+)
+SELECT n_merges, vocab_size,
+       tw AS total_words, tc AS total_char_symbols, tbt AS total_bpe_tokens,
+       ((1000000 * tbt) // tw)::BIGINT AS fertility_ppm,
+       ((1000000 * tbt) // tc)::BIGINT AS compression_ppm
+FROM sel ORDER BY n_merges
+"""
+
+
 def duckdb_bpe_sql(
     n_merges: int = 8, top_words: int = 400, table: str = "documents"
 ) -> str:

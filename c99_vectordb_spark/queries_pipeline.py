@@ -1772,6 +1772,15 @@ def fertility_rollup(per_doc: DataFrame, docs: DataFrame) -> DataFrame:
     )
 
 
+def q_corpus_vocab_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE vocab-size sweep (operators/corpus.bpe_vocab_sweep): corpus
+    token totals, fertility, and char compression at the 2/4/8-merge
+    checkpoints of ONE training run — the pick-a-vocab-size report.
+    All checkpoint encodes share a single map-only corpus scan."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return C.bpe_vocab_sweep(docs, "text")
+
+
 def q_corpus_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source tokenizer fertility: BPE tokens per 1000 words and
     milli-chars per BPE token, from the trained 8-rule tokenizer
@@ -1889,6 +1898,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_postings": q_corpus_postings,
     "corpus_bm25_batch": q_corpus_bm25_batch,
     "corpus_fertility": q_corpus_fertility,
+    "corpus_vocab_sweep": q_corpus_vocab_sweep,
     "corpus_sample": q_corpus_sample,
     "corpus_pack": q_corpus_pack,
     "corpus_pack_report": q_corpus_pack_report,
@@ -1920,6 +1930,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "corpus_postings": _ORACLE_CORPUS_POSTINGS,
     "corpus_bm25_batch": _oracle_corpus_bm25_batch(),
     "corpus_fertility": _oracle_corpus_fertility(),
+    "corpus_vocab_sweep": C.duckdb_bpe_sweep_sql(),
     "corpus_sample": _ORACLE_CORPUS_SAMPLE,
     "corpus_pack": _ORACLE_CORPUS_PACK,
     "corpus_pack_report": _ORACLE_CORPUS_PACK_REPORT,

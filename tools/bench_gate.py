@@ -92,7 +92,7 @@ def _confirm_rerun(names: list[str], sf: str) -> dict[str, float]:
             for i, n in enumerate(dedup_family):
                 out[n] = round(min(r[i] for r in runs), 3)
         bpe_family = ("corpus_bpe_merges", "corpus_bpe_encode",
-                      "corpus_fertility")
+                      "corpus_fertility", "corpus_vocab_sweep")
         if set(bpe_family) & set(names):
             runs = [benchmod._chained_bpe(spark, sf_dir) for _ in range(2)]
             for i, n in enumerate(bpe_family):
