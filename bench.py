@@ -143,6 +143,7 @@ HEADLINE = [
     "corpus_dsir_weights",
     "dedup_semantic",
     "corpus_vocab_sweep",
+    "anonymize_orders",
 ]
 
 

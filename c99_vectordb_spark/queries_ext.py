@@ -1539,6 +1539,57 @@ ORDER BY position
 PROFILE_COLS = ["o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority"]
 
 
+def q_anonymize_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity / l-diversity release report (Sweeney 2002;
+    Machanavajjhala et al. 2007): group the orders table by its
+    quasi-identifiers (status, priority, order month), and release a
+    group only if it has >= k members (k-anonymity, k=10) AND its
+    sensitive attribute — the 50k price band — takes >= l distinct
+    values inside the group (l-diversity, l=3). The pre-publication
+    gate a training-data pipeline runs before exporting user-adjacent
+    tabular data. One QI-keyed partial-agg shuffle; rollup-sized
+    output; exact integers."""
+    k, ell = 10, 3
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    g = (
+        orders.select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.date_format("o_orderdate", "yyyy-MM").alias("order_month"),
+            F.floor(F.col("o_totalprice") / F.lit(50000.0))
+            .cast("long")
+            .alias("band"),
+        )
+        .groupBy("o_orderstatus", "o_orderpriority", "order_month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.count_distinct("band").cast("long").alias("n_bands"),
+        )
+    )
+    return g.select(
+        "o_orderstatus",
+        "o_orderpriority",
+        "order_month",
+        "n",
+        "n_bands",
+        ((F.col("n") >= k) & (F.col("n_bands") >= ell)).alias("released"),
+    ).orderBy("o_orderstatus", "o_orderpriority", "order_month")
+
+
+_ORACLE_ANONYMIZE_ORDERS = """
+SELECT o_orderstatus, o_orderpriority,
+       strftime(o_orderdate, '%Y-%m') AS order_month,
+       COUNT(*)::BIGINT AS n,
+       COUNT(DISTINCT FLOOR(o_totalprice / 50000.0)::BIGINT)::BIGINT AS n_bands,
+       (COUNT(*) >= 10
+        AND COUNT(DISTINCT FLOOR(o_totalprice / 50000.0)::BIGINT) >= 3)
+         AS released
+FROM orders
+GROUP BY o_orderstatus, o_orderpriority, order_month
+ORDER BY o_orderstatus, o_orderpriority, order_month
+"""
+
+
 def q_profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Ingestion-gate data profile of the orders table: null count,
     exact distinct count, lexicographic min/max per column — ONE fused
@@ -3593,6 +3644,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_cluster_sizes": q_dedup_cluster_sizes,
     "corpus_shuffle_order": q_corpus_shuffle_order,
     "profile_orders": q_profile_orders,
+    "anonymize_orders": q_anonymize_orders,
     "events_decayed_value": q_events_decayed_value,
     "events_enrich_segments": q_events_enrich_segments,
     "quantiles_exact_global": q_quantiles_exact_global,
@@ -3669,6 +3721,7 @@ EXT_ORACLES: dict[str, str] = {
     "dedup_cluster_sizes": _oracle_cluster_sizes(),
     "corpus_shuffle_order": _oracle_shuffle_order(),
     "profile_orders": _oracle_profile_orders(),
+    "anonymize_orders": _ORACLE_ANONYMIZE_ORDERS,
     "events_decayed_value": _ORACLE_EVENTS_DECAYED,
     "events_enrich_segments": _ORACLE_EVENTS_ENRICH,
     "quantiles_exact_global": _ORACLE_QUANTILES_EXACT,
