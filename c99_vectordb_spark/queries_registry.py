@@ -1739,9 +1739,11 @@ _ORACLES: dict[str, str] = {
 #
 # Round-7 rotation TODO: the remaining window-eligible never-checked
 # pool (multimodal_features and sim_pq are rows-only and cannot occupy
-# hash slots): the six NEW oracled r6 queries dedup_recall_report,
+# hash slots): the eleven NEW oracled r6 queries dedup_recall_report,
 # corpus_pipeline_incremental, corpus_pack_report, corpus_filter_funnel,
-# multimodal_adpcm_roundtrip, multimodal_video_frames; plus
+# multimodal_adpcm_roundtrip, multimodal_video_frames, corpus_kn_counts,
+# corpus_dsir_weights, dedup_semantic, corpus_vocab_sweep,
+# anonymize_orders; plus
 # tpch_q2/q10/q11/q12/q15/q16/q20, approx_quantiles_bottomk,
 # corpus_curriculum, corpus_pack, corpus_shuffle_order,
 # corpus_snapshot_diff, corpus_weighted_sample, decontaminate_survivors,
