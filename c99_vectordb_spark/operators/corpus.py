@@ -978,3 +978,92 @@ def weighted_bottomk(
             .select("stratum", "id", "weight", "skey")
         )
     return base.orderBy(F.asc("skey"), F.asc("id")).limit(k)
+
+
+# ---------------------------------------------------------------------------
+# DSIR importance resampling (Xie et al. 2023) — hashed-bigram feature
+# weights; integer-exact ppm surrogate of the log-likelihood ratio
+# ---------------------------------------------------------------------------
+
+
+def dsir_features(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    body_col: str = "text",
+    n_buckets: int = 1024,
+) -> DataFrame:
+    """Per-document hashed-bigram feature counts: (id, source, bucket,
+    c). The DSIR feature extractor — map-only explode + one
+    (id, bucket)-keyed partial-agg shuffle. The bigram hash is the
+    repo's two-token 131-fold (dedup.shingles spec at n=2), so the
+    DuckDB twin reproduces it exactly."""
+    from ..model import HASH_MOD
+
+    hl = F.transform(tokens(F.col(body_col)), token_hash)
+    bih = F.zip_with(
+        hl,
+        F.slice(hl, 2, F.greatest(F.size(hl) - 1, F.lit(0))),
+        lambda a, b: (a * F.lit(131) + b) % F.lit(HASH_MOD),
+    )
+    return (
+        df.select(
+            F.col(id_col).alias("id"), "source", F.explode(bih).alias("bh")
+        )
+        # zip_with pads the short side with NULL: no successor, no bigram
+        .filter(F.col("bh").isNotNull())
+        .select("id", "source", (F.col("bh") % F.lit(n_buckets)).alias("bucket"))
+        .groupBy("id", "source", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+
+
+def dsir_bucket_weights(
+    feat: DataFrame, target_source: str, n_buckets: int = 1024
+) -> DataFrame:
+    """Train the DSIR bucket weight table from a feature frame:
+    (bucket, w) with w = (1e6*T_f) div T_tot - (1e6*R_f) div R_tot,
+    Laplace +1 smoothed over a dense bucket grid. All-positive
+    operands make Spark's truncating `div` equal DuckDB's flooring
+    `//`. The output is n_buckets rows — broadcast it."""
+    spark = feat.sparkSession
+    is_tgt = F.col("source") == target_source
+    tstats = (
+        feat.filter(is_tgt).groupBy("bucket").agg(F.sum("c").cast("long").alias("tf"))
+    )
+    rstats = (
+        feat.filter(~is_tgt).groupBy("bucket").agg(F.sum("c").cast("long").alias("rf"))
+    )
+    grid = spark.range(n_buckets).select(F.col("id").alias("bucket"))
+    bt = (
+        grid.join(tstats, "bucket", "left")
+        .join(rstats, "bucket", "left")
+        .select(
+            "bucket",
+            (F.coalesce(F.col("tf"), F.lit(0)) + F.lit(1)).cast("long").alias("tf"),
+            (F.coalesce(F.col("rf"), F.lit(0)) + F.lit(1)).cast("long").alias("rf"),
+        )
+    )
+    totals = bt.agg(
+        F.sum("tf").cast("long").alias("ttot"),
+        F.sum("rf").cast("long").alias("rtot"),
+    )
+    return bt.crossJoin(F.broadcast(totals)).selectExpr(
+        "bucket",
+        "(1000000 * tf) div ttot - (1000000 * rf) div rtot AS w",
+    )
+
+
+def dsir_score(feat: DataFrame, weights: DataFrame) -> DataFrame:
+    """Score documents against a trained weight table: (id, source,
+    n_bigrams, dsir_score). Map-side broadcast join + one per-doc
+    rollup — a new batch scores without touching the training corpus,
+    which is what makes the operator stream-native
+    (streaming.ingest.stream_dsir_score)."""
+    return (
+        feat.join(F.broadcast(weights), "bucket")
+        .groupBy("id", "source")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("w")).cast("long").alias("dsir_score"),
+        )
+    )

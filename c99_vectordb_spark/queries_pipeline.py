@@ -369,75 +369,16 @@ def q_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     the bucket stats collapse to 1024 cells, the weight table and the
     1-row totals broadcast, and top-k is TakeOrdered. Bucket counts
     reach ~1e12 at 100 TB so 1e6-scaled numerators stay inside BIGINT
-    (9.2e18) with 1000x headroom."""
-    from .functions.text import token_hash, tokens
-    from .model import HASH_MOD
-
-    B = _DSIR_BUCKETS
+    (9.2e18) with 1000x headroom. The stages live in operators/corpus
+    (dsir_features / dsir_bucket_weights / dsir_score) so the scoring
+    half can run per micro-batch against a standing weight table
+    (streaming.ingest.stream_dsir_score)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    hl = F.transform(tokens(F.col("text")), token_hash)
-    bih = F.zip_with(
-        hl,
-        F.slice(hl, 2, F.greatest(F.size(hl) - 1, F.lit(0))),
-        lambda a, b: (a * F.lit(131) + b) % F.lit(HASH_MOD),
-    )
-    feat = (
-        docs.select(
-            F.col("doc_id").alias("id"),
-            "source",
-            F.explode(bih).alias("bh"),
-        )
-        # zip_with pads the short side with NULL: no successor, no bigram
-        .filter(F.col("bh").isNotNull())
-        .select("id", "source", (F.col("bh") % F.lit(B)).alias("bucket"))
-        .groupBy("id", "source", "bucket")
-        .agg(F.count(F.lit(1)).cast("long").alias("c"))
-    )
-    is_tgt = F.col("source") == _DSIR_TARGET_SOURCE
-    tstats = (
-        feat.filter(is_tgt)
-        .groupBy("bucket")
-        .agg(F.sum("c").cast("long").alias("tf"))
-    )
-    rstats = (
-        feat.filter(~is_tgt)
-        .groupBy("bucket")
-        .agg(F.sum("c").cast("long").alias("rf"))
-    )
-    grid = spark.range(B).select(F.col("id").alias("bucket"))
-    bt = (
-        grid.join(tstats, "bucket", "left")
-        .join(rstats, "bucket", "left")
-        .select(
-            "bucket",
-            (F.coalesce(F.col("tf"), F.lit(0)) + F.lit(1))
-            .cast("long")
-            .alias("tf"),
-            (F.coalesce(F.col("rf"), F.lit(0)) + F.lit(1))
-            .cast("long")
-            .alias("rf"),
-        )
-    )
-    totals = bt.agg(
-        F.sum("tf").cast("long").alias("ttot"),
-        F.sum("rf").cast("long").alias("rtot"),
-    )
-    # all-positive operands: Spark's truncating `div` == DuckDB's
-    # flooring `//`, so the ppm weights are engine-exact
-    weights = (
-        bt.crossJoin(F.broadcast(totals))
-        .selectExpr(
-            "bucket",
-            "(1000000 * tf) div ttot - (1000000 * rf) div rtot AS w",
-        )
-    )
+    feat = C.dsir_features(docs, "doc_id", "text", _DSIR_BUCKETS)
+    weights = C.dsir_bucket_weights(feat, _DSIR_TARGET_SOURCE, _DSIR_BUCKETS)
     return (
-        feat.filter(~is_tgt)
-        .join(F.broadcast(weights), "bucket")
-        .groupBy("id", "source")
-        .agg(
-            F.sum("c").cast("long").alias("n_bigrams"),
-            F.sum(F.col("c") * F.col("w")).cast("long").alias("dsir_score"),
+        C.dsir_score(
+            feat.filter(F.col("source") != _DSIR_TARGET_SOURCE), weights
         )
         .orderBy(F.desc("dsir_score"), F.asc("id"))
         .limit(_DSIR_TOP_K)

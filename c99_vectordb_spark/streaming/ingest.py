@@ -426,3 +426,40 @@ def stream_corpus_pipeline(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_dsir_score(
+    docs_stream: DataFrame,
+    weights,
+    sink_fn,
+    checkpoint_dir: str,
+    id_col: str = "doc_id",
+    body_col: str = "text",
+    n_buckets: int = 1024,
+):
+    """Streaming twin of the DSIR SCORING stage (operators/corpus.
+    dsir_score): the bucket weight table is trained once on the
+    standing corpus (dsir_bucket_weights, batch side); each arriving
+    micro-batch is feature-hashed and scored map-side against the
+    broadcast table — no state, no look-back at the training corpus,
+    so the per-batch cost is one feature shuffle + a broadcast join.
+
+    ``weights`` follows the DataFrame-or-loader contract of the other
+    incremental streams: pass a zero-arg callable to re-read the table
+    per batch when a separate process retrains it. Scored rows go to
+    ``sink_fn(df, batch_id)``.
+    """
+    from ..operators.corpus import dsir_features, dsir_score
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        w = weights() if callable(weights) else weights
+        feat = dsir_features(batch_df, id_col, body_col, n_buckets)
+        sink_fn(dsir_score(feat, w), batch_id)
+
+    return (
+        docs_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

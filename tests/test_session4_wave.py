@@ -117,3 +117,69 @@ def test_anonymize_release_rule(spark, sf_dir):
         total += r["n"]
     orders_n = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
     assert total == orders_n  # groups partition the table
+
+
+def test_stream_dsir_score_matches_batch(spark, sf_dir):
+    """availableNow replay of the candidate docs through
+    stream_dsir_score == batch dsir_score with the same standing
+    weight table (scores depend only on the weights, so the split into
+    micro-batches cannot change them)."""
+    import os
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from c99_vectordb_spark.operators.corpus import (
+        dsir_bucket_weights,
+        dsir_features,
+        dsir_score,
+    )
+    from c99_vectordb_spark.queries_pipeline import (
+        _DSIR_BUCKETS,
+        _DSIR_TARGET_SOURCE,
+    )
+    from c99_vectordb_spark.streaming.ingest import stream_dsir_score
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    feat_all = dsir_features(docs, "doc_id", "text", _DSIR_BUCKETS)
+    weights = dsir_bucket_weights(
+        feat_all, _DSIR_TARGET_SOURCE, _DSIR_BUCKETS
+    ).persist()
+    try:
+        cand = docs.filter(F.col("source") != _DSIR_TARGET_SOURCE)
+        want = sorted(
+            map(
+                tuple,
+                dsir_score(
+                    feat_all.filter(F.col("source") != _DSIR_TARGET_SOURCE),
+                    weights,
+                ).collect(),
+            )
+        )
+        with tempfile.TemporaryDirectory() as tmp:
+            src = os.path.join(tmp, "src")
+            # two files -> maxFilesPerTrigger=1 replays as two batches
+            cand.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            cand.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.mode(
+                "append"
+            ).parquet(src)
+            got: list[tuple] = []
+
+            def sink(df, batch_id):
+                got.extend(map(tuple, df.collect()))
+
+            q = stream_dsir_score(
+                spark.readStream.schema(cand.schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(src),
+                weights,
+                sink,
+                os.path.join(tmp, "ckpt"),
+            ).start()
+            q.awaitTermination(120)
+        assert sorted(got) == want
+        assert len(want) > 0
+    finally:
+        weights.unpersist()
