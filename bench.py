@@ -144,6 +144,7 @@ HEADLINE = [
     "dedup_semantic",
     "corpus_vocab_sweep",
     "anonymize_orders",
+    "corpus_kn_incremental",
 ]
 
 

@@ -241,31 +241,18 @@ LIMIT 40
 """
 
 
-def q_corpus_kn_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Kneser-Ney bigram statistics (Chen & Goodman 1999): per-token
-    continuation counts — N1+(., w) distinct LEFT contexts (the KN
-    unigram numerator), N1+(w, .) distinct RIGHT continuations (the
-    backoff normalizer) — alongside raw bigram/unigram totals and the
-    global count-of-counts n1/n2 that drive the absolute-discount
-    D = n1/(n1+2*n2). Everything a smoothed-LM count pipeline needs,
-    as pure BIGINTs.
-
-    Plan shape: one bigram-keyed partial-agg shuffle builds c(w1,w2);
-    the three per-token rollups and the 1-row n1/n2 aggregate all
-    derive from it (token-keyed shuffles, then a broadcast of the
-    1-row scalar); top-30 is TakeOrdered. At 100 TB the bigram table
-    is the only corpus-sized shuffle and it partial-aggregates
-    map-side."""
+def _kn_bigrams(docs: DataFrame) -> DataFrame:
+    """(w1, w2, c) bigram count table — the supporting state that makes
+    the KN distinct-counts incrementally maintainable."""
     from .functions.text import tokens
 
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     toks = tokens(F.col("text"))
     pairs = F.zip_with(
         toks,
         F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
         lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
     )
-    big = (
+    return (
         docs.select(F.explode(pairs).alias("p"))
         .select("p.w1", "p.w2")
         # zip_with pads the short side with NULL: the last slot has no
@@ -274,17 +261,27 @@ def q_corpus_kn_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
     )
+
+
+def _kn_unigrams(docs: DataFrame) -> DataFrame:
+    from .functions.text import tokens
+
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("long").alias("uni"))
+    )
+
+
+def _kn_report(big: DataFrame, uni: DataFrame) -> DataFrame:
+    """Final KN rollup over the bigram/unigram state tables: per-token
+    continuation counts + global n1/n2, top-30 by continuation."""
     left_ctx = big.groupBy(F.col("w2").alias("token")).agg(
         F.count(F.lit(1)).cast("long").alias("cont_left"),
         F.sum("c").cast("long").alias("big_total"),
     )
     right_ctx = big.groupBy(F.col("w1").alias("token")).agg(
         F.count(F.lit(1)).cast("long").alias("cont_right")
-    )
-    uni = (
-        docs.select(F.explode(toks).alias("token"))
-        .groupBy("token")
-        .agg(F.count(F.lit(1)).cast("long").alias("uni"))
     )
     coc = big.agg(
         F.sum(F.when(F.col("c") == 1, 1).otherwise(0)).cast("long").alias("n1"),
@@ -308,6 +305,64 @@ def q_corpus_kn_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cont_left"), F.asc("token"))
         .limit(30)
     )
+
+
+def q_corpus_kn_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kneser-Ney bigram statistics (Chen & Goodman 1999): per-token
+    continuation counts — N1+(., w) distinct LEFT contexts (the KN
+    unigram numerator), N1+(w, .) distinct RIGHT continuations (the
+    backoff normalizer) — alongside raw bigram/unigram totals and the
+    global count-of-counts n1/n2 that drive the absolute-discount
+    D = n1/(n1+2*n2). Everything a smoothed-LM count pipeline needs,
+    as pure BIGINTs.
+
+    Plan shape: one bigram-keyed partial-agg shuffle builds c(w1,w2);
+    the three per-token rollups and the 1-row n1/n2 aggregate all
+    derive from it (token-keyed shuffles, then a broadcast of the
+    1-row scalar); top-30 is TakeOrdered. At 100 TB the bigram table
+    is the only corpus-sized shuffle and it partial-aggregates
+    map-side."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _kn_report(_kn_bigrams(docs), _kn_unigrams(docs))
+
+
+def q_corpus_kn_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental maintenance of the KN count tables — the HARD class
+    of view maintenance: the continuation counts are DISTINCT
+    aggregates, which are not mergeable from themselves; they become
+    maintainable through the supporting bigram count table, which IS
+    sum-mergeable. A new batch contributes a delta bigram/unigram
+    table; the standing state merges by addition (full-outer +
+    coalesce-sum on the (w1, w2) key); the report rolls up from the
+    MERGED STATE, never from the corpus. Per-batch cost = batch
+    explode + vocabulary-sized merge + vocabulary-sized rollups —
+    corpus-size independent (a touched-token restriction could shrink
+    the rollups further; the merge is already the scale win). The
+    oracle is the FULL-corpus recompute, so the hash match proves
+    incremental merge == recompute (the events_rollup_incremental
+    pattern, lifted to distinct-count views)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    old_docs = docs.filter(F.col("doc_id") % 3 != 2)
+    new_docs = docs.filter(F.col("doc_id") % 3 == 2)
+
+    def merge(a: DataFrame, b: DataFrame, keys: list[str], val: str) -> DataFrame:
+        a = a.withColumnRenamed(val, "_a")
+        b = b.withColumnRenamed(val, "_b")
+        return a.join(b, keys, "full").select(
+            *keys,
+            (
+                F.coalesce(F.col("_a"), F.lit(0))
+                + F.coalesce(F.col("_b"), F.lit(0))
+            )
+            .cast("long")
+            .alias(val),
+        )
+
+    big = merge(_kn_bigrams(old_docs), _kn_bigrams(new_docs), ["w1", "w2"], "c")
+    uni = merge(
+        _kn_unigrams(old_docs), _kn_unigrams(new_docs), ["token"], "uni"
+    )
+    return _kn_report(big, uni)
 
 
 _ORACLE_CORPUS_KN_COUNTS = f"""
@@ -1846,6 +1901,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pack_global": q_corpus_pack_global,
     "corpus_bigrams": q_corpus_bigrams,
     "corpus_kn_counts": q_corpus_kn_counts,
+    "corpus_kn_incremental": q_corpus_kn_incremental,
     "corpus_dsir_weights": q_corpus_dsir_weights,
     "corpus_pipeline": q_corpus_pipeline,
     "corpus_pipeline_incremental": q_corpus_pipeline_incremental,
@@ -1878,6 +1934,9 @@ PIPELINE_ORACLES: dict[str, str] = {
     "corpus_pack_global": _ORACLE_CORPUS_PACK_GLOBAL,
     "corpus_bigrams": _ORACLE_CORPUS_BIGRAMS,
     "corpus_kn_counts": _ORACLE_CORPUS_KN_COUNTS,
+    # same oracle on purpose: the hash match proves the incremental
+    # merge path reproduces the full recompute
+    "corpus_kn_incremental": _ORACLE_CORPUS_KN_COUNTS,
     "corpus_dsir_weights": _oracle_corpus_dsir_weights(),
     "corpus_pipeline": _oracle_corpus_pipeline(),
     "corpus_pipeline_incremental": _oracle_corpus_pipeline_incremental(),

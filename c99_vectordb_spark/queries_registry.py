@@ -1726,24 +1726,30 @@ _ORACLES: dict[str, str] = {
 # Round-6 rotation: the never-driver-checked pool was 49/149 after r5;
 # this window rotates in 26 first-timers (5 TPC-H, events_resample,
 # multimodal_resize/audio_stats, corpus_bpe_merges/vocab/bigrams/
-# sample, the NEW sim_recall_report, and the non-pool headliners incl.
-# every name the r5 judge pre-verified: sim_knn_join, sim_diverse_topk,
-# orders_price_outliers, quantiles_exact_global, dedup_cluster_sizes,
-# corpus_fertility), dropping the pool 49 -> 25. corpus_postings stays
-# pinned to prove the round-6 scalar-serialization fix (its one r5 row
-# was red on schema shape, not values); embed_random_projection is
-# pinned first-time for the same reason (its array output was
-# restructured to exploded scalar rows this round). Everything rotated
-# out remains fully oracle-covered past the window via
-# tools/verify_oracle.
+# sample, the NEW sim_recall_report, and non-pool headliners incl.
+# r5-judge-pre-verified sim_knn_join and orders_price_outliers),
+# dropping the pool 49 -> 25. corpus_postings stays pinned to prove
+# the round-6 scalar-serialization fix (its one r5 row was red on
+# schema shape, not values); embed_random_projection is pinned
+# first-time for the same reason (its array output was restructured to
+# exploded scalar rows this round). Session 4 swapped in its five NEW
+# operators (dedup_semantic, anonymize_orders, corpus_kn_counts,
+# corpus_dsir_weights, corpus_vocab_sweep) so they land driver-green
+# in the round they were built, displacing five first-timers the r5
+# judge had ALREADY independently verified (dedup_cluster_sizes,
+# sim_diverse_topk, corpus_fertility, corpus_bm25_batch,
+# quantiles_exact_global — all stay oracle-covered past the window and
+# rotate back in r7). Everything rotated out remains fully
+# oracle-covered past the window via tools/verify_oracle.
 #
 # Round-7 rotation TODO: the remaining window-eligible never-checked
 # pool (multimodal_features and sim_pq are rows-only and cannot occupy
-# hash slots): the eleven NEW oracled r6 queries dedup_recall_report,
-# corpus_pipeline_incremental, corpus_pack_report, corpus_filter_funnel,
-# multimodal_adpcm_roundtrip, multimodal_video_frames, corpus_kn_counts,
-# corpus_dsir_weights, dedup_semantic, corpus_vocab_sweep,
-# anonymize_orders; plus
+# hash slots): the six NEW oracled r6 queries still outside the window
+# (dedup_recall_report, corpus_pipeline_incremental, corpus_pack_report,
+# corpus_filter_funnel, multimodal_adpcm_roundtrip,
+# multimodal_video_frames); the five session-4 displacements
+# (dedup_cluster_sizes, sim_diverse_topk, corpus_fertility,
+# corpus_bm25_batch, quantiles_exact_global — r5-judge-verified); plus
 # tpch_q2/q10/q11/q12/q15/q16/q20, approx_quantiles_bottomk,
 # corpus_curriculum, corpus_pack, corpus_shuffle_order,
 # corpus_snapshot_diff, corpus_weighted_sample, decontaminate_survivors,
@@ -1779,10 +1785,10 @@ DRIVER_WINDOW = [
     # approximate aggregates (deterministic, fully oracled)
     "approx_distinct_kmv",
     "sketch_heavy_hitters",
-    # dedup family (pool reps + three first-time report operators)
+    # dedup family (pool reps + report operators + the NEW SemDeDup)
     "dedup_minhash_pairs",
     "dedup_incremental",
-    "dedup_cluster_sizes",
+    "dedup_semantic",
     "dedup_cross_source",
     "dedup_span_removal",
     # similarity family (pool reps + the two first-time headliners +
@@ -1791,7 +1797,7 @@ DRIVER_WINDOW = [
     "sim_ivfpq_fixed",
     "sim_recall_report",
     "sim_knn_join",
-    "sim_diverse_topk",
+    "anonymize_orders",
     # embeddings (first-time: the de-arrayed exploded projection)
     "embed_random_projection",
     # multimodal — two never-driver-checked members rotate in
@@ -1809,10 +1815,10 @@ DRIVER_WINDOW = [
     "corpus_vocab",
     "corpus_bigrams",
     "corpus_sample",
-    "corpus_fertility",
-    "corpus_bm25_batch",
-    # exact-analytics / profiling first-timers (judge-pre-verified)
-    "quantiles_exact_global",
+    "corpus_kn_counts",
+    "corpus_dsir_weights",
+    "corpus_vocab_sweep",
+    # exact-analytics / profiling first-timers
     "orders_price_outliers",
     "profile_orders",
     "events_rollup_incremental",

@@ -42,6 +42,7 @@ BNLJ_ALLOWED = {
     "dedup_recall_report": "three 1-row scalar aggregate broadcasts (n_exact, n_candidates, n_hits)",
     "events_decayed_value": "1-row scalar aggregate broadcast (reference max timestamp)",
     "corpus_kn_counts": "1-row scalar aggregate broadcast (global count-of-counts n1/n2)",
+    "corpus_kn_incremental": "1-row scalar aggregate broadcast (global count-of-counts n1/n2 over the merged state)",
     "corpus_dsir_weights": "1-row scalar aggregate broadcast (feature totals) feeding the 1024-row bucket weight table",
     "corpus_vocab_sweep": "two 1-row scalar aggregate broadcasts (corpus totals, base-char inventory)",
 }
