@@ -145,6 +145,7 @@ HEADLINE = [
     "corpus_vocab_sweep",
     "anonymize_orders",
     "corpus_kn_incremental",
+    "profile_documents",
 ]
 
 

@@ -2015,6 +2015,116 @@ ORDER BY id
 """
 
 
+def q_profile_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus DATASHEET (Gebru et al. 2021's 'datasheets for datasets',
+    the numbers half): per-source document/token/char totals, exact
+    rank-based token-length quantiles (min / median / p90 / max,
+    lower-nearest-rank so every value is a real observation — no
+    interpolated floats), and language mix. The one-page report a
+    training-data team publishes next to a corpus release.
+
+    Plan shape: one map-only feature pass, a per-source partitioned
+    window for the two rank picks (bounded partitions: sources), and a
+    rollup-sized aggregate joined back on source. The langid gate
+    reuses the oracle-checked operator."""
+    from .functions.text import tokens as Ftokens
+    from .operators.textstats import lang_id
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size(Ftokens(F.col("text"))).cast("long").alias("n_tokens"),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+    lid = lang_id(docs, "doc_id", "text").select(
+        F.col("id").alias("doc_id"), (F.col("lang_pred") == "en").alias("is_en")
+    )
+    w = Window.partitionBy("source").orderBy(F.asc("n_tokens"), F.asc("doc_id"))
+    ranked = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "cnt", F.count(F.lit(1)).over(Window.partitionBy("source"))
+    )
+    med = ranked.filter(
+        F.expr("rn = (cnt + 1) div 2")
+    ).select("source", F.col("n_tokens").alias("median_tokens"))
+    p90 = ranked.filter(
+        F.expr("rn = (9 * cnt + 9) div 10")
+    ).select("source", F.col("n_tokens").alias("p90_tokens"))
+    agg = (
+        base.join(lid, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.sum("n_chars").cast("long").alias("total_chars"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.sum(F.col("is_en").cast("long")).cast("long").alias("n_lang_en"),
+        )
+    )
+    return (
+        agg.join(med, "source")
+        .join(p90, "source")
+        .selectExpr(
+            "source",
+            "n_docs",
+            "total_tokens",
+            "total_chars",
+            "min_tokens",
+            "median_tokens",
+            "p90_tokens",
+            "max_tokens",
+            "n_lang_en",
+            "(1000000 * n_lang_en) div n_docs AS en_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_profile_documents() -> str:
+    toks = hashing.duckdb_tokens_sql("text")
+    return f"""
+WITH base AS (
+  SELECT doc_id, source, len({toks})::BIGINT AS n_tokens,
+         LENGTH(text)::BIGINT AS n_chars
+  FROM documents
+), l AS ({_oracle_langid()}),
+ranked AS (
+  SELECT source, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens, doc_id) AS rn,
+         COUNT(*) OVER (PARTITION BY source) AS cnt
+  FROM base
+),
+med AS (
+  SELECT source, n_tokens AS median_tokens FROM ranked
+  WHERE rn = (cnt + 1) // 2
+),
+p90 AS (
+  SELECT source, n_tokens AS p90_tokens FROM ranked
+  WHERE rn = (9 * cnt + 9) // 10
+),
+agg AS (
+  SELECT b.source,
+         COUNT(*)::BIGINT AS n_docs,
+         SUM(b.n_tokens)::BIGINT AS total_tokens,
+         SUM(b.n_chars)::BIGINT AS total_chars,
+         MIN(b.n_tokens)::BIGINT AS min_tokens,
+         MAX(b.n_tokens)::BIGINT AS max_tokens,
+         SUM(CASE WHEN l.lang_pred = 'en' THEN 1 ELSE 0 END)::BIGINT AS n_lang_en
+  FROM base b JOIN l ON l.id = b.doc_id
+  GROUP BY b.source
+)
+SELECT a.source, a.n_docs, a.total_tokens, a.total_chars,
+       a.min_tokens, m.median_tokens, p.p90_tokens, a.max_tokens,
+       a.n_lang_en,
+       ((1000000 * a.n_lang_en) // a.n_docs)::BIGINT AS en_ppm
+FROM agg a
+JOIN med m ON m.source = a.source
+JOIN p90 p ON p.source = a.source
+ORDER BY a.source
+"""
+
+
 def q_text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .operators.textstats import fingerprints
 
@@ -3645,6 +3755,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_shuffle_order": q_corpus_shuffle_order,
     "profile_orders": q_profile_orders,
     "anonymize_orders": q_anonymize_orders,
+    "profile_documents": q_profile_documents,
     "events_decayed_value": q_events_decayed_value,
     "events_enrich_segments": q_events_enrich_segments,
     "quantiles_exact_global": q_quantiles_exact_global,
@@ -3722,6 +3833,7 @@ EXT_ORACLES: dict[str, str] = {
     "corpus_shuffle_order": _oracle_shuffle_order(),
     "profile_orders": _oracle_profile_orders(),
     "anonymize_orders": _ORACLE_ANONYMIZE_ORDERS,
+    "profile_documents": _oracle_profile_documents(),
     "events_decayed_value": _ORACLE_EVENTS_DECAYED,
     "events_enrich_segments": _ORACLE_EVENTS_ENRICH,
     "quantiles_exact_global": _ORACLE_QUANTILES_EXACT,
