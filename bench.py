@@ -146,6 +146,7 @@ HEADLINE = [
     "anonymize_orders",
     "corpus_kn_incremental",
     "profile_documents",
+    "zorder_skipping",
 ]
 
 

@@ -3455,6 +3455,143 @@ LIMIT 500
 """
 
 
+_SKIP_FILES = 32
+
+
+def q_zorder_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-skipping EFFECTIVENESS report — the measurement that
+    justifies a layout rewrite at 100 TB: simulate writing `part` as
+    32 equal files under (a) the z-order layout and (b) a plain
+    p_partkey sort, collect each file's min/max footer stats, and
+    count the files a scan must read for a partkey-range predicate, a
+    size-range predicate, and their conjunction. Z-order prunes BOTH
+    dimensions; the single-column sort prunes only its own.
+
+    No global window: the total orders come from the two-pass
+    range-stitched rank (operators/scalable_window.global_rank) and
+    NTILE becomes pure arithmetic on the rank. File stats are a
+    32-row rollup; verdict rows are literal stacks. Exact integers."""
+    from .operators.scalable_window import global_rank, ntile_bucket
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    n = part.count()  # parquet metadata count
+    mask = (1 << _ZORDER_BITS) - 1
+    x = F.col("p_partkey").bitwiseAND(F.lit(mask))
+    # normalize the narrow dimension into the 10-bit range before
+    # interleaving (p_size is 1..50 -> x16 fills the bit budget);
+    # unscaled, its high interleave bits are constant zero and the
+    # curve degenerates to a p_partkey sort on that dimension
+    y = (F.col("p_size").cast("long") * F.lit(16)).bitwiseAND(F.lit(mask))
+    base = part.select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("p_size"),
+        zorder_col(x, y).alias("zval"),
+    )
+    layouts = (
+        ("pk_sort", [F.col("p_partkey").asc()]),
+        ("zorder", [F.col("zval").asc(), F.col("p_partkey").asc()]),
+    )
+    pieces = []
+    for name, order in layouts:
+        ranked = global_rank(base, order, out_col="rank")
+        stats = (
+            ranked.withColumn(
+                "file", ntile_bucket(F.col("rank"), n, _SKIP_FILES)
+            )
+            .groupBy("file")
+            .agg(
+                F.min("p_partkey").alias("min_pk"),
+                F.max("p_partkey").alias("max_pk"),
+                F.min("p_size").alias("min_sz"),
+                F.max("p_size").alias("max_sz"),
+            )
+        )
+        hit_pk = (F.col("max_pk") >= 100) & (F.col("min_pk") <= 199)
+        hit_sz = (F.col("max_sz") >= 10) & (F.col("min_sz") <= 12)
+        pieces.append(
+            stats.agg(
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.sum(F.when(hit_pk, 1).otherwise(0)).cast("long").alias("s_pk"),
+                F.sum(F.when(hit_sz, 1).otherwise(0)).cast("long").alias("s_sz"),
+                F.sum(F.when(hit_pk & hit_sz, 1).otherwise(0))
+                .cast("long")
+                .alias("s_both"),
+            ).selectExpr(
+                f"'{name}' AS layout",
+                "n_files",
+                "stack(3, 'pk_100_199', s_pk, 'sz_10_12', s_sz,"
+                " 'both', s_both) AS (predicate, files_scanned)",
+            )
+        )
+    return (
+        pieces[0]
+        .unionByName(pieces[1])
+        .selectExpr(
+            "layout",
+            "predicate",
+            "n_files",
+            "files_scanned",
+            "(1000000 * (n_files - files_scanned)) div n_files AS skip_ppm",
+        )
+        .orderBy("layout", "predicate")
+    )
+
+
+def _oracle_zorder_skipping() -> str:
+    mask = (1 << _ZORDER_BITS) - 1
+    terms = " + ".join(
+        f"((((p_partkey & {mask}) >> {b}) & 1) << {2 * b})"
+        f" + (((((CAST(p_size AS BIGINT) * 16) & {mask}) >> {b}) & 1) << {2 * b + 1})"
+        for b in range(_ZORDER_BITS)
+    )
+    agg = """
+  SELECT COUNT(*)::BIGINT AS n_files,
+         SUM(CASE WHEN max_pk >= 100 AND min_pk <= 199 THEN 1 ELSE 0 END)::BIGINT AS s_pk,
+         SUM(CASE WHEN max_sz >= 10 AND min_sz <= 12 THEN 1 ELSE 0 END)::BIGINT AS s_sz,
+         SUM(CASE WHEN max_pk >= 100 AND min_pk <= 199
+                   AND max_sz >= 10 AND min_sz <= 12 THEN 1 ELSE 0 END)::BIGINT AS s_both
+"""
+    return f"""
+WITH base AS (
+  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size, {terms} AS zval
+  FROM part
+),
+zr AS (
+  SELECT p_partkey, p_size,
+         NTILE({_SKIP_FILES}) OVER (ORDER BY zval, p_partkey) AS file
+  FROM base
+),
+pr AS (
+  SELECT p_partkey, p_size,
+         NTILE({_SKIP_FILES}) OVER (ORDER BY p_partkey) AS file
+  FROM base
+),
+zs AS (
+  SELECT file, MIN(p_partkey) AS min_pk, MAX(p_partkey) AS max_pk,
+         MIN(p_size) AS min_sz, MAX(p_size) AS max_sz
+  FROM zr GROUP BY file
+),
+ps AS (
+  SELECT file, MIN(p_partkey) AS min_pk, MAX(p_partkey) AS max_pk,
+         MIN(p_size) AS min_sz, MAX(p_size) AS max_sz
+  FROM pr GROUP BY file
+),
+za AS ({agg} FROM zs),
+pa AS ({agg} FROM ps),
+rows AS (
+  SELECT 'zorder' AS layout, 'pk_100_199' AS predicate, n_files, s_pk AS files_scanned FROM za
+  UNION ALL SELECT 'zorder', 'sz_10_12', n_files, s_sz FROM za
+  UNION ALL SELECT 'zorder', 'both', n_files, s_both FROM za
+  UNION ALL SELECT 'pk_sort', 'pk_100_199', n_files, s_pk FROM pa
+  UNION ALL SELECT 'pk_sort', 'sz_10_12', n_files, s_sz FROM pa
+  UNION ALL SELECT 'pk_sort', 'both', n_files, s_both FROM pa
+)
+SELECT layout, predicate, n_files, files_scanned,
+       ((1000000 * (n_files - files_scanned)) // n_files)::BIGINT AS skip_ppm
+FROM rows ORDER BY layout, predicate
+"""
+
+
 _SAMPLE_MIX = 2654435761  # Knuth multiplicative-hash constant
 _SAMPLE_MOD = 1_000_000_007
 
@@ -3756,6 +3893,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "profile_orders": q_profile_orders,
     "anonymize_orders": q_anonymize_orders,
     "profile_documents": q_profile_documents,
+    "zorder_skipping": q_zorder_skipping,
     "events_decayed_value": q_events_decayed_value,
     "events_enrich_segments": q_events_enrich_segments,
     "quantiles_exact_global": q_quantiles_exact_global,
@@ -3834,6 +3972,7 @@ EXT_ORACLES: dict[str, str] = {
     "profile_orders": _oracle_profile_orders(),
     "anonymize_orders": _ORACLE_ANONYMIZE_ORDERS,
     "profile_documents": _oracle_profile_documents(),
+    "zorder_skipping": _oracle_zorder_skipping(),
     "events_decayed_value": _ORACLE_EVENTS_DECAYED,
     "events_enrich_segments": _ORACLE_EVENTS_ENRICH,
     "quantiles_exact_global": _ORACLE_QUANTILES_EXACT,
