@@ -1051,6 +1051,13 @@ def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                            vs exact float squared-L2 top-k (so the gap
                            is pure quantization loss, not metric
                            mismatch; 16 queries);
+    - ``ivf_flat``       — pinned-coarse-centroid IVF with EXACT
+                           in-cluster distances at 4/16 probes (the
+                           FAISS IVFFlat layout: the gap is pure probe
+                           pruning, no quantization), vs exact
+                           squared-L2; probe sets are per-query
+                           exploded rows, so candidates come from an
+                           EQUI-join on the cluster key;
     - ``pq_fixed``       — pinned-codebook PQ ADC top-k
                            (queries_pipeline.q_sim_pq_fixed) vs exact
                            squared-L2 for ITS pinned query vector —
@@ -1128,6 +1135,73 @@ def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         for name, ann, truth in tiers
     ]
 
+    # ivf_flat: pinned coarse centroids (the ivfpq quantizer), 4-probe
+    # candidate pruning, EXACT in-cluster distances — the IVFFlat tier
+    from .queries_pipeline import _IVFPQ_PROBE, _ivfpq_coarse
+
+    coarse = _ivfpq_coarse()
+
+    def _dl(vs):
+        return "array(" + ", ".join(f"CAST('{v!r}' AS DOUBLE)" for v in vs) + ")"
+
+    _sqs = (
+        "aggregate(zip_with({a}, {b}, (x, y) -> (x - y) * (x - y)),"
+        " CAST(0 AS DOUBLE), (acc, d) -> acc + d)"
+    )
+    cd = "array(" + ", ".join(_sqs.format(a="_e", b=_dl(c)) for c in coarse) + ")"
+    easn = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .selectExpr(
+            "vec_id AS id",
+            "embedding",
+            "transform(embedding, x -> CAST(x AS DOUBLE)) AS _e",
+        )
+        .selectExpr("id", "embedding", f"{cd} AS _cd")
+        .selectExpr(
+            "id",
+            "embedding",
+            "CAST(array_position(_cd, array_min(_cd)) AS INT) - 1 AS cluster",
+        )
+    )
+    coarse_rows = "array(" + ", ".join(_dl(c) for c in coarse) + ")"
+    qdist = _sqs.format(
+        a="transform(qvec, x -> CAST(x AS DOUBLE))", b="cvec"
+    )
+    pw = Window.partitionBy("qid").orderBy(F.asc("cdist"), F.asc("cidx"))
+    qprobes = (
+        queries.select(
+            "qid", "qvec", F.posexplode(F.expr(coarse_rows)).alias("cidx", "cvec")
+        )
+        .selectExpr("qid", "qvec", "cidx", f"{qdist} AS cdist")
+        .withColumn("prnk", F.row_number().over(pw))
+        .filter(F.col("prnk") <= _IVFPQ_PROBE)
+        .select("qid", "qvec", "cidx")
+    )
+    ivf_score = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("embedding"),
+                F.col("qvec"),
+                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        ),
+        4,
+    )
+    iw = Window.partitionBy("qid").orderBy(F.asc("score"), F.asc("id"))
+    ivf = (
+        easn.join(F.broadcast(qprobes), easn.cluster == qprobes.cidx)
+        .filter(F.col("id") != F.col("qid"))
+        .withColumn("score", ivf_score)
+        .withColumn("rnk", F.row_number().over(iw))
+        .filter(F.col("rnk") <= RECALL_K)
+        .select("qid", "id")
+    )
+    reports.append(
+        report_row("ivf_flat", ivf.join(exact_l2, ["qid", "id"]), RECALL_N_Q)
+    )
+
     # pq_fixed: single pinned query (the codebook-oracle-able one) —
     # ADC top-k vs exact float squared-L2 for the same query vector
     from .queries_pipeline import _pqf_query_vec, q_sim_pq_fixed
@@ -1157,9 +1231,30 @@ def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_sim_recall_report() -> str:
-    from .queries_pipeline import _pqf_oracle_ctes, _pqf_query_vec
+    from .queries_pipeline import _IVFPQ_PROBE, _ivfpq_coarse, _pqf_oracle_ctes, _pqf_query_vec
 
     pq_ctes, pq_scored = _pqf_oracle_ctes(prefix="pq_")
+
+    # ivf_flat tier: pinned coarse centroids, prepend-0.0 folds so the
+    # assignment/probe distances bit-match Spark's 0.0-init aggregate
+    def _ddl(vs):
+        return "[" + ", ".join(f"'{v!r}'::DOUBLE" for v in vs) + "]"
+
+    def _dfold(terms):
+        return f"list_reduce(['0.0'::DOUBLE] || ({terms}), (acc, d) -> acc + d)"
+
+    def _dsqs(a, b):
+        return _dfold(
+            f"list_transform(list_zip({a}, {b}), p -> (p[1] - p[2]) * (p[1] - p[2]))"
+        )
+
+    ivf_coarse = _ivfpq_coarse()
+    ivf_cd = "[" + ", ".join(_dsqs("_e", _ddl(c)) for c in ivf_coarse) + "]"
+    ivf_grid = "\n  UNION ALL ".join(
+        f"SELECT {i}::INT AS cidx, {_ddl(c)} AS cvec"
+        for i, c in enumerate(ivf_coarse)
+    )
+    ivf_qdist = _dsqs("list_transform(q.qvec, x -> x::DOUBLE)", "c.cvec")
     pq_qlit = "[" + ", ".join(f"'{v!r}'::DOUBLE" for v in _pqf_query_vec()) + "]"
 
     def plane_lit(p: int) -> str:
@@ -1234,6 +1329,35 @@ sq AS (
     FROM coded c CROSS JOIN qcoded q WHERE c.id != q.qid
   ) WHERE rnk <= {RECALL_K}
 ),
+ivf_a0 AS MATERIALIZED (
+  SELECT id, embedding, {ivf_cd} AS _cd
+  FROM (SELECT id, embedding, list_transform(embedding, x -> x::DOUBLE) AS _e FROM e)
+),
+ivf_asn AS (
+  SELECT id, embedding, list_position(_cd, list_min(_cd))::INT - 1 AS cluster
+  FROM ivf_a0
+),
+ivf_c AS (
+  {ivf_grid}
+),
+ivf_p AS (
+  SELECT qid, qvec, cidx FROM (
+    SELECT q.qid, q.qvec, c.cidx,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+             ORDER BY {ivf_qdist} ASC, c.cidx ASC) AS prnk
+    FROM q CROSS JOIN ivf_c c
+  ) WHERE prnk <= {_IVFPQ_PROBE}
+),
+ivf AS (
+  SELECT qid, id FROM (
+    SELECT p.qid, a.id,
+           ROW_NUMBER() OVER (PARTITION BY p.qid
+             ORDER BY ROUND({_DUCK_SQL2.format(a='a.embedding', b='p.qvec')}, 4) ASC,
+                      a.id ASC) AS rnk
+    FROM ivf_asn a JOIN ivf_p p ON a.cluster = p.cidx
+    WHERE a.id != p.qid
+  ) WHERE rnk <= {RECALL_K}
+),
 {pq_ctes},
 pq_top AS (
   SELECT vec_id AS id FROM ({pq_scored})
@@ -1261,6 +1385,9 @@ tiers AS (
   UNION ALL
   SELECT 'sq_int8', {RECALL_N_Q},
          (SELECT COUNT(*) FROM sq JOIN exact_l2 USING (qid, id))
+  UNION ALL
+  SELECT 'ivf_flat', {RECALL_N_Q},
+         (SELECT COUNT(*) FROM ivf JOIN exact_l2 USING (qid, id))
   UNION ALL
   SELECT 'pq_fixed', 1,
          (SELECT COUNT(*) FROM pq_top JOIN pq_gt USING (id))
