@@ -147,6 +147,7 @@ HEADLINE = [
     "corpus_kn_incremental",
     "profile_documents",
     "zorder_skipping",
+    "corpus_pipeline_dsir",
 ]
 
 

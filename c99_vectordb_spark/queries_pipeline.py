@@ -440,47 +440,57 @@ def q_corpus_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _oracle_corpus_dsir_weights() -> str:
+def _dsir_oracle_ctes(prefix: str = "") -> str:
+    """The DuckDB CTE chain for DSIR training (features -> smoothed
+    bucket stats -> ppm weight table) — shared by the standalone
+    weights oracle and the DSIR pipeline oracle. ``prefix`` namespaces
+    the CTEs so the chain composes into a larger WITH without
+    colliding (the components chain also defines `hl`)."""
     from . import hashing
     from .model import HASH_MOD
 
     B = _DSIR_BUCKETS
+    p = prefix
     th = hashing.duckdb_token_hash_sql("t")
-    return f"""
-WITH tok AS (
+    return f"""{p}tok AS (
   SELECT doc_id, source, {duckdb_tokens_sql('text')} AS ts FROM documents
-), hl AS (
-  SELECT doc_id, source, list_transform(ts, t -> {th}) AS hl FROM tok
-), bi AS (
+), {p}hl AS (
+  SELECT doc_id, source, list_transform(ts, t -> {th}) AS hl FROM {p}tok
+), {p}bi AS (
   SELECT doc_id, source,
          unnest(list_transform(range(1, len(hl)),
            i -> ((hl[i] * 131 + hl[i+1]) % {HASH_MOD}) % {B})) AS bucket
-  FROM hl WHERE len(hl) >= 2
-), feat AS (
+  FROM {p}hl WHERE len(hl) >= 2
+), {p}feat AS (
   SELECT doc_id AS id, source, bucket, COUNT(*)::BIGINT AS c
-  FROM bi GROUP BY 1, 2, 3
-), grid AS (
+  FROM {p}bi GROUP BY 1, 2, 3
+), {p}grid AS (
   SELECT range::BIGINT AS bucket FROM range(0, {B})
-), t AS (
-  SELECT bucket, SUM(c)::BIGINT AS tf FROM feat
+), {p}t AS (
+  SELECT bucket, SUM(c)::BIGINT AS tf FROM {p}feat
   WHERE source = '{_DSIR_TARGET_SOURCE}' GROUP BY bucket
-), r AS (
-  SELECT bucket, SUM(c)::BIGINT AS rf FROM feat
+), {p}r AS (
+  SELECT bucket, SUM(c)::BIGINT AS rf FROM {p}feat
   WHERE source != '{_DSIR_TARGET_SOURCE}' GROUP BY bucket
-), bt AS (
+), {p}bt AS (
   SELECT g.bucket,
          (COALESCE(t.tf, 0) + 1)::BIGINT AS tf,
          (COALESCE(r.rf, 0) + 1)::BIGINT AS rf
-  FROM grid g
-  LEFT JOIN t ON t.bucket = g.bucket
-  LEFT JOIN r ON r.bucket = g.bucket
-), tot AS (
-  SELECT SUM(tf)::BIGINT AS ttot, SUM(rf)::BIGINT AS rtot FROM bt
-), w AS (
+  FROM {p}grid g
+  LEFT JOIN {p}t t ON t.bucket = g.bucket
+  LEFT JOIN {p}r r ON r.bucket = g.bucket
+), {p}tot AS (
+  SELECT SUM(tf)::BIGINT AS ttot, SUM(rf)::BIGINT AS rtot FROM {p}bt
+), {p}w AS (
   SELECT bucket,
          ((1000000 * tf) // ttot - (1000000 * rf) // rtot)::BIGINT AS w
-  FROM bt CROSS JOIN tot
-)
+  FROM {p}bt CROSS JOIN {p}tot
+)"""
+
+
+def _oracle_corpus_dsir_weights() -> str:
+    return f"""
+WITH {_dsir_oracle_ctes()}
 SELECT f.id, f.source,
        SUM(f.c)::BIGINT AS n_bigrams,
        SUM(f.c * w.w)::BIGINT AS dsir_score
@@ -1520,6 +1530,125 @@ ORDER BY id
 """
 
 
+_DSIR_PIPE_K = 300
+
+
+def q_corpus_pipeline_dsir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The DOMAIN-MATCHED corpus build: q_corpus_pipeline with the
+    rate sampler replaced by DSIR data selection (Xie et al. 2023) —
+    near-dup survivors -> quality floor -> English only -> keep every
+    TARGET-domain doc and the top-300 raw docs by DSIR affinity to the
+    target -> 1024-token sequence packing. This is how a pipeline
+    carves a domain-matched subcorpus out of a general crawl instead
+    of sampling uniformly.
+
+    Weights train on the FULL corpus (the standing estimate of
+    target/raw feature distributions); selection applies to the kept
+    set. Stage reuse: dedup/quality/langid are the oracle-checked
+    operators, the DSIR stages are operators/corpus.dsir_*, packing is
+    pack_sequences — the DuckDB twin chains the same stages' oracle
+    CTEs, hash-checked end to end. Selection is TakeOrdered top-k,
+    never a global sort."""
+    from .operators.dedup import (
+        dedup_survivors,
+        minhash_lsh_pairs,
+        resolve_duplicates,
+    )
+    from .operators.textstats import lang_id, quality_features_exact, token_counts
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pairs = minhash_lsh_pairs(docs, id_col="doc_id", body_col="text")
+    comps = resolve_duplicates(pairs)
+    surv = dedup_survivors(docs, comps, id_col="doc_id")
+    qual_ok = (
+        quality_features_exact(docs, "doc_id", "text")
+        .filter(F.col("quality_q16") >= _QUALITY_MIN_Q16)
+        .select("id")
+    )
+    lang_ok = (
+        lang_id(docs, "doc_id", "text")
+        .filter(F.col("lang_pred") == "en")
+        .select("id")
+    )
+    kept = surv.join(qual_ok, surv.doc_id == qual_ok.id, "left_semi").join(
+        lang_ok, surv.doc_id == lang_ok.id, "left_semi"
+    )
+    feat = C.dsir_features(docs, "doc_id", "text", _DSIR_BUCKETS)
+    weights = C.dsir_bucket_weights(feat, _DSIR_TARGET_SOURCE, _DSIR_BUCKETS)
+    picked = (
+        C.dsir_score(
+            feat.filter(F.col("source") != _DSIR_TARGET_SOURCE), weights
+        )
+        .join(kept.select(F.col("doc_id").alias("id")), "id", "left_semi")
+        .orderBy(F.desc("dsir_score"), F.asc("id"))
+        .limit(_DSIR_PIPE_K)
+        .select("id")
+    )
+    chosen = kept.filter(F.col("source") == _DSIR_TARGET_SOURCE).unionByName(
+        kept.join(picked, kept.doc_id == picked.id, "left_semi")
+    )
+    counts = token_counts(chosen, "doc_id", "text").select("id", "n_re_tokens")
+    sized = chosen.join(counts, chosen.doc_id == counts.id).drop("id")
+    return C.pack_sequences(
+        sized, "source", "doc_id", "n_re_tokens", budget=_PIPELINE_BUDGET
+    ).orderBy("id")
+
+
+def _oracle_corpus_pipeline_dsir() -> str:
+    from .queries_ext import _DUCK_COMPONENTS_CTES, _oracle_langid, _oracle_quality
+
+    return f"""
+WITH RECURSIVE {_DUCK_COMPONENTS_CTES},
+surv AS (
+  SELECT d.doc_id, d.source, d.text
+  FROM documents d
+  WHERE d.doc_id NOT IN (SELECT id FROM comp WHERE id != canonical_id)
+),
+q AS ({_oracle_quality()}),
+l AS ({_oracle_langid()}),
+kept AS (
+  SELECT s.doc_id, s.source, s.text
+  FROM surv s
+  JOIN q ON s.doc_id = q.id
+  JOIN l ON s.doc_id = l.id
+  WHERE q.quality_q16 >= {_QUALITY_MIN_Q16}
+    AND l.lang_pred = 'en'
+),
+{_dsir_oracle_ctes(prefix="ds_")},
+picked AS (
+  SELECT f.id
+  FROM ds_feat f
+  JOIN ds_w w ON w.bucket = f.bucket
+  JOIN kept k ON k.doc_id = f.id
+  WHERE f.source != '{_DSIR_TARGET_SOURCE}'
+  GROUP BY f.id
+  ORDER BY SUM(f.c * w.w) DESC, f.id ASC
+  LIMIT {_DSIR_PIPE_K}
+),
+chosen AS (
+  SELECT doc_id, source, text FROM kept
+  WHERE source = '{_DSIR_TARGET_SOURCE}'
+  UNION ALL
+  SELECT k.doc_id, k.source, k.text FROM kept k
+  JOIN picked p ON p.id = k.doc_id
+),
+sized AS (
+  SELECT doc_id, source, len({duckdb_tokens_sql('text')})::BIGINT AS n_tokens
+  FROM chosen
+),
+packed AS (
+  SELECT doc_id AS id, source AS stratum, n_tokens,
+         (SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                              ROWS UNBOUNDED PRECEDING) - n_tokens)::BIGINT AS "offset"
+  FROM sized
+)
+SELECT id, stratum, n_tokens, "offset",
+       CAST(FLOOR("offset" / {_PIPELINE_BUDGET}.0) AS BIGINT) AS seq_bin
+FROM packed
+ORDER BY id
+"""
+
+
 def q_corpus_pipeline_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The INCREMENTAL twin of q_corpus_pipeline — the daily-ingest
     shape: a NEW batch (doc_id % 3 != 0) is processed against the
@@ -1904,6 +2033,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_kn_incremental": q_corpus_kn_incremental,
     "corpus_dsir_weights": q_corpus_dsir_weights,
     "corpus_pipeline": q_corpus_pipeline,
+    "corpus_pipeline_dsir": q_corpus_pipeline_dsir,
     "corpus_pipeline_incremental": q_corpus_pipeline_incremental,
     "sketch_heavy_hitters": q_sketch_heavy_hitters,
     "approx_distinct_kmv": q_approx_distinct_kmv,
@@ -1939,6 +2069,7 @@ PIPELINE_ORACLES: dict[str, str] = {
     "corpus_kn_incremental": _ORACLE_CORPUS_KN_COUNTS,
     "corpus_dsir_weights": _oracle_corpus_dsir_weights(),
     "corpus_pipeline": _oracle_corpus_pipeline(),
+    "corpus_pipeline_dsir": _oracle_corpus_pipeline_dsir(),
     "corpus_pipeline_incremental": _oracle_corpus_pipeline_incremental(),
     "sketch_heavy_hitters": _oracle_sketch_heavy_hitters(),
     "approx_distinct_kmv": _oracle_approx_distinct_kmv(),

@@ -44,6 +44,7 @@ BNLJ_ALLOWED = {
     "corpus_kn_counts": "1-row scalar aggregate broadcast (global count-of-counts n1/n2)",
     "corpus_kn_incremental": "1-row scalar aggregate broadcast (global count-of-counts n1/n2 over the merged state)",
     "corpus_dsir_weights": "1-row scalar aggregate broadcast (feature totals) feeding the 1024-row bucket weight table",
+    "corpus_pipeline_dsir": "1-row scalar aggregate broadcast (DSIR feature totals) inside the selection stage",
     "corpus_vocab_sweep": "two 1-row scalar aggregate broadcasts (corpus totals, base-char inventory)",
 }
 
