@@ -148,6 +148,7 @@ HEADLINE = [
     "profile_documents",
     "zorder_skipping",
     "corpus_pipeline_dsir",
+    "sim_filtered_recall",
 ]
 
 

@@ -1230,6 +1230,188 @@ def q_sim_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("tier")
 
 
+FILTERED_K = 5  #: top-k for the filtered-search report
+
+
+def q_sim_filtered_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FILTERED vector search — the hard production problem for every
+    vector store: top-k neighbors restricted to a metadata predicate
+    (here: candidates sharing the QUERY's label — the tenant/namespace
+    filter shape). Two strategies, measured against each other:
+
+    - ``prefilter_exact``      — apply the predicate FIRST, exact
+      cosine top-k over the survivors (the gold standard; at 100 TB
+      this is viable when the label is a partition key — predicate
+      pushdown turns it into partition pruning);
+    - ``postfilter_lsh``       — probe the ANN index FIRST (LSH
+      bucket equi-join), then filter, then top-k: cheap, but the
+      bucket may hold few matching-label rows (the classic filtered-
+      ANN recall cliff);
+    - ``postfilter_lsh_multiprobe`` — + hamming-1 probe fan-out, the
+      standard mitigation.
+
+    recall_ppm = (1e6 * |strategy ∩ gold|) div |gold| — denominator
+    is the ACTUAL gold pair count (a label class can hold fewer than
+    k neighbors), so the report never overstates recall. Corpus
+    streams once per strategy; candidates always come from equi-joins
+    (broadcast query side); verdict rows are 1-row aggregates."""
+    from .operators.similarity import _norm, bucket_id
+
+    emb0 = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    e = emb0.select(
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("vec"),
+        "label",
+        bucket_id(F.col("embedding"), LSH_DIM, LSH_PLANES).alias("bucket"),
+    )
+    q = emb0.filter(F.col("vec_id") < RECALL_N_Q).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").alias("qvec"),
+        F.col("label").alias("qlabel"),
+        bucket_id(F.col("embedding"), LSH_DIM, LSH_PLANES).alias("qbucket"),
+        _norm(F.col("embedding")).alias("qnorm"),
+    )
+    score = F.round(
+        F.aggregate(
+            F.zip_with(
+                F.col("vec"),
+                F.col("qvec"),
+                lambda x, y: x.cast("double") * y.cast("double"),
+            ),
+            F.lit(0.0),
+            lambda a, v: a + v,
+        )
+        / (
+            F.sqrt(
+                F.aggregate(
+                    F.col("vec"),
+                    F.lit(0.0),
+                    lambda a, x: a + x.cast("double") * x.cast("double"),
+                )
+            )
+            * F.col("qnorm")
+        ),
+        4,
+    )
+    w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+
+    def topk(cands):
+        return (
+            cands.filter(
+                (F.col("id") != F.col("qid")) & (F.col("label") == F.col("qlabel"))
+            )
+            .withColumn("score", score)
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= FILTERED_K)
+            .select("qid", "id")
+        )
+
+    gold = topk(e.crossJoin(F.broadcast(q)))
+    lsh = topk(e.join(F.broadcast(q), e.bucket == q.qbucket))
+    qmp = q.select(
+        "qid",
+        "qvec",
+        "qlabel",
+        "qnorm",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << p))
+                    for p in range(LSH_PLANES)
+                ],
+            )
+        ).alias("qbucket"),
+    )
+    lsh_mp = topk(e.join(F.broadcast(qmp), e.bucket == qmp.qbucket))
+
+    gold_n = gold.agg(F.count(F.lit(1)).cast("long").alias("gold_n"))
+
+    def row(name, strat):
+        hits = strat.join(gold, ["qid", "id"]).agg(
+            F.count(F.lit(1)).cast("long").alias("total_hits")
+        )
+        return (
+            hits.crossJoin(F.broadcast(gold_n))
+            .select(
+                F.lit(name).alias("strategy"),
+                F.lit(RECALL_N_Q).cast("long").alias("n_queries"),
+                F.lit(FILTERED_K).cast("long").alias("k"),
+                F.col("gold_n"),
+                "total_hits",
+                F.expr("(1000000 * total_hits) div gold_n").alias("recall_ppm"),
+            )
+        )
+
+    out = (
+        row("prefilter_exact", gold)
+        .unionByName(row("postfilter_lsh", lsh))
+        .unionByName(row("postfilter_lsh_multiprobe", lsh_mp))
+    )
+    return out.orderBy("strategy")
+
+
+def _oracle_sim_filtered_recall() -> str:
+    def plane_lit(p: int) -> str:
+        return "[" + ", ".join(f"{x!r}::DOUBLE" for x in hyperplane(p, LSH_DIM)) + "]"
+
+    bucket_terms = " + ".join(
+        f"(CASE WHEN {_DUCK_DOT.format(a='{v}', b=plane_lit(p))} >= 0 "
+        f"THEN 1::BIGINT ELSE 0 END << {p})"
+        for p in range(LSH_PLANES)
+    )
+    eb = bucket_terms.replace("{v}", "embedding")
+    cos = (
+        f"ROUND({_DUCK_DOT.format(a='e.vec', b='q.qvec')}"
+        f" / (sqrt({_DUCK_DOT.format(a='e.vec', b='e.vec')})"
+        f" * sqrt({_DUCK_DOT.format(a='q.qvec', b='q.qvec')})), 4)"
+    )
+    rank_sel = (
+        "SELECT qid, id FROM ("
+        "SELECT q.qid, e.id, "
+        f"ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY {cos} DESC, e.id ASC) AS rnk "
+        "FROM e {join} q "
+        "WHERE e.id != q.qid AND e.label = q.qlabel"
+        f") WHERE rnk <= {FILTERED_K}"
+    )
+    flips = ", ".join(f"xor(qbucket, {1 << p}::BIGINT)" for p in range(LSH_PLANES))
+    return f"""
+WITH e AS (
+  SELECT vec_id AS id, embedding AS vec, label, ({eb}) AS bucket
+  FROM embeddings
+),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec, label AS qlabel, ({eb}) AS qbucket
+  FROM embeddings WHERE vec_id < {RECALL_N_Q}
+),
+gold AS ({rank_sel.format(join="CROSS JOIN")}),
+lsh AS ({rank_sel.format(join="JOIN").replace("FROM e JOIN q", "FROM e JOIN q ON e.bucket = q.qbucket")}),
+qmp AS (
+  SELECT qid, qvec, qlabel, unnest([qbucket, {flips}]) AS qbucket FROM q
+),
+lsh_mp AS ({rank_sel.format(join="JOIN").replace("FROM e JOIN q", "FROM e JOIN qmp q ON e.bucket = q.qbucket")}),
+gn AS (SELECT COUNT(*)::BIGINT AS gold_n FROM gold),
+rows AS (
+  SELECT 'prefilter_exact' AS strategy,
+         (SELECT COUNT(*) FROM gold g2 JOIN gold USING (qid, id))::BIGINT AS total_hits
+  UNION ALL
+  SELECT 'postfilter_lsh',
+         (SELECT COUNT(*) FROM lsh JOIN gold USING (qid, id))::BIGINT
+  UNION ALL
+  SELECT 'postfilter_lsh_multiprobe',
+         (SELECT COUNT(*) FROM lsh_mp JOIN gold USING (qid, id))::BIGINT
+)
+SELECT strategy,
+       {RECALL_N_Q}::BIGINT AS n_queries,
+       {FILTERED_K}::BIGINT AS k,
+       gn.gold_n,
+       total_hits,
+       ((1000000 * total_hits) // gn.gold_n)::BIGINT AS recall_ppm
+FROM rows CROSS JOIN gn
+ORDER BY strategy
+"""
+
+
 def _oracle_sim_recall_report() -> str:
     from .queries_pipeline import _IVFPQ_PROBE, _ivfpq_coarse, _pqf_oracle_ctes, _pqf_query_vec
 
@@ -4021,6 +4203,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anonymize_orders": q_anonymize_orders,
     "profile_documents": q_profile_documents,
     "zorder_skipping": q_zorder_skipping,
+    "sim_filtered_recall": q_sim_filtered_recall,
     "events_decayed_value": q_events_decayed_value,
     "events_enrich_segments": q_events_enrich_segments,
     "quantiles_exact_global": q_quantiles_exact_global,
@@ -4100,6 +4283,7 @@ EXT_ORACLES: dict[str, str] = {
     "anonymize_orders": _ORACLE_ANONYMIZE_ORDERS,
     "profile_documents": _oracle_profile_documents(),
     "zorder_skipping": _oracle_zorder_skipping(),
+    "sim_filtered_recall": _oracle_sim_filtered_recall(),
     "events_decayed_value": _ORACLE_EVENTS_DECAYED,
     "events_enrich_segments": _ORACLE_EVENTS_ENRICH,
     "quantiles_exact_global": _ORACLE_QUANTILES_EXACT,

@@ -30,6 +30,7 @@ BNLJ_ALLOWED = {
     "dedup_cosine_pairs": "documented O(n^2) exact baseline for LSH recall measurement (SCALE.md)",
     "sim_topk_cosine": "exact brute-force baseline; broadcast side is the bounded query set",
     "sim_recall_report": "recall measurement: exact ground-truth + SQ scan tiers broadcast the bounded 16-query set",
+    "sim_filtered_recall": "recall measurement: the prefilter-exact gold standard broadcasts the bounded 16-query set; 1-row verdict aggregates",
     "sim_ivf": "centroid assignment; broadcast side is the k-centroid table",
     "sim_ivf_batch": "centroid assignment; broadcast side is the k-centroid table",
     "events_resample": "gap-fill grid join; broadcast side is the bounded hour grid",
