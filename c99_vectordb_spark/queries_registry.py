@@ -1748,7 +1748,8 @@ _ORACLES: dict[str, str] = {
 # (dedup_recall_report, corpus_pipeline_incremental, corpus_pack_report,
 # corpus_filter_funnel, multimodal_adpcm_roundtrip,
 # multimodal_video_frames, corpus_kn_incremental, profile_documents,
-# zorder_skipping, corpus_pipeline_dsir); the five session-4 displacements
+# zorder_skipping, corpus_pipeline_dsir, sim_filtered_recall); the
+# five session-4 displacements
 # (dedup_cluster_sizes, sim_diverse_topk, corpus_fertility,
 # corpus_bm25_batch, quantiles_exact_global — r5-judge-verified); plus
 # tpch_q2/q10/q11/q12/q15/q16/q20, approx_quantiles_bottomk,
