@@ -149,6 +149,10 @@ HEADLINE = [
     "zorder_skipping",
     "corpus_pipeline_dsir",
     "sim_filtered_recall",
+    "approx_distinct_hll",
+    "bloom_semi_join",
+    "fuzzy_join_parts",
+    "sim_hybrid_rrf",
 ]
 
 

@@ -69,19 +69,28 @@ def string_hash(c: Column) -> Column:
     return token_hash(c)
 
 
-def string_hash_wide(c: Column) -> Column:
-    """~60-bit wide fingerprint fold (hashing.fingerprint_wide spec):
-    fp1 * HASH_MOD2 + fp2 with two independent polynomial folds —
-    collision-safe dedup keys at corpus scale."""
+def string_hash2(c: Column) -> Column:
+    """The SECOND independent polynomial fold (HASH_BASE2/HASH_MOD2 —
+    hashing.token_hash2 spec). Pairs with :func:`string_hash` wherever
+    an operator needs two independent hash functions of one key
+    (wide fingerprints, Kirsch-Mitzenmacher Bloom probes)."""
     from ..model import HASH_BASE2, HASH_MOD2
 
     chars = F.filter(F.split(c, ""), lambda ch: ch != F.lit(""))
-    h2 = F.aggregate(
+    return F.aggregate(
         chars,
         F.lit(0).cast("long"),
         lambda h, ch: (h * F.lit(HASH_BASE2) + F.ascii(ch)) % F.lit(HASH_MOD2),
     )
-    return token_hash(c) * F.lit(HASH_MOD2) + h2
+
+
+def string_hash_wide(c: Column) -> Column:
+    """~60-bit wide fingerprint fold (hashing.fingerprint_wide spec):
+    fp1 * HASH_MOD2 + fp2 with two independent polynomial folds —
+    collision-safe dedup keys at corpus scale."""
+    from ..model import HASH_MOD2
+
+    return token_hash(c) * F.lit(HASH_MOD2) + string_hash2(c)
 
 
 def floor_div_sql(expr: str, divisor: int) -> str:

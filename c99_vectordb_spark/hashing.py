@@ -235,15 +235,41 @@ def fingerprint_wide(normalized: str) -> int:
     return token_hash(normalized) * HASH_MOD2 + token_hash2(normalized)
 
 
-def duckdb_fingerprint_wide_sql(norm_expr: str) -> str:
-    """DuckDB SQL computing fingerprint_wide(norm_expr) exactly."""
+def duckdb_token_hash2_sql(tok_expr: str) -> str:
+    """DuckDB SQL computing token_hash2(tok_expr) — the second
+    independent fold; exact Spark parity with functions.text
+    ``string_hash2`` (Bloom probes, wide fingerprints)."""
     from .model import HASH_BASE2, HASH_MOD2
 
-    fold2 = (
-        f"list_reduce([0::BIGINT] || list_transform(range(1, len({norm_expr})+1), "
-        f"i -> ascii({norm_expr}[i])::BIGINT), (h,c) -> (h*{HASH_BASE2}+c) % {HASH_MOD2})"
+    return (
+        f"list_reduce([0::BIGINT] || list_transform(range(1, len({tok_expr})+1), "
+        f"i -> ascii({tok_expr}[i])::BIGINT), (h,c) -> (h*{HASH_BASE2}+c) % {HASH_MOD2})"
     )
-    return f"(({duckdb_token_hash_sql(norm_expr)}) * {HASH_MOD2} + ({fold2}))"
+
+
+def duckdb_md5_hash56_sql(expr: str) -> str:
+    """DuckDB SQL folding the first 14 hex chars of md5(expr) into a
+    uniform 56-bit BIGINT — exact parity with Spark's
+    ``conv(substring(md5(x), 1, 14), 16, 10)``. Used where an operator
+    consumes hash bits POSITIONALLY (HLL leading-zero ranks): the
+    polynomial fold is collision-safe but NOT avalanche-uniform for
+    short keys (they never wrap the modulus), which breaks
+    rank-of-first-bit statistics."""
+    return (
+        "list_reduce([0::BIGINT] || list_transform(range(1, 15), "
+        f"i -> (strpos('0123456789abcdef', substr(md5({expr}), 1, 14)[i]) - 1)::BIGINT), "
+        "(h,c) -> h*16 + c)"
+    )
+
+
+def duckdb_fingerprint_wide_sql(norm_expr: str) -> str:
+    """DuckDB SQL computing fingerprint_wide(norm_expr) exactly."""
+    from .model import HASH_MOD2
+
+    return (
+        f"(({duckdb_token_hash_sql(norm_expr)}) * {HASH_MOD2} "
+        f"+ ({duckdb_token_hash2_sql(norm_expr)}))"
+    )
 
 
 def duckdb_tokens_sql(text_expr: str) -> str:

@@ -4168,6 +4168,509 @@ ORDER BY o_custkey, valid_from
 # registry
 # ---------------------------------------------------------------------------
 
+# ---------------------------------------------------------------------------
+# round-6 session-5 wave: deterministic HLL, Bloom runtime semi-join,
+# q-gram fuzzy join (entity resolution), hybrid BM25+dense RRF retrieval
+# ---------------------------------------------------------------------------
+
+
+def q_approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HyperLogLog distinct-count over orders.o_custkey on the fixed
+    polynomial hash spec — every register is an exact integer both
+    engines reproduce, so the ESTIMATE itself is hash-checked (the
+    engine built-in approx_count_distinct is an HLL whose private hash
+    makes it un-oracle-able; this is the oracled twin).
+
+    Two rows prove the merge law the sketch's 100 TB story rests on:
+    ``global`` builds registers over all rows; ``merged_halves``
+    builds per-half register tables (o_orderkey parity) and merges
+    them with max() — per-executor partials combine exactly like any
+    Spark partial aggregate, so the two estimates are IDENTICAL.
+    err_ppm measures the design's accuracy (m=256 -> ~6.5% std error)
+    against the exact distinct count."""
+    from .operators.sketches import HLL_M, hll_estimate, hll_registers
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keyed = orders.select(
+        F.col("o_custkey").alias("key"), (F.col("o_orderkey") % 2).alias("half")
+    )
+    regs_global = hll_registers(keyed, F.col("key"))
+    halves = hll_registers(keyed, F.col("key"), group_cols=("half",))
+    merged = halves.groupBy("reg").agg(F.max("rho").alias("rho"))
+    true_d = orders.agg(
+        F.count_distinct("o_custkey").cast("long").alias("true_distinct")
+    )
+
+    def row(scope: str, regs: DataFrame) -> DataFrame:
+        return (
+            hll_estimate(regs)
+            .crossJoin(F.broadcast(true_d))
+            .select(
+                F.lit(scope).alias("scope"),
+                F.lit(HLL_M).cast("long").alias("m"),
+                "nonzero_regs",
+                "zero_regs",
+                "est_hll",
+                "true_distinct",
+                F.round(
+                    F.lit(1000000.0)
+                    * (F.col("est_hll") - F.col("true_distinct"))
+                    / F.col("true_distinct"),
+                    0,
+                )
+                .cast("long")
+                .alias("err_ppm"),
+                "method",
+            )
+        )
+
+    return (
+        row("global", regs_global)
+        .unionByName(row("merged_halves", merged))
+        .orderBy("scope")
+    )
+
+
+def _oracle_approx_distinct_hll() -> str:
+    from .operators.sketches import (
+        HLL_ALPHA_M2,
+        HLL_LC_COEF,
+        HLL_LC_CUTOFF,
+        HLL_M,
+        HLL_W,
+    )
+
+    fold = hashing.duckdb_md5_hash56_sql("key")
+    rho_max = HLL_W + 1
+    lc = (
+        f"ROUND({HLL_LC_COEF!r}::DOUBLE * "
+        f"((msb - 20) * 1024 + ((r_q20 - (1::BIGINT << msb)) * 1024) "
+        f"// (1::BIGINT << msb))::DOUBLE / 1024.0, 2)"
+    )
+    use_lc = f"zero_regs > 0 AND raw_est <= {HLL_LC_CUTOFF!r}"
+    return f"""
+WITH k AS (
+  SELECT o_custkey::VARCHAR AS key, o_orderkey % 2 AS half FROM orders
+),
+h AS (SELECT {fold} AS h, half FROM k),
+r AS (
+  SELECT h % {HLL_M} AS reg, (h // {HLL_M}) % {1 << HLL_W} AS w, half FROM h
+),
+rr AS (
+  SELECT reg, half,
+         (CASE WHEN w = 0 THEN {rho_max}
+               ELSE {rho_max} - length(bin(w)) END)::BIGINT AS rho
+  FROM r
+),
+g AS (SELECT reg, MAX(rho) AS rho FROM rr GROUP BY reg),
+hv AS (SELECT half, reg, MAX(rho) AS rho FROM rr GROUP BY 1, 2),
+mg AS (SELECT reg, MAX(rho) AS rho FROM hv GROUP BY reg),
+td AS (SELECT COUNT(DISTINCT o_custkey)::BIGINT AS true_distinct FROM orders),
+est AS (
+  SELECT 'global' AS scope, COUNT(*)::BIGINT AS nonzero_regs,
+         SUM(1.0 / ((1::BIGINT << rho))::DOUBLE) AS s
+  FROM g
+  UNION ALL
+  SELECT 'merged_halves', COUNT(*)::BIGINT,
+         SUM(1.0 / ((1::BIGINT << rho))::DOUBLE)
+  FROM mg
+),
+fin0 AS (
+  SELECT scope, nonzero_regs,
+         ({HLL_M} - nonzero_regs)::BIGINT AS zero_regs,
+         {HLL_ALPHA_M2!r}::DOUBLE
+           / (s + ({HLL_M} - nonzero_regs)::DOUBLE) AS raw_est,
+         ({HLL_M << 20}) // greatest({HLL_M} - nonzero_regs, 1) AS r_q20
+  FROM est
+),
+fin1 AS (SELECT *, length(bin(r_q20)) - 1 AS msb FROM fin0),
+fin AS (
+  SELECT scope, nonzero_regs, zero_regs,
+         CASE WHEN {use_lc} THEN {lc} ELSE ROUND(raw_est, 2) END AS est_hll,
+         CASE WHEN {use_lc} THEN 'linear_counting' ELSE 'raw' END AS method
+  FROM fin1
+)
+SELECT scope,
+       {HLL_M}::BIGINT AS m,
+       nonzero_regs,
+       zero_regs,
+       est_hll,
+       td.true_distinct,
+       ROUND(1000000.0 * (est_hll - td.true_distinct) / td.true_distinct, 0)::BIGINT
+         AS err_ppm,
+       method
+FROM fin CROSS JOIN td
+ORDER BY scope
+"""
+
+
+def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter runtime semi-join — the declarative twin of the
+    runtime row-group filters / DPP Spark injects below a fact scan:
+    the dim side (orders with o_orderstatus='F') compiles to <= 2^16
+    set bit positions, the fact side (distinct lineitem order keys)
+    passes iff ALL k probe positions hit. The report quantifies the
+    design: exact semi-join matches vs bloom passes, false positives,
+    and fp rate among true negatives (ppm, integer-exact).
+
+    100 TB shape: the bit table is bounded by m (65536) no matter how
+    large the build side — always broadcastable; the probe is a
+    map-side broadcast equi-join on bit + one key-keyed count. No
+    bitmap datatype, so the DuckDB oracle replays every bit."""
+    from .operators.sketches import BLOOM_K, BLOOM_M, bloom_bits, bloom_pass_keys
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    build = orders.filter(F.col("o_orderstatus") == "F")
+    bits = bloom_bits(build, F.col("o_orderkey"))
+    build_keys = build.select(F.col("o_orderkey").cast("string").alias("k")).distinct()
+    probe = li.select(F.col("l_orderkey").cast("string").alias("k")).distinct()
+    passing = bloom_pass_keys(li, F.col("l_orderkey"), bits)
+
+    def n(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(F.count(F.lit(1)).cast("long").alias(name))
+
+    return (
+        n(build_keys, "build_keys")
+        .crossJoin(F.broadcast(n(bits, "bits_set")))
+        .crossJoin(F.broadcast(n(probe, "probe_keys")))
+        .crossJoin(F.broadcast(n(probe.join(build_keys, "k", "left_semi"), "exact_matches")))
+        .crossJoin(F.broadcast(n(passing, "bloom_pass")))
+        .selectExpr(
+            f"{BLOOM_M}L AS m",
+            f"{BLOOM_K}L AS k_hashes",
+            "build_keys",
+            "bits_set",
+            "probe_keys",
+            "exact_matches",
+            "bloom_pass",
+            "bloom_pass - exact_matches AS false_positives",
+            "(1000000 * (bloom_pass - exact_matches)) div "
+            "greatest(probe_keys - exact_matches, 1) AS fp_ppm",
+        )
+    )
+
+
+def _oracle_bloom_semi_join() -> str:
+    from .operators.sketches import BLOOM_K, BLOOM_M
+
+    f1 = hashing.duckdb_token_hash_sql("k")
+    f2 = hashing.duckdb_token_hash2_sql("k")
+    pos_list = ", ".join(
+        f"(h1 + {i} * h2) % {BLOOM_M}" for i in range(BLOOM_K)
+    )
+    return f"""
+WITH bk AS (
+  SELECT DISTINCT o_orderkey::VARCHAR AS k FROM orders WHERE o_orderstatus = 'F'
+),
+bh AS (SELECT k, {f1} AS h1, {f2} AS h2 FROM bk),
+bits AS (SELECT DISTINCT unnest([{pos_list}]) AS bit FROM bh),
+pk AS (SELECT DISTINCT l_orderkey::VARCHAR AS k FROM lineitem),
+ph AS (SELECT k, {f1} AS h1, {f2} AS h2 FROM pk),
+ppos AS (SELECT k, unnest([{pos_list}]) AS bit FROM ph),
+pass AS (
+  SELECT k FROM ppos JOIN bits USING (bit)
+  GROUP BY k HAVING COUNT(*) = {BLOOM_K}
+),
+agg AS (
+  SELECT (SELECT COUNT(*) FROM bk)::BIGINT AS build_keys,
+         (SELECT COUNT(*) FROM bits)::BIGINT AS bits_set,
+         (SELECT COUNT(*) FROM pk)::BIGINT AS probe_keys,
+         (SELECT COUNT(*) FROM pk SEMI JOIN bk USING (k))::BIGINT AS exact_matches,
+         (SELECT COUNT(*) FROM pass)::BIGINT AS bloom_pass
+)
+SELECT {BLOOM_M}::BIGINT AS m,
+       {BLOOM_K}::BIGINT AS k_hashes,
+       build_keys, bits_set, probe_keys, exact_matches, bloom_pass,
+       (bloom_pass - exact_matches)::BIGINT AS false_positives,
+       ((1000000 * (bloom_pass - exact_matches))
+         // greatest(probe_keys - exact_matches, 1))::BIGINT AS fp_ppm
+FROM agg
+"""
+
+
+def q_fuzzy_join_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity resolution: q-gram-blocked edit-distance similarity join
+    (operators/fuzzy.py). A dirty feed (every 4th part's name with one
+    hash-keyed character deleted — deterministic, both engines derive
+    the identical corruption) is matched against the clean name
+    catalog under levenshtein <= 2. Candidates come from an equi-join
+    on shared 2-grams with a count filter; only candidates pay the
+    exact levenshtein verify — no all-pairs plan.
+
+    Output: per dirty entity its BEST verified match (min lev, ties by
+    name) plus how many clean names verified — the standard
+    match-confidence signal."""
+    from .functions.text import string_hash
+    from .operators.fuzzy import corrupt_name, gram_blocked_matches
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    dirty = part.filter(F.col("p_partkey") % 4 == 0).select(
+        F.col("p_partkey").alias("dirty_key"),
+        corrupt_name(F.col("p_name"), string_hash(F.col("p_name"))).alias(
+            "dirty_name"
+        ),
+    )
+    clean = part.select(F.col("p_name").alias("match_name")).distinct()
+    ver = gram_blocked_matches(dirty, clean)
+    nv = ver.groupBy("dirty_key").agg(
+        F.count(F.lit(1)).cast("long").alias("n_verified")
+    )
+    w = Window.partitionBy("dirty_key").orderBy(F.asc("lev"), F.asc("match_name"))
+    best = ver.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") == 1)
+    return (
+        best.join(nv, "dirty_key")
+        .select("dirty_key", "dirty_name", "match_name", "lev", "n_verified")
+        .orderBy("dirty_key")
+    )
+
+
+def _oracle_fuzzy_join_parts() -> str:
+    from .operators.fuzzy import FUZZY_D, FUZZY_Q
+
+    fold = hashing.duckdb_token_hash_sql("p_name")
+    q, d = FUZZY_Q, FUZZY_D
+    return f"""
+WITH dirty0 AS (
+  SELECT p_partkey AS dirty_key, p_name AS n,
+         (({fold}) % length(p_name)) + 1 AS delpos
+  FROM part WHERE p_partkey % 4 = 0
+),
+dirty AS (
+  SELECT dirty_key,
+         substr(n, 1, delpos - 1) || substr(n, delpos + 1) AS dirty_name
+  FROM dirty0
+),
+clean AS (SELECT DISTINCT p_name AS match_name FROM part),
+dg AS (
+  SELECT DISTINCT dirty_key, dirty_name, substr(dirty_name, i, {q}) AS gram
+  FROM (
+    SELECT dirty_key, dirty_name,
+           unnest(range(1, greatest(length(dirty_name) - {q - 1}, 1) + 1)) AS i
+    FROM dirty
+  )
+),
+cg AS (
+  SELECT DISTINCT match_name, substr(match_name, i, {q}) AS gram
+  FROM (
+    SELECT match_name,
+           unnest(range(1, greatest(length(match_name) - {q - 1}, 1) + 1)) AS i
+    FROM clean
+  )
+),
+cand AS (
+  SELECT dirty_key, dirty_name, match_name, COUNT(*) AS shared_grams
+  FROM dg JOIN cg USING (gram)
+  GROUP BY 1, 2, 3
+  HAVING COUNT(*) >= greatest(
+    greatest(length(dirty_name), length(match_name)) - {q - 1} - {d * q}, 1)
+),
+ver AS (
+  SELECT dirty_key, dirty_name, match_name,
+         levenshtein(dirty_name, match_name)::BIGINT AS lev
+  FROM cand
+  WHERE levenshtein(dirty_name, match_name) <= {d}
+),
+nv AS (SELECT dirty_key, COUNT(*)::BIGINT AS n_verified FROM ver GROUP BY 1),
+best AS (
+  SELECT dirty_key, dirty_name, match_name, lev,
+         ROW_NUMBER() OVER (PARTITION BY dirty_key
+                            ORDER BY lev ASC, match_name ASC) AS rnk
+  FROM ver
+)
+SELECT b.dirty_key, b.dirty_name, b.match_name, b.lev, nv.n_verified
+FROM best b JOIN nv USING (dirty_key)
+WHERE b.rnk = 1
+ORDER BY b.dirty_key
+"""
+
+
+#: hybrid-retrieval design constants (shared with the oracle)
+RRF_KCONST = 60  #: the standard RRF dampening constant
+RRF_POOL = 50  #: per-retriever candidate pool size
+RRF_TOPK = 10  #: fused result size
+
+
+def _bounded_rank(pool: DataFrame, asc: bool, rank_name: str) -> DataFrame:
+    """Rank a BOUNDED (<= RRF_POOL rows by construction) candidate
+    pool (id, score) without a global window: rank = 1 + count of
+    strict predecessors under the total order (score, id), computed
+    as a broadcast self-join. The pool size is a design constant, so
+    the O(pool^2) pair count is 2500 rows regardless of corpus size —
+    the same bounded-rerank pattern as sim_diverse_topk, kept fully
+    distributed (plan-guard: BNLJ over a bounded literal-sized side)."""
+    a, b = pool.alias("a"), pool.alias("b")
+    if asc:
+        before = (F.col("b.score") < F.col("a.score")) | (
+            (F.col("b.score") == F.col("a.score")) & (F.col("b.id") < F.col("a.id"))
+        )
+    else:
+        before = (F.col("b.score") > F.col("a.score")) | (
+            (F.col("b.score") == F.col("a.score")) & (F.col("b.id") < F.col("a.id"))
+        )
+    return (
+        a.join(F.broadcast(b), before, "left")
+        .groupBy(F.col("a.id").alias("id"))
+        .agg((F.count(F.col("b.id")) + F.lit(1)).cast("long").alias(rank_name))
+    )
+
+
+def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval with reciprocal-rank fusion — the RAG-serving
+    shape: a sparse BM25 retriever and a dense vector retriever each
+    produce a top-50 candidate pool for the same query; the pools are
+    fused by RRF (score = sum 1/(60+rank), absent side contributes 0)
+    and the top-10 fused documents returned.
+
+    Sparse side: integer-exact Okapi BM25 (operators/corpus.bm25_topk);
+    dense side: exact integer squared-L2 over the signed-BoW embedding
+    (operators/recall) — both engine-exact, and the only floats (the
+    two reciprocal terms) are identical IEEE divisions cross-engine.
+
+    100 TB shape: each retriever is its own bounded top-k (TakeOrdered
+    / posting-list joins); fusion touches only 2x50 rows."""
+    from .functions.embed import embed_pandas_udf
+    from .model import DIM
+    from .operators.corpus import bm25_topk
+    from .operators.recall import score_sq_l2_int_sparse
+    from .queries_registry import RECALL_QUERY_TEXT
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qv = hashing.embed_text_int(RECALL_QUERY_TEXT, DIM)
+    dense_pool = (
+        docs.select(F.col("doc_id").alias("id"), "text")
+        .withColumn("vec", embed_pandas_udf(DIM)(F.col("text")))
+        .select("id", score_sq_l2_int_sparse(F.col("vec"), qv).alias("score"))
+        .orderBy(F.asc("score"), F.asc("id"))
+        .limit(RRF_POOL)
+    )
+    terms = hashing.tokenize(RECALL_QUERY_TEXT)
+    sparse_pool = bm25_topk(docs, terms, "doc_id", "text", k=RRF_POOL).select(
+        "id", F.col("score_q26").alias("score")
+    )
+    dr = _bounded_rank(dense_pool, asc=True, rank_name="r_dense")
+    sr = _bounded_rank(sparse_pool, asc=False, rank_name="r_bm25")
+    fused = (
+        dr.join(sr, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce(F.col("r_dense"), F.lit(0)).cast("long").alias("r_dense"),
+            F.coalesce(F.col("r_bm25"), F.lit(0)).cast("long").alias("r_bm25"),
+        )
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.when(
+                    F.col("r_dense") > 0,
+                    F.lit(1.0) / (F.lit(RRF_KCONST) + F.col("r_dense")),
+                ).otherwise(F.lit(0.0))
+                + F.when(
+                    F.col("r_bm25") > 0,
+                    F.lit(1.0) / (F.lit(RRF_KCONST) + F.col("r_bm25")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
+    )
+    return fused.orderBy(F.desc("rrf_score"), F.asc("id")).limit(RRF_TOPK)
+
+
+def _oracle_sim_hybrid_rrf() -> str:
+    from .model import DIM
+    from .queries_registry import RECALL_QUERY_TEXT, _duck_doc_vec_cte
+
+    qvec = hashing.embed_text_int(RECALL_QUERY_TEXT, DIM)
+    q2 = sum(w * w for w in qvec)
+    qrows = ", ".join(f"({b}, {w})" for b, w in enumerate(qvec) if w)
+    terms = ", ".join(f"'{t}'" for t in sorted(set(hashing.tokenize(RECALL_QUERY_TEXT))))
+    return f"""
+WITH {_duck_doc_vec_cte(DIM)},
+norms AS (SELECT doc_id, SUM(w * w)::BIGINT AS d2 FROM vec GROUP BY 1),
+qv(bucket, w) AS (VALUES {qrows}),
+dots AS (
+  SELECT v.doc_id, SUM(v.w * qv.w)::BIGINT AS dot
+  FROM vec v JOIN qv ON v.bucket = qv.bucket GROUP BY 1
+),
+dense_scored AS (
+  SELECT d.doc_id AS id,
+         (COALESCE(n.d2, 0) + {q2} - 2 * COALESCE(t.dot, 0))::BIGINT AS score
+  FROM documents d
+  LEFT JOIN norms n ON d.doc_id = n.doc_id
+  LEFT JOIN dots t ON d.doc_id = t.doc_id
+),
+dense_rank AS (
+  SELECT id, rn AS r_dense FROM (
+    SELECT id, ROW_NUMBER() OVER (ORDER BY score ASC, id ASC) AS rn
+    FROM dense_scored
+  ) WHERE rn <= {RRF_POOL}
+),
+bm_tok AS (
+  SELECT doc_id AS id, unnest({hashing.duckdb_tokens_sql('text')}) AS term
+  FROM documents
+),
+bm_dl AS (SELECT id, COUNT(*)::BIGINT AS dl FROM bm_tok GROUP BY id),
+bm_scal AS (
+  SELECT COUNT(*)::BIGINT AS n_docs,
+         ((1000 * SUM(dl)) // COUNT(*))::BIGINT AS avgdl_m FROM bm_dl
+),
+bm_hits AS (SELECT id, term FROM bm_tok WHERE term IN ({terms})),
+bm_tf AS (SELECT id, term, COUNT(*)::BIGINT AS tf FROM bm_hits GROUP BY id, term),
+bm_dfreq AS (
+  SELECT term, COUNT(DISTINCT id)::BIGINT AS dfq FROM bm_hits GROUP BY term
+),
+bm_j AS (
+  SELECT bm_tf.id, bm_tf.tf, bm_dfreq.dfq, s.n_docs,
+         (1000000 * bm_dl.dl) // s.avgdl_m AS ratio_m
+  FROM bm_tf JOIN bm_dfreq USING (term)
+  JOIN bm_dl ON bm_tf.id = bm_dl.id CROSS JOIN bm_scal s
+),
+bm_d AS (
+  SELECT id, tf,
+         1000 * tf + (1200 * (250 + (750 * ratio_m) // 1000)) // 1000 AS denom_m,
+         greatest(((2 * (n_docs - dfq) + 1) * 1048576) // (2 * dfq + 1),
+                  1::BIGINT) AS r
+  FROM bm_j
+),
+bm_p AS (
+  SELECT id, (65536 * 2200 * tf) // denom_m AS tf_q16,
+         length(format('{{:b}}', r)) - 1 AS msb, r
+  FROM bm_d
+),
+bm_i AS (
+  SELECT id, tf_q16,
+         greatest((msb - 20) * 1024
+                  + ((r - (1::BIGINT << msb)) * 1024) // (1::BIGINT << msb),
+                  0::BIGINT) AS idf_q10
+  FROM bm_p
+),
+bm_scored AS (
+  SELECT id, SUM(tf_q16 * idf_q10)::BIGINT AS score FROM bm_i GROUP BY id
+),
+bm_rank AS (
+  SELECT id, rn AS r_bm25 FROM (
+    SELECT id, ROW_NUMBER() OVER (ORDER BY score DESC, id ASC) AS rn
+    FROM bm_scored
+  ) WHERE rn <= {RRF_POOL}
+),
+fused AS (
+  SELECT COALESCE(d.id, s.id) AS id,
+         COALESCE(d.r_dense, 0)::BIGINT AS r_dense,
+         COALESCE(s.r_bm25, 0)::BIGINT AS r_bm25
+  FROM dense_rank d FULL OUTER JOIN bm_rank s ON d.id = s.id
+)
+SELECT id, r_dense, r_bm25,
+       ROUND(
+         (CASE WHEN r_dense > 0
+               THEN 1.0 / ({RRF_KCONST} + r_dense) ELSE 0.0 END)
+         + (CASE WHEN r_bm25 > 0
+                 THEN 1.0 / ({RRF_KCONST} + r_bm25) ELSE 0.0 END), 6
+       ) AS rrf_score
+FROM fused
+ORDER BY rrf_score DESC, id ASC
+LIMIT {RRF_TOPK}
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
@@ -4246,6 +4749,10 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "skyline_orders": q_skyline_orders,
     "cdc_apply_orders": q_cdc_apply_orders,
     "events_trailing_24h": q_events_trailing_24h,
+    "approx_distinct_hll": q_approx_distinct_hll,
+    "bloom_semi_join": q_bloom_semi_join,
+    "fuzzy_join_parts": q_fuzzy_join_parts,
+    "sim_hybrid_rrf": q_sim_hybrid_rrf,
 }
 
 EXT_ORACLES: dict[str, str] = {
@@ -4324,4 +4831,8 @@ EXT_ORACLES: dict[str, str] = {
     "skyline_orders": _ORACLE_SKYLINE_ORDERS,
     "cdc_apply_orders": _ORACLE_CDC_APPLY_ORDERS,
     "events_trailing_24h": _ORACLE_EVENTS_TRAILING_24H,
+    "approx_distinct_hll": _oracle_approx_distinct_hll(),
+    "bloom_semi_join": _oracle_bloom_semi_join(),
+    "fuzzy_join_parts": _oracle_fuzzy_join_parts(),
+    "sim_hybrid_rrf": _oracle_sim_hybrid_rrf(),
 }

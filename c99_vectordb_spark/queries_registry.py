@@ -1742,16 +1742,26 @@ _ORACLES: dict[str, str] = {
 # rotate back in r7). Everything rotated out remains fully
 # oracle-covered past the window via tools/verify_oracle.
 #
+# Session-5 swap: the four NEW session-5 operators (approx_distinct_hll,
+# bloom_semi_join, fuzzy_join_parts, sim_hybrid_rrf) rotate in so they
+# land driver-green in the round they were built, displacing four
+# first-timers the r5 judge had ALREADY independently verified
+# (sim_knn_join, orders_price_outliers, profile_orders,
+# events_rollup_incremental — all stay oracle-covered past the window
+# and rotate back in r7). The window still carries 26 first-timers.
+#
 # Round-7 rotation TODO: the remaining window-eligible never-checked
 # pool (multimodal_features and sim_pq are rows-only and cannot occupy
-# hash slots): the six NEW oracled r6 queries still outside the window
+# hash slots): the NEW oracled r6 queries still outside the window
 # (dedup_recall_report, corpus_pipeline_incremental, corpus_pack_report,
 # corpus_filter_funnel, multimodal_adpcm_roundtrip,
 # multimodal_video_frames, corpus_kn_incremental, profile_documents,
 # zorder_skipping, corpus_pipeline_dsir, sim_filtered_recall); the
-# five session-4 displacements
+# session-4/5 displacements
 # (dedup_cluster_sizes, sim_diverse_topk, corpus_fertility,
-# corpus_bm25_batch, quantiles_exact_global — r5-judge-verified); plus
+# corpus_bm25_batch, quantiles_exact_global, sim_knn_join,
+# orders_price_outliers, profile_orders, events_rollup_incremental —
+# all r5-judge-verified); plus
 # tpch_q2/q10/q11/q12/q15/q16/q20, approx_quantiles_bottomk,
 # corpus_curriculum, corpus_pack, corpus_shuffle_order,
 # corpus_snapshot_diff, corpus_weighted_sample, decontaminate_survivors,
@@ -1798,7 +1808,7 @@ DRIVER_WINDOW = [
     "sim_lsh_bucketed",
     "sim_ivfpq_fixed",
     "sim_recall_report",
-    "sim_knn_join",
+    "sim_hybrid_rrf",
     "anonymize_orders",
     # embeddings (first-time: the de-arrayed exploded projection)
     "embed_random_projection",
@@ -1821,9 +1831,11 @@ DRIVER_WINDOW = [
     "corpus_dsir_weights",
     "corpus_vocab_sweep",
     # exact-analytics / profiling first-timers
-    "orders_price_outliers",
-    "profile_orders",
-    "events_rollup_incremental",
+    # session-5 wave: HLL distinct, Bloom runtime semi-join, q-gram
+    # fuzzy join — driver-checked in the round they were built
+    "approx_distinct_hll",
+    "bloom_semi_join",
+    "fuzzy_join_parts",
 ]
 
 

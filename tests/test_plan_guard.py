@@ -47,6 +47,9 @@ BNLJ_ALLOWED = {
     "corpus_dsir_weights": "1-row scalar aggregate broadcast (feature totals) feeding the 1024-row bucket weight table",
     "corpus_pipeline_dsir": "1-row scalar aggregate broadcast (DSIR feature totals) inside the selection stage",
     "corpus_vocab_sweep": "two 1-row scalar aggregate broadcasts (corpus totals, base-char inventory)",
+    "approx_distinct_hll": "1-row scalar aggregate broadcasts (estimate row x exact-distinct row)",
+    "bloom_semi_join": "1-row scalar aggregate broadcasts (the five verdict counters)",
+    "sim_hybrid_rrf": "bounded-pool rank join: both sides are the <=50-row candidate pools (design constant)",
 }
 
 

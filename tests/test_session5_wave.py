@@ -1,0 +1,246 @@
+"""Property tests for the round-6 session-5 operator wave: HLL,
+Bloom semi-join, q-gram fuzzy join, hybrid RRF retrieval.
+
+Oracle parity (tools/verify_oracle) proves Spark==DuckDB; these prove
+the SEMANTICS on axes a twin bug could share — the HLL merge law and
+hash uniformity contract, the Bloom filter's zero-false-negative
+guarantee, blocking recall of the fuzzy join, and RRF's fusion laws —
+plus exact pure-Python recounts of the fused ranks.
+"""
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from c99_vectordb_spark.operators.fuzzy import (
+    FUZZY_D,
+    corrupt_name,
+    gram_blocked_matches,
+)
+from c99_vectordb_spark.operators.sketches import (
+    BLOOM_K,
+    HLL_M,
+    HLL_W,
+    bloom_bits,
+    bloom_pass_keys,
+    hll_estimate,
+    hll_registers,
+)
+from c99_vectordb_spark.queries_ext import (
+    RRF_KCONST,
+    RRF_POOL,
+    q_approx_distinct_hll,
+    q_bloom_semi_join,
+    q_fuzzy_join_parts,
+    q_sim_hybrid_rrf,
+)
+
+
+# ---------------------------------------------------------------------------
+# HLL
+# ---------------------------------------------------------------------------
+
+def test_hll_md5_fold_matches_python(spark):
+    """The Spark conv(substring(md5..)) fold == Python md5 int fold —
+    the cross-engine uniform-hash contract HLL rests on."""
+    vals = ["1234", "x", "", "customer#42", "99999999"]
+    df = spark.createDataFrame([(v,) for v in vals], "k string").select(
+        "k",
+        F.conv(F.substring(F.md5(F.col("k")), 1, 14), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    got = {r["k"]: r["h"] for r in df.collect()}
+    for v in vals:
+        assert got[v] == int(hashlib.md5(v.encode()).hexdigest()[:14], 16)
+
+
+def test_hll_merge_law(spark, sf_dir):
+    """Registers built on disjoint halves and merged with max() ==
+    registers built globally — the property that makes the sketch a
+    valid Spark partial aggregate at any partitioning."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keyed = orders.select(
+        F.col("o_custkey").alias("key"), (F.col("o_orderkey") % 2).alias("half")
+    )
+    g = hll_registers(keyed, F.col("key"))
+    halves = hll_registers(keyed, F.col("key"), group_cols=("half",))
+    merged = halves.groupBy("reg").agg(F.max("rho").alias("rho"))
+    assert sorted(map(tuple, g.collect())) == sorted(map(tuple, merged.collect()))
+
+
+def test_hll_estimate_tracks_truth(spark, sf_dir):
+    """m=256 -> ~6.5% std error; assert the estimate is within 20%
+    (3 sigma) of the exact distinct count — catches any recurrence of
+    the short-key rank blowout (the polynomial fold first cut was
+    +678% here)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    keyed = orders.select(F.col("o_custkey").alias("key"))
+    est = hll_estimate(hll_registers(keyed, F.col("key"))).collect()[0]["est_hll"]
+    true = orders.select("o_custkey").distinct().count()
+    assert abs(est - true) / true < 0.20
+    assert est > 0
+
+
+def test_hll_query_rows_identical(spark, sf_dir):
+    """The global and merged_halves report rows carry identical
+    estimates — the merge law surfaced as data."""
+    rows = {r["scope"]: r for r in q_approx_distinct_hll(spark, sf_dir).collect()}
+    g, m = rows["global"], rows["merged_halves"]
+    assert g["est_hll"] == m["est_hll"]
+    assert g["nonzero_regs"] == m["nonzero_regs"]
+    assert g["err_ppm"] == m["err_ppm"]
+    assert g["zero_regs"] == HLL_M - g["nonzero_regs"]
+
+
+def test_hll_rho_bounds(spark, sf_dir):
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    regs = hll_registers(orders, F.col("o_custkey")).collect()
+    assert regs
+    for r in regs:
+        assert 0 <= r["reg"] < HLL_M
+        assert 1 <= r["rho"] <= HLL_W + 1
+
+
+# ---------------------------------------------------------------------------
+# Bloom
+# ---------------------------------------------------------------------------
+
+def test_bloom_never_false_negative(spark, sf_dir):
+    """Every build-side key must pass its own filter — the defining
+    Bloom guarantee (a runtime filter that drops true matches corrupts
+    the join it accelerates)."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    build = orders.filter(F.col("o_orderstatus") == "F")
+    bits = bloom_bits(build, F.col("o_orderkey"))
+    passing = bloom_pass_keys(build, F.col("o_orderkey"), bits)
+    n_build = build.select("o_orderkey").distinct().count()
+    assert passing.count() == n_build
+
+
+def test_bloom_report_invariants(spark, sf_dir):
+    r = q_bloom_semi_join(spark, sf_dir).collect()[0]
+    # every exact match passes the bloom (no false negatives)
+    assert r["bloom_pass"] >= r["exact_matches"]
+    assert r["false_positives"] == r["bloom_pass"] - r["exact_matches"]
+    # bits set bounded by k * build_keys and by m
+    assert r["bits_set"] <= min(BLOOM_K * r["build_keys"], r["m"])
+    # fp rate among true negatives is sane (< 10% at test SF)
+    assert 0 <= r["fp_ppm"] < 100_000
+
+
+# ---------------------------------------------------------------------------
+# fuzzy join
+# ---------------------------------------------------------------------------
+
+def test_corrupt_name_is_single_deletion(spark, sf_dir):
+    """The dirty twin is exactly one character shorter and within
+    edit distance 1 of the original (deterministic, data-derived)."""
+    from c99_vectordb_spark.functions.text import string_hash
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    rows = (
+        part.select(
+            "p_name",
+            corrupt_name(F.col("p_name"), string_hash(F.col("p_name"))).alias("d"),
+        )
+        .withColumn("lev", F.levenshtein("p_name", "d"))
+        .collect()
+    )
+    for r in rows:
+        assert len(r["d"]) == len(r["p_name"]) - 1
+        assert r["lev"] == 1
+
+
+def test_fuzzy_blocking_full_recall_on_testdata(spark, sf_dir):
+    """The q-gram count filter is a heuristic; on the real fixture it
+    must not lose a single true pair: verified pairs == the exhaustive
+    all-pairs truth under lev <= d."""
+    from c99_vectordb_spark.functions.text import string_hash
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    dirty = part.filter(F.col("p_partkey") % 4 == 0).select(
+        F.col("p_partkey").alias("dirty_key"),
+        corrupt_name(F.col("p_name"), string_hash(F.col("p_name"))).alias(
+            "dirty_name"
+        ),
+    )
+    clean = part.select(F.col("p_name").alias("match_name")).distinct()
+    blocked = {
+        (r["dirty_key"], r["match_name"])
+        for r in gram_blocked_matches(dirty, clean).collect()
+    }
+    truth = {
+        (r["dirty_key"], r["match_name"])
+        for r in dirty.crossJoin(clean)
+        .withColumn("lev", F.levenshtein("dirty_name", "match_name"))
+        .filter(F.col("lev") <= FUZZY_D)
+        .collect()
+    }
+    assert blocked == truth
+
+
+def test_fuzzy_query_best_match_is_origin_or_closer(spark, sf_dir):
+    """Each dirty entity's best match has lev <= 1: the origin name is
+    always 1 deletion away, so nothing worse can win."""
+    rows = q_fuzzy_join_parts(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["lev"] <= 1
+        assert r["n_verified"] >= 1
+
+
+# ---------------------------------------------------------------------------
+# hybrid RRF
+# ---------------------------------------------------------------------------
+
+def test_rrf_fusion_matches_python_recount(spark, sf_dir):
+    """Recompute RRF from the two pools' raw ranks in Python and
+    compare the fused top-10 exactly (ranks and rounded scores)."""
+    from c99_vectordb_spark import hashing
+    from c99_vectordb_spark.model import DIM
+    from c99_vectordb_spark.operators.corpus import bm25_topk
+    from c99_vectordb_spark.queries_registry import RECALL_QUERY_TEXT
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    qv = hashing.embed_text_int(RECALL_QUERY_TEXT, DIM)
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    dense_scores = {}
+    for did, text in texts.items():
+        v = hashing.embed_text_int(text, DIM)
+        dense_scores[did] = sum((a - b) * (a - b) for a, b in zip(v, qv))
+    dense_pool = sorted(dense_scores, key=lambda d: (dense_scores[d], d))[:RRF_POOL]
+    r_dense = {d: i + 1 for i, d in enumerate(dense_pool)}
+    sparse_rows = bm25_topk(
+        docs, hashing.tokenize(RECALL_QUERY_TEXT), "doc_id", "text", k=RRF_POOL
+    ).collect()
+    sparse_pool = sorted(sparse_rows, key=lambda r: (-r["score_q26"], r["id"]))
+    r_bm25 = {r["id"]: i + 1 for i, r in enumerate(sparse_pool)}
+    fused = {}
+    for d in set(r_dense) | set(r_bm25):
+        s = 0.0
+        if d in r_dense:
+            s += 1.0 / (RRF_KCONST + r_dense[d])
+        if d in r_bm25:
+            s += 1.0 / (RRF_KCONST + r_bm25[d])
+        fused[d] = round(s, 6)
+    want = sorted(fused.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    got = q_sim_hybrid_rrf(spark, sf_dir).collect()
+    assert [(r["id"], r["rrf_score"]) for r in got] == want
+    for r in got:
+        assert r["r_dense"] == r_dense.get(r["id"], 0)
+        assert r["r_bm25"] == r_bm25.get(r["id"], 0)
+
+
+def test_rrf_doc_in_both_pools_beats_single_pool_peer(spark, sf_dir):
+    """Fusion law: a doc ranked in BOTH pools at rank r outscores any
+    doc present in only one pool at the same rank."""
+    rows = q_sim_hybrid_rrf(spark, sf_dir).collect()
+    both = [r for r in rows if r["r_dense"] > 0 and r["r_bm25"] > 0]
+    single = [r for r in rows if (r["r_dense"] > 0) != (r["r_bm25"] > 0)]
+    if both and single:
+        assert max(r["rrf_score"] for r in both) >= max(
+            r["rrf_score"] for r in single
+        )
