@@ -153,6 +153,7 @@ HEADLINE = [
     "bloom_semi_join",
     "fuzzy_join_parts",
     "sim_hybrid_rrf",
+    "text_lm_score",
 ]
 
 

@@ -94,14 +94,18 @@ def string_hash_wide(c: Column) -> Column:
 
 
 def floor_div_sql(expr: str, divisor: int) -> str:
-    """SQL for FLOORED integer division of a BIGINT expression by a
-    positive integer literal — the semantics of DuckDB/Python ``//``.
+    """Spark SQL for FLOORED integer division of a BIGINT expression by
+    a positive integer literal — the semantics of Python ``//``.
 
     Spark's ``div`` truncates toward zero, so a negative dividend (a
-    pre-1970 epoch bucketing into hours) lands one bucket HIGH vs the
-    DuckDB oracle's ``//`` (round-5 advisor note — current testdata is
-    all post-1970, so the oracles alone can't catch it). Pure integer
-    arithmetic: exact at any int64 magnitude, unlike a float detour.
+    pre-1970 epoch bucketing into hours) lands one bucket HIGH (round-5
+    advisor note). NOTE: DuckDB's integer ``//`` ALSO truncates toward
+    zero (verified: ``(-7) // 2 = -3``) — an oracle twin must use
+    :func:`c99_vectordb_spark.hashing.duckdb_floor_div_sql`, not bare
+    ``//``, or the pair diverges on exactly the negative inputs this
+    helper exists for (current testdata is all post-1970, so the
+    oracles alone can't catch it). Pure integer arithmetic: exact at
+    any int64 magnitude, unlike a float detour.
     """
     if divisor <= 0:
         raise ValueError(f"divisor must be positive, got {divisor}")

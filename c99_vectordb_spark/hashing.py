@@ -247,6 +247,20 @@ def duckdb_token_hash2_sql(tok_expr: str) -> str:
     )
 
 
+def duckdb_floor_div_sql(expr: str, divisor: int) -> str:
+    """DuckDB SQL for FLOORED integer division by a positive literal —
+    the oracle twin of functions.text.floor_div_sql. DuckDB's integer
+    ``//`` truncates toward zero exactly like Spark's ``div`` (verified
+    ``(-7) // 2 = -3``), and ``%`` carries the dividend's sign, so the
+    same truncate-then-correct construction floors on both engines."""
+    if divisor <= 0:
+        raise ValueError(f"divisor must be positive, got {divisor}")
+    return (
+        f"((({expr}) // {divisor}) - (CASE WHEN ({expr}) % {divisor} < 0 "
+        f"THEN 1 ELSE 0 END))"
+    )
+
+
 def duckdb_md5_hash56_sql(expr: str) -> str:
     """DuckDB SQL folding the first 14 hex chars of md5(expr) into a
     uniform 56-bit BIGINT — exact parity with Spark's

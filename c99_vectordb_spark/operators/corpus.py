@@ -1067,3 +1067,115 @@ def dsir_score(feat: DataFrame, weights: DataFrame) -> DataFrame:
             F.sum(F.col("c") * F.col("w")).cast("long").alias("dsir_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# stupid-backoff bigram LM scoring (Brants et al. 2007) — the CCNet-style
+# domain/perplexity filter, integerized so both engines agree bit-for-bit
+# ---------------------------------------------------------------------------
+
+#: round(log2(0.4) * 1024) — the stupid-backoff penalty in q10
+LM_BACKOFF_Q10 = -1354
+
+
+def _plog2_cols(ratio_col: str) -> str:
+    """SQL fragment: piecewise-linear log2 of an ALREADY >=1 BIGINT
+    ratio in q20 fixed point, result in q10 (the BM25-idf
+    construction: msb via bit length, linear fraction). Every division
+    has non-negative operands, so Spark `div` == DuckDB `//`."""
+    msb = f"(length(bin({ratio_col})) - 1)"
+    return (
+        f"(({msb} - 20) * 1024 + (({ratio_col} - shiftleft(1L, cast({msb} AS int)))"
+        f" * 1024) div shiftleft(1L, cast({msb} AS int)))"
+    )
+
+
+def lm_stupid_backoff_rollup(
+    docs: DataFrame,
+    train_sources: tuple[str, ...],
+    id_col: str = "doc_id",
+    body_col: str = "text",
+) -> DataFrame:
+    """Score EVERY document under a bigram stupid-backoff LM trained on
+    a source subset, rolled up per source — the domain-affinity /
+    perplexity quality filter (CCNet uses a KenLM; the integerized
+    bigram LM is the cross-engine-exact stand-in, same decision shape).
+
+    Per bigram instance (w1, w2), log-prob in q10 fixed point:
+    - seen bigram:   plog2(c12 * 2^20 div c1(w1))
+    - unigram hit:   log2(0.4)_q10 + plog2(c1(w2) * 2^20 div N)
+    - full OOV:      log2(0.4)_q10 + plog2(2^20 div N)   (pseudo-count 1)
+    ratios clamp at 1 (large-N guard). avg_lp_q10 uses FLOORED division
+    (sums are negative — Spark `div` truncates, the helper floors).
+
+    Scale shape: the LM tables (c12, c1) are vocab-sized — Spark
+    broadcasts them under the fact-sized token stream; N is a 1-row
+    broadcast. Scoring is map-side joins + one source-keyed rollup; the
+    corpus streams once. Train sources with the highest (least
+    negative) avg score ARE the in-domain signal.
+    """
+    from ..functions.text import tokens
+
+    toks = tokens(F.col(body_col))
+    pairs = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    db = (
+        docs.select(
+            F.col(id_col).alias("id"), "source", F.explode(pairs).alias("bg")
+        )
+        .select("id", "source", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+        .filter(F.col("w2").isNotNull())
+    )
+    train_tok = docs.filter(F.col("source").isin(list(train_sources))).select(
+        F.explode(toks).alias("w")
+    )
+    tr1 = train_tok.groupBy("w").agg(F.count(F.lit(1)).cast("long").alias("c1"))
+    tr12 = db.filter(F.col("source").isin(list(train_sources))).groupBy(
+        "w1", "w2"
+    ).agg(F.count(F.lit(1)).cast("long").alias("c12"))
+    nn = tr1.agg(F.sum("c1").cast("long").alias("n_train"))
+    sc = (
+        db.join(tr12, ["w1", "w2"], "left")
+        .join(tr1.selectExpr("w AS w1", "c1 AS c1w1"), "w1", "left")
+        .join(tr1.selectExpr("w AS w2", "c1 AS c1w2"), "w2", "left")
+        .crossJoin(F.broadcast(nn))
+        .selectExpr(
+            "id",
+            "source",
+            "CASE WHEN c12 IS NOT NULL THEN greatest((c12 * 1048576) div c1w1, 1L)"
+            " WHEN c1w2 IS NOT NULL THEN greatest((c1w2 * 1048576) div n_train, 1L)"
+            " ELSE greatest(1048576 div n_train, 1L) END AS ratio",
+            "CASE WHEN c12 IS NOT NULL THEN 0L ELSE 1L END AS backoff",
+        )
+        .selectExpr(
+            "id",
+            "source",
+            "backoff",
+            f"{_plog2_cols('ratio')} + backoff * {LM_BACKOFF_Q10}L AS lp_q10",
+        )
+    )
+    return (
+        sc.groupBy("source")
+        .agg(
+            F.count_distinct("id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum("backoff").cast("long").alias("n_backoff"),
+            F.sum("lp_q10").cast("long").alias("sum_lp_q10"),
+        )
+        .selectExpr(
+            "source",
+            "n_docs",
+            "n_bigrams",
+            "(1000000 * n_backoff) div n_bigrams AS backoff_ppm",
+            "sum_lp_q10",
+            # TRUNCATING division on purpose: DuckDB's integer `//`
+            # truncates toward zero exactly like Spark's `div` (both
+            # verified on negative sums), so the twins agree with no
+            # correction term; only float `//` / Python `//` floor
+            "cast(sum_lp_q10 div n_bigrams AS bigint) AS avg_lp_q10",
+        )
+        .orderBy("source")
+    )

@@ -1662,7 +1662,7 @@ def q_events_rollup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _ORACLE_EVENTS_ROLLUP = """
-SELECT epoch_us(ts) // 3600000000 AS hour_idx, event_type,
+SELECT ((epoch_us(ts) // 3600000000) - (CASE WHEN epoch_us(ts) % 3600000000 < 0 THEN 1 ELSE 0 END)) AS hour_idx, event_type,
        COUNT(*)::BIGINT AS cnt,
        CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_value,
        CAST(MIN(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS min_value,
@@ -3170,7 +3170,7 @@ def q_events_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_EVENTS_RESAMPLE = """
 WITH e AS (
-  SELECT epoch_us(ts) // 3600000000 AS hour_idx, event_type FROM events
+  SELECT ((epoch_us(ts) // 3600000000) - (CASE WHEN epoch_us(ts) % 3600000000 < 0 THEN 1 ELSE 0 END)) AS hour_idx, event_type FROM events
 ),
 bounds AS (SELECT MIN(hour_idx) AS h0, MAX(hour_idx) AS h1 FROM e),
 hours AS (SELECT unnest(generate_series(h0, h1)) AS hour_idx FROM bounds),
@@ -3225,7 +3225,7 @@ def q_events_trailing_24h(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_EVENTS_TRAILING_24H = """
 WITH hourly AS (
-  SELECT epoch_us(ts) // 3600000000 AS hour_idx, COUNT(*)::BIGINT AS cnt
+  SELECT ((epoch_us(ts) // 3600000000) - (CASE WHEN epoch_us(ts) % 3600000000 < 0 THEN 1 ELSE 0 END)) AS hour_idx, COUNT(*)::BIGINT AS cnt
   FROM events GROUP BY 1
 )
 SELECT hour_idx, cnt,
@@ -3374,7 +3374,7 @@ def q_events_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_EVENTS_ANOMALY = """
 WITH hourly AS (
-  SELECT event_type, epoch_us(ts) // 3600000000 AS hour_idx,
+  SELECT event_type, ((epoch_us(ts) // 3600000000) - (CASE WHEN epoch_us(ts) % 3600000000 < 0 THEN 1 ELSE 0 END)) AS hour_idx,
          COUNT(*)::BIGINT AS cnt
   FROM events GROUP BY 1, 2
 ),

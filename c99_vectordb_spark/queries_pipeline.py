@@ -2014,6 +2014,80 @@ def _oracle_corpus_bpe_encode() -> str:
     return duckdb_bpe_encode_sql(n_merges=8, top_words=400)
 
 
+#: LM training subset for text_lm_score — two of the twenty sources,
+#: present at every SF; everything else is scored out-of-domain
+LM_TRAIN_SOURCES = ("src0", "src1")
+
+
+def q_text_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source LM domain-affinity report: a bigram stupid-backoff
+    LM is trained on LM_TRAIN_SOURCES and every document scored under
+    it (operators/corpus.lm_stupid_backoff_rollup — the integerized
+    CCNet-style perplexity filter). Train sources surface with the
+    least-negative avg log-prob and near-zero backoff rate; the
+    backoff_ppm column IS the out-of-domain signal."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return C.lm_stupid_backoff_rollup(docs, LM_TRAIN_SOURCES)
+
+
+def _oracle_text_lm_score() -> str:
+    from .operators.corpus import LM_BACKOFF_Q10
+
+    toks = duckdb_tokens_sql("text")
+    srcs = ", ".join(f"'{s}'" for s in LM_TRAIN_SOURCES)
+    msb = "(length(bin(ratio)) - 1)"
+    plog2 = (
+        f"(({msb} - 20) * 1024 + ((ratio - (1::BIGINT << {msb})) * 1024)"
+        f" // (1::BIGINT << {msb}))"
+    )
+    return f"""
+WITH lm_t AS (SELECT doc_id AS id, source, {toks} AS t FROM documents),
+lm_db AS (
+  SELECT id, source, t[i] AS w1, t[i + 1] AS w2
+  FROM (SELECT id, source, t,
+               unnest(range(1, greatest(len(t), 1))) AS i
+        FROM lm_t)
+),
+lm_tr1 AS (
+  SELECT unnest(t) AS w FROM lm_t WHERE source IN ({srcs})
+),
+lm_c1 AS (SELECT w, COUNT(*)::BIGINT AS c1 FROM lm_tr1 GROUP BY 1),
+lm_c12 AS (
+  SELECT w1, w2, COUNT(*)::BIGINT AS c12 FROM lm_db
+  WHERE source IN ({srcs}) GROUP BY 1, 2
+),
+lm_n AS (SELECT SUM(c1)::BIGINT AS n_train FROM lm_c1),
+lm_sc AS (
+  SELECT d.id, d.source,
+         CASE WHEN b.c12 IS NOT NULL
+              THEN greatest((b.c12 * 1048576) // u1.c1, 1)
+              WHEN u2.c1 IS NOT NULL
+              THEN greatest((u2.c1 * 1048576) // nn.n_train, 1)
+              ELSE greatest(1048576 // nn.n_train, 1) END AS ratio,
+         CASE WHEN b.c12 IS NOT NULL THEN 0 ELSE 1 END::BIGINT AS backoff
+  FROM lm_db d
+  LEFT JOIN lm_c12 b ON d.w1 = b.w1 AND d.w2 = b.w2
+  LEFT JOIN lm_c1 u1 ON d.w1 = u1.w
+  LEFT JOIN lm_c1 u2 ON d.w2 = u2.w
+  CROSS JOIN lm_n nn
+),
+lm_lp AS (
+  SELECT id, source, backoff,
+         ({plog2} + backoff * ({LM_BACKOFF_Q10}))::BIGINT AS lp_q10
+  FROM lm_sc
+)
+SELECT source,
+       COUNT(DISTINCT id)::BIGINT AS n_docs,
+       COUNT(*)::BIGINT AS n_bigrams,
+       ((1000000 * SUM(backoff)) // COUNT(*))::BIGINT AS backoff_ppm,
+       SUM(lp_q10)::BIGINT AS sum_lp_q10,
+       (SUM(lp_q10) // COUNT(*))::BIGINT AS avg_lp_q10
+FROM lm_lp
+GROUP BY source
+ORDER BY source
+"""
+
+
 PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_vocab": q_corpus_vocab,
     "corpus_bpe_merges": q_corpus_bpe_merges,
@@ -2046,6 +2120,7 @@ PIPELINE_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_quantiles_bottomk": q_approx_quantiles_bottomk,
     "corpus_weighted_sample": q_corpus_weighted_sample,
     "udtf_shingles": q_udtf_shingles,
+    "text_lm_score": q_text_lm_score,
 }
 
 PIPELINE_ORACLES: dict[str, str] = {
@@ -2081,4 +2156,5 @@ PIPELINE_ORACLES: dict[str, str] = {
     "approx_quantiles_bottomk": _oracle_approx_quantiles_bottomk(),
     "corpus_weighted_sample": _oracle_corpus_weighted_sample(),
     "udtf_shingles": _oracle_udtf_shingles(),
+    "text_lm_score": _oracle_text_lm_score(),
 }

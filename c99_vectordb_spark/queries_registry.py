@@ -1568,7 +1568,11 @@ def q_events_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _ORACLE_EVENTS_RETENTION = """
 WITH ue AS (
-  SELECT user_id, epoch_us(ts) // 86400000000 AS day_idx FROM events
+  SELECT user_id,
+         ((epoch_us(ts) // 86400000000)
+          - (CASE WHEN epoch_us(ts) % 86400000000 < 0 THEN 1 ELSE 0 END))
+           AS day_idx
+  FROM events
 ), first AS (
   SELECT user_id, MIN(day_idx) AS cohort_day FROM ue GROUP BY user_id
 )

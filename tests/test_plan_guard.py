@@ -50,6 +50,7 @@ BNLJ_ALLOWED = {
     "approx_distinct_hll": "1-row scalar aggregate broadcasts (estimate row x exact-distinct row)",
     "bloom_semi_join": "1-row scalar aggregate broadcasts (the five verdict counters)",
     "sim_hybrid_rrf": "bounded-pool rank join: both sides are the <=50-row candidate pools (design constant)",
+    "text_lm_score": "1-row scalar aggregate broadcast (LM training-token total N)",
 }
 
 

@@ -244,3 +244,56 @@ def test_rrf_doc_in_both_pools_beats_single_pool_peer(spark, sf_dir):
         assert max(r["rrf_score"] for r in both) >= max(
             r["rrf_score"] for r in single
         )
+
+
+# ---------------------------------------------------------------------------
+# floor-division cross-engine parity (negative inputs)
+# ---------------------------------------------------------------------------
+
+def test_floor_div_twins_agree_on_negatives(spark):
+    """DuckDB's integer `//` truncates toward zero just like Spark's
+    `div` — so the floored-bucketing twins must BOTH use the
+    truncate-then-correct construction. This pins the pair on exactly
+    the pre-1970 inputs the testdata never exercises (round-5 advisor
+    note, closed round 6: the oracles previously used bare `//`)."""
+    import duckdb
+
+    from c99_vectordb_spark.functions.text import floor_div_sql
+    from c99_vectordb_spark.hashing import duckdb_floor_div_sql
+
+    vals = [-7_200_000_001, -3_600_000_000, -1, 0, 1, 3_599_999_999,
+            3_600_000_000, 7_200_000_001]
+    df = spark.createDataFrame([(v,) for v in vals], "ts_us long").select(
+        "ts_us",
+        F.expr(floor_div_sql("ts_us", 3_600_000_000)).alias("h"),
+    )
+    got = {r["ts_us"]: r["h"] for r in df.collect()}
+    duck_expr = duckdb_floor_div_sql("v", 3_600_000_000)
+    for v in vals:
+        (d,) = duckdb.sql(f"SELECT {duck_expr} FROM (SELECT {v}::BIGINT AS v)").fetchone()
+        assert got[v] == d == v // 3_600_000_000, (v, got[v], d)
+
+
+# ---------------------------------------------------------------------------
+# stupid-backoff LM scoring
+# ---------------------------------------------------------------------------
+
+def test_lm_score_train_sources_are_in_domain(spark, sf_dir):
+    """The LM's own training sources must score with ZERO backoff
+    (every training bigram is in the table by construction) and an
+    avg log-prob at least as high as every out-of-domain source."""
+    from c99_vectordb_spark.queries_pipeline import (
+        LM_TRAIN_SOURCES,
+        q_text_lm_score,
+    )
+
+    rows = {r["source"]: r for r in q_text_lm_score(spark, sf_dir).collect()}
+    assert set(LM_TRAIN_SOURCES) <= set(rows)
+    worst_train = min(rows[s]["avg_lp_q10"] for s in LM_TRAIN_SOURCES)
+    for s, r in rows.items():
+        assert r["n_bigrams"] > 0
+        if s in LM_TRAIN_SOURCES:
+            assert r["backoff_ppm"] == 0
+        else:
+            assert r["backoff_ppm"] > 0  # real out-of-domain signal
+            assert r["avg_lp_q10"] <= worst_train
