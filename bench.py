@@ -154,6 +154,7 @@ HEADLINE = [
     "fuzzy_join_parts",
     "sim_hybrid_rrf",
     "text_lm_score",
+    "events_hll_users",
 ]
 
 

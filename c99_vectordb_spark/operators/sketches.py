@@ -263,6 +263,20 @@ def hll_registers(df: DataFrame, key: Column, group_cols: tuple[str, ...] = ()) 
     max() makes the registers mergeable exactly like the engine's own
     HLL partials (hll_merge_law test unions disjoint halves).
     """
+    return (
+        hll_decompose(df, key, group_cols)
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_decompose(
+    df: DataFrame, key: Column, group_cols: tuple[str, ...] = ()
+) -> DataFrame:
+    """The map-side, stateless half of hll_registers: one (group_cols
+    ..., reg, rho) row per input row. Shared with the streaming twin
+    (streaming/stateful.streaming_hll_distinct), whose state update is
+    the same slot-wise max the batch groupBy performs."""
     h = F.conv(F.substring(F.md5(key.cast("string")), 1, 14), 16, 10).cast("long")
     base = df.select(*group_cols, h.alias("h")).selectExpr(
         *group_cols,
@@ -274,11 +288,7 @@ def hll_registers(df: DataFrame, key: Column, group_cols: tuple[str, ...] = ()) 
         .otherwise(F.lit(HLL_W + 1) - F.length(F.bin(F.col("w"))))
         .cast("long")
     )
-    return (
-        base.withColumn("rho", rho)
-        .groupBy(*group_cols, "reg")
-        .agg(F.max("rho").alias("rho"))
-    )
+    return base.withColumn("rho", rho).drop("h", "w")
 
 
 #: linear-counting coefficient m*ln(2) folded into ONE literal so both
@@ -393,3 +403,27 @@ def bloom_pass_keys(df: DataFrame, key: Column, bits: DataFrame) -> DataFrame:
         .filter(F.col("nhit") == BLOOM_K)
         .select("k")
     )
+
+
+def hll_estimate_py(rhos: dict[int, int] | list[int]) -> float:
+    """Pure-Python reference of hll_estimate's per-group math — shared
+    by the streaming twin (which computes estimates driver-side from
+    its register state) and tests. Bit-identical to the Spark/DuckDB
+    expression: the sum is exact binary fractions, the LC tier uses
+    the same integer piecewise log2, and rounding replays Spark's
+    BigDecimal HALF_UP (Python's builtin round is banker's)."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    vals = list(rhos.values()) if isinstance(rhos, dict) else list(rhos)
+    nonzero = len(vals)
+    zeros = HLL_M - nonzero
+    s = sum(2.0 ** -int(r) for r in vals) + float(zeros)
+    raw = HLL_ALPHA_M2 / s
+    if zeros > 0 and raw <= HLL_LC_CUTOFF:
+        r_q20 = (HLL_M << 20) // max(zeros, 1)
+        msb = r_q20.bit_length() - 1
+        log2_q10 = (msb - 20) * 1024 + ((r_q20 - (1 << msb)) * 1024) // (1 << msb)
+        est = HLL_LC_COEF * float(log2_q10) / 1024.0
+    else:
+        est = raw
+    return float(Decimal(repr(est)).quantize(Decimal("0.01"), ROUND_HALF_UP))

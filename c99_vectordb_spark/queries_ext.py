@@ -4304,6 +4304,128 @@ ORDER BY scope
 """
 
 
+def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped HLL as the pre-aggregated distinct cube: per-
+    (event_type, hour) partial register tables — the thing a 100 TB
+    deployment PERSISTS — are merged up to per-type distinct-user
+    estimates without ever rescanning events. COUNT(DISTINCT) does not
+    re-aggregate (sum of hourly distincts overcounts); HLL registers
+    do, and the err_ppm column prices the trade against the exact
+    answer computed alongside. Merge is one rollup-sized shuffle
+    ((type, reg) keys); the estimate join is type-keyed equi."""
+    from .functions.text import floor_div_sql
+    from .operators.sketches import HLL_M, hll_estimate, hll_registers
+    from .queries_registry import _read_events
+
+    ev = _read_events(spark, sf_dir).select(
+        "event_type",
+        F.expr(floor_div_sql("ts_us", 3_600_000_000)).alias("hour_idx"),
+        F.col("user_id"),
+    )
+    hourly = hll_registers(
+        ev, F.col("user_id"), group_cols=("event_type", "hour_idx")
+    )
+    merged = hourly.groupBy("event_type", "reg").agg(F.max("rho").alias("rho"))
+    est = hll_estimate(merged, group_cols=("event_type",))
+    exact = ev.groupBy("event_type").agg(
+        F.count_distinct("user_id").cast("long").alias("exact_users"),
+        F.count_distinct("hour_idx").cast("long").alias("n_hours"),
+    )
+    return (
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            "n_hours",
+            F.lit(HLL_M).cast("long").alias("m"),
+            "nonzero_regs",
+            "est_hll",
+            "exact_users",
+            F.round(
+                F.lit(1000000.0)
+                * (F.col("est_hll") - F.col("exact_users"))
+                / F.col("exact_users"),
+                0,
+            )
+            .cast("long")
+            .alias("err_ppm"),
+            "method",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _oracle_events_hll_users() -> str:
+    from .operators.sketches import (
+        HLL_ALPHA_M2,
+        HLL_LC_COEF,
+        HLL_LC_CUTOFF,
+        HLL_M,
+        HLL_W,
+    )
+
+    fold = hashing.duckdb_md5_hash56_sql("key")
+    hour = hashing.duckdb_floor_div_sql("epoch_us(ts)", 3_600_000_000)
+    rho_max = HLL_W + 1
+    lc = (
+        f"ROUND({HLL_LC_COEF!r}::DOUBLE * "
+        f"((msb - 20) * 1024 + ((r_q20 - (1::BIGINT << msb)) * 1024) "
+        f"// (1::BIGINT << msb))::DOUBLE / 1024.0, 2)"
+    )
+    use_lc = f"zero_regs > 0 AND raw_est <= {HLL_LC_CUTOFF!r}"
+    return f"""
+WITH k AS (
+  SELECT event_type, {hour} AS hour_idx, user_id::VARCHAR AS key FROM events
+),
+h AS (SELECT event_type, hour_idx, {fold} AS h FROM k),
+r AS (
+  SELECT event_type, hour_idx, h % {HLL_M} AS reg,
+         (h // {HLL_M}) % {1 << HLL_W} AS w
+  FROM h
+),
+hourly AS (
+  SELECT event_type, hour_idx, reg,
+         MAX((CASE WHEN w = 0 THEN {rho_max}
+                   ELSE {rho_max} - length(bin(w)) END)::BIGINT) AS rho
+  FROM r GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type, reg, MAX(rho) AS rho FROM hourly GROUP BY 1, 2
+),
+est0 AS (
+  SELECT event_type, COUNT(*)::BIGINT AS nonzero_regs,
+         SUM(1.0 / ((1::BIGINT << rho))::DOUBLE) AS s
+  FROM merged GROUP BY 1
+),
+fin0 AS (
+  SELECT event_type, nonzero_regs,
+         ({HLL_M} - nonzero_regs)::BIGINT AS zero_regs,
+         {HLL_ALPHA_M2!r}::DOUBLE
+           / (s + ({HLL_M} - nonzero_regs)::DOUBLE) AS raw_est,
+         ({HLL_M << 20}) // greatest({HLL_M} - nonzero_regs, 1) AS r_q20
+  FROM est0
+),
+fin1 AS (SELECT *, length(bin(r_q20)) - 1 AS msb FROM fin0),
+fin AS (
+  SELECT event_type, nonzero_regs,
+         CASE WHEN {use_lc} THEN {lc} ELSE ROUND(raw_est, 2) END AS est_hll,
+         CASE WHEN {use_lc} THEN 'linear_counting' ELSE 'raw' END AS method
+  FROM fin1
+),
+exact AS (
+  SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_users,
+         COUNT(DISTINCT {hour})::BIGINT AS n_hours
+  FROM events GROUP BY 1
+)
+SELECT f.event_type, e.n_hours, {HLL_M}::BIGINT AS m, f.nonzero_regs,
+       f.est_hll, e.exact_users,
+       ROUND(1000000.0 * (f.est_hll - e.exact_users) / e.exact_users, 0)::BIGINT
+         AS err_ppm,
+       f.method
+FROM fin f JOIN exact e USING (event_type)
+ORDER BY f.event_type
+"""
+
+
 def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bloom-filter runtime semi-join — the declarative twin of the
     runtime row-group filters / DPP Spark injects below a fact scan:
@@ -4750,6 +4872,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "cdc_apply_orders": q_cdc_apply_orders,
     "events_trailing_24h": q_events_trailing_24h,
     "approx_distinct_hll": q_approx_distinct_hll,
+    "events_hll_users": q_events_hll_users,
     "bloom_semi_join": q_bloom_semi_join,
     "fuzzy_join_parts": q_fuzzy_join_parts,
     "sim_hybrid_rrf": q_sim_hybrid_rrf,
@@ -4832,6 +4955,7 @@ EXT_ORACLES: dict[str, str] = {
     "cdc_apply_orders": _ORACLE_CDC_APPLY_ORDERS,
     "events_trailing_24h": _ORACLE_EVENTS_TRAILING_24H,
     "approx_distinct_hll": _oracle_approx_distinct_hll(),
+    "events_hll_users": _oracle_events_hll_users(),
     "bloom_semi_join": _oracle_bloom_semi_join(),
     "fuzzy_join_parts": _oracle_fuzzy_join_parts(),
     "sim_hybrid_rrf": _oracle_sim_hybrid_rrf(),

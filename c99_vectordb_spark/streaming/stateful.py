@@ -289,3 +289,63 @@ def streaming_kmv_distinct(hashed: DataFrame, k: int = 64) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+HLL_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("grp", T.StringType(), False),
+        T.StructField("est_hll", T.DoubleType(), False),
+    ]
+)
+
+#: state = the 256-slot register array (0 = empty register)
+HLL_STATE_SCHEMA = T.StructType(
+    [T.StructField("regs", T.ArrayType(T.LongType()), False)]
+)
+
+
+def streaming_hll_distinct(keyed: DataFrame) -> DataFrame:
+    """Streaming distinct-count estimation with a MERGEABLE HLL sketch
+    — the streaming twin of operators/sketches.hll_registers +
+    hll_estimate, same estimator math via hll_estimate_py (which
+    replays the Spark expression bit-for-bit, incl. the linear-
+    counting tier and HALF_UP rounding).
+
+    Input stream must carry (grp STRING, reg BIGINT, rho BIGINT) —
+    the register decomposition is map-side stateless (md5-56bit fold,
+    same as the batch operator), so state per group is EXACTLY the
+    m-slot register array regardless of arrivals, and the update is
+    slot-wise max — the same merge the batch operator's shuffle
+    performs. Each batch that raises any register emits the group's
+    current estimate (update semantics); after an availableNow replay
+    the LAST emission per group equals the batch est_hll exactly
+    (test-pinned)."""
+    from ..operators.sketches import HLL_M, hll_estimate_py
+
+    def hll_fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        regs = list(state.get[0]) if state.exists else [0] * HLL_M
+        changed = False
+        for pdf in pdfs:
+            for reg, rho in zip(pdf["reg"], pdf["rho"]):
+                reg, rho = int(reg), int(rho)
+                if rho > regs[reg]:
+                    regs[reg] = rho
+                    changed = True
+        if changed:
+            state.update((regs,))
+            est = hll_estimate_py([r for r in regs if r > 0])
+            yield pd.DataFrame(
+                [[str(key[0]), float(est)]], columns=["grp", "est_hll"]
+            )
+
+    return keyed.groupBy("grp").applyInPandasWithState(
+        hll_fn,
+        outputStructType=HLL_OUTPUT_SCHEMA,
+        stateStructType=HLL_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

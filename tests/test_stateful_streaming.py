@@ -598,3 +598,67 @@ def test_stream_corpus_pipeline_matches_batch(spark, sf_dir):
         )
         assert sorted(got) == want
         assert len(want) > 0
+
+
+def test_streaming_hll_matches_batch(spark, sf_dir, tmp_path):
+    """Mergeable-HLL streaming sketch: after an availableNow replay of
+    the events split across two micro-batches, the LAST emitted
+    estimate per group equals the batch hll_estimate exactly —
+    including the linear-counting tier and HALF_UP rounding
+    (hll_estimate_py replays the Spark expression bit-for-bit)."""
+    import os
+    import time as _t
+
+    from c99_vectordb_spark.operators.sketches import (
+        hll_decompose,
+        hll_estimate,
+        hll_registers,
+    )
+    from c99_vectordb_spark.streaming.stateful import streaming_hll_distinct
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("grp"), F.col("user_id").alias("val")
+    )
+    batch = {
+        r["grp"]: r["est_hll"]
+        for r in hll_estimate(
+            hll_registers(events, F.col("val"), group_cols=("grp",)),
+            group_cols=("grp",),
+        ).collect()
+    }
+
+    keyed = hll_decompose(events, F.col("val"), group_cols=("grp",))
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    k1, k2 = keyed.randomSplit([0.5, 0.5], seed=7)
+    k1.coalesce(1).write.parquet(os.path.join(src, "b1.parquet"))
+    k2.coalesce(1).write.parquet(os.path.join(src, "b2.parquet"))
+    now = _t.time()
+    for sub, ts in (("b1.parquet", now - 60), ("b2.parquet", now)):
+        d = os.path.join(src, sub)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+        os.utime(d, (ts, ts))
+
+    stream = (
+        spark.readStream.schema("grp STRING, reg LONG, rho LONG")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_hll_distinct(stream)
+        .writeStream.format("memory")
+        .queryName("hll_out")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    rows = spark.sql("SELECT * FROM hll_out").collect()
+    final = {}
+    for r in rows:
+        final[r.grp] = r.est_hll  # later rows overwrite earlier
+    assert final == batch
