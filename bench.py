@@ -155,6 +155,7 @@ HEADLINE = [
     "sim_hybrid_rrf",
     "text_lm_score",
     "events_hll_users",
+    "multimodal_phash_dedup",
 ]
 
 

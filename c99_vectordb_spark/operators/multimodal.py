@@ -1179,3 +1179,55 @@ def frame_sample(media: DataFrame, every_n_bytes: int = 64) -> DataFrame:
         "modality",
         F.posexplode(offsets).alias("frame_idx", "byte_offset"),
     ).filter(F.col("byte_offset") < n)
+
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("c0", T.LongType(), False),
+        T.StructField("c1", T.LongType(), False),
+        T.StructField("c2", T.LongType(), False),
+        T.StructField("c3", T.LongType(), False),
+    ]
+)
+
+
+def media_phash64(media: DataFrame) -> DataFrame:
+    """Perceptual hash (64-bit aHash, row-profile variant) per image,
+    from REAL decoded pixels — the image near-dup dedup primitive.
+
+    Per payload: decode -> integer grayscale (channel sum // c) ->
+    64-point nearest-neighbor row profile (row (i*h) div 64, value =
+    row gray sum // w) -> bit i set iff 64*m[i] > sum(m). All integer
+    arithmetic, so on the closed-form JPEG fixture every bit has a
+    closed form the DuckDB twin replays (the multimodal_jpeg_pixel
+    pattern: real codec on the Spark side, formula on the oracle side
+    — a decoder bug breaks the hash match).
+
+    The hash ships as four 16-bit chunk ints (c0..c3) rather than one
+    64-bit value: chunk equality is the pigeonhole blocking key for
+    hamming<=3 pairs (3 flipped bits cannot touch all 4 chunks), and
+    staying under bit 62 avoids sign-bit overflow in either engine.
+    Map-only mapInPandas; nothing shuffles."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                img = decode_image_array(
+                    bytes(r.payload), r.mime or "application/raw"
+                )
+                h, w, c = img.shape
+                gray = img.astype(np.int64).sum(axis=2) // c  # (h, w)
+                idx = (np.arange(64, dtype=np.int64) * h) // 64
+                m = gray[idx].sum(axis=1) // w  # 64 ints
+                sm = int(m.sum())
+                bits = (64 * m > sm).astype(np.int64)
+                cs = [
+                    int((bits[16 * j : 16 * (j + 1)] << np.arange(16)).sum())
+                    for j in range(4)
+                ]
+                rows.append((r.id, *cs))
+            yield pd.DataFrame(rows, columns=[f.name for f in PHASH_SCHEMA])
+
+    return media.mapInPandas(gen, schema=PHASH_SCHEMA)

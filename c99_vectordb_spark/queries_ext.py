@@ -4304,6 +4304,156 @@ ORDER BY scope
 """
 
 
+def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-dup dedup via perceptual hashing — the multimodal
+    counterpart of MinHash text dedup. Real JPEGs are decoded and
+    aHash64'd (operators/multimodal.media_phash64, REAL pixel work);
+    exact-duplicate clusters come from a hash-keyed groupBy, and
+    hamming<=3 near-pairs from the 4x16-bit chunk pigeonhole EQUI-join
+    (3 flipped bits can't touch all 4 chunks) with an in-join popcount
+    verify — never all-pairs. Output: 5 (metric, value) counters.
+
+    The oracle replays the hash from the fixture's closed pixel form,
+    so a codec/pixel bug ANYWHERE in decode breaks the match."""
+    from .operators.multimodal import media_from_documents_jpeg_real, media_phash64
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ph = media_phash64(media_from_documents_jpeg_real(docs))
+    clusters = ph.groupBy("c0", "c1", "c2", "c3").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    chunks = ph.select(
+        "id",
+        "c0",
+        "c1",
+        "c2",
+        "c3",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(j).alias("j"), F.col(f"c{j}").alias("v"))
+                    for j in range(4)
+                ]
+            )
+        ).alias("s"),
+    ).select("id", "c0", "c1", "c2", "c3", "s.j", "s.v")
+    b = chunks.select(
+        F.col("id").alias("id2"),
+        F.col("c0").alias("d0"),
+        F.col("c1").alias("d1"),
+        F.col("c2").alias("d2"),
+        F.col("c3").alias("d3"),
+        "j",
+        "v",
+    )
+    near = (
+        chunks.join(b, ["j", "v"])
+        .filter(F.col("id") < F.col("id2"))
+        .select("id", "id2", "c0", "c1", "c2", "c3", "d0", "d1", "d2", "d3")
+        .distinct()
+        .selectExpr(
+            "id",
+            "id2",
+            "bit_count(c0 ^ d0) + bit_count(c1 ^ d1) + bit_count(c2 ^ d2)"
+            " + bit_count(c3 ^ d3) AS hd",
+        )
+        .filter((F.col("hd") >= 1) & (F.col("hd") <= 3))
+    )
+
+    def metric(name, df_agg):
+        return df_agg.select(
+            F.lit(name).alias("metric"), F.col("value").cast("long").alias("value")
+        )
+
+    return (
+        metric("images", ph.agg(F.count(F.lit(1)).alias("value")))
+        .unionByName(
+            metric("distinct_phash", clusters.agg(F.count(F.lit(1)).alias("value")))
+        )
+        .unionByName(
+            metric(
+                "dup_clusters",
+                clusters.filter(F.col("n") > 1).agg(
+                    F.count(F.lit(1)).alias("value")
+                ),
+            )
+        )
+        .unionByName(
+            metric(
+                "exact_dup_pairs",
+                clusters.agg(
+                    F.coalesce(
+                        F.sum(F.expr("n * (n - 1) div 2")), F.lit(0)
+                    ).alias("value")
+                ),
+            )
+        )
+        .unionByName(
+            metric("near_pairs_h3", near.agg(F.count(F.lit(1)).alias("value")))
+        )
+        .orderBy("metric")
+    )
+
+
+def _oracle_multimodal_phash_dedup() -> str:
+    return """
+WITH ph_d AS (
+  SELECT doc_id, GREATEST(1, (strlen(text) + 63) // 64) AS nb FROM documents
+),
+ph_m AS (
+  SELECT doc_id, i, (7 * doc_id + 13 * ((i * nb) // 64)) % 256 AS m
+  FROM (SELECT doc_id, nb, unnest(range(64)) AS i FROM ph_d)
+),
+ph_s AS (SELECT doc_id, SUM(m)::BIGINT AS sm FROM ph_m GROUP BY 1),
+ph_b AS (
+  SELECT m.doc_id, m.i,
+         (CASE WHEN 64 * m.m > s.sm THEN 1 ELSE 0 END)::BIGINT AS bit
+  FROM ph_m m JOIN ph_s s USING (doc_id)
+),
+ph_c AS (
+  SELECT doc_id, i // 16 AS j,
+         SUM(bit << (i % 16))::BIGINT AS v
+  FROM ph_b GROUP BY 1, 2
+),
+ph AS (
+  SELECT doc_id AS id,
+         MAX(CASE WHEN j = 0 THEN v END)::BIGINT AS c0,
+         MAX(CASE WHEN j = 1 THEN v END)::BIGINT AS c1,
+         MAX(CASE WHEN j = 2 THEN v END)::BIGINT AS c2,
+         MAX(CASE WHEN j = 3 THEN v END)::BIGINT AS c3
+  FROM ph_c GROUP BY doc_id
+),
+cl AS (SELECT c0, c1, c2, c3, COUNT(*)::BIGINT AS n FROM ph GROUP BY 1, 2, 3, 4),
+ck AS (
+  SELECT id, c0, c1, c2, c3, j,
+         CASE j WHEN 0 THEN c0 WHEN 1 THEN c1 WHEN 2 THEN c2 ELSE c3 END AS v
+  FROM ph, (SELECT unnest(range(4)) AS j)
+),
+near AS (
+  SELECT DISTINCT a.id, b.id AS id2,
+         a.c0, a.c1, a.c2, a.c3, b.c0 AS d0, b.c1 AS d1, b.c2 AS d2, b.c3 AS d3
+  FROM ck a JOIN ck b ON a.j = b.j AND a.v = b.v AND a.id < b.id
+),
+nh AS (
+  SELECT bit_count(xor(c0, d0)) + bit_count(xor(c1, d1))
+         + bit_count(xor(c2, d2)) + bit_count(xor(c3, d3)) AS hd
+  FROM near
+)
+SELECT 'distinct_phash' AS metric, (SELECT COUNT(*) FROM cl)::BIGINT AS value
+UNION ALL
+SELECT 'dup_clusters', (SELECT COUNT(*) FROM cl WHERE n > 1)::BIGINT
+UNION ALL
+SELECT 'exact_dup_pairs',
+       (SELECT COALESCE(SUM(n * (n - 1) // 2), 0) FROM cl)::BIGINT
+UNION ALL
+SELECT 'images', (SELECT COUNT(*) FROM ph)::BIGINT
+UNION ALL
+SELECT 'near_pairs_h3',
+       (SELECT COUNT(*) FROM nh WHERE hd BETWEEN 1 AND 3)::BIGINT
+ORDER BY metric
+"""
+
+
 def q_events_hll_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped HLL as the pre-aggregated distinct cube: per-
     (event_type, hour) partial register tables — the thing a 100 TB
@@ -4873,6 +5023,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_trailing_24h": q_events_trailing_24h,
     "approx_distinct_hll": q_approx_distinct_hll,
     "events_hll_users": q_events_hll_users,
+    "multimodal_phash_dedup": q_multimodal_phash_dedup,
     "bloom_semi_join": q_bloom_semi_join,
     "fuzzy_join_parts": q_fuzzy_join_parts,
     "sim_hybrid_rrf": q_sim_hybrid_rrf,
@@ -4956,6 +5107,7 @@ EXT_ORACLES: dict[str, str] = {
     "events_trailing_24h": _ORACLE_EVENTS_TRAILING_24H,
     "approx_distinct_hll": _oracle_approx_distinct_hll(),
     "events_hll_users": _oracle_events_hll_users(),
+    "multimodal_phash_dedup": _oracle_multimodal_phash_dedup(),
     "bloom_semi_join": _oracle_bloom_semi_join(),
     "fuzzy_join_parts": _oracle_fuzzy_join_parts(),
     "sim_hybrid_rrf": _oracle_sim_hybrid_rrf(),

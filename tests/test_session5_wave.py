@@ -297,3 +297,58 @@ def test_lm_score_train_sources_are_in_domain(spark, sf_dir):
         else:
             assert r["backoff_ppm"] > 0  # real out-of-domain signal
             assert r["avg_lp_q10"] <= worst_train
+
+
+# ---------------------------------------------------------------------------
+# perceptual-hash image dedup
+# ---------------------------------------------------------------------------
+
+def test_phash_identical_images_same_hash(spark, sf_dir):
+    """Two docs with equal doc_id mod 256 and equal block count render
+    byte-identical JPEGs — their perceptual hashes MUST collide; and
+    the real-decode hash must equal the closed-form recomputation."""
+    from c99_vectordb_spark.operators.multimodal import (
+        media_from_documents_jpeg_real,
+        media_phash64,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ph = {
+        r["id"]: (r["c0"], r["c1"], r["c2"], r["c3"])
+        for r in media_phash64(media_from_documents_jpeg_real(docs)).collect()
+    }
+    lens = {
+        r["doc_id"]: max(1, (len(r["text"].encode()) + 63) // 64)
+        for r in docs.collect()
+    }
+
+    def closed_form(did, nb):
+        m = [(7 * did + 13 * ((i * nb) // 64)) % 256 for i in range(64)]
+        sm = sum(m)
+        bits = [1 if 64 * v > sm else 0 for v in m]
+        return tuple(
+            sum(bits[16 * j + k] << k for k in range(16)) for j in range(4)
+        )
+
+    twins = 0
+    for did, nb in lens.items():
+        assert ph[did] == closed_form(did, nb), did
+        other = did + 256
+        if other in lens and lens[other] == nb:
+            assert ph[did] == ph[other]
+            twins += 1
+    if max(lens) > 256:
+        assert twins > 0  # the fixture genuinely contains identical images
+
+
+def test_phash_report_consistency(spark, sf_dir):
+    from c99_vectordb_spark.queries_ext import q_multimodal_phash_dedup
+
+    m = {
+        r["metric"]: r["value"]
+        for r in q_multimodal_phash_dedup(spark, sf_dir).collect()
+    }
+    assert m["images"] >= m["distinct_phash"] >= 1
+    assert m["dup_clusters"] <= m["distinct_phash"]
+    assert (m["exact_dup_pairs"] > 0) == (m["dup_clusters"] > 0)
+    assert m["near_pairs_h3"] >= 0
