@@ -156,6 +156,9 @@ HEADLINE = [
     "text_lm_score",
     "events_hll_users",
     "multimodal_phash_dedup",
+    "basket_pairs",
+    "lineitem_weighted_quantiles",
+    "corpus_phrase_search",
 ]
 
 

@@ -4304,6 +4304,207 @@ ORDER BY scope
 """
 
 
+#: market-basket design constants (shared with the oracle)
+BASKET_MIN_SUPPORT = 3
+BASKET_TOPK = 20
+
+
+def q_basket_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-itemset mining (pairwise tier): part pairs co-occurring
+    in the same order, with support and integerized lift — the
+    co-occurrence shape shared by market-basket analysis and word2vec
+    cooccurrence counting.
+
+    Plan: dedup to (order, part), self equi-join ON THE ORDER KEY with
+    a.p < b.p — per-order fan-out is C(items, 2), bounded by the data
+    model (orders hold a handful of lines), so the join never goes
+    quadratic in the table. Support filter BEFORE the lift join; item
+    marginals broadcast. lift_ppm is staged ((1e6*support div cb) *
+    n_orders div ca) so the intermediate stays under 2^63 even at
+    1e10 orders."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    op = li.select(F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")).distinct()
+    ca = op.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    n_orders = op.select("o").distinct().agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders")
+    )
+    b = op.select(F.col("o"), F.col("p").alias("pb"))
+    pairs = (
+        op.join(b, "o")
+        .filter(F.col("p") < F.col("pb"))
+        .groupBy(F.col("p").alias("pa"), "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= BASKET_MIN_SUPPORT)
+    )
+    return (
+        pairs.join(F.broadcast(ca.selectExpr("p AS pa", "c AS c_a")), "pa")
+        .join(F.broadcast(ca.selectExpr("p AS pb", "c AS c_b")), "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .selectExpr(
+            "pa",
+            "pb",
+            "support",
+            "c_a",
+            "c_b",
+            "(((1000000 * support) div c_b) * n_orders) div c_a AS lift_ppm",
+        )
+        .orderBy(F.desc("support"), F.desc("lift_ppm"), F.asc("pa"), F.asc("pb"))
+        .limit(BASKET_TOPK)
+    )
+
+
+def _oracle_basket_pairs() -> str:
+    return f"""
+WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+ca AS (SELECT p, COUNT(*)::BIGINT AS c FROM op GROUP BY 1),
+no AS (SELECT COUNT(DISTINCT o)::BIGINT AS n_orders FROM op),
+pairs AS (
+  SELECT a.p AS pa, b.p AS pb, COUNT(*)::BIGINT AS support
+  FROM op a JOIN op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {BASKET_MIN_SUPPORT}
+)
+SELECT pa, pb, support, x.c AS c_a, y.c AS c_b,
+       ((((1000000 * support) // y.c) * no.n_orders) // x.c)::BIGINT AS lift_ppm
+FROM pairs
+JOIN ca x ON pairs.pa = x.p
+JOIN ca y ON pairs.pb = y.p
+CROSS JOIN no
+ORDER BY support DESC, lift_ppm DESC, pa ASC, pb ASC
+LIMIT {BASKET_TOPK}
+"""
+
+
+def q_lineitem_weighted_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT weighted percentiles per group — the estimator analytics
+    engines usually approximate: per return flag, the smallest price
+    whose cumulative QUANTITY weight reaches 25/50/75% of the group's
+    total (lower weighted-nearest-rank; ties totally ordered by
+    (price, orderkey, linenumber)). One partitioned cumulative-sum
+    window (groups bound the partitions — no global window) + a
+    group-keyed pick; weights enter as exact BIGINTs."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    base = li.select(
+        F.col("l_returnflag").alias("rf"),
+        F.col("l_extendedprice").alias("price"),
+        F.col("l_quantity").cast("long").alias("w"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    win = (
+        Window.partitionBy("rf")
+        .orderBy("price", "l_orderkey", "l_linenumber")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = base.withColumn("cw", F.sum("w").over(win))
+    tot = base.groupBy("rf").agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum("w").cast("long").alias("tot_w"),
+    )
+    j = cum.join(tot, "rf")
+    picks = [
+        F.min(F.when(F.lit(4) * F.col("cw") >= F.lit(q) * F.col("tot_w"), F.col("price"))).alias(f"wp{q * 25}")
+        for q in (1, 2, 3)
+    ]
+    return (
+        j.groupBy("rf")
+        .agg(F.max("n_rows").alias("n_rows"), F.max("tot_w").alias("tot_w"), *picks)
+        .select(
+            "rf",
+            "n_rows",
+            "tot_w",
+            F.round("wp25", 2).alias("wp25"),
+            F.round("wp50", 2).alias("wp50"),
+            F.round("wp75", 2).alias("wp75"),
+        )
+        .orderBy("rf")
+    )
+
+
+def _oracle_lineitem_weighted_quantiles() -> str:
+    return """
+WITH base AS (
+  SELECT l_returnflag AS rf, l_extendedprice AS price,
+         l_quantity::BIGINT AS w, l_orderkey, l_linenumber
+  FROM lineitem
+),
+cum AS (
+  SELECT rf, price, w,
+         SUM(w) OVER (PARTITION BY rf
+                      ORDER BY price, l_orderkey, l_linenumber
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw
+  FROM base
+),
+tot AS (
+  SELECT rf, COUNT(*)::BIGINT AS n_rows, SUM(w)::BIGINT AS tot_w
+  FROM base GROUP BY 1
+)
+SELECT c.rf, t.n_rows, t.tot_w,
+       ROUND(MIN(CASE WHEN 4 * c.cw >= 1 * t.tot_w THEN c.price END), 2) AS wp25,
+       ROUND(MIN(CASE WHEN 4 * c.cw >= 2 * t.tot_w THEN c.price END), 2) AS wp50,
+       ROUND(MIN(CASE WHEN 4 * c.cw >= 3 * t.tot_w THEN c.price END), 2) AS wp75
+FROM cum c JOIN tot t USING (rf)
+GROUP BY c.rf, t.n_rows, t.tot_w
+ORDER BY c.rf
+"""
+
+
+#: fixed phrase for the positional-postings search (present across SFs)
+PHRASE_QUERY = ("window", "fast", "query")
+
+
+def q_corpus_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Phrase search over positional postings — what separates a
+    search index from a bag of words: find documents containing the
+    exact token sequence PHRASE_QUERY via position-arithmetic
+    equi-joins ((doc, pos+1) = (doc, pos)), never string re-scanning.
+
+    The token stream is filtered to the phrase's terms BEFORE any
+    shuffle (the BM25 trick), so the joins carry only matching
+    postings. Output: (doc_id, n_hits) per matching doc."""
+    from .functions.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    pos = docs.select(
+        F.col("doc_id").alias("id"),
+        F.posexplode(tokens(F.col("text"))).alias("pos", "term"),
+    ).filter(F.col("term").isin(list(PHRASE_QUERY)))
+    w0, w1, w2 = PHRASE_QUERY
+    p0 = pos.filter(F.col("term") == w0).select("id", F.col("pos").alias("p"))
+    p1 = pos.filter(F.col("term") == w1).select(
+        "id", (F.col("pos") - 1).alias("p")
+    )
+    p2 = pos.filter(F.col("term") == w2).select(
+        "id", (F.col("pos") - 2).alias("p")
+    )
+    hits = p0.join(p1, ["id", "p"]).join(p2, ["id", "p"])
+    return (
+        hits.groupBy("id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
+        .orderBy("id")
+    )
+
+
+def _oracle_corpus_phrase_search() -> str:
+    toks = hashing.duckdb_tokens_sql("text")
+    w0, w1, w2 = PHRASE_QUERY
+    return f"""
+WITH ps_t AS (SELECT doc_id AS id, {toks} AS tk FROM documents),
+ps_pos AS (
+  SELECT id, i, tk[i] AS term
+  FROM (SELECT id, tk, unnest(range(1, len(tk) + 1)) AS i FROM ps_t)
+  WHERE tk[i] IN ('{w0}', '{w1}', '{w2}')
+),
+p0 AS (SELECT id, i AS p FROM ps_pos WHERE term = '{w0}'),
+p1 AS (SELECT id, i - 1 AS p FROM ps_pos WHERE term = '{w1}'),
+p2 AS (SELECT id, i - 2 AS p FROM ps_pos WHERE term = '{w2}')
+SELECT id, COUNT(*)::BIGINT AS n_hits
+FROM p0 JOIN p1 USING (id, p) JOIN p2 USING (id, p)
+GROUP BY id
+ORDER BY id
+"""
+
+
 def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Image near-dup dedup via perceptual hashing — the multimodal
     counterpart of MinHash text dedup. Real JPEGs are decoded and
@@ -5024,6 +5225,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "approx_distinct_hll": q_approx_distinct_hll,
     "events_hll_users": q_events_hll_users,
     "multimodal_phash_dedup": q_multimodal_phash_dedup,
+    "basket_pairs": q_basket_pairs,
+    "lineitem_weighted_quantiles": q_lineitem_weighted_quantiles,
+    "corpus_phrase_search": q_corpus_phrase_search,
     "bloom_semi_join": q_bloom_semi_join,
     "fuzzy_join_parts": q_fuzzy_join_parts,
     "sim_hybrid_rrf": q_sim_hybrid_rrf,
@@ -5108,6 +5312,9 @@ EXT_ORACLES: dict[str, str] = {
     "approx_distinct_hll": _oracle_approx_distinct_hll(),
     "events_hll_users": _oracle_events_hll_users(),
     "multimodal_phash_dedup": _oracle_multimodal_phash_dedup(),
+    "basket_pairs": _oracle_basket_pairs(),
+    "lineitem_weighted_quantiles": _oracle_lineitem_weighted_quantiles(),
+    "corpus_phrase_search": _oracle_corpus_phrase_search(),
     "bloom_semi_join": _oracle_bloom_semi_join(),
     "fuzzy_join_parts": _oracle_fuzzy_join_parts(),
     "sim_hybrid_rrf": _oracle_sim_hybrid_rrf(),

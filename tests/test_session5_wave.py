@@ -352,3 +352,78 @@ def test_phash_report_consistency(spark, sf_dir):
     assert m["dup_clusters"] <= m["distinct_phash"]
     assert (m["exact_dup_pairs"] > 0) == (m["dup_clusters"] > 0)
     assert m["near_pairs_h3"] >= 0
+
+
+# ---------------------------------------------------------------------------
+# basket pairs / weighted quantiles / phrase search
+# ---------------------------------------------------------------------------
+
+def test_basket_pairs_support_law(spark, sf_dir):
+    """Every reported pair's support is bounded by both items'
+    marginals, meets the min-support gate, and lift matches the staged
+    integer recomputation."""
+    from c99_vectordb_spark.queries_ext import BASKET_MIN_SUPPORT, q_basket_pairs
+
+    rows = q_basket_pairs(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["support"] >= BASKET_MIN_SUPPORT
+        assert r["support"] <= min(r["c_a"], r["c_b"])
+        n_orders = (
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .select("l_orderkey")
+            .distinct()
+            .count()
+        )
+        assert r["lift_ppm"] == (
+            ((1_000_000 * r["support"]) // r["c_b"]) * n_orders
+        ) // r["c_a"]
+        break  # recount once; laws above run for all rows
+
+
+def test_weighted_quantiles_match_python(spark, sf_dir):
+    """Exact recount: expand every lineitem to its quantity weight and
+    take the lower weighted-nearest-rank percentile in Python."""
+    from c99_vectordb_spark.queries_ext import q_lineitem_weighted_quantiles
+
+    got = {r["rf"]: r for r in q_lineitem_weighted_quantiles(spark, sf_dir).collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_returnflag", "l_extendedprice", "l_quantity", "l_orderkey", "l_linenumber"
+    ).collect()
+    import collections
+
+    groups = collections.defaultdict(list)
+    for r in li:
+        groups[r["l_returnflag"]].append(
+            (r["l_extendedprice"], r["l_orderkey"], r["l_linenumber"], int(r["l_quantity"]))
+        )
+    for rf, rows in groups.items():
+        rows.sort()
+        tot = sum(w for *_k, w in rows)
+        for q, col in ((1, "wp25"), (2, "wp50"), (3, "wp75")):
+            cw = 0
+            for price, *_k, w in rows:
+                cw += w
+                if 4 * cw >= q * tot:
+                    assert got[rf][col] == round(price, 2), (rf, col)
+                    break
+
+
+def test_phrase_search_matches_regex(spark, sf_dir):
+    """Positional-postings hits == a direct tokenized scan for the
+    phrase (the thing the index exists to avoid)."""
+    from c99_vectordb_spark.hashing import tokenize
+    from c99_vectordb_spark.queries_ext import PHRASE_QUERY, q_corpus_phrase_search
+
+    got = {r["id"]: r["n_hits"] for r in q_corpus_phrase_search(spark, sf_dir).collect()}
+    want = {}
+    for r in spark.read.parquet(f"{sf_dir}/documents.parquet").collect():
+        toks = tokenize(r["text"])
+        n = sum(
+            1
+            for i in range(len(toks) - 2)
+            if tuple(toks[i : i + 3]) == PHRASE_QUERY
+        )
+        if n:
+            want[r["doc_id"]] = n
+    assert got == want
