@@ -159,6 +159,8 @@ HEADLINE = [
     "basket_pairs",
     "lineitem_weighted_quantiles",
     "corpus_phrase_search",
+    "orders_trimmed_mean",
+    "events_cuped",
 ]
 
 

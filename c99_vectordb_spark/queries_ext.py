@@ -4304,6 +4304,204 @@ ORDER BY scope
 """
 
 
+def q_orders_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust aggregates the built-ins don't offer: per-priority
+    5%-trimmed and 5%-winsorized means of the order total, from EXACT
+    integer cents and exact ranks (one PARTITIONED window; groups bound
+    the partitions). Winsorizing clamps the trimmed tails to the
+    boundary observations instead of dropping them — both reduce to
+    closed-form integer sums, so the only float op is the final
+    division on the single per-group row."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cents = F.round(F.col("o_totalprice") * 100).cast("long")
+    base = orders.select(
+        F.col("o_orderpriority").alias("prio"),
+        cents.alias("v"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("prio").orderBy("v", "o_orderkey")
+    ranked = base.withColumn("rn", F.row_number().over(w))
+    n = base.groupBy("prio").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    j = ranked.join(n, "prio").selectExpr(
+        "prio",
+        "v",
+        "rn",
+        "n",
+        "n div 20 AS k",  # floor(0.05 n) rows trimmed per tail
+    )
+    agg = j.groupBy("prio").agg(
+        F.max("n").alias("n"),
+        F.max("k").alias("k"),
+        F.sum(F.when((F.col("rn") > F.col("k")) & (F.col("rn") <= F.col("n") - F.col("k")), F.col("v"))).alias("s_kept"),
+        F.max(F.when(F.col("rn") == F.col("k") + 1, F.col("v"))).alias("lo"),
+        F.max(F.when(F.col("rn") == F.col("n") - F.col("k"), F.col("v"))).alias("hi"),
+    )
+    return agg.selectExpr(
+        "prio",
+        "n",
+        "k",
+        "round(cast(s_kept AS double) / cast((n - 2 * k) AS double) / 100.0, 4)"
+        " AS trimmed_mean",
+        "round(cast(s_kept + k * lo + k * hi AS double) / cast(n AS double)"
+        " / 100.0, 4) AS winsor_mean",
+        "round(cast(lo AS double) / 100.0, 2) AS lo_clamp",
+        "round(cast(hi AS double) / 100.0, 2) AS hi_clamp",
+    ).orderBy("prio")
+
+
+_ORACLE_ORDERS_TRIMMED_MEAN = """
+WITH base AS (
+  SELECT o_orderpriority AS prio,
+         ROUND(o_totalprice * 100)::BIGINT AS v, o_orderkey
+  FROM orders
+),
+ranked AS (
+  SELECT prio, v,
+         ROW_NUMBER() OVER (PARTITION BY prio ORDER BY v, o_orderkey) AS rn,
+         COUNT(*) OVER (PARTITION BY prio)::BIGINT AS n
+  FROM base
+),
+j AS (SELECT prio, v, rn, n, n // 20 AS k FROM ranked),
+agg AS (
+  SELECT prio, MAX(n) AS n, MAX(k) AS k,
+         SUM(CASE WHEN rn > k AND rn <= n - k THEN v END)::BIGINT AS s_kept,
+         MAX(CASE WHEN rn = k + 1 THEN v END)::BIGINT AS lo,
+         MAX(CASE WHEN rn = n - k THEN v END)::BIGINT AS hi
+  FROM j GROUP BY prio
+)
+SELECT prio, n, k,
+       ROUND(s_kept::DOUBLE / (n - 2 * k)::DOUBLE / 100.0, 4) AS trimmed_mean,
+       ROUND((s_kept + k * lo + k * hi)::DOUBLE / n::DOUBLE / 100.0, 4)
+         AS winsor_mean,
+       ROUND(lo::DOUBLE / 100.0, 2) AS lo_clamp,
+       ROUND(hi::DOUBLE / 100.0, 2) AS hi_clamp
+FROM agg
+ORDER BY prio
+"""
+
+
+def q_events_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Experimentation analytics: CUPED variance reduction (Deng et al.
+    2013). Users split into two deterministic arms (user_id parity);
+    per user, the covariate is pre-period spend and the metric
+    post-period spend (global time midpoint splits the range). The
+    pooled theta = cov(m,c)/var(c) and each arm's adjusted mean
+    mean_m - theta*(mean_c - pooled mean_c) come from EXACT integer-
+    cent moments (the stats_correlation discipline): per-user sums
+    shuffle once on user_id; arm moments are decimal-exact; the only
+    float math runs on the two per-arm rows in identical expression
+    order, so both engines agree bit-for-bit after rounding.
+    var_reduction_ppm = 1e6 * theta^2*var(c)/var(m) prices how much
+    narrower the experiment's confidence interval gets."""
+    from .queries_registry import _read_events
+
+    ev = _read_events(spark, sf_dir)
+    mid = ev.agg(
+        F.expr("(min(ts_us) + max(ts_us)) div 2").cast("long").alias("mid")
+    )
+    per_user = (
+        ev.crossJoin(F.broadcast(mid))
+        .select(
+            "user_id",
+            (F.col("user_id") % 2).cast("long").alias("arm"),
+            F.when(F.col("ts_us") < F.col("mid"), F.round(F.col("value") * 100).cast("decimal(18,0)")).otherwise(F.lit(0).cast("decimal(18,0)")).alias("c"),
+            F.when(F.col("ts_us") >= F.col("mid"), F.round(F.col("value") * 100).cast("decimal(18,0)")).otherwise(F.lit(0).cast("decimal(18,0)")).alias("m"),
+        )
+        .groupBy("user_id", "arm")
+        .agg(
+            F.sum("c").cast("decimal(18,0)").alias("c"),
+            F.sum("m").cast("decimal(18,0)").alias("m"),
+        )
+    )
+    arm = per_user.groupBy("arm").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("c").cast("decimal(38,0)").alias("sc"),
+        F.sum("m").cast("decimal(38,0)").alias("sm"),
+        F.sum(F.col("c") * F.col("c")).cast("decimal(38,0)").alias("scc"),
+        F.sum(F.col("m") * F.col("m")).cast("decimal(38,0)").alias("smm"),
+        F.sum(F.col("c") * F.col("m")).cast("decimal(38,0)").alias("scm"),
+    )
+    pooled = arm.agg(
+        F.sum("n").cast("double").alias("pn"),
+        F.sum("sc").cast("double").alias("psc"),
+        F.sum("sm").cast("double").alias("psm"),
+        F.sum("scc").cast("double").alias("pscc"),
+        F.sum("smm").cast("double").alias("psmm"),
+        F.sum("scm").cast("double").alias("pscm"),
+    )
+    out = arm.crossJoin(F.broadcast(pooled)).selectExpr(
+        "arm",
+        "n",
+        "cast(sm AS double) / cast(n AS double) / 100.0 AS mean_m_raw",
+        "cast(sc AS double) / cast(n AS double) AS mc_a",
+        "psc / pn AS mc_p",
+        "(pn * pscm - psm * psc) / (pn * pscc - psc * psc) AS theta",
+        "(pn * pscm - psm * psc) AS covn",
+        "(pn * pscc - psc * psc) AS varcn",
+        "(pn * psmm - psm * psm) AS varmn",
+    )
+    return out.selectExpr(
+        "arm",
+        "n",
+        "round(mean_m_raw, 4) AS mean_metric",
+        "round(mean_m_raw - theta * (mc_a - mc_p) / 100.0, 4) AS mean_adjusted",
+        "round(theta, 6) AS theta",
+        "cast(round(1000000.0 * (covn / varcn) * (covn / varmn), 0) AS bigint)"
+        " AS var_reduction_ppm",
+    ).orderBy("arm")
+
+
+def _oracle_events_cuped() -> str:
+    return """
+WITH cu_mid AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid FROM events
+),
+cu_user AS (
+  SELECT user_id, (user_id % 2)::BIGINT AS arm,
+         SUM(CASE WHEN epoch_us(ts) < mid
+                  THEN ROUND(value * 100)::DECIMAL(18,0)
+                  ELSE 0::DECIMAL(18,0) END)::DECIMAL(18,0) AS c,
+         SUM(CASE WHEN epoch_us(ts) >= mid
+                  THEN ROUND(value * 100)::DECIMAL(18,0)
+                  ELSE 0::DECIMAL(18,0) END)::DECIMAL(18,0) AS m
+  FROM events CROSS JOIN cu_mid
+  GROUP BY 1, 2
+),
+cu_arm AS (
+  SELECT arm, COUNT(*)::BIGINT AS n,
+         SUM(c)::DECIMAL(38,0) AS sc, SUM(m)::DECIMAL(38,0) AS sm,
+         SUM(c * c)::DECIMAL(38,0) AS scc, SUM(m * m)::DECIMAL(38,0) AS smm,
+         SUM(c * m)::DECIMAL(38,0) AS scm
+  FROM cu_user GROUP BY 1
+),
+cu_pool AS (
+  SELECT SUM(n)::DOUBLE AS pn, SUM(sc)::DOUBLE AS psc, SUM(sm)::DOUBLE AS psm,
+         SUM(scc)::DOUBLE AS pscc, SUM(smm)::DOUBLE AS psmm,
+         SUM(scm)::DOUBLE AS pscm
+  FROM cu_arm
+),
+cu_x AS (
+  SELECT arm, n,
+         sm::DOUBLE / n::DOUBLE / 100.0 AS mean_m_raw,
+         sc::DOUBLE / n::DOUBLE AS mc_a,
+         psc / pn AS mc_p,
+         (pn * pscm - psm * psc) / (pn * pscc - psc * psc) AS theta,
+         (pn * pscm - psm * psc) AS covn,
+         (pn * pscc - psc * psc) AS varcn,
+         (pn * psmm - psm * psm) AS varmn
+  FROM cu_arm CROSS JOIN cu_pool
+)
+SELECT arm, n,
+       ROUND(mean_m_raw, 4) AS mean_metric,
+       ROUND(mean_m_raw - theta * (mc_a - mc_p) / 100.0, 4) AS mean_adjusted,
+       ROUND(theta, 6) AS theta,
+       ROUND(1000000.0 * (covn / varcn) * (covn / varmn), 0)::BIGINT
+         AS var_reduction_ppm
+FROM cu_x
+ORDER BY arm
+"""
+
+
 #: market-basket design constants (shared with the oracle)
 BASKET_MIN_SUPPORT = 3
 BASKET_TOPK = 20
@@ -5228,6 +5426,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "basket_pairs": q_basket_pairs,
     "lineitem_weighted_quantiles": q_lineitem_weighted_quantiles,
     "corpus_phrase_search": q_corpus_phrase_search,
+    "orders_trimmed_mean": q_orders_trimmed_mean,
+    "events_cuped": q_events_cuped,
     "bloom_semi_join": q_bloom_semi_join,
     "fuzzy_join_parts": q_fuzzy_join_parts,
     "sim_hybrid_rrf": q_sim_hybrid_rrf,
@@ -5315,6 +5515,8 @@ EXT_ORACLES: dict[str, str] = {
     "basket_pairs": _oracle_basket_pairs(),
     "lineitem_weighted_quantiles": _oracle_lineitem_weighted_quantiles(),
     "corpus_phrase_search": _oracle_corpus_phrase_search(),
+    "orders_trimmed_mean": _ORACLE_ORDERS_TRIMMED_MEAN,
+    "events_cuped": _oracle_events_cuped(),
     "bloom_semi_join": _oracle_bloom_semi_join(),
     "fuzzy_join_parts": _oracle_fuzzy_join_parts(),
     "sim_hybrid_rrf": _oracle_sim_hybrid_rrf(),

@@ -52,6 +52,7 @@ BNLJ_ALLOWED = {
     "sim_hybrid_rrf": "bounded-pool rank join: both sides are the <=50-row candidate pools (design constant)",
     "text_lm_score": "1-row scalar aggregate broadcast (LM training-token total N)",
     "basket_pairs": "1-row scalar aggregate broadcast (order count for the lift denominator)",
+    "events_cuped": "two 1-row scalar aggregate broadcasts (time midpoint; pooled moments)",
 }
 
 

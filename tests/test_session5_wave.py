@@ -427,3 +427,50 @@ def test_phrase_search_matches_regex(spark, sf_dir):
         if n:
             want[r["doc_id"]] = n
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# trimmed/winsorized mean, CUPED
+# ---------------------------------------------------------------------------
+
+def test_trimmed_mean_matches_python(spark, sf_dir):
+    from c99_vectordb_spark.queries_ext import q_orders_trimmed_mean
+
+    got = {r["prio"]: r for r in q_orders_trimmed_mean(spark, sf_dir).collect()}
+    import collections
+
+    groups = collections.defaultdict(list)
+    for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect():
+        groups[r["o_orderpriority"]].append(
+            (round(r["o_totalprice"] * 100), r["o_orderkey"])
+        )
+    for prio, vals in groups.items():
+        vals.sort()
+        n = len(vals)
+        k = n // 20
+        kept = [v for v, _ in vals[k : n - k]]
+        assert got[prio]["n"] == n and got[prio]["k"] == k
+        assert got[prio]["trimmed_mean"] == round(
+            sum(kept) / len(kept) / 100.0, 4
+        )
+        lo, hi = vals[k][0], vals[n - k - 1][0]
+        assert got[prio]["winsor_mean"] == round(
+            (sum(kept) + k * lo + k * hi) / n / 100.0, 4
+        )
+
+
+def test_cuped_reduces_variance_and_preserves_means(spark, sf_dir):
+    """CUPED laws: theta is shared (pooled) across arms; the
+    adjustment must not move the POOLED mean (sum n*adj == sum n*raw
+    up to rounding); var_reduction_ppm in [0, 1e6]."""
+    from c99_vectordb_spark.queries_ext import q_events_cuped
+
+    rows = q_events_cuped(spark, sf_dir).collect()
+    assert len(rows) == 2
+    assert rows[0]["theta"] == rows[1]["theta"]
+    assert rows[0]["var_reduction_ppm"] == rows[1]["var_reduction_ppm"]
+    assert 0 <= rows[0]["var_reduction_ppm"] <= 1_000_000
+    n_tot = sum(r["n"] for r in rows)
+    raw = sum(r["n"] * r["mean_metric"] for r in rows) / n_tot
+    adj = sum(r["n"] * r["mean_adjusted"] for r in rows) / n_tot
+    assert abs(raw - adj) < 0.01
