@@ -1760,8 +1760,11 @@ _ORACLES: dict[str, str] = {
 # (dedup_recall_report, corpus_pipeline_incremental, corpus_pack_report,
 # corpus_filter_funnel, multimodal_adpcm_roundtrip,
 # multimodal_video_frames, corpus_kn_incremental, profile_documents,
-# zorder_skipping, corpus_pipeline_dsir, sim_filtered_recall); the
-# session-4/5 displacements
+# zorder_skipping, corpus_pipeline_dsir, sim_filtered_recall,
+# text_lm_score, events_hll_users, multimodal_phash_dedup,
+# basket_pairs, lineitem_weighted_quantiles, corpus_phrase_search,
+# orders_trimmed_mean, events_cuped — the session-5 newcomers outside
+# the window); the session-4/5 displacements
 # (dedup_cluster_sizes, sim_diverse_topk, corpus_fertility,
 # corpus_bm25_batch, quantiles_exact_global, sim_knn_join,
 # orders_price_outliers, profile_orders, events_rollup_incremental —
