@@ -161,6 +161,7 @@ HEADLINE = [
     "corpus_phrase_search",
     "orders_trimmed_mean",
     "events_cuped",
+    "orders_bootstrap_ci",
 ]
 
 

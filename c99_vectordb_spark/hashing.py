@@ -262,18 +262,28 @@ def duckdb_floor_div_sql(expr: str, divisor: int) -> str:
 
 
 def duckdb_md5_hash56_sql(expr: str) -> str:
-    """DuckDB SQL folding the first 14 hex chars of md5(expr) into a
-    uniform 56-bit BIGINT — exact parity with Spark's
-    ``conv(substring(md5(x), 1, 14), 16, 10)``. Used where an operator
-    consumes hash bits POSITIONALLY (HLL leading-zero ranks): the
-    polynomial fold is collision-safe but NOT avalanche-uniform for
-    short keys (they never wrap the modulus), which breaks
-    rank-of-first-bit statistics."""
-    return (
-        "list_reduce([0::BIGINT] || list_transform(range(1, 15), "
-        f"i -> (strpos('0123456789abcdef', substr(md5({expr}), 1, 14)[i]) - 1)::BIGINT), "
-        "(h,c) -> h*16 + c)"
+    """DuckDB SQL for the first 14 hex chars of md5(expr) as a uniform
+    56-bit BIGINT — exact parity with Spark's
+    ``conv(substring(md5(x), 1, 14), 16, 10)`` (parity-tested). Used
+    where an operator consumes hash bits POSITIONALLY (HLL leading-
+    zero ranks, bootstrap uniform draws): the polynomial fold is
+    collision-safe but NOT avalanche-uniform for short keys (they
+    never wrap the modulus), which breaks rank-of-first-bit
+    statistics.
+
+    Implementation: the native vectorized ``md5_number_upper`` (the
+    little-endian value of the digest's first 8 bytes) truncated to 7
+    bytes and byte-swapped with integer shifts — value-identical to a
+    hex-char fold but ~100x faster at volume (the strpos-list fold
+    took 21s over the bootstrap's 960k draws; this form takes ~0.2s).
+    The digest is evaluated ONCE via a single-element list_transform
+    scope (a lambda-bound name), not re-inlined per byte extract."""
+    h = f"(md5_number_upper({expr}) % 72057594037927936::UBIGINT)::BIGINT"
+    # DuckDB's << binds LOOSER than + : every term fully parenthesized
+    be = " + ".join(
+        f"(((hh >> {8 * i}) & 255) << {8 * (6 - i)})" for i in range(7)
     )
+    return f"(list_transform([{h}], hh -> {be})[1])"
 
 
 def duckdb_fingerprint_wide_sql(norm_expr: str) -> str:

@@ -4304,6 +4304,139 @@ ORDER BY scope
 """
 
 
+#: cumulative Poisson(1) thresholds in ppm (k = 0..7, else 8) — the
+#: inverse-CDF ladder turning a uniform hash into a Poisson draw
+_POISSON_CUM_PPM = (367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990)
+BOOT_B = 64  #: resample count
+#: lower-nearest-rank picks for the 2.5% / 97.5% percentile CI over B
+BOOT_LO_RANK = (25 * (BOOT_B - 1)) // 1000 + 1
+BOOT_HI_RANK = (975 * (BOOT_B - 1)) // 1000 + 1
+
+
+def _poisson_case(u_expr: str) -> str:
+    """SQL CASE ladder: uniform ppm -> Poisson(1) count (0..8)."""
+    branches = " ".join(
+        f"WHEN {u_expr} < {t} THEN {k}"
+        for k, t in enumerate(_POISSON_CUM_PPM)
+    )
+    return f"(CASE {branches} ELSE 8 END)"
+
+
+def q_orders_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Poisson bootstrap (Chamandy et al., Google 2012) — THE
+    distributed bootstrap: instead of resampling n rows with
+    replacement (impossible without a global index), each row enters
+    resample b Poisson(1)-many times, with the count derived from a
+    uniform md5 hash of (row, b) through the inverse-CDF ladder — no
+    rand(), so every resample is an exact deterministic function of
+    the data and the DuckDB twin replays all 64 of them.
+
+    Plan: one map-side explode (x64, expected weight 1 each), one
+    resample-keyed aggregation of integer-cent moments, and a bounded
+    64-row rank self-join for the percentile CI. Output: full-data
+    mean of o_totalprice with its 95% bootstrap CI."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    base = orders.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("long").alias("v"),
+    )
+    # the orders file scans as a handful of partitions; spread the
+    # x64 explode+hash work across the cluster BEFORE fanning out
+    # (shuffles n rows, computes 64n hashes in parallel after)
+    rep = base.repartition(F.col("k")).select(
+        "k", "v", F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("b")
+    )
+    # u lands in its OWN projection and the CASE ladder references the
+    # COLUMN — textually substituting the hash expression into all 8
+    # branches re-evaluated the digest ~56x per row and timed the
+    # sf0.1 bench out. No cnt>0 filter either: zero counts contribute
+    # nothing to either sum, and the pushed-down predicate re-inlined
+    # the hash the same way (measured: 20x slowdown).
+    cnt = (
+        rep.selectExpr(
+            "b",
+            "v",
+            "md5(concat(cast(k AS string), '_', cast(b AS string))) AS hx",
+        )
+        .selectExpr(
+            "b",
+            "v",
+            "cast(conv(substring(hx, 1, 14), 16, 10) AS bigint) % 1000000 AS u",
+        )
+        .selectExpr("b", "v", f"{_poisson_case('u')} AS cnt")
+    )
+    means = cnt.groupBy("b").agg(
+        (
+            F.sum(F.col("cnt") * F.col("v")).cast("double")
+            / F.sum("cnt").cast("double")
+        ).alias("score")
+    )
+    # rank the B=64 means with ONE tiny ordered-array aggregate — a
+    # window or rank self-join here would recompute the whole resample
+    # pipeline per branch (plans are trees, not DAGs)
+    ci = means.agg(
+        F.sort_array(F.collect_list(F.struct("score", "b"))).alias("arr"),
+        F.count(F.lit(1)).cast("long").alias("n_resamples"),
+    ).select(
+        F.element_at("arr", BOOT_LO_RANK)["score"].alias("lo"),
+        F.element_at("arr", BOOT_HI_RANK)["score"].alias("hi"),
+        "n_resamples",
+    )
+    full = base.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        (F.sum("v").cast("double") / F.count(F.lit(1)).cast("double")).alias(
+            "mean_cents"
+        ),
+    )
+    return full.crossJoin(F.broadcast(ci)).selectExpr(
+        "n_rows",
+        "n_resamples",
+        "round(mean_cents / 100.0, 4) AS mean_price",
+        "round(lo / 100.0, 4) AS ci_lo",
+        "round(hi / 100.0, 4) AS ci_hi",
+    )
+
+
+def _oracle_orders_bootstrap_ci() -> str:
+    # the Spark side hashes the string "k_b"; build the identical input
+    u = f"({hashing.duckdb_md5_hash56_sql('k::VARCHAR || ' + chr(39) + '_' + chr(39) + ' || b::VARCHAR')}) % 1000000"
+    return f"""
+WITH bs_base AS (
+  SELECT o_orderkey AS k, ROUND(o_totalprice * 100)::BIGINT AS v FROM orders
+),
+bs_rep AS (
+  SELECT k, v, unnest(range({BOOT_B})) AS b FROM bs_base
+),
+bs_u AS (SELECT b, v, {u} AS u FROM bs_rep),
+bs_cnt AS (
+  SELECT b, v, {_poisson_case('u')} AS cnt FROM bs_u
+),
+bs_means AS (
+  SELECT b, SUM(cnt * v)::DOUBLE / SUM(cnt)::DOUBLE AS score
+  FROM bs_cnt GROUP BY b
+),
+bs_arr AS (
+  SELECT array_agg(score ORDER BY score ASC, b ASC) AS arr,
+         COUNT(*)::BIGINT AS n_resamples
+  FROM bs_means
+),
+bs_ci AS (
+  SELECT arr[{BOOT_LO_RANK}] AS lo, arr[{BOOT_HI_RANK}] AS hi, n_resamples
+  FROM bs_arr
+),
+bs_full AS (
+  SELECT COUNT(*)::BIGINT AS n_rows,
+         SUM(v)::DOUBLE / COUNT(*)::DOUBLE AS mean_cents
+  FROM bs_base
+)
+SELECT n_rows, n_resamples,
+       ROUND(mean_cents / 100.0, 4) AS mean_price,
+       ROUND(lo / 100.0, 4) AS ci_lo,
+       ROUND(hi / 100.0, 4) AS ci_hi
+FROM bs_full CROSS JOIN bs_ci
+"""
+
+
 def q_orders_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Robust aggregates the built-ins don't offer: per-priority
     5%-trimmed and 5%-winsorized means of the order total, from EXACT
@@ -5427,6 +5560,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_weighted_quantiles": q_lineitem_weighted_quantiles,
     "corpus_phrase_search": q_corpus_phrase_search,
     "orders_trimmed_mean": q_orders_trimmed_mean,
+    "orders_bootstrap_ci": q_orders_bootstrap_ci,
     "events_cuped": q_events_cuped,
     "bloom_semi_join": q_bloom_semi_join,
     "fuzzy_join_parts": q_fuzzy_join_parts,
@@ -5516,6 +5650,7 @@ EXT_ORACLES: dict[str, str] = {
     "lineitem_weighted_quantiles": _oracle_lineitem_weighted_quantiles(),
     "corpus_phrase_search": _oracle_corpus_phrase_search(),
     "orders_trimmed_mean": _ORACLE_ORDERS_TRIMMED_MEAN,
+    "orders_bootstrap_ci": _oracle_orders_bootstrap_ci(),
     "events_cuped": _oracle_events_cuped(),
     "bloom_semi_join": _oracle_bloom_semi_join(),
     "fuzzy_join_parts": _oracle_fuzzy_join_parts(),

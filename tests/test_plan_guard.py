@@ -53,6 +53,7 @@ BNLJ_ALLOWED = {
     "text_lm_score": "1-row scalar aggregate broadcast (LM training-token total N)",
     "basket_pairs": "1-row scalar aggregate broadcast (order count for the lift denominator)",
     "events_cuped": "two 1-row scalar aggregate broadcasts (time midpoint; pooled moments)",
+    "orders_bootstrap_ci": "bounded-pool rank join over the 64 resample means + 1-row CI broadcast",
 }
 
 

@@ -474,3 +474,52 @@ def test_cuped_reduces_variance_and_preserves_means(spark, sf_dir):
     raw = sum(r["n"] * r["mean_metric"] for r in rows) / n_tot
     adj = sum(r["n"] * r["mean_adjusted"] for r in rows) / n_tot
     assert abs(raw - adj) < 0.01
+
+
+# ---------------------------------------------------------------------------
+# Poisson bootstrap
+# ---------------------------------------------------------------------------
+
+def test_bootstrap_matches_python_recount(spark, sf_dir):
+    """Full exact recount at test SF: rebuild all 64 Poisson resample
+    means from md5 in Python and check the CI picks bit-for-bit."""
+    import hashlib
+
+    from c99_vectordb_spark.queries_ext import (
+        BOOT_B,
+        BOOT_HI_RANK,
+        BOOT_LO_RANK,
+        _POISSON_CUM_PPM,
+        q_orders_bootstrap_ci,
+    )
+
+    rows = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    ).collect()
+    base = [(r["o_orderkey"], round(r["o_totalprice"] * 100)) for r in rows]
+
+    def draw(k, b):
+        u = int(hashlib.md5(f"{k}_{b}".encode()).hexdigest()[:14], 16) % 1_000_000
+        for c, t in enumerate(_POISSON_CUM_PPM):
+            if u < t:
+                return c
+        return 8
+
+    means = []
+    for b in range(BOOT_B):
+        sw = sv = 0
+        for k, v in base:
+            c = draw(k, b)
+            sw += c
+            sv += c * v
+        means.append((sv / sw, b))
+    means.sort()
+    got = q_orders_bootstrap_ci(spark, sf_dir).collect()[0]
+    assert got["n_resamples"] == BOOT_B
+    assert got["n_rows"] == len(base)
+    assert got["ci_lo"] == round(means[BOOT_LO_RANK - 1][0] / 100.0, 4)
+    assert got["ci_hi"] == round(means[BOOT_HI_RANK - 1][0] / 100.0, 4)
+    assert got["ci_lo"] < got["ci_hi"]
+    assert got["mean_price"] == round(
+        sum(v for _, v in base) / len(base) / 100.0, 4
+    )
