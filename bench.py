@@ -162,6 +162,7 @@ HEADLINE = [
     "orders_trimmed_mean",
     "events_cuped",
     "orders_bootstrap_ci",
+    "sim_eval_ndcg",
 ]
 
 

@@ -4304,6 +4304,243 @@ ORDER BY scope
 """
 
 
+#: integer DCG weights: round(2^20 / log2(rank+1)) for ranks 1..10 —
+#: precomputed in Python so neither engine touches libm log2
+_NDCG_W = (1048576, 661578, 524288, 451597, 405645, 373510, 349525,
+           330789, 315653, 303106)
+NDCG_K = 10
+
+
+def q_sim_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation — the measurement layer every
+    serving stack needs: nDCG@10, MRR and precision@10 for the THREE
+    retrievers this engine ships (exact dense, integer BM25, and their
+    RRF fusion) against a graded relevance oracle (relevance of a doc
+    = how many distinct query tokens it contains).
+
+    Everything is integerized: DCG uses precomputed 2^20/log2(r+1)
+    integer weights (no libm), nDCG/MRR land as ppm via integer
+    division — the metrics themselves are hash-exact cross-engine.
+    Rankings come from ordered-array aggregates over the bounded
+    top-10 pools (no global window, no rank self-join)."""
+    from .functions.embed import embed_pandas_udf
+    from .model import DIM
+    from .operators.corpus import bm25_topk
+    from .operators.recall import score_sq_l2_int_sparse
+    from .queries_registry import RECALL_QUERY_TEXT
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    terms = sorted(set(hashing.tokenize(RECALL_QUERY_TEXT)))
+    qv = hashing.embed_text_int(RECALL_QUERY_TEXT, DIM)
+
+    from .functions.text import tokens
+
+    rel = docs.select(
+        F.col("doc_id").alias("id"),
+        F.size(
+            F.array_intersect(
+                tokens(F.col("text")), F.array(*[F.lit(t) for t in terms])
+            )
+        )
+        .cast("long")
+        .alias("rel"),
+    )
+
+    def ranked(pool, asc: bool):
+        """(rank, id) rows for a bounded top-N pool via ONE ordered-
+        array aggregate (plans are trees: windows/self-joins here
+        would re-execute the pool pipeline per branch)."""
+        arr = pool.agg(
+            F.sort_array(
+                F.collect_list(F.struct("score", "id")), asc=asc
+            ).alias("arr")
+        )
+        return arr.select(
+            F.posexplode(F.slice("arr", 1, NDCG_K)).alias("pos", "s")
+        ).select((F.col("pos") + 1).alias("rank"), F.col("s.id").alias("id"))
+
+    dense = ranked(
+        docs.select(F.col("doc_id").alias("id"), "text")
+        .withColumn("vec", embed_pandas_udf(DIM)(F.col("text")))
+        .select("id", score_sq_l2_int_sparse(F.col("vec"), qv).alias("score"))
+        .orderBy(F.asc("score"), F.asc("id"))
+        .limit(NDCG_K),
+        asc=True,
+    )
+    sparse = ranked(
+        bm25_topk(docs, terms, "doc_id", "text", k=NDCG_K).select(
+            "id", (-F.col("score_q26")).alias("score")
+        ),
+        asc=True,
+    )
+    rrf = q_sim_hybrid_rrf(spark, sf_dir).select(
+        "id", (-F.col("rrf_score")).alias("score")
+    )
+    fused = ranked(rrf, asc=True)
+
+    wlit = F.array(*[F.lit(w) for w in _NDCG_W])
+    idcg = (
+        rel.orderBy(F.desc("rel"), F.asc("id"))
+        .limit(NDCG_K)
+        .agg(
+            F.sort_array(F.collect_list(F.struct("rel", "id")), asc=False).alias(
+                "arr"
+            )
+        )
+        .select(F.posexplode(F.slice("arr", 1, NDCG_K)).alias("pos", "s"))
+        .select(((F.col("pos") + 1)).alias("rank"), F.col("s.rel").alias("rel"))
+        .agg(
+            F.sum(F.element_at(wlit, F.col("rank").cast("int")) * F.col("rel"))
+            .cast("long")
+            .alias("idcg_q")
+        )
+    )
+
+    def metrics(name, rk):
+        j = rk.join(rel, "id", "left").select(
+            "rank", F.coalesce("rel", F.lit(0)).alias("rel")
+        )
+        agg = j.agg(
+            F.sum(F.element_at(wlit, F.col("rank").cast("int")) * F.col("rel"))
+            .cast("long")
+            .alias("dcg_q"),
+            F.sum((F.col("rel") > 0).cast("long")).alias("hits10"),
+            F.min(F.when(F.col("rel") > 0, F.col("rank"))).alias("first_hit"),
+        )
+        return agg.crossJoin(F.broadcast(idcg)).selectExpr(
+            f"'{name}' AS retriever",
+            "dcg_q",
+            "idcg_q",
+            "(1000000 * dcg_q) div idcg_q AS ndcg_ppm",
+            "coalesce(1000000 div first_hit, 0L) AS mrr_ppm",
+            "hits10",
+        )
+
+    return (
+        metrics("dense", dense)
+        .unionByName(metrics("bm25", sparse))
+        .unionByName(metrics("rrf", fused))
+        .orderBy("retriever")
+    )
+
+
+def _oracle_sim_eval_ndcg() -> str:
+    from .model import DIM
+    from .queries_registry import RECALL_QUERY_TEXT, _duck_doc_vec_cte
+
+    terms = sorted(set(hashing.tokenize(RECALL_QUERY_TEXT)))
+    terms_sql = ", ".join(f"'{t}'" for t in terms)
+    qvec = hashing.embed_text_int(RECALL_QUERY_TEXT, DIM)
+    q2 = sum(w * w for w in qvec)
+    qrows = ", ".join(f"({b}, {w})" for b, w in enumerate(qvec) if w)
+    wrows = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(_NDCG_W))
+    rrf_inner = _oracle_sim_hybrid_rrf().strip().rstrip()
+    return f"""
+WITH {_duck_doc_vec_cte(DIM)},
+norms AS (SELECT doc_id, SUM(w * w)::BIGINT AS d2 FROM vec GROUP BY 1),
+qv(bucket, w) AS (VALUES {qrows}),
+dots AS (
+  SELECT v.doc_id, SUM(v.w * qv.w)::BIGINT AS dot
+  FROM vec v JOIN qv ON v.bucket = qv.bucket GROUP BY 1
+),
+nd_rel AS (
+  SELECT doc_id AS id,
+         len(list_intersect({hashing.duckdb_tokens_sql('text')},
+                            [{terms_sql}]))::BIGINT AS rel
+  FROM documents
+),
+nd_w(rank, w) AS (VALUES {wrows}),
+nd_dense AS (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY score ASC, id ASC) AS rank FROM (
+    SELECT d.doc_id AS id,
+           (COALESCE(n.d2, 0) + {q2} - 2 * COALESCE(t.dot, 0))::BIGINT AS score
+    FROM documents d
+    LEFT JOIN norms n ON d.doc_id = n.doc_id
+    LEFT JOIN dots t ON d.doc_id = t.doc_id
+  ) QUALIFY rank <= {NDCG_K}
+),
+nd_bm_tok AS (
+  SELECT doc_id AS id, unnest({hashing.duckdb_tokens_sql('text')}) AS term
+  FROM documents
+),
+nd_bm_dl AS (SELECT id, COUNT(*)::BIGINT AS dl FROM nd_bm_tok GROUP BY id),
+nd_bm_scal AS (
+  SELECT COUNT(*)::BIGINT AS n_docs,
+         ((1000 * SUM(dl)) // COUNT(*))::BIGINT AS avgdl_m FROM nd_bm_dl
+),
+nd_bm_hits AS (SELECT id, term FROM nd_bm_tok WHERE term IN ({terms_sql})),
+nd_bm_tf AS (
+  SELECT id, term, COUNT(*)::BIGINT AS tf FROM nd_bm_hits GROUP BY id, term
+),
+nd_bm_dfreq AS (
+  SELECT term, COUNT(DISTINCT id)::BIGINT AS dfq FROM nd_bm_hits GROUP BY term
+),
+nd_bm_j AS (
+  SELECT t.id, t.tf, f.dfq, s.n_docs,
+         (1000000 * d.dl) // s.avgdl_m AS ratio_m
+  FROM nd_bm_tf t JOIN nd_bm_dfreq f USING (term)
+  JOIN nd_bm_dl d ON t.id = d.id CROSS JOIN nd_bm_scal s
+),
+nd_bm_d AS (
+  SELECT id, tf,
+         1000 * tf + (1200 * (250 + (750 * ratio_m) // 1000)) // 1000 AS denom_m,
+         greatest(((2 * (n_docs - dfq) + 1) * 1048576) // (2 * dfq + 1),
+                  1::BIGINT) AS r
+  FROM nd_bm_j
+),
+nd_bm_p AS (
+  SELECT id, (65536 * 2200 * tf) // denom_m AS tf_q16,
+         length(format('{{:b}}', r)) - 1 AS msb, r
+  FROM nd_bm_d
+),
+nd_bm_i AS (
+  SELECT id, tf_q16,
+         greatest((msb - 20) * 1024
+                  + ((r - (1::BIGINT << msb)) * 1024) // (1::BIGINT << msb),
+                  0::BIGINT) AS idf_q10
+  FROM nd_bm_p
+),
+nd_bm AS (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS rank FROM (
+    SELECT id, SUM(tf_q16 * idf_q10)::BIGINT AS s FROM nd_bm_i GROUP BY id
+  ) QUALIFY rank <= {NDCG_K}
+),
+nd_rrf AS (
+  SELECT id, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, id ASC) AS rank
+  FROM ({rrf_inner})
+  QUALIFY rank <= {NDCG_K}
+),
+nd_idcg AS (
+  SELECT SUM(w * rel)::BIGINT AS idcg_q FROM (
+    SELECT rel, ROW_NUMBER() OVER (ORDER BY rel DESC, id ASC) AS rank
+    FROM nd_rel QUALIFY rank <= {NDCG_K}
+  ) JOIN nd_w USING (rank)
+),
+nd_all AS (
+  SELECT 'dense' AS retriever, rank, id FROM nd_dense
+  UNION ALL SELECT 'bm25', rank, id FROM nd_bm
+  UNION ALL SELECT 'rrf', rank, id FROM nd_rrf
+),
+nd_m AS (
+  SELECT a.retriever,
+         SUM(nd_w.w * COALESCE(r.rel, 0))::BIGINT AS dcg_q,
+         SUM(CASE WHEN COALESCE(r.rel, 0) > 0 THEN 1 ELSE 0 END)::BIGINT
+           AS hits10,
+         MIN(CASE WHEN COALESCE(r.rel, 0) > 0 THEN a.rank END) AS first_hit
+  FROM nd_all a
+  LEFT JOIN nd_rel r ON a.id = r.id
+  JOIN nd_w ON a.rank = nd_w.rank
+  GROUP BY 1
+)
+SELECT retriever, dcg_q, i.idcg_q,
+       ((1000000 * dcg_q) // i.idcg_q)::BIGINT AS ndcg_ppm,
+       COALESCE(1000000 // first_hit, 0)::BIGINT AS mrr_ppm,
+       hits10
+FROM nd_m CROSS JOIN nd_idcg i
+ORDER BY retriever
+"""
+
+
 #: cumulative Poisson(1) thresholds in ppm (k = 0..7, else 8) — the
 #: inverse-CDF ladder turning a uniform hash into a Poisson draw
 _POISSON_CUM_PPM = (367879, 735759, 919699, 981012, 996340, 999406, 999917, 999990)
@@ -5561,6 +5798,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_phrase_search": q_corpus_phrase_search,
     "orders_trimmed_mean": q_orders_trimmed_mean,
     "orders_bootstrap_ci": q_orders_bootstrap_ci,
+    "sim_eval_ndcg": q_sim_eval_ndcg,
     "events_cuped": q_events_cuped,
     "bloom_semi_join": q_bloom_semi_join,
     "fuzzy_join_parts": q_fuzzy_join_parts,
@@ -5651,6 +5889,7 @@ EXT_ORACLES: dict[str, str] = {
     "corpus_phrase_search": _oracle_corpus_phrase_search(),
     "orders_trimmed_mean": _ORACLE_ORDERS_TRIMMED_MEAN,
     "orders_bootstrap_ci": _oracle_orders_bootstrap_ci(),
+    "sim_eval_ndcg": _oracle_sim_eval_ndcg(),
     "events_cuped": _oracle_events_cuped(),
     "bloom_semi_join": _oracle_bloom_semi_join(),
     "fuzzy_join_parts": _oracle_fuzzy_join_parts(),

@@ -54,6 +54,7 @@ BNLJ_ALLOWED = {
     "basket_pairs": "1-row scalar aggregate broadcast (order count for the lift denominator)",
     "events_cuped": "two 1-row scalar aggregate broadcasts (time midpoint; pooled moments)",
     "orders_bootstrap_ci": "bounded-pool rank join over the 64 resample means + 1-row CI broadcast",
+    "sim_eval_ndcg": "1-row IDCG broadcast per retriever + the RRF pool's bounded rank join",
 }
 
 

@@ -523,3 +523,24 @@ def test_bootstrap_matches_python_recount(spark, sf_dir):
     assert got["mean_price"] == round(
         sum(v for _, v in base) / len(base) / 100.0, 4
     )
+
+
+# ---------------------------------------------------------------------------
+# retrieval evaluation (nDCG)
+# ---------------------------------------------------------------------------
+
+def test_ndcg_laws(spark, sf_dir):
+    """Metric laws: ndcg in (0, 1e6]; a perfect-order retriever would
+    hit idcg (dcg <= idcg always); mrr consistent with hits; the three
+    retrievers share one idcg denominator."""
+    from c99_vectordb_spark.queries_ext import q_sim_eval_ndcg
+
+    rows = {r["retriever"]: r for r in q_sim_eval_ndcg(spark, sf_dir).collect()}
+    assert set(rows) == {"dense", "bm25", "rrf"}
+    idcgs = {r["idcg_q"] for r in rows.values()}
+    assert len(idcgs) == 1
+    for r in rows.values():
+        assert 0 <= r["dcg_q"] <= r["idcg_q"]
+        assert 0 <= r["ndcg_ppm"] <= 1_000_000
+        assert (r["mrr_ppm"] > 0) == (r["hits10"] > 0)
+        assert 0 <= r["hits10"] <= 10
