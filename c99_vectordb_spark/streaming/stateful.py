@@ -349,3 +349,75 @@ def streaming_hll_distinct(keyed: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+BLOOM_ADMIT_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("grp", T.StringType(), False),
+        T.StructField("k", T.StringType(), False),
+    ]
+)
+
+#: state = the m-bit filter packed into m/64 longs
+BLOOM_ADMIT_STATE_SCHEMA = T.StructType(
+    [T.StructField("bits", T.ArrayType(T.LongType()), False)]
+)
+
+
+def streaming_bloom_admit(keyed: DataFrame) -> DataFrame:
+    """BOUNDED-MEMORY streaming dedup: admit a key iff the group's
+    Bloom filter has not seen it — the 100 TB answer to exact
+    streaming dedup's unbounded seen-set state (which grows with every
+    distinct key forever). State is EXACTLY m bits (operators/
+    sketches.BLOOM_M packed into m/64 longs) per group no matter how
+    many keys arrive; the price is quantified, one-sided loss: a
+    duplicate is NEVER admitted twice, but ~fp-rate of genuinely-new
+    keys are wrongly dropped once the filter fills (the batch
+    bloom_semi_join report measures that rate on the same spec).
+
+    Input stream must carry (grp STRING, k STRING, p0 BIGINT, p1
+    BIGINT) with the probe positions precomputed map-side from the
+    shared double-hash spec (operators/sketches._bloom_positions).
+    Rows are processed in sorted key order WITHIN each micro-batch so
+    replays and the pure-Python recount are deterministic."""
+    from ..operators.sketches import BLOOM_M
+
+    n_words = BLOOM_M // 64
+
+    def admit_fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        bits = list(state.get[0]) if state.exists else [0] * n_words
+        rows = []
+        for pdf in pdfs:
+            rows.extend(
+                (str(k), int(p0), int(p1))
+                for k, p0, p1 in zip(pdf["k"], pdf["p0"], pdf["p1"])
+            )
+        rows.sort()
+        admitted = []
+        changed = False
+        for k, p0, p1 in rows:
+            seen = all(bits[p >> 6] & (1 << (p & 63)) for p in (p0, p1))
+            if seen:
+                continue
+            for p in (p0, p1):
+                bits[p >> 6] |= 1 << (p & 63)
+            changed = True
+            admitted.append(k)
+        if changed:
+            state.update((bits,))
+        if admitted:
+            yield pd.DataFrame(
+                [[str(key[0]), k] for k in admitted], columns=["grp", "k"]
+            )
+
+    return keyed.groupBy("grp").applyInPandasWithState(
+        admit_fn,
+        outputStructType=BLOOM_ADMIT_OUTPUT_SCHEMA,
+        stateStructType=BLOOM_ADMIT_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -662,3 +662,81 @@ def test_streaming_hll_matches_batch(spark, sf_dir, tmp_path):
     for r in rows:
         final[r.grp] = r.est_hll  # later rows overwrite earlier
     assert final == batch
+
+
+def test_streaming_bloom_admit_matches_python(spark, sf_dir, tmp_path):
+    """Bounded-memory streaming dedup: after an availableNow replay of
+    user-id arrivals split across two micro-batches, the admitted set
+    equals a pure-Python replay of the same Bloom (same hash spec,
+    same per-batch sorted order) — and duplicates are NEVER admitted
+    twice."""
+    import os
+    import time as _t
+
+    from c99_vectordb_spark.hashing import token_hash as py_hash
+    from c99_vectordb_spark.hashing import token_hash2 as py_hash2
+    from c99_vectordb_spark.operators.sketches import (
+        BLOOM_K,
+        BLOOM_M,
+        _bloom_positions,
+    )
+    from c99_vectordb_spark.streaming.stateful import streaming_bloom_admit
+
+    events = spark.read.parquet(f"{sf_dir}/events.parquet").select(
+        F.col("event_type").alias("grp"), F.col("user_id").cast("string").alias("k")
+    )
+    keyed = events.select(
+        "grp", "k", F.element_at(_bloom_positions(F.col("k")), 1).alias("p0"),
+        F.element_at(_bloom_positions(F.col("k")), 2).alias("p1"),
+    )
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    k1, k2 = keyed.randomSplit([0.5, 0.5], seed=7)
+    k1.coalesce(1).write.parquet(os.path.join(src, "b1.parquet"))
+    k2.coalesce(1).write.parquet(os.path.join(src, "b2.parquet"))
+    now = _t.time()
+    for sub, ts in (("b1.parquet", now - 60), ("b2.parquet", now)):
+        d = os.path.join(src, sub)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+        os.utime(d, (ts, ts))
+
+    stream = (
+        spark.readStream.schema("grp STRING, k STRING, p0 LONG, p1 LONG")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_bloom_admit(stream)
+        .writeStream.format("memory")
+        .queryName("bloom_admit_out")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = [(r.grp, r.k) for r in spark.sql("SELECT * FROM bloom_admit_out").collect()]
+    assert len(got) == len(set(got))  # a duplicate is never admitted twice
+
+    # pure-Python replay: same batches, same per-batch sorted order
+    def positions(k):
+        h1, h2 = py_hash(k), py_hash2(k)
+        return [(h1 + i * h2) % BLOOM_M for i in range(BLOOM_K)]
+
+    want = set()
+    state = {}
+    for part in (k1, k2):
+        rows = sorted(
+            (r["grp"], r["k"]) for r in part.select("grp", "k").collect()
+        )
+        for grp, k in rows:
+            bits = state.setdefault(grp, set())
+            ps = positions(k)
+            if all(p in bits for p in ps):
+                continue
+            bits.update(ps)
+            want.add((grp, k))
+    assert set(got) == want
