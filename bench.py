@@ -163,6 +163,7 @@ HEADLINE = [
     "events_cuped",
     "orders_bootstrap_ci",
     "sim_eval_ndcg",
+    "text_html_extract",
 ]
 
 

@@ -403,3 +403,50 @@ def lm_coverage(
         .otherwise(F.lit(0).cast("long"))
         .alias("cov_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate extraction (the web-corpus cleaning stage)
+# ---------------------------------------------------------------------------
+
+#: container tags whose CONTENT is boilerplate (dropped whole).
+#: One regex pass per tag: RE2 (the oracle engine) has no
+#: backreferences, so a single '<(a|b)>.*?</\\1>' pattern is not
+#: portable — per-tag lazy patterns are.
+HTML_DROP_TAGS = ("script", "style", "nav", "footer")
+
+
+def html_extract(c: Column) -> Column:
+    """Extract visible text from HTML: drop script/style/nav/footer
+    blocks (content and all), strip remaining tags to spaces, unescape
+    the core entities, collapse whitespace. Pure JVM regex chain —
+    byte-exact DuckDB twin in queries_ext (Java (?s)+lazy and RE2
+    agree on every pattern used; backreferences deliberately avoided).
+    The web-corpus boilerplate-removal stage, CommonCrawl-shaped."""
+    out = c
+    for tag in HTML_DROP_TAGS:
+        out = F.regexp_replace(out, f"(?s)<{tag}[^>]*>.*?</{tag}>", " ")
+    out = F.regexp_replace(out, "<[^>]*>", " ")
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")):
+        out = F.replace(out, F.lit(ent), F.lit(ch))
+    return Ft.normalize_ws(out)
+
+
+def html_wrap(text: Column, title: Column) -> Column:
+    """Deterministic HTML-page fixture: wrap a text in a full page
+    with a title/h1 plus script/style/nav/footer boilerplate, entity-
+    escaping the body (&, <, > — so raw markup inside the text cannot
+    inject tags). html_extract provably inverts this wrapping:
+    recovered == title + ' ' + title + ' ' + normalized(text)."""
+    esc = text
+    for ch, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = F.replace(esc, F.lit(ch), F.lit(ent))
+    return F.concat(
+        F.lit("<html><head><title>"),
+        title,
+        F.lit("</title><style>.x{color:red}</style></head><body><h1>"),
+        title,
+        F.lit("</h1><nav>home | about</nav><p>"),
+        esc,
+        F.lit("</p><script>var x=1;</script><footer>(c) 2026</footer></body></html>"),
+    )

@@ -4304,6 +4304,70 @@ ORDER BY scope
 """
 
 
+def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-corpus boilerplate removal, proven invertible: every doc is
+    wrapped in a deterministic full HTML page (title/h1 + script/
+    style/nav/footer junk, body entity-escaped), then
+    textstats.html_extract recovers the visible text. Per-source
+    report: docs, exact-recovery count (== n_docs — the match flag IS
+    the correctness data), recovered chars. Map-only regex chain, no
+    Python; the CommonCrawl-extraction shape."""
+    from .operators.textstats import html_extract, html_wrap
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    from .functions.text import normalize_ws
+
+    wrapped = docs.select(
+        "source",
+        html_extract(html_wrap(F.col("text"), F.col("source"))).alias("rec"),
+        F.concat(
+            F.col("source"), F.lit(" "), F.col("source"), F.lit(" "),
+            normalize_ws(F.col("text")),
+        ).alias("want"),
+    )
+    return (
+        wrapped.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum((F.col("rec") == F.col("want")).cast("long")).alias("n_exact"),
+            F.sum(F.length("rec")).cast("long").alias("rec_chars"),
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_text_html_extract() -> str:
+    esc = "text"
+    for ch, ent in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+        esc = f"replace({esc}, '{ch}', '{ent}')"
+    wrap = (
+        "'<html><head><title>' || source || "
+        "'</title><style>.x{color:red}</style></head><body><h1>' || source || "
+        f"'</h1><nav>home | about</nav><p>' || {esc} || "
+        "'</p><script>var x=1;</script><footer>(c) 2026</footer></body></html>'"
+    )
+    ext = wrap
+    for tag in ("script", "style", "nav", "footer"):
+        ext = f"regexp_replace({ext}, '(?s)<{tag}[^>]*>.*?</{tag}>', ' ', 'g')"
+    ext = f"regexp_replace({ext}, '<[^>]*>', ' ', 'g')"
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")):
+        ext = f"replace({ext}, '{ent}', '{ch}')"
+    ext = f"trim(regexp_replace({ext}, '\\s+', ' ', 'g'))"
+    want = "source || ' ' || source || ' ' || trim(regexp_replace(text, '\\s+', ' ', 'g'))"
+    return f"""
+WITH hx AS (
+  SELECT source, {ext} AS rec, {want} AS want FROM documents
+)
+SELECT source,
+       COUNT(*)::BIGINT AS n_docs,
+       SUM(CASE WHEN rec = want THEN 1 ELSE 0 END)::BIGINT AS n_exact,
+       SUM(length(rec))::BIGINT AS rec_chars
+FROM hx
+GROUP BY source
+ORDER BY source
+"""
+
+
 #: integer DCG weights: round(2^20 / log2(rank+1)) for ranks 1..10 —
 #: precomputed in Python so neither engine touches libm log2
 _NDCG_W = (1048576, 661578, 524288, 451597, 405645, 373510, 349525,
@@ -5799,6 +5863,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_trimmed_mean": q_orders_trimmed_mean,
     "orders_bootstrap_ci": q_orders_bootstrap_ci,
     "sim_eval_ndcg": q_sim_eval_ndcg,
+    "text_html_extract": q_text_html_extract,
     "events_cuped": q_events_cuped,
     "bloom_semi_join": q_bloom_semi_join,
     "fuzzy_join_parts": q_fuzzy_join_parts,
@@ -5890,6 +5955,7 @@ EXT_ORACLES: dict[str, str] = {
     "orders_trimmed_mean": _ORACLE_ORDERS_TRIMMED_MEAN,
     "orders_bootstrap_ci": _oracle_orders_bootstrap_ci(),
     "sim_eval_ndcg": _oracle_sim_eval_ndcg(),
+    "text_html_extract": _oracle_text_html_extract(),
     "events_cuped": _oracle_events_cuped(),
     "bloom_semi_join": _oracle_bloom_semi_join(),
     "fuzzy_join_parts": _oracle_fuzzy_join_parts(),

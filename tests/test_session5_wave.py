@@ -544,3 +544,34 @@ def test_ndcg_laws(spark, sf_dir):
         assert 0 <= r["ndcg_ppm"] <= 1_000_000
         assert (r["mrr_ppm"] > 0) == (r["hits10"] > 0)
         assert 0 <= r["hits10"] <= 10
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate extraction
+# ---------------------------------------------------------------------------
+
+def test_html_extract_inverts_wrap(spark, sf_dir):
+    """Every wrapped doc recovers exactly; adversarial bodies with raw
+    markup and entity-looking text survive the escape/unescape cycle."""
+    from c99_vectordb_spark.operators.textstats import html_extract, html_wrap
+    from c99_vectordb_spark.queries_ext import q_text_html_extract
+
+    rows = q_text_html_extract(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_exact"] == r["n_docs"]
+
+    adv = spark.createDataFrame(
+        [
+            ("<script>alert(1)</script>", "t"),
+            ("a & b &amp; c", "t"),
+            ("text with </p> closing tag", "t"),
+            ("multi\n\nline   spaces", "t"),
+        ],
+        "text string, title string",
+    ).select(
+        html_extract(html_wrap(F.col("text"), F.col("title"))).alias("rec"),
+        F.trim(F.regexp_replace("text", r"\s+", " ")).alias("norm"),
+    )
+    for r in adv.collect():
+        assert r["rec"] == f"t t {r['norm']}", r
