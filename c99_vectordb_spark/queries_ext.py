@@ -5179,11 +5179,18 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "j",
         "v",
     )
+    # emit-once-per-pair WITHOUT a distinct: keep a candidate row only
+    # on the FIRST chunk index where the two hashes agree (earlier
+    # chunks must differ) — a map-side filter replacing a pair-wide
+    # distinct shuffle over the exploded candidates
+    first_match = (
+        "(j = 0) OR (c0 != d0 AND ((j = 1) OR (c1 != d1 AND"
+        " ((j = 2) OR (c2 != d2)))))"
+    )
     near = (
         chunks.join(b, ["j", "v"])
         .filter(F.col("id") < F.col("id2"))
-        .select("id", "id2", "c0", "c1", "c2", "c3", "d0", "d1", "d2", "d3")
-        .distinct()
+        .filter(F.expr(first_match))
         .selectExpr(
             "id",
             "id2",
@@ -5263,9 +5270,13 @@ ck AS (
   FROM ph, (SELECT unnest(range(4)) AS j)
 ),
 near AS (
-  SELECT DISTINCT a.id, b.id AS id2,
+  -- emit-once-per-pair: keep the FIRST agreeing chunk only (the
+  -- Spark twin's map-side filter replacing a pair-wide DISTINCT)
+  SELECT a.id, b.id AS id2,
          a.c0, a.c1, a.c2, a.c3, b.c0 AS d0, b.c1 AS d1, b.c2 AS d2, b.c3 AS d3
   FROM ck a JOIN ck b ON a.j = b.j AND a.v = b.v AND a.id < b.id
+  WHERE (a.j = 0) OR (a.c0 != b.c0 AND ((a.j = 1) OR (a.c1 != b.c1 AND
+        ((a.j = 2) OR (a.c2 != b.c2)))))
 ),
 nh AS (
   SELECT bit_count(xor(c0, d0)) + bit_count(xor(c1, d1))
