@@ -11,7 +11,6 @@ from __future__ import annotations
 
 import hashlib
 
-import pytest
 from pyspark.sql import functions as F
 
 from c99_vectordb_spark.operators.fuzzy import (
