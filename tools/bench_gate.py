@@ -117,8 +117,26 @@ def main(argv: list[str]) -> int:
     confirm = "--no-confirm" not in argv
     args = [a for a in argv if a not in ("--update", "--no-confirm", "--rebaseline")]
     if args:
+        # bench.py output files carry TWO lines (full per-query line +
+        # the compact tail-capture summary) — parse line-wise exactly
+        # like the stdin path, preferring the line with per-query
+        # timings (whole-file json.load dies with "Extra data")
         with open(args[0], encoding="utf-8") as f:
-            bench = json.load(f)
+            content = f.read()
+        bench = None
+        for line in reversed(content.strip().splitlines()):
+            try:
+                cand = json.loads(line)
+            except ValueError:
+                continue
+            if isinstance(cand, dict) and cand.get("queries"):
+                bench = cand
+                break
+            if bench is None and isinstance(cand, dict):
+                bench = cand
+        if bench is None:
+            print(f"bench gate: no JSON bench line in {args[0]}", file=sys.stderr)
+            return 2
     else:
         # bench.py prints the full per-query line FIRST and a compact
         # summary (no "queries" key) LAST for the driver's tail capture
