@@ -164,6 +164,8 @@ HEADLINE = [
     "orders_bootstrap_ci",
     "sim_eval_ndcg",
     "text_html_extract",
+    "audit_benford_prices",
+    "audit_order_reconciliation",
 ]
 
 

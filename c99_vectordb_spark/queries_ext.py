@@ -4304,6 +4304,159 @@ ORDER BY scope
 """
 
 
+#: Benford first-digit expectation, ppm: round(1e6 * log10(1 + 1/d))
+_BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
+
+
+def q_audit_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-quality audit: first-significant-digit distribution of
+    order totals vs Benford's law — the classic fraud / synthetic-data
+    detector. Per digit: observed count, observed vs expected ppm and
+    the deviation (integer-exact; expectations are precomputed
+    literals, no libm log10). One digit-keyed aggregation + a 1-row
+    total broadcast. On this testdata the audit FIRES (digits 1-4
+    nearly uniform, 5-9 starved) — correctly flagging the synthetic
+    generator as non-Benford; that verdict is the output data."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # explicit floor: Spark CAST(double AS BIGINT) truncates but DuckDB
+    # ROUNDS — a price like 49999.5 would land in different digit
+    # buckets (caught by the oracle on first verify)
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("bigint").cast("string"), 1, 1
+    )
+    obs = (
+        orders.select(digit.cast("long").alias("digit"))
+        .groupBy("digit")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_obs"))
+    )
+    total = orders.agg(F.count(F.lit(1)).cast("long").alias("n_total"))
+    exp_map = F.element_at(
+        F.array(*[F.lit(p) for p in _BENFORD_PPM]), F.col("digit").cast("int")
+    )
+    return (
+        obs.crossJoin(F.broadcast(total))
+        .select(
+            "digit",
+            "n_obs",
+            F.expr("(1000000 * n_obs) div n_total").alias("obs_ppm"),
+            exp_map.cast("long").alias("exp_ppm"),
+            (
+                F.expr("(1000000 * n_obs) div n_total")
+                - exp_map.cast("long")
+            ).alias("dev_ppm"),
+        )
+        .orderBy("digit")
+    )
+
+
+def _oracle_audit_benford_prices() -> str:
+    exp_rows = ", ".join(f"({d + 1}, {p})" for d, p in enumerate(_BENFORD_PPM))
+    return f"""
+WITH bf_obs AS (
+  SELECT substr(CAST(FLOOR(o_totalprice)::BIGINT AS VARCHAR), 1, 1)::BIGINT
+           AS digit,
+         COUNT(*)::BIGINT AS n_obs
+  FROM orders GROUP BY 1
+),
+bf_tot AS (SELECT COUNT(*)::BIGINT AS n_total FROM orders),
+bf_exp(digit, exp_ppm) AS (VALUES {exp_rows})
+SELECT o.digit, o.n_obs,
+       ((1000000 * o.n_obs) // t.n_total)::BIGINT AS obs_ppm,
+       e.exp_ppm::BIGINT AS exp_ppm,
+       ((1000000 * o.n_obs) // t.n_total - e.exp_ppm)::BIGINT AS dev_ppm
+FROM bf_obs o JOIN bf_exp e ON o.digit = e.digit CROSS JOIN bf_tot t
+ORDER BY o.digit
+"""
+
+
+def q_audit_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-table reconciliation audit: does o_totalprice equal the
+    exact decimal sum of its lines' charges (extprice * (1-disc) *
+    (1+tax) — the TPC-H Q1 charge twins)? Report = order counts per
+    relative-error band in cents-exact integer ppm, plus the
+    ``missing_lines`` band (orders with NO lineitems — this testdata
+    has hundreds, and the generator doesn't enforce the total: the
+    audit's finding IS the output). One order-keyed aggregation + one
+    join; bands are rollup-sized."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    charge = (
+        F.col("l_extendedprice").cast("decimal(12,4)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+        * (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
+    )
+    per_order = li.groupBy("l_orderkey").agg(
+        F.round(F.sum(charge), 2).alias("s")
+    )
+    j = orders.join(
+        per_order, F.col("o_orderkey") == F.col("l_orderkey"), "left"
+    ).selectExpr(
+        "cast(round(o_totalprice * 100) AS bigint) AS tot_c",
+        "cast(round(s * 100) AS bigint) AS sum_c",
+    )
+    banded = j.selectExpr(
+        "CASE WHEN sum_c IS NULL THEN -1 "
+        "ELSE (1000000 * abs(sum_c - tot_c)) div greatest(tot_c, 1) END AS ppm"
+    ).selectExpr(
+        "CASE WHEN ppm = -1 THEN 'missing_lines' "
+        "WHEN ppm = 0 THEN 'exact' "
+        "WHEN ppm <= 1000 THEN 'within_0.1pct' "
+        "WHEN ppm <= 10000 THEN 'within_1pct' "
+        "WHEN ppm <= 100000 THEN 'within_10pct' "
+        "WHEN ppm <= 1000000 THEN 'within_100pct' "
+        "ELSE 'over_100pct' END AS band",
+        "ppm",
+    )
+    return (
+        banded.groupBy("band")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min(F.when(F.col("ppm") >= 0, F.col("ppm"))).alias("min_ppm"),
+            F.max(F.when(F.col("ppm") >= 0, F.col("ppm"))).alias("max_ppm"),
+        )
+        .orderBy("band")
+    )
+
+
+def _oracle_audit_order_reconciliation() -> str:
+    return """
+WITH rc_li AS (
+  SELECT l_orderkey,
+         ROUND(SUM(CAST(l_extendedprice AS DECIMAL(12,4))
+                   * CAST(1 - l_discount AS DECIMAL(6,4))
+                   * CAST(1 + l_tax AS DECIMAL(6,4))), 2) AS s
+  FROM lineitem GROUP BY 1
+),
+rc_j AS (
+  SELECT ROUND(o_totalprice * 100)::BIGINT AS tot_c,
+         (ROUND(s * 100))::BIGINT AS sum_c
+  FROM orders LEFT JOIN rc_li ON o_orderkey = l_orderkey
+),
+rc_p AS (
+  SELECT CASE WHEN sum_c IS NULL THEN -1
+         ELSE (1000000 * abs(sum_c - tot_c)) // greatest(tot_c, 1) END AS ppm
+  FROM rc_j
+),
+rc_b AS (
+  SELECT CASE WHEN ppm = -1 THEN 'missing_lines'
+              WHEN ppm = 0 THEN 'exact'
+              WHEN ppm <= 1000 THEN 'within_0.1pct'
+              WHEN ppm <= 10000 THEN 'within_1pct'
+              WHEN ppm <= 100000 THEN 'within_10pct'
+              WHEN ppm <= 1000000 THEN 'within_100pct'
+              ELSE 'over_100pct' END AS band,
+         ppm
+  FROM rc_p
+)
+SELECT band, COUNT(*)::BIGINT AS n_orders,
+       MIN(CASE WHEN ppm >= 0 THEN ppm END)::BIGINT AS min_ppm,
+       MAX(CASE WHEN ppm >= 0 THEN ppm END)::BIGINT AS max_ppm
+FROM rc_b
+GROUP BY band
+ORDER BY band
+"""
+
+
 def q_text_html_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Web-corpus boilerplate removal, proven invertible: every doc is
     wrapped in a deterministic full HTML page (title/h1 + script/
@@ -5875,6 +6028,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "orders_bootstrap_ci": q_orders_bootstrap_ci,
     "sim_eval_ndcg": q_sim_eval_ndcg,
     "text_html_extract": q_text_html_extract,
+    "audit_benford_prices": q_audit_benford_prices,
+    "audit_order_reconciliation": q_audit_order_reconciliation,
     "events_cuped": q_events_cuped,
     "bloom_semi_join": q_bloom_semi_join,
     "fuzzy_join_parts": q_fuzzy_join_parts,
@@ -5967,6 +6122,8 @@ EXT_ORACLES: dict[str, str] = {
     "orders_bootstrap_ci": _oracle_orders_bootstrap_ci(),
     "sim_eval_ndcg": _oracle_sim_eval_ndcg(),
     "text_html_extract": _oracle_text_html_extract(),
+    "audit_benford_prices": _oracle_audit_benford_prices(),
+    "audit_order_reconciliation": _oracle_audit_order_reconciliation(),
     "events_cuped": _oracle_events_cuped(),
     "bloom_semi_join": _oracle_bloom_semi_join(),
     "fuzzy_join_parts": _oracle_fuzzy_join_parts(),

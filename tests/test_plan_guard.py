@@ -55,6 +55,7 @@ BNLJ_ALLOWED = {
     "events_cuped": "two 1-row scalar aggregate broadcasts (time midpoint; pooled moments)",
     "orders_bootstrap_ci": "bounded-pool rank join over the 64 resample means + 1-row CI broadcast",
     "sim_eval_ndcg": "1-row IDCG broadcast per retriever + the RRF pool's bounded rank join",
+    "audit_benford_prices": "1-row scalar aggregate broadcast (row total for the ppm denominator)",
 }
 
 

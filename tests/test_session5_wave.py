@@ -574,3 +574,37 @@ def test_html_extract_inverts_wrap(spark, sf_dir):
     )
     for r in adv.collect():
         assert r["rec"] == f"t t {r['norm']}", r
+
+
+# ---------------------------------------------------------------------------
+# data-quality audits
+# ---------------------------------------------------------------------------
+
+def test_benford_audit_laws(spark, sf_dir):
+    from c99_vectordb_spark.queries_ext import _BENFORD_PPM, q_audit_benford_prices
+
+    rows = {r["digit"]: r for r in q_audit_benford_prices(spark, sf_dir).collect()}
+    assert set(rows) <= set(range(1, 10))
+    assert sum(_BENFORD_PPM) in (999999, 1000000)  # expectation is a pmf
+    n = sum(r["n_obs"] for r in rows.values())
+    for d, r in rows.items():
+        assert r["exp_ppm"] == _BENFORD_PPM[d - 1]
+        assert r["obs_ppm"] == (1_000_000 * r["n_obs"]) // n
+        assert r["dev_ppm"] == r["obs_ppm"] - r["exp_ppm"]
+    # the synthetic data is provably NOT Benford — the audit must fire
+    assert max(abs(r["dev_ppm"]) for r in rows.values()) > 50_000
+
+
+def test_reconciliation_audit_accounts_for_every_order(spark, sf_dir):
+    from c99_vectordb_spark.queries_ext import q_audit_order_reconciliation
+
+    rows = {r["band"]: r for r in q_audit_order_reconciliation(spark, sf_dir).collect()}
+    n_orders = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(r["n_orders"] for r in rows.values()) == n_orders
+    # the testdata has orders with no lineitems AND unenforced totals —
+    # both findings must surface
+    assert rows.get("missing_lines") is not None
+    assert "exact" not in rows or rows["exact"]["n_orders"] < n_orders
+    for r in rows.values():
+        if r["band"] != "missing_lines":
+            assert r["min_ppm"] is not None and r["min_ppm"] <= r["max_ppm"]
