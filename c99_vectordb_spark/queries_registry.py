@@ -1763,7 +1763,9 @@ _ORACLES: dict[str, str] = {
 # zorder_skipping, corpus_pipeline_dsir, sim_filtered_recall,
 # text_lm_score, events_hll_users, multimodal_phash_dedup,
 # basket_pairs, lineitem_weighted_quantiles, corpus_phrase_search,
-# orders_trimmed_mean, events_cuped — the session-5 newcomers outside
+# orders_trimmed_mean, events_cuped, orders_bootstrap_ci,
+# sim_eval_ndcg, text_html_extract, audit_benford_prices,
+# audit_order_reconciliation — the session-5 newcomers outside
 # the window); the session-4/5 displacements
 # (dedup_cluster_sizes, sim_diverse_topk, corpus_fertility,
 # corpus_bm25_batch, quantiles_exact_global, sim_knn_join,
