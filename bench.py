@@ -166,6 +166,8 @@ HEADLINE = [
     "text_html_extract",
     "audit_benford_prices",
     "audit_order_reconciliation",
+    "events_forecast_mase",
+    "customer_revenue_gini",
 ]
 
 

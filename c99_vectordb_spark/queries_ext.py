@@ -4304,6 +4304,174 @@ ORDER BY scope
 """
 
 
+def q_events_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast BACKTEST: score the seasonal-naive forecaster (predict
+    hour h with hour h-24) against the naive-1 baseline via MASE —
+    the standard scale-free forecast-accuracy metric, integerized to
+    ppm so the verdict is hash-exact. Counts live on a DENSE hour
+    grid (gap hours are real zeros — a lag over existing rows would
+    silently skip them; the grid is bounded by the TIME RANGE, not the
+    data size, like events_resample). mase_ppm < 1e6 means seasonality
+    is real and the seasonal forecaster beats last-hour-carried-
+    forward; the per-type verdict is the output."""
+    from .functions.text import floor_div_sql
+    from .queries_registry import _read_events
+
+    ev = _read_events(spark, sf_dir).select(
+        "event_type", F.expr(floor_div_sql("ts_us", 3_600_000_000)).alias("h")
+    )
+    cnt = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    bounds = ev.agg(
+        F.min("h").alias("h0"), F.max("h").alias("h1")
+    )
+    hours = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    grid = hours.crossJoin(F.broadcast(types))
+    dense = grid.join(cnt, ["event_type", "h"], "left").select(
+        "event_type", "h", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+    )
+    p24 = dense.selectExpr("event_type", "h + 24 AS h", "y AS y24")
+    p1 = dense.selectExpr("event_type", "h + 1 AS h", "y AS y1")
+    scored = (
+        dense.join(p24, ["event_type", "h"])
+        .join(p1, ["event_type", "h"])
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_hours"),
+            F.sum(F.abs(F.col("y") - F.col("y24"))).cast("long").alias("ae_seasonal"),
+            F.sum(F.abs(F.col("y") - F.col("y1"))).cast("long").alias("ae_naive"),
+        )
+        .selectExpr(
+            "event_type",
+            "n_hours",
+            "ae_seasonal",
+            "ae_naive",
+            "(1000000 * ae_seasonal) div greatest(ae_naive, 1) AS mase_ppm",
+            "CASE WHEN (1000000 * ae_seasonal) div greatest(ae_naive, 1)"
+            " < 1000000 THEN 1L ELSE 0L END AS seasonal_wins",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _oracle_events_forecast_mase() -> str:
+    hour = hashing.duckdb_floor_div_sql("epoch_us(ts)", 3_600_000_000)
+    return f"""
+WITH fm_e AS (SELECT event_type, {hour} AS h FROM events),
+fm_c AS (
+  SELECT event_type, h, COUNT(*)::BIGINT AS y FROM fm_e GROUP BY 1, 2
+),
+fm_b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM fm_e),
+fm_hours AS (SELECT unnest(generate_series(h0, h1)) AS h FROM fm_b),
+fm_types AS (SELECT DISTINCT event_type FROM fm_e),
+fm_dense AS (
+  SELECT t.event_type, g.h, COALESCE(c.y, 0)::BIGINT AS y
+  FROM fm_hours g CROSS JOIN fm_types t
+  LEFT JOIN fm_c c ON c.event_type = t.event_type AND c.h = g.h
+),
+fm_s AS (
+  SELECT d.event_type,
+         COUNT(*)::BIGINT AS n_hours,
+         SUM(abs(d.y - s.y))::BIGINT AS ae_seasonal,
+         SUM(abs(d.y - n.y))::BIGINT AS ae_naive
+  FROM fm_dense d
+  JOIN fm_dense s ON s.event_type = d.event_type AND s.h = d.h - 24
+  JOIN fm_dense n ON n.event_type = d.event_type AND n.h = d.h - 1
+  GROUP BY 1
+)
+SELECT event_type, n_hours, ae_seasonal, ae_naive,
+       ((1000000 * ae_seasonal) // greatest(ae_naive, 1))::BIGINT AS mase_ppm,
+       (CASE WHEN (1000000 * ae_seasonal) // greatest(ae_naive, 1) < 1000000
+             THEN 1 ELSE 0 END)::BIGINT AS seasonal_wins
+FROM fm_s
+ORDER BY event_type
+"""
+
+
+def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue-concentration report: exact Gini coefficient of
+    per-customer revenue plus three Lorenz points (bottom-50% /
+    top-10% / top-1% customers' revenue share), all integer-cents
+    exact. Global ranks come from the two-pass range-stitch
+    (operators/scalable_window.global_rank) — no single-task window.
+    The Gini numerator is staged ((2*S_rx - (n+1)*S_x) div n before
+    the ppm scale) so the intermediate stays under 2^63 at any
+    customer count; the truncation error is < 1e6/S_x ppm — sub-ppm
+    on any real revenue total."""
+    from .operators.scalable_window import global_rank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    rev = orders.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("x")
+    )
+    ranked = global_rank(rev, [F.asc("x"), F.asc("o_custkey")], out_col="rk")
+    n = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .agg(
+            F.max("n").alias("n_customers"),
+            F.sum("x").cast("long").alias("total_cents"),
+            F.sum(F.col("rk") * F.col("x")).cast("long").alias("s_rx"),
+            F.sum(F.when(F.col("rk") <= F.expr("n div 2"), F.col("x")))
+            .cast("long")
+            .alias("bottom50_cents"),
+            F.sum(F.when(F.col("rk") > F.expr("n - n div 10"), F.col("x")))
+            .cast("long")
+            .alias("top10_cents"),
+            F.sum(F.when(F.col("rk") > F.expr("n - n div 100"), F.col("x")))
+            .cast("long")
+            .alias("top1_cents"),
+        )
+        .selectExpr(
+            "n_customers",
+            "total_cents",
+            "(1000000 * ((2 * s_rx - (n_customers + 1) * total_cents)"
+            " div n_customers)) div total_cents AS gini_ppm",
+            "(1000000 * bottom50_cents) div total_cents AS bottom50_ppm",
+            "(1000000 * top10_cents) div total_cents AS top10_ppm",
+            "(1000000 * top1_cents) div total_cents AS top1_ppm",
+        )
+    )
+
+
+def _oracle_customer_revenue_gini() -> str:
+    return """
+WITH gv_rev AS (
+  SELECT o_custkey, SUM(ROUND(o_totalprice * 100)::BIGINT)::BIGINT AS x
+  FROM orders GROUP BY 1
+),
+gv_rk AS (
+  SELECT x, ROW_NUMBER() OVER (ORDER BY x, o_custkey) AS rk FROM gv_rev
+),
+gv_n AS (SELECT COUNT(*)::BIGINT AS n FROM gv_rk),
+gv_a AS (
+  SELECT n AS n_customers,
+         SUM(x)::BIGINT AS total_cents,
+         SUM(rk * x)::BIGINT AS s_rx,
+         SUM(CASE WHEN rk <= n // 2 THEN x END)::BIGINT AS bottom50_cents,
+         SUM(CASE WHEN rk > n - n // 10 THEN x END)::BIGINT AS top10_cents,
+         SUM(CASE WHEN rk > n - n // 100 THEN x END)::BIGINT AS top1_cents
+  FROM gv_rk CROSS JOIN gv_n
+  GROUP BY n
+)
+SELECT n_customers, total_cents,
+       ((1000000 * ((2 * s_rx - (n_customers + 1) * total_cents)
+         // n_customers)) // total_cents)::BIGINT AS gini_ppm,
+       ((1000000 * bottom50_cents) // total_cents)::BIGINT AS bottom50_ppm,
+       ((1000000 * top10_cents) // total_cents)::BIGINT AS top10_ppm,
+       ((1000000 * top1_cents) // total_cents)::BIGINT AS top1_ppm
+FROM gv_a
+"""
+
+
 #: Benford first-digit expectation, ppm: round(1e6 * log10(1 + 1/d))
 _BENFORD_PPM = (301030, 176091, 124939, 96910, 79181, 66947, 57992, 51153, 45757)
 
@@ -6029,6 +6197,8 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_eval_ndcg": q_sim_eval_ndcg,
     "text_html_extract": q_text_html_extract,
     "audit_benford_prices": q_audit_benford_prices,
+    "events_forecast_mase": q_events_forecast_mase,
+    "customer_revenue_gini": q_customer_revenue_gini,
     "audit_order_reconciliation": q_audit_order_reconciliation,
     "events_cuped": q_events_cuped,
     "bloom_semi_join": q_bloom_semi_join,
@@ -6123,6 +6293,8 @@ EXT_ORACLES: dict[str, str] = {
     "sim_eval_ndcg": _oracle_sim_eval_ndcg(),
     "text_html_extract": _oracle_text_html_extract(),
     "audit_benford_prices": _oracle_audit_benford_prices(),
+    "events_forecast_mase": _oracle_events_forecast_mase(),
+    "customer_revenue_gini": _oracle_customer_revenue_gini(),
     "audit_order_reconciliation": _oracle_audit_order_reconciliation(),
     "events_cuped": _oracle_events_cuped(),
     "bloom_semi_join": _oracle_bloom_semi_join(),

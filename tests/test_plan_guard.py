@@ -56,6 +56,8 @@ BNLJ_ALLOWED = {
     "orders_bootstrap_ci": "bounded-pool rank join over the 64 resample means + 1-row CI broadcast",
     "sim_eval_ndcg": "1-row IDCG broadcast per retriever + the RRF pool's bounded rank join",
     "audit_benford_prices": "1-row scalar aggregate broadcast (row total for the ppm denominator)",
+    "events_forecast_mase": "gap-fill grid join: broadcast sides are the bounded hour grid and type list (events_resample pattern)",
+    "customer_revenue_gini": "1-row scalar aggregate broadcast (customer count for the Lorenz rank cuts)",
 }
 
 

@@ -608,3 +608,58 @@ def test_reconciliation_audit_accounts_for_every_order(spark, sf_dir):
     for r in rows.values():
         if r["band"] != "missing_lines":
             assert r["min_ppm"] is not None and r["min_ppm"] <= r["max_ppm"]
+
+
+# ---------------------------------------------------------------------------
+# forecast backtest / revenue concentration
+# ---------------------------------------------------------------------------
+
+def test_forecast_mase_python_recount(spark, sf_dir):
+    """Rebuild the dense hourly series per type in Python and recount
+    both absolute-error sums exactly."""
+    import collections
+
+    from c99_vectordb_spark.queries_ext import q_events_forecast_mase
+    from c99_vectordb_spark.queries_registry import _read_events
+
+    got = {r["event_type"]: r for r in q_events_forecast_mase(spark, sf_dir).collect()}
+    ev = _read_events(spark, sf_dir).select("event_type", "ts_us").collect()
+    cnt = collections.Counter(
+        (r["event_type"], r["ts_us"] // 3_600_000_000) for r in ev
+    )
+    h0 = min(h for _, h in cnt)
+    h1 = max(h for _, h in cnt)
+    types = {t for t, _ in cnt}
+    for t in types:
+        ys = {h: cnt.get((t, h), 0) for h in range(h0, h1 + 1)}
+        ae24 = sum(abs(ys[h] - ys[h - 24]) for h in range(h0 + 24, h1 + 1))
+        ae1 = sum(abs(ys[h] - ys[h - 1]) for h in range(h0 + 24, h1 + 1))
+        # the Spark twin restricts to hours where BOTH lags exist on
+        # the grid: h in [h0+24, h1] — same range
+        assert got[t]["ae_seasonal"] == ae24, t
+        assert got[t]["ae_naive"] == ae1, t
+        assert got[t]["mase_ppm"] == (1_000_000 * ae24) // max(ae1, 1)
+
+
+def test_gini_python_recount(spark, sf_dir):
+    from c99_vectordb_spark.queries_ext import q_customer_revenue_gini
+
+    got = q_customer_revenue_gini(spark, sf_dir).collect()[0]
+    rev = {}
+    for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect():
+        rev[r["o_custkey"]] = rev.get(r["o_custkey"], 0) + round(
+            r["o_totalprice"] * 100
+        )
+    xs = sorted(rev.items(), key=lambda kv: (kv[1], kv[0]))
+    n = len(xs)
+    sx = sum(x for _, x in xs)
+    srx = sum((i + 1) * x for i, (_, x) in enumerate(xs))
+    assert got["n_customers"] == n and got["total_cents"] == sx
+    assert got["gini_ppm"] == (1_000_000 * ((2 * srx - (n + 1) * sx) // n)) // sx
+    assert got["bottom50_ppm"] == (
+        1_000_000 * sum(x for _, x in xs[: n // 2])
+    ) // sx
+    assert got["top10_ppm"] == (1_000_000 * sum(x for _, x in xs[n - n // 10:])) // sx
+    # concentration sanity: top 10% holds more than 10% only if skewed;
+    # either way the Lorenz ordering must hold
+    assert got["top1_ppm"] <= got["top10_ppm"] <= 1_000_000
