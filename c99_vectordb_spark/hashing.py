@@ -247,6 +247,20 @@ def duckdb_token_hash2_sql(tok_expr: str) -> str:
     )
 
 
+def duckdb_plog2_sql(ratio_expr: str) -> str:
+    """DuckDB SQL: piecewise-linear log2 of an ALREADY >=1 BIGINT
+    ratio in q20 fixed point, result in q10 — the oracle twin of
+    operators.corpus._plog2_cols (the BM25-idf construction: msb via
+    bit length + linear fraction; no libm log2, whose ulps differ
+    cross-engine). Single source for the HLL linear-counting and LM
+    oracles — review finding: the fragment was hand-copied per oracle."""
+    msb = f"(length(bin({ratio_expr})) - 1)"
+    return (
+        f"(({msb} - 20) * 1024 + (({ratio_expr} - (1::BIGINT << {msb}))"
+        f" * 1024) // (1::BIGINT << {msb}))"
+    )
+
+
 def duckdb_floor_div_sql(expr: str, divisor: int) -> str:
     """DuckDB SQL for FLOORED integer division by a positive literal —
     the oracle twin of functions.text.floor_div_sql. DuckDB's integer

@@ -331,11 +331,13 @@ def hll_estimate(regs: DataFrame, group_cols: tuple[str, ...] = ()) -> DataFrame
         zeros.alias("zero_regs"),
         raw.alias("raw_est"),
         r_q20.alias("r_q20"),
-    ).withColumn("msb", F.length(F.bin(F.col("r_q20"))) - F.lit(1))
-    log2_q10 = F.expr(
-        "(msb - 20) * 1024 + ((r_q20 - shiftleft(1L, cast(msb AS int))) * 1024)"
-        " div shiftleft(1L, cast(msb AS int))"
     )
+    # the SHARED integerized piecewise log2 (operators.corpus
+    # _plog2_cols — one source for the q10 log2 discipline; the DuckDB
+    # twin is hashing.duckdb_plog2_sql)
+    from .corpus import _plog2_cols
+
+    log2_q10 = F.expr(_plog2_cols("r_q20"))
     lc = F.lit(HLL_LC_COEF) * log2_q10.cast("double") / F.lit(1024.0)
     use_lc = (F.col("zero_regs") > 0) & (F.col("raw_est") <= F.lit(HLL_LC_CUTOFF))
     return step.select(
@@ -386,16 +388,20 @@ def bloom_bits(df: DataFrame, key: Column) -> DataFrame:
     )
 
 
-def bloom_pass_keys(df: DataFrame, key: Column, bits: DataFrame) -> DataFrame:
-    """Probe side: keys whose BLOOM_K positions are ALL set. One
-    broadcast equi-join on bit position + a key-keyed count — no
-    bitmap datatype needed, so the plan stays declarative and the
-    oracle can replay it. Output: distinct passing keys (k string)."""
-    pos = (
-        df.select(key.cast("string").alias("k"))
-        .distinct()
-        .select("k", F.explode(_bloom_positions(F.col("k"))).alias("bit"))
-    )
+def distinct_keys(df: DataFrame, key: Column) -> DataFrame:
+    """Canonical (k string) distinct key set for the Bloom ops — build
+    it ONCE per side; the probe and the exact-comparison branches
+    share it (re-deriving it inside each consumer costs a fact-table
+    scan + distinct shuffle per use — review finding)."""
+    return df.select(key.cast("string").alias("k")).distinct()
+
+
+def bloom_pass_keys(keys: DataFrame, bits: DataFrame) -> DataFrame:
+    """Probe side: keys (a ``distinct_keys`` frame) whose BLOOM_K
+    positions are ALL set. One broadcast equi-join on bit position +
+    a key-keyed count — no bitmap datatype needed, so the plan stays
+    declarative and the oracle can replay it. Output: passing keys."""
+    pos = keys.select("k", F.explode(_bloom_positions(F.col("k"))).alias("bit"))
     return (
         pos.join(F.broadcast(bits), "bit")
         .groupBy("k")

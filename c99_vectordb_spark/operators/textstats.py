@@ -425,7 +425,10 @@ def html_extract(c: Column) -> Column:
     The web-corpus boilerplate-removal stage, CommonCrawl-shaped."""
     out = c
     for tag in HTML_DROP_TAGS:
-        out = F.regexp_replace(out, f"(?s)<{tag}[^>]*>.*?</{tag}>", " ")
+        # name boundary (\s[^>]*)? — bare '<nav[^>]*>' would anchor at
+        # a PREFIX-named tag like '<navy>' and lazily delete visible
+        # text through the next genuine '</nav>' (review finding)
+        out = F.regexp_replace(out, rf"(?s)<{tag}(\s[^>]*)?>.*?</{tag}>", " ")
     out = F.regexp_replace(out, "<[^>]*>", " ")
     for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")):
         out = F.replace(out, F.lit(ent), F.lit(ch))

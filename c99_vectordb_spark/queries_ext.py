@@ -4244,8 +4244,7 @@ def _oracle_approx_distinct_hll() -> str:
     rho_max = HLL_W + 1
     lc = (
         f"ROUND({HLL_LC_COEF!r}::DOUBLE * "
-        f"((msb - 20) * 1024 + ((r_q20 - (1::BIGINT << msb)) * 1024) "
-        f"// (1::BIGINT << msb))::DOUBLE / 1024.0, 2)"
+        f"({hashing.duckdb_plog2_sql('r_q20')})::DOUBLE / 1024.0, 2)"
     )
     use_lc = f"zero_regs > 0 AND raw_est <= {HLL_LC_CUTOFF!r}"
     return f"""
@@ -4283,12 +4282,11 @@ fin0 AS (
          ({HLL_M << 20}) // greatest({HLL_M} - nonzero_regs, 1) AS r_q20
   FROM est
 ),
-fin1 AS (SELECT *, length(bin(r_q20)) - 1 AS msb FROM fin0),
 fin AS (
   SELECT scope, nonzero_regs, zero_regs,
          CASE WHEN {use_lc} THEN {lc} ELSE ROUND(raw_est, 2) END AS est_hll,
          CASE WHEN {use_lc} THEN 'linear_counting' ELSE 'raw' END AS method
-  FROM fin1
+  FROM fin0
 )
 SELECT scope,
        {HLL_M}::BIGINT AS m,
@@ -4485,7 +4483,14 @@ def q_audit_benford_prices(spark: SparkSession, sf_dir: str) -> DataFrame:
     total broadcast. On this testdata the audit FIRES (digits 1-4
     nearly uniform, 5-9 starved) — correctly flagging the synthetic
     generator as non-Benford; that verdict is the output data."""
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    # audit domain: totals >= 1 (Benford's first significant digit is
+    # undefined at 0, and a sub-1.00 total would feed digit '0' into
+    # the expectation lookup — Spark would raise on array index 0
+    # while the oracle's join silently dropped the row; both twins now
+    # restrict identically and the denominator counts audited rows)
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").filter(
+        F.col("o_totalprice") >= 1
+    )
     # explicit floor: Spark CAST(double AS BIGINT) truncates but DuckDB
     # ROUNDS — a price like 49999.5 would land in different digit
     # buckets (caught by the oracle on first verify)
@@ -4524,9 +4529,11 @@ WITH bf_obs AS (
   SELECT substr(CAST(FLOOR(o_totalprice)::BIGINT AS VARCHAR), 1, 1)::BIGINT
            AS digit,
          COUNT(*)::BIGINT AS n_obs
-  FROM orders GROUP BY 1
+  FROM orders WHERE o_totalprice >= 1 GROUP BY 1
 ),
-bf_tot AS (SELECT COUNT(*)::BIGINT AS n_total FROM orders),
+bf_tot AS (
+  SELECT COUNT(*)::BIGINT AS n_total FROM orders WHERE o_totalprice >= 1
+),
 bf_exp(digit, exp_ppm) AS (VALUES {exp_rows})
 SELECT o.digit, o.n_obs,
        ((1000000 * o.n_obs) // t.n_total)::BIGINT AS obs_ppm,
@@ -4669,7 +4676,12 @@ def _oracle_text_html_extract() -> str:
     )
     ext = wrap
     for tag in ("script", "style", "nav", "footer"):
-        ext = f"regexp_replace({ext}, '(?s)<{tag}[^>]*>.*?</{tag}>', ' ', 'g')"
+        # name boundary mirrors textstats.html_extract (prefix-named
+        # tags like <navy> must not anchor the drop)
+        ext = (
+            f"regexp_replace({ext}, "
+            f"'(?s)<{tag}(\\s[^>]*)?>.*?</{tag}>', ' ', 'g')"
+        )
     ext = f"regexp_replace({ext}, '<[^>]*>', ' ', 'g')"
     for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")):
         ext = f"replace({ext}, '{ent}', '{ch}')"
@@ -4703,12 +4715,19 @@ def q_sim_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     RRF fusion) against a graded relevance oracle (relevance of a doc
     = how many distinct query tokens it contains).
 
+    The corpus is scanned ONCE per retriever: the dense and BM25
+    top-RRF_POOL pools are built a single time, the evaluated 10-deep
+    rankings are their prefixes, and the RRF ranking is fused from the
+    same two pools (the first cut re-embedded the corpus and re-ran
+    BM25 inside a nested hybrid call — review finding).
+
     Everything is integerized: DCG uses precomputed 2^20/log2(r+1)
     integer weights (no libm), nDCG/MRR land as ppm via integer
     division — the metrics themselves are hash-exact cross-engine.
     Rankings come from ordered-array aggregates over the bounded
-    top-10 pools (no global window, no rank self-join)."""
+    pools (no global window, no rank self-join)."""
     from .functions.embed import embed_pandas_udf
+    from .functions.text import tokens
     from .model import DIM
     from .operators.corpus import bm25_topk
     from .operators.recall import score_sq_l2_int_sparse
@@ -4717,8 +4736,6 @@ def q_sim_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     terms = sorted(set(hashing.tokenize(RECALL_QUERY_TEXT)))
     qv = hashing.embed_text_int(RECALL_QUERY_TEXT, DIM)
-
-    from .functions.text import tokens
 
     rel = docs.select(
         F.col("doc_id").alias("id"),
@@ -4731,37 +4748,62 @@ def q_sim_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("rel"),
     )
 
-    def ranked(pool, asc: bool):
-        """(rank, id) rows for a bounded top-N pool via ONE ordered-
-        array aggregate (plans are trees: windows/self-joins here
-        would re-execute the pool pipeline per branch)."""
+    def ranked(pool, k: int, rank_name: str = "rank"):
+        """(rank, id) rows for a bounded pre-sorted top-N pool via ONE
+        ordered-array aggregate (plans are trees: windows/self-joins
+        here would re-execute the pool pipeline per branch)."""
         arr = pool.agg(
-            F.sort_array(
-                F.collect_list(F.struct("score", "id")), asc=asc
-            ).alias("arr")
+            F.sort_array(F.collect_list(F.struct("score", "id"))).alias("arr")
         )
         return arr.select(
-            F.posexplode(F.slice("arr", 1, NDCG_K)).alias("pos", "s")
-        ).select((F.col("pos") + 1).alias("rank"), F.col("s.id").alias("id"))
+            F.posexplode(F.slice("arr", 1, k)).alias("pos", "s")
+        ).select((F.col("pos") + 1).alias(rank_name), F.col("s.id").alias("id"))
 
-    dense = ranked(
+    dense_pool = (
         docs.select(F.col("doc_id").alias("id"), "text")
         .withColumn("vec", embed_pandas_udf(DIM)(F.col("text")))
         .select("id", score_sq_l2_int_sparse(F.col("vec"), qv).alias("score"))
         .orderBy(F.asc("score"), F.asc("id"))
-        .limit(NDCG_K),
-        asc=True,
+        .limit(RRF_POOL)
     )
-    sparse = ranked(
-        bm25_topk(docs, terms, "doc_id", "text", k=NDCG_K).select(
-            "id", (-F.col("score_q26")).alias("score")
-        ),
-        asc=True,
+    sparse_pool = bm25_topk(docs, terms, "doc_id", "text", k=RRF_POOL).select(
+        "id", (-F.col("score_q26")).alias("score")
     )
-    rrf = q_sim_hybrid_rrf(spark, sf_dir).select(
-        "id", (-F.col("rrf_score")).alias("score")
+    dr50 = ranked(dense_pool, RRF_POOL, "r_dense")
+    sr50 = ranked(sparse_pool, RRF_POOL, "r_bm25")
+    fused = (
+        dr50.join(sr50, "id", "full_outer")
+        .select(
+            "id",
+            F.coalesce(F.col("r_dense"), F.lit(0)).cast("long").alias("r_dense"),
+            F.coalesce(F.col("r_bm25"), F.lit(0)).cast("long").alias("r_bm25"),
+        )
+        .withColumn(
+            "rrf_score",
+            F.round(
+                F.when(
+                    F.col("r_dense") > 0,
+                    F.lit(1.0) / (F.lit(RRF_KCONST) + F.col("r_dense")),
+                ).otherwise(F.lit(0.0))
+                + F.when(
+                    F.col("r_bm25") > 0,
+                    F.lit(1.0) / (F.lit(RRF_KCONST) + F.col("r_bm25")),
+                ).otherwise(F.lit(0.0)),
+                6,
+            ),
+        )
     )
-    fused = ranked(rrf, asc=True)
+    rrf_pool = fused.select("id", (-F.col("rrf_score")).alias("score")).orderBy(
+        F.asc("score"), F.asc("id")
+    ).limit(NDCG_K)
+
+    dense10 = dr50.filter(F.col("r_dense") <= NDCG_K).selectExpr(
+        "r_dense AS rank", "id"
+    )
+    sparse10 = sr50.filter(F.col("r_bm25") <= NDCG_K).selectExpr(
+        "r_bm25 AS rank", "id"
+    )
+    fused10 = ranked(rrf_pool, NDCG_K)
 
     wlit = F.array(*[F.lit(w) for w in _NDCG_W])
     idcg = (
@@ -4802,32 +4844,21 @@ def q_sim_eval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        metrics("dense", dense)
-        .unionByName(metrics("bm25", sparse))
-        .unionByName(metrics("rrf", fused))
+        metrics("dense", dense10)
+        .unionByName(metrics("bm25", sparse10))
+        .unionByName(metrics("rrf", fused10))
         .orderBy("retriever")
     )
 
 
 def _oracle_sim_eval_ndcg() -> str:
-    from .model import DIM
-    from .queries_registry import RECALL_QUERY_TEXT, _duck_doc_vec_cte
+    from .queries_registry import RECALL_QUERY_TEXT
 
     terms = sorted(set(hashing.tokenize(RECALL_QUERY_TEXT)))
     terms_sql = ", ".join(f"'{t}'" for t in terms)
-    qvec = hashing.embed_text_int(RECALL_QUERY_TEXT, DIM)
-    q2 = sum(w * w for w in qvec)
-    qrows = ", ".join(f"({b}, {w})" for b, w in enumerate(qvec) if w)
     wrows = ", ".join(f"({i + 1}, {w})" for i, w in enumerate(_NDCG_W))
-    rrf_inner = _oracle_sim_hybrid_rrf().strip().rstrip()
     return f"""
-WITH {_duck_doc_vec_cte(DIM)},
-norms AS (SELECT doc_id, SUM(w * w)::BIGINT AS d2 FROM vec GROUP BY 1),
-qv(bucket, w) AS (VALUES {qrows}),
-dots AS (
-  SELECT v.doc_id, SUM(v.w * qv.w)::BIGINT AS dot
-  FROM vec v JOIN qv ON v.bucket = qv.bucket GROUP BY 1
-),
+WITH {_rrf_pool_ctes()},
 nd_rel AS (
   SELECT doc_id AS id,
          len(list_intersect({hashing.duckdb_tokens_sql('text')},
@@ -4835,64 +4866,11 @@ nd_rel AS (
   FROM documents
 ),
 nd_w(rank, w) AS (VALUES {wrows}),
-nd_dense AS (
-  SELECT id, ROW_NUMBER() OVER (ORDER BY score ASC, id ASC) AS rank FROM (
-    SELECT d.doc_id AS id,
-           (COALESCE(n.d2, 0) + {q2} - 2 * COALESCE(t.dot, 0))::BIGINT AS score
-    FROM documents d
-    LEFT JOIN norms n ON d.doc_id = n.doc_id
-    LEFT JOIN dots t ON d.doc_id = t.doc_id
-  ) QUALIFY rank <= {NDCG_K}
-),
-nd_bm_tok AS (
-  SELECT doc_id AS id, unnest({hashing.duckdb_tokens_sql('text')}) AS term
-  FROM documents
-),
-nd_bm_dl AS (SELECT id, COUNT(*)::BIGINT AS dl FROM nd_bm_tok GROUP BY id),
-nd_bm_scal AS (
-  SELECT COUNT(*)::BIGINT AS n_docs,
-         ((1000 * SUM(dl)) // COUNT(*))::BIGINT AS avgdl_m FROM nd_bm_dl
-),
-nd_bm_hits AS (SELECT id, term FROM nd_bm_tok WHERE term IN ({terms_sql})),
-nd_bm_tf AS (
-  SELECT id, term, COUNT(*)::BIGINT AS tf FROM nd_bm_hits GROUP BY id, term
-),
-nd_bm_dfreq AS (
-  SELECT term, COUNT(DISTINCT id)::BIGINT AS dfq FROM nd_bm_hits GROUP BY term
-),
-nd_bm_j AS (
-  SELECT t.id, t.tf, f.dfq, s.n_docs,
-         (1000000 * d.dl) // s.avgdl_m AS ratio_m
-  FROM nd_bm_tf t JOIN nd_bm_dfreq f USING (term)
-  JOIN nd_bm_dl d ON t.id = d.id CROSS JOIN nd_bm_scal s
-),
-nd_bm_d AS (
-  SELECT id, tf,
-         1000 * tf + (1200 * (250 + (750 * ratio_m) // 1000)) // 1000 AS denom_m,
-         greatest(((2 * (n_docs - dfq) + 1) * 1048576) // (2 * dfq + 1),
-                  1::BIGINT) AS r
-  FROM nd_bm_j
-),
-nd_bm_p AS (
-  SELECT id, (65536 * 2200 * tf) // denom_m AS tf_q16,
-         length(format('{{:b}}', r)) - 1 AS msb, r
-  FROM nd_bm_d
-),
-nd_bm_i AS (
-  SELECT id, tf_q16,
-         greatest((msb - 20) * 1024
-                  + ((r - (1::BIGINT << msb)) * 1024) // (1::BIGINT << msb),
-                  0::BIGINT) AS idf_q10
-  FROM nd_bm_p
-),
-nd_bm AS (
-  SELECT id, ROW_NUMBER() OVER (ORDER BY s DESC, id ASC) AS rank FROM (
-    SELECT id, SUM(tf_q16 * idf_q10)::BIGINT AS s FROM nd_bm_i GROUP BY id
-  ) QUALIFY rank <= {NDCG_K}
-),
+nd_dense AS (SELECT id, r_dense AS rank FROM dense_rank WHERE r_dense <= {NDCG_K}),
+nd_bm AS (SELECT id, r_bm25 AS rank FROM bm_rank WHERE r_bm25 <= {NDCG_K}),
 nd_rrf AS (
   SELECT id, ROW_NUMBER() OVER (ORDER BY rrf_score DESC, id ASC) AS rank
-  FROM ({rrf_inner})
+  FROM fused
   QUALIFY rank <= {NDCG_K}
 ),
 nd_idcg AS (
@@ -5683,8 +5661,7 @@ def _oracle_events_hll_users() -> str:
     rho_max = HLL_W + 1
     lc = (
         f"ROUND({HLL_LC_COEF!r}::DOUBLE * "
-        f"((msb - 20) * 1024 + ((r_q20 - (1::BIGINT << msb)) * 1024) "
-        f"// (1::BIGINT << msb))::DOUBLE / 1024.0, 2)"
+        f"({hashing.duckdb_plog2_sql('r_q20')})::DOUBLE / 1024.0, 2)"
     )
     use_lc = f"zero_regs > 0 AND raw_est <= {HLL_LC_CUTOFF!r}"
     return f"""
@@ -5719,12 +5696,11 @@ fin0 AS (
          ({HLL_M << 20}) // greatest({HLL_M} - nonzero_regs, 1) AS r_q20
   FROM est0
 ),
-fin1 AS (SELECT *, length(bin(r_q20)) - 1 AS msb FROM fin0),
 fin AS (
   SELECT event_type, nonzero_regs,
          CASE WHEN {use_lc} THEN {lc} ELSE ROUND(raw_est, 2) END AS est_hll,
          CASE WHEN {use_lc} THEN 'linear_counting' ELSE 'raw' END AS method
-  FROM fin1
+  FROM fin0
 ),
 exact AS (
   SELECT event_type, COUNT(DISTINCT user_id)::BIGINT AS exact_users,
@@ -5754,15 +5730,24 @@ def q_bloom_semi_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     large the build side — always broadcastable; the probe is a
     map-side broadcast equi-join on bit + one key-keyed count. No
     bitmap datatype, so the DuckDB oracle replays every bit."""
-    from .operators.sketches import BLOOM_K, BLOOM_M, bloom_bits, bloom_pass_keys
+    from .operators.sketches import (
+        BLOOM_K,
+        BLOOM_M,
+        bloom_bits,
+        bloom_pass_keys,
+        distinct_keys,
+    )
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
     build = orders.filter(F.col("o_orderstatus") == "F")
     bits = bloom_bits(build, F.col("o_orderkey"))
-    build_keys = build.select(F.col("o_orderkey").cast("string").alias("k")).distinct()
-    probe = li.select(F.col("l_orderkey").cast("string").alias("k")).distinct()
-    passing = bloom_pass_keys(li, F.col("l_orderkey"), bits)
+    build_keys = distinct_keys(build, F.col("o_orderkey"))
+    # ONE distinct key set shared by the bloom probe AND the exact
+    # semi-join comparison (the first cut derived it twice — a full
+    # fact scan + distinct shuffle each)
+    probe = distinct_keys(li, F.col("l_orderkey"))
+    passing = bloom_pass_keys(probe, bits)
 
     def n(df: DataFrame, name: str) -> DataFrame:
         return df.agg(F.count(F.lit(1)).cast("long").alias(name))
@@ -6012,16 +5997,23 @@ def q_sim_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return fused.orderBy(F.desc("rrf_score"), F.asc("id")).limit(RRF_TOPK)
 
 
-def _oracle_sim_hybrid_rrf() -> str:
+def _rrf_pool_ctes() -> str:
+    """SHARED oracle CTEs for the two hybrid-retrieval oracles: the
+    dense top-RRF_POOL ranking (``dense_rank``), the integer-BM25
+    top-RRF_POOL ranking (``bm_rank`` — scoring chain spliced from
+    queries_pipeline.duckdb_bm25_ctes, the single BM25-oracle source),
+    and their RRF fusion (``fused`` with r_dense/r_bm25/rrf_score).
+    sim_eval_ndcg derives its 10-deep rankings as PREFIXES of these
+    pools instead of recomputing the corpus scans (review finding)."""
     from .model import DIM
+    from .queries_pipeline import duckdb_bm25_ctes
     from .queries_registry import RECALL_QUERY_TEXT, _duck_doc_vec_cte
 
     qvec = hashing.embed_text_int(RECALL_QUERY_TEXT, DIM)
     q2 = sum(w * w for w in qvec)
     qrows = ", ".join(f"({b}, {w})" for b, w in enumerate(qvec) if w)
-    terms = ", ".join(f"'{t}'" for t in sorted(set(hashing.tokenize(RECALL_QUERY_TEXT))))
-    return f"""
-WITH {_duck_doc_vec_cte(DIM)},
+    terms = tuple(sorted(set(hashing.tokenize(RECALL_QUERY_TEXT))))
+    return f"""{_duck_doc_vec_cte(DIM)},
 norms AS (SELECT doc_id, SUM(w * w)::BIGINT AS d2 FROM vec GROUP BY 1),
 qv(bucket, w) AS (VALUES {qrows}),
 dots AS (
@@ -6041,45 +6033,7 @@ dense_rank AS (
     FROM dense_scored
   ) WHERE rn <= {RRF_POOL}
 ),
-bm_tok AS (
-  SELECT doc_id AS id, unnest({hashing.duckdb_tokens_sql('text')}) AS term
-  FROM documents
-),
-bm_dl AS (SELECT id, COUNT(*)::BIGINT AS dl FROM bm_tok GROUP BY id),
-bm_scal AS (
-  SELECT COUNT(*)::BIGINT AS n_docs,
-         ((1000 * SUM(dl)) // COUNT(*))::BIGINT AS avgdl_m FROM bm_dl
-),
-bm_hits AS (SELECT id, term FROM bm_tok WHERE term IN ({terms})),
-bm_tf AS (SELECT id, term, COUNT(*)::BIGINT AS tf FROM bm_hits GROUP BY id, term),
-bm_dfreq AS (
-  SELECT term, COUNT(DISTINCT id)::BIGINT AS dfq FROM bm_hits GROUP BY term
-),
-bm_j AS (
-  SELECT bm_tf.id, bm_tf.tf, bm_dfreq.dfq, s.n_docs,
-         (1000000 * bm_dl.dl) // s.avgdl_m AS ratio_m
-  FROM bm_tf JOIN bm_dfreq USING (term)
-  JOIN bm_dl ON bm_tf.id = bm_dl.id CROSS JOIN bm_scal s
-),
-bm_d AS (
-  SELECT id, tf,
-         1000 * tf + (1200 * (250 + (750 * ratio_m) // 1000)) // 1000 AS denom_m,
-         greatest(((2 * (n_docs - dfq) + 1) * 1048576) // (2 * dfq + 1),
-                  1::BIGINT) AS r
-  FROM bm_j
-),
-bm_p AS (
-  SELECT id, (65536 * 2200 * tf) // denom_m AS tf_q16,
-         length(format('{{:b}}', r)) - 1 AS msb, r
-  FROM bm_d
-),
-bm_i AS (
-  SELECT id, tf_q16,
-         greatest((msb - 20) * 1024
-                  + ((r - (1::BIGINT << msb)) * 1024) // (1::BIGINT << msb),
-                  0::BIGINT) AS idf_q10
-  FROM bm_p
-),
+{duckdb_bm25_ctes('bm_', terms)},
 bm_scored AS (
   SELECT id, SUM(tf_q16 * idf_q10)::BIGINT AS score FROM bm_i GROUP BY id
 ),
@@ -6090,18 +6044,26 @@ bm_rank AS (
   ) WHERE rn <= {RRF_POOL}
 ),
 fused AS (
-  SELECT COALESCE(d.id, s.id) AS id,
-         COALESCE(d.r_dense, 0)::BIGINT AS r_dense,
-         COALESCE(s.r_bm25, 0)::BIGINT AS r_bm25
-  FROM dense_rank d FULL OUTER JOIN bm_rank s ON d.id = s.id
-)
-SELECT id, r_dense, r_bm25,
-       ROUND(
-         (CASE WHEN r_dense > 0
-               THEN 1.0 / ({RRF_KCONST} + r_dense) ELSE 0.0 END)
-         + (CASE WHEN r_bm25 > 0
-                 THEN 1.0 / ({RRF_KCONST} + r_bm25) ELSE 0.0 END), 6
-       ) AS rrf_score
+  SELECT id, r_dense, r_bm25,
+         ROUND(
+           (CASE WHEN r_dense > 0
+                 THEN 1.0 / ({RRF_KCONST} + r_dense) ELSE 0.0 END)
+           + (CASE WHEN r_bm25 > 0
+                   THEN 1.0 / ({RRF_KCONST} + r_bm25) ELSE 0.0 END), 6
+         ) AS rrf_score
+  FROM (
+    SELECT COALESCE(d.id, s.id) AS id,
+           COALESCE(d.r_dense, 0)::BIGINT AS r_dense,
+           COALESCE(s.r_bm25, 0)::BIGINT AS r_bm25
+    FROM dense_rank d FULL OUTER JOIN bm_rank s ON d.id = s.id
+  )
+)"""
+
+
+def _oracle_sim_hybrid_rrf() -> str:
+    return f"""
+WITH {_rrf_pool_ctes()}
+SELECT id, r_dense, r_bm25, rrf_score
 FROM fused
 ORDER BY rrf_score DESC, id ASC
 LIMIT {RRF_TOPK}

@@ -1825,43 +1825,55 @@ def q_corpus_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return C.bm25_topk(docs, list(BM25_QUERY), "doc_id", "text", k=20)
 
 
-def _oracle_corpus_bm25() -> str:
-    terms = ", ".join(f"'{t}'" for t in BM25_QUERY)
-    return f"""
-WITH tok AS (
+def duckdb_bm25_ctes(prefix: str, terms: tuple[str, ...]) -> str:
+    """SHARED oracle CTE chain for the integer-BM25 ladder (avgdl_m /
+    denom_m / piecewise-log2 idf_q10 — the single source of the BM25
+    quantization constants on the oracle side; three oracles splice
+    this with distinct prefixes, so a constant change propagates to
+    all of them — review finding). Emits CTE bodies (no WITH) ending
+    at ``{prefix}i`` (id, tf_q16, idf_q10) per matched (doc, term)."""
+    p = prefix
+    terms_sql = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""{p}tok AS (
   SELECT doc_id AS id, unnest({duckdb_tokens_sql('text')}) AS term FROM documents
-), dl AS (
-  SELECT id, COUNT(*)::BIGINT AS dl FROM tok GROUP BY id
-), scal AS (
+), {p}dl AS (
+  SELECT id, COUNT(*)::BIGINT AS dl FROM {p}tok GROUP BY id
+), {p}scal AS (
   SELECT COUNT(*)::BIGINT AS n_docs,
-         ((1000 * SUM(dl)) // COUNT(*))::BIGINT AS avgdl_m FROM dl
-), hits AS (
-  SELECT id, term FROM tok WHERE term IN ({terms})
-), tf AS (
-  SELECT id, term, COUNT(*)::BIGINT AS tf FROM hits GROUP BY id, term
-), dfreq AS (
-  SELECT term, COUNT(DISTINCT id)::BIGINT AS dfq FROM hits GROUP BY term
-), j AS (
-  SELECT tf.id, tf.tf, dfreq.dfq, s.n_docs,
-         (1000000 * dl.dl) // s.avgdl_m AS ratio_m
-  FROM tf JOIN dfreq USING (term) JOIN dl ON tf.id = dl.id CROSS JOIN scal s
-), d AS (
+         ((1000 * SUM(dl)) // COUNT(*))::BIGINT AS avgdl_m FROM {p}dl
+), {p}hits AS (
+  SELECT id, term FROM {p}tok WHERE term IN ({terms_sql})
+), {p}tf AS (
+  SELECT id, term, COUNT(*)::BIGINT AS tf FROM {p}hits GROUP BY id, term
+), {p}dfreq AS (
+  SELECT term, COUNT(DISTINCT id)::BIGINT AS dfq FROM {p}hits GROUP BY term
+), {p}j AS (
+  SELECT {p}tf.id, {p}tf.tf, {p}dfreq.dfq, s.n_docs,
+         (1000000 * {p}dl.dl) // s.avgdl_m AS ratio_m
+  FROM {p}tf JOIN {p}dfreq USING (term)
+  JOIN {p}dl ON {p}tf.id = {p}dl.id CROSS JOIN {p}scal s
+), {p}d AS (
   SELECT id, tf,
          1000 * tf + (1200 * (250 + (750 * ratio_m) // 1000)) // 1000 AS denom_m,
          greatest(((2 * (n_docs - dfq) + 1) * 1048576) // (2 * dfq + 1),
                   1::BIGINT) AS r
-  FROM j
-), p AS (
+  FROM {p}j
+), {p}p AS (
   SELECT id, (65536 * 2200 * tf) // denom_m AS tf_q16,
          length(format('{{:b}}', r)) - 1 AS msb, r
-  FROM d
-), i AS (
+  FROM {p}d
+), {p}i AS (
   SELECT id, tf_q16,
          greatest((msb - 20) * 1024
                   + ((r - (1::BIGINT << msb)) * 1024) // (1::BIGINT << msb),
                   0::BIGINT) AS idf_q10
-  FROM p
-)
+  FROM {p}p
+)"""
+
+
+def _oracle_corpus_bm25() -> str:
+    return f"""
+WITH {duckdb_bm25_ctes('', BM25_QUERY)}
 SELECT id, SUM(tf_q16 * idf_q10)::BIGINT AS score_q26, COUNT(*)::BIGINT AS n_terms
 FROM i GROUP BY id
 ORDER BY score_q26 DESC, id ASC

@@ -49,15 +49,10 @@ def test_documents_roundtrip_exact(spark, sf_dir, tmp_path, fmt):
     path = str(tmp_path / f"docs_{fmt}")
     write_table(both, path, fmt)
     back = read_table(spark, path, both.schema, fmt)
-    got, want = _rows(back), _rows(both)
-    if fmt == "csv":
-        # CSV physically cannot distinguish NULL from empty string in
-        # a quoted field; the nullValue sentinel covers NULL, and ""
-        # survives as "" — assert the ONE documented equivalence and
-        # everything else exact
-        assert got == want
-    else:
-        assert got == want
+    # exact for EVERY format — including CSV, where the nullValue
+    # sentinel keeps NULL distinguishable from the quoted empty string
+    # (the fixture carries one of each to prove it)
+    assert _rows(back) == _rows(both)
 
 
 @pytest.mark.parametrize("fmt", FORMATS)

@@ -24,6 +24,7 @@ from c99_vectordb_spark.operators.sketches import (
     HLL_W,
     bloom_bits,
     bloom_pass_keys,
+    distinct_keys,
     hll_estimate,
     hll_registers,
 )
@@ -114,7 +115,7 @@ def test_bloom_never_false_negative(spark, sf_dir):
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     build = orders.filter(F.col("o_orderstatus") == "F")
     bits = bloom_bits(build, F.col("o_orderkey"))
-    passing = bloom_pass_keys(build, F.col("o_orderkey"), bits)
+    passing = bloom_pass_keys(distinct_keys(build, F.col("o_orderkey")), bits)
     n_build = build.select("o_orderkey").distinct().count()
     assert passing.count() == n_build
 
@@ -663,3 +664,15 @@ def test_gini_python_recount(spark, sf_dir):
     # concentration sanity: top 10% holds more than 10% only if skewed;
     # either way the Lorenz ordering must hold
     assert got["top1_ppm"] <= got["top10_ppm"] <= 1_000_000
+
+
+def test_html_extract_prefix_named_tags_survive(spark):
+    """Regression (review finding): '<navy>' must NOT anchor the
+    '<nav>' drop — a bare '<nav[^>]*>' pattern deleted visible text
+    between a prefix-named tag and a later genuine '</nav>'."""
+    from c99_vectordb_spark.operators.textstats import html_extract
+
+    df = spark.createDataFrame(
+        [("<navy>blue</navy> keep me <nav>menu</nav> tail",)], "h string"
+    ).select(html_extract(F.col("h")).alias("rec"))
+    assert df.collect()[0]["rec"] == "blue keep me tail"

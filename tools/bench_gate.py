@@ -137,6 +137,15 @@ def main(argv: list[str]) -> int:
         if bench is None:
             print(f"bench gate: no JSON bench line in {args[0]}", file=sys.stderr)
             return 2
+        if not bench.get("queries"):
+            # same guard as the stdin path: a summary-only file (e.g. a
+            # truncated driver capture) must not "pass" by gating zero
+            # queries
+            print(
+                f"bench gate: {args[0]} carried only the compact summary "
+                "(no per-query timings) — nothing gated", file=sys.stderr,
+            )
+            return 2
     else:
         # bench.py prints the full per-query line FIRST and a compact
         # summary (no "queries" key) LAST for the driver's tail capture
