@@ -168,6 +168,7 @@ HEADLINE = [
     "audit_order_reconciliation",
     "events_forecast_mase",
     "customer_revenue_gini",
+    "corpus_drift_kl",
 ]
 
 

@@ -4302,6 +4302,124 @@ ORDER BY scope
 """
 
 
+#: token-length buckets for the drift monitor: floor(n_tokens/10),
+#: capped — bucket ids 0..12
+_DRIFT_BUCKETS = 13
+
+
+def q_corpus_drift_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution-drift monitor — the check every continuously-fed
+    training pipeline needs: per-source KL divergence of the doc
+    token-length distribution from the corpus-wide distribution,
+    fully integerized (Laplace-smoothed ppm masses; log2 of the
+    p/q ratio via the SHARED q10 piecewise log2 — corpus._plog2_cols /
+    hashing.duckdb_plog2_sql — so the drift score is hash-exact).
+
+    kl_q10 ~ 1024 * KL_bits. A source whose length profile matches the
+    corpus scores ~0; a drifted feed scores high — the ranking is the
+    alerting order. Shape: one doc-level map (token count -> bucket),
+    two rollup-sized aggregations, a broadcast of the 13-bucket global
+    table; nothing beyond the token-count scan touches doc bodies."""
+    from .functions.text import tokens
+    from .operators.corpus import _plog2_cols
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    b = F.least(
+        F.expr("size(tks) div 10"), F.lit(_DRIFT_BUCKETS - 1)
+    ).cast("long")
+    bucketed = docs.select(
+        "source", tokens(F.col("text")).alias("tks")
+    ).select("source", b.alias("b"))
+    glob = bucketed.groupBy("b").agg(F.count(F.lit(1)).cast("long").alias("nq"))
+    n_all = bucketed.agg(F.count(F.lit(1)).cast("long").alias("n_all"))
+    src = bucketed.groupBy("source", "b").agg(
+        F.count(F.lit(1)).cast("long").alias("np")
+    )
+    n_src = bucketed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_src")
+    )
+    # dense (source x bucket) grid so zero-count buckets still carry
+    # their Laplace mass on BOTH sides of the ratio
+    grid = n_src.crossJoin(
+        F.broadcast(
+            spark.range(_DRIFT_BUCKETS).select(F.col("id").cast("long").alias("b"))
+        )
+    )
+    j = (
+        grid.join(src, ["source", "b"], "left")
+        .join(F.broadcast(glob), "b", "left")
+        .crossJoin(F.broadcast(n_all))
+        .selectExpr(
+            "source",
+            "n_src",
+            f"(1000000 * (coalesce(np, 0L) + 1)) div (n_src + {_DRIFT_BUCKETS})"
+            " AS p_ppm",
+            f"(1000000 * (coalesce(nq, 0L) + 1)) div (n_all + {_DRIFT_BUCKETS})"
+            " AS q_ppm",
+        )
+        .selectExpr(
+            "source",
+            "n_src",
+            "p_ppm",
+            "greatest((p_ppm * 1048576) div q_ppm, 1L) AS ratio",
+        )
+        .selectExpr(
+            "source",
+            "n_src",
+            f"p_ppm * {_plog2_cols('ratio')} AS term",
+        )
+    )
+    return (
+        j.groupBy("source")
+        .agg(
+            F.max("n_src").alias("n_docs"),
+            F.expr("sum(term) div 1000000").cast("long").alias("kl_q10"),
+        )
+        .orderBy(F.desc("kl_q10"), F.asc("source"))
+    )
+
+
+def _oracle_corpus_drift_kl() -> str:
+    toks = hashing.duckdb_tokens_sql("text")
+    # the ratio is cheap integer math, so inlining it into the plog2
+    # fragment's references is fine (no md5-class expense here)
+    plog2_ratio = hashing.duckdb_plog2_sql(
+        "greatest((p_ppm * 1048576) // q_ppm, 1)"
+    )
+    B = _DRIFT_BUCKETS
+    return f"""
+WITH dk_b AS (
+  SELECT source, least(len({toks}) // 10, {B - 1})::BIGINT AS b FROM documents
+),
+dk_glob AS (SELECT b, COUNT(*)::BIGINT AS nq FROM dk_b GROUP BY 1),
+dk_all AS (SELECT COUNT(*)::BIGINT AS n_all FROM dk_b),
+dk_src AS (SELECT source, b, COUNT(*)::BIGINT AS np FROM dk_b GROUP BY 1, 2),
+dk_ns AS (SELECT source, COUNT(*)::BIGINT AS n_src FROM dk_b GROUP BY 1),
+dk_grid AS (
+  SELECT ns.source, ns.n_src, g.b
+  FROM dk_ns ns CROSS JOIN (SELECT unnest(range({B})) AS b) g
+),
+dk_j AS (
+  SELECT gr.source, gr.n_src,
+         (1000000 * (COALESCE(s.np, 0) + 1)) // (gr.n_src + {B}) AS p_ppm,
+         (1000000 * (COALESCE(gl.nq, 0) + 1)) // (a.n_all + {B}) AS q_ppm
+  FROM dk_grid gr
+  LEFT JOIN dk_src s ON s.source = gr.source AND s.b = gr.b
+  LEFT JOIN dk_glob gl ON gl.b = gr.b
+  CROSS JOIN dk_all a
+),
+dk_t AS (
+  SELECT source, n_src, p_ppm * {plog2_ratio} AS term
+  FROM dk_j
+)
+SELECT source, MAX(n_src)::BIGINT AS n_docs,
+       (SUM(term) // 1000000)::BIGINT AS kl_q10
+FROM dk_t
+GROUP BY source
+ORDER BY kl_q10 DESC, source ASC
+"""
+
+
 def q_events_forecast_mase(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Forecast BACKTEST: score the seasonal-naive forecaster (predict
     hour h with hour h-24) against the naive-1 baseline via MASE —
@@ -6159,6 +6277,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_eval_ndcg": q_sim_eval_ndcg,
     "text_html_extract": q_text_html_extract,
     "audit_benford_prices": q_audit_benford_prices,
+    "corpus_drift_kl": q_corpus_drift_kl,
     "events_forecast_mase": q_events_forecast_mase,
     "customer_revenue_gini": q_customer_revenue_gini,
     "audit_order_reconciliation": q_audit_order_reconciliation,
@@ -6255,6 +6374,7 @@ EXT_ORACLES: dict[str, str] = {
     "sim_eval_ndcg": _oracle_sim_eval_ndcg(),
     "text_html_extract": _oracle_text_html_extract(),
     "audit_benford_prices": _oracle_audit_benford_prices(),
+    "corpus_drift_kl": _oracle_corpus_drift_kl(),
     "events_forecast_mase": _oracle_events_forecast_mase(),
     "customer_revenue_gini": _oracle_customer_revenue_gini(),
     "audit_order_reconciliation": _oracle_audit_order_reconciliation(),

@@ -58,6 +58,7 @@ BNLJ_ALLOWED = {
     "audit_benford_prices": "1-row scalar aggregate broadcast (row total for the ppm denominator)",
     "events_forecast_mase": "gap-fill grid join: broadcast sides are the bounded hour grid and type list (events_resample pattern)",
     "customer_revenue_gini": "1-row scalar aggregate broadcast (customer count for the Lorenz rank cuts)",
+    "corpus_drift_kl": "broadcasts are the 13-bucket literal grid, the 13-row global table, and the 1-row corpus total",
 }
 
 

@@ -676,3 +676,19 @@ def test_html_extract_prefix_named_tags_survive(spark):
         [("<navy>blue</navy> keep me <nav>menu</nav> tail",)], "h string"
     ).select(html_extract(F.col("h")).alias("rec"))
     assert df.collect()[0]["rec"] == "blue keep me tail"
+
+
+def test_drift_kl_laws(spark, sf_dir):
+    """KL laws: the aggregate corpus CANNOT drift from itself (pooled
+    score ~0 up to Laplace quantization) and every per-source score is
+    bounded below by the quantization floor."""
+    from c99_vectordb_spark.queries_ext import q_corpus_drift_kl
+
+    rows = q_corpus_drift_kl(spark, sf_dir).collect()
+    assert rows
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs
+    for r in rows:
+        # integer quantization can dip a hair below zero, never far
+        assert r["kl_q10"] >= -16
+        assert r["kl_q10"] <= 20 * 1024  # saturation bound (log2 ratio <= 20)
