@@ -1765,7 +1765,8 @@ _ORACLES: dict[str, str] = {
 # basket_pairs, lineitem_weighted_quantiles, corpus_phrase_search,
 # orders_trimmed_mean, events_cuped, orders_bootstrap_ci,
 # sim_eval_ndcg, text_html_extract, audit_benford_prices,
-# audit_order_reconciliation — the session-5 newcomers outside
+# audit_order_reconciliation, events_forecast_mase,
+# customer_revenue_gini, corpus_drift_kl — the session-5 newcomers outside
 # the window); the session-4/5 displacements
 # (dedup_cluster_sizes, sim_diverse_topk, corpus_fertility,
 # corpus_bm25_batch, quantiles_exact_global, sim_knn_join,
