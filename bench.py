@@ -169,6 +169,12 @@ HEADLINE = [
     "events_forecast_mase",
     "customer_revenue_gini",
     "corpus_drift_kl",
+    "customer_rfm_segments",
+    "events_srm_check",
+    "events_cusum_shift",
+    "dp_orders_histogram",
+    "corpus_zipf_fit",
+    "join_skew_report",
 ]
 
 

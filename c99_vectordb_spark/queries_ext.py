@@ -6188,7 +6188,688 @@ LIMIT {RRF_TOPK}
 """
 
 
+# ---------------------------------------------------------------------------
+# Session-6 wave: RFM segmentation, SRM assignment audit, CUSUM
+# change-point, DP histogram release, Zipf rank-frequency fit, and the
+# pre-join skew diagnostic.
+# ---------------------------------------------------------------------------
+
+#: epoch day divisor for midnight-aligned order dates
+_DAY_US = 86_400_000_000
+
+#: chi-square 95% critical value for 1 dof, ppm (3.841459)
+_CHI2_95_1DOF_PPM = 3_841_459
+
+
+def _rfm_score(rk: str, n: str) -> str:
+    """Quintile bucket 1..5 from a 1-based total-order rank — NTILE's
+    arithmetic ``((rk-1)*5) div n + 1`` written explicitly so the Spark
+    and DuckDB twins share one integer formula (both operands are
+    positive, so ``div`` == ``//``)."""
+    return f"((({rk}) - 1) * 5) div ({n}) + 1"
+
+
+def q_customer_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM customer segmentation — the classic lifecycle report:
+    recency (days since last order), frequency (order count), monetary
+    (integer-cents revenue) scored into quintiles, customers rolled up
+    per (r, f, m) cell with a lifecycle label.
+
+    Quintile ranks come from the two-pass range-stitch
+    (operators/scalable_window.global_rank) — three rank passes, no
+    single-task window, so the segmentation scales to any customer
+    count. Ranks are total orders (metric, custkey), making every
+    bucket assignment deterministic; the bucket arithmetic is NTILE's
+    own floor formula on positive integers, hash-exact cross-engine.
+    Recency ranks stale-first so score 5 = most recent, matching the
+    standard RFM convention."""
+    from .operators.scalable_window import global_rank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_date"),
+        F.count(F.lit(1)).cast("long").alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+        .cast("long")
+        .alias("mon_cents"),
+    )
+    gmax = per_cust.agg(F.max("last_date").alias("gdate"))
+    # datediff is date-grained in both engines; order dates are
+    # midnight-aligned timestamps so the day count is exact
+    base = per_cust.crossJoin(F.broadcast(gmax)).select(
+        "o_custkey",
+        F.datediff(F.col("gdate"), F.col("last_date"))
+        .cast("long")
+        .alias("recency_days"),
+        "freq",
+        "mon_cents",
+    )
+    ranked = global_rank(
+        base, [F.desc("recency_days"), F.asc("o_custkey")], out_col="r_rk"
+    )
+    ranked = global_rank(ranked, [F.asc("freq"), F.asc("o_custkey")], out_col="f_rk")
+    ranked = global_rank(
+        ranked, [F.asc("mon_cents"), F.asc("o_custkey")], out_col="m_rk"
+    )
+    n = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    scored = ranked.crossJoin(F.broadcast(n)).selectExpr(
+        "o_custkey",
+        "mon_cents",
+        f"cast({_rfm_score('r_rk', 'n')} AS bigint) AS r_score",
+        f"cast({_rfm_score('f_rk', 'n')} AS bigint) AS f_score",
+        f"cast({_rfm_score('m_rk', 'n')} AS bigint) AS m_score",
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.sum("mon_cents").cast("long").alias("mon_cents"),
+        )
+        .selectExpr(
+            "r_score",
+            "f_score",
+            "m_score",
+            "n_customers",
+            "mon_cents div n_customers AS avg_mon_cents",
+            "CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'"
+            " WHEN r_score >= 4 AND f_score <= 2 THEN 'new'"
+            " WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'"
+            " WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'"
+            " ELSE 'core' END AS segment",
+        )
+        .orderBy("r_score", "f_score", "m_score")
+    )
+
+
+def _oracle_customer_rfm_segments() -> str:
+    def score(rk: str) -> str:
+        return f"(({rk} - 1) * 5) // n + 1"
+
+    return f"""
+WITH rfm_pc AS (
+  SELECT o_custkey,
+         MAX(o_orderdate) AS last_date,
+         COUNT(*)::BIGINT AS freq,
+         SUM(ROUND(o_totalprice * 100)::BIGINT)::BIGINT AS mon_cents
+  FROM orders GROUP BY 1
+),
+rfm_g AS (SELECT MAX(last_date) AS gdate FROM rfm_pc),
+rfm_b AS (
+  SELECT o_custkey,
+         date_diff('day', last_date::DATE, gdate::DATE)::BIGINT AS recency_days,
+         freq, mon_cents
+  FROM rfm_pc CROSS JOIN rfm_g
+),
+rfm_rk AS (
+  SELECT o_custkey, mon_cents,
+         ROW_NUMBER() OVER (ORDER BY recency_days DESC, o_custkey) AS r_rk,
+         ROW_NUMBER() OVER (ORDER BY freq, o_custkey) AS f_rk,
+         ROW_NUMBER() OVER (ORDER BY mon_cents, o_custkey) AS m_rk
+  FROM rfm_b
+),
+rfm_n AS (SELECT COUNT(*)::BIGINT AS n FROM rfm_rk),
+rfm_s AS (
+  SELECT o_custkey, mon_cents,
+         ({score('r_rk')})::BIGINT AS r_score,
+         ({score('f_rk')})::BIGINT AS f_score,
+         ({score('m_rk')})::BIGINT AS m_score
+  FROM rfm_rk CROSS JOIN rfm_n
+),
+rfm_a AS (
+  SELECT r_score, f_score, m_score,
+         COUNT(*)::BIGINT AS n_customers,
+         SUM(mon_cents)::BIGINT AS mon_cents
+  FROM rfm_s GROUP BY 1, 2, 3
+)
+SELECT r_score, f_score, m_score, n_customers,
+       (mon_cents // n_customers)::BIGINT AS avg_mon_cents,
+       CASE WHEN r_score >= 4 AND f_score >= 4 THEN 'champion'
+            WHEN r_score >= 4 AND f_score <= 2 THEN 'new'
+            WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+            WHEN r_score <= 2 AND f_score <= 2 THEN 'hibernating'
+            ELSE 'core' END AS segment
+FROM rfm_a
+ORDER BY r_score, f_score, m_score
+"""
+
+
+def q_events_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio-mismatch audit — the first gate of any A/B readout
+    (Fabijan et al. 2019): per exposure event type, the distinct users
+    observed are assigned to arms under TWO 50/50 assignment methods
+    and chi-square-tested against the design ratio.
+
+    ``md5`` is the healthy assignment (uniform avalanche hash, the
+    repo's positional-bits rule); ``mod`` is the classic buggy one
+    (``user_id % 100 < 50``), which on structured ID spaces is not
+    uniform — on this testdata it FIRES (chi2 16.7M ppm vs the 3.84M
+    critical value) while md5 stays green; the contrast is the output
+    data. chi2 for a 50/50 design reduces to (a-b)^2/n, computed as
+    exact integer ppm. One distinct-users shuffle; everything after is
+    rollup-sized."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    users = ev.select("event_type", "user_id").distinct()
+    h = "conv(substring(md5(cast(user_id AS string)), 1, 14), 16, 10)"
+    assigned = users.selectExpr(
+        "event_type",
+        f"CASE WHEN cast({h} AS bigint) % 100 < 50 THEN 1L ELSE 0L END AS md5_a",
+        "CASE WHEN user_id % 100 < 50 THEN 1L ELSE 0L END AS mod_a",
+    )
+    per_type = assigned.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.sum("md5_a").cast("long").alias("md5_obs_a"),
+        F.sum("mod_a").cast("long").alias("mod_obs_a"),
+    )
+    rows = []
+    for method, obs in (("md5", "md5_obs_a"), ("mod", "mod_obs_a")):
+        rows.append(
+            per_type.selectExpr(
+                "event_type",
+                f"'{method}' AS method",
+                "n_users",
+                f"{obs} AS obs_a",
+                f"n_users - {obs} AS obs_b",
+                f"(1000000 * (2 * {obs} - n_users) * (2 * {obs} - n_users))"
+                " div n_users AS chi2_ppm",
+                f"CASE WHEN (1000000 * (2 * {obs} - n_users) *"
+                f" (2 * {obs} - n_users)) div n_users > {_CHI2_95_1DOF_PPM}"
+                " THEN 1L ELSE 0L END AS srm_flag",
+            )
+        )
+    return rows[0].unionByName(rows[1]).orderBy("event_type", "method")
+
+
+def _oracle_events_srm_check() -> str:
+    h56 = hashing.duckdb_md5_hash56_sql("CAST(user_id AS VARCHAR)")
+    return f"""
+WITH srm_u AS (SELECT DISTINCT event_type, user_id FROM events),
+srm_a AS (
+  SELECT event_type,
+         CASE WHEN ({h56}) % 100 < 50 THEN 1 ELSE 0 END AS md5_a,
+         CASE WHEN user_id % 100 < 50 THEN 1 ELSE 0 END AS mod_a
+  FROM srm_u
+),
+srm_t AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n_users,
+         SUM(md5_a)::BIGINT AS md5_obs_a, SUM(mod_a)::BIGINT AS mod_obs_a
+  FROM srm_a GROUP BY 1
+),
+srm_m AS (
+  SELECT event_type, 'md5' AS method, n_users, md5_obs_a AS obs_a FROM srm_t
+  UNION ALL
+  SELECT event_type, 'mod' AS method, n_users, mod_obs_a AS obs_a FROM srm_t
+)
+SELECT event_type, method, n_users, obs_a,
+       (n_users - obs_a)::BIGINT AS obs_b,
+       ((1000000 * (2 * obs_a - n_users) * (2 * obs_a - n_users))
+        // n_users)::BIGINT AS chi2_ppm,
+       (CASE WHEN (1000000 * (2 * obs_a - n_users) * (2 * obs_a - n_users))
+             // n_users > {_CHI2_95_1DOF_PPM} THEN 1 ELSE 0 END)::BIGINT
+         AS srm_flag
+FROM srm_m
+ORDER BY event_type, method
+"""
+
+
+def q_events_cusum_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM level-shift detection on per-type hourly arrival counts —
+    the classic sequential change-point monitor (Page 1954), exact in
+    integers. The recursion S_t = max(0, S_{t-1} + z_t) is NOT a
+    window aggregate, but its closed form IS: S_t = P_t - min(0,
+    min_{j<=t} P_j) with P the prefix sum — two stacked PARTITIONED
+    cumulative windows per type (and the mirrored form for downward
+    shifts). z is integerized as m*y - T (m hours, T total), so sum(z)
+    = 0 exactly and no float mean ever exists. Counts live on the
+    DENSE hour grid (gap hours are real zeros, bounded by the time
+    range like events_resample). shift_ppm normalizes the peak by m*T;
+    the 50k-ppm flag threshold is ~2.5x this data's Brownian null
+    scale (~20k ppm) — that NO type fires on the uniform synthetic
+    arrivals is itself the verdict. Argmax hour is tie-broken earliest
+    via a max-then-min join of rollup-sized frames."""
+    from .functions.text import floor_div_sql
+    from .queries_registry import _read_events
+
+    ev = _read_events(spark, sf_dir).select(
+        "event_type", F.expr(floor_div_sql("ts_us", 3_600_000_000)).alias("h")
+    )
+    cnt = ev.groupBy("event_type", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("y")
+    )
+    bounds = ev.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    hours = bounds.select(
+        F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h")
+    )
+    types = ev.select("event_type").distinct()
+    dense = (
+        hours.crossJoin(F.broadcast(types))
+        .join(cnt, ["event_type", "h"], "left")
+        .select(
+            "event_type", "h", F.coalesce("y", F.lit(0)).cast("long").alias("y")
+        )
+    )
+    stats = dense.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("m"),
+        F.sum("y").cast("long").alias("t_total"),
+    )
+    z = dense.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "h",
+        "m",
+        "t_total",
+        (F.col("m") * F.col("y") - F.col("t_total")).cast("long").alias("z"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    p = z.withColumn("p", F.sum("z").over(w))
+    q = p.withColumn("rmin", F.min("p").over(w)).withColumn(
+        "rmax", F.max("p").over(w)
+    )
+    s = q.select(
+        "event_type",
+        "h",
+        "m",
+        "t_total",
+        (F.col("p") - F.least(F.col("rmin"), F.lit(0))).alias("s_up"),
+        (F.greatest(F.col("rmax"), F.lit(0)) - F.col("p")).alias("s_dn"),
+    )
+    peaks = s.groupBy("event_type").agg(
+        F.max("m").alias("n_hours"),
+        F.max("t_total").alias("t_total"),
+        F.max("s_up").alias("cusum_up"),
+        F.max("s_dn").alias("cusum_dn"),
+    )
+    argmax = (
+        s.join(
+            F.broadcast(peaks.select("event_type", "cusum_up")),
+            ["event_type"],
+        )
+        .filter(F.col("s_up") == F.col("cusum_up"))
+        .groupBy("event_type")
+        .agg(F.min("h").cast("long").alias("peak_hour"))
+    )
+    return (
+        peaks.join(argmax, "event_type")
+        .selectExpr(
+            "event_type",
+            "n_hours",
+            "t_total",
+            "cast(cusum_up AS bigint) AS cusum_up",
+            "cast(cusum_dn AS bigint) AS cusum_dn",
+            "peak_hour",
+            "(1000000 * cusum_up) div (n_hours * t_total) AS shift_ppm",
+            "CASE WHEN (1000000 * cusum_up) div (n_hours * t_total) > 50000"
+            " THEN 1L ELSE 0L END AS shift_detected",
+        )
+        .orderBy("event_type")
+    )
+
+
+def _oracle_events_cusum_shift() -> str:
+    hour = hashing.duckdb_floor_div_sql("epoch_us(ts)", 3_600_000_000)
+    return f"""
+WITH cs_e AS (SELECT event_type, {hour} AS h FROM events),
+cs_c AS (
+  SELECT event_type, h, COUNT(*)::BIGINT AS y FROM cs_e GROUP BY 1, 2
+),
+cs_b AS (SELECT MIN(h) AS h0, MAX(h) AS h1 FROM cs_e),
+cs_hours AS (SELECT unnest(generate_series(h0, h1)) AS h FROM cs_b),
+cs_types AS (SELECT DISTINCT event_type FROM cs_e),
+cs_d AS (
+  SELECT t.event_type, g.h, COALESCE(c.y, 0)::BIGINT AS y
+  FROM cs_hours g CROSS JOIN cs_types t
+  LEFT JOIN cs_c c ON c.event_type = t.event_type AND c.h = g.h
+),
+cs_st AS (
+  SELECT event_type, COUNT(*)::BIGINT AS m, SUM(y)::BIGINT AS t_total
+  FROM cs_d GROUP BY 1
+),
+cs_z AS (
+  SELECT d.event_type, d.h, st.m, st.t_total,
+         (st.m * d.y - st.t_total)::BIGINT AS z
+  FROM cs_d d JOIN cs_st st USING (event_type)
+),
+cs_p AS (
+  SELECT *, SUM(z) OVER (PARTITION BY event_type ORDER BY h
+                         ROWS UNBOUNDED PRECEDING) AS p
+  FROM cs_z
+),
+cs_q AS (
+  SELECT *, MIN(p) OVER (PARTITION BY event_type ORDER BY h
+                         ROWS UNBOUNDED PRECEDING) AS rmin,
+            MAX(p) OVER (PARTITION BY event_type ORDER BY h
+                         ROWS UNBOUNDED PRECEDING) AS rmax
+  FROM cs_p
+),
+cs_s AS (
+  SELECT event_type, h, m, t_total,
+         (p - LEAST(rmin, 0))::BIGINT AS s_up,
+         (GREATEST(rmax, 0) - p)::BIGINT AS s_dn
+  FROM cs_q
+),
+cs_pk AS (
+  SELECT event_type, MAX(m) AS n_hours, MAX(t_total) AS t_total,
+         MAX(s_up) AS cusum_up, MAX(s_dn) AS cusum_dn
+  FROM cs_s GROUP BY 1
+),
+cs_am AS (
+  SELECT s.event_type, MIN(s.h)::BIGINT AS peak_hour
+  FROM cs_s s JOIN cs_pk p
+    ON p.event_type = s.event_type AND s.s_up = p.cusum_up
+  GROUP BY 1
+)
+SELECT p.event_type, p.n_hours, p.t_total,
+       p.cusum_up::BIGINT AS cusum_up, p.cusum_dn::BIGINT AS cusum_dn,
+       a.peak_hour,
+       ((1000000 * p.cusum_up) // (p.n_hours * p.t_total))::BIGINT
+         AS shift_ppm,
+       (CASE WHEN (1000000 * p.cusum_up) // (p.n_hours * p.t_total) > 50000
+             THEN 1 ELSE 0 END)::BIGINT AS shift_detected
+FROM cs_pk p JOIN cs_am a USING (event_type)
+ORDER BY p.event_type
+"""
+
+
+#: geometric-noise bit budget: leading zeros of a 40-bit uniform field
+_DP_W = 40
+
+#: epsilon = ln 2 in ppm — the privacy budget the alpha=1/2 geometric
+#: mechanism spends per count (documented, not computed: no libm)
+_DP_EPS_PPM = 693_147
+
+
+def _geom_draw_sql(salt: str) -> str:
+    """Spark SQL: one exact Geometric(1/2) draw (support 0..40) from
+    the leading-zero count of a 40-bit uniform md5 field — P(g) =
+    2^-(g+1), the HLL rho construction reused as a sampler."""
+    h = (
+        f"cast(conv(substring(md5(concat(bucket, '{salt}')), 1, 14), 16, 10)"
+        f" AS bigint) % {1 << _DP_W}"
+    )
+    return (
+        f"CASE WHEN {h} = 0 THEN {_DP_W}L"
+        f" ELSE cast({_DP_W} - length(bin({h})) AS bigint) END"
+    )
+
+
+def _geom_draw_duckdb(salt: str) -> str:
+    h56 = hashing.duckdb_md5_hash56_sql(f"(bucket || '{salt}')")
+    h = f"(({h56}) % {1 << _DP_W})"
+    return (
+        f"CASE WHEN {h} = 0 THEN {_DP_W}"
+        f" ELSE {_DP_W} - length(bin({h})) END"
+    )
+
+
+def q_dp_orders_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private histogram release of order counts per
+    priority — the two-sided-geometric (discrete Laplace) mechanism of
+    Ghosh-Roughgarden-Sundararajan 2009, made ENGINE-EXACT by choosing
+    epsilon = ln 2: the noise ratio alpha = e^-eps is exactly 1/2, and
+    a Geometric(1/2) variate is exactly the leading-zero count of a
+    uniform bit field (the HLL rho construction reused as a sampler).
+    noise = G1 - G2 from two salted md5 draws per bucket is exactly
+    discrete-Laplace(alpha=1/2); both engines replay it bit-for-bit —
+    a DP mechanism whose noise is oracle-checkable with no RNG
+    contract. Sensitivity 1 (disjoint buckets, one row per order), so
+    the release spends eps = ln 2. true_n/noise are retained alongside
+    released_n because this is the mechanism's test artifact, not a
+    production release. Map-only + one 5-bucket aggregate."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    hist = (
+        orders.select(F.col("o_orderpriority").alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_n"))
+    )
+    return (
+        hist.selectExpr(
+            "bucket",
+            "true_n",
+            f"({_geom_draw_sql(':a')}) - ({_geom_draw_sql(':b')}) AS noise",
+        )
+        .selectExpr(
+            "bucket",
+            "true_n",
+            "noise",
+            "true_n + noise AS released_n",
+            f"{_DP_EPS_PPM}L AS eps_ppm",
+        )
+        .orderBy("bucket")
+    )
+
+
+def _oracle_dp_orders_histogram() -> str:
+    return f"""
+WITH dp_h AS (
+  SELECT o_orderpriority AS bucket, COUNT(*)::BIGINT AS true_n
+  FROM orders GROUP BY 1
+),
+dp_n AS (
+  SELECT bucket, true_n,
+         (({_geom_draw_duckdb(':a')}) - ({_geom_draw_duckdb(':b')}))::BIGINT
+           AS noise
+  FROM dp_h
+)
+SELECT bucket, true_n, noise,
+       (true_n + noise)::BIGINT AS released_n,
+       {_DP_EPS_PPM}::BIGINT AS eps_ppm
+FROM dp_n
+ORDER BY bucket
+"""
+
+
+#: Zipf fit depth: top-N token ranks per source enter the regression
+_ZIPF_TOP = 64
+
+
+def q_corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf rank-frequency audit per source — fit log2(freq) ~
+    log2(rank) over the top-64 token ranks and report the slope.
+    Natural language sits near slope -1 (Zipf 1949); this synthetic
+    word-soup corpus fits ~-0.3, so the zipf_like flag (slope <=
+    -0.7e6 ppm) correctly fires on NONE of the 20 sources — the
+    Benford-style synthetic-data detector for text. Exact integers
+    end-to-end: both log2s are the repo's piecewise q10 construction
+    (corpus._plog2_cols / hashing.duckdb_plog2_sql), and the OLS slope
+    is the staged closed form (n*Sxy - Sx*Sy) / (n*Sxx - Sx^2) in ppm
+    — numerator and denominator are exact q20-scale BIGINTs whose
+    scale cancels in the ratio (|num|*1e6 < 2^59 at any depth <= 64).
+    Ranking is a PARTITIONED window per source over vocab-sized
+    counts; everything downstream is 64 rows per source."""
+    from .functions.text import tokens
+    from .operators.corpus import _plog2_cols
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    cnt = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count(F.lit(1)).cast("long").alias("cnt"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), F.asc("token"))
+    top = (
+        cnt.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= _ZIPF_TOP)
+        .selectExpr(
+            "source",
+            "cnt",
+            "rk",
+            f"cast({_plog2_cols('shiftleft(rk, 20)')} AS bigint) AS x",
+            f"cast({_plog2_cols('shiftleft(cnt, 20)')} AS bigint) AS y",
+        )
+    )
+    return (
+        top.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ranks"),
+            F.max(F.when(F.col("rk") == 1, F.col("cnt")))
+            .cast("long")
+            .alias("top_cnt"),
+            F.sum("x").cast("long").alias("sx"),
+            F.sum("y").cast("long").alias("sy"),
+            F.sum(F.col("x") * F.col("x")).cast("long").alias("sxx"),
+            F.sum(F.col("x") * F.col("y")).cast("long").alias("sxy"),
+        )
+        .selectExpr(
+            "source",
+            "n_ranks",
+            "top_cnt",
+            "(1000000 * (n_ranks * sxy - sx * sy))"
+            " div (n_ranks * sxx - sx * sx) AS slope_ppm",
+            "CASE WHEN (1000000 * (n_ranks * sxy - sx * sy))"
+            " div (n_ranks * sxx - sx * sx) <= -700000"
+            " THEN 1L ELSE 0L END AS zipf_like",
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_corpus_zipf_fit() -> str:
+    toks = hashing.duckdb_tokens_sql("text")
+    x = hashing.duckdb_plog2_sql("(rk << 20)")
+    y = hashing.duckdb_plog2_sql("(cnt << 20)")
+    return f"""
+WITH zf_tok AS (
+  SELECT source, unnest({toks}) AS token FROM documents
+),
+zf_c AS (
+  SELECT source, token, COUNT(*)::BIGINT AS cnt FROM zf_tok GROUP BY 1, 2
+),
+zf_r AS (
+  SELECT source, token, cnt,
+         ROW_NUMBER() OVER (PARTITION BY source
+                            ORDER BY cnt DESC, token) AS rk
+  FROM zf_c
+),
+zf_t AS (
+  SELECT source, cnt, rk,
+         ({x})::BIGINT AS x, ({y})::BIGINT AS y
+  FROM zf_r WHERE rk <= {_ZIPF_TOP}
+),
+zf_s AS (
+  SELECT source, COUNT(*)::BIGINT AS n_ranks,
+         MAX(CASE WHEN rk = 1 THEN cnt END)::BIGINT AS top_cnt,
+         SUM(x)::BIGINT AS sx, SUM(y)::BIGINT AS sy,
+         SUM(x * x)::BIGINT AS sxx, SUM(x * y)::BIGINT AS sxy
+  FROM zf_t GROUP BY 1
+)
+SELECT source, n_ranks, top_cnt,
+       ((1000000 * (n_ranks * sxy - sx * sy))
+        // (n_ranks * sxx - sx * sx))::BIGINT AS slope_ppm,
+       (CASE WHEN (1000000 * (n_ranks * sxy - sx * sy))
+             // (n_ranks * sxx - sx * sx) <= -700000
+             THEN 1 ELSE 0 END)::BIGINT AS zipf_like
+FROM zf_s
+ORDER BY source
+"""
+
+
+def q_join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pre-join skew diagnostic — the measurement that decides
+    broadcast vs salt vs AQE skew-split BEFORE paying for the join:
+    per-key fan-out histograms of both sides (log2 buckets via bit
+    length — no float log) and the exact join-output row count each
+    bucket would produce (sum of cl*cr over keys in both sides), for
+    two join scenarios (customer x orders on custkey, orders x
+    lineitem on orderkey). Never executes the joins themselves: each
+    side is one key-count aggregate, the 'out' tier a key-count
+    equi-join of the two count tables (key-grained, not row-grained —
+    at 100 TB this diagnostic touches keys, not rows). A bucket
+    landing above the executor-memory line is the salting trigger;
+    rows_out concentrating in one bucket is the AQE-skew-join
+    signature."""
+    rows = []
+    for scen, left, lkey, right, rkey in (
+        (
+            "customer_orders",
+            spark.read.parquet(f"{sf_dir}/customer.parquet"),
+            "c_custkey",
+            spark.read.parquet(f"{sf_dir}/orders.parquet"),
+            "o_custkey",
+        ),
+        (
+            "orders_lineitem",
+            spark.read.parquet(f"{sf_dir}/orders.parquet"),
+            "o_orderkey",
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet"),
+            "l_orderkey",
+        ),
+    ):
+        lc = left.groupBy(F.col(lkey).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("cl")
+        )
+        rc = right.groupBy(F.col(rkey).alias("k")).agg(
+            F.count(F.lit(1)).cast("long").alias("cr")
+        )
+        for side, src, cexpr in (("left", lc, "cl"), ("right", rc, "cr")):
+            rows.append(
+                src.selectExpr(
+                    f"'{scen}' AS scenario",
+                    f"'{side}' AS side",
+                    f"cast(length(bin({cexpr})) AS bigint) AS bucket",
+                    f"{cexpr} AS c",
+                )
+                .groupBy("scenario", "side", "bucket")
+                .agg(
+                    F.count(F.lit(1)).cast("long").alias("n_keys"),
+                    F.sum("c").cast("long").alias("n_rows"),
+                )
+            )
+        out = lc.join(rc, "k").selectExpr(
+            f"'{scen}' AS scenario",
+            "'out' AS side",
+            "cast(length(bin(cl * cr)) AS bigint) AS bucket",
+            "cl * cr AS c",
+        )
+        rows.append(
+            out.groupBy("scenario", "side", "bucket").agg(
+                F.count(F.lit(1)).cast("long").alias("n_keys"),
+                F.sum("c").cast("long").alias("n_rows"),
+            )
+        )
+    from functools import reduce
+
+    return reduce(DataFrame.unionByName, rows).orderBy(
+        "scenario", "side", "bucket"
+    )
+
+
+def _oracle_join_skew_report() -> str:
+    def scen(name: str, lt: str, lk: str, rt: str, rk: str) -> str:
+        return f"""
+SELECT '{name}' AS scenario, side, bucket,
+       COUNT(*)::BIGINT AS n_keys, SUM(c)::BIGINT AS n_rows
+FROM (
+  SELECT 'left' AS side, length(bin(cl))::BIGINT AS bucket, cl AS c
+  FROM (SELECT {lk} AS k, COUNT(*)::BIGINT AS cl FROM {lt} GROUP BY 1)
+  UNION ALL
+  SELECT 'right' AS side, length(bin(cr))::BIGINT AS bucket, cr AS c
+  FROM (SELECT {rk} AS k, COUNT(*)::BIGINT AS cr FROM {rt} GROUP BY 1)
+  UNION ALL
+  SELECT 'out' AS side, length(bin(cl * cr))::BIGINT AS bucket, cl * cr AS c
+  FROM (SELECT {lk} AS k, COUNT(*)::BIGINT AS cl FROM {lt} GROUP BY 1) a
+  JOIN (SELECT {rk} AS k, COUNT(*)::BIGINT AS cr FROM {rt} GROUP BY 1) b
+    USING (k)
+)
+GROUP BY 1, 2, 3
+"""
+
+    a = scen("customer_orders", "customer", "c_custkey", "orders", "o_custkey")
+    b = scen("orders_lineitem", "orders", "o_orderkey", "lineitem", "l_orderkey")
+    return f"""
+SELECT * FROM ({a}) UNION ALL SELECT * FROM ({b})
+ORDER BY scenario, side, bucket
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "customer_rfm_segments": q_customer_rfm_segments,
+    "events_srm_check": q_events_srm_check,
+    "events_cusum_shift": q_events_cusum_shift,
+    "dp_orders_histogram": q_dp_orders_histogram,
+    "corpus_zipf_fit": q_corpus_zipf_fit,
+    "join_skew_report": q_join_skew_report,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
     "dedup_substring_spans": q_dedup_substring_spans,
@@ -6288,6 +6969,12 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 }
 
 EXT_ORACLES: dict[str, str] = {
+    "customer_rfm_segments": _oracle_customer_rfm_segments(),
+    "events_srm_check": _oracle_events_srm_check(),
+    "events_cusum_shift": _oracle_events_cusum_shift(),
+    "dp_orders_histogram": _oracle_dp_orders_histogram(),
+    "corpus_zipf_fit": _oracle_corpus_zipf_fit(),
+    "join_skew_report": _oracle_join_skew_report(),
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_jaccard_pairs": _ORACLE_DEDUP_JACCARD,
     "dedup_substring_spans": _oracle_substring_spans(),

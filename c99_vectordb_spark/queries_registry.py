@@ -1754,6 +1754,15 @@ _ORACLES: dict[str, str] = {
 # events_rollup_incremental — all stay oracle-covered past the window
 # and rotate back in r7). The window still carries 26 first-timers.
 #
+# Session-6 swap: three of the six NEW session-6 operators
+# (dp_orders_histogram, events_srm_check, customer_rfm_segments)
+# rotate in so they land driver-green in the round they were built,
+# displacing three first-timers (tpch_q14, corpus_bigrams,
+# dedup_cross_source — no family drops below its minimum; every
+# already-driver-green window entry is family-pinned) that stay fully
+# oracle-covered and return in r7. The other three session-6 newcomers (events_cusum_shift,
+# corpus_zipf_fit, join_skew_report) join the r7 pool below.
+#
 # Round-7 rotation TODO: the remaining window-eligible never-checked
 # pool (multimodal_features and sim_pq are rows-only and cannot occupy
 # hash slots): the NEW oracled r6 queries still outside the window
@@ -1767,7 +1776,11 @@ _ORACLES: dict[str, str] = {
 # sim_eval_ndcg, text_html_extract, audit_benford_prices,
 # audit_order_reconciliation, events_forecast_mase,
 # customer_revenue_gini, corpus_drift_kl — the session-5 newcomers outside
-# the window); the session-4/5 displacements
+# the window); the session-6 newcomers outside the window
+# (events_cusum_shift, corpus_zipf_fit, join_skew_report) and its
+# first-timer displacements (tpch_q14, corpus_bigrams,
+# dedup_cross_source); the
+# session-4/5 displacements
 # (dedup_cluster_sizes, sim_diverse_topk, corpus_fertility,
 # corpus_bm25_batch, quantiles_exact_global, sim_knn_join,
 # orders_price_outliers, profile_orders, events_rollup_incremental —
@@ -1785,11 +1798,10 @@ DRIVER_WINDOW = [
     "stats_topk_other",
     "compaction_reseq",
     "upsert_docs",
-    # TPC-H tour — five never-driver-checked members rotate in
+    # TPC-H tour — four never-driver-checked members rotate in
     "tpch_q4",
     "tpch_q8",
     "tpch_q13",
-    "tpch_q14",
     "tpch_q19",
     # join strategies
     "salted_join_revenue",
@@ -1811,7 +1823,6 @@ DRIVER_WINDOW = [
     "dedup_minhash_pairs",
     "dedup_incremental",
     "dedup_semantic",
-    "dedup_cross_source",
     "dedup_span_removal",
     # similarity family (pool reps + the two first-time headliners +
     # the round-6 ANN recall@k report, new this round)
@@ -1835,7 +1846,6 @@ DRIVER_WINDOW = [
     "corpus_postings",
     "corpus_bpe_merges",
     "corpus_vocab",
-    "corpus_bigrams",
     "corpus_sample",
     "corpus_kn_counts",
     "corpus_dsir_weights",
@@ -1846,6 +1856,11 @@ DRIVER_WINDOW = [
     "approx_distinct_hll",
     "bloom_semi_join",
     "fuzzy_join_parts",
+    # session-6 wave: DP histogram release, SRM assignment audit, RFM
+    # segmentation — driver-checked in the round they were built
+    "dp_orders_histogram",
+    "events_srm_check",
+    "customer_rfm_segments",
 ]
 
 

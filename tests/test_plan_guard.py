@@ -59,6 +59,8 @@ BNLJ_ALLOWED = {
     "events_forecast_mase": "gap-fill grid join: broadcast sides are the bounded hour grid and type list (events_resample pattern)",
     "customer_revenue_gini": "1-row scalar aggregate broadcast (customer count for the Lorenz rank cuts)",
     "corpus_drift_kl": "broadcasts are the 13-bucket literal grid, the 13-row global table, and the 1-row corpus total",
+    "customer_rfm_segments": "two 1-row scalar aggregate broadcasts (global max order date; customer count for the quintile cuts)",
+    "events_cusum_shift": "gap-fill grid join: broadcast sides are the bounded hour grid and type list (events_resample pattern)",
 }
 
 

@@ -1,0 +1,235 @@
+"""Property tests for the round-6 session-6 operator wave: RFM
+segmentation, SRM assignment audit, CUSUM change-point, DP histogram
+release, Zipf rank-frequency fit, join-skew diagnostic.
+
+Oracle parity (tools/verify_oracle) proves Spark==DuckDB; these prove
+the SEMANTICS on axes a twin bug could share — quintile partition
+laws, the chi-square arithmetic and the mod-assignment bug actually
+firing, the CUSUM closed form equalling the textbook recursion, the
+DP noise replaying exactly from Python md5, the OLS slope recounted
+from raw token counts, and the skew report's conservation laws
+against the real join cardinality.
+"""
+from __future__ import annotations
+
+import collections
+import hashlib
+import re
+
+import pandas as pd
+
+from c99_vectordb_spark.queries_ext import (
+    _CHI2_95_1DOF_PPM,
+    _DP_W,
+    _ZIPF_TOP,
+    q_corpus_zipf_fit,
+    q_customer_rfm_segments,
+    q_dp_orders_histogram,
+    q_events_cusum_shift,
+    q_events_srm_check,
+    q_join_skew_report,
+)
+
+
+def _md5_56(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+
+# ---------------------------------------------------------------------------
+# RFM segmentation
+# ---------------------------------------------------------------------------
+
+def test_rfm_partition_and_quintile_laws(spark, sf_dir):
+    rows = q_customer_rfm_segments(spark, sf_dir).collect()
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    n_cust = orders["o_custkey"].nunique()
+    assert sum(r["n_customers"] for r in rows) == n_cust
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5
+        assert 1 <= r["f_score"] <= 5
+        assert 1 <= r["m_score"] <= 5
+    # each per-axis marginal is an NTILE quintile: size floor/ceil(n/5)
+    for axis in ("r_score", "f_score", "m_score"):
+        marg = collections.Counter()
+        for r in rows:
+            marg[r[axis]] += r["n_customers"]
+        for s in range(1, 6):
+            assert marg[s] in (n_cust // 5, n_cust // 5 + 1), (axis, s, marg)
+    # lifecycle labels recompute from the scores alone
+    for r in rows:
+        rs, fs = r["r_score"], r["f_score"]
+        want = (
+            "champion" if rs >= 4 and fs >= 4
+            else "new" if rs >= 4 and fs <= 2
+            else "at_risk" if rs <= 2 and fs >= 4
+            else "hibernating" if rs <= 2 and fs <= 2
+            else "core"
+        )
+        assert r["segment"] == want
+
+
+# ---------------------------------------------------------------------------
+# SRM audit
+# ---------------------------------------------------------------------------
+
+def test_srm_mod_assignment_fires_md5_clean(spark, sf_dir):
+    rows = q_events_srm_check(spark, sf_dir).collect()
+    by = {(r["event_type"], r["method"]): r for r in rows}
+    events = pd.read_parquet(f"{sf_dir}/events.parquet")
+    users = events.groupby("event_type")["user_id"].apply(set)
+    assert len(by) == 2 * len(users)
+    for etype, uset in users.items():
+        for method in ("md5", "mod"):
+            r = by[(etype, method)]
+            if method == "md5":
+                a = sum(1 for u in uset if _md5_56(str(u)) % 100 < 50)
+            else:
+                a = sum(1 for u in uset if u % 100 < 50)
+            n = len(uset)
+            assert r["n_users"] == n and r["obs_a"] == a
+            assert r["obs_a"] + r["obs_b"] == r["n_users"]
+            chi2 = (1_000_000 * (2 * a - n) * (2 * a - n)) // n
+            assert r["chi2_ppm"] == chi2
+            assert r["srm_flag"] == (1 if chi2 > _CHI2_95_1DOF_PPM else 0)
+        # the structured-ID bug is DETECTED, the hash assignment is clean
+        assert by[(etype, "mod")]["srm_flag"] == 1
+        assert by[(etype, "md5")]["srm_flag"] == 0
+
+
+# ---------------------------------------------------------------------------
+# CUSUM change-point
+# ---------------------------------------------------------------------------
+
+def test_cusum_closed_form_equals_textbook_recursion(spark, sf_dir):
+    """The windowed closed form S_t = P_t - min(0, min P_j) must equal
+    Page's recursion S_t = max(0, S_{t-1} + z_t) replayed in Python on
+    the same dense series (and mirrored for the downward statistic)."""
+    rows = {r["event_type"]: r for r in q_events_cusum_shift(spark, sf_dir).collect()}
+    events = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ts_us = events["ts"].astype("int64")
+    if ts_us.abs().max() > 10**16:  # nanos vintage
+        ts_us = ts_us // 1000
+    h = ts_us // 3_600_000_000
+    h0, h1 = int(h.min()), int(h.max())
+    for etype, grp in events.assign(h=h).groupby("event_type"):
+        cnt = grp.groupby("h").size().to_dict()
+        dense = [int(cnt.get(hh, 0)) for hh in range(h0, h1 + 1)]
+        m, t = len(dense), sum(dense)
+        s_up = s_dn = 0
+        max_up = max_dn = 0
+        peak = None
+        for i, y in enumerate(dense):
+            z = m * y - t
+            s_up = max(0, s_up + z)
+            s_dn = max(0, s_dn - z)
+            if s_up > max_up:
+                max_up, peak = s_up, h0 + i
+            max_dn = max(max_dn, s_dn)
+        r = rows[etype]
+        assert r["n_hours"] == m and r["t_total"] == t
+        assert r["cusum_up"] == max_up
+        assert r["cusum_dn"] == max_dn
+        assert r["peak_hour"] == peak
+        assert r["shift_ppm"] == (1_000_000 * max_up) // (m * t)
+
+
+# ---------------------------------------------------------------------------
+# DP histogram
+# ---------------------------------------------------------------------------
+
+def _geom_draw_py(bucket: str, salt: str) -> int:
+    w = _md5_56(bucket + salt) % (1 << _DP_W)
+    return _DP_W if w == 0 else _DP_W - w.bit_length()
+
+
+def test_dp_noise_replays_from_python_md5(spark, sf_dir):
+    rows = q_dp_orders_histogram(spark, sf_dir).collect()
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    truth = orders.groupby("o_orderpriority").size().to_dict()
+    assert len(rows) == len(truth)
+    for r in rows:
+        noise = _geom_draw_py(r["bucket"], ":a") - _geom_draw_py(r["bucket"], ":b")
+        assert r["true_n"] == truth[r["bucket"]]
+        assert r["noise"] == noise
+        assert r["released_n"] == r["true_n"] + noise
+        assert r["eps_ppm"] == 693_147
+
+
+def test_dp_geometric_sampler_distribution():
+    """Leading-zero draw is exactly Geometric(1/2): over many salted
+    draws, P(g) halves per step — the sampler's distributional
+    contract (counts are deterministic given the salt list)."""
+    draws = [_geom_draw_py(f"k{i}", ":s") for i in range(4096)]
+    cnt = collections.Counter(draws)
+    # expected 2048, 1024, 512, 256 — allow 4-sigma binomial slack
+    for g, exp in ((0, 2048), (1, 1024), (2, 512), (3, 256)):
+        sd = (4096 * (2 ** -(g + 1)) * (1 - 2 ** -(g + 1))) ** 0.5
+        assert abs(cnt[g] - exp) < 4 * sd + 1, (g, cnt[g])
+
+
+# ---------------------------------------------------------------------------
+# Zipf fit
+# ---------------------------------------------------------------------------
+
+def _plog2_py(v: int) -> int:
+    """q10 piecewise log2 of a q20 ratio — the corpus._plog2_cols
+    arithmetic replayed exactly."""
+    msb = v.bit_length() - 1
+    return (msb - 20) * 1024 + ((v - (1 << msb)) * 1024) // (1 << msb)
+
+
+def test_zipf_slope_recounts_from_raw_tokens(spark, sf_dir):
+    rows = {r["source"]: r for r in q_corpus_zipf_fit(spark, sf_dir).collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    for source, grp in docs.groupby("source"):
+        cnt = collections.Counter()
+        for text in grp["text"]:
+            cnt.update(re.findall(r"[a-z0-9_]+", text.lower()))
+        ranked = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_ZIPF_TOP]
+        n = len(ranked)
+        sx = sy = sxx = sxy = 0
+        for i, (_, c) in enumerate(ranked):
+            x, y = _plog2_py((i + 1) << 20), _plog2_py(c << 20)
+            sx, sy, sxx, sxy = sx + x, sy + y, sxx + x * x, sxy + x * y
+        num, den = 1_000_000 * (n * sxy - sx * sy), n * sxx - sx * sx
+        # Spark div truncates toward zero (den > 0 here) — replicate
+        slope = -((-num) // den) if num < 0 else num // den
+        r = rows[source]
+        assert r["n_ranks"] == n
+        assert r["top_cnt"] == ranked[0][1]
+        assert r["slope_ppm"] == slope
+        # word-soup corpus: slope well above Zipf's -1 — the audit fires
+        assert r["zipf_like"] == 0 and -1_000_000 < slope < 0
+
+
+# ---------------------------------------------------------------------------
+# Join-skew report
+# ---------------------------------------------------------------------------
+
+def test_skew_report_conservation_laws(spark, sf_dir):
+    rows = q_join_skew_report(spark, sf_dir).collect()
+    cust = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+
+    def total(scen, side):
+        return sum(r["n_rows"] for r in rows if r["scenario"] == scen and r["side"] == side)
+
+    assert total("customer_orders", "left") == len(cust)
+    assert total("customer_orders", "right") == len(orders)
+    assert total("orders_lineitem", "left") == len(orders)
+    assert total("orders_lineitem", "right") == len(li)
+    # 'out' tier == the exact join cardinality it predicts
+    co = orders.merge(cust, left_on="o_custkey", right_on="c_custkey")
+    ol = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    assert total("customer_orders", "out") == len(co)
+    assert total("orders_lineitem", "out") == len(ol)
+    # bucket law: every key's fan lands in bucket bit_length(c)
+    oc = orders.groupby("o_custkey").size()
+    want = collections.Counter(int(c).bit_length() for c in oc)
+    got = {
+        r["bucket"]: r["n_keys"]
+        for r in rows
+        if r["scenario"] == "customer_orders" and r["side"] == "right"
+    }
+    assert got == dict(want)
