@@ -175,6 +175,9 @@ HEADLINE = [
     "dp_orders_histogram",
     "corpus_zipf_fit",
     "join_skew_report",
+    "dedup_containment",
+    "lineitem_abc_parts",
+    "events_hour_profile",
 ]
 
 

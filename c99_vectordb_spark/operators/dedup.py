@@ -239,6 +239,69 @@ def ngram_jaccard_pairs(
     )
 
 
+def ngram_containment_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    body_col: str = "body",
+    n: int = 3,
+    threshold_ppm: int = 500_000,
+    max_shingle_freq: int | str | None = "auto",
+) -> DataFrame:
+    """ASYMMETRIC near-dup pairs by n-gram containment — the
+    quote/subset detector Jaccard misses: a short document fully
+    quoted inside a long one has tiny Jaccard (union is large) but
+    containment(src->dst) = |src ∩ dst| / |src| ≈ 1 (Broder 1997's
+    second resemblance measure; the substring-dedup complement at
+    set granularity).
+
+    Plan shape is ngram_jaccard_pairs' banded-cost twin: capped
+    shingles -> one undirected self-equi-join (id_a < id_b) computes
+    the symmetric intersection ONCE -> both directed containments
+    derive arithmetically (no second join). Exact integers end-to-end:
+    containment_ppm = 1e6 * inter div sz_src, so the threshold
+    boundary is engine-identical with no float contract. Output
+    (src, dst, containment_ppm): src's surviving shingle set is
+    >= threshold_ppm covered by dst's.
+    """
+    sh = shingles(df, id_col, body_col, n).cache()
+    if max_shingle_freq == "auto":
+        max_shingle_freq = auto_shingle_cap(df.count())
+    if max_shingle_freq is not None:
+        rare = sh.groupBy("sh").count().filter(F.col("count") <= max_shingle_freq)
+        sh = sh.join(rare.select("sh"), "sh")
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    both = (
+        shared.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
+    )
+    fwd = both.selectExpr(
+        "id_a AS src",
+        "id_b AS dst",
+        "(1000000 * inter) div sz_a AS containment_ppm",
+    )
+    rev = both.selectExpr(
+        "id_b AS src",
+        "id_a AS dst",
+        "(1000000 * inter) div sz_b AS containment_ppm",
+    )
+    return fwd.unionByName(rev).filter(
+        F.col("containment_ppm") >= threshold_ppm
+    )
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "id", body_col: str = "body", n: int = 3
 ) -> DataFrame:

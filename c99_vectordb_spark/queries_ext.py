@@ -6863,8 +6863,260 @@ ORDER BY scenario, side, bucket
 """
 
 
+#: containment threshold: src >=50% covered by dst
+_CONTAIN_PPM = 500_000
+
+
+def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric containment near-dup pairs (Broder's second
+    resemblance measure): directed (src, dst) pairs where >=50% of
+    src's capped shingle set appears in dst — the quote/subset
+    detector symmetric Jaccard misses. One undirected banded
+    equi-join computes the intersection once; both directions derive
+    arithmetically. Exact-integer ppm, no float contract."""
+    from .operators.dedup import ngram_containment_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return ngram_containment_pairs(
+        docs, id_col="doc_id", body_col="text", threshold_ppm=_CONTAIN_PPM
+    ).orderBy("src", "dst")
+
+
+def _oracle_dedup_containment() -> str:
+    return f"""
+WITH {_duck_hl_cte()},
+ct_cap AS (SELECT greatest(16, (COUNT(*) + 199) // 200) AS v FROM documents),
+ct_freq AS (SELECT sh, COUNT(*) AS df FROM sh GROUP BY sh),
+ct_shc AS (
+  SELECT s.doc_id, s.sh
+  FROM sh s JOIN ct_freq f ON s.sh = f.sh CROSS JOIN ct_cap
+  WHERE f.df <= ct_cap.v
+),
+ct_sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM ct_shc GROUP BY 1),
+ct_shared AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*)::BIGINT AS inter
+  FROM ct_shc a JOIN ct_shc b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+ct_both AS (
+  SELECT ia, ib, inter, sa.sz AS sz_a, sb.sz AS sz_b
+  FROM ct_shared
+  JOIN ct_sizes sa ON ia = sa.doc_id
+  JOIN ct_sizes sb ON ib = sb.doc_id
+),
+ct_dir AS (
+  SELECT ia AS src, ib AS dst,
+         ((1000000 * inter) // sz_a)::BIGINT AS containment_ppm
+  FROM ct_both
+  UNION ALL
+  SELECT ib AS src, ia AS dst,
+         ((1000000 * inter) // sz_b)::BIGINT AS containment_ppm
+  FROM ct_both
+)
+SELECT src, dst, containment_ppm
+FROM ct_dir WHERE containment_ppm >= {_CONTAIN_PPM}
+ORDER BY src, dst
+"""
+
+
+def q_lineitem_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABC / Pareto inventory classification: parts ranked by exact
+    integer-cents discounted revenue, classified A (cumulative share
+    <= 80%), B (<= 95%), C (tail) — the classic stock-priority
+    report. The cumulative revenue over the (revenue DESC, partkey)
+    total order comes from the two-pass range-stitch
+    (operators/scalable_window.running_sum) — no single-task window
+    at any part count; class boundaries are integer cross-multiplied
+    (100 * cum <= 80 * total), so the cut is engine-exact. Output is
+    one row per class with counts, revenue, and exact ppm share."""
+    from .operators.scalable_window import running_sum
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    rev = li.groupBy("l_partkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice").cast("decimal(12,4)")
+                * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+                * 100,
+                0,
+            ).cast("long")
+        )
+        .cast("long")
+        .alias("rev_cents")
+    )
+    cum = running_sum(
+        rev,
+        [F.desc("rev_cents"), F.asc("l_partkey")],
+        F.col("rev_cents"),
+        out_col="cum_cents",
+    )
+    total = rev.agg(F.sum("rev_cents").cast("long").alias("total_cents"))
+    classed = cum.crossJoin(F.broadcast(total)).selectExpr(
+        "l_partkey",
+        "rev_cents",
+        "CASE WHEN 100 * cum_cents <= 80 * total_cents THEN 'A'"
+        " WHEN 100 * cum_cents <= 95 * total_cents THEN 'B'"
+        " ELSE 'C' END AS abc_class",
+        "total_cents",
+    )
+    return (
+        classed.groupBy("abc_class")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_parts"),
+            F.sum("rev_cents").cast("long").alias("rev_cents"),
+            F.max("total_cents").alias("total_cents"),
+        )
+        .selectExpr(
+            "abc_class",
+            "n_parts",
+            "rev_cents",
+            "(1000000 * rev_cents) div total_cents AS rev_share_ppm",
+        )
+        .orderBy("abc_class")
+    )
+
+
+def _oracle_lineitem_abc_parts() -> str:
+    return """
+WITH abc_rev AS (
+  SELECT l_partkey,
+         SUM(ROUND(l_extendedprice::DECIMAL(12,4)
+                   * (1 - l_discount)::DECIMAL(6,4) * 100, 0)::BIGINT)::BIGINT
+           AS rev_cents
+  FROM lineitem GROUP BY 1
+),
+abc_cum AS (
+  SELECT l_partkey, rev_cents,
+         SUM(rev_cents) OVER (ORDER BY rev_cents DESC, l_partkey
+                              ROWS UNBOUNDED PRECEDING) AS cum_cents
+  FROM abc_rev
+),
+abc_t AS (SELECT SUM(rev_cents)::BIGINT AS total_cents FROM abc_rev),
+abc_c AS (
+  SELECT l_partkey, rev_cents,
+         CASE WHEN 100 * cum_cents <= 80 * total_cents THEN 'A'
+              WHEN 100 * cum_cents <= 95 * total_cents THEN 'B'
+              ELSE 'C' END AS abc_class,
+         total_cents
+  FROM abc_cum CROSS JOIN abc_t
+)
+SELECT abc_class, COUNT(*)::BIGINT AS n_parts,
+       SUM(rev_cents)::BIGINT AS rev_cents,
+       ((1000000 * SUM(rev_cents)) // MAX(total_cents))::BIGINT
+         AS rev_share_ppm
+FROM abc_c GROUP BY 1
+ORDER BY abc_class
+"""
+
+
+#: chi-square 95% critical value for 23 dof, ppm (35.172462)
+_CHI2_95_23DOF_PPM = 35_172_462
+
+
+def q_events_hour_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour-of-day seasonality profile per event type: the 24-cell
+    activity index (1e6 = flat) plus a chi-square uniformity test
+    over the dense cell grid (zero hours carry real zeros). The
+    verdict DISCRIMINATES on this testdata at sf0.01: view fires
+    (chi2 42.8M ppm > the 35.17M dof-23 critical value), the other
+    four types read as uniform. Exact integers: with d = 24*cnt -
+    total, chi2 = sum(d^2) / (24*total) — no float expectation ever
+    exists. One (type, hod)-keyed aggregation; the grid and per-type
+    totals are rollup-sized broadcasts."""
+    from .functions.text import floor_div_sql
+    from .queries_registry import _read_events
+
+    ev = _read_events(spark, sf_dir).selectExpr(
+        "event_type",
+        f"({floor_div_sql('ts_us', 3_600_000_000)}) % 24 AS hod",
+    )
+    cnt = ev.groupBy("event_type", "hod").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    grid = (
+        ev.select("event_type")
+        .distinct()
+        .crossJoin(F.broadcast(spark.range(24).selectExpr("id AS hod")))
+    )
+    dense = grid.join(cnt, ["event_type", "hod"], "left").select(
+        "event_type",
+        F.col("hod").cast("long").alias("hod"),
+        F.coalesce("cnt", F.lit(0)).cast("long").alias("cnt"),
+    )
+    stats = dense.groupBy("event_type").agg(
+        F.sum("cnt").cast("long").alias("total"),
+    )
+    chi = (
+        dense.join(F.broadcast(stats), "event_type")
+        .selectExpr(
+            "event_type",
+            "total",
+            "(24 * cnt - total) * (24 * cnt - total) AS d2",
+        )
+        .groupBy("event_type")
+        .agg(
+            F.max("total").alias("total"),
+            F.sum("d2").cast("long").alias("sd2"),
+        )
+        .selectExpr(
+            "event_type",
+            "(1000000 * sd2) div (24 * total) AS chi2_ppm",
+        )
+    )
+    return (
+        dense.join(F.broadcast(stats), "event_type")
+        .join(F.broadcast(chi), "event_type")
+        .selectExpr(
+            "event_type",
+            "hod",
+            "cnt",
+            "(1000000 * 24 * cnt) div greatest(total, 1) AS index_ppm",
+            "chi2_ppm",
+            f"CASE WHEN chi2_ppm > {_CHI2_95_23DOF_PPM} THEN 1L ELSE 0L END"
+            " AS seasonal",
+        )
+        .orderBy("event_type", "hod")
+    )
+
+
+def _oracle_events_hour_profile() -> str:
+    hour = hashing.duckdb_floor_div_sql("epoch_us(ts)", 3_600_000_000)
+    return f"""
+WITH hp_e AS (SELECT event_type, ({hour}) % 24 AS hod FROM events),
+hp_c AS (
+  SELECT event_type, hod, COUNT(*)::BIGINT AS cnt FROM hp_e GROUP BY 1, 2
+),
+hp_g AS (
+  SELECT t.event_type, h.hod
+  FROM (SELECT DISTINCT event_type FROM hp_e) t
+  CROSS JOIN (SELECT unnest(range(0, 24)) AS hod) h
+),
+hp_d AS (
+  SELECT g.event_type, g.hod::BIGINT AS hod, COALESCE(c.cnt, 0)::BIGINT AS cnt
+  FROM hp_g g LEFT JOIN hp_c c ON c.event_type = g.event_type AND c.hod = g.hod
+),
+hp_t AS (SELECT event_type, SUM(cnt)::BIGINT AS total FROM hp_d GROUP BY 1),
+hp_x AS (
+  SELECT d.event_type,
+         ((1000000 * SUM((24 * d.cnt - t.total) * (24 * d.cnt - t.total)))
+          // (24 * MAX(t.total)))::BIGINT AS chi2_ppm
+  FROM hp_d d JOIN hp_t t USING (event_type) GROUP BY 1
+)
+SELECT d.event_type, d.hod, d.cnt,
+       ((1000000 * 24 * d.cnt) // greatest(t.total, 1))::BIGINT AS index_ppm,
+       x.chi2_ppm,
+       (CASE WHEN x.chi2_ppm > {_CHI2_95_23DOF_PPM} THEN 1 ELSE 0 END)::BIGINT
+         AS seasonal
+FROM hp_d d JOIN hp_t t USING (event_type) JOIN hp_x x USING (event_type)
+ORDER BY d.event_type, d.hod
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_rfm_segments": q_customer_rfm_segments,
+    "dedup_containment": q_dedup_containment,
+    "lineitem_abc_parts": q_lineitem_abc_parts,
+    "events_hour_profile": q_events_hour_profile,
     "events_srm_check": q_events_srm_check,
     "events_cusum_shift": q_events_cusum_shift,
     "dp_orders_histogram": q_dp_orders_histogram,
@@ -6970,6 +7222,9 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
 
 EXT_ORACLES: dict[str, str] = {
     "customer_rfm_segments": _oracle_customer_rfm_segments(),
+    "dedup_containment": _oracle_dedup_containment(),
+    "lineitem_abc_parts": _oracle_lineitem_abc_parts(),
+    "events_hour_profile": _oracle_events_hour_profile(),
     "events_srm_check": _oracle_events_srm_check(),
     "events_cusum_shift": _oracle_events_cusum_shift(),
     "dp_orders_histogram": _oracle_dp_orders_histogram(),

@@ -421,3 +421,134 @@ def streaming_bloom_admit(keyed: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CUSUM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("grp", T.StringType(), False),
+        T.StructField("through_h", T.LongType(), False),
+        T.StructField("max_up", T.LongType(), False),
+        T.StructField("max_dn", T.LongType(), False),
+        T.StructField("peak_hour", T.LongType(), False),
+        T.StructField("n_late", T.LongType(), False),
+    ]
+)
+
+#: state = (next unprocessed hour, both running CUSUMs, both peaks,
+#: peak-hour argmax, late-arrival counter) — O(1) per key forever
+CUSUM_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("next_h", T.LongType(), False),
+        T.StructField("s_up", T.LongType(), False),
+        T.StructField("s_dn", T.LongType(), False),
+        T.StructField("max_up", T.LongType(), False),
+        T.StructField("max_dn", T.LongType(), False),
+        T.StructField("peak_h", T.LongType(), False),
+        T.StructField("n_late", T.LongType(), False),
+    ]
+)
+
+
+def cusum_replay_py(
+    counts: dict[int, int], ref: int, h0: int, h1: int
+) -> tuple[int, int, int]:
+    """Reference replay of Page's recursion with fixed reference level
+    ``ref`` over the dense hour range [h0, h1]: returns (max_up,
+    max_dn, peak_hour). The batch comparator for the streaming twin's
+    replay test — and the semantic spec both share."""
+    s_up = s_dn = max_up = max_dn = 0
+    peak = h0
+    for h in range(h0, h1 + 1):
+        z = counts.get(h, 0) - ref
+        s_up = max(0, s_up + z)
+        s_dn = max(0, s_dn - z)
+        if s_up > max_up:
+            max_up, peak = s_up, h
+        max_dn = max(max_dn, s_dn)
+    return max_up, max_dn, peak
+
+
+def streaming_cusum_shift(keyed: DataFrame, ref: int, h0: int) -> DataFrame:
+    """Online CUSUM level-shift monitor — the streaming twin of
+    queries_ext.q_events_cusum_shift with the one change online
+    monitoring forces: the reference level ``ref`` (expected events
+    per hour) is a FIXED design parameter, not the data-derived mean
+    (which no stream can know mid-flight; Page 1954's original form).
+
+    Input stream carries (grp STRING, h BIGINT) — one row per event,
+    h the epoch-hour bucket. State per group is seven longs, O(1)
+    forever. Empty hours are REAL zeros, exactly like the batch
+    grid's gap fill — and a gap of g empty hours is applied in
+    CLOSED FORM (s_up decays to max(0, s_up - g*ref), s_dn climbs by
+    g*ref, downward peak checked once at the gap's end), so per-batch
+    work is O(events in batch), never O(hours elapsed) — a monitor
+    that sleeps a year costs nothing to catch up. Rows below the
+    processed horizon (late arrivals under availableNow replay with
+    time-ordered files) are counted in ``n_late``, never silently
+    dropped. Emits the running verdict per batch (update mode); the
+    last emission equals cusum_replay_py over the same series
+    (test-pinned)."""
+
+    def cusum_fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            next_h, s_up, s_dn, max_up, max_dn, peak, n_late = state.get
+        else:
+            next_h, s_up, s_dn, max_up, max_dn, peak, n_late = (
+                h0, 0, 0, 0, 0, h0, 0,
+            )
+        counts: dict[int, int] = {}
+        for pdf in pdfs:
+            for h in pdf["h"]:
+                h = int(h)
+                if h < next_h:
+                    n_late += 1
+                    continue
+                counts[h] = counts.get(h, 0) + 1
+        if not counts and not state.exists:
+            # nothing on or above the horizon and no state yet: emit
+            # the empty verdict so the group is visible
+            state.update((next_h, s_up, s_dn, max_up, max_dn, peak, n_late))
+            yield pd.DataFrame(
+                [[str(key[0]), next_h - 1, max_up, max_dn, peak, n_late]],
+                columns=[
+                    "grp", "through_h", "max_up", "max_dn", "peak_hour",
+                    "n_late",
+                ],
+            )
+            return
+        cur = next_h
+        for h in sorted(counts):
+            gap = h - cur
+            if gap > 0:
+                # closed-form run of `gap` empty hours (z = -ref each):
+                # s_up only decays (no new upward peak); s_dn climbs
+                # linearly (its peak is the run's end)
+                s_up = max(0, s_up - gap * ref)
+                s_dn = s_dn + gap * ref
+                max_dn = max(max_dn, s_dn)
+            z = counts[h] - ref
+            s_up = max(0, s_up + z)
+            s_dn = max(0, s_dn - z)
+            if s_up > max_up:
+                max_up, peak = s_up, h
+            max_dn = max(max_dn, s_dn)
+            cur = h + 1
+        state.update((cur, s_up, s_dn, max_up, max_dn, peak, n_late))
+        yield pd.DataFrame(
+            [[str(key[0]), cur - 1, max_up, max_dn, peak, n_late]],
+            columns=[
+                "grp", "through_h", "max_up", "max_dn", "peak_hour", "n_late",
+            ],
+        )
+
+    return keyed.groupBy("grp").applyInPandasWithState(
+        cusum_fn,
+        outputStructType=CUSUM_OUTPUT_SCHEMA,
+        stateStructType=CUSUM_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

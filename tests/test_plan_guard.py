@@ -61,6 +61,8 @@ BNLJ_ALLOWED = {
     "corpus_drift_kl": "broadcasts are the 13-bucket literal grid, the 13-row global table, and the 1-row corpus total",
     "customer_rfm_segments": "two 1-row scalar aggregate broadcasts (global max order date; customer count for the quintile cuts)",
     "events_cusum_shift": "gap-fill grid join: broadcast sides are the bounded hour grid and type list (events_resample pattern)",
+    "lineitem_abc_parts": "1-row scalar aggregate broadcast (revenue total for the class cuts)",
+    "events_hour_profile": "grid join: broadcast side is the literal 24-slot hour-of-day grid",
 }
 
 

@@ -233,3 +233,84 @@ def test_skew_report_conservation_laws(spark, sf_dir):
         if r["scenario"] == "customer_orders" and r["side"] == "right"
     }
     assert got == dict(want)
+
+
+# ---------------------------------------------------------------------------
+# Streaming CUSUM twin
+# ---------------------------------------------------------------------------
+
+def test_streaming_cusum_matches_python_replay(spark, sf_dir, tmp_path):
+    """After an availableNow replay with the events split into two
+    TIME-ORDERED micro-batches, each group's last emission equals
+    cusum_replay_py over the same dense series — proving the O(1)
+    state carries the recursion across batch boundaries and the
+    closed-form gap skip equals hour-by-hour replay."""
+    import os
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from c99_vectordb_spark.queries_registry import _read_events
+    from c99_vectordb_spark.streaming.stateful import (
+        cusum_replay_py,
+        streaming_cusum_shift,
+    )
+
+    REF = 1
+    ev = _read_events(spark, sf_dir).selectExpr(
+        "event_type AS grp", "ts_us div 3600000000 AS h"
+    )
+    rows = ev.collect()
+    h0 = min(r["h"] for r in rows)
+    mid = (h0 + max(r["h"] for r in rows)) // 2
+
+    expect = {}
+    for grp in {r["grp"] for r in rows}:
+        counts: dict[int, int] = {}
+        for r in rows:
+            if r["grp"] == grp:
+                counts[r["h"]] = counts.get(r["h"], 0) + 1
+        h1 = max(counts)
+        up, dn, peak = cusum_replay_py(counts, REF, h0, h1)
+        expect[grp] = (h1, up, dn, peak)
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    ev.filter(F.col("h") <= mid).coalesce(1).write.parquet(
+        os.path.join(src, "b1.parquet")
+    )
+    ev.filter(F.col("h") > mid).coalesce(1).write.parquet(
+        os.path.join(src, "b2.parquet")
+    )
+    now = _t.time()
+    for sub, ts in (("b1.parquet", now - 60), ("b2.parquet", now)):
+        d = os.path.join(src, sub)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+        os.utime(d, (ts, ts))
+
+    stream = (
+        spark.readStream.schema("grp STRING, h LONG")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_cusum_shift(stream, ref=REF, h0=h0)
+        .writeStream.format("memory")
+        .queryName("cusum_out")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = {}
+    for r in spark.sql("SELECT * FROM cusum_out").collect():
+        final[r.grp] = (r.through_h, r.max_up, r.max_dn, r.peak_hour, r.n_late)
+    assert set(final) == set(expect)
+    for grp, (h1, up, dn, peak) in expect.items():
+        th, g_up, g_dn, g_peak, late = final[grp]
+        assert th == h1 and late == 0
+        assert (g_up, g_dn, g_peak) == (up, dn, peak), grp
