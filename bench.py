@@ -178,6 +178,8 @@ HEADLINE = [
     "dedup_containment",
     "lineitem_abc_parts",
     "events_hour_profile",
+    "sim_range_search",
+    "graph_communities",
 ]
 
 

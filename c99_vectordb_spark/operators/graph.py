@@ -129,3 +129,85 @@ r{t} AS MATERIALIZED (
         )
     parts.append(f"\nSELECT node, pr_fp FROM r{iters}")
     return "".join(parts)
+
+
+def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
+    """Synchronous label-propagation community detection (Raghavan et
+    al. 2007), deterministic: each round every node adopts the MODE of
+    its neighbors' labels plus its own (the self-vote damps the
+    bipartite oscillation the raw algorithm exhibits), ties broken by
+    smallest label. Labels start as node ids, so the result after a
+    fixed round count is a pure function of the edge set — both
+    engines replay it exactly (the DuckDB twin unrolls the rounds).
+
+    Scale shape: per round ONE edge-labels equi-join + one
+    (node, label)-keyed count + one PARTITIONED mode window — the same
+    partition-once honest iterative-join shape as pagerank; the loop
+    composes on the driver with no collect() in the body. Returns
+    (node, label)."""
+    from pyspark.sql import Window
+
+    # symmetrize + dedup ONCE, partition by the join key, and reuse
+    # across every round (pagerank's partition-once discipline — the
+    # lazy plan would otherwise recompute the distinct per round)
+    und = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition("dst")
+        .persist()
+    )
+    labels = und.select(F.col("src").alias("node")).distinct().withColumn(
+        "label", F.col("node")
+    )
+    w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("label"))
+    for _ in range(iters):
+        votes = und.join(
+            labels.withColumnRenamed("node", "dst"), "dst"
+        ).select(F.col("src").alias("node"), "label")
+        votes = votes.unionByName(labels.select("node", "label"))
+        cnt = votes.groupBy("node", "label").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        labels = (
+            cnt.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("node", "label")
+        )
+    return labels
+
+
+def duckdb_label_propagation_sql(edges_cte: str, iters: int = 3) -> str:
+    """DuckDB twin of :func:`label_propagation`: the identical rounds
+    unrolled into CTEs. ``edges_cte`` must define ``edges(src, dst)``.
+    Produces a relation ``lp_l{iters}(node, label)``."""
+    parts = [
+        f"""{edges_cte},
+lp_und AS (
+  SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
+),
+lp_l0 AS (SELECT DISTINCT src AS node, src AS label FROM lp_und)"""
+    ]
+    for t in range(1, iters + 1):
+        parts.append(
+            f""",
+lp_v{t} AS (
+  SELECT u.src AS node, l.label FROM lp_und u
+  JOIN lp_l{t - 1} l ON u.dst = l.node
+  UNION ALL SELECT node, label FROM lp_l{t - 1}
+),
+lp_c{t} AS (
+  SELECT node, label, COUNT(*) AS cnt FROM lp_v{t} GROUP BY 1, 2
+),
+lp_l{t} AS (
+  SELECT node, label FROM (
+    SELECT node, label,
+           ROW_NUMBER() OVER (PARTITION BY node
+                              ORDER BY cnt DESC, label) AS rn
+    FROM lp_c{t}
+  ) WHERE rn = 1
+)"""
+        )
+    return "".join(parts)

@@ -1778,7 +1778,8 @@ _ORACLES: dict[str, str] = {
 # customer_revenue_gini, corpus_drift_kl — the session-5 newcomers outside
 # the window); the session-6 newcomers outside the window
 # (events_cusum_shift, corpus_zipf_fit, join_skew_report,
-# dedup_containment, lineitem_abc_parts, events_hour_profile) and its
+# dedup_containment, lineitem_abc_parts, events_hour_profile,
+# sim_range_search, graph_communities) and its
 # first-timer displacements (tpch_q14, corpus_bigrams,
 # dedup_cross_source); the
 # session-4/5 displacements

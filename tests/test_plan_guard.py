@@ -63,6 +63,7 @@ BNLJ_ALLOWED = {
     "events_cusum_shift": "gap-fill grid join: broadcast sides are the bounded hour grid and type list (events_resample pattern)",
     "lineitem_abc_parts": "1-row scalar aggregate broadcast (revenue total for the class cuts)",
     "events_hour_profile": "grid join: broadcast side is the literal 24-slot hour-of-day grid",
+    "sim_range_search": "exact tier is the honest brute baseline: broadcast 8-query set x corpus scan (design constant, like sim_topk_cosine)",
 }
 
 

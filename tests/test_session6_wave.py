@@ -314,3 +314,67 @@ def test_streaming_cusum_matches_python_replay(spark, sf_dir, tmp_path):
         th, g_up, g_dn, g_peak, late = final[grp]
         assert th == h1 and late == 0
         assert (g_up, g_dn, g_peak) == (up, dn, peak), grp
+
+
+# ---------------------------------------------------------------------------
+# Range search + LPA communities
+# ---------------------------------------------------------------------------
+
+def test_range_search_subset_and_count_laws(spark, sf_dir):
+    """LSH hits pass the identical predicate exact hits do, so
+    n_lsh <= n_multiprobe <= n_exact per query; the exact tier is
+    bracketed by strict-margin numpy counts (cos > tau+eps and
+    cos >= tau-eps) so a wrong dot product or missing self-exclusion
+    fails without depending on cross-library rounding at the
+    boundary."""
+    import numpy as np
+
+    from c99_vectordb_spark.queries_ext import _RANGE_NQ, _RANGE_TAU4, q_sim_range_search
+
+    rows = q_sim_range_search(spark, sf_dir).collect()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    vecs = np.array(emb["embedding"].tolist(), dtype=np.float64)
+    ids = emb["vec_id"].to_numpy()
+    norms = np.linalg.norm(vecs, axis=1)
+    assert len(rows) == min(_RANGE_NQ, len(ids))
+    for r in rows:
+        assert 0 <= r["n_lsh"] <= r["n_multiprobe"] <= r["n_exact"]
+        assert r["recall_lsh_ppm"] == (1_000_000 * r["n_lsh"]) // r["n_exact"]
+        assert r["recall_mp_ppm"] == (1_000_000 * r["n_multiprobe"]) // r["n_exact"]
+        qi = int(np.where(ids == r["qid"])[0][0])
+        cos = (vecs @ vecs[qi]) / (norms * norms[qi])
+        mask = ids != r["qid"]
+        lo = int(((cos > _RANGE_TAU4 + 5e-5) & mask).sum())
+        hi = int(((cos >= _RANGE_TAU4 - 5e-5) & mask).sum())
+        assert lo <= r["n_exact"] <= hi
+
+
+def test_label_propagation_on_constructed_graph(spark):
+    """Two triangles bridged by one edge: LPA with self-vote damping
+    and smallest-label ties resolves each triangle to its own minimum
+    label — the hand-checkable communities."""
+    from c99_vectordb_spark.operators.graph import label_propagation
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3), (4, 5), (5, 6), (4, 6), (3, 4)],
+        "src long, dst long",
+    )
+    got = {r["node"]: r["label"] for r in label_propagation(edges, iters=3).collect()}
+    assert set(got) == {1, 2, 3, 4, 5, 6}
+    # triangle {1,2,3} converges to label 1; {4,5,6} to 4 (the bridge
+    # node 4 sees votes {3:1, 4:1(self), 5:1, 6:1} in round 1 -> tie ->
+    # smallest = 3, but rounds 2-3 pull it back to the triangle mode)
+    assert got[1] == got[2] == got[3]
+    assert got[5] == got[6]
+    assert got[1] != got[5]
+
+
+def test_graph_communities_partitions_nodes(spark, sf_dir):
+    from c99_vectordb_spark.queries_ext import q_graph_communities
+
+    rows = q_graph_communities(spark, sf_dir).collect()
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    n_nodes = j["o_custkey"].nunique() + j["l_suppkey"].nunique()
+    assert sum(r["community_size"] * r["n_communities"] for r in rows) == n_nodes
