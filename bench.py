@@ -180,6 +180,10 @@ HEADLINE = [
     "events_hour_profile",
     "sim_range_search",
     "graph_communities",
+    "dq_expectations",
+    "basket_item_similarity",
+    "events_ohlc_bars",
+    "events_top_paths",
 ]
 
 

@@ -7254,8 +7254,475 @@ FROM lp_sz GROUP BY 1 ORDER BY community_size
 """
 
 
+def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative data-quality expectations suite (the dbt-test /
+    Great-Expectations shape): ten named checks — uniqueness, two
+    referential-integrity directions, value domains, date ranges, and
+    two cross-table consistency rules — each reporting checked rows,
+    violations, exact ppm, and a pass flag. The suite DISCRIMINATES
+    on this testdata: 257 childless orders, ~48.6% of lineitems
+    shipping before their order date, and 99%+ of order totals
+    diverging >1% from their lines' charge sum all FIRE, while the
+    seven structural checks pass — the findings are the output.
+
+    Plan shape: the per-table checks fold into ONE pass per table
+    (conditional counters unpivoted via stack), the cross-table
+    checks are key-count joins/anti-joins — no check rescans a table
+    it shares with another check."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    def report(name: str, checked: str, viol: str):
+        return (
+            f"('{name}', {checked}, {viol})"
+        )
+
+    # one orders scan -> four checks
+    o_agg = orders.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        (F.count(F.lit(1)) - F.count_distinct("o_orderkey"))
+        .cast("long")
+        .alias("v_uniq"),
+        F.sum(F.when(F.col("o_totalprice") <= 0, 1).otherwise(0))
+        .cast("long")
+        .alias("v_pos"),
+        F.sum(
+            F.when(
+                (F.col("o_orderdate") < F.lit("1992-01-01"))
+                | (F.col("o_orderdate") >= F.lit("2003-01-01")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_date"),
+        F.sum(
+            F.when(
+                ~F.col("o_orderpriority").isin(
+                    "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+                ),
+                1,
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_prio"),
+    )
+    o_checks = o_agg.selectExpr(
+        "stack(4, "
+        "'orders_orderkey_unique', n, v_uniq, "
+        "'orders_totalprice_positive', n, v_pos, "
+        "'orders_date_in_range', n, v_date, "
+        "'orders_priority_in_domain', n, v_prio"
+        ") AS (check_name, n_checked, n_violations)"
+    )
+    # one lineitem scan -> one check
+    l_agg = li.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(
+            F.when(
+                (F.col("l_discount") < 0) | (F.col("l_discount") > 0.1), 1
+            ).otherwise(0)
+        )
+        .cast("long")
+        .alias("v_disc"),
+    ).selectExpr(
+        "stack(1, 'lineitem_discount_in_range', n, v_disc)"
+        " AS (check_name, n_checked, n_violations)"
+    )
+    # referential integrity, both directions
+    n_orders = orders.count()
+    n_li = li.count()
+    fk_cust = orders.join(
+        cust, orders.o_custkey == cust.c_custkey, "left_anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    fk_cust = fk_cust.selectExpr(
+        f"'orders_custkey_in_customer' AS check_name",
+        f"{n_orders}L AS n_checked",
+        "v AS n_violations",
+    )
+    childless = orders.join(
+        li, orders.o_orderkey == li.l_orderkey, "left_anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    childless = childless.selectExpr(
+        "'orders_have_lineitems' AS check_name",
+        f"{n_orders}L AS n_checked",
+        "v AS n_violations",
+    )
+    fk_ord = li.join(
+        orders, li.l_orderkey == orders.o_orderkey, "left_anti"
+    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
+    fk_ord = fk_ord.selectExpr(
+        "'lineitem_orderkey_in_orders' AS check_name",
+        f"{n_li}L AS n_checked",
+        "v AS n_violations",
+    )
+    # cross-table consistency: ship date after order date
+    joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    ship = joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum(F.when(F.col("l_shipdate") < F.col("o_orderdate"), 1).otherwise(0))
+        .cast("long")
+        .alias("v"),
+    ).selectExpr(
+        "'lineitem_ship_after_orderdate' AS check_name",
+        "n AS n_checked",
+        "v AS n_violations",
+    )
+    # cross-table consistency: total matches lines within 1%
+    charge = (
+        F.col("l_extendedprice").cast("decimal(12,4)")
+        * (F.lit(1) - F.col("l_discount")).cast("decimal(6,4)")
+        * (F.lit(1) + F.col("l_tax")).cast("decimal(6,4)")
+    )
+    sums = li.groupBy("l_orderkey").agg(F.round(F.sum(charge), 2).alias("s"))
+    recon = (
+        orders.join(sums, orders.o_orderkey == sums.l_orderkey)
+        .selectExpr(
+            "cast(round(o_totalprice * 100) AS bigint) AS tot_c",
+            "cast(round(s * 100) AS bigint) AS sum_c",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum(
+                F.when(
+                    F.expr(
+                        "(1000000 * abs(sum_c - tot_c))"
+                        " div greatest(tot_c, 1) > 10000"
+                    ),
+                    1,
+                ).otherwise(0)
+            )
+            .cast("long")
+            .alias("v"),
+        )
+        .selectExpr(
+            "'orders_total_matches_lines_1pct' AS check_name",
+            "n AS n_checked",
+            "v AS n_violations",
+        )
+    )
+    from functools import reduce
+
+    out = reduce(
+        DataFrame.unionByName,
+        [o_checks, l_agg, fk_cust, childless, fk_ord, ship, recon],
+    )
+    return out.selectExpr(
+        "check_name",
+        "n_checked",
+        "n_violations",
+        "(1000000 * n_violations) div greatest(n_checked, 1) AS viol_ppm",
+        "CASE WHEN n_violations = 0 THEN 1L ELSE 0L END AS ok",
+    ).orderBy("check_name")
+
+
+def _oracle_dq_expectations() -> str:
+    return """
+WITH dq_o AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         (COUNT(*) - COUNT(DISTINCT o_orderkey))::BIGINT AS v_uniq,
+         SUM(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END)::BIGINT AS v_pos,
+         SUM(CASE WHEN o_orderdate < '1992-01-01'
+                   OR o_orderdate >= '2003-01-01' THEN 1 ELSE 0 END)::BIGINT
+           AS v_date,
+         SUM(CASE WHEN o_orderpriority NOT IN
+               ('1-URGENT','2-HIGH','3-MEDIUM','4-NOT SPECIFIED','5-LOW')
+             THEN 1 ELSE 0 END)::BIGINT AS v_prio
+  FROM orders
+),
+dq_l AS (
+  SELECT COUNT(*)::BIGINT AS n,
+         SUM(CASE WHEN l_discount < 0 OR l_discount > 0.1
+             THEN 1 ELSE 0 END)::BIGINT AS v_disc
+  FROM lineitem
+),
+dq_sums AS (
+  SELECT l_orderkey,
+         ROUND(SUM(l_extendedprice::DECIMAL(12,4)
+                   * (1 - l_discount)::DECIMAL(6,4)
+                   * (1 + l_tax)::DECIMAL(6,4)), 2) AS s
+  FROM lineitem GROUP BY 1
+),
+dq_all AS (
+  SELECT 'orders_orderkey_unique' AS check_name, n AS n_checked,
+         v_uniq AS n_violations FROM dq_o
+  UNION ALL
+  SELECT 'orders_totalprice_positive', n, v_pos FROM dq_o
+  UNION ALL
+  SELECT 'orders_date_in_range', n, v_date FROM dq_o
+  UNION ALL
+  SELECT 'orders_priority_in_domain', n, v_prio FROM dq_o
+  UNION ALL
+  SELECT 'lineitem_discount_in_range', n, v_disc FROM dq_l
+  UNION ALL
+  SELECT 'orders_custkey_in_customer', (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*)::BIGINT FROM orders
+          ANTI JOIN customer ON o_custkey = c_custkey)
+  UNION ALL
+  SELECT 'orders_have_lineitems', (SELECT COUNT(*) FROM orders),
+         (SELECT COUNT(*)::BIGINT FROM orders
+          ANTI JOIN lineitem ON o_orderkey = l_orderkey)
+  UNION ALL
+  SELECT 'lineitem_orderkey_in_orders', (SELECT COUNT(*) FROM lineitem),
+         (SELECT COUNT(*)::BIGINT FROM lineitem
+          ANTI JOIN orders ON l_orderkey = o_orderkey)
+  UNION ALL
+  SELECT 'lineitem_ship_after_orderdate',
+         (SELECT COUNT(*) FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey),
+         (SELECT COUNT(*)::BIGINT FROM lineitem l
+          JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_shipdate < o.o_orderdate)
+  UNION ALL
+  SELECT 'orders_total_matches_lines_1pct',
+         (SELECT COUNT(*) FROM orders o
+          JOIN dq_sums s ON o.o_orderkey = s.l_orderkey),
+         (SELECT COUNT(*)::BIGINT FROM orders o
+          JOIN dq_sums s ON o.o_orderkey = s.l_orderkey
+          WHERE (1000000 * abs(ROUND(s.s * 100)::BIGINT
+                               - ROUND(o.o_totalprice * 100)::BIGINT))
+                // greatest(ROUND(o.o_totalprice * 100)::BIGINT, 1) > 10000)
+)
+SELECT check_name, n_checked::BIGINT AS n_checked, n_violations,
+       ((1000000 * n_violations) // greatest(n_checked, 1))::BIGINT
+         AS viol_ppm,
+       (CASE WHEN n_violations = 0 THEN 1 ELSE 0 END)::BIGINT AS ok
+FROM dq_all
+ORDER BY check_name
+"""
+
+
+#: item-similarity co-occurrence floor (pairs below are noise)
+_ITEMSIM_MIN_SUPPORT = 2
+
+#: similar items kept per item
+_ITEMSIM_TOPK = 3
+
+
+def q_basket_item_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Item-item collaborative filtering (Sarwar et al. 2001 /
+    Amazon's item-to-item shape) on the order-part incidence: cosine
+    similarity over co-occurrence, kept EXACT-integer by reporting
+    cos^2 in ppm (cos^2 = s^2 / (c_a * c_b) — no sqrt, no float
+    contract), top-3 neighbors per item. The self equi-join on the
+    order key is bounded by basket size (never table-quadratic, the
+    basket_pairs shape); marginals broadcast; the per-item top-k is a
+    PARTITIONED window over support-filtered pairs."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    op = li.select(
+        F.col("l_orderkey").alias("o"), F.col("l_partkey").alias("p")
+    ).distinct()
+    ca = op.groupBy("p").agg(F.count(F.lit(1)).cast("long").alias("c"))
+    b = op.select(F.col("o"), F.col("p").alias("pb"))
+    pairs = (
+        op.join(b, "o")
+        .filter(F.col("p") < F.col("pb"))
+        .groupBy(F.col("p").alias("pa"), "pb")
+        .agg(F.count(F.lit(1)).cast("long").alias("support"))
+        .filter(F.col("support") >= _ITEMSIM_MIN_SUPPORT)
+    )
+    scored = (
+        pairs.join(F.broadcast(ca.selectExpr("p AS pa", "c AS c_a")), "pa")
+        .join(F.broadcast(ca.selectExpr("p AS pb", "c AS c_b")), "pb")
+        .selectExpr(
+            "pa",
+            "pb",
+            "support",
+            "(1000000 * support * support) div (c_a * c_b) AS cos2_ppm",
+        )
+    )
+    directed = scored.selectExpr(
+        "pa AS item", "pb AS neighbor", "support", "cos2_ppm"
+    ).unionByName(
+        scored.selectExpr("pb AS item", "pa AS neighbor", "support", "cos2_ppm")
+    )
+    w = Window.partitionBy("item").orderBy(
+        F.desc("cos2_ppm"), F.desc("support"), F.asc("neighbor")
+    )
+    return (
+        directed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _ITEMSIM_TOPK)
+        .selectExpr("item", "neighbor", "support", "cos2_ppm", "cast(rnk AS bigint) AS rnk")
+        .orderBy("item", "rnk")
+    )
+
+
+def _oracle_basket_item_similarity() -> str:
+    return f"""
+WITH is_op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+is_ca AS (SELECT p, COUNT(*)::BIGINT AS c FROM is_op GROUP BY 1),
+is_pr AS (
+  SELECT a.p AS pa, b.p AS pb, COUNT(*)::BIGINT AS support
+  FROM is_op a JOIN is_op b ON a.o = b.o AND a.p < b.p
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_ITEMSIM_MIN_SUPPORT}
+),
+is_sc AS (
+  SELECT pa, pb, support,
+         ((1000000 * support * support) // (ca.c * cb.c))::BIGINT AS cos2_ppm
+  FROM is_pr
+  JOIN is_ca ca ON pa = ca.p
+  JOIN is_ca cb ON pb = cb.p
+),
+is_dir AS (
+  SELECT pa AS item, pb AS neighbor, support, cos2_ppm FROM is_sc
+  UNION ALL
+  SELECT pb AS item, pa AS neighbor, support, cos2_ppm FROM is_sc
+),
+is_rk AS (
+  SELECT item, neighbor, support, cos2_ppm,
+         ROW_NUMBER() OVER (PARTITION BY item
+                            ORDER BY cos2_ppm DESC, support DESC, neighbor)
+           AS rnk
+  FROM is_dir
+)
+SELECT item, neighbor, support, cos2_ppm, rnk::BIGINT AS rnk
+FROM is_rk WHERE rnk <= {_ITEMSIM_TOPK}
+ORDER BY item, rnk
+"""
+
+
+def q_events_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC bars — the financial-candlestick aggregation, daily per
+    event type: open/close are the values at the first/last event
+    under the TOTAL order (ts_us, event_id) (ties can't happen:
+    event_id is unique — but the order carries it so the pick is
+    deterministic by construction), high/low/volume/avg exact in
+    integer cents. One PARTITIONED window pass flags both endpoints
+    (two row_numbers over the same partition spec, one ascending one
+    descending — a single shuffle), then one aggregation."""
+    from .functions.text import floor_div_sql
+    from .queries_registry import _read_events
+
+    ev = _read_events(spark, sf_dir).select(
+        "event_type",
+        "event_id",
+        "ts_us",
+        F.expr(floor_div_sql("ts_us", 86_400_000_000)).alias("day"),
+        F.round(F.col("value") * 100).cast("long").alias("v_cents"),
+    )
+    wa = Window.partitionBy("event_type", "day").orderBy(
+        F.asc("ts_us"), F.asc("event_id")
+    )
+    wd = Window.partitionBy("event_type", "day").orderBy(
+        F.desc("ts_us"), F.desc("event_id")
+    )
+    flagged = ev.withColumn("rn_a", F.row_number().over(wa)).withColumn(
+        "rn_d", F.row_number().over(wd)
+    )
+    return (
+        flagged.groupBy("event_type", "day")
+        .agg(
+            F.max(F.when(F.col("rn_a") == 1, F.col("v_cents")))
+            .cast("long")
+            .alias("open_c"),
+            F.max("v_cents").cast("long").alias("high_c"),
+            F.min("v_cents").cast("long").alias("low_c"),
+            F.max(F.when(F.col("rn_d") == 1, F.col("v_cents")))
+            .cast("long")
+            .alias("close_c"),
+            F.count(F.lit(1)).cast("long").alias("volume"),
+            F.sum("v_cents").cast("long").alias("sum_c"),
+        )
+        .selectExpr(
+            "event_type",
+            "day",
+            "open_c",
+            "high_c",
+            "low_c",
+            "close_c",
+            "volume",
+            "sum_c div volume AS avg_c",
+        )
+        .orderBy("event_type", "day")
+    )
+
+
+def _oracle_events_ohlc_bars() -> str:
+    day = hashing.duckdb_floor_div_sql("epoch_us(ts)", 86_400_000_000)
+    return f"""
+WITH oh_e AS (
+  SELECT event_type, event_id, epoch_us(ts) AS ts_us, {day} AS day,
+         ROUND(value * 100)::BIGINT AS v_cents
+  FROM events
+),
+oh_f AS (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day
+                            ORDER BY ts_us, event_id) AS rn_a,
+         ROW_NUMBER() OVER (PARTITION BY event_type, day
+                            ORDER BY ts_us DESC, event_id DESC) AS rn_d
+  FROM oh_e
+)
+SELECT event_type, day,
+       MAX(CASE WHEN rn_a = 1 THEN v_cents END)::BIGINT AS open_c,
+       MAX(v_cents)::BIGINT AS high_c,
+       MIN(v_cents)::BIGINT AS low_c,
+       MAX(CASE WHEN rn_d = 1 THEN v_cents END)::BIGINT AS close_c,
+       COUNT(*)::BIGINT AS volume,
+       (SUM(v_cents) // COUNT(*))::BIGINT AS avg_c
+FROM oh_f
+GROUP BY 1, 2
+ORDER BY event_type, day
+"""
+
+
+#: path length and report depth for the journey report
+_PATHS_TOPK = 10
+
+
+def q_events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path mining: the 10 most common consecutive
+    3-event sequences across all users — the product-analytics
+    'what do users do next' report. Per-user ordering is a
+    PARTITIONED window (lead x2 over (ts_us, event_id) — a total
+    order, so paths are deterministic); the global top-10 is a
+    TakeOrdered over path-grained counts, never a global sort of the
+    event stream."""
+    from .queries_registry import _read_events
+
+    ev = _read_events(spark, sf_dir).select(
+        "user_id", "ts_us", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
+    paths = (
+        ev.withColumn("e2", F.lead("event_type", 1).over(w))
+        .withColumn("e3", F.lead("event_type", 2).over(w))
+        .filter(F.col("e3").isNotNull())
+        .selectExpr("concat(event_type, '>', e2, '>', e3) AS path")
+        .groupBy("path")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"))
+    )
+    return paths.orderBy(F.desc("n"), F.asc("path")).limit(_PATHS_TOPK)
+
+
+def _oracle_events_top_paths() -> str:
+    return f"""
+WITH tp_e AS (
+  SELECT user_id, epoch_us(ts) AS ts_us, event_id, event_type FROM events
+),
+tp_l AS (
+  SELECT event_type,
+         LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id) AS e2,
+         LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                   ORDER BY ts_us, event_id) AS e3
+  FROM tp_e
+)
+SELECT event_type || '>' || e2 || '>' || e3 AS path,
+       COUNT(*)::BIGINT AS n
+FROM tp_l WHERE e3 IS NOT NULL
+GROUP BY 1
+ORDER BY n DESC, path
+LIMIT {_PATHS_TOPK}
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_rfm_segments": q_customer_rfm_segments,
+    "dq_expectations": q_dq_expectations,
+    "basket_item_similarity": q_basket_item_similarity,
+    "events_ohlc_bars": q_events_ohlc_bars,
+    "events_top_paths": q_events_top_paths,
     "sim_range_search": q_sim_range_search,
     "graph_communities": q_graph_communities,
     "dedup_containment": q_dedup_containment,
@@ -7371,6 +7838,10 @@ EXT_ORACLES: dict[str, str] = {
     "events_hour_profile": _oracle_events_hour_profile(),
     "sim_range_search": _oracle_sim_range_search(),
     "graph_communities": _oracle_graph_communities(),
+    "dq_expectations": _oracle_dq_expectations(),
+    "basket_item_similarity": _oracle_basket_item_similarity(),
+    "events_ohlc_bars": _oracle_events_ohlc_bars(),
+    "events_top_paths": _oracle_events_top_paths(),
     "events_srm_check": _oracle_events_srm_check(),
     "events_cusum_shift": _oracle_events_cusum_shift(),
     "dp_orders_histogram": _oracle_dp_orders_histogram(),

@@ -1779,7 +1779,8 @@ _ORACLES: dict[str, str] = {
 # the window); the session-6 newcomers outside the window
 # (events_cusum_shift, corpus_zipf_fit, join_skew_report,
 # dedup_containment, lineitem_abc_parts, events_hour_profile,
-# sim_range_search, graph_communities) and its
+# sim_range_search, graph_communities, dq_expectations,
+# basket_item_similarity, events_ohlc_bars, events_top_paths) and its
 # first-timer displacements (tpch_q14, corpus_bigrams,
 # dedup_cross_source); the
 # session-4/5 displacements

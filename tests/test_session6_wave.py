@@ -378,3 +378,119 @@ def test_graph_communities_partitions_nodes(spark, sf_dir):
     j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
     n_nodes = j["o_custkey"].nunique() + j["l_suppkey"].nunique()
     assert sum(r["community_size"] * r["n_communities"] for r in rows) == n_nodes
+
+
+# ---------------------------------------------------------------------------
+# DQ expectations, item similarity, OHLC, top paths
+# ---------------------------------------------------------------------------
+
+def test_dq_expectations_recounts(spark, sf_dir):
+    from c99_vectordb_spark.queries_ext import q_dq_expectations
+
+    rows = {r["check_name"]: r for r in q_dq_expectations(spark, sf_dir).collect()}
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    assert len(rows) == 10
+    # structural checks hold on this data
+    for name in (
+        "orders_orderkey_unique", "orders_custkey_in_customer",
+        "orders_totalprice_positive", "orders_date_in_range",
+        "orders_priority_in_domain", "lineitem_orderkey_in_orders",
+        "lineitem_discount_in_range",
+    ):
+        assert rows[name]["n_violations"] == 0 and rows[name]["ok"] == 1, name
+    # the firing checks recount from pandas
+    childless = (~orders["o_orderkey"].isin(li["l_orderkey"])).sum()
+    r = rows["orders_have_lineitems"]
+    assert r["n_violations"] == childless and r["ok"] == 0
+    j = li.merge(
+        orders[["o_orderkey", "o_orderdate"]],
+        left_on="l_orderkey", right_on="o_orderkey",
+    )
+    ship_viol = (j["l_shipdate"] < j["o_orderdate"]).sum()
+    r = rows["lineitem_ship_after_orderdate"]
+    assert r["n_checked"] == len(j) and r["n_violations"] == ship_viol
+    for r in rows.values():
+        assert r["viol_ppm"] == (1_000_000 * r["n_violations"]) // max(r["n_checked"], 1)
+        assert r["ok"] == (1 if r["n_violations"] == 0 else 0)
+
+
+def test_item_similarity_laws_and_recount(spark, sf_dir):
+    from c99_vectordb_spark.queries_ext import (
+        _ITEMSIM_MIN_SUPPORT,
+        _ITEMSIM_TOPK,
+        q_basket_item_similarity,
+    )
+
+    rows = q_basket_item_similarity(spark, sf_dir).collect()
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    op = li[["l_orderkey", "l_partkey"]].drop_duplicates()
+    freq = op.groupby("l_partkey").size().to_dict()
+    # recount all pair supports
+    pairs = collections.Counter()
+    for _, grp in op.groupby("l_orderkey"):
+        parts = sorted(grp["l_partkey"])
+        for i in range(len(parts)):
+            for jx in range(i + 1, len(parts)):
+                pairs[(parts[i], parts[jx])] += 1
+    per_item = collections.Counter()
+    for r in rows:
+        per_item[r["item"]] += 1
+        a, b = sorted((r["item"], r["neighbor"]))
+        s = pairs[(a, b)]
+        assert s == r["support"] >= _ITEMSIM_MIN_SUPPORT
+        cos2 = (1_000_000 * s * s) // (freq[r["item"]] * freq[r["neighbor"]])
+        assert r["cos2_ppm"] == cos2 and 0 <= cos2 <= 1_000_000
+    for item, n in per_item.items():
+        assert n <= _ITEMSIM_TOPK
+        got = sorted(
+            [(r["rnk"], r["cos2_ppm"]) for r in rows if r["item"] == item]
+        )
+        assert [rk for rk, _ in got] == list(range(1, n + 1))
+        # ranks ordered by cos2 desc
+        assert all(got[i][1] >= got[i + 1][1] for i in range(n - 1))
+
+
+def test_ohlc_bars_recount(spark, sf_dir):
+    from c99_vectordb_spark.queries_ext import q_events_ohlc_bars
+
+    rows = q_events_ohlc_bars(spark, sf_dir).collect()
+    events = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ts_us = events["ts"].astype("int64")
+    if ts_us.abs().max() > 10**16:
+        ts_us = ts_us // 1000
+    df = events.assign(
+        ts_us=ts_us,
+        day=ts_us // 86_400_000_000,
+        v=(events["value"] * 100).round().astype("int64"),
+    )
+    assert sum(r["volume"] for r in rows) == len(df)
+    by = {(r["event_type"], r["day"]): r for r in rows}
+    for (et, day), grp in df.groupby(["event_type", "day"]):
+        g = grp.sort_values(["ts_us", "event_id"])
+        r = by[(et, day)]
+        assert r["open_c"] == g["v"].iloc[0] and r["close_c"] == g["v"].iloc[-1]
+        assert r["high_c"] == g["v"].max() and r["low_c"] == g["v"].min()
+        assert r["volume"] == len(g)
+        assert r["avg_c"] == int(g["v"].sum()) // len(g)
+        assert r["low_c"] <= min(r["open_c"], r["close_c"])
+        assert r["high_c"] >= max(r["open_c"], r["close_c"])
+
+
+def test_top_paths_recount(spark, sf_dir):
+    from c99_vectordb_spark.queries_ext import _PATHS_TOPK, q_events_top_paths
+
+    rows = q_events_top_paths(spark, sf_dir).collect()
+    events = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ts_us = events["ts"].astype("int64")
+    if ts_us.abs().max() > 10**16:
+        ts_us = ts_us // 1000
+    df = events.assign(ts_us=ts_us).sort_values(["user_id", "ts_us", "event_id"])
+    cnt = collections.Counter()
+    for _, grp in df.groupby("user_id"):
+        ets = list(grp["event_type"])
+        for i in range(len(ets) - 2):
+            cnt[f"{ets[i]}>{ets[i+1]}>{ets[i+2]}"] += 1
+    want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_PATHS_TOPK]
+    got = [(r["path"], r["n"]) for r in rows]
+    assert got == want
