@@ -184,6 +184,8 @@ HEADLINE = [
     "basket_item_similarity",
     "events_ohlc_bars",
     "events_top_paths",
+    "orders_backlog_timeline",
+    "events_growth_accounting",
 ]
 
 

@@ -7717,8 +7717,199 @@ LIMIT {_PATHS_TOPK}
 """
 
 
+def q_orders_backlog_timeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-overlap analytics (the hotel-occupancy / open-orders
+    problem): how many orders are OPEN (placed, not yet fully
+    shipped) on each day the count changes. Each order contributes
+    the inclusive interval [order day, last ship day] — clamped to
+    >= order day because 21% of this data's lineitems ship before
+    their order (the DQ finding; backlog can't go negative on
+    defective data). Sweep-line: +1/-1 deltas aggregated to DAY grain
+    first (so the running sum runs over boundary days, bounded by the
+    TIME RANGE at any table size), then the two-pass range-stitch
+    running_sum — no single-task window, no interval self-join.
+    Output (day, delta, active): the exact backlog step function."""
+    from .operators.scalable_window import running_sum
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_orderkey",
+        "cast(o_orderdate AS date) AS od",
+    ).selectExpr("o_orderkey", "datediff(od, DATE '1970-01-01') AS sd")
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr(
+            "l_orderkey",
+            "datediff(cast(l_shipdate AS date), DATE '1970-01-01') AS ed0",
+        )
+        .groupBy("l_orderkey")
+        .agg(F.max("ed0").alias("ed0"))
+    )
+    iv = orders.join(li, orders.o_orderkey == li.l_orderkey).selectExpr(
+        "sd", "greatest(ed0, sd) AS ed"
+    )
+    deltas = (
+        iv.selectExpr("sd AS day", "1L AS delta")
+        .unionByName(iv.selectExpr("ed + 1 AS day", "-1L AS delta"))
+        .groupBy("day")
+        .agg(F.sum("delta").cast("long").alias("delta"))
+    )
+    return (
+        running_sum(deltas, [F.asc("day")], F.col("delta"), out_col="active")
+        .selectExpr("day", "delta", "cast(active AS bigint) AS active")
+        .orderBy("day")
+    )
+
+
+def _oracle_orders_backlog_timeline() -> str:
+    return """
+WITH bk_o AS (
+  SELECT o_orderkey,
+         date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT AS sd
+  FROM orders
+),
+bk_l AS (
+  SELECT l_orderkey,
+         MAX(date_diff('day', DATE '1970-01-01', l_shipdate::DATE))::BIGINT
+           AS ed0
+  FROM lineitem GROUP BY 1
+),
+bk_iv AS (
+  SELECT sd, greatest(ed0, sd) AS ed
+  FROM bk_o JOIN bk_l ON o_orderkey = l_orderkey
+),
+bk_d AS (
+  SELECT day, SUM(delta)::BIGINT AS delta FROM (
+    SELECT sd AS day, 1 AS delta FROM bk_iv
+    UNION ALL
+    SELECT ed + 1 AS day, -1 AS delta FROM bk_iv
+  ) GROUP BY 1
+)
+SELECT day, delta,
+       SUM(delta) OVER (ORDER BY day ROWS UNBOUNDED PRECEDING)::BIGINT
+         AS active
+FROM bk_d
+ORDER BY day
+"""
+
+
+def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily growth accounting (the Social-Capital new / retained /
+    resurrected / churned decomposition): per day, users active for
+    the first time, users also active yesterday, users returning
+    after a gap, and users who were active yesterday but not today —
+    plus cumulative registered users. Per-user day sequences come
+    from ONE distinct-(user,day) shuffle + a PARTITIONED lag/lead
+    window; the per-day rollup is day-grained and the cumulative is
+    the range-stitch running_sum. The identities active = new +
+    retained + resurrected and churned(d) = active(d-1) -
+    retained(d) are test-pinned."""
+    from .functions.text import floor_div_sql
+    from .operators.scalable_window import running_sum
+    from .queries_registry import _read_events
+
+    ud = (
+        _read_events(spark, sf_dir)
+        .selectExpr(
+            "user_id", f"({floor_div_sql('ts_us', 86_400_000_000)}) AS day"
+        )
+        .distinct()
+    )
+    w = Window.partitionBy("user_id").orderBy("day")
+    seq = (
+        ud.withColumn("prev_day", F.lag("day").over(w))
+        .withColumn("next_day", F.lead("day").over(w))
+    )
+    dmax = ud.agg(F.max("day").alias("dmax"))
+    per_day = (
+        seq.selectExpr(
+            "day",
+            "CASE WHEN prev_day IS NULL THEN 1L ELSE 0L END AS is_new",
+            "CASE WHEN prev_day = day - 1 THEN 1L ELSE 0L END AS is_retained",
+            "CASE WHEN prev_day IS NOT NULL AND prev_day < day - 1"
+            " THEN 1L ELSE 0L END AS is_resurrected",
+        )
+        .groupBy("day")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_active"),
+            F.sum("is_new").cast("long").alias("n_new"),
+            F.sum("is_retained").cast("long").alias("n_retained"),
+            F.sum("is_resurrected").cast("long").alias("n_resurrected"),
+        )
+    )
+    # churned(d): users whose activity on d-1 was not followed by d
+    churn = (
+        seq.crossJoin(F.broadcast(dmax))
+        .filter(
+            (F.col("day") < F.col("dmax"))
+            & (F.col("next_day").isNull() | (F.col("next_day") > F.col("day") + 1))
+        )
+        .selectExpr("day + 1 AS day")
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
+    )
+    joined = per_day.join(churn, "day", "left").selectExpr(
+        "day",
+        "n_active",
+        "n_new",
+        "n_retained",
+        "n_resurrected",
+        "coalesce(n_churned, 0L) AS n_churned",
+    )
+    return (
+        running_sum(joined, [F.asc("day")], F.col("n_new"), out_col="cum_users")
+        .selectExpr(
+            "day",
+            "n_active",
+            "n_new",
+            "n_retained",
+            "n_resurrected",
+            "n_churned",
+            "cast(cum_users AS bigint) AS cum_users",
+        )
+        .orderBy("day")
+    )
+
+
+def _oracle_events_growth_accounting() -> str:
+    day = hashing.duckdb_floor_div_sql("epoch_us(ts)", 86_400_000_000)
+    return f"""
+WITH ga_ud AS (SELECT DISTINCT user_id, ({day}) AS day FROM events),
+ga_seq AS (
+  SELECT user_id, day,
+         LAG(day) OVER (PARTITION BY user_id ORDER BY day) AS prev_day,
+         LEAD(day) OVER (PARTITION BY user_id ORDER BY day) AS next_day
+  FROM ga_ud
+),
+ga_m AS (SELECT MAX(day) AS dmax FROM ga_ud),
+ga_pd AS (
+  SELECT day,
+         COUNT(*)::BIGINT AS n_active,
+         SUM(CASE WHEN prev_day IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_new,
+         SUM(CASE WHEN prev_day = day - 1 THEN 1 ELSE 0 END)::BIGINT
+           AS n_retained,
+         SUM(CASE WHEN prev_day IS NOT NULL AND prev_day < day - 1
+             THEN 1 ELSE 0 END)::BIGINT AS n_resurrected
+  FROM ga_seq GROUP BY 1
+),
+ga_ch AS (
+  SELECT day + 1 AS day, COUNT(*)::BIGINT AS n_churned
+  FROM ga_seq CROSS JOIN ga_m
+  WHERE day < dmax AND (next_day IS NULL OR next_day > day + 1)
+  GROUP BY 1
+)
+SELECT p.day, p.n_active, p.n_new, p.n_retained, p.n_resurrected,
+       COALESCE(c.n_churned, 0)::BIGINT AS n_churned,
+       SUM(p.n_new) OVER (ORDER BY p.day ROWS UNBOUNDED PRECEDING)::BIGINT
+         AS cum_users
+FROM ga_pd p LEFT JOIN ga_ch c USING (day)
+ORDER BY p.day
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_rfm_segments": q_customer_rfm_segments,
+    "orders_backlog_timeline": q_orders_backlog_timeline,
+    "events_growth_accounting": q_events_growth_accounting,
     "dq_expectations": q_dq_expectations,
     "basket_item_similarity": q_basket_item_similarity,
     "events_ohlc_bars": q_events_ohlc_bars,
@@ -7842,6 +8033,8 @@ EXT_ORACLES: dict[str, str] = {
     "basket_item_similarity": _oracle_basket_item_similarity(),
     "events_ohlc_bars": _oracle_events_ohlc_bars(),
     "events_top_paths": _oracle_events_top_paths(),
+    "orders_backlog_timeline": _oracle_orders_backlog_timeline(),
+    "events_growth_accounting": _oracle_events_growth_accounting(),
     "events_srm_check": _oracle_events_srm_check(),
     "events_cusum_shift": _oracle_events_cusum_shift(),
     "dp_orders_histogram": _oracle_dp_orders_histogram(),

@@ -64,6 +64,7 @@ BNLJ_ALLOWED = {
     "lineitem_abc_parts": "1-row scalar aggregate broadcast (revenue total for the class cuts)",
     "events_hour_profile": "grid join: broadcast side is the literal 24-slot hour-of-day grid",
     "sim_range_search": "exact tier is the honest brute baseline: broadcast 8-query set x corpus scan (design constant, like sim_topk_cosine)",
+    "events_growth_accounting": "1-row scalar aggregate broadcast (global max day for the churn truncation)",
 }
 
 

@@ -494,3 +494,72 @@ def test_top_paths_recount(spark, sf_dir):
     want = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:_PATHS_TOPK]
     got = [(r["path"], r["n"]) for r in rows]
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Backlog timeline + growth accounting
+# ---------------------------------------------------------------------------
+
+def test_backlog_timeline_sweep_laws(spark, sf_dir):
+    from c99_vectordb_spark.queries_ext import q_orders_backlog_timeline
+
+    rows = q_orders_backlog_timeline(spark, sf_dir).collect()
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    epoch = pd.Timestamp("1970-01-01")
+    sd = ((orders.set_index("o_orderkey")["o_orderdate"] - epoch).dt.days)
+    ed = (
+        (li.groupby("l_orderkey")["l_shipdate"].max() - epoch).dt.days
+    )
+    iv = pd.DataFrame({"sd": sd}).join(pd.DataFrame({"ed": ed}), how="inner")
+    iv["ed"] = iv[["ed", "sd"]].max(axis=1)
+    # deltas sum to zero and active recounts exactly
+    deltas = collections.Counter()
+    for _, r in iv.iterrows():
+        deltas[int(r["sd"])] += 1
+        deltas[int(r["ed"]) + 1] -= 1
+    want_days = sorted(deltas)
+    got = [(r["day"], r["delta"], r["active"]) for r in rows]
+    assert [d for d, _, _ in got] == want_days
+    run = 0
+    for (day, delta, active) in got:
+        assert delta == deltas[day]
+        run += delta
+        assert active == run
+        assert active >= 0
+    assert run == 0  # sweep closes: every order eventually ships
+    # peak sanity: max active <= order count with lines
+    assert max(a for _, _, a in got) <= len(iv)
+
+
+def test_growth_accounting_identities(spark, sf_dir):
+    from c99_vectordb_spark.queries_ext import q_events_growth_accounting
+
+    rows = q_events_growth_accounting(spark, sf_dir).collect()
+    events = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ts_us = events["ts"].astype("int64")
+    if ts_us.abs().max() > 10**16:
+        ts_us = ts_us // 1000
+    ud = (
+        events.assign(day=ts_us // 86_400_000_000)[["user_id", "day"]]
+        .drop_duplicates()
+    )
+    active = ud.groupby("day")["user_id"].apply(set).to_dict()
+    days = sorted(active)
+    by = {r["day"]: r for r in rows}
+    assert sorted(by) == days
+    seen: set = set()
+    cum = 0
+    for i, d in enumerate(days):
+        r = by[d]
+        assert r["n_active"] == len(active[d])
+        assert r["n_active"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
+        new = len(active[d] - seen)
+        assert r["n_new"] == new
+        prev = active.get(d - 1, set())
+        assert r["n_retained"] == len(active[d] & prev)
+        assert r["n_churned"] == len(prev - active[d])
+        seen |= active[d]
+        cum += new
+        assert r["cum_users"] == cum
+    assert cum == ud["user_id"].nunique()
