@@ -186,6 +186,7 @@ HEADLINE = [
     "events_top_paths",
     "orders_backlog_timeline",
     "events_growth_accounting",
+    "attribution_markov",
 ]
 
 

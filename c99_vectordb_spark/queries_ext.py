@@ -7906,8 +7906,178 @@ ORDER BY p.day
 """
 
 
+#: absorbing-chain fixed-point iterations (p converges geometrically;
+#: 8 rounds put the ppm truncation, not the horizon, in charge)
+_MARKOV_ITERS = 8
+
+
+def q_attribution_markov(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Markov removal-effect attribution (Anderl et al. 2014) — the
+    data-driven alternative to last-touch: model user journeys as a
+    first-order chain over channels (event types), absorb at
+    conversion ('purchase') or journey end ('null'), and credit each
+    channel by how much total conversion probability DISAPPEARS when
+    that channel is knocked out (its transitions redirected to null).
+
+    Exact integers end-to-end: probabilities live in ppm fixed point
+    and each fixed-point round is p(s) = sum(cnt(s,d) * p(d)) div
+    out(s) — both engines replay the identical 8 unrolled rounds, so
+    even the truncation drift is hash-equal. Scale shape: ONE
+    events-sized window pass builds journey transitions (journeys
+    split at purchases — a lag/lead construction, no explode); the
+    chain itself is states x states x variants — constant-sized
+    however large the event log — so all five knockout chains
+    (variants) iterate together in one tiny joined table. Output per
+    channel: removal effect and the normalized attribution share."""
+    from .queries_registry import _read_events
+
+    ev = _read_events(spark, sf_dir).select(
+        "user_id", "ts_us", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy(F.asc("ts_us"), F.asc("event_id"))
+    seq = ev.withColumn("prev", F.lag("event_type").over(w)).withColumn(
+        "nxt", F.lead("event_type").over(w)
+    )
+    # journeys restart after each purchase; purchase absorbs as 'conv'
+    steps = seq.selectExpr(
+        "CASE WHEN prev IS NULL OR prev = 'purchase' THEN 'start'"
+        " ELSE prev END AS src",
+        "CASE WHEN event_type = 'purchase' THEN 'conv'"
+        " ELSE event_type END AS dst",
+    ).unionByName(
+        seq.filter(
+            F.col("nxt").isNull() & (F.col("event_type") != "purchase")
+        ).selectExpr("event_type AS src", "'null' AS dst")
+    )
+    tr = steps.groupBy("src", "dst").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    # The chain is CONSTANT-sized — at most |channels|^2 transition
+    # rows whatever the event volume — so the fixed point runs on the
+    # driver over the collected matrix (the repo's bounded-collect
+    # tier: BPE's 1 row/merge, the 20-row rerank). The event-sized
+    # work (the window pass + count shuffle) stays distributed.
+    counts = {(r["src"], r["dst"]): r["cnt"] for r in tr.collect()}
+    channels = sorted({s for s, _ in counts} - {"start"})
+    rows = []
+    p_full = _markov_fixed_point(counts, removed=None)
+    for ch in channels:
+        p_rem = _markov_fixed_point(counts, removed=ch)
+        rows.append((ch, p_full, p_rem, 1_000_000 - (1_000_000 * p_rem) // p_full))
+    tot_eff = sum(r[3] for r in rows)
+    out = [
+        (ch, pf, pr, eff, (1_000_000 * eff) // tot_eff)
+        for ch, pf, pr, eff in rows
+    ]
+    return spark.createDataFrame(
+        out,
+        "channel string, p_full_ppm long, p_removed_ppm long,"
+        " removal_effect_ppm long, share_ppm long",
+    ).orderBy("channel")
+
+
+def _markov_fixed_point(
+    counts: dict[tuple[str, str], int], removed: str | None
+) -> int:
+    """ppm conversion probability from 'start' after _MARKOV_ITERS
+    rounds of p(s) = sum(cnt(s,d) * p(d)) div out(s) — the identical
+    integer arithmetic the DuckDB twin unrolls (knockout = redirect
+    transitions into the removed channel to 'null')."""
+    eff: dict[tuple[str, str], int] = {}
+    for (s, d), c in counts.items():
+        d2 = "null" if d == removed else d
+        eff[(s, d2)] = eff.get((s, d2), 0) + c
+    states = sorted({s for s, _ in eff})
+    outc = {s: sum(c for (s2, _), c in eff.items() if s2 == s) for s in states}
+    p = {s: 0 for s in states}
+    for _ in range(_MARKOV_ITERS):
+        nxt = {}
+        for s in states:
+            num = 0
+            for (s2, d), c in eff.items():
+                if s2 != s:
+                    continue
+                val = 1_000_000 if d == "conv" else 0 if d == "null" else p.get(d, 0)
+                num += c * val
+            nxt[s] = num // outc[s]
+        p = nxt
+    return p["start"]
+
+
+def _oracle_attribution_markov() -> str:
+    rounds = []
+    for k in range(1, _MARKOV_ITERS + 1):
+        rounds.append(
+            f""",
+mk_p{k} AS (
+  SELECT t.v, t.src AS state,
+         (SUM(t.cnt * (CASE WHEN t.dst = 'conv' THEN 1000000
+                            WHEN t.dst = 'null' THEN 0
+                            ELSE COALESCE(p.p, 0) END))
+          // MAX(o.outc))::BIGINT AS p
+  FROM mk_t t
+  JOIN mk_out o ON t.v = o.v AND t.src = o.src
+  LEFT JOIN mk_p{k - 1} p ON p.v = t.v AND p.state = t.dst
+  GROUP BY t.v, t.src
+)"""
+        )
+    return f"""
+WITH mk_e AS (
+  SELECT user_id, event_type,
+         LAG(event_type) OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS prev,
+         LEAD(event_type) OVER (PARTITION BY user_id
+                                ORDER BY epoch_us(ts), event_id) AS nxt
+  FROM events
+),
+mk_steps AS (
+  SELECT CASE WHEN prev IS NULL OR prev = 'purchase' THEN 'start'
+              ELSE prev END AS src,
+         CASE WHEN event_type = 'purchase' THEN 'conv'
+              ELSE event_type END AS dst
+  FROM mk_e
+  UNION ALL
+  SELECT event_type AS src, 'null' AS dst
+  FROM mk_e WHERE nxt IS NULL AND event_type != 'purchase'
+),
+mk_tr AS (
+  SELECT src, dst, COUNT(*)::BIGINT AS cnt FROM mk_steps GROUP BY 1, 2
+),
+mk_var AS (
+  SELECT DISTINCT src AS v FROM mk_tr WHERE src != 'start'
+  UNION ALL SELECT 'full'
+),
+mk_t AS (
+  SELECT v, src, CASE WHEN dst = v THEN 'null' ELSE dst END AS dst,
+         SUM(cnt)::BIGINT AS cnt
+  FROM mk_tr CROSS JOIN mk_var
+  GROUP BY 1, 2, 3
+),
+mk_out AS (
+  SELECT v, src, SUM(cnt)::BIGINT AS outc FROM mk_t GROUP BY 1, 2
+),
+mk_p0 AS (SELECT v, src AS state, 0::BIGINT AS p FROM mk_out)
+{"".join(rounds)},
+mk_start AS (
+  SELECT v, p FROM mk_p{_MARKOV_ITERS} WHERE state = 'start'
+),
+mk_full AS (SELECT p AS p_full FROM mk_start WHERE v = 'full'),
+mk_ch AS (
+  SELECT v AS channel, p_full AS p_full_ppm, p AS p_removed_ppm,
+         (1000000 - (1000000 * p) // p_full)::BIGINT AS removal_effect_ppm
+  FROM mk_start CROSS JOIN mk_full WHERE v != 'full'
+),
+mk_tot AS (SELECT SUM(removal_effect_ppm)::BIGINT AS tot_eff FROM mk_ch)
+SELECT channel, p_full_ppm, p_removed_ppm, removal_effect_ppm,
+       ((1000000 * removal_effect_ppm) // tot_eff)::BIGINT AS share_ppm
+FROM mk_ch CROSS JOIN mk_tot
+ORDER BY channel
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_rfm_segments": q_customer_rfm_segments,
+    "attribution_markov": q_attribution_markov,
     "orders_backlog_timeline": q_orders_backlog_timeline,
     "events_growth_accounting": q_events_growth_accounting,
     "dq_expectations": q_dq_expectations,
@@ -8035,6 +8205,7 @@ EXT_ORACLES: dict[str, str] = {
     "events_top_paths": _oracle_events_top_paths(),
     "orders_backlog_timeline": _oracle_orders_backlog_timeline(),
     "events_growth_accounting": _oracle_events_growth_accounting(),
+    "attribution_markov": _oracle_attribution_markov(),
     "events_srm_check": _oracle_events_srm_check(),
     "events_cusum_shift": _oracle_events_cusum_shift(),
     "dp_orders_histogram": _oracle_dp_orders_histogram(),

@@ -1781,7 +1781,8 @@ _ORACLES: dict[str, str] = {
 # dedup_containment, lineitem_abc_parts, events_hour_profile,
 # sim_range_search, graph_communities, dq_expectations,
 # basket_item_similarity, events_ohlc_bars, events_top_paths,
-# orders_backlog_timeline, events_growth_accounting) and its
+# orders_backlog_timeline, events_growth_accounting,
+# attribution_markov) and its
 # first-timer displacements (tpch_q14, corpus_bigrams,
 # dedup_cross_source); the
 # session-4/5 displacements

@@ -563,3 +563,67 @@ def test_growth_accounting_identities(spark, sf_dir):
         cum += new
         assert r["cum_users"] == cum
     assert cum == ud["user_id"].nunique()
+
+
+# ---------------------------------------------------------------------------
+# Markov removal-effect attribution
+# ---------------------------------------------------------------------------
+
+def test_markov_fixed_point_hand_chain():
+    """Hand-checkable chain: start->click->conv deterministically
+    converts, so p_full(start) = 1.0 and knocking out click kills
+    every conversion (removal effect 1.0)."""
+    from c99_vectordb_spark.queries_ext import _markov_fixed_point
+
+    counts = {("start", "click"): 1, ("click", "conv"): 1}
+    assert _markov_fixed_point(counts, removed=None) == 1_000_000
+    assert _markov_fixed_point(counts, removed="click") == 0
+    # 50/50 split converts half: start->conv | start->null
+    counts = {("start", "conv"): 1, ("start", "null"): 1}
+    assert _markov_fixed_point(counts, removed=None) == 500_000
+
+
+def test_attribution_markov_recount_and_laws(spark, sf_dir):
+    from c99_vectordb_spark.queries_ext import (
+        _markov_fixed_point,
+        q_attribution_markov,
+    )
+
+    rows = q_attribution_markov(spark, sf_dir).collect()
+    events = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ts_us = events["ts"].astype("int64")
+    if ts_us.abs().max() > 10**16:
+        ts_us = ts_us // 1000
+    df = events.assign(ts_us=ts_us).sort_values(["user_id", "ts_us", "event_id"])
+    counts: dict[tuple[str, str], int] = {}
+
+    def bump(s, d):
+        counts[(s, d)] = counts.get((s, d), 0) + 1
+
+    for _, grp in df.groupby("user_id"):
+        ets = list(grp["event_type"])
+        prev = None
+        for i, et in enumerate(ets):
+            src = "start" if prev is None or prev == "purchase" else prev
+            dst = "conv" if et == "purchase" else et
+            bump(src, dst)
+            prev = et
+        if ets and ets[-1] != "purchase":
+            bump(ets[-1], "null")
+    channels = sorted({s for s, _ in counts} - {"start"})
+    p_full = _markov_fixed_point(counts, removed=None)
+    by = {r["channel"]: r for r in rows}
+    assert sorted(by) == channels
+    tot = 0
+    for ch in channels:
+        p_rem = _markov_fixed_point(counts, removed=ch)
+        eff = 1_000_000 - (1_000_000 * p_rem) // p_full
+        r = by[ch]
+        assert r["p_full_ppm"] == p_full and r["p_removed_ppm"] == p_rem
+        assert r["removal_effect_ppm"] == eff
+        # knockout monotonicity: removing a channel never helps
+        assert 0 <= p_rem <= p_full
+        assert eff > 0
+        tot += eff
+    shares = sum(r["share_ppm"] for r in rows)
+    assert 1_000_000 - len(channels) <= shares <= 1_000_000
