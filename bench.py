@@ -187,6 +187,8 @@ HEADLINE = [
     "orders_backlog_timeline",
     "events_growth_accounting",
     "attribution_markov",
+    "orders_seasonal_decomp",
+    "corpus_lm_generate",
 ]
 
 

@@ -8075,8 +8075,190 @@ ORDER BY channel
 """
 
 
+def q_orders_seasonal_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical seasonal decomposition (ratio-to-moving-average, the
+    X-11 ancestor): monthly revenue vs its centered 2x12-month moving
+    average, averaged per calendar month into 12 seasonal indices
+    (1e6 = no seasonality). Exact integers: the centered MA's
+    half-weight endpoints fold into T24 = x[-6] + x[6] + 2*sum(x[-5..
+    5]) so ratio_ppm = 24e6 * x div T24 never touches a float; the
+    index is the integer mean of ratios. The 13-month sliding window
+    is a RANGE self-join on the month-grained rollup — bounded by the
+    TIME RANGE (~80 rows here) at any table size, so no global
+    window exists. The 5%-deviation flag separates signal from sample
+    noise as SF grows: at sf0.001 (19 orders/month) 6 of 12 months
+    exceed it, at sf0.01 only 3 — converging toward the generator's
+    flat truth; the ppm indices are the exact measurement either
+    way."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mid",
+        "month(o_orderdate) AS cal_month",
+        "cast(round(o_totalprice * 100) AS bigint) AS cents",
+    )
+    monthly = orders.groupBy("mid", "cal_month").agg(
+        F.sum("cents").cast("long").alias("x")
+    )
+    b = monthly.selectExpr("mid AS mid2", "x AS x2")
+    win = (
+        monthly.join(
+            b,
+            (F.col("mid2") >= F.col("mid") - 6)
+            & (F.col("mid2") <= F.col("mid") + 6),
+        )
+        .groupBy("mid", "cal_month", "x")
+        .agg(
+            F.count(F.lit(1)).alias("n_win"),
+            F.sum(
+                F.when(
+                    F.abs(F.col("mid2") - F.col("mid")) == 6, F.col("x2")
+                ).otherwise(2 * F.col("x2"))
+            )
+            .cast("long")
+            .alias("t24"),
+        )
+        .filter(F.col("n_win") == 13)
+        .selectExpr("cal_month", "(24000000 * x) div t24 AS ratio_ppm")
+    )
+    return (
+        win.groupBy("cal_month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_obs"),
+            F.sum("ratio_ppm").cast("long").alias("s"),
+        )
+        .selectExpr(
+            "cast(cal_month AS bigint) AS cal_month",
+            "n_obs",
+            "s div n_obs AS seasonal_index_ppm",
+            "CASE WHEN abs(s div n_obs - 1000000) > 50000 THEN 1L ELSE 0L END"
+            " AS deviates",
+        )
+        .orderBy("cal_month")
+    )
+
+
+def _oracle_orders_seasonal_decomp() -> str:
+    return """
+WITH sd_m AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mid,
+         month(o_orderdate) AS cal_month,
+         SUM(ROUND(o_totalprice * 100)::BIGINT)::BIGINT AS x
+  FROM orders GROUP BY 1, 2
+),
+sd_w AS (
+  SELECT a.mid, a.cal_month, a.x,
+         COUNT(*) AS n_win,
+         SUM(CASE WHEN abs(b.mid - a.mid) = 6 THEN b.x ELSE 2 * b.x END)
+           ::BIGINT AS t24
+  FROM sd_m a JOIN sd_m b ON b.mid BETWEEN a.mid - 6 AND a.mid + 6
+  GROUP BY 1, 2, 3
+),
+sd_r AS (
+  SELECT cal_month, ((24000000 * x) // t24)::BIGINT AS ratio_ppm
+  FROM sd_w WHERE n_win = 13
+)
+SELECT cal_month::BIGINT AS cal_month, COUNT(*)::BIGINT AS n_obs,
+       (SUM(ratio_ppm) // COUNT(*))::BIGINT AS seasonal_index_ppm,
+       (CASE WHEN abs(SUM(ratio_ppm) // COUNT(*) - 1000000) > 50000
+             THEN 1 ELSE 0 END)::BIGINT AS deviates
+FROM sd_r GROUP BY 1
+ORDER BY cal_month
+"""
+
+
+#: greedy decode length
+_LM_GEN_STEPS = 20
+
+
+def q_corpus_lm_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy decoding from the corpus bigram LM — the generation-side
+    twin of the scoring operators (text_lm_score / corpus_bigrams):
+    seed with the corpus's most frequent token, then 20 steps of
+    argmax next-token (ties by token asc), fully deterministic. The
+    bigram count table and per-token argmax are distributed (one
+    token-pair shuffle + a PARTITIONED rank window); the argmax table
+    is VOCAB-sized — bounded by the language, not the corpus — so the
+    20-step walk runs on the collected map (the bounded-collect
+    tier). The DuckDB twin replays the walk with a recursive CTE over
+    the identical argmax relation."""
+    from .functions.text import tokens
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        tokens(F.col("text")).alias("tks")
+    )
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                "zip_with(slice(tks, 1, size(tks) - 1),"
+                " slice(tks, 2, size(tks) - 1), (a, b) -> struct(a, b))"
+            )
+        ).alias("p")
+    ).select(F.col("p.a").alias("t1"), F.col("p.b").alias("t2"))
+    big = pairs.groupBy("t1", "t2").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    w = Window.partitionBy("t1").orderBy(F.desc("cnt"), F.asc("t2"))
+    argmax = (
+        big.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("t1", "t2")
+    )
+    uni = docs.select(F.explode("tks").alias("t")).groupBy("t").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    seed = uni.orderBy(F.desc("c"), F.asc("t")).limit(1)
+    nxt = {r["t1"]: r["t2"] for r in argmax.collect()}
+    cur = seed.collect()[0]["t"]
+    walk = [(0, cur)]
+    for step in range(1, _LM_GEN_STEPS + 1):
+        cur = nxt.get(cur)
+        if cur is None:
+            break
+        walk.append((step, cur))
+    return spark.createDataFrame(walk, "step long, token string").orderBy("step")
+
+
+def _oracle_corpus_lm_generate() -> str:
+    toks = hashing.duckdb_tokens_sql("text")
+    return f"""
+WITH RECURSIVE lg_tk AS (SELECT {toks} AS tks FROM documents),
+lg_pairs AS (
+  SELECT tks[i] AS t1, tks[i + 1] AS t2
+  FROM (SELECT tks, unnest(range(1, len(tks))) AS i FROM lg_tk)
+),
+lg_big AS (
+  SELECT t1, t2, COUNT(*)::BIGINT AS cnt FROM lg_pairs GROUP BY 1, 2
+),
+lg_am AS (
+  SELECT t1, t2 FROM (
+    SELECT t1, t2,
+           ROW_NUMBER() OVER (PARTITION BY t1 ORDER BY cnt DESC, t2) AS rn
+    FROM lg_big
+  ) WHERE rn = 1
+),
+lg_uni AS (
+  SELECT unnest(tks) AS t FROM lg_tk
+),
+lg_seed AS (
+  SELECT t FROM (
+    SELECT t, COUNT(*) AS c FROM lg_uni GROUP BY 1
+    ORDER BY c DESC, t LIMIT 1
+  )
+),
+lg_walk AS (
+  SELECT 0::BIGINT AS step, t AS token FROM lg_seed
+  UNION ALL
+  SELECT w.step + 1, a.t2
+  FROM lg_walk w JOIN lg_am a ON a.t1 = w.token
+  WHERE w.step < {_LM_GEN_STEPS}
+)
+SELECT step, token FROM lg_walk ORDER BY step
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_rfm_segments": q_customer_rfm_segments,
+    "orders_seasonal_decomp": q_orders_seasonal_decomp,
+    "corpus_lm_generate": q_corpus_lm_generate,
     "attribution_markov": q_attribution_markov,
     "orders_backlog_timeline": q_orders_backlog_timeline,
     "events_growth_accounting": q_events_growth_accounting,
@@ -8206,6 +8388,8 @@ EXT_ORACLES: dict[str, str] = {
     "orders_backlog_timeline": _oracle_orders_backlog_timeline(),
     "events_growth_accounting": _oracle_events_growth_accounting(),
     "attribution_markov": _oracle_attribution_markov(),
+    "orders_seasonal_decomp": _oracle_orders_seasonal_decomp(),
+    "corpus_lm_generate": _oracle_corpus_lm_generate(),
     "events_srm_check": _oracle_events_srm_check(),
     "events_cusum_shift": _oracle_events_cusum_shift(),
     "dp_orders_histogram": _oracle_dp_orders_histogram(),

@@ -627,3 +627,66 @@ def test_attribution_markov_recount_and_laws(spark, sf_dir):
         tot += eff
     shares = sum(r["share_ppm"] for r in rows)
     assert 1_000_000 - len(channels) <= shares <= 1_000_000
+
+
+# ---------------------------------------------------------------------------
+# Seasonal decomposition + LM generation
+# ---------------------------------------------------------------------------
+
+def test_seasonal_decomp_recount(spark, sf_dir):
+    from c99_vectordb_spark.queries_ext import q_orders_seasonal_decomp
+
+    rows = {r["cal_month"]: r for r in q_orders_seasonal_decomp(spark, sf_dir).collect()}
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    df = orders.assign(
+        mid=orders["o_orderdate"].dt.year * 12 + orders["o_orderdate"].dt.month - 1,
+        cal=orders["o_orderdate"].dt.month,
+        cents=(orders["o_totalprice"] * 100).round().astype("int64"),
+    )
+    monthly = df.groupby(["mid", "cal"])["cents"].sum()
+    x = {mid: int(v) for (mid, _), v in monthly.items()}
+    cal = {mid: c for (mid, c), _ in monthly.items()}
+    ratios: dict[int, list[int]] = {}
+    for mid in x:
+        win = [x.get(mid + o) for o in range(-6, 7)]
+        if any(v is None for v in win):
+            continue
+        t24 = win[0] + win[12] + 2 * sum(win[1:12])
+        ratios.setdefault(cal[mid], []).append((24_000_000 * x[mid]) // t24)
+    assert set(rows) == set(ratios)
+    for m, rs in ratios.items():
+        r = rows[m]
+        assert r["n_obs"] == len(rs)
+        idx = sum(rs) // len(rs)
+        assert r["seasonal_index_ppm"] == idx
+        assert r["deviates"] == (1 if abs(idx - 1_000_000) > 50_000 else 0)
+
+
+def test_lm_generate_recount(spark, sf_dir):
+    from c99_vectordb_spark.queries_ext import _LM_GEN_STEPS, q_corpus_lm_generate
+
+    rows = q_corpus_lm_generate(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    uni = collections.Counter()
+    big = collections.Counter()
+    for text in docs["text"]:
+        tks = re.findall(r"[a-z0-9_]+", text.lower())
+        uni.update(tks)
+        big.update(zip(tks, tks[1:]))
+    seed = min(uni, key=lambda t: (-uni[t], t))
+    # argmax with (cnt desc, token asc)
+    by_src: dict[str, list[tuple[int, str]]] = {}
+    for (t1, t2), c in big.items():
+        by_src.setdefault(t1, []).append((c, t2))
+    nxt = {
+        t1: min(cands, key=lambda ct: (-ct[0], ct[1]))[1]
+        for t1, cands in by_src.items()
+    }
+    walk = [(0, seed)]
+    cur = seed
+    for step in range(1, _LM_GEN_STEPS + 1):
+        cur = nxt.get(cur)
+        if cur is None:
+            break
+        walk.append((step, cur))
+    assert [(r["step"], r["token"]) for r in rows] == walk
