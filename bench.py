@@ -189,6 +189,7 @@ HEADLINE = [
     "attribution_markov",
     "orders_seasonal_decomp",
     "corpus_lm_generate",
+    "multimodal_scene_cuts",
 ]
 
 

@@ -1231,3 +1231,39 @@ def media_phash64(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(rows, columns=[f.name for f in PHASH_SCHEMA])
 
     return media.mapInPandas(gen, schema=PHASH_SCHEMA)
+
+
+SCENE_CUTS_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("frame_idx", T.LongType(), True),
+        T.StructField("diff_sum", T.LongType(), True),
+        T.StructField("is_cut", T.LongType(), True),
+    ]
+)
+
+
+def media_video_scene_cuts(media: DataFrame, threshold: int = 1000) -> DataFrame:
+    """Shot-boundary (scene-cut) detection over REAL decoded video:
+    each AVI payload runs through the RIFF parser, and every adjacent
+    frame pair scores the L1 pixel difference (sum |b_i - a_i| over
+    the 24bpp frame bytes) — the classic temporal-difference cut
+    detector. A pair whose diff exceeds ``threshold`` flags a cut.
+    Map-only mapInPandas; one row per adjacent pair. The frame bytes
+    are deterministic functions of the document text (zero-padded
+    36-byte slices), so the DuckDB twin replays every diff in closed
+    form over the raw text — a decode bug anywhere breaks the hash."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                frames, _meta = decode_avi(bytes(r.payload))
+                arrs = [np.frombuffer(f, dtype=np.uint8).astype(np.int64) for f in frames]
+                for i in range(1, len(arrs)):
+                    d = int(np.abs(arrs[i] - arrs[i - 1]).sum())
+                    rows.append((r.id, i, d, 1 if d > threshold else 0))
+            yield pd.DataFrame(rows, columns=[f.name for f in SCENE_CUTS_SCHEMA])
+
+    return media.mapInPandas(gen, schema=SCENE_CUTS_SCHEMA)

@@ -8255,8 +8255,65 @@ SELECT step, token FROM lg_walk ORDER BY step
 """
 
 
+#: L1 frame-difference cut threshold (24bpp 4x3 frames = 36 bytes)
+_SCENE_CUT_THRESHOLD = 1000
+
+
+def q_multimodal_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shot-boundary detection over REAL decoded video: every
+    document's AVI (the RIFF encode/parse pair) scores adjacent-frame
+    L1 pixel differences and flags cuts above the threshold — the
+    temporal-difference detector that anchors video preprocessing
+    pipelines. Hash-checked end to end: frame bytes are zero-padded
+    36-byte text slices, so the DuckDB twin replays every |b_i - a_i|
+    from the raw text; a decode bug anywhere breaks the match.
+    Map-only mapInPandas over the video table."""
+    from .operators.multimodal import (
+        media_video_from_documents,
+        media_video_scene_cuts,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return media_video_scene_cuts(
+        media_video_from_documents(docs), threshold=_SCENE_CUT_THRESHOLD
+    ).orderBy("id", "frame_idx")
+
+
+def _oracle_multimodal_scene_cuts() -> str:
+    def byte_at(pos: str) -> str:
+        return (
+            f"(CASE WHEN {pos} <= strlen(text)"
+            f" THEN ascii(substr(text, ({pos})::INT, 1)) ELSE 0 END)"
+        )
+
+    diff = (
+        "list_sum(list_transform(range(1, 37), i -> abs("
+        + byte_at("36 * f + i")
+        + " - "
+        + byte_at("36 * (f - 1) + i")
+        + ")))"
+    )
+    return f"""
+WITH sc_p AS (
+  SELECT doc_id, text,
+         GREATEST(1, (strlen(text) + 35) // 36)::BIGINT AS n
+  FROM documents
+),
+sc_f AS (
+  SELECT doc_id, text, unnest(range(1, n)) AS f FROM sc_p
+)
+SELECT doc_id AS id, f::BIGINT AS frame_idx,
+       COALESCE({diff}, 0)::BIGINT AS diff_sum,
+       (CASE WHEN COALESCE({diff}, 0) > {_SCENE_CUT_THRESHOLD}
+             THEN 1 ELSE 0 END)::BIGINT AS is_cut
+FROM sc_f
+ORDER BY id, frame_idx
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_rfm_segments": q_customer_rfm_segments,
+    "multimodal_scene_cuts": q_multimodal_scene_cuts,
     "orders_seasonal_decomp": q_orders_seasonal_decomp,
     "corpus_lm_generate": q_corpus_lm_generate,
     "attribution_markov": q_attribution_markov,
@@ -8390,6 +8447,7 @@ EXT_ORACLES: dict[str, str] = {
     "attribution_markov": _oracle_attribution_markov(),
     "orders_seasonal_decomp": _oracle_orders_seasonal_decomp(),
     "corpus_lm_generate": _oracle_corpus_lm_generate(),
+    "multimodal_scene_cuts": _oracle_multimodal_scene_cuts(),
     "events_srm_check": _oracle_events_srm_check(),
     "events_cusum_shift": _oracle_events_cusum_shift(),
     "dp_orders_histogram": _oracle_dp_orders_histogram(),

@@ -1782,8 +1782,8 @@ _ORACLES: dict[str, str] = {
 # sim_range_search, graph_communities, dq_expectations,
 # basket_item_similarity, events_ohlc_bars, events_top_paths,
 # orders_backlog_timeline, events_growth_accounting,
-# attribution_markov, orders_seasonal_decomp, corpus_lm_generate) and
-# its
+# attribution_markov, orders_seasonal_decomp, corpus_lm_generate,
+# multimodal_scene_cuts) and its
 # first-timer displacements (tpch_q14, corpus_bigrams,
 # dedup_cross_source); the
 # session-4/5 displacements

@@ -552,3 +552,89 @@ def streaming_cusum_shift(keyed: DataFrame, ref: int, h0: int) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+OHLC_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("grp", T.StringType(), False),
+        T.StructField("day", T.LongType(), False),
+        T.StructField("open_c", T.LongType(), False),
+        T.StructField("high_c", T.LongType(), False),
+        T.StructField("low_c", T.LongType(), False),
+        T.StructField("close_c", T.LongType(), False),
+        T.StructField("volume", T.LongType(), False),
+        T.StructField("sum_c", T.LongType(), False),
+    ]
+)
+
+#: state = the mergeable bar: endpoint picks carry their (ts, id)
+#: witness so later batches can only improve them
+OHLC_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("o_ts", T.LongType(), False),
+        T.StructField("o_id", T.LongType(), False),
+        T.StructField("o_v", T.LongType(), False),
+        T.StructField("c_ts", T.LongType(), False),
+        T.StructField("c_id", T.LongType(), False),
+        T.StructField("c_v", T.LongType(), False),
+        T.StructField("high", T.LongType(), False),
+        T.StructField("low", T.LongType(), False),
+        T.StructField("vol", T.LongType(), False),
+        T.StructField("s", T.LongType(), False),
+    ]
+)
+
+
+def streaming_ohlc_bars(keyed: DataFrame) -> DataFrame:
+    """Streaming OHLC bars — the twin of queries_ext.q_events_ohlc_bars
+    whose state is a MERGEABLE candlestick: open/close carry their
+    (ts_us, event_id) witness, so the update is pure min/max under the
+    same total order the batch window uses — arrival order across or
+    within batches cannot change the bar (no ordered-file contract
+    needed, unlike the CUSUM monitor). State per (type, day) key is
+    ten longs forever. Input carries (grp STRING, day BIGINT, ts_us
+    BIGINT, event_id BIGINT, v_cents BIGINT); each batch that touches
+    a bar emits its current value (update mode); after any replay the
+    LAST emission per bar equals the batch operator exactly
+    (test-pinned)."""
+
+    def ohlc_fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            (o_ts, o_id, o_v, c_ts, c_id, c_v, high, low, vol, s) = state.get
+        else:
+            o_ts = o_id = c_ts = c_id = None  # type: ignore[assignment]
+            o_v = c_v = high = low = vol = s = 0
+        touched = False
+        for pdf in pdfs:
+            for ts, eid, v in zip(pdf["ts_us"], pdf["event_id"], pdf["v_cents"]):
+                ts, eid, v = int(ts), int(eid), int(v)
+                touched = True
+                if o_ts is None or (ts, eid) < (o_ts, o_id):
+                    o_ts, o_id, o_v = ts, eid, v
+                if c_ts is None or (ts, eid) > (c_ts, c_id):
+                    c_ts, c_id, c_v = ts, eid, v
+                high = v if vol == 0 else max(high, v)
+                low = v if vol == 0 else min(low, v)
+                vol += 1
+                s += v
+        if touched:
+            state.update((o_ts, o_id, o_v, c_ts, c_id, c_v, high, low, vol, s))
+            yield pd.DataFrame(
+                [[str(key[0]), int(key[1]), o_v, high, low, c_v, vol, s]],
+                columns=[
+                    "grp", "day", "open_c", "high_c", "low_c", "close_c",
+                    "volume", "sum_c",
+                ],
+            )
+
+    return keyed.groupBy("grp", "day").applyInPandasWithState(
+        ohlc_fn,
+        outputStructType=OHLC_OUTPUT_SCHEMA,
+        stateStructType=OHLC_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

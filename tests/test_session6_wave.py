@@ -690,3 +690,93 @@ def test_lm_generate_recount(spark, sf_dir):
             break
         walk.append((step, cur))
     assert [(r["step"], r["token"]) for r in rows] == walk
+
+
+def test_streaming_ohlc_matches_batch(spark, sf_dir, tmp_path):
+    """Mergeable-candlestick streaming twin: after an availableNow
+    replay with events RANDOMLY split into two micro-batches (order
+    independence is the point — open/close carry their (ts, id)
+    witness), the last emission per bar equals q_events_ohlc_bars."""
+    import os
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from c99_vectordb_spark.queries_ext import q_events_ohlc_bars
+    from c99_vectordb_spark.queries_registry import _read_events
+    from c99_vectordb_spark.streaming.stateful import streaming_ohlc_bars
+
+    batch = {
+        (r["event_type"], r["day"]): (
+            r["open_c"], r["high_c"], r["low_c"], r["close_c"],
+            r["volume"], r["avg_c"],
+        )
+        for r in q_events_ohlc_bars(spark, sf_dir).collect()
+    }
+    keyed = _read_events(spark, sf_dir).selectExpr(
+        "event_type AS grp",
+        "ts_us div 86400000000 AS day",
+        "ts_us",
+        "event_id",
+        "cast(round(value * 100) AS bigint) AS v_cents",
+    )
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    k1, k2 = keyed.randomSplit([0.5, 0.5], seed=11)
+    k1.coalesce(1).write.parquet(os.path.join(src, "b1.parquet"))
+    k2.coalesce(1).write.parquet(os.path.join(src, "b2.parquet"))
+    now = _t.time()
+    for sub, ts in (("b1.parquet", now - 60), ("b2.parquet", now)):
+        d = os.path.join(src, sub)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+        os.utime(d, (ts, ts))
+    stream = (
+        spark.readStream.schema(
+            "grp STRING, day LONG, ts_us LONG, event_id LONG, v_cents LONG"
+        )
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_ohlc_bars(stream)
+        .writeStream.format("memory")
+        .queryName("ohlc_out")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = {}
+    for r in spark.sql("SELECT * FROM ohlc_out").collect():
+        final[(r.grp, r.day)] = (
+            r.open_c, r.high_c, r.low_c, r.close_c, r.volume,
+            r.sum_c // r.volume,
+        )
+    assert final == batch
+
+
+def test_scene_cuts_recount_from_text(spark, sf_dir):
+    """Replay every adjacent-frame L1 diff straight from the document
+    text (zero-padded 36-byte slices) — independently of both the
+    RIFF codec and the oracle SQL."""
+    from c99_vectordb_spark.queries_ext import (
+        _SCENE_CUT_THRESHOLD,
+        q_multimodal_scene_cuts,
+    )
+
+    rows = q_multimodal_scene_cuts(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    want = []
+    for r in docs.sort_values("doc_id").itertuples(index=False):
+        b = (r.text or "").encode("utf-8")
+        n = max(1, (len(b) + 35) // 36)
+        frames = [b[36 * i: 36 * i + 36].ljust(36, b"\0") for i in range(n)]
+        for i in range(1, n):
+            d = sum(abs(x - y) for x, y in zip(frames[i], frames[i - 1]))
+            want.append((r.doc_id, i, d, 1 if d > _SCENE_CUT_THRESHOLD else 0))
+    got = [(r["id"], r["frame_idx"], r["diff_sum"], r["is_cut"]) for r in rows]
+    assert got == want
