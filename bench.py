@@ -190,6 +190,7 @@ HEADLINE = [
     "orders_seasonal_decomp",
     "corpus_lm_generate",
     "multimodal_scene_cuts",
+    "sim_matryoshka_recall",
 ]
 
 

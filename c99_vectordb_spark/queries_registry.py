@@ -1783,7 +1783,7 @@ _ORACLES: dict[str, str] = {
 # basket_item_similarity, events_ohlc_bars, events_top_paths,
 # orders_backlog_timeline, events_growth_accounting,
 # attribution_markov, orders_seasonal_decomp, corpus_lm_generate,
-# multimodal_scene_cuts) and its
+# multimodal_scene_cuts, sim_matryoshka_recall) and its
 # first-timer displacements (tpch_q14, corpus_bigrams,
 # dedup_cross_source); the
 # session-4/5 displacements

