@@ -7170,10 +7170,13 @@ rs_q AS (
   FROM rs_e WHERE id < {_RANGE_NQ}
 ),
 rs_exact AS (
-  SELECT q.qid, COUNT(*)::BIGINT AS n_exact
-  FROM rs_e e CROSS JOIN rs_q q
-  WHERE e.id != q.qid AND {cos} >= {_RANGE_TAU4}
-  GROUP BY 1
+  SELECT b.qid, COALESCE(x.n_exact, 0)::BIGINT AS n_exact
+  FROM rs_q b LEFT JOIN (
+    SELECT q.qid, COUNT(*)::BIGINT AS n_exact
+    FROM rs_e e CROSS JOIN rs_q q
+    WHERE e.id != q.qid AND {cos} >= {_RANGE_TAU4}
+    GROUP BY 1
+  ) x USING (qid)
 ),
 rs_probes AS (
   SELECT qid, qvec, qbucket, unnest([qbucket, {flips}]) AS bucket FROM rs_q
@@ -7190,10 +7193,12 @@ rs_lsh AS (
 SELECT x.qid, x.n_exact,
        COALESCE(l.n_lsh, 0)::BIGINT AS n_lsh,
        COALESCE(l.n_multiprobe, 0)::BIGINT AS n_multiprobe,
-       ((1000000 * COALESCE(l.n_lsh, 0)) // x.n_exact)::BIGINT
-         AS recall_lsh_ppm,
-       ((1000000 * COALESCE(l.n_multiprobe, 0)) // x.n_exact)::BIGINT
-         AS recall_mp_ppm
+       (CASE WHEN x.n_exact > 0
+             THEN (1000000 * COALESCE(l.n_lsh, 0)) // x.n_exact
+             ELSE 1000000 END)::BIGINT AS recall_lsh_ppm,
+       (CASE WHEN x.n_exact > 0
+             THEN (1000000 * COALESCE(l.n_multiprobe, 0)) // x.n_exact
+             ELSE 1000000 END)::BIGINT AS recall_mp_ppm
 FROM rs_exact x LEFT JOIN rs_lsh l USING (qid)
 ORDER BY x.qid
 """
@@ -7329,32 +7334,40 @@ def q_dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         "stack(1, 'lineitem_discount_in_range', n, v_disc)"
         " AS (check_name, n_checked, n_violations)"
     )
-    # referential integrity, both directions
-    n_orders = orders.count()
-    n_li = li.count()
-    fk_cust = orders.join(
-        cust, orders.o_custkey == cust.c_custkey, "left_anti"
-    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
-    fk_cust = fk_cust.selectExpr(
-        f"'orders_custkey_in_customer' AS check_name",
-        f"{n_orders}L AS n_checked",
-        "v AS n_violations",
+    # referential integrity, both directions — LEFT join + conditional
+    # count so n_checked needs no eager .count() at build time (the
+    # anti-join + driver-count form ran two full-table jobs merely to
+    # CONSTRUCT the DataFrame — session review finding); the probe
+    # sides are unique keys, so the joins cannot fan out
+    def ri_check(name: str, left, probe, cond):
+        return left.join(probe, cond, "left").agg(
+            F.lit(name).alias("check_name"),
+            F.count(F.lit(1)).cast("long").alias("n_checked"),
+            F.sum(F.when(probe["__k"].isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_violations"),
+        )
+
+    cust_keys = cust.select(F.col("c_custkey").alias("__k")).distinct()
+    fk_cust = ri_check(
+        "orders_custkey_in_customer",
+        orders,
+        cust_keys,
+        orders.o_custkey == cust_keys["__k"],
     )
-    childless = orders.join(
-        li, orders.o_orderkey == li.l_orderkey, "left_anti"
-    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
-    childless = childless.selectExpr(
-        "'orders_have_lineitems' AS check_name",
-        f"{n_orders}L AS n_checked",
-        "v AS n_violations",
+    li_keys = li.select(F.col("l_orderkey").alias("__k")).distinct()
+    childless = ri_check(
+        "orders_have_lineitems",
+        orders,
+        li_keys,
+        orders.o_orderkey == li_keys["__k"],
     )
-    fk_ord = li.join(
-        orders, li.l_orderkey == orders.o_orderkey, "left_anti"
-    ).agg(F.count(F.lit(1)).cast("long").alias("v"))
-    fk_ord = fk_ord.selectExpr(
-        "'lineitem_orderkey_in_orders' AS check_name",
-        f"{n_li}L AS n_checked",
-        "v AS n_violations",
+    ord_keys = orders.select(F.col("o_orderkey").alias("__k")).distinct()
+    fk_ord = ri_check(
+        "lineitem_orderkey_in_orders",
+        li,
+        ord_keys,
+        li.l_orderkey == ord_keys["__k"],
     )
     # cross-table consistency: ship date after order date
     joined = li.join(orders, li.l_orderkey == orders.o_orderkey)
@@ -7847,12 +7860,17 @@ def q_events_growth_accounting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("day")
         .agg(F.count(F.lit(1)).cast("long").alias("n_churned"))
     )
-    joined = per_day.join(churn, "day", "left").selectExpr(
+    # FULL outer: a day with zero actives can still carry churn (all
+    # of yesterday's users leaving at once) — a left join from per_day
+    # would silently drop that churn row and break the identity
+    # churned(d) = active(d-1) - retained(d) (session review finding;
+    # latent here only because the fixture has no empty days)
+    joined = per_day.join(churn, "day", "full").selectExpr(
         "day",
-        "n_active",
-        "n_new",
-        "n_retained",
-        "n_resurrected",
+        "coalesce(n_active, 0L) AS n_active",
+        "coalesce(n_new, 0L) AS n_new",
+        "coalesce(n_retained, 0L) AS n_retained",
+        "coalesce(n_resurrected, 0L) AS n_resurrected",
         "coalesce(n_churned, 0L) AS n_churned",
     )
     return (
@@ -7897,12 +7915,17 @@ ga_ch AS (
   WHERE day < dmax AND (next_day IS NULL OR next_day > day + 1)
   GROUP BY 1
 )
-SELECT p.day, p.n_active, p.n_new, p.n_retained, p.n_resurrected,
+SELECT day,
+       COALESCE(p.n_active, 0)::BIGINT AS n_active,
+       COALESCE(p.n_new, 0)::BIGINT AS n_new,
+       COALESCE(p.n_retained, 0)::BIGINT AS n_retained,
+       COALESCE(p.n_resurrected, 0)::BIGINT AS n_resurrected,
        COALESCE(c.n_churned, 0)::BIGINT AS n_churned,
-       SUM(p.n_new) OVER (ORDER BY p.day ROWS UNBOUNDED PRECEDING)::BIGINT
+       SUM(COALESCE(p.n_new, 0)) OVER (ORDER BY day
+                                       ROWS UNBOUNDED PRECEDING)::BIGINT
          AS cum_users
-FROM ga_pd p LEFT JOIN ga_ch c USING (day)
-ORDER BY p.day
+FROM ga_pd p FULL JOIN ga_ch c USING (day)
+ORDER BY day
 """
 
 
@@ -8185,11 +8208,16 @@ def q_corpus_lm_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
         tokens(F.col("text")).alias("tks")
     )
+    # greatest(..., 0): a token-less document would make the slice
+    # length -1 and Spark's slice() throws where DuckDB's range()
+    # doesn't (session review finding; same guard as corpus.py's
+    # bigram helper)
     pairs = docs.select(
         F.explode(
             F.expr(
-                "zip_with(slice(tks, 1, size(tks) - 1),"
-                " slice(tks, 2, size(tks) - 1), (a, b) -> struct(a, b))"
+                "zip_with(slice(tks, 1, greatest(size(tks) - 1, 0)),"
+                " slice(tks, 2, greatest(size(tks) - 1, 0)),"
+                " (a, b) -> struct(a, b))"
             )
         ).alias("p")
     ).select(F.col("p.a").alias("t1"), F.col("p.b").alias("t2"))

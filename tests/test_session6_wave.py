@@ -545,21 +545,31 @@ def test_growth_accounting_identities(spark, sf_dir):
         .drop_duplicates()
     )
     active = ud.groupby("day")["user_id"].apply(set).to_dict()
-    days = sorted(active)
+    dmax = max(active)
+    # spine = active days UNION churn-carrying gap days (full join)
+    spine = sorted(
+        set(active)
+        | {
+            d + 1
+            for d in active
+            if d < dmax and (active[d] - active.get(d + 1, set()))
+        }
+    )
     by = {r["day"]: r for r in rows}
-    assert sorted(by) == days
+    assert sorted(by) == spine
     seen: set = set()
     cum = 0
-    for i, d in enumerate(days):
+    for d in spine:
         r = by[d]
-        assert r["n_active"] == len(active[d])
+        cur = active.get(d, set())
+        assert r["n_active"] == len(cur)
         assert r["n_active"] == r["n_new"] + r["n_retained"] + r["n_resurrected"]
-        new = len(active[d] - seen)
+        new = len(cur - seen)
         assert r["n_new"] == new
         prev = active.get(d - 1, set())
-        assert r["n_retained"] == len(active[d] & prev)
-        assert r["n_churned"] == len(prev - active[d])
-        seen |= active[d]
+        assert r["n_retained"] == len(cur & prev)
+        assert r["n_churned"] == len(prev - cur)
+        seen |= cur
         cum += new
         assert r["cum_users"] == cum
     assert cum == ud["user_id"].nunique()
@@ -814,3 +824,40 @@ def test_matryoshka_recall_laws_and_recount(spark, sf_dir):
     ]
     assert means[0] == _MRL_K
     assert means[0] >= means[1] >= means[-1] - 1e-9
+
+
+def test_growth_accounting_gap_day_carries_churn(spark, tmp_path):
+    """A day with ZERO actives still reports the churn of the day
+    before (session review finding: the left-join form silently
+    dropped it). Constructed: users active day 0-1, nobody on day 2,
+    one returns day 3."""
+    import datetime
+    import os
+
+    from c99_vectordb_spark.queries_ext import q_events_growth_accounting
+
+    base = datetime.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for day, users in ((0, [1, 2]), (1, [1, 2]), (3, [1])):
+        for u in users:
+            eid += 1
+            rows.append(
+                (eid, base + datetime.timedelta(days=day, hours=1), u,
+                 "click", 1.0, "{}")
+            )
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    )
+    sf = os.path.join(str(tmp_path), "sf")
+    os.makedirs(sf)
+    df.write.parquet(os.path.join(sf, "events.parquet"))
+    got = {r["day"]: r for r in q_events_growth_accounting(spark, sf).collect()}
+    days = sorted(got)
+    d0 = days[0]
+    assert got[d0 + 2]["n_active"] == 0
+    assert got[d0 + 2]["n_churned"] == 2  # both users left after day 1
+    assert got[d0 + 3]["n_resurrected"] == 1
+    assert got[d0 + 3]["cum_users"] == 2
