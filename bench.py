@@ -308,6 +308,66 @@ def _chained_bpe(spark, sf_dir):
     return t_train, t_encode, t_fertility, t_sweep
 
 
+def _chained_graph(spark, sf_dir):
+    """The graph family as a pipeline runs it: the customer->supplier
+    edge table (the li|x|orders distinct join) is built and persisted
+    ONCE; pagerank keeps its standalone meaning (edges + 3 rank
+    rounds), communities records only its increment over the shared
+    edges. Benching both standalone double-counts the edge build.
+    Oracles unchanged: the registry entries still build from scratch.
+    """
+    import time
+
+    from pyspark.sql import functions as F
+
+    from c99_vectordb_spark.operators.graph import label_propagation, pagerank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    t0 = time.time()
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            (F.col("o_custkey") * 2).alias("src"),
+            (F.col("l_suppkey") * 2 + 1).alias("dst"),
+        )
+        .distinct()
+        .persist()
+    )
+    edges.write.format("noop").mode("overwrite").save()
+    t_edges = time.time() - t0
+    try:
+        t0 = time.time()
+        pr = pagerank(edges, iters=3)
+        pr.select(
+            "node",
+            F.when(F.col("node") % 2 == 0, F.lit("cust"))
+            .otherwise(F.lit("supp"))
+            .alias("kind"),
+            "pr_fp",
+        ).orderBy(F.desc("pr_fp"), F.asc("node")).limit(20).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        t_pagerank = t_edges + (time.time() - t0)
+
+        t0 = time.time()
+        labels = label_propagation(edges, iters=3)
+        sizes = labels.groupBy("label").agg(
+            F.count(F.lit(1)).cast("long").alias("community_size")
+        )
+        sizes.groupBy("community_size").agg(
+            F.count(F.lit(1)).cast("long").alias("n_communities")
+        ).write.format("noop").mode("overwrite").save()
+        t_communities = time.time() - t0
+    finally:
+        edges.unpersist()
+    return t_pagerank, t_communities
+
+
 def main() -> None:
     from c99_vectordb_spark import queries_registry as QR
     from c99_vectordb_spark.session import get_spark
@@ -353,6 +413,19 @@ def main() -> None:
         errors["corpus_bpe_merges"] = f"{type(exc).__name__}: {exc}"[:500]
         print(
             f"bench: chained BPE FAILED: {errors['corpus_bpe_merges']}",
+            file=sys.stderr,
+        )
+
+    # the graph family shares the edge-build join — same chained
+    # treatment (pagerank standalone meaning, communities incremental)
+    try:
+        runs = [_chained_graph(spark, SF_DIR) for _ in range(2)]
+        for i, name in enumerate(("graph_pagerank", "graph_communities")):
+            timings[name] = round(min(r[i] for r in runs), 3)
+    except Exception as exc:  # noqa: BLE001 — keep benching the rest
+        errors["graph_pagerank"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(
+            f"bench: chained graph FAILED: {errors['graph_pagerank']}",
             file=sys.stderr,
         )
 
