@@ -131,6 +131,186 @@ r{t} AS MATERIALIZED (
     return "".join(parts)
 
 
+def bfs_layers(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 4,
+) -> DataFrame:
+    """Multi-source breadth-first search over an undirected edge list:
+    every node in ``seeds(node)`` is layer 0; layer t is the set of
+    nodes first reached after exactly t hops. Returns
+    ``(node, layer)`` for every node reached within ``rounds`` hops.
+
+    The frontier-expansion loop is the textbook distributed BFS: per
+    round ONE frontier-edges equi-join, one distinct, and one
+    left-anti join against the visited set — the loop composes plans
+    on the driver, no collect() in the body. The adjacency list is
+    symmetrized + deduped ONCE, partitioned by the join key, and
+    reused every round (pagerank's partition-once discipline); the
+    visited set is persisted per round so round t+1's anti-join does
+    not recompute rounds 1..t. Layer membership after a fixed round
+    count is a pure function of the edge set, so the DuckDB twin
+    (:func:`duckdb_bfs_layers_sql`) unrolls the identical rounds."""
+    adj = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    # seeds outside the graph carry no edges and would distort layer 0:
+    # keep the documented contract "layer 0 = seed nodes present in the
+    # edge set" (the oracle twin applies the same semi-join)
+    visited = (
+        seeds.select("node")
+        .join(adj.select(F.col("src").alias("node")).distinct(), "node", "semi")
+        .withColumn("layer", F.lit(0).cast("long"))
+        .persist()
+    )
+    frontier = visited
+    for t in range(1, rounds + 1):
+        frontier = (
+            frontier.join(adj, frontier.node == adj.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited, "node", "left_anti")
+            .withColumn("layer", F.lit(t).cast("long"))
+        )
+        visited = visited.unionByName(frontier).persist()
+    return visited
+
+
+def duckdb_bfs_layers_sql(edges_cte: str, rounds: int = 4) -> str:
+    """DuckDB twin of :func:`bfs_layers`: the identical frontier
+    rounds unrolled into CTEs. ``edges_cte`` must define relations
+    ``edges(src, dst)`` and ``seeds(node)``. Produces a relation
+    ``bfs_all(node, layer)`` with every node reached in <= rounds
+    hops."""
+    parts = [
+        f"""{edges_cte},
+bfs_adj AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
+),
+bfs_v0 AS (
+  SELECT DISTINCT s.node, 0::BIGINT AS layer FROM seeds s
+  WHERE s.node IN (SELECT src FROM bfs_adj)
+)"""
+    ]
+    union = ["SELECT node, layer FROM bfs_v0"]
+    for t in range(1, rounds + 1):
+        prev_union = " UNION ALL ".join(union)
+        parts.append(
+            f""",
+bfs_v{t} AS MATERIALIZED (
+  SELECT DISTINCT a.dst AS node, {t}::BIGINT AS layer
+  FROM bfs_adj a JOIN bfs_v{t - 1} f ON a.src = f.node
+  WHERE a.dst NOT IN (SELECT node FROM ({prev_union}))
+)"""
+        )
+        union.append(f"SELECT node, layer FROM bfs_v{t}")
+    parts.append(f""",
+bfs_all AS ({" UNION ALL ".join(union)})""")
+    return "".join(parts)
+
+
+def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 5) -> DataFrame:
+    """Bounded-round k-core peeling over an undirected edge list: each
+    round drops every node whose current degree is below ``k`` (and
+    the edges touching it), the classic iterated-filter approximation
+    that converges to the exact k-core once a round removes nothing.
+    Returns one row per round: ``(round, nodes_remaining,
+    edges_remaining, min_degree)`` — min_degree reaching ``k`` is the
+    convergence certificate, making the peel schedule itself the
+    report.
+
+    Scale shape: per round one degree aggregation + two semi-joins of
+    the edge list against the (node-sized) survivor set; the round
+    summaries are 1-row aggregates unioned at the end, so the loop
+    composes one driver-side plan with no collect() in the body.
+    Fixed rounds keep the DuckDB twin (:func:`duckdb_kcore_peel_sql`)
+    a finite CTE unroll of the identical algebra."""
+    adj = (
+        edges.select("src", "dst")
+        .unionByName(
+            edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        )
+        .distinct()
+        .repartition("src")
+        .persist()
+    )
+    summaries = []
+    cur = adj
+    for t in range(1, rounds + 1):
+        keep = (
+            cur.groupBy("src")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= k)
+            .select("src")
+        )
+        cur = (
+            cur.join(keep, "src", "semi")
+            .join(keep.withColumnRenamed("src", "dst"), "dst", "semi")
+            .persist()
+        )
+        deg_after = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        summaries.append(
+            deg_after.agg(
+                F.lit(t).cast("long").alias("round"),
+                F.count(F.lit(1)).cast("long").alias("nodes_remaining"),
+                # integer DIV (the symmetric degree sum is even by
+                # construction); a double quotient would lose ulps
+                # past 2^53 at real edge counts
+                F.expr("coalesce(sum(deg), 0L) div 2").alias("edges_remaining"),
+                F.coalesce(F.min("deg"), F.lit(0)).cast("long").alias(
+                    "min_degree"
+                ),
+            )
+        )
+    out = summaries[0]
+    for s in summaries[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def duckdb_kcore_peel_sql(edges_cte: str, k: int = 3, rounds: int = 5) -> str:
+    """DuckDB twin of :func:`kcore_peel`: the identical peel rounds
+    unrolled into CTEs. ``edges_cte`` must define ``edges(src, dst)``.
+    Produces a relation ``kc_report(round, nodes_remaining,
+    edges_remaining, min_degree)``."""
+    parts = [
+        f"""{edges_cte},
+kc_a0 AS MATERIALIZED (
+  SELECT src, dst FROM edges UNION SELECT dst AS src, src AS dst FROM edges
+)"""
+    ]
+    selects = []
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+kc_k{t} AS (
+  SELECT src FROM kc_a{t - 1} GROUP BY src HAVING COUNT(*) >= {k}
+),
+kc_a{t} AS MATERIALIZED (
+  SELECT a.src, a.dst FROM kc_a{t - 1} a
+  WHERE a.src IN (SELECT src FROM kc_k{t})
+    AND a.dst IN (SELECT src FROM kc_k{t})
+),
+kc_s{t} AS (
+  SELECT {t}::BIGINT AS round,
+         COUNT(*)::BIGINT AS nodes_remaining,
+         (COALESCE(SUM(deg), 0) // 2)::BIGINT AS edges_remaining,
+         COALESCE(MIN(deg), 0)::BIGINT AS min_degree
+  FROM (SELECT src, COUNT(*)::BIGINT AS deg FROM kc_a{t} GROUP BY src)
+)"""
+        )
+        selects.append(f"SELECT * FROM kc_s{t}")
+    parts.append(f""",
+kc_report AS ({" UNION ALL ".join(selects)})""")
+    return "".join(parts)
+
+
 def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
     """Synchronous label-propagation community detection (Raghavan et
     al. 2007), deterministic: each round every node adopts the MODE of

@@ -1874,8 +1874,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .queries_ext import EXT_QUERIES
     from .queries_pipeline import PIPELINE_QUERIES
     from .queries_tpch import TPCH_QUERIES
+    from .queries_wave7 import WAVE7_QUERIES
 
-    merged = {**_QUERIES, **EXT_QUERIES, **TPCH_QUERIES, **PIPELINE_QUERIES}
+    merged = {
+        **_QUERIES,
+        **EXT_QUERIES,
+        **TPCH_QUERIES,
+        **PIPELINE_QUERIES,
+        **WAVE7_QUERIES,
+    }
     out = {name: merged[name] for name in DRIVER_WINDOW}
     out.update({n: f for n, f in merged.items() if n not in out})
     return out
@@ -1885,5 +1892,12 @@ def oracle_sql() -> dict[str, str]:
     from .queries_ext import EXT_ORACLES
     from .queries_pipeline import PIPELINE_ORACLES
     from .queries_tpch import TPCH_ORACLES
+    from .queries_wave7 import WAVE7_ORACLES
 
-    return {**_ORACLES, **EXT_ORACLES, **TPCH_ORACLES, **PIPELINE_ORACLES}
+    return {
+        **_ORACLES,
+        **EXT_ORACLES,
+        **TPCH_ORACLES,
+        **PIPELINE_ORACLES,
+        **WAVE7_ORACLES,
+    }

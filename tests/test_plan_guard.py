@@ -58,6 +58,10 @@ BNLJ_ALLOWED = {
     "audit_benford_prices": "1-row scalar aggregate broadcast (row total for the ppm denominator)",
     "events_forecast_mase": "gap-fill grid join: broadcast sides are the bounded hour grid and type list (events_resample pattern)",
     "customer_revenue_gini": "1-row scalar aggregate broadcast (customer count for the Lorenz rank cuts)",
+    "sketch_set_ops": "5-row KMV sketch table self-joined on type_a < type_b (#groups^2 pairs, never data-sized)",
+    "sim_binary_quant": "bounded 8-query broadcast (the Hamming scan's query side, topk_neighbors pattern)",
+    "customer_survival_km": "1-row scalar aggregate broadcast (global max order date for the censoring cutoff)",
+    "orders_mann_whitney": "1-row scalar aggregate broadcast (n + tie correction for the z denominator)",
     "corpus_drift_kl": "broadcasts are the 13-bucket literal grid, the 13-row global table, and the 1-row corpus total",
     "customer_rfm_segments": "two 1-row scalar aggregate broadcasts (global max order date; customer count for the quintile cuts)",
     "events_cusum_shift": "gap-fill grid join: broadcast sides are the bounded hour grid and type list (events_resample pattern)",
