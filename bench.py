@@ -191,6 +191,14 @@ HEADLINE = [
     "corpus_lm_generate",
     "multimodal_scene_cuts",
     "sim_matryoshka_recall",
+    "sketch_set_ops",
+    "graph_bfs_layers",
+    "graph_kcore_peel",
+    "dedup_winnowing",
+    "sim_binary_quant",
+    "customer_survival_km",
+    "orders_theilsen_trend",
+    "orders_mann_whitney",
 ]
 
 

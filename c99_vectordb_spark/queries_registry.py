@@ -1763,9 +1763,26 @@ _ORACLES: dict[str, str] = {
 # oracle-covered and return in r7. The other three session-6 newcomers (events_cusum_shift,
 # corpus_zipf_fit, join_skew_report) join the r7 pool below.
 #
+# Session-7 swap: three of the eight NEW session-7 operators
+# (sketch_set_ops, dedup_winnowing, customer_survival_km) rotate in
+# so they land driver-green in the round they were built, displacing
+# the three NON-newcomer first-timers (dedup_span_removal,
+# text_lm_coverage, embed_random_projection — every session-4/5/6
+# newcomer keeps its slot, and no family drops below its minimum;
+# embed_random_projection's restructure-proof role is carried by the
+# still-pinned corpus_postings, which proves the same scalar-output
+# fix class). The displaced three stay fully oracle-covered and head
+# the r7 pool together with the five session-7 newcomers outside the
+# window (graph_bfs_layers, graph_kcore_peel, sim_binary_quant,
+# orders_theilsen_trend, orders_mann_whitney).
+#
 # Round-7 rotation TODO: the remaining window-eligible never-checked
 # pool (multimodal_features and sim_pq are rows-only and cannot occupy
-# hash slots): the NEW oracled r6 queries still outside the window
+# hash slots): the session-7 newcomers outside the window
+# (graph_bfs_layers, graph_kcore_peel, sim_binary_quant,
+# orders_theilsen_trend, orders_mann_whitney) and the session-7
+# displacements (dedup_span_removal, text_lm_coverage,
+# embed_random_projection); the NEW oracled r6 queries still outside the window
 # (dedup_recall_report, corpus_pipeline_incremental, corpus_pack_report,
 # corpus_filter_funnel, multimodal_adpcm_roundtrip,
 # multimodal_video_frames, corpus_kn_incremental, profile_documents,
@@ -1829,7 +1846,7 @@ DRIVER_WINDOW = [
     "dedup_minhash_pairs",
     "dedup_incremental",
     "dedup_semantic",
-    "dedup_span_removal",
+    "dedup_winnowing",
     # similarity family (pool reps + the two first-time headliners +
     # the round-6 ANN recall@k report, new this round)
     "sim_lsh_bucketed",
@@ -1837,8 +1854,8 @@ DRIVER_WINDOW = [
     "sim_recall_report",
     "sim_hybrid_rrf",
     "anonymize_orders",
-    # embeddings (first-time: the de-arrayed exploded projection)
-    "embed_random_projection",
+    # sketch algebra (first-time: the session-7 KMV set-ops headliner)
+    "sketch_set_ops",
     # multimodal — two never-driver-checked members rotate in
     "multimodal_resize",
     "multimodal_audio_stats",
@@ -1846,7 +1863,7 @@ DRIVER_WINDOW = [
     "text_gopher_rules",
     "text_scrub_pii",
     "text_repetition",
-    "text_lm_coverage",
+    "customer_survival_km",
     # corpus / training-data pipeline (corpus_postings pinned to prove
     # the round-6 fix; four pool first-timers; three non-pool)
     "corpus_postings",

@@ -96,7 +96,12 @@ def q_graph_bfs_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     over dedup-cluster graphs."""
     from .operators.graph import bfs_layers
 
-    edges = _trade_edges(spark, sf_dir)
+    # the thresholded edge build (lineitem x orders + countDistinct) is
+    # the expensive subtree; persist it so the adjacency inside
+    # bfs_layers and the unreached-census node list below share ONE
+    # materialization (plans are trees — without this the join+agg ran
+    # twice: 5.9s -> 2.8s at sf0.1)
+    edges = _trade_edges(spark, sf_dir).persist()
     seeds = spark.range(_BFS_N_SEEDS).select(
         (F.col("id") * 2 + 1).alias("node")
     )
@@ -355,7 +360,13 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     Complements the MinHash tier: winnowing is position-anchored
     (plagiarism spans), MinHash is set-level (whole-doc
     similarity)."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # a single small parquet file arrives as ONE split, serializing
+    # the md5-per-gram stage (~280 digests/doc); the shuffle moves
+    # only doc rows (operators/multimodal._fan_out rationale —
+    # measured 13.6s -> ~3s at sf0.1)
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
     kg, w = _WIN_KGRAM, _WIN_WINDOW
     hexpr = _spark_md5_56(f"substring(t, i, {kg})")
     fp = (
