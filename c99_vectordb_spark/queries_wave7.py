@@ -339,6 +339,45 @@ _WIN_MAX_FREQ = 20  #: doc-frequency cap on fingerprints (skew control)
 _WIN_JACC_PPM = 250_000  #: report pairs above this fingerprint Jaccard
 
 
+def winnow_fingerprints(
+    docs: DataFrame, kg: int = _WIN_KGRAM, w: int = _WIN_WINDOW
+) -> DataFrame:
+    """Distinct winnowing fingerprints per document: md5-56 every
+    ``kg``-char gram of the whitespace-normalized text, keep the min
+    hash of each sliding window of ``w`` gram hashes, dedup. Gram
+    hashing and the window-min both run in array land inside one
+    projection (transform + array_min(slice(...))) — per-doc map
+    work, no per-position explode of the text, no window shuffle.
+    Input needs (doc_id, text); output is (doc_id, fp)."""
+    hexpr = _spark_md5_56(f"substring(t, i, {kg})")
+    return (
+        docs.select(
+            "doc_id",
+            F.expr(
+                "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+            ).alias("t"),
+        )
+        .filter(F.length("t") >= kg + w - 1)
+        .select(
+            "doc_id",
+            F.expr(
+                f"transform(sequence(1, length(t) - {kg - 1}),"
+                f" i -> {hexpr})"
+            ).alias("harr"),
+        )
+        .select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    f"array_distinct(transform("
+                    f"sequence({w}, size(harr)),"
+                    f" p -> array_min(slice(harr, p - {w - 1}, {w}))))"
+                )
+            ).alias("fp"),
+        )
+    )
+
+
 def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
     SIGMOD 2003 — the MOSS algorithm): hash every 20-char gram of the
@@ -367,34 +406,7 @@ def q_dedup_winnowing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
         spark.sparkContext.defaultParallelism
     )
-    kg, w = _WIN_KGRAM, _WIN_WINDOW
-    hexpr = _spark_md5_56(f"substring(t, i, {kg})")
-    fp = (
-        docs.select(
-            "doc_id",
-            F.expr(
-                "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
-            ).alias("t"),
-        )
-        .filter(F.length("t") >= kg + w - 1)
-        .select(
-            "doc_id",
-            F.expr(
-                f"transform(sequence(1, length(t) - {kg - 1}),"
-                f" i -> {hexpr})"
-            ).alias("harr"),
-        )
-        .select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    f"array_distinct(transform("
-                    f"sequence({w}, size(harr)),"
-                    f" p -> array_min(slice(harr, p - {w - 1}, {w}))))"
-                )
-            ).alias("fp"),
-        )
-    )
+    fp = winnow_fingerprints(docs)
     rare = (
         fp.groupBy("fp")
         .agg(F.count(F.lit(1)).alias("df"))
