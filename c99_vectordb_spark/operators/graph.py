@@ -163,11 +163,17 @@ def bfs_layers(
     # seeds outside the graph carry no edges and would distort layer 0:
     # keep the documented contract "layer 0 = seed nodes present in the
     # edge set" (the oracle twin applies the same semi-join)
+    # visited is referenced TWICE per round (the anti-join and the
+    # union), so a lazy plan doubles per round — 2^rounds copies of
+    # the edge subtree by round 4 (plan-audit: 1399 shuffles in ONE
+    # query plan). localCheckpoint truncates the lineage each round
+    # (the pre_range discipline), keeping the plan linear in rounds;
+    # the checkpointed frame is node-sized.
     visited = (
         seeds.select("node")
         .join(adj.select(F.col("src").alias("node")).distinct(), "node", "semi")
         .withColumn("layer", F.lit(0).cast("long"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     frontier = visited
     for t in range(1, rounds + 1):
@@ -178,7 +184,7 @@ def bfs_layers(
             .join(visited, "node", "left_anti")
             .withColumn("layer", F.lit(t).cast("long"))
         )
-        visited = visited.unionByName(frontier).persist()
+        visited = visited.unionByName(frontier).localCheckpoint(eager=True)
     return visited
 
 
@@ -249,10 +255,16 @@ def kcore_peel(edges: DataFrame, k: int = 3, rounds: int = 5) -> DataFrame:
             .filter(F.col("deg") >= k)
             .select("src")
         )
+        # cur is referenced THREE times per round (the degree filter
+        # and both endpoint semi-joins), so a lazy plan triples per
+        # round — 3^rounds copies of the edge subtree by round 5
+        # (plan-audit: 2904 shuffles in ONE query plan).
+        # localCheckpoint truncates the lineage each round; the
+        # checkpointed frame is the (shrinking) edge set.
         cur = (
             cur.join(keep, "src", "semi")
             .join(keep.withColumnRenamed("src", "dst"), "dst", "semi")
-            .persist()
+            .localCheckpoint(eager=True)
         )
         deg_after = cur.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
         summaries.append(
