@@ -199,6 +199,11 @@ HEADLINE = [
     "customer_survival_km",
     "orders_theilsen_trend",
     "orders_mann_whitney",
+    "sim_mutual_nn",
+    "dedup_cdc_chunks",
+    "corpus_pmi_pairs",
+    "customer_cohort_ltv",
+    "orders_kruskal_wallis",
 ]
 
 

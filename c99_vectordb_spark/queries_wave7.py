@@ -1004,6 +1004,562 @@ ORDER BY o_orderpriority
 """
 
 
+# ---------------------------------------------------------------------------
+# sim_mutual_nn — reciprocal nearest neighbors (bitext-mining shape)
+# ---------------------------------------------------------------------------
+
+
+def q_sim_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mutual nearest neighbors: pairs (a, b) where b is a's top-1
+    LSH-bucketed neighbor AND a is b's — the reciprocity filter of
+    bitext mining (Artetxe & Schwenk 2019) and of high-precision
+    semantic dedup: a one-directional top-1 fires on hubs, the
+    mutual pair almost never does. Both sides are the corpus
+    (broadcast_queries=False — the two-big-sets kNN join), candidates
+    come from hamming-1 multiprobe bucket equi-joins, top-1 per side
+    from ONE shared candidate set (the probe relation is symmetric,
+    so mutuality is well-defined), and the reciprocal join touches
+    only the node-sized best-neighbor table."""
+    from .operators.similarity import lsh_bucketed_neighbors
+    from .queries_ext import LSH_DIM, LSH_PLANES
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    best = lsh_bucketed_neighbors(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+        emb.select(
+            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+        ),
+        dim=LSH_DIM,
+        k=1,
+        n_planes=LSH_PLANES,
+        multiprobe=True,
+        broadcast_queries=False,
+    )
+    x, y = best.alias("x"), best.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.qid") == F.col("y.id"))
+            & (F.col("x.id") == F.col("y.qid"))
+            & (F.col("x.qid") < F.col("x.id")),
+        )
+        .select(
+            F.col("x.qid").alias("id_a"),
+            F.col("x.id").alias("id_b"),
+            F.col("x.score").alias("cos"),
+        )
+        .orderBy("id_a")
+    )
+
+
+def _oracle_sim_mutual_nn() -> str:
+    from .operators.similarity import hyperplane
+    from .queries_ext import _DUCK_DOT, LSH_DIM, LSH_PLANES
+
+    def plane_lit(p: int) -> str:
+        return "[" + ", ".join(f"{x!r}::DOUBLE" for x in hyperplane(p, LSH_DIM)) + "]"
+
+    bucket = " + ".join(
+        f"(CASE WHEN {_DUCK_DOT.format(a='embedding', b=plane_lit(p))} >= 0"
+        f" THEN 1::BIGINT ELSE 0 END << {p})"
+        for p in range(LSH_PLANES)
+    )
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(LSH_PLANES)]
+    )
+    return f"""
+WITH mn_e AS (
+  SELECT vec_id AS id, embedding, ({bucket}) AS bucket FROM embeddings
+),
+mn_q AS (
+  SELECT id AS qid, embedding AS qvec, pbucket
+  FROM mn_e, unnest([{probes}]) AS u(pbucket)
+),
+mn_c AS (
+  SELECT q.qid, e.id,
+         ROUND({_DUCK_DOT.format(a='e.embedding', b='q.qvec')}
+               / (sqrt({_DUCK_DOT.format(a='e.embedding', b='e.embedding')})
+                  * sqrt({_DUCK_DOT.format(a='q.qvec', b='q.qvec')})), 4)
+           AS score
+  FROM mn_e e JOIN mn_q q ON e.bucket = q.pbucket
+  WHERE e.id != q.qid
+),
+mn_b AS (
+  SELECT qid, id, score FROM (
+    SELECT qid, id, score,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY score DESC, id ASC) AS rnk
+    FROM mn_c
+  ) WHERE rnk = 1
+)
+SELECT x.qid AS id_a, x.id AS id_b, x.score AS cos
+FROM mn_b x JOIN mn_b y
+  ON x.qid = y.id AND x.id = y.qid AND x.qid < x.id
+ORDER BY id_a
+"""
+
+
+# ---------------------------------------------------------------------------
+# dedup_cdc_chunks — content-defined chunking storage-dedup report
+# ---------------------------------------------------------------------------
+
+_CDC_GRAM = 16  #: rolling-window width for the boundary test
+_CDC_MASK = 64  #: boundary when hash % MASK == 0 -> ~64-char chunks
+
+
+def q_dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content-defined chunking (the FastCDC/LBFS family, Muthitacharoen
+    et al. 2001): chunk boundaries fall where the rolling 16-char
+    window's hash ≡ 0 (mod 64), so an insertion re-chunks only its
+    neighborhood instead of shifting every fixed-size block — THE
+    storage-dedup primitive for snapshot-heavy corpora. Per source:
+    chunk counts, unique-chunk counts (by content hash) and the ppm
+    byte savings exact-integer. Boundary detection and segment
+    extraction both run in array land per doc (one projection, no
+    per-position explode); only (source, chunk-hash, len) rows ever
+    shuffle."""
+    h = _spark_md5_56(f"substring(t, i - {_CDC_GRAM - 1}, {_CDC_GRAM})")
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").repartition(
+        spark.sparkContext.defaultParallelism
+    )
+    chunks = (
+        docs.select(
+            "source",
+            F.expr(
+                "lower(trim(regexp_replace(text, '\\\\s+', ' ')))"
+            ).alias("t"),
+        )
+        .filter(F.length("t") > 0)
+        .select(
+            "source",
+            "t",
+            F.expr(
+                f"concat(array(0L), CASE WHEN length(t) >= {_CDC_GRAM}"
+                f" THEN filter(transform(sequence({_CDC_GRAM}, length(t)),"
+                f" i -> CASE WHEN ({h}) % {_CDC_MASK} = 0 THEN cast(i AS"
+                " bigint) ELSE -1L END), x -> x > 0) ELSE array() END,"
+                " array(cast(length(t) AS bigint))) AS bounds"
+            ),
+        )
+        .select(
+            "source",
+            F.explode(
+                F.expr(
+                    "filter(transform(sequence(1, size(bounds) - 1),"
+                    " j -> substring(t, cast(element_at(bounds, j) + 1 AS int),"
+                    " cast(element_at(bounds, j + 1) - element_at(bounds, j)"
+                    " AS int))), c -> length(c) > 0)"
+                )
+            ).alias("chunk"),
+        )
+        .select(
+            "source",
+            F.expr(_spark_md5_56("chunk")).alias("h"),
+            F.length("chunk").cast("long").alias("clen"),
+        )
+    )
+    per_hash = chunks.groupBy("source", "h").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt"),
+        F.min("clen").alias("clen"),
+    )
+    return (
+        per_hash.groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_chunks"),
+            F.count(F.lit(1)).cast("long").alias("n_unique"),
+            F.sum(F.col("cnt") * F.col("clen")).cast("long").alias(
+                "total_chars"
+            ),
+            F.sum("clen").cast("long").alias("unique_chars"),
+        )
+        .selectExpr(
+            "source",
+            "n_chunks",
+            "n_unique",
+            "total_chars",
+            "unique_chars",
+            "total_chars div n_chunks AS avg_chunk_len",
+            "1000000L * (total_chars - unique_chars) div total_chars"
+            " AS savings_ppm",
+        )
+        .orderBy("source")
+    )
+
+
+def _oracle_dedup_cdc_chunks() -> str:
+    h = hashing.duckdb_md5_hash56_sql(
+        f"substr(t, i - {_CDC_GRAM - 1}, {_CDC_GRAM})"
+    )
+    ch = hashing.duckdb_md5_hash56_sql("chunk")
+    return f"""
+WITH cdc_n AS (
+  SELECT source, lower(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS t
+  FROM documents WHERE len(text) > 0
+),
+cdc_b AS (
+  SELECT source, t,
+         [0::BIGINT]
+         || (CASE WHEN len(t) >= {_CDC_GRAM}
+             THEN list_filter(list_transform(
+                      range({_CDC_GRAM}, len(t) + 1),
+                      i -> CASE WHEN ({h}) % {_CDC_MASK} = 0
+                           THEN i::BIGINT ELSE -1::BIGINT END),
+                  x -> x > 0)
+             ELSE [] END)
+         || [len(t)::BIGINT] AS bounds
+  FROM cdc_n WHERE len(t) > 0
+),
+cdc_c AS (
+  SELECT source, chunk FROM (
+    SELECT source,
+           unnest(list_transform(range(1, len(bounds)),
+               j -> substr(t, (bounds[j] + 1)::INT,
+                           (bounds[j + 1] - bounds[j])::INT))) AS chunk
+    FROM cdc_b
+  ) WHERE len(chunk) > 0
+),
+cdc_h AS (
+  SELECT source, {ch} AS h, len(chunk)::BIGINT AS clen FROM cdc_c
+),
+cdc_u AS (
+  SELECT source, h, COUNT(*)::BIGINT AS cnt, MIN(clen) AS clen
+  FROM cdc_h GROUP BY 1, 2
+),
+cdc_s AS (
+  SELECT source, SUM(cnt)::BIGINT AS n_chunks, COUNT(*)::BIGINT AS n_unique,
+         SUM(cnt * clen)::BIGINT AS total_chars,
+         SUM(clen)::BIGINT AS unique_chars
+  FROM cdc_u GROUP BY 1
+)
+SELECT source, n_chunks, n_unique, total_chars, unique_chars,
+       (total_chars // n_chunks)::BIGINT AS avg_chunk_len,
+       ((1000000 * (total_chars - unique_chars)) // total_chars)::BIGINT
+         AS savings_ppm
+FROM cdc_s
+ORDER BY source
+"""
+
+
+# ---------------------------------------------------------------------------
+# corpus_pmi_pairs — collocation mining via integer log2 PMI
+# ---------------------------------------------------------------------------
+
+_PMI_MIN_COUNT = 20
+_PMI_TOP = 20
+_Q20 = 1 << 20
+
+
+def q_corpus_pmi_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pointwise-mutual-information collocations (Church & Hanks
+    1990): the bigram/unigram log-ratio that surfaces multiword
+    expressions for tokenizer vocab work. PMI decomposes into five
+    integer plog2 terms (the shared q10 piecewise-linear log2 — no
+    libm): pmi_q10 = plog2(c_ab) + 2 plog2(N_uni) - plog2(N_bi) -
+    plog2(c_a) - plog2(c_b), each argument lifted to q20 first, so
+    the score is hash-exact cross-engine. Unigram counts broadcast
+    (vocab-sized); totals are a 1-row broadcast; min-count 20 gates
+    noise before the joins."""
+    from .functions.text import tokens
+    from .operators.corpus import _plog2_cols
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens(F.col("text"))
+    uni = (
+        docs.select(F.explode(toks).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+    )
+    pairs = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    bi = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .filter(F.col("w2").isNotNull())
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_ab"))
+        .filter(F.col("c_ab") >= _PMI_MIN_COUNT)
+    )
+    totals = uni.agg(F.sum("c").cast("long").alias("n_uni")).crossJoin(
+        docs.select(F.explode(pairs).alias("p"))
+        .filter(F.col("p.w2").isNotNull())
+        .agg(F.count(F.lit(1)).cast("long").alias("n_bi"))
+    )
+    scored = (
+        bi.join(
+            F.broadcast(uni.selectExpr("w AS w1", "c AS c_a")), "w1"
+        )
+        .join(F.broadcast(uni.selectExpr("w AS w2", "c AS c_b")), "w2")
+        .crossJoin(F.broadcast(totals))
+        .selectExpr(
+            "w1",
+            "w2",
+            "c_ab",
+            "c_a",
+            "c_b",
+            f"{_plog2_cols(f'(c_ab * {_Q20}L)')}"
+            f" + 2L * {_plog2_cols(f'(n_uni * {_Q20}L)')}"
+            f" - {_plog2_cols(f'(n_bi * {_Q20}L)')}"
+            f" - {_plog2_cols(f'(c_a * {_Q20}L)')}"
+            f" - {_plog2_cols(f'(c_b * {_Q20}L)')} AS pmi_q10",
+        )
+    )
+    return scored.orderBy(
+        F.desc("pmi_q10"), F.asc("w1"), F.asc("w2")
+    ).limit(_PMI_TOP)
+
+
+def _oracle_corpus_pmi_pairs() -> str:
+    toks = hashing.duckdb_tokens_sql("text")
+    pl = hashing.duckdb_plog2_sql
+    return f"""
+WITH pmi_tok AS (SELECT doc_id, {toks} AS ts FROM documents),
+pmi_uni AS (
+  SELECT w, COUNT(*)::BIGINT AS c
+  FROM (SELECT unnest(ts) AS w FROM pmi_tok) GROUP BY w
+),
+pmi_bi AS (
+  SELECT w1, w2, COUNT(*)::BIGINT AS c_ab FROM (
+    SELECT unnest(list_transform(range(1, len(ts)), i -> ts[i])) AS w1,
+           unnest(list_transform(range(1, len(ts)), i -> ts[i + 1])) AS w2
+    FROM pmi_tok
+  ) GROUP BY 1, 2 HAVING COUNT(*) >= {_PMI_MIN_COUNT}
+),
+pmi_tot AS (
+  SELECT (SELECT SUM(c) FROM pmi_uni)::BIGINT AS n_uni,
+         (SELECT SUM(len(ts) - 1) FROM pmi_tok WHERE len(ts) > 0)::BIGINT
+           AS n_bi
+)
+SELECT w1, w2, c_ab, a.c AS c_a, b.c AS c_b,
+       ({pl(f'(c_ab * {_Q20})')}
+        + 2 * {pl(f'(n_uni * {_Q20})')}
+        - {pl(f'(n_bi * {_Q20})')}
+        - {pl(f'(a.c * {_Q20})')}
+        - {pl(f'(b.c * {_Q20})')})::BIGINT AS pmi_q10
+FROM pmi_bi
+JOIN pmi_uni a ON a.w = w1
+JOIN pmi_uni b ON b.w = w2
+CROSS JOIN pmi_tot
+ORDER BY pmi_q10 DESC, w1 ASC, w2 ASC
+LIMIT {_PMI_TOP}
+"""
+
+
+# ---------------------------------------------------------------------------
+# customer_cohort_ltv — cohort lifetime-value matrix
+# ---------------------------------------------------------------------------
+
+
+def q_customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort LTV matrix — the subscription-analytics standard report:
+    customers cohorted by first-order month; for each (cohort, age in
+    months) cell, active customers, revenue, CUMULATIVE revenue, and
+    LTV (cumulative cents per cohort member, floored). Revenue stays
+    exact integer cents; the cumulative is a PARTITIONED window
+    (partition = cohort — never a global sort); the matrix is bounded
+    by calendar-months^2 at any data volume."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = orders.selectExpr(
+        "o_custkey",
+        "year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym",
+        "cast(round(o_totalprice * 100) AS bigint) AS cents",
+    )
+    first = o.groupBy("o_custkey").agg(F.min("ym").alias("cohort"))
+    sizes = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).cast("long").alias("cohort_size")
+    )
+    cells = (
+        o.join(first, "o_custkey")
+        .selectExpr("cohort", "ym - cohort AS age", "o_custkey", "cents")
+        .groupBy("cohort", "age")
+        .agg(
+            F.countDistinct("o_custkey").cast("long").alias("n_active"),
+            F.sum("cents").cast("long").alias("rev_cents"),
+        )
+    )
+    w = (
+        Window.partitionBy("cohort")
+        .orderBy("age")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        cells.withColumn("cum_rev_cents", F.sum("rev_cents").over(w))
+        .join(F.broadcast(sizes), "cohort")
+        .selectExpr(
+            "cohort",
+            "age",
+            "cohort_size",
+            "n_active",
+            "rev_cents",
+            "cast(cum_rev_cents AS bigint) AS cum_rev_cents",
+            "cum_rev_cents div cohort_size AS ltv_cents",
+        )
+        .orderBy("cohort", "age")
+    )
+
+
+_ORACLE_CUSTOMER_COHORT_LTV = """
+WITH ltv_o AS (
+  SELECT o_custkey, year(o_orderdate) * 12 + month(o_orderdate) - 1 AS ym,
+         ROUND(o_totalprice * 100)::BIGINT AS cents
+  FROM orders
+),
+ltv_f AS (SELECT o_custkey, MIN(ym) AS cohort FROM ltv_o GROUP BY 1),
+ltv_sz AS (
+  SELECT cohort, COUNT(*)::BIGINT AS cohort_size FROM ltv_f GROUP BY 1
+),
+ltv_c AS (
+  SELECT f.cohort, o.ym - f.cohort AS age,
+         COUNT(DISTINCT o.o_custkey)::BIGINT AS n_active,
+         SUM(o.cents)::BIGINT AS rev_cents
+  FROM ltv_o o JOIN ltv_f f USING (o_custkey)
+  GROUP BY 1, 2
+),
+ltv_w AS (
+  SELECT *, SUM(rev_cents) OVER (PARTITION BY cohort ORDER BY age
+                                 ROWS UNBOUNDED PRECEDING) AS cum_rev_cents
+  FROM ltv_c
+)
+SELECT w.cohort, w.age, s.cohort_size, w.n_active, w.rev_cents,
+       w.cum_rev_cents::BIGINT AS cum_rev_cents,
+       (w.cum_rev_cents // s.cohort_size)::BIGINT AS ltv_cents
+FROM ltv_w w JOIN ltv_sz s USING (cohort)
+ORDER BY w.cohort, w.age
+"""
+
+
+# ---------------------------------------------------------------------------
+# orders_kruskal_wallis — K-group rank test (one verdict row)
+# ---------------------------------------------------------------------------
+
+#: chi-square 95% critical value for dof = 4 (5 priority groups), ppm
+_KW_CHI2_95_4DOF_PPM = 9_487_729
+
+
+def q_orders_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H: the K-group generalization of the
+    Mann-Whitney panel — ONE omnibus test of whether ANY order
+    priority's price distribution differs in location. Shares the
+    exact-rank machinery: one range-stitch global rank, doubled
+    average ranks per tied price (min+max row numbers), per-group
+    doubled rank sums in pure BIGINT; H and its tie correction are
+    closed-form doubles from the exact integer sums (R2^2 would
+    overflow int64 at ~3e9 rows — the division happens in doubles),
+    rounded to 4. The null holds on uniform synthetic prices — the
+    expected non-firing IS the verdict."""
+    from .operators.scalable_window import global_rank
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    o = orders.selectExpr(
+        "o_orderpriority AS grp",
+        "cast(round(o_totalprice * 100) AS bigint) AS cents",
+        "o_orderkey",
+    )
+    ranked = global_rank(o, [F.asc("cents"), F.asc("o_orderkey")], "rn")
+    per_price = ranked.groupBy("cents").agg(
+        (F.min("rn") + F.max("rn")).cast("long").alias("rank2"),
+        F.count(F.lit(1)).cast("long").alias("tcnt"),
+    )
+    per_gp = ranked.groupBy("cents", "grp").agg(
+        F.count(F.lit(1)).cast("long").alias("cnt")
+    )
+    r2 = (
+        per_gp.join(per_price, "cents")
+        .groupBy("grp")
+        .agg(
+            F.sum(F.col("cnt") * F.col("rank2")).cast("long").alias("r2"),
+            F.sum("cnt").cast("long").alias("n_g"),
+        )
+    )
+    glob = per_price.agg(
+        F.sum("tcnt").cast("long").alias("n"),
+        F.sum(
+            F.col("tcnt") * F.col("tcnt") * F.col("tcnt") - F.col("tcnt")
+        ).cast("long").alias("tie_t"),
+    )
+    # H0 = 12/(n(n+1)) * sum_g (R_g^2 / n_g) - 3(n+1), R_g = r2/2;
+    # corrected: H = H0 / (1 - tie_t / (n^3 - n))
+    stat = r2.crossJoin(F.broadcast(glob)).selectExpr(
+        "n",
+        "tie_t",
+        "cast(r2 AS double) * cast(r2 AS double)"
+        " / (4.0D * cast(n_g AS double)) AS rterm",
+    )
+    return (
+        stat.groupBy("n", "tie_t")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum("rterm").alias("rsum"),
+        )
+        .selectExpr(
+            "n",
+            "n_groups",
+            "tie_t",
+            "round((12.0D / (cast(n AS double) * cast(n + 1 AS double))"
+            " * rsum - 3.0D * cast(n + 1 AS double))"
+            " / (1.0D - cast(tie_t AS double)"
+            " / (cast(n AS double) * cast(n AS double) * cast(n AS double)"
+            " - cast(n AS double))), 4) AS h",
+            f"CASE WHEN round((12.0D / (cast(n AS double)"
+            " * cast(n + 1 AS double)) * rsum"
+            " - 3.0D * cast(n + 1 AS double))"
+            " / (1.0D - cast(tie_t AS double)"
+            " / (cast(n AS double) * cast(n AS double) * cast(n AS double)"
+            f" - cast(n AS double))), 4) * 1000000D"
+            f" > {_KW_CHI2_95_4DOF_PPM}D THEN 1L ELSE 0L END"
+            " AS significant",
+        )
+    )
+
+
+def _oracle_orders_kruskal_wallis() -> str:
+    h_expr = """ROUND((12.0 / (n::DOUBLE * (n + 1)::DOUBLE) * rsum
+             - 3.0 * (n + 1)::DOUBLE)
+            / (1.0 - tie_t::DOUBLE
+               / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE)), 4)"""
+    return f"""
+WITH kw_o AS (
+  SELECT o_orderpriority AS grp,
+         ROUND(o_totalprice * 100)::BIGINT AS cents, o_orderkey
+  FROM orders
+),
+kw_r AS (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY cents, o_orderkey) AS rn FROM kw_o
+),
+kw_pp AS (
+  SELECT cents, (MIN(rn) + MAX(rn))::BIGINT AS rank2,
+         COUNT(*)::BIGINT AS tcnt
+  FROM kw_r GROUP BY 1
+),
+kw_gp AS (
+  SELECT cents, grp, COUNT(*)::BIGINT AS cnt FROM kw_r GROUP BY 1, 2
+),
+kw_r2 AS (
+  SELECT grp, SUM(g.cnt * p.rank2)::BIGINT AS r2, SUM(g.cnt)::BIGINT AS n_g
+  FROM kw_gp g JOIN kw_pp p USING (cents) GROUP BY 1
+),
+kw_gl AS (
+  SELECT SUM(tcnt)::BIGINT AS n,
+         SUM(tcnt * tcnt * tcnt - tcnt)::BIGINT AS tie_t
+  FROM kw_pp
+),
+kw_s AS (
+  SELECT n, tie_t, COUNT(*)::BIGINT AS n_groups,
+         SUM(r2::DOUBLE * r2::DOUBLE / (4.0 * n_g::DOUBLE)) AS rsum
+  FROM kw_r2 CROSS JOIN kw_gl
+  GROUP BY 1, 2
+)
+SELECT n, n_groups, tie_t,
+       {h_expr} AS h,
+       (CASE WHEN {h_expr} * 1000000
+             > {_KW_CHI2_95_4DOF_PPM} THEN 1 ELSE 0 END)::BIGINT
+         AS significant
+FROM kw_s
+"""
+
+
 WAVE7_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_set_ops": q_sketch_set_ops,
     "graph_bfs_layers": q_graph_bfs_layers,
@@ -1013,6 +1569,11 @@ WAVE7_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_survival_km": q_customer_survival_km,
     "orders_theilsen_trend": q_orders_theilsen_trend,
     "orders_mann_whitney": q_orders_mann_whitney,
+    "sim_mutual_nn": q_sim_mutual_nn,
+    "dedup_cdc_chunks": q_dedup_cdc_chunks,
+    "corpus_pmi_pairs": q_corpus_pmi_pairs,
+    "customer_cohort_ltv": q_customer_cohort_ltv,
+    "orders_kruskal_wallis": q_orders_kruskal_wallis,
 }
 
 WAVE7_ORACLES: dict[str, str] = {
@@ -1024,4 +1585,9 @@ WAVE7_ORACLES: dict[str, str] = {
     "customer_survival_km": _oracle_customer_survival_km(),
     "orders_theilsen_trend": _oracle_orders_theilsen_trend(),
     "orders_mann_whitney": _oracle_orders_mann_whitney(),
+    "sim_mutual_nn": _oracle_sim_mutual_nn(),
+    "dedup_cdc_chunks": _oracle_dedup_cdc_chunks(),
+    "corpus_pmi_pairs": _oracle_corpus_pmi_pairs(),
+    "customer_cohort_ltv": _ORACLE_CUSTOMER_COHORT_LTV,
+    "orders_kruskal_wallis": _oracle_orders_kruskal_wallis(),
 }

@@ -62,6 +62,8 @@ BNLJ_ALLOWED = {
     "sim_binary_quant": "bounded 8-query broadcast (the Hamming scan's query side, topk_neighbors pattern)",
     "customer_survival_km": "1-row scalar aggregate broadcast (global max order date for the censoring cutoff)",
     "orders_mann_whitney": "1-row scalar aggregate broadcast (n + tie correction for the z denominator)",
+    "corpus_pmi_pairs": "1-row scalar aggregate broadcast (unigram/bigram corpus totals)",
+    "orders_kruskal_wallis": "1-row scalar aggregate broadcast (n + tie correction for the H denominator)",
     "corpus_drift_kl": "broadcasts are the 13-bucket literal grid, the 13-row global table, and the 1-row corpus total",
     "customer_rfm_segments": "two 1-row scalar aggregate broadcasts (global max order date; customer count for the quintile cuts)",
     "events_cusum_shift": "gap-fill grid join: broadcast sides are the bounded hour grid and type list (events_resample pattern)",

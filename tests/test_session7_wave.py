@@ -389,3 +389,188 @@ def test_mann_whitney_vs_pandas_average_ranks(spark, sf_dir):
     # U-statistics live in [0, n_g * (n - n_g)] (doubled: twice that)
     for r in rows:
         assert 0 <= r["u2"] <= 2 * r["n_g"] * (n - r["n_g"])
+
+
+# ---------------------------------------------------------------------------
+# second wave: mutual NN, CDC chunks, PMI, cohort LTV, Kruskal-Wallis
+# ---------------------------------------------------------------------------
+
+def test_mutual_nn_reciprocity_and_symmetry(spark, sf_dir):
+    from c99_vectordb_spark.operators.similarity import lsh_bucketed_neighbors
+    from c99_vectordb_spark.queries_ext import LSH_DIM, LSH_PLANES
+    from c99_vectordb_spark.queries_wave7 import q_sim_mutual_nn
+    from pyspark.sql import functions as F
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    best = {
+        r["qid"]: (r["id"], r["score"])
+        for r in lsh_bucketed_neighbors(
+            emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
+            emb.select(F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")),
+            dim=LSH_DIM, k=1, n_planes=LSH_PLANES,
+            multiprobe=True, broadcast_queries=False,
+        ).collect()
+    }
+    want = {
+        (a, b): s
+        for a, (b, s) in best.items()
+        if a < b and best.get(b, (None,))[0] == a
+    }
+    got = {
+        (r["id_a"], r["id_b"]): r["cos"]
+        for r in q_sim_mutual_nn(spark, sf_dir).collect()
+    }
+    assert got == want
+    assert want, "corpus should contain mutual pairs"
+    # reciprocity is strictly stronger than one-directional top-1
+    assert len(want) < len(best)
+
+
+def test_cdc_chunks_replay_and_laws(spark, sf_dir):
+    from c99_vectordb_spark.queries_wave7 import (
+        _CDC_GRAM, _CDC_MASK, q_dedup_cdc_chunks,
+    )
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    per_src = collections.defaultdict(lambda: collections.Counter())
+    for r in docs.itertuples():
+        t = re.sub(r"\s+", " ", r.text).strip().lower()
+        if not t:
+            continue
+        bounds = [0]
+        if len(t) >= _CDC_GRAM:
+            bounds += [
+                i
+                for i in range(_CDC_GRAM, len(t) + 1)
+                if _md5_56(t[i - _CDC_GRAM : i]) % _CDC_MASK == 0
+            ]
+        bounds.append(len(t))
+        for a, b in zip(bounds, bounds[1:]):
+            if b > a:
+                per_src[r.source][t[a:b]] += 1
+    rows = {r["source"]: r for r in q_dedup_cdc_chunks(spark, sf_dir).collect()}
+    assert set(rows) == set(per_src)
+    for src, chunks in per_src.items():
+        row = rows[src]
+        n_chunks = sum(chunks.values())
+        total = sum(len(c) * n for c, n in chunks.items())
+        uniq = sum(len(c) for c in chunks)
+        assert row["n_chunks"] == n_chunks
+        assert row["n_unique"] == len(chunks)
+        assert row["total_chars"] == total
+        assert row["unique_chars"] == uniq
+        assert row["savings_ppm"] == 1_000_000 * (total - uniq) // total
+        # chunks tile the normalized text exactly: conservation law
+        assert row["avg_chunk_len"] == total // n_chunks
+
+
+def test_cdc_boundary_locality_constructed(spark):
+    """THE content-defined-chunking property: a local edit re-chunks
+    only its neighborhood — chunks far after the edit are identical
+    (fixed-size blocks would shift every downstream boundary)."""
+    from c99_vectordb_spark.queries_wave7 import _CDC_GRAM, _CDC_MASK
+
+    base = "".join(
+        f"word{_md5_56(f'tok:{i}') % 997} " for i in range(200)
+    ).strip()
+    edited = base[:50] + "INSERTED TEXT " + base[50:]
+
+    def chunks(t):
+        t = re.sub(r"\s+", " ", t).strip().lower()
+        bounds = [0] + [
+            i
+            for i in range(_CDC_GRAM, len(t) + 1)
+            if _md5_56(t[i - _CDC_GRAM : i]) % _CDC_MASK == 0
+        ] + [len(t)]
+        return [t[a:b] for a, b in zip(bounds, bounds[1:]) if b > a]
+
+    ca, cb = chunks(base), chunks(edited)
+    shared = set(ca) & set(cb)
+    # everything past the edit neighborhood dedups away
+    assert len(shared) >= len(ca) - 3
+
+
+def test_pmi_recount(spark, sf_dir):
+    from c99_vectordb_spark.queries_wave7 import (
+        _PMI_MIN_COUNT, _PMI_TOP, q_corpus_pmi_pairs,
+    )
+
+    def plog2(x):  # the shared q20->q10 piecewise log2
+        msb = x.bit_length() - 1
+        return (msb - 20) * 1024 + ((x - (1 << msb)) * 1024) // (1 << msb)
+
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    uni = collections.Counter()
+    bi = collections.Counter()
+    for text in docs["text"]:
+        ts = re.findall(r"[a-z0-9_]+", text.lower())
+        uni.update(ts)
+        bi.update(zip(ts, ts[1:]))
+    n_uni, n_bi = sum(uni.values()), sum(bi.values())
+    q20 = 1 << 20
+    scored = [
+        (
+            plog2(c * q20) + 2 * plog2(n_uni * q20) - plog2(n_bi * q20)
+            - plog2(uni[a] * q20) - plog2(uni[b] * q20),
+            a, b, c,
+        )
+        for (a, b), c in bi.items()
+        if c >= _PMI_MIN_COUNT
+    ]
+    scored.sort(key=lambda t: (-t[0], t[1], t[2]))
+    want = [(a, b, c, p) for p, a, b, c in scored[:_PMI_TOP]]
+    got = [
+        (r["w1"], r["w2"], r["c_ab"], r["pmi_q10"])
+        for r in q_corpus_pmi_pairs(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+def test_cohort_ltv_identities(spark, sf_dir):
+    from c99_vectordb_spark.queries_wave7 import q_customer_cohort_ltv
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    rows = q_customer_cohort_ltv(spark, sf_dir).collect()
+    # total revenue conservation across the whole matrix
+    assert sum(r["rev_cents"] for r in rows) == int(cents.sum())
+    # age-0 cell exists for every cohort (the first order IS age 0)
+    by_cohort = collections.defaultdict(list)
+    for r in rows:
+        by_cohort[r["cohort"]].append(r)
+    n_cust = orders["o_custkey"].nunique()
+    assert sum(rs[0]["cohort_size"] for rs in by_cohort.values()) == n_cust
+    for cohort, rs in by_cohort.items():
+        rs.sort(key=lambda r: r["age"])
+        assert rs[0]["age"] == 0
+        # cumulative is the running sum; LTV is its floored per-head
+        run = 0
+        for r in rs:
+            run += r["rev_cents"]
+            assert r["cum_rev_cents"] == run
+            assert r["ltv_cents"] == run // r["cohort_size"]
+            assert 1 <= r["n_active"] <= r["cohort_size"]
+
+
+def test_kruskal_wallis_vs_pandas(spark, sf_dir):
+    from c99_vectordb_spark.queries_wave7 import q_orders_kruskal_wallis
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (orders["o_totalprice"] * 100).round().astype("int64")
+    grp = orders["o_orderpriority"]
+    ranks = cents.rank(method="average")
+    n = len(cents)
+    tie = cents.value_counts()
+    tie_t = int((tie**3 - tie).sum())
+    rsum = sum(
+        float(ranks[grp == g].sum()) ** 2 / int((grp == g).sum())
+        for g in grp.unique()
+    )
+    h0 = 12.0 / (n * (n + 1)) * rsum - 3 * (n + 1)
+    h = round(h0 / (1 - tie_t / (n**3 - n)), 4)
+    r = q_orders_kruskal_wallis(spark, sf_dir).collect()[0]
+    assert r["n"] == n
+    assert r["n_groups"] == grp.nunique()
+    assert r["tie_t"] == tie_t
+    assert abs(r["h"] - h) < 2e-3
+    assert r["significant"] == (1 if r["h"] * 1e6 > 9_487_729 else 0)
