@@ -204,6 +204,7 @@ HEADLINE = [
     "corpus_pmi_pairs",
     "customer_cohort_ltv",
     "orders_kruskal_wallis",
+    "multimodal_gif_roundtrip",
 ]
 
 

@@ -17,6 +17,10 @@ Codec support is tiered by what this container allows:
   verification, zlib inflate of the IDAT stream, and full scanline
   unfiltering (None/Sub/Up/Average/Paeth) for 8-bit gray/RGB/GA/RGBA.
   PNG's only compression is DEFLATE, which the stdlib ships.
+- ``image/gif``: REAL pure-Python codec with a HAND-ROLLED LZW
+  entropy coder both directions (no stdlib LZW exists) — GIF89a
+  header/LSD/GCT/descriptor framing, variable-width LSB-first codes,
+  dictionary growth to 4096 with CLEAR resets, KwKwK decode case.
 - ``application/raw``: deterministic identity codec (test/demo path).
 - ``image/jpeg``: REAL two-level support. Header tier: a marker-stream
   walk (public ITU-T T.81 framing) validating segment structure and
@@ -354,6 +358,202 @@ _JPEG_SOF_OTHER = frozenset(
 ) - {0xC4, 0xC8, 0xCC} - set(_JPEG_SOF)
 
 
+def _lzw_encode_gif(indices: bytes, min_code_size: int = 8) -> bytes:
+    """GIF-variant LZW compression of an index stream — a REAL
+    hand-rolled entropy coder (no stdlib equivalent exists: zlib is
+    DEFLATE, not LZW). Variable-width codes LSB-first starting at
+    min_code_size+1 bits; the dictionary holds 2^mcs singletons plus
+    CLEAR and EOI, grows to 4096 entries, then emits CLEAR and
+    resets (the GIF89a appendix F algorithm). Deterministic."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    out = bytearray()
+    bitbuf = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal bitbuf, nbits
+        bitbuf |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(bitbuf & 0xFF)
+            bitbuf >>= 8
+            nbits -= 8
+
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    width = min_code_size + 1
+    emit(clear, width)
+    w = b""
+    for b in indices:
+        wc = w + bytes([b])
+        if wc in table:
+            w = wc
+            continue
+        emit(table[w], width)
+        table[wc] = next_code
+        next_code += 1
+        # GIF widens AFTER assigning the code that first needs it
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4097:  # dictionary full: reset per spec
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code_size + 1
+        w = bytes([b])
+    if w:
+        emit(table[w], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(bitbuf & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(data: bytes, min_code_size: int = 8) -> bytes:
+    """Inverse of :func:`_lzw_encode_gif` (GIF89a appendix F),
+    including the KwKwK case (code == next unassigned entry)."""
+    clear = 1 << min_code_size
+    eoi = clear + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    width = min_code_size + 1
+    out = bytearray()
+    prev: bytes | None = None
+    bitbuf = 0
+    nbits = 0
+    pos = 0
+    while True:
+        while nbits < width:
+            if pos >= len(data):
+                raise MediaDecodeError("LZW stream truncated (no EOI)")
+            bitbuf |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = bitbuf & ((1 << width) - 1)
+        bitbuf >>= width
+        nbits -= width
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code_size + 1
+            prev = None
+            continue
+        if code == eoi:
+            return bytes(out)
+        if prev is None:
+            if code >= len(table):
+                raise MediaDecodeError(f"LZW: first code {code} not in table")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            raise MediaDecodeError(f"LZW: code {code} beyond table")
+        out += entry
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+        if len(table) == 4096:
+            # encoder resets exactly here; expect its CLEAR next
+            prev = None
+            # table stays until CLEAR arrives; further codes >= table
+            # size would be an error, which the loop enforces
+
+
+def encode_gif(content: bytes, width: int = 4) -> bytes:
+    """Pack raw bytes as an 8-bit indexed GIF89a (256-entry grayscale
+    palette, one byte per pixel) with REAL hand-rolled LZW
+    compression. Deterministic inverse of :func:`decode_gif` up to
+    zero-padding to the width*height grid."""
+    height = max(1, -(-len(content) // width))
+    pixels = content + b"\x00" * (width * height - len(content))
+    gct = bytes(v for i in range(256) for v in (i, i, i))
+    lzw = _lzw_encode_gif(pixels, 8)
+    blocks = bytearray()
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        blocks.append(len(chunk))
+        blocks += chunk
+    blocks.append(0)  # block terminator
+    return (
+        b"GIF89a"
+        + struct.pack("<HHBBB", width, height, 0xF7, 0, 0)
+        + gct
+        + struct.pack("<BHHHHB", 0x2C, 0, 0, width, height, 0)
+        + bytes([8])
+        + bytes(blocks)
+        + b"\x3B"
+    )
+
+
+def decode_gif(payload: bytes) -> tuple[bytes, dict]:
+    """REAL pure-Python GIF89a decoder: header + logical screen
+    descriptor, global color table, extension-block skipping, image
+    descriptor, and full hand-rolled LZW decompression of the index
+    stream. Returns (index bytes, meta)."""
+    if len(payload) < 13 or payload[:6] not in (b"GIF87a", b"GIF89a"):
+        raise MediaDecodeError("not a GIF payload")
+    try:
+        return _decode_gif_body(payload)
+    except (IndexError, struct.error) as e:
+        raise MediaDecodeError(f"GIF: truncated payload ({e})") from e
+
+
+def _decode_gif_body(payload: bytes) -> tuple[bytes, dict]:
+    w, h, packed, _bg, _ar = struct.unpack("<HHBBB", payload[6:13])
+    pos = 13
+    n_colors = 0
+    if packed & 0x80:
+        n_colors = 2 << (packed & 0x07)
+        pos += 3 * n_colors
+    while True:
+        if pos >= len(payload):
+            raise MediaDecodeError("GIF: no image descriptor")
+        b0 = payload[pos]
+        if b0 == 0x21:  # extension: label + sub-blocks
+            pos += 2
+            while payload[pos] != 0:
+                pos += 1 + payload[pos]
+            pos += 1
+        elif b0 == 0x2C:
+            break
+        elif b0 == 0x3B:
+            raise MediaDecodeError("GIF: trailer before image data")
+        else:
+            raise MediaDecodeError(f"GIF: unknown block 0x{b0:02x}")
+    _, left, top, iw, ih, iflags = struct.unpack(
+        "<BHHHHB", payload[pos : pos + 10]
+    )
+    pos += 10
+    if iflags & 0x80:  # local color table
+        pos += 3 * (2 << (iflags & 0x07))
+    if iflags & 0x40:
+        raise MediaDecodeError("GIF: interlaced streams not supported")
+    mcs = payload[pos]
+    pos += 1
+    lzw = bytearray()
+    while True:
+        n = payload[pos]
+        pos += 1
+        if n == 0:
+            break
+        lzw += payload[pos : pos + n]
+        pos += n
+    indices = _lzw_decode_gif(bytes(lzw), mcs)
+    if len(indices) != iw * ih:
+        raise MediaDecodeError(
+            f"GIF: decoded {len(indices)} pixels for a {iw}x{ih} image"
+        )
+    return indices, {
+        "width": iw,
+        "height": ih,
+        "n_colors": n_colors,
+        "min_code_size": mcs,
+    }
+
+
 def decode_jpeg_meta(payload: bytes) -> dict:
     """Parse the JPEG marker stream (public ITU-T T.81 / JFIF framing)
     up to SOS and return the SOF frame geometry: {width, height,
@@ -464,6 +664,8 @@ def decode_payload(payload: bytes, mime: str):
         return decode_bmp(payload)[0]
     if mime == "image/png":
         return decode_png(payload)[0]
+    if mime == "image/gif":
+        return decode_gif(payload)[0]
     if mime in ("audio/wav", "audio/x-wav", "audio/wave"):
         return decode_wav(payload)[0]
     if mime == "image/jpeg":
@@ -476,7 +678,7 @@ def decode_payload(payload: bytes, mime: str):
     raise NotImplementedError(
         f"codec for {mime!r} not available in this environment; "
         "plug a real decoder here (PIL/libav/...) on a cluster image. "
-        "(BMP/PNG/WAV/JPEG above and IMA-ADPCM in operators/adpcm.py "
+        "(BMP/PNG/GIF/WAV/JPEG above and IMA-ADPCM in operators/adpcm.py "
         "are REAL implementations; only MP3/H.264-class float-"
         "filterbank codecs remain stubbed)"
     )
@@ -548,6 +750,9 @@ def media_decode_meta(media: DataFrame) -> DataFrame:
                     elif mime == "image/png":
                         _, m = decode_png(bytes(r.payload))
                         rows.append((r.id, mime, True, None, {k: str(v) for k, v in m.items()}))
+                    elif mime == "image/gif":
+                        _, m = decode_gif(bytes(r.payload))
+                        rows.append((r.id, mime, True, None, {k: str(v) for k, v in m.items()}))
                     elif mime in ("audio/wav", "audio/x-wav", "audio/wave"):
                         _, m = decode_wav(bytes(r.payload))
                         rows.append((r.id, mime, True, None, {k: str(v) for k, v in m.items()}))
@@ -616,6 +821,35 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
             )
 
     return media.mapInPandas(gen, schema=FEATURES_SCHEMA)
+
+
+#: (id, n_bytes, content_sum) — full-decode audit columns
+CONTENT_SUM_SCHEMA = (
+    "id long, n_bytes long, content_sum long"
+)
+
+
+def media_content_sum(media: DataFrame) -> DataFrame:
+    """FULL-decode audit: per payload, the decoded content length and
+    the exact sum of its byte values — the cheapest whole-content
+    checksum an oracle can replay in closed form from the source
+    text. A bug ANYWHERE in a codec path (entropy coder, framing,
+    padding) changes the sum; header-only probes can't see past the
+    container. Map-only mapInPandas."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                data = decode_payload(
+                    bytes(r.payload), r.mime or "application/raw"
+                )
+                rows.append((r.id, len(data), sum(data)))
+            yield pd.DataFrame(
+                rows, columns=["id", "n_bytes", "content_sum"]
+            )
+
+    return media.mapInPandas(gen, schema=CONTENT_SUM_SCHEMA)
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
@@ -696,6 +930,34 @@ def media_from_documents_png(docs: DataFrame) -> DataFrame:
                         "image",
                         "image/png",
                         encode_png(content, filter_type=ft),
+                        {"lang": r.lang},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "modality", "mime", "payload", "meta"]
+            )
+
+    return _fan_out(docs.select("doc_id", "text", "lang")).mapInPandas(
+        gen, schema=MEDIA_SCHEMA
+    )
+
+
+def media_from_documents_gif(docs: DataFrame) -> DataFrame:
+    """Synthesize a GIF media table from the documents corpus: every
+    document's UTF-8 bytes LZW-compressed into a real indexed GIF89a
+    (256-entry grayscale palette). Deterministic end to end."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content = (r.text or "").encode("utf-8")
+                rows.append(
+                    (
+                        r.doc_id,
+                        "image",
+                        "image/gif",
+                        encode_gif(content),
                         {"lang": r.lang},
                     )
                 )

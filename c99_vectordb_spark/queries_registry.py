@@ -1782,7 +1782,7 @@ _ORACLES: dict[str, str] = {
 # (graph_bfs_layers, graph_kcore_peel, sim_binary_quant,
 # orders_theilsen_trend, orders_mann_whitney, sim_mutual_nn,
 # dedup_cdc_chunks, corpus_pmi_pairs, customer_cohort_ltv,
-# orders_kruskal_wallis) and the session-7
+# orders_kruskal_wallis, multimodal_gif_roundtrip) and the session-7
 # displacements (dedup_span_removal, text_lm_coverage,
 # embed_random_projection); the NEW oracled r6 queries still outside the window
 # (dedup_recall_report, corpus_pipeline_incremental, corpus_pack_report,

@@ -1560,6 +1560,56 @@ FROM kw_s
 """
 
 
+# ---------------------------------------------------------------------------
+# multimodal_gif_roundtrip — hand-rolled LZW entropy coder, hash-checked
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED entropy-coder round-trip: every document's UTF-8
+    bytes LZW-compressed into a REAL indexed GIF89a
+    (operators/multimodal.encode_gif — the LZW coder is HAND-ROLLED
+    both directions, variable-width codes, 4096-entry dictionary with
+    CLEAR resets; PNG's DEFLATE came from the stdlib, this one
+    doesn't), then header-decoded AND fully LZW-decompressed. Every
+    output has a CLOSED FORM in the source text — width=4,
+    height=ceil(len/4), n_colors=256, n_bytes=height*4, and
+    content_sum = the exact sum of the text's byte values (padding
+    adds zeros) — so the DuckDB twin verifies the entire
+    compress->frame->parse->decompress pipeline byte-exactly: a bug
+    anywhere in the coder changes content_sum. Both stages map-only
+    mapInPandas; the id join co-partitions."""
+    from .operators.multimodal import (
+        media_content_sum,
+        media_decode_meta,
+        media_from_documents_gif,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    media = media_from_documents_gif(docs)
+    meta = media_decode_meta(media).select(
+        "id",
+        F.col("meta")["width"].cast("long").alias("width"),
+        F.col("meta")["height"].cast("long").alias("height"),
+        F.col("meta")["n_colors"].cast("long").alias("n_colors"),
+    )
+    sums = media_content_sum(media).select("id", "n_bytes", "content_sum")
+    return meta.join(sums, "id").orderBy("id")
+
+
+_ORACLE_MULTIMODAL_GIF = """
+SELECT doc_id AS id,
+       4::BIGINT AS width,
+       GREATEST(1, (strlen(text) + 3) // 4)::BIGINT AS height,
+       256::BIGINT AS n_colors,
+       (GREATEST(1, (strlen(text) + 3) // 4) * 4)::BIGINT AS n_bytes,
+       COALESCE(list_sum(list_transform(range(1, strlen(text) + 1),
+                i -> ord(substr(text, i, 1)))), 0)::BIGINT AS content_sum
+FROM documents
+ORDER BY id
+"""
+
+
 WAVE7_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_set_ops": q_sketch_set_ops,
     "graph_bfs_layers": q_graph_bfs_layers,
@@ -1574,6 +1624,7 @@ WAVE7_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "corpus_pmi_pairs": q_corpus_pmi_pairs,
     "customer_cohort_ltv": q_customer_cohort_ltv,
     "orders_kruskal_wallis": q_orders_kruskal_wallis,
+    "multimodal_gif_roundtrip": q_multimodal_gif_roundtrip,
 }
 
 WAVE7_ORACLES: dict[str, str] = {
@@ -1590,4 +1641,5 @@ WAVE7_ORACLES: dict[str, str] = {
     "corpus_pmi_pairs": _oracle_corpus_pmi_pairs(),
     "customer_cohort_ltv": _ORACLE_CUSTOMER_COHORT_LTV,
     "orders_kruskal_wallis": _oracle_orders_kruskal_wallis(),
+    "multimodal_gif_roundtrip": _ORACLE_MULTIMODAL_GIF,
 }
