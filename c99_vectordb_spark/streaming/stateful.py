@@ -227,6 +227,81 @@ KMV_STATE_SCHEMA = T.StructType(
 )
 
 
+#: (grp, sketch, est) — the set-algebra twin emits the SKETCH itself,
+#: because downstream set operations (union / intersection / Jaccard)
+#: consume the k minimum hashes, not just the scalar estimate
+KMV_SKETCH_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("grp", T.StringType(), False),
+        T.StructField("sketch", T.ArrayType(T.LongType()), False),
+        T.StructField("est", T.LongType(), False),
+    ]
+)
+
+
+def streaming_kmv_sketch(hashed: DataFrame, k: int = 64) -> DataFrame:
+    """Streaming maintenance of the md5-56 KMV SKETCH per group — the
+    streaming twin of queries_wave7.q_sketch_set_ops's per-group
+    sketch stage, proving the merge law live: state is the <= k
+    smallest distinct hashes (k longs per group forever), each
+    micro-batch merges by union + re-take-k-smallest — the identical
+    algebra the batch bottom-k aggregation performs, so after any
+    availableNow replay the final sketch per group equals the batch
+    sketch exactly (test-pinned), and every downstream set operation
+    (union / intersection estimate / Jaccard) computed from the
+    streamed sketches equals the batch report.
+
+    Input stream must carry (grp STRING, h BIGINT) with h the
+    uniform md5-56 hash of the set member (the hash-choice rule:
+    KMV consumes hash magnitude, so the polynomial fold is out).
+    Emits (grp, sketch, est) whenever a batch changes the sketch;
+    est = floor((k-1) * 2^56 / h_k) once full, exact count before.
+    """
+    u56 = 1 << 56
+
+    def sketch_fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        cur = list(state.get[0]) if state.exists else []
+        have = set(cur)
+        changed = False
+        for pdf in pdfs:
+            for h in pdf["h"]:
+                h = int(h)
+                if h in have:
+                    continue
+                if len(cur) < k:
+                    cur.append(h)
+                    have.add(h)
+                    changed = True
+                else:
+                    mx = max(cur)
+                    if h < mx:
+                        cur.remove(mx)
+                        have.discard(mx)
+                        cur.append(h)
+                        have.add(h)
+                        changed = True
+        if changed:
+            cur.sort()
+            state.update((cur,))
+            est = (k - 1) * u56 // cur[k - 1] if len(cur) >= k else len(cur)
+            yield pd.DataFrame(
+                [[str(key[0]), cur, int(est)]],
+                columns=["grp", "sketch", "est"],
+            )
+
+    return hashed.groupBy("grp").applyInPandasWithState(
+        sketch_fn,
+        outputStructType=KMV_SKETCH_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def streaming_kmv_distinct(hashed: DataFrame, k: int = 64) -> DataFrame:
     """Streaming distinct-count estimation with a MERGEABLE KMV sketch
     — the streaming twin of operators/sketches.kmv_distinct, same

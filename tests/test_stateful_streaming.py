@@ -740,3 +740,74 @@ def test_streaming_bloom_admit_matches_python(spark, sf_dir, tmp_path):
             bits.update(ps)
             want.add((grp, k))
     assert set(got) == want
+
+
+def test_streaming_kmv_sketch_set_ops_match_batch(spark, sf_dir, tmp_path):
+    """The sketch-ALGEBRA merge law, live: after an availableNow replay
+    of the orders customer-sets split across two micro-batches, the
+    final streamed md5-56 KMV sketch per priority equals the batch
+    sketch exactly — and therefore every pairwise set operation
+    (union / Jaccard / intersection estimate) computed from the
+    streamed sketches reproduces q_sketch_set_ops's estimate columns
+    bit-for-bit."""
+    import os
+    import time as _t
+
+    from c99_vectordb_spark.queries_wave7 import (
+        _KMV_SET_K,
+        _U56,
+        q_sketch_set_ops,
+    )
+    from c99_vectordb_spark.streaming.stateful import streaming_kmv_sketch
+
+    k = _KMV_SET_K
+    hashed = spark.read.parquet(f"{sf_dir}/orders.parquet").selectExpr(
+        "o_orderpriority AS grp",
+        "cast(conv(substring(md5(concat('kmv:', cast(o_custkey AS string))),"
+        " 1, 14), 16, 10) AS bigint) AS h",
+    )
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    h1, h2 = hashed.randomSplit([0.5, 0.5], seed=11)
+    h1.coalesce(1).write.parquet(os.path.join(src, "b1.parquet"))
+    h2.coalesce(1).write.parquet(os.path.join(src, "b2.parquet"))
+    now = _t.time()
+    for sub, ts in (("b1.parquet", now - 60), ("b2.parquet", now)):
+        d = os.path.join(src, sub)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+        os.utime(d, (ts, ts))
+
+    stream = (
+        spark.readStream.schema("grp STRING, h LONG")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_kmv_sketch(stream, k=k)
+        .writeStream.format("memory")
+        .queryName("kmv_sketch_out")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = {}
+    for r in spark.sql("SELECT * FROM kmv_sketch_out").collect():
+        final[r.grp] = list(r.sketch)  # later rows overwrite earlier
+
+    report = q_sketch_set_ops(spark, sf_dir).collect()
+    assert final, "stream emitted no sketches"
+    for row in report:
+        sa, sb = final[row["type_a"]], final[row["type_b"]]
+        assert len(sa) == len(sb) == k
+        # per-set and union estimates from the STREAMED sketches
+        assert row["est_a"] == (k - 1) * _U56 // sa[k - 1]
+        assert row["est_b"] == (k - 1) * _U56 // sb[k - 1]
+        u = sorted(set(sa) | set(sb))[:k]
+        assert row["est_union"] == (k - 1) * _U56 // u[k - 1]
+        inter_k = len([x for x in u if x in set(sa) and x in set(sb)])
+        assert row["jaccard_est_ppm"] == 1_000_000 * inter_k // k
