@@ -170,7 +170,11 @@ def bfs_layers(
     # (the pre_range discipline), keeping the plan linear in rounds;
     # the checkpointed frame is node-sized.
     visited = (
+        # dedup the seed set: the DuckDB twin's bfs_v0 is DISTINCT, and
+        # a caller-supplied duplicate seed would otherwise yield
+        # duplicate layer-0 rows through the semi-join
         seeds.select("node")
+        .distinct()
         .join(adj.select(F.col("src").alias("node")).distinct(), "node", "semi")
         .withColumn("layer", F.lit(0).cast("long"))
         .localCheckpoint(eager=True)

@@ -468,6 +468,15 @@ def encode_gif(content: bytes, width: int = 4) -> bytes:
     compression. Deterministic inverse of :func:`decode_gif` up to
     zero-padding to the width*height grid."""
     height = max(1, -(-len(content) // width))
+    if width > 0xFFFF or height > 0xFFFF:
+        # GIF dimensions are 16-bit by spec (unlike PNG's 32-bit):
+        # anything past width*65535 content bytes cannot be framed —
+        # raise a typed per-payload error instead of letting
+        # struct.pack abort the whole Arrow stage
+        raise MediaDecodeError(
+            f"GIF: {len(content)} content bytes need height {height}"
+            f" > 65535 at width {width}; widen the image"
+        )
     pixels = content + b"\x00" * (width * height - len(content))
     gct = bytes(v for i in range(256) for v in (i, i, i))
     lzw = _lzw_encode_gif(pixels, 8)

@@ -576,10 +576,11 @@ def q_sim_binary_quant(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_sim_binary_quant() -> str:
-    dot = (
-        "list_sum(list_transform(list_zip({a}, {b}),"
-        " p -> p[1]::DOUBLE * p[2]::DOUBLE))"
-    )
+    # the SHARED cosine template (single source of truth — a local
+    # copy would silently diverge if the similarity-family convention
+    # ever changes; session code-review finding)
+    from .queries_ext import _DUCK_DOT as dot
+
     bits = (
         "list_reduce([0::BIGINT] || list_transform(range({lo}, {hi} + 1),"
         " i -> CASE WHEN embedding[i] > 0 THEN 1::BIGINT ELSE 0::BIGINT"
@@ -1480,10 +1481,16 @@ def q_orders_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("tie_t"),
     )
     # H0 = 12/(n(n+1)) * sum_g (R_g^2 / n_g) - 3(n+1), R_g = r2/2;
-    # corrected: H = H0 / (1 - tie_t / (n^3 - n))
+    # corrected: H = H0 / (1 - tie_t / (n^3 - n)).
+    # rsum is summed through an ORDER-PINNED left fold over the
+    # group-sorted terms, not F.sum: H subtracts two ~equal large
+    # doubles (catastrophic cancellation), so an unordered partial-agg
+    # sum could flip the 4th decimal between engines/runs (session
+    # code-review finding — the wave's own float contract).
     stat = r2.crossJoin(F.broadcast(glob)).selectExpr(
         "n",
         "tie_t",
+        "grp",
         "cast(r2 AS double) * cast(r2 AS double)"
         " / (4.0D * cast(n_g AS double)) AS rterm",
     )
@@ -1491,7 +1498,11 @@ def q_orders_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
         stat.groupBy("n", "tie_t")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_groups"),
-            F.sum("rterm").alias("rsum"),
+            F.expr(
+                "aggregate(transform(sort_array(collect_list("
+                "struct(grp, rterm))), x -> x.rterm),"
+                " 0.0D, (a, v) -> a + v)"
+            ).alias("rsum"),
         )
         .selectExpr(
             "n",
@@ -1547,7 +1558,11 @@ kw_gl AS (
 ),
 kw_s AS (
   SELECT n, tie_t, COUNT(*)::BIGINT AS n_groups,
-         SUM(r2::DOUBLE * r2::DOUBLE / (4.0 * n_g::DOUBLE)) AS rsum
+         list_reduce(
+             [0.0::DOUBLE]
+             || list(r2::DOUBLE * r2::DOUBLE / (4.0 * n_g::DOUBLE)
+                     ORDER BY grp),
+             (a, v) -> a + v) AS rsum
   FROM kw_r2 CROSS JOIN kw_gl
   GROUP BY 1, 2
 )
@@ -1586,7 +1601,10 @@ def q_multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    media = media_from_documents_gif(docs)
+    # the two probe branches each contain the encode subtree and plans
+    # are trees — without the persist every document is LZW-encoded
+    # (and decoded) TWICE per run (session code-review finding)
+    media = media_from_documents_gif(docs).persist()
     meta = media_decode_meta(media).select(
         "id",
         F.col("meta")["width"].cast("long").alias("width"),
@@ -1597,14 +1615,35 @@ def q_multimodal_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return meta.join(sums, "id").orderBy("id")
 
 
+# content_sum must be the UTF-8 BYTE sum, not the codepoint sum, and
+# the loop must run over CHARACTERS (len) while the geometry runs over
+# BYTES (strlen) — indexing substr() with byte positions walks off the
+# end of any multibyte document (session code-review finding, with a
+# DuckDB repro on 'héllo'). Per-codepoint UTF-8 byte sums have a
+# closed form: 1-byte c; 2-byte 0xC0+0x80 + (c>>6)+(c&63); 3-byte
+# 0xE0+2*0x80 + (c>>12)+((c>>6)&63)+(c&63); 4-byte likewise.
 _ORACLE_MULTIMODAL_GIF = """
 SELECT doc_id AS id,
        4::BIGINT AS width,
        GREATEST(1, (strlen(text) + 3) // 4)::BIGINT AS height,
        256::BIGINT AS n_colors,
        (GREATEST(1, (strlen(text) + 3) // 4) * 4)::BIGINT AS n_bytes,
-       COALESCE(list_sum(list_transform(range(1, strlen(text) + 1),
-                i -> ord(substr(text, i, 1)))), 0)::BIGINT AS content_sum
+       COALESCE(list_sum(list_transform(range(1, len(text) + 1),
+           i -> CASE
+                WHEN ord(substr(text, i, 1)) < 128
+                  THEN ord(substr(text, i, 1))
+                WHEN ord(substr(text, i, 1)) < 2048
+                  THEN 320 + (ord(substr(text, i, 1)) >> 6)
+                       + (ord(substr(text, i, 1)) & 63)
+                WHEN ord(substr(text, i, 1)) < 65536
+                  THEN 480 + (ord(substr(text, i, 1)) >> 12)
+                       + ((ord(substr(text, i, 1)) >> 6) & 63)
+                       + (ord(substr(text, i, 1)) & 63)
+                ELSE 624 + (ord(substr(text, i, 1)) >> 18)
+                     + ((ord(substr(text, i, 1)) >> 12) & 63)
+                     + ((ord(substr(text, i, 1)) >> 6) & 63)
+                     + (ord(substr(text, i, 1)) & 63)
+                END)), 0)::BIGINT AS content_sum
 FROM documents
 ORDER BY id
 """

@@ -105,3 +105,37 @@ def test_pixel_count_mismatch_rejected():
     struct.pack_into("<H", enc, 13 + 768 + 7, 7)
     with pytest.raises(MediaDecodeError):
         decode_gif(bytes(enc))
+
+
+def test_oracle_byte_sum_matches_utf8_on_non_ascii():
+    """The oracle's per-codepoint UTF-8 byte-sum closed form must equal
+    the codec's true byte sum for multibyte text — the synthetic corpus
+    is ASCII-only, so this pins the branch the data can't reach
+    (session code-review finding: the first oracle summed codepoints
+    over byte positions and diverged on 'héllo')."""
+    import duckdb
+
+    from c99_vectordb_spark.queries_wave7 import _ORACLE_MULTIMODAL_GIF
+
+    rows = [
+        (1, "héllo"),
+        (2, "ASCII only text"),
+        (3, "emoji \U0001F600 and € euro"),
+        (4, "широкий cyrillic"),
+        (5, ""),
+    ]
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+    got = {
+        r[0]: (r[2], r[4], r[5])
+        for r in con.execute(_ORACLE_MULTIMODAL_GIF).fetchall()
+    }
+    for doc_id, text in rows:
+        raw = text.encode("utf-8")
+        height = max(1, -(-len(raw) // 4))
+        assert got[doc_id] == (height, height * 4, sum(raw)), text
+        # and the codec agrees end to end
+        dec, meta = decode_gif(encode_gif(raw))
+        assert sum(dec) == sum(raw)
+        assert meta["height"] == height
