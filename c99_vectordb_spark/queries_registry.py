@@ -1894,6 +1894,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .queries_pipeline import PIPELINE_QUERIES
     from .queries_tpch import TPCH_QUERIES
     from .queries_wave7 import WAVE7_QUERIES
+    from .queries_wave8 import WAVE8_QUERIES
 
     merged = {
         **_QUERIES,
@@ -1901,6 +1902,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **TPCH_QUERIES,
         **PIPELINE_QUERIES,
         **WAVE7_QUERIES,
+        **WAVE8_QUERIES,
     }
     out = {name: merged[name] for name in DRIVER_WINDOW}
     out.update({n: f for n, f in merged.items() if n not in out})
@@ -1912,6 +1914,7 @@ def oracle_sql() -> dict[str, str]:
     from .queries_pipeline import PIPELINE_ORACLES
     from .queries_tpch import TPCH_ORACLES
     from .queries_wave7 import WAVE7_ORACLES
+    from .queries_wave8 import WAVE8_ORACLES
 
     return {
         **_ORACLES,
@@ -1919,4 +1922,5 @@ def oracle_sql() -> dict[str, str]:
         **TPCH_ORACLES,
         **PIPELINE_ORACLES,
         **WAVE7_ORACLES,
+        **WAVE8_ORACLES,
     }
