@@ -449,11 +449,281 @@ ORDER BY lag
 """
 
 
+# ---------------------------------------------------------------------------
+# dedup_edit_pairs — prefix-blocked edit-distance near-dup verification
+# ---------------------------------------------------------------------------
+
+#: normalized-prefix blocking key width (characters)
+_EDIT_PREFIX = 40
+#: skew cap: blocks larger than this are dropped (boilerplate prefixes)
+_EDIT_BLOCK_CAP = 16
+#: report cap: candidate pairs farther than this are not near-dups
+_EDIT_MAX_DIST = 12
+#: duplicate verdict threshold on the full normalized text
+_EDIT_DUP_DIST = 6
+
+
+def q_dedup_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance near-dup verification: block candidate pairs on
+    the normalized 40-char prefix, then VERIFY each pair with the
+    exact Levenshtein distance over the full normalized text — the
+    precision tier above MinHash/SimHash candidates (those measure set
+    overlap; edit distance measures the actual edit script a
+    copy-paste-with-tweaks produces). At sf0.01 the blocked candidates
+    split into 24 pairs at distance 4 and one at 8, so the d<=6
+    duplicate verdict has real texture.
+
+    Normalization strips to lowercase ASCII alphanumerics+space
+    BEFORE anything else, which also pins cross-engine parity:
+    levenshtein over pure-ASCII strings is identical in Spark and
+    DuckDB (no multibyte ambiguity). Distances, lengths and the ppm
+    similarity are all integers.
+
+    Scale shape: the blocking key is a tiny derived column — the pair
+    generation is an equi-join on it, never all-pairs, and blocks
+    larger than 16 docs are dropped (the MinHash skew-cap convention:
+    a viral boilerplate prefix would otherwise produce a quadratic
+    block). The O(len^2) Levenshtein DP runs once per SURVIVING
+    candidate pair, JVM-side."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
+        "doc_id",
+        "lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '')) AS norm",
+    ).selectExpr(
+        "doc_id", "norm", f"substring(norm, 1, {_EDIT_PREFIX}) AS bkey"
+    )
+    kept_keys = (
+        docs.groupBy("bkey")
+        .agg(F.count(F.lit(1)).alias("bn"))
+        .filter(
+            (F.col("bn") >= 2) & (F.col("bn") <= _EDIT_BLOCK_CAP)
+        )
+        .select("bkey")
+    )
+    blocked = docs.join(kept_keys, "bkey")
+    a, b = blocked.alias("a"), blocked.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.bkey") == F.col("b.bkey"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.levenshtein(F.col("a.norm"), F.col("b.norm")).cast("long").alias(
+                "dist"
+            ),
+            F.char_length(F.col("a.norm")).cast("long").alias("len_a"),
+            F.char_length(F.col("b.norm")).cast("long").alias("len_b"),
+        )
+        .filter(F.col("dist") <= _EDIT_MAX_DIST)
+        .selectExpr(
+            "id_a",
+            "id_b",
+            "dist",
+            "len_a",
+            "len_b",
+            "1000000L - (1000000L * dist) div greatest(len_a, len_b, 1L)"
+            " AS sim_ppm",
+            f"CASE WHEN dist <= {_EDIT_DUP_DIST} THEN 1L ELSE 0L END AS is_dup",
+        )
+        .orderBy("id_a", "id_b")
+    )
+
+
+def _oracle_dedup_edit_pairs() -> str:
+    return f"""
+WITH ed_d AS (
+  SELECT doc_id,
+         lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g')) AS norm
+  FROM documents
+),
+ed_k AS (
+  SELECT doc_id, norm, substr(norm, 1, {_EDIT_PREFIX}) AS bkey FROM ed_d
+),
+ed_keys AS (
+  SELECT bkey FROM ed_k GROUP BY 1
+  HAVING COUNT(*) >= 2 AND COUNT(*) <= {_EDIT_BLOCK_CAP}
+),
+ed_b AS (SELECT k.* FROM ed_k k JOIN ed_keys USING (bkey)),
+ed_p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         levenshtein(a.norm, b.norm)::BIGINT AS dist,
+         len(a.norm)::BIGINT AS len_a, len(b.norm)::BIGINT AS len_b
+  FROM ed_b a JOIN ed_b b
+    ON a.bkey = b.bkey AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, dist, len_a, len_b,
+       (1000000 - (1000000 * dist) // greatest(len_a, len_b, 1))::BIGINT
+         AS sim_ppm,
+       (CASE WHEN dist <= {_EDIT_DUP_DIST} THEN 1 ELSE 0 END)::BIGINT
+         AS is_dup
+FROM ed_p
+WHERE dist <= {_EDIT_MAX_DIST}
+ORDER BY id_a, id_b
+"""
+
+
+# ---------------------------------------------------------------------------
+# events_policy_ips — off-policy evaluation: DM / IPS / doubly-robust
+# ---------------------------------------------------------------------------
+
+
+def q_events_policy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Off-policy evaluation (Dudik, Langford & Li 2011; Li et al.
+    2011 replay): treat the event log as a logged bandit — arms are
+    event types, the reward is the event value — split it at the time
+    midpoint, pick the target policy "always play the arm with the
+    best train-half mean reward", and estimate that policy's
+    eval-half value three ways:
+
+    - v_dm      direct method: the train-half mean of the chosen arm
+                (pure model, biased if the world drifted)
+    - v_ips     inverse propensity scoring over the eval half with the
+                train-half empirical propensity (unbiased, noisy)
+    - v_dr      doubly robust: DM + propensity-corrected residual
+    - v_logged  the logged behavior policy's eval-half mean (baseline)
+
+    This is the measurement layer of every RLHF-data / recommendation
+    pipeline: IPS vs DM disagreement IS the drift signal. Exactness:
+    rewards integerize to cents; the arm argmax uses integer ppm means
+    (ties by arm name); all four estimates are closed-form doubles
+    over exact integer sums, rounded to 4.
+
+    Scale shape: one pass to (arm, half) partials (map-side combined),
+    a bounded arms-sized argmax via one ordered-array aggregate (no
+    window, no rank self-join — plans are trees), and 1-row broadcast
+    assembly. Nothing data-sized shuffles twice."""
+    from .functions.text import normalize_event_time
+
+    ev = normalize_event_time(
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+    ).selectExpr(
+        "ts_us",
+        "event_type AS arm",
+        "cast(round(value * 100) AS bigint) AS cents",
+    )
+    mid = ev.agg(F.expr("(min(ts_us) + max(ts_us)) div 2").alias("mid"))
+    halves = ev.crossJoin(F.broadcast(mid)).selectExpr(
+        "arm",
+        "cents",
+        "CASE WHEN ts_us <= mid THEN 1L ELSE 0L END AS is_train",
+    )
+    per_arm = halves.groupBy("arm").agg(
+        F.sum(F.when(F.col("is_train") == 1, F.col("cents")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("s_tr"),
+        F.sum("is_train").cast("long").alias("n_tr"),
+        F.sum(F.when(F.col("is_train") == 0, F.col("cents")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("s_ev"),
+        F.sum(1 - F.col("is_train")).cast("long").alias("n_ev"),
+    )
+    # argmax train-half ppm mean, ties by arm name: ordered-array pick
+    # (integer div for the ppm — a double `/` could truncate across an
+    # integer boundary the exact division doesn't)
+    star = per_arm.selectExpr(
+        "*", "-((1000000L * s_tr) div n_tr) AS neg_ppm"
+    ).agg(
+        F.min(
+            F.struct(
+                F.col("neg_ppm"),
+                F.col("arm").alias("arm"),
+                "s_tr",
+                "n_tr",
+                "s_ev",
+                "n_ev",
+            )
+        ).alias("st")
+    ).select(
+        F.col("st.arm").alias("arm_star"),
+        F.col("st.s_tr").alias("s_tr_star"),
+        F.col("st.n_tr").alias("n_tr_star"),
+        F.col("st.s_ev").alias("s_ev_star"),
+        F.col("st.n_ev").alias("n_ev_star"),
+    )
+    glob = per_arm.agg(
+        F.sum("n_tr").cast("long").alias("n_train"),
+        F.sum("s_ev").cast("long").alias("s_eval"),
+        F.sum("n_ev").cast("long").alias("n_eval"),
+    )
+    qhat = "(cast(s_tr_star AS double) / cast(n_tr_star AS double))"
+    corr = (
+        "cast(n_train AS double) / (cast(n_tr_star AS double)"
+        " * cast(n_eval AS double))"
+    )
+    return star.crossJoin(F.broadcast(glob)).selectExpr(
+        "arm_star",
+        "n_train",
+        "n_eval",
+        "(1000000L * n_tr_star) div n_train AS p_star_ppm",
+        "round(cast(s_eval AS double) / cast(n_eval AS double) / 100.0D, 4)"
+        " AS v_logged",
+        f"round({qhat} / 100.0D, 4) AS v_dm",
+        f"round(cast(s_ev_star AS double) * ({corr}) / 100.0D, 4) AS v_ips",
+        f"round(({qhat} + (cast(s_ev_star AS double)"
+        f" - cast(n_ev_star AS double) * {qhat}) * ({corr})) / 100.0D, 4)"
+        " AS v_dr",
+    )
+
+
+def _oracle_events_policy_ips() -> str:
+    return """
+WITH ip_e AS (
+  SELECT epoch_us(ts) AS ts_us, event_type AS arm,
+         ROUND(value * 100)::BIGINT AS cents
+  FROM events
+),
+ip_m AS (SELECT (MIN(ts_us) + MAX(ts_us)) // 2 AS mid FROM ip_e),
+ip_h AS (
+  SELECT arm, cents,
+         CASE WHEN ts_us <= mid THEN 1 ELSE 0 END AS is_train
+  FROM ip_e CROSS JOIN ip_m
+),
+ip_a AS (
+  SELECT arm,
+         SUM(CASE WHEN is_train = 1 THEN cents ELSE 0 END)::BIGINT AS s_tr,
+         SUM(is_train)::BIGINT AS n_tr,
+         SUM(CASE WHEN is_train = 0 THEN cents ELSE 0 END)::BIGINT AS s_ev,
+         SUM(1 - is_train)::BIGINT AS n_ev
+  FROM ip_h GROUP BY 1
+),
+ip_star AS (
+  SELECT arm AS arm_star, s_tr AS s_tr_star, n_tr AS n_tr_star,
+         s_ev AS s_ev_star, n_ev AS n_ev_star
+  FROM ip_a
+  ORDER BY (1000000 * s_tr) // n_tr DESC, arm ASC
+  LIMIT 1
+),
+ip_g AS (
+  SELECT SUM(n_tr)::BIGINT AS n_train, SUM(s_ev)::BIGINT AS s_eval,
+         SUM(n_ev)::BIGINT AS n_eval
+  FROM ip_a
+)
+SELECT arm_star, n_train, n_eval,
+       ((1000000 * n_tr_star) // n_train)::BIGINT AS p_star_ppm,
+       ROUND(s_eval::DOUBLE / n_eval::DOUBLE / 100.0, 4) AS v_logged,
+       ROUND((s_tr_star::DOUBLE / n_tr_star::DOUBLE) / 100.0, 4) AS v_dm,
+       ROUND(s_ev_star::DOUBLE
+             * (n_train::DOUBLE / (n_tr_star::DOUBLE * n_eval::DOUBLE))
+             / 100.0, 4) AS v_ips,
+       ROUND(((s_tr_star::DOUBLE / n_tr_star::DOUBLE)
+              + (s_ev_star::DOUBLE
+                 - n_ev_star::DOUBLE
+                   * (s_tr_star::DOUBLE / n_tr_star::DOUBLE))
+                * (n_train::DOUBLE / (n_tr_star::DOUBLE * n_eval::DOUBLE)))
+             / 100.0, 4) AS v_dr
+FROM ip_star CROSS JOIN ip_g
+"""
+
+
 WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anonymize_kanon_report": q_anonymize_kanon_report,
     "stats_spearman": q_stats_spearman,
     "text_char_entropy": q_text_char_entropy,
     "events_acf": q_events_acf,
+    "dedup_edit_pairs": q_dedup_edit_pairs,
+    "events_policy_ips": q_events_policy_ips,
 }
 
 WAVE8_ORACLES: dict[str, str] = {
@@ -461,4 +731,6 @@ WAVE8_ORACLES: dict[str, str] = {
     "stats_spearman": _oracle_stats_spearman(),
     "text_char_entropy": _oracle_text_char_entropy(),
     "events_acf": _oracle_events_acf(),
+    "dedup_edit_pairs": _oracle_dedup_edit_pairs(),
+    "events_policy_ips": _oracle_events_policy_ips(),
 }

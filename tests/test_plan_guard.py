@@ -74,6 +74,7 @@ BNLJ_ALLOWED = {
     "orders_seasonal_decomp": "13-month sliding window as a range self-join of the MONTH-grained rollup — both sides bounded by the time range (~80 rows), never the table",
     "sim_matryoshka_recall": "single broadcast 8-query x corpus scan carrying all four prefix-dim scores (design constant, like sim_topk_cosine)",
     "events_acf": "1-row scalar aggregate broadcast (global mean/variance sums for the ACF denominator)",
+    "events_policy_ips": "1-row scalar aggregate broadcasts (time midpoint; star-arm row; global totals)",
 }
 
 
