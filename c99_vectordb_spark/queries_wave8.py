@@ -717,6 +717,205 @@ FROM ip_star CROSS JOIN ip_g
 """
 
 
+# ---------------------------------------------------------------------------
+# sim_lof_outliers — Local Outlier Factor over the LSH kNN graph
+# ---------------------------------------------------------------------------
+
+_LOF_K = 5
+_LOF_TOP = 15
+
+
+def q_sim_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local Outlier Factor (Breunig et al. 2000) over the embedding
+    corpus — the density-aware outlier score that a global distance
+    threshold cannot express (a point is an outlier relative to ITS
+    neighborhood's density): the embedding-space data-quality audit
+    for mislabeled / out-of-distribution vectors before they enter
+    training.
+
+    kNN comes from the repo's LSH machinery (hamming-1 multiprobe
+    bucket equi-join, both sides the corpus — the sim_mutual_nn
+    shape); distances are EXACT integers in int8-SQ code space
+    (the sq_int8 quantization), so k-distance, reachability
+    distance, and every sum below the final ratio are BIGINTs. Points
+    with fewer than k bucket candidates — or with a neighbor that
+    lacks its own k-distance — drop out (documented LSH-sparsity
+    horizon, deterministic on both engines). The lone float is the
+    lrd ratio: an order-pinned fold of 1/sum_reach over the 5
+    neighbors in neighbor-id order, assembled identically on both
+    engines and rounded to 4.
+
+    Scale shape: candidate generation is the banded equi-join (never
+    all-pairs); the kNN window partitions by query id; everything
+    after the kNN edge table (k-dist, reach, lrd, LOF) joins
+    node-sized tables. 100 TB story: identical to the LSH kNN join
+    family — bucket key partitioning end to end."""
+    from .operators.similarity import bucket_id, sq_code_expr
+    from .queries_ext import LSH_DIM, LSH_PLANES
+
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    coded = emb.select(
+        F.col("vec_id").alias("id"),
+        F.expr(sq_code_expr("embedding")).alias("codes"),
+        bucket_id(F.col("embedding"), LSH_DIM, LSH_PLANES).alias("bucket"),
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(LSH_PLANES)],
+    )
+    q = coded.select(
+        F.col("id").alias("qid"),
+        F.col("codes").alias("qcodes"),
+        F.explode(probes).alias("bucket"),
+    )
+    cand = (
+        coded.join(q, "bucket")
+        .filter(F.col("id") != F.col("qid"))
+        .selectExpr(
+            "qid",
+            "id",
+            "aggregate(zip_with(codes, qcodes, (x, y) -> (x - y) * (x - y)),"
+            " 0L, (a, v) -> a + v) AS dist2",
+        )
+    )
+    w = Window.partitionBy("qid").orderBy(F.asc("dist2"), F.asc("id"))
+    # the kNN edge table feeds THREE branches (k-dist, reachability,
+    # the lrd fold) — plans are trees, so without a persist the bucket
+    # join + window would re-execute per branch
+    knn = (
+        cand.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _LOF_K)
+        .select("qid", "id", "dist2")
+        .persist()
+    )
+    kd = (
+        knn.groupBy("qid")
+        .agg(
+            F.max("dist2").cast("long").alias("kdist"),
+            F.count(F.lit(1)).alias("nn"),
+        )
+        .filter(F.col("nn") == _LOF_K)
+        .select(F.col("qid").alias("id"), "kdist")
+    )
+    reach = knn.join(kd, "id").selectExpr(
+        "qid AS a", "id AS b", "greatest(dist2, kdist) AS reach"
+    )
+    s = (
+        reach.groupBy("a")
+        .agg(
+            F.sum("reach").cast("long").alias("sr"),
+            F.count(F.lit(1)).alias("nn"),
+        )
+        .filter(F.col("nn") == _LOF_K)
+        .selectExpr("a", "greatest(sr, 1L) AS s")
+    )
+    # order-pinned fold of 1/s_b over the 5 neighbors, in neighbor-id order
+    inv = (
+        knn.join(s.selectExpr("a AS id", "s AS sb"), "id")
+        .groupBy("qid")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("id", "sb"))).alias("arr")
+        )
+        .filter(F.size("arr") == _LOF_K)
+        .selectExpr(
+            "qid AS a",
+            "aggregate(arr, cast(0.0 AS double),"
+            " (acc, x) -> acc + 1.0D / cast(x.sb AS double)) AS invsum",
+        )
+    )
+    return (
+        s.join(inv, "a")
+        .join(kd.selectExpr("id AS a", "kdist"), "a")
+        .selectExpr(
+            "a AS id",
+            "kdist AS k_dist2",
+            "s AS sum_reach",
+            f"round((cast(s AS double) / {_LOF_K}.0D) * invsum, 4) AS lof",
+        )
+        .orderBy(F.desc("lof"), F.asc("id"))
+        .limit(_LOF_TOP)
+    )
+
+
+def _oracle_sim_lof_outliers() -> str:
+    from .operators.similarity import hyperplane
+    from .queries_ext import _DUCK_DOT, LSH_DIM, LSH_PLANES
+
+    def plane_lit(p: int) -> str:
+        return (
+            "[" + ", ".join(f"{x!r}::DOUBLE" for x in hyperplane(p, LSH_DIM)) + "]"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {_DUCK_DOT.format(a='embedding', b=plane_lit(p))} >= 0"
+        f" THEN 1::BIGINT ELSE 0 END << {p})"
+        for p in range(LSH_PLANES)
+    )
+    probes = ", ".join(
+        ["bucket"] + [f"xor(bucket, {1 << p})" for p in range(LSH_PLANES)]
+    )
+    return f"""
+WITH lof_e AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+             x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5 + 0.5)
+                       AS BIGINT)) AS codes,
+         ({bucket}) AS bucket
+  FROM embeddings
+),
+lof_q AS (
+  SELECT id AS qid, codes AS qcodes, pbucket
+  FROM lof_e, unnest([{probes}]) AS u(pbucket)
+),
+lof_c AS (
+  SELECT q.qid, e.id,
+         list_sum(list_transform(range(1, {LSH_DIM} + 1),
+             i -> (e.codes[i] - q.qcodes[i])
+                  * (e.codes[i] - q.qcodes[i])))::BIGINT AS dist2
+  FROM lof_e e JOIN lof_q q ON e.bucket = q.pbucket
+  WHERE e.id != q.qid
+),
+lof_k AS (
+  SELECT qid, id, dist2 FROM (
+    SELECT qid, id, dist2,
+           ROW_NUMBER() OVER (PARTITION BY qid
+                              ORDER BY dist2 ASC, id ASC) AS rnk
+    FROM lof_c
+  ) WHERE rnk <= {_LOF_K}
+),
+lof_kd AS (
+  SELECT qid AS id, MAX(dist2)::BIGINT AS kdist
+  FROM lof_k GROUP BY 1 HAVING COUNT(*) = {_LOF_K}
+),
+lof_r AS (
+  SELECT k.qid AS a, k.id AS b, greatest(k.dist2, d.kdist) AS reach
+  FROM lof_k k JOIN lof_kd d ON k.id = d.id
+),
+lof_s AS (
+  SELECT a, greatest(SUM(reach), 1)::BIGINT AS s
+  FROM lof_r GROUP BY 1 HAVING COUNT(*) = {_LOF_K}
+),
+lof_inv AS (
+  SELECT k.qid AS a,
+         list_reduce(['0.0'::DOUBLE]
+             || list_transform(list(sb.s ORDER BY k.id),
+                    v -> 1.0 / (v::DOUBLE)),
+             (acc, x) -> acc + x) AS invsum
+  FROM lof_k k JOIN lof_s sb ON k.id = sb.a
+  GROUP BY 1 HAVING COUNT(*) = {_LOF_K}
+)
+SELECT s.a AS id, d.kdist AS k_dist2, s.s AS sum_reach,
+       ROUND((s.s::DOUBLE / {_LOF_K}.0) * i.invsum, 4) AS lof
+FROM lof_s s
+JOIN lof_inv i ON s.a = i.a
+JOIN lof_kd d ON s.a = d.id
+ORDER BY ROUND((s.s::DOUBLE / {_LOF_K}.0) * i.invsum, 4) DESC, s.a ASC
+LIMIT {_LOF_TOP}
+"""
+
+
 WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anonymize_kanon_report": q_anonymize_kanon_report,
     "stats_spearman": q_stats_spearman,
@@ -724,6 +923,7 @@ WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_acf": q_events_acf,
     "dedup_edit_pairs": q_dedup_edit_pairs,
     "events_policy_ips": q_events_policy_ips,
+    "sim_lof_outliers": q_sim_lof_outliers,
 }
 
 WAVE8_ORACLES: dict[str, str] = {
@@ -733,4 +933,5 @@ WAVE8_ORACLES: dict[str, str] = {
     "events_acf": _oracle_events_acf(),
     "dedup_edit_pairs": _oracle_dedup_edit_pairs(),
     "events_policy_ips": _oracle_events_policy_ips(),
+    "sim_lof_outliers": _oracle_sim_lof_outliers(),
 }
