@@ -916,6 +916,110 @@ LIMIT {_LOF_TOP}
 """
 
 
+# ---------------------------------------------------------------------------
+# corpus_textrank — TextRank keyword extraction via PageRank fixed point
+# ---------------------------------------------------------------------------
+
+#: content-word gate (crude stopword filter, deterministic cross-engine)
+_TEXTRANK_MIN_LEN = 4
+#: co-occurrence support threshold (scale knob: bounds the word graph)
+_TEXTRANK_MIN_CO = 3
+_TEXTRANK_ITERS = 3
+_TEXTRANK_TOP = 20
+
+
+def q_corpus_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TextRank keyword extraction (Mihalcea & Tarau 2004): PageRank
+    over the word co-occurrence graph — adjacent content-word pairs
+    (length >= 4, the deterministic stopword gate) with support >= 3
+    become undirected edges, and three fixed-point iterations of the
+    repo's INTEGER PageRank (operators/graph.pagerank — the exact
+    algebra the graph_pagerank oracle already unrolls) score every
+    word. Top-20 by rank = the corpus keyword set; the unsupervised
+    topic signal a training-data pipeline uses for mixture/curriculum
+    decisions without labels.
+
+    Node ids are the words themselves (pagerank is id-type-agnostic);
+    ranks are q-fixed-point BIGINTs end to end, so the oracle is exact
+    with no float contract.
+
+    Scale shape: the co-occurrence rollup is the bigram-counting plan
+    (array ops in the row, one pair-keyed partial-agg shuffle); the
+    support threshold bounds the graph to vocabulary size, and the
+    iteration loop is the partition-once-reuse pagerank discipline —
+    no collect in the body."""
+    from .functions.text import tokens
+    from .operators.graph import pagerank
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    toks = tokens(F.col("text"))
+    pairs = F.zip_with(
+        toks,
+        F.slice(toks, 2, F.greatest(F.size(toks) - 1, F.lit(0))),
+        lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+    )
+    e0 = (
+        docs.select(F.explode(pairs).alias("p"))
+        .select("p.w1", "p.w2")
+        .filter(
+            F.col("w2").isNotNull()
+            & (F.length("w1") >= _TEXTRANK_MIN_LEN)
+            & (F.length("w2") >= _TEXTRANK_MIN_LEN)
+            & (F.col("w1") != F.col("w2"))
+        )
+    )
+    ec = (
+        e0.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= _TEXTRANK_MIN_CO)
+    )
+    edges = (
+        ec.selectExpr("w1 AS src", "w2 AS dst")
+        .union(ec.selectExpr("w2 AS src", "w1 AS dst"))
+        .distinct()
+    )
+    pr = pagerank(edges, iters=_TEXTRANK_ITERS)
+    return (
+        pr.selectExpr("node AS word", "pr_fp")
+        .orderBy(F.desc("pr_fp"), F.asc("word"))
+        .limit(_TEXTRANK_TOP)
+    )
+
+
+def _oracle_corpus_textrank() -> str:
+    from .operators.graph import duckdb_pagerank_sql
+
+    edges_cte = f"""tr_tok AS (
+  SELECT doc_id, {hashing.duckdb_tokens_sql('text')} AS ts FROM documents
+),
+tr_p AS (
+  SELECT unnest(list_transform(range(1, len(ts)),
+         i -> struct_pack(w1 := ts[i], w2 := ts[i + 1]))) AS s
+  FROM tr_tok
+),
+tr_ec AS (
+  SELECT s.w1 AS w1, s.w2 AS w2, COUNT(*) AS c
+  FROM tr_p
+  WHERE len(s.w1) >= {_TEXTRANK_MIN_LEN} AND len(s.w2) >= {_TEXTRANK_MIN_LEN}
+    AND s.w1 != s.w2
+  GROUP BY 1, 2 HAVING COUNT(*) >= {_TEXTRANK_MIN_CO}
+),
+edges AS MATERIALIZED (
+  SELECT w1 AS src, w2 AS dst FROM tr_ec
+  UNION
+  SELECT w2, w1 FROM tr_ec
+)"""
+    pr = duckdb_pagerank_sql(edges_cte, iters=_TEXTRANK_ITERS)
+    final = f"""
+SELECT node AS word, pr_fp
+FROM r{_TEXTRANK_ITERS}
+ORDER BY pr_fp DESC, word ASC
+LIMIT {_TEXTRANK_TOP}"""
+    return pr.replace(
+        f"SELECT node, pr_fp FROM r{_TEXTRANK_ITERS}", final
+    )
+
+
 WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anonymize_kanon_report": q_anonymize_kanon_report,
     "stats_spearman": q_stats_spearman,
@@ -924,6 +1028,7 @@ WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_edit_pairs": q_dedup_edit_pairs,
     "events_policy_ips": q_events_policy_ips,
     "sim_lof_outliers": q_sim_lof_outliers,
+    "corpus_textrank": q_corpus_textrank,
 }
 
 WAVE8_ORACLES: dict[str, str] = {
@@ -934,4 +1039,5 @@ WAVE8_ORACLES: dict[str, str] = {
     "dedup_edit_pairs": _oracle_dedup_edit_pairs(),
     "events_policy_ips": _oracle_events_policy_ips(),
     "sim_lof_outliers": _oracle_sim_lof_outliers(),
+    "corpus_textrank": _oracle_corpus_textrank(),
 }
