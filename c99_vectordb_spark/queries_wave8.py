@@ -1020,6 +1020,121 @@ LIMIT {_TEXTRANK_TOP}"""
     )
 
 
+# ---------------------------------------------------------------------------
+# zorder_hilbert — Hilbert-curve clustering key (the Z-order upgrade)
+# ---------------------------------------------------------------------------
+
+_HILBERT_BITS = 10
+_HILBERT_MASK = (1 << _HILBERT_BITS) - 1
+
+
+def _hilbert_steps(bits: int) -> list[tuple[str, str, str]]:
+    """Per-step (x, y, d) SELECT expressions for the canonical xy2d
+    loop (one tuple per bit, most-significant first). The SQL text is
+    ENGINE-NEUTRAL — only CASE/&/*/+/- — so Spark's selectExpr chain
+    and the DuckDB CTE chain evaluate character-identical expressions
+    step for step."""
+    mask = (1 << bits) - 1
+    steps = []
+    for i in range(bits):
+        s = 1 << (bits - 1 - i)
+        rx = f"(CASE WHEN (x & {s}) > 0 THEN 1 ELSE 0 END)"
+        ry = f"(CASE WHEN (y & {s}) > 0 THEN 1 ELSE 0 END)"
+        # quadrant index (3*rx) XOR ry spelled as a CASE ladder so no
+        # engine-specific xor syntax enters the shared text
+        q = (
+            f"(CASE WHEN {rx} = 0 AND {ry} = 0 THEN 0"
+            f" WHEN {rx} = 0 AND {ry} = 1 THEN 1"
+            f" WHEN {rx} = 1 AND {ry} = 1 THEN 2 ELSE 3 END)"
+        )
+        d_new = f"d + {s * s} * {q}"
+        x_new = (
+            f"(CASE WHEN {ry} = 1 THEN x"
+            f" WHEN {rx} = 1 THEN {mask} - y ELSE y END)"
+        )
+        y_new = (
+            f"(CASE WHEN {ry} = 1 THEN y"
+            f" WHEN {rx} = 1 THEN {mask} - x ELSE x END)"
+        )
+        steps.append((x_new, y_new, d_new))
+    return steps
+
+
+def q_zorder_hilbert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hilbert-curve clustering key over the same two part dimensions
+    as zorder_layout — the layout tier ABOVE Morton order: the Hilbert
+    curve never takes the long diagonal jumps Z-order takes at bit
+    boundaries, so consecutive rows stay spatially adjacent and
+    row-group min/max boxes are tighter on BOTH dimensions (this is
+    the curve behind Databricks liquid clustering and Amazon S3
+    spatial indexing). The canonical xy2d loop (Wikipedia's
+    rotate-and-accumulate form) is unrolled into 10 engine-neutral
+    CASE/bit-mask steps — pure integers, no UDF, whole-stage-codegen
+    friendly — and the query returns the first 500 rows of the layout
+    order (the leading row group), exactly zorder_layout's contract so
+    the two layouts are directly comparable.
+
+    Scale shape: map-only key computation + TakeOrdered; at write
+    time this is a sort-before-write clustering key like any other —
+    the 100 TB story is zorder_layout's, with strictly better
+    locality."""
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    df = part.selectExpr(
+        "p_partkey",
+        f"p_partkey & {_HILBERT_MASK} AS zx",
+        f"cast(p_size AS bigint) & {_HILBERT_MASK} AS zy",
+        f"p_partkey & {_HILBERT_MASK} AS x",
+        f"cast(p_size AS bigint) & {_HILBERT_MASK} AS y",
+        "cast(0 AS bigint) AS d",
+    )
+    for x_new, y_new, d_new in _hilbert_steps(_HILBERT_BITS):
+        df = df.selectExpr(
+            "p_partkey",
+            "zx",
+            "zy",
+            f"{x_new} AS x",
+            f"{y_new} AS y",
+            f"{d_new} AS d",
+        )
+    return (
+        df.selectExpr("p_partkey", "zx", "zy", "d AS hval")
+        .orderBy("hval", "p_partkey")
+        .limit(500)
+    )
+
+
+def _oracle_zorder_hilbert() -> str:
+    ctes = [
+        f"""h0 AS (
+  SELECT p_partkey,
+         (p_partkey & {_HILBERT_MASK})::BIGINT AS zx,
+         (CAST(p_size AS BIGINT) & {_HILBERT_MASK})::BIGINT AS zy,
+         (p_partkey & {_HILBERT_MASK})::BIGINT AS x,
+         (CAST(p_size AS BIGINT) & {_HILBERT_MASK})::BIGINT AS y,
+         0::BIGINT AS d
+  FROM part
+)"""
+    ]
+    for t, (x_new, y_new, d_new) in enumerate(
+        _hilbert_steps(_HILBERT_BITS), start=1
+    ):
+        ctes.append(
+            f"""h{t} AS (
+  SELECT p_partkey, zx, zy,
+         {x_new} AS x, {y_new} AS y, {d_new} AS d
+  FROM h{t - 1}
+)"""
+        )
+    joined = ",\n".join(ctes)
+    return f"""
+WITH {joined}
+SELECT p_partkey, zx, zy, d AS hval
+FROM h{_HILBERT_BITS}
+ORDER BY hval, p_partkey
+LIMIT 500
+"""
+
+
 WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anonymize_kanon_report": q_anonymize_kanon_report,
     "stats_spearman": q_stats_spearman,
@@ -1029,6 +1144,7 @@ WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_policy_ips": q_events_policy_ips,
     "sim_lof_outliers": q_sim_lof_outliers,
     "corpus_textrank": q_corpus_textrank,
+    "zorder_hilbert": q_zorder_hilbert,
 }
 
 WAVE8_ORACLES: dict[str, str] = {
@@ -1040,4 +1156,5 @@ WAVE8_ORACLES: dict[str, str] = {
     "events_policy_ips": _oracle_events_policy_ips(),
     "sim_lof_outliers": _oracle_sim_lof_outliers(),
     "corpus_textrank": _oracle_corpus_textrank(),
+    "zorder_hilbert": _oracle_zorder_hilbert(),
 }
