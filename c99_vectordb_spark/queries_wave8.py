@@ -609,7 +609,16 @@ def q_events_policy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cents",
         "CASE WHEN ts_us <= mid THEN 1L ELSE 0L END AS is_train",
     )
-    per_arm = halves.groupBy("arm").agg(
+    return policy_estimates(policy_arm_partials(halves))
+
+
+def policy_arm_partials(halves: DataFrame) -> DataFrame:
+    """Per-arm logged-bandit state (arm, s_tr, n_tr, s_ev, n_ev) from
+    (arm, cents, is_train) rows. MERGEABLE: component-wise BIGINT sums,
+    so micro-batch partials merged by a groupBy-sum equal the batch
+    state — the streaming twin's contract
+    (streaming/ingest.stream_policy_ips)."""
+    return halves.groupBy("arm").agg(
         F.sum(F.when(F.col("is_train") == 1, F.col("cents")).otherwise(F.lit(0)))
         .cast("long")
         .alias("s_tr"),
@@ -619,6 +628,26 @@ def q_events_policy_ips(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("s_ev"),
         F.sum(1 - F.col("is_train")).cast("long").alias("n_ev"),
     )
+
+
+def merge_policy_states(*states: DataFrame) -> DataFrame:
+    """Merge per-arm partial states (associative + commutative:
+    component-wise sums)."""
+    from functools import reduce
+
+    merged = reduce(lambda a, b: a.unionByName(b), states)
+    return merged.groupBy("arm").agg(
+        F.sum("s_tr").cast("long").alias("s_tr"),
+        F.sum("n_tr").cast("long").alias("n_tr"),
+        F.sum("s_ev").cast("long").alias("s_ev"),
+        F.sum("n_ev").cast("long").alias("n_ev"),
+    )
+
+
+def policy_estimates(per_arm: DataFrame) -> DataFrame:
+    """Assemble the DM / IPS / DR one-row report from per-arm state —
+    a pure function of the mergeable state, shared by the batch query
+    and the streaming twin."""
     # argmax train-half ppm mean, ties by arm name: ordered-array pick
     # (integer div for the ppm — a double `/` could truncate across an
     # integer boundary the exact division doesn't)

@@ -463,3 +463,44 @@ def stream_dsir_score(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_policy_ips(
+    events_stream: DataFrame,
+    mid_us: int,
+    sink_fn,
+    checkpoint_dir: str,
+):
+    """Streaming twin of the off-policy evaluator
+    (queries_wave8.q_events_policy_ips): the per-arm logged-bandit
+    state (s_tr, n_tr, s_ev, n_ev) is component-wise-summable, so each
+    micro-batch contributes its partials and the standing state merges
+    by groupBy-sum (queries_wave8.merge_policy_states); the DM / IPS /
+    doubly-robust report is a pure function of the merged state
+    (policy_estimates), recomputable mid-stream at any time.
+
+    The train/eval midpoint is a CONFIG in streaming (the batch twin
+    derives it from min/max event time, which a stream cannot know
+    upfront) — pass the same ``mid_us`` to both sides when comparing.
+    Per-batch partials go to ``sink_fn(partials_df, batch_id)``; the
+    test merges them and asserts estimate equality with the batch
+    helpers on the full replay.
+    """
+    from ..functions.text import normalize_event_time
+    from ..queries_wave8 import policy_arm_partials
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        halves = normalize_event_time(batch_df).selectExpr(
+            "event_type AS arm",
+            "cast(round(value * 100) AS bigint) AS cents",
+            f"CASE WHEN ts_us <= {mid_us}L THEN 1L ELSE 0L END AS is_train",
+        )
+        sink_fn(policy_arm_partials(halves), batch_id)
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

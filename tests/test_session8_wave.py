@@ -1,0 +1,439 @@
+"""Session-8 wave: independent recounts (pure Python / pandas — NOT the
+DuckDB oracle, which the driver gate already runs) and algebraic laws
+for the new operators, plus the stream==batch proof for the off-policy
+evaluator's mergeable state.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import tempfile
+
+import pytest
+
+from c99_vectordb_spark import queries_wave8 as w8
+
+
+# ---------------------------------------------------------------------------
+# zorder_hilbert: bijectivity + unit-step adjacency (the locality law)
+# ---------------------------------------------------------------------------
+
+
+def _xy2d_ref(n, x, y):
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def test_hilbert_steps_match_reference(spark):
+    """The unrolled engine-neutral step SQL == the canonical xy2d on a
+    full 32x32 grid (exhaustive at 5 bits via the 10-bit path: low
+    coordinates exercise every rotation branch)."""
+    rows = [(x * 32 + y, x, y) for x in range(32) for y in range(32)]
+    df = spark.createDataFrame(rows, "pk LONG, x LONG, y LONG").selectExpr(
+        "pk", "x", "y", "x AS hx", "y AS hy", "cast(0 AS bigint) AS d"
+    )
+    # rename state cols to the helper's expected names
+    df = df.selectExpr("pk", "x AS zx", "y AS zy", "hx AS x", "hy AS y", "d")
+    for x_new, y_new, d_new in w8._hilbert_steps(w8._HILBERT_BITS):
+        df = df.selectExpr(
+            "pk", "zx", "zy", f"{x_new} AS x", f"{y_new} AS y", f"{d_new} AS d"
+        )
+    got = {(r.zx, r.zy): r.d for r in df.collect()}
+    n = 1 << w8._HILBERT_BITS
+    for (x, y), d in got.items():
+        assert d == _xy2d_ref(n, x, y)
+
+
+def test_hilbert_unit_step_adjacency():
+    """THE Hilbert property Z-order lacks: consecutive curve positions
+    are always grid-adjacent (|dx| + |dy| == 1) — checked exhaustively
+    over the first 4096 positions of the 1024x1024 curve via the
+    reference d2xy inverse."""
+
+    def d2xy(n, d):
+        x = y = 0
+        t = d
+        s = 1
+        while s < n:
+            rx = 1 & (t // 2)
+            ry = 1 & (t ^ rx)
+            if ry == 0:
+                if rx == 1:
+                    x = s - 1 - x
+                    y = s - 1 - y
+                x, y = y, x
+            x += s * rx
+            y += s * ry
+            t //= 4
+            s *= 2
+        return x, y
+
+    n = 1 << w8._HILBERT_BITS
+    prev = d2xy(n, 0)
+    assert _xy2d_ref(n, *prev) == 0
+    for d in range(1, 4096):
+        cur = d2xy(n, d)
+        assert abs(cur[0] - prev[0]) + abs(cur[1] - prev[1]) == 1
+        # and the forward map inverts the inverse
+        assert _xy2d_ref(n, *cur) == d
+        prev = cur
+
+
+# ---------------------------------------------------------------------------
+# text_char_entropy: exact pure-Python recount of the q10 fixed point
+# ---------------------------------------------------------------------------
+
+
+def _plog2_py(ratio: int) -> int:
+    """Python twin of operators/corpus._plog2_cols (ratio in q20)."""
+    msb = ratio.bit_length() - 1
+    return (msb - 20) * 1024 + ((ratio - (1 << msb)) * 1024) // (1 << msb)
+
+
+def test_char_entropy_recount(spark, sf_dir, documents):
+    import collections
+
+    got = {
+        r.doc_id: (r.n_chars, r.n_distinct_chars, r.entropy_q10, r.is_low)
+        for r in w8.q_text_char_entropy(spark, sf_dir).collect()
+    }
+    docs = {r.doc_id: r.text for r in documents.collect()}
+    assert set(got) == set(docs)
+    for did, text in docs.items():
+        n = len(text)
+        cnt = collections.Counter(text)
+        t = sum(c * _plog2_py((n << 20) // c) for c in cnt.values())
+        h = t // n
+        assert got[did] == (n, len(cnt), h, 1 if h < w8._ENTROPY_LOW_Q10 else 0)
+        # entropy bounds: 0 <= H <= log2(n_distinct) (q10, + rounding slack)
+        assert 0 <= h <= int(1024 * math.log2(max(len(cnt), 2))) + 1
+
+
+# ---------------------------------------------------------------------------
+# stats_spearman: pandas average-rank cross-check
+# ---------------------------------------------------------------------------
+
+
+def test_spearman_vs_pandas(spark, sf_dir):
+    import pandas as pd
+
+    got = {
+        r.l_returnflag: (r.n, r.pearson_r, r.spearman_rho)
+        for r in w8.q_stats_spearman(spark, sf_dir).collect()
+    }
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li["xv"] = (li.l_quantity * 100).round().astype("int64")
+    li["yv"] = (li.l_extendedprice * 100).round().astype("int64")
+    for flag, g in li.groupby("l_returnflag"):
+        n, pr, sr = got[flag]
+        assert n == len(g)
+        assert pr == pytest.approx(g.xv.corr(g.yv, method="pearson"), abs=1e-4)
+        # Spearman = Pearson on average ranks (no scipy in this env)
+        rx = g.xv.rank(method="average")
+        ry = g.yv.rank(method="average")
+        assert sr == pytest.approx(rx.corr(ry, method="pearson"), abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# anonymize_kanon_report: pandas recount + internal consistency
+# ---------------------------------------------------------------------------
+
+
+def test_kanon_recount(spark, sf_dir):
+    import pandas as pd
+
+    rep = {
+        r.c_nationkey: r.asDict()
+        for r in w8.q_anonymize_kanon_report(spark, sf_dir).collect()
+    }
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    cents = (c.c_acctbal * 100).round().astype("int64")
+    c["b"] = cents // w8._KANON_BUCKET_CENTS  # python // floors, like the op
+    cls = (
+        c.groupby(["c_nationkey", "b"])
+        .agg(k=("c_mktsegment", "size"), l=("c_mktsegment", "nunique"))
+        .reset_index()
+    )
+    for nk, g in cls.groupby("c_nationkey"):
+        r = rep[nk]
+        assert r["n_rows"] == int(g.k.sum())
+        assert r["n_classes"] == len(g)
+        assert r["k_min"] == int(g.k.min())
+        assert r["rows_below_k"] == int(g.k[g.k < w8._KANON_K].sum())
+        assert r["l_min"] == int(g.l.min())
+        assert r["classes_l1"] == int((g.l == 1).sum())
+    assert sum(r["n_rows"] for r in rep.values()) == len(c)
+
+
+# ---------------------------------------------------------------------------
+# events_acf: numpy recount on the dense series
+# ---------------------------------------------------------------------------
+
+
+def test_acf_recount(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    got = {r.lag: (r.n_pairs, r.acf) for r in w8.q_events_acf(spark, sf_dir).collect()}
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    us = ev.ts.astype("int64") // 1000 if ev.ts.dtype.kind == "M" else ev.ts
+    hi = pd.Series(us).astype("int64") // 1000 // w8._HOUR_US * 0  # placeholder
+    # epoch micros -> hour index (timestamps are post-1970 in testdata)
+    us = ev.ts.values.astype("datetime64[us]").astype("int64")
+    h = us // w8._HOUR_US
+    lo, hi2 = h.min(), h.max()
+    c = np.zeros(hi2 - lo + 1, dtype=np.int64)
+    for v in h:
+        c[v - lo] += 1
+    mu = c.mean()
+    den = ((c - mu) ** 2).sum()
+    for k in w8._ACF_LAGS:
+        n_pairs, acf = got[k]
+        assert n_pairs == len(c) - k
+        ref = ((c[:-k] - mu) * (c[k:] - mu)).sum() / den
+        assert acf == pytest.approx(ref, abs=1e-4)
+
+
+# ---------------------------------------------------------------------------
+# dedup_edit_pairs: pure-Python Levenshtein recount of every output pair
+# ---------------------------------------------------------------------------
+
+
+def _lev(a: str, b: str) -> int:
+    if len(a) < len(b):
+        a, b = b, a
+    prev = list(range(len(b) + 1))
+    for i, ca in enumerate(a, 1):
+        cur = [i]
+        for j, cb in enumerate(b, 1):
+            cur.append(
+                min(prev[j] + 1, cur[j - 1] + 1, prev[j - 1] + (ca != cb))
+            )
+        prev = cur
+    return prev[-1]
+
+
+def test_edit_pairs_recount(spark, sf_dir, documents):
+    import re
+
+    rows = w8.q_dedup_edit_pairs(spark, sf_dir).collect()
+    norm = {
+        r.doc_id: re.sub(r"[^a-zA-Z0-9 ]", "", r.text).lower()
+        for r in documents.collect()
+    }
+    for r in rows:
+        d = _lev(norm[r.id_a], norm[r.id_b])
+        assert r.dist == d
+        assert r.len_a == len(norm[r.id_a]) and r.len_b == len(norm[r.id_b])
+        assert r.sim_ppm == 1_000_000 - (1_000_000 * d) // max(
+            r.len_a, r.len_b, 1
+        )
+        assert r.is_dup == (1 if d <= w8._EDIT_DUP_DIST else 0)
+        # the blocking precondition: shared normalized prefix
+        assert (
+            norm[r.id_a][: w8._EDIT_PREFIX] == norm[r.id_b][: w8._EDIT_PREFIX]
+        )
+
+
+# ---------------------------------------------------------------------------
+# events_policy_ips: python recount + stream==batch mergeable-state proof
+# ---------------------------------------------------------------------------
+
+
+def test_policy_ips_recount(spark, sf_dir):
+    import pandas as pd
+
+    row = w8.q_events_policy_ips(spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    us = ev.ts.values.astype("datetime64[us]").astype("int64")
+    cents = (ev.value * 100).round().astype("int64")
+    mid = (us.min() + us.max()) // 2
+    tr = us <= mid
+    arms = sorted(ev.event_type.unique())
+    stats = {
+        a: (
+            int(cents[tr & (ev.event_type == a).values].sum()),
+            int((tr & (ev.event_type == a).values).sum()),
+            int(cents[~tr & (ev.event_type == a).values].sum()),
+            int((~tr & (ev.event_type == a).values).sum()),
+        )
+        for a in arms
+    }
+    star = min(arms, key=lambda a: (-(1_000_000 * stats[a][0] // stats[a][1]), a))
+    s_tr, n_tr, s_ev, n_ev = stats[star]
+    n_train = sum(v[1] for v in stats.values())
+    n_eval = sum(v[3] for v in stats.values())
+    s_eval = sum(v[2] for v in stats.values())
+    qhat = s_tr / n_tr
+    corr = n_train / (n_tr * n_eval)
+    assert row.arm_star == star
+    assert row.p_star_ppm == (1_000_000 * n_tr) // n_train
+    assert row.v_logged == pytest.approx(s_eval / n_eval / 100, abs=1e-4)
+    assert row.v_dm == pytest.approx(qhat / 100, abs=1e-4)
+    assert row.v_ips == pytest.approx(s_ev * corr / 100, abs=1e-4)
+    assert row.v_dr == pytest.approx(
+        (qhat + (s_ev - n_ev * qhat) * corr) / 100, abs=1e-4
+    )
+
+
+def test_stream_policy_ips_matches_batch(spark):
+    """Two micro-batches through the foreachBatch partial-state stream,
+    merged, == the batch helpers on the full replay (the mergeable-
+    state proof across real micro-batch boundaries)."""
+    import datetime as dt
+    import time as _t
+
+    from c99_vectordb_spark.streaming.ingest import stream_policy_ips
+
+    def ev(i, minute, typ, val):
+        return (i, dt.datetime(2024, 1, 1, minute // 60, minute % 60), 1, typ, val)
+
+    b1 = [ev(1, 10, "a", 1.5), ev(2, 70, "b", 2.0), ev(3, 15, "a", 0.5),
+          ev(4, 200, "b", 9.0)]
+    b2 = [ev(5, 20, "b", 3.25), ev(6, 130, "a", 7.0), ev(7, 75, "a", 0.125),
+          ev(8, 190, "b", 4.0)]
+    schema = (
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE"
+    )
+    # fixed midpoint config: 100 minutes into 2024-01-01, in epoch micros
+    mid_us = int(dt.datetime(2024, 1, 1, 1, 40).timestamp() * 1_000_000)
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for name, batch, age in (("b1.parquet", b1, 60), ("b2.parquet", b2, 0)):
+            spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+                os.path.join(src, name)
+            )
+            ts = _t.time() - age
+            for root, _dirs, files in os.walk(os.path.join(src, name)):
+                for f in files:
+                    os.utime(os.path.join(root, f), (ts, ts))
+        states = []
+
+        def sink(df, batch_id):
+            states.append(df.localCheckpoint(eager=True))
+
+        q = stream_policy_ips(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src),
+            mid_us,
+            sink,
+            os.path.join(tmp, "ckpt"),
+        ).start()
+        q.awaitTermination(120)
+        assert len(states) == 2, "expected two micro-batches"
+        got = w8.policy_estimates(w8.merge_policy_states(*states)).collect()[0]
+
+        from c99_vectordb_spark.functions.text import normalize_event_time
+        from pyspark.sql import functions as F  # noqa: F401
+
+        allev = normalize_event_time(
+            spark.createDataFrame(b1 + b2, schema)
+        ).selectExpr(
+            "event_type AS arm",
+            "cast(round(value * 100) AS bigint) AS cents",
+            f"CASE WHEN ts_us <= {mid_us}L THEN 1L ELSE 0L END AS is_train",
+        )
+        want = w8.policy_estimates(w8.policy_arm_partials(allev)).collect()[0]
+        assert got.asDict() == want.asDict()
+
+
+# ---------------------------------------------------------------------------
+# sim_lof_outliers: full pure-Python replay at sf0.001
+# ---------------------------------------------------------------------------
+
+
+def test_lof_replay_pure_python(spark, sf_dir, embeddings):
+    """Recompute the ENTIRE LOF pipeline (buckets, multiprobe
+    candidates, int8-code distances, kNN, k-dist, reachability, lrd
+    fold, final ratio) in pure Python on the sf0.001 embeddings and
+    compare the top rows exactly."""
+    import collections
+
+    from c99_vectordb_spark.operators.similarity import hyperplane
+    from c99_vectordb_spark.queries_ext import LSH_DIM, LSH_PLANES
+
+    K = w8._LOF_K
+    vecs = {r.vec_id: list(r.embedding) for r in embeddings.collect()}
+    planes = [hyperplane(p, LSH_DIM) for p in range(LSH_PLANES)]
+
+    def bucket(v):
+        b = 0
+        for p, pl in enumerate(planes):
+            if sum(x * y for x, y in zip(v, pl)) >= 0:
+                b |= 1 << p
+        return b
+
+    codes = {
+        i: [math.floor((x + 1.0) * 127.5 + 0.5) for x in v]
+        for i, v in vecs.items()
+    }
+    buck = {i: bucket(v) for i, v in vecs.items()}
+    by_bucket = collections.defaultdict(list)
+    for i, b in buck.items():
+        by_bucket[b].append(i)
+
+    def knn(qid):
+        probes = {buck[qid]} | {buck[qid] ^ (1 << p) for p in range(LSH_PLANES)}
+        cand = []
+        for b in probes:
+            for i in by_bucket.get(b, []):
+                if i != qid:
+                    d = sum(
+                        (a - c) ** 2 for a, c in zip(codes[i], codes[qid])
+                    )
+                    cand.append((d, i))
+        cand.sort()
+        return cand[:K]
+
+    nn = {q: knn(q) for q in vecs}
+    kd = {q: nbrs[-1][0] for q, nbrs in nn.items() if len(nbrs) == K}
+    s = {}
+    for q, nbrs in nn.items():
+        if len(nbrs) < K or any(i not in kd for _, i in nbrs):
+            continue
+        s[q] = max(sum(max(d, kd[i]) for d, i in nbrs), 1)
+    lof = {}
+    for q in s:
+        nbr_ids = sorted(i for _, i in nn[q])
+        if any(i not in s for i in nbr_ids):
+            continue
+        inv = 0.0
+        for i in nbr_ids:
+            inv += 1.0 / s[i]
+        lof[q] = round((s[q] / float(K)) * inv, 4)
+    want = sorted(lof.items(), key=lambda kv: (-kv[1], kv[0]))[: w8._LOF_TOP]
+    got = [
+        (r.id, r.lof) for r in w8.q_sim_lof_outliers(spark, sf_dir).collect()
+    ]
+    assert got == want
+
+
+# ---------------------------------------------------------------------------
+# corpus_textrank: graph laws + rank-mass conservation flavor
+# ---------------------------------------------------------------------------
+
+
+def test_textrank_laws(spark, sf_dir):
+    rows = w8.q_corpus_textrank(spark, sf_dir).collect()
+    assert 0 < len(rows) <= w8._TEXTRANK_TOP
+    assert all(len(r.word) >= w8._TEXTRANK_MIN_LEN for r in rows)
+    assert all(r.pr_fp > 0 for r in rows)
+    # descending by rank, ties by word
+    key = [(-r.pr_fp, r.word) for r in rows]
+    assert key == sorted(key)
