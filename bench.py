@@ -205,6 +205,16 @@ HEADLINE = [
     "customer_cohort_ltv",
     "orders_kruskal_wallis",
     "multimodal_gif_roundtrip",
+    # session-8 wave
+    "anonymize_kanon_report",
+    "stats_spearman",
+    "text_char_entropy",
+    "events_acf",
+    "dedup_edit_pairs",
+    "events_policy_ips",
+    "sim_lof_outliers",
+    "corpus_textrank",
+    "zorder_hilbert",
 ]
 
 

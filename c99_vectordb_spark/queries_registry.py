@@ -1776,6 +1776,19 @@ _ORACLES: dict[str, str] = {
 # window (graph_bfs_layers, graph_kcore_peel, sim_binary_quant,
 # orders_theilsen_trend, orders_mann_whitney).
 #
+# Session-8 swap: four of the ten NEW session-8 operators
+# (sim_lof_outliers, events_policy_ips, dedup_edit_pairs,
+# corpus_textrank) rotate in so they land driver-green in the round
+# they were built, displacing four session-4 newcomers
+# (anonymize_orders, corpus_kn_counts, corpus_dsir_weights,
+# corpus_vocab_sweep — the longest-locally-validated of the in-round
+# newcomers; none sits in a family-minimum set, so every family floor
+# holds). The displaced four stay fully oracle-covered and head the
+# r7 pool together with the six session-8 newcomers outside the
+# window (anonymize_kanon_report, stats_spearman, text_char_entropy,
+# events_acf, zorder_hilbert, sim_lof_outliers's streaming-adjacent
+# policy twin is covered by events_policy_ips itself).
+#
 # Round-7 rotation TODO: the remaining window-eligible never-checked
 # pool (multimodal_features and sim_pq are rows-only and cannot occupy
 # hash slots): the session-7 newcomers outside the window
@@ -1849,13 +1862,17 @@ DRIVER_WINDOW = [
     "dedup_incremental",
     "dedup_semantic",
     "dedup_winnowing",
+    # session-8 wave: edit-distance verification tier
+    "dedup_edit_pairs",
     # similarity family (pool reps + the two first-time headliners +
     # the round-6 ANN recall@k report, new this round)
     "sim_lsh_bucketed",
     "sim_ivfpq_fixed",
     "sim_recall_report",
     "sim_hybrid_rrf",
-    "anonymize_orders",
+    # session-8 wave: LOF outlier scoring + off-policy evaluation
+    "sim_lof_outliers",
+    "events_policy_ips",
     # sketch algebra (first-time: the session-7 KMV set-ops headliner)
     "sketch_set_ops",
     # multimodal — two never-driver-checked members rotate in
@@ -1872,9 +1889,8 @@ DRIVER_WINDOW = [
     "corpus_bpe_merges",
     "corpus_vocab",
     "corpus_sample",
-    "corpus_kn_counts",
-    "corpus_dsir_weights",
-    "corpus_vocab_sweep",
+    # session-8 wave: TextRank keywords over the co-occurrence graph
+    "corpus_textrank",
     # exact-analytics / profiling first-timers
     # session-5 wave: HLL distinct, Bloom runtime semi-join, q-gram
     # fuzzy join — driver-checked in the round they were built
