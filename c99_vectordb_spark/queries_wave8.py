@@ -125,45 +125,69 @@ def q_stats_spearman(spark: SparkSession, sf_dir: str) -> DataFrame:
     Pearson r it robustifies, for quantity vs extended price.
 
     Exactness: both variables integerize to cents; ranks are EXACT
-    with proper tie handling and never float — one partitioned
-    row_number per variable (partition by flag, plan-guard-legal),
-    each tied value's DOUBLED average rank is min(rn) + max(rn) (row
-    numbers within a tie run are consecutive — the Mann-Whitney
-    construction). All five moment sums (Sx, Sy, Sxy, Sxx, Syy) are
-    exact integers (DECIMAL(38,0) in Spark, HUGEINT internally in
-    DuckDB); the correlations are closed-form expressions over those
-    exact sums, evaluated in doubles with identical parenthesization
-    on both engines and rounded to 4.
+    with proper tie handling and never float — each tied value's
+    DOUBLED average rank is min(rn) + max(rn) (row numbers within a
+    tie run are consecutive — the Mann-Whitney construction). All five
+    moment sums (Sx, Sy, Sxy, Sxx, Syy) are exact integers
+    (DECIMAL(38,0) in Spark, HUGEINT internally in DuckDB); the
+    correlations are closed-form expressions over those exact sums,
+    evaluated in doubles with identical parenthesization on both
+    engines and rounded to 4.
 
-    Scale shape: two partitioned rank windows + three flag-keyed
-    aggregations; the join back to rows is on (flag, value) against
-    value-sized rank tables. No global window, nothing collects."""
-    from pyspark.sql import Window
+    Scale shape: a partition-by-flag rank window would cap parallelism
+    at the flag cardinality (3!), so ranks come from the range-stitch
+    global_rank over the total (flag, value, keys) order — flag groups
+    are contiguous there, so the within-flag doubled rank is the
+    global one minus twice the flag's row offset (a 3-row broadcast
+    join). Three flag-keyed aggregations; the join back to rows is on
+    (flag, value) against value-sized rank tables. No global window,
+    nothing collects but the stitch prefixes."""
+    from .operators.scalable_window import global_rank
 
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
-        "l_returnflag AS flag",
-        "cast(round(l_quantity * 100) AS bigint) AS xv",
-        "cast(round(l_extendedprice * 100) AS bigint) AS yv",
-        "l_orderkey",
-        "l_linenumber",
+    # the cents projection feeds five consumers (flag census, two rank
+    # sorts, the final double join) — persist it once
+    li = (
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+        .selectExpr(
+            "l_returnflag AS flag",
+            "cast(round(l_quantity * 100) AS bigint) AS xv",
+            "cast(round(l_extendedprice * 100) AS bigint) AS yv",
+            "l_orderkey",
+            "l_linenumber",
+        )
+        .persist()
     )
-    rnx = F.row_number().over(
-        Window.partitionBy("flag").orderBy("xv", "l_orderkey", "l_linenumber")
+    # rows before each flag group in (flag, ...) order: tiny n_flags^2
+    # self-join, broadcast everywhere it's consumed
+    fc = li.groupBy("flag").agg(F.count(F.lit(1)).cast("long").alias("fn"))
+    off = (
+        fc.alias("a")
+        .join(fc.alias("b"), F.col("b.flag") < F.col("a.flag"), "left")
+        .groupBy(F.col("a.flag").alias("flag"))
+        .agg(F.coalesce(F.sum("b.fn"), F.lit(0)).cast("long").alias("off"))
     )
-    rny = F.row_number().over(
-        Window.partitionBy("flag").orderBy("yv", "l_orderkey", "l_linenumber")
+
+    def doubled_ranks(val: str, out: str) -> DataFrame:
+        ranked = global_rank(
+            li.select("flag", val, "l_orderkey", "l_linenumber"),
+            [
+                F.asc("flag"),
+                F.asc(val),
+                F.asc("l_orderkey"),
+                F.asc("l_linenumber"),
+            ],
+            "rn",
+        )
+        g2 = ranked.groupBy("flag", val).agg(
+            (F.min("rn") + F.max("rn")).cast("long").alias("g2")
+        )
+        return g2.join(F.broadcast(off), "flag").selectExpr(
+            "flag", val, f"g2 - 2L * off AS {out}"
+        )
+
+    ranked = li.join(doubled_ranks("xv", "r2x"), ["flag", "xv"]).join(
+        doubled_ranks("yv", "r2y"), ["flag", "yv"]
     )
-    r2x = (
-        li.withColumn("rn", rnx)
-        .groupBy("flag", "xv")
-        .agg((F.min("rn") + F.max("rn")).cast("long").alias("r2x"))
-    )
-    r2y = (
-        li.withColumn("rn", rny)
-        .groupBy("flag", "yv")
-        .agg((F.min("rn") + F.max("rn")).cast("long").alias("r2y"))
-    )
-    ranked = li.join(r2x, ["flag", "xv"]).join(r2y, ["flag", "yv"])
 
     def moments(xc: str, yc: str, pfx: str) -> list:
         dx = F.col(xc).cast("decimal(12,0)")
@@ -279,11 +303,13 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     with characters; output is corpus-sized, map-side combined. No
     UDFs, no collect."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    # split('') yields the character array in ONE pass — the
+    # substring(text, i, 1) form re-scans from the string head per
+    # character (O(len^2) per doc, measured 2x slower at sf0.1)
     chars = docs.selectExpr(
         "doc_id",
         "char_length(text) AS n",
-        "explode(transform(sequence(1, char_length(text)),"
-        " i -> substring(text, i, 1))) AS ch",
+        "explode(split(text, '')) AS ch",
     )
     from .operators.corpus import _plog2_cols
 
@@ -485,11 +511,20 @@ def q_dedup_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a viral boilerplate prefix would otherwise produce a quadratic
     block). The O(len^2) Levenshtein DP runs once per SURVIVING
     candidate pair, JVM-side."""
-    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").selectExpr(
-        "doc_id",
-        "lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '')) AS norm",
-    ).selectExpr(
-        "doc_id", "norm", f"substring(norm, 1, {_EDIT_PREFIX}) AS bkey"
+    # the normalized projection feeds THREE consumers (block census +
+    # both self-join sides) — persist it or the regexp pass (the
+    # dominant cost: a full char-class rewrite of every doc) runs 3x
+    # (measured 4.5s -> ~1.7s at sf0.1)
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .selectExpr(
+            "doc_id",
+            "lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '')) AS norm",
+        )
+        .selectExpr(
+            "doc_id", "norm", f"substring(norm, 1, {_EDIT_PREFIX}) AS bkey"
+        )
+        .persist()
     )
     kept_keys = (
         docs.groupBy("bkey")
