@@ -215,6 +215,9 @@ HEADLINE = [
     "sim_lof_outliers",
     "corpus_textrank",
     "zorder_hilbert",
+    "stats_chi2_independence",
+    "orders_anova_f",
+    "sketch_f2_moment",
 ]
 
 

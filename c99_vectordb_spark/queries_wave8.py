@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from . import hashing
 from .functions.text import floor_div_sql
+from .queries_wave7 import _spark_md5_56
 
 # ---------------------------------------------------------------------------
 # anonymize_kanon_report — k-anonymity / l-diversity privacy audit
@@ -1199,6 +1200,314 @@ LIMIT 500
 """
 
 
+# ---------------------------------------------------------------------------
+# stats_chi2_independence — contingency-table chi-square test
+# ---------------------------------------------------------------------------
+
+#: chi-square 95% critical value at dof=(5-1)(3-1)=8, in ppm
+_CHI2_CRIT_PPM_DOF8 = 15_507_313
+
+
+def q_stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson chi-square test of independence between order priority
+    and order status — the contingency-table complement of the
+    goodness-of-fit test events_srm_check runs: are two categorical
+    columns associated, the first question any feature-selection or
+    leakage audit asks. chi2 = sum over cells of (N*O - R*C)^2 /
+    (N*R*C), kept EXACT-integer: the per-cell term floors once
+    ((N*O - R*C)^2 div (R*C), documented), the ppm total floors once
+    by N — no float fold over cells exists, so cell order cannot
+    matter. On this synthetic data the null HOLDS (chi2 ~ 3.9M ppm vs
+    the 15.5M critical value at dof 8) — the negative verdict is the
+    texture, exactly like the Mann-Whitney panel.
+
+    Scale shape: one cell rollup (bounded by the category-domain
+    product, not row count), two margin rollups of the CELL table, a
+    broadcast margins join, and a 1-row total. The fact table is
+    scanned once."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    cells = (
+        orders.groupBy(
+            F.col("o_orderpriority").alias("pri"),
+            F.col("o_orderstatus").alias("st"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("o"))
+    )
+    rm = cells.groupBy("pri").agg(F.sum("o").cast("long").alias("r"))
+    cm = cells.groupBy("st").agg(F.sum("o").cast("long").alias("c"))
+    glob = cells.agg(
+        F.sum("o").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_cells"),
+        F.countDistinct("pri").cast("long").alias("n_r"),
+        F.countDistinct("st").cast("long").alias("n_c"),
+    )
+    terms = (
+        cells.join(F.broadcast(rm), "pri")
+        .join(F.broadcast(cm), "st")
+        .crossJoin(F.broadcast(glob))
+        .selectExpr(
+            "n",
+            "n_r",
+            "n_c",
+            "((n * o - r * c) * (n * o - r * c)) div (r * c) AS t",
+        )
+    )
+    return terms.groupBy("n", "n_r", "n_c").agg(
+        F.expr("(1000000L * sum(t)) div max(n)").alias("chi2_ppm")
+    ).selectExpr(
+        "n",
+        "(n_r - 1L) * (n_c - 1L) AS dof",
+        "chi2_ppm",
+        f"cast({_CHI2_CRIT_PPM_DOF8} AS bigint) AS crit_ppm",
+        f"CASE WHEN chi2_ppm > {_CHI2_CRIT_PPM_DOF8} THEN 0L ELSE 1L END"
+        " AS independent",
+    )
+
+
+def _oracle_stats_chi2_independence() -> str:
+    return f"""
+WITH ci_cells AS (
+  SELECT o_orderpriority AS pri, o_orderstatus AS st,
+         COUNT(*)::BIGINT AS o
+  FROM orders GROUP BY 1, 2
+),
+ci_r AS (SELECT pri, SUM(o)::BIGINT AS r FROM ci_cells GROUP BY 1),
+ci_c AS (SELECT st, SUM(o)::BIGINT AS c FROM ci_cells GROUP BY 1),
+ci_g AS (
+  SELECT SUM(o)::BIGINT AS n,
+         COUNT(DISTINCT pri)::BIGINT AS n_r,
+         COUNT(DISTINCT st)::BIGINT AS n_c
+  FROM ci_cells
+),
+ci_t AS (
+  SELECT g.n, g.n_r, g.n_c,
+         SUM(((g.n * x.o - r.r * c.c) * (g.n * x.o - r.r * c.c))
+             // (r.r * c.c))::BIGINT AS st
+  FROM ci_cells x
+  JOIN ci_r r USING (pri)
+  JOIN ci_c c USING (st)
+  CROSS JOIN ci_g g
+  GROUP BY 1, 2, 3
+)
+SELECT n, (n_r - 1) * (n_c - 1) AS dof,
+       ((1000000 * st) // n)::BIGINT AS chi2_ppm,
+       {_CHI2_CRIT_PPM_DOF8}::BIGINT AS crit_ppm,
+       (CASE WHEN (1000000 * st) // n > {_CHI2_CRIT_PPM_DOF8}
+             THEN 0 ELSE 1 END)::BIGINT AS independent
+FROM ci_t
+"""
+
+
+# ---------------------------------------------------------------------------
+# orders_anova_f — one-way ANOVA F test on exact integer moments
+# ---------------------------------------------------------------------------
+
+#: F(4, inf) 95% critical value — n - k is ~15k here, the asymptote holds
+_ANOVA_F_CRIT = 2.372
+
+
+def q_orders_anova_f(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA F test of order price by priority — the
+    parametric sibling of orders_kruskal_wallis (that one tests
+    location via ranks; this one tests means via variance
+    decomposition, and together they bracket the distributional
+    question). SSB and SSW come from the textbook identities over
+    exact integer sums (S_g, Q_g = sum of squared cents, n_g): SSW =
+    Q - sum S_g^2/n_g, SSB = sum S_g^2/n_g - S^2/n. Squared sums pass
+    2^63, so the sums stay exact integers (DECIMAL/HUGEINT inside the
+    engines) and enter doubles only in the final closed-form F and
+    eta^2 — identical parenthesization both engines, rounded to 4.
+    The null HOLDS on uniform synthetic prices (F ~ 1.47 vs 2.37
+    critical) — the negative verdict is the texture.
+
+    Scale shape: ONE partial-aggregated pass to k group rows, then
+    arithmetic on the k-row table. Nothing else touches the fact
+    table."""
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    g = orders.selectExpr(
+        "o_orderpriority AS grp",
+        "cast(round(o_totalprice * 100) AS bigint) AS cents",
+    ).groupBy("grp").agg(
+        F.count(F.lit(1)).cast("long").alias("n_g"),
+        F.sum("cents").cast("decimal(38,0)").alias("s_g"),
+        F.sum(
+            F.col("cents").cast("decimal(19,0)")
+            * F.col("cents").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("q_g"),
+    )
+    glob = g.agg(
+        F.count(F.lit(1)).cast("long").alias("k"),
+        F.sum("n_g").cast("long").alias("n"),
+        F.sum("s_g").cast("decimal(38,0)").alias("s"),
+        F.sum("q_g").cast("decimal(38,0)").alias("q"),
+    )
+    # the sum of S_g^2/n_g is a float fold — pin its order (by group
+    # name) with an ordered-array aggregate, never an unordered SUM
+    pinned = g.agg(
+        F.sort_array(F.collect_list(F.struct("grp", "s_g", "n_g"))).alias("arr")
+    ).selectExpr(
+        "aggregate(arr, cast(0.0 AS double), (acc, x) ->"
+        " acc + cast(x.s_g AS double) * cast(x.s_g AS double)"
+        " / cast(x.n_g AS double)) AS sg2n"
+    )
+    return glob.crossJoin(F.broadcast(pinned)).selectExpr(
+        "k",
+        "n",
+        "round(((sg2n - cast(s AS double) * cast(s AS double)"
+        " / cast(n AS double)) / (cast(k AS double) - 1.0D))"
+        " / ((cast(q AS double) - sg2n) / (cast(n AS double)"
+        " - cast(k AS double))), 4) AS f_stat",
+        "round((sg2n - cast(s AS double) * cast(s AS double)"
+        " / cast(n AS double)) / (cast(q AS double)"
+        " - cast(s AS double) * cast(s AS double) / cast(n AS double)), 4)"
+        " AS eta_sq",
+    ).selectExpr(
+        "k",
+        "n",
+        "f_stat",
+        "eta_sq",
+        f"CASE WHEN f_stat > {_ANOVA_F_CRIT}D THEN 1L ELSE 0L END"
+        " AS significant",
+    )
+
+
+def _oracle_orders_anova_f() -> str:
+    return f"""
+WITH af_g AS (
+  SELECT o_orderpriority AS grp, COUNT(*)::BIGINT AS n_g,
+         SUM(ROUND(o_totalprice * 100)::BIGINT) AS s_g,
+         SUM(ROUND(o_totalprice * 100)::BIGINT
+             * ROUND(o_totalprice * 100)::BIGINT) AS q_g
+  FROM orders GROUP BY 1
+),
+af_glob AS (
+  SELECT COUNT(*)::BIGINT AS k, SUM(n_g)::BIGINT AS n,
+         SUM(s_g) AS s, SUM(q_g) AS q,
+         list_reduce(['0.0'::DOUBLE]
+             || list_transform(list(struct_pack(s_g := s_g, n_g := n_g)
+                                    ORDER BY grp),
+                    x -> x.s_g::DOUBLE * x.s_g::DOUBLE / x.n_g::DOUBLE),
+             (acc, v) -> acc + v) AS sg2n
+  FROM af_g
+)
+SELECT k, n,
+       ROUND(((sg2n - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+              / (k::DOUBLE - 1.0))
+             / ((q::DOUBLE - sg2n) / (n::DOUBLE - k::DOUBLE)), 4)
+         AS f_stat,
+       ROUND((sg2n - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+             / (q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE), 4)
+         AS eta_sq,
+       (CASE WHEN ROUND(((sg2n - s::DOUBLE * s::DOUBLE / n::DOUBLE)
+              / (k::DOUBLE - 1.0))
+             / ((q::DOUBLE - sg2n) / (n::DOUBLE - k::DOUBLE)), 4)
+             > {_ANOVA_F_CRIT} THEN 1 ELSE 0 END)::BIGINT AS significant
+FROM af_glob
+"""
+
+
+# ---------------------------------------------------------------------------
+# sketch_f2_moment — AMS second-frequency-moment sketch
+# ---------------------------------------------------------------------------
+
+_AMS_GROUPS = 4
+_AMS_PER_GROUP = 4
+
+
+def q_sketch_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AMS F2 sketch (Alon, Matias & Szegedy 1996 — the Godel-prize
+    construction): estimate the second frequency moment sum(f_v^2) of
+    the user-id stream with 16 +/-1 counters instead of a per-user
+    table. Each estimator i keeps s_i = sum over events of sign_i(
+    user) where sign_i is bit i of the md5-56 hash (positional bit
+    consumption -> md5, per the repo's hash-choice rule); E[s_i^2] =
+    F2. Median of 4 group means (means floor by 4, lower median —
+    both documented) gives the estimate; the exact F2 runs alongside
+    and err_ppm prices the sketch, the KMV/HLL report convention.
+
+    Everything is integer: counters, squares, means, median, error.
+
+    Scale shape: the sketch is ONE aggregation pass emitting 16 longs
+    total (vs the per-user shuffle of the exact path, also shown) —
+    and the counters are trivially mergeable (sums), so this is the
+    distributed/streaming form; 16 sums in one projection, no explode."""
+    sign_sums = []
+    for i in range(_AMS_GROUPS * _AMS_PER_GROUP):
+        bit = f"(({_spark_md5_56('cast(user_id AS string)')} >> {i}) & 1)"
+        sign_sums.append(
+            F.expr(f"sum(CASE WHEN {bit} = 1 THEN 1L ELSE -1L END)").alias(
+                f"s{i}"
+            )
+        )
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    sk = ev.agg(*sign_sums, F.count(F.lit(1)).cast("long").alias("n_events"))
+    means = []
+    for gidx in range(_AMS_GROUPS):
+        terms = " + ".join(
+            f"s{gidx * _AMS_PER_GROUP + j} * s{gidx * _AMS_PER_GROUP + j}"
+            for j in range(_AMS_PER_GROUP)
+        )
+        means.append(f"(({terms}) div {_AMS_PER_GROUP})")
+    est = sk.selectExpr(
+        "n_events",
+        f"element_at(array_sort(array({', '.join(means)})),"
+        f" {(_AMS_GROUPS + 1) // 2}) AS f2_ams",
+    )
+    exact = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .agg(
+            F.sum(F.col("c") * F.col("c")).cast("long").alias("f2_exact"),
+            F.count(F.lit(1)).cast("long").alias("n_users"),
+        )
+    )
+    return est.crossJoin(F.broadcast(exact)).selectExpr(
+        "n_events",
+        "n_users",
+        "f2_exact",
+        "f2_ams",
+        "(1000000L * abs(f2_ams - f2_exact)) div f2_exact AS err_ppm",
+    )
+
+
+def _oracle_sketch_f2_moment() -> str:
+    h = hashing.duckdb_md5_hash56_sql("user_id::VARCHAR")
+    sums = ",\n         ".join(
+        f"SUM(CASE WHEN ((h >> {i}) & 1) = 1 THEN 1 ELSE -1 END)::BIGINT"
+        f" AS s{i}"
+        for i in range(_AMS_GROUPS * _AMS_PER_GROUP)
+    )
+    means = ", ".join(
+        "(("
+        + " + ".join(
+            f"s{g * _AMS_PER_GROUP + j} * s{g * _AMS_PER_GROUP + j}"
+            for j in range(_AMS_PER_GROUP)
+        )
+        + f") // {_AMS_PER_GROUP})"
+        for g in range(_AMS_GROUPS)
+    )
+    return f"""
+WITH f2_h AS (SELECT {h} AS h FROM events),
+f2_sk AS (
+  SELECT {sums},
+         COUNT(*)::BIGINT AS n_events
+  FROM f2_h
+),
+f2_est AS (
+  SELECT n_events,
+         (list_sort([{means}]))[{(_AMS_GROUPS + 1) // 2}]::BIGINT AS f2_ams
+  FROM f2_sk
+),
+f2_ex AS (
+  SELECT SUM(c * c)::BIGINT AS f2_exact, COUNT(*)::BIGINT AS n_users
+  FROM (SELECT user_id, COUNT(*)::BIGINT AS c FROM events GROUP BY 1)
+)
+SELECT n_events, n_users, f2_exact, f2_ams,
+       ((1000000 * abs(f2_ams - f2_exact)) // f2_exact)::BIGINT AS err_ppm
+FROM f2_est CROSS JOIN f2_ex
+"""
+
+
 WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anonymize_kanon_report": q_anonymize_kanon_report,
     "stats_spearman": q_stats_spearman,
@@ -1209,6 +1518,9 @@ WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_lof_outliers": q_sim_lof_outliers,
     "corpus_textrank": q_corpus_textrank,
     "zorder_hilbert": q_zorder_hilbert,
+    "stats_chi2_independence": q_stats_chi2_independence,
+    "orders_anova_f": q_orders_anova_f,
+    "sketch_f2_moment": q_sketch_f2_moment,
 }
 
 WAVE8_ORACLES: dict[str, str] = {
@@ -1221,4 +1533,7 @@ WAVE8_ORACLES: dict[str, str] = {
     "sim_lof_outliers": _oracle_sim_lof_outliers(),
     "corpus_textrank": _oracle_corpus_textrank(),
     "zorder_hilbert": _oracle_zorder_hilbert(),
+    "stats_chi2_independence": _oracle_stats_chi2_independence(),
+    "orders_anova_f": _oracle_orders_anova_f(),
+    "sketch_f2_moment": _oracle_sketch_f2_moment(),
 }

@@ -75,6 +75,9 @@ BNLJ_ALLOWED = {
     "sim_matryoshka_recall": "single broadcast 8-query x corpus scan carrying all four prefix-dim scores (design constant, like sim_topk_cosine)",
     "events_acf": "1-row scalar aggregate broadcast (global mean/variance sums for the ACF denominator)",
     "events_policy_ips": "1-row scalar aggregate broadcasts (time midpoint; star-arm row; global totals)",
+    "stats_chi2_independence": "1-row scalar aggregate broadcast (N + table shape) over the cell-domain-sized contingency table",
+    "orders_anova_f": "1-row broadcasts (global moments x the order-pinned S_g^2/n_g fold)",
+    "sketch_f2_moment": "1-row broadcasts (16-counter sketch row x exact-F2 row)",
 }
 
 

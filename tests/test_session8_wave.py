@@ -188,8 +188,6 @@ def test_acf_recount(spark, sf_dir):
 
     got = {r.lag: (r.n_pairs, r.acf) for r in w8.q_events_acf(spark, sf_dir).collect()}
     ev = pd.read_parquet(f"{sf_dir}/events.parquet")
-    us = ev.ts.astype("int64") // 1000 if ev.ts.dtype.kind == "M" else ev.ts
-    hi = pd.Series(us).astype("int64") // 1000 // w8._HOUR_US * 0  # placeholder
     # epoch micros -> hour index (timestamps are post-1970 in testdata)
     us = ev.ts.values.astype("datetime64[us]").astype("int64")
     h = us // w8._HOUR_US
@@ -437,3 +435,87 @@ def test_textrank_laws(spark, sf_dir):
     # descending by rank, ties by word
     key = [(-r.pr_fp, r.word) for r in rows]
     assert key == sorted(key)
+
+
+# ---------------------------------------------------------------------------
+# stats_chi2_independence / orders_anova_f / sketch_f2_moment recounts
+# ---------------------------------------------------------------------------
+
+
+def test_chi2_independence_recount(spark, sf_dir):
+    import pandas as pd
+
+    row = w8.q_stats_chi2_independence(spark, sf_dir).collect()[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cells = o.groupby(["o_orderpriority", "o_orderstatus"]).size()
+    R = cells.groupby(level=0).sum()
+    C = cells.groupby(level=1).sum()
+    N = int(cells.sum())
+    t = sum(
+        (N * int(obs) - int(R[p]) * int(C[s])) ** 2 // (int(R[p]) * int(C[s]))
+        for (p, s), obs in cells.items()
+    )
+    assert row.n == N
+    assert row.dof == (len(R) - 1) * (len(C) - 1)
+    assert row.chi2_ppm == (1_000_000 * t) // N
+    assert row.independent == (
+        1 if row.chi2_ppm <= w8._CHI2_CRIT_PPM_DOF8 else 0
+    )
+
+
+def test_anova_f_recount(spark, sf_dir):
+    import pandas as pd
+
+    row = w8.q_orders_anova_f(spark, sf_dir).collect()[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (o.o_totalprice * 100).round().astype("int64")
+    g = cents.groupby(o.o_orderpriority)
+    k, n = g.ngroups, len(cents)
+    # order-pinned fold, same as both engines (group-name order)
+    sg2n = 0.0
+    for _, gg in sorted(g, key=lambda kv: kv[0]):
+        sg2n += float(int(gg.sum())) ** 2 / len(gg)
+    s, q = int(cents.sum()), sum(int(v) ** 2 for v in cents)
+    ssb = sg2n - float(s) ** 2 / n
+    ssw = float(q) - sg2n
+    assert (row.k, row.n) == (k, n)
+    assert row.f_stat == pytest.approx((ssb / (k - 1)) / (ssw / (n - k)), abs=1e-4)
+    assert row.eta_sq == pytest.approx(ssb / (ssb + ssw), abs=1e-4)
+
+
+def test_f2_sketch_recount(spark, sf_dir):
+    """Replay the AMS sketch from python hashlib md5 (the independent
+    hash path) and check the estimator algebra + the exact F2."""
+    import collections
+    import hashlib
+
+    import pandas as pd
+
+    row = w8.q_sketch_f2_moment(spark, sf_dir).collect()[0]
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+
+    def md5_56(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:14], 16)
+
+    nbits = w8._AMS_GROUPS * w8._AMS_PER_GROUP
+    sums = [0] * nbits
+    for uid in ev.user_id:
+        h = md5_56(str(int(uid)))
+        for i in range(nbits):
+            sums[i] += 1 if (h >> i) & 1 else -1
+    means = sorted(
+        sum(
+            sums[g * w8._AMS_PER_GROUP + j] ** 2
+            for j in range(w8._AMS_PER_GROUP)
+        )
+        // w8._AMS_PER_GROUP
+        for g in range(w8._AMS_GROUPS)
+    )
+    f2_ams = means[(w8._AMS_GROUPS + 1) // 2 - 1]
+    cnt = collections.Counter(int(u) for u in ev.user_id)
+    f2_exact = sum(c * c for c in cnt.values())
+    assert row.n_events == len(ev)
+    assert row.n_users == len(cnt)
+    assert row.f2_exact == f2_exact
+    assert row.f2_ams == f2_ams
+    assert row.err_ppm == (1_000_000 * abs(f2_ams - f2_exact)) // f2_exact
