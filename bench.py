@@ -218,6 +218,8 @@ HEADLINE = [
     "stats_chi2_independence",
     "orders_anova_f",
     "sketch_f2_moment",
+    "sim_eval_map",
+    "orders_ks_test",
 ]
 
 

@@ -1431,28 +1431,8 @@ def q_sketch_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
     total (vs the per-user shuffle of the exact path, also shown) —
     and the counters are trivially mergeable (sums), so this is the
     distributed/streaming form; 16 sums in one projection, no explode."""
-    sign_sums = []
-    for i in range(_AMS_GROUPS * _AMS_PER_GROUP):
-        bit = f"(({_spark_md5_56('cast(user_id AS string)')} >> {i}) & 1)"
-        sign_sums.append(
-            F.expr(f"sum(CASE WHEN {bit} = 1 THEN 1L ELSE -1L END)").alias(
-                f"s{i}"
-            )
-        )
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
-    sk = ev.agg(*sign_sums, F.count(F.lit(1)).cast("long").alias("n_events"))
-    means = []
-    for gidx in range(_AMS_GROUPS):
-        terms = " + ".join(
-            f"s{gidx * _AMS_PER_GROUP + j} * s{gidx * _AMS_PER_GROUP + j}"
-            for j in range(_AMS_PER_GROUP)
-        )
-        means.append(f"(({terms}) div {_AMS_PER_GROUP})")
-    est = sk.selectExpr(
-        "n_events",
-        f"element_at(array_sort(array({', '.join(means)})),"
-        f" {(_AMS_GROUPS + 1) // 2}) AS f2_ams",
-    )
+    est = f2_estimate(f2_sign_partials(ev))
     exact = (
         ev.groupBy("user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
@@ -1467,6 +1447,50 @@ def q_sketch_f2_moment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "f2_exact",
         "f2_ams",
         "(1000000L * abs(f2_ams - f2_exact)) div f2_exact AS err_ppm",
+    )
+
+
+def f2_sign_partials(ev: DataFrame, key_col: str = "user_id") -> DataFrame:
+    """The AMS sketch state: one row of 16 sign counters + n_events.
+    MERGEABLE (component-wise sums) — the streaming twin's contract
+    (streaming/ingest.stream_f2_sketch)."""
+    sign_sums = []
+    for i in range(_AMS_GROUPS * _AMS_PER_GROUP):
+        bit = f"(({_spark_md5_56(f'cast({key_col} AS string)')} >> {i}) & 1)"
+        sign_sums.append(
+            F.expr(f"sum(CASE WHEN {bit} = 1 THEN 1L ELSE -1L END)").alias(
+                f"s{i}"
+            )
+        )
+    return ev.agg(*sign_sums, F.count(F.lit(1)).cast("long").alias("n_events"))
+
+
+def merge_f2_states(*states: DataFrame) -> DataFrame:
+    """Merge AMS sketch states (associative + commutative sums)."""
+    from functools import reduce
+
+    merged = reduce(lambda a, b: a.unionByName(b), states)
+    cols = [
+        F.sum(f"s{i}").cast("long").alias(f"s{i}")
+        for i in range(_AMS_GROUPS * _AMS_PER_GROUP)
+    ]
+    return merged.agg(*cols, F.sum("n_events").cast("long").alias("n_events"))
+
+
+def f2_estimate(sk: DataFrame) -> DataFrame:
+    """Median-of-means F2 estimate — a pure function of the sketch
+    state (floored group means, lower median)."""
+    means = []
+    for gidx in range(_AMS_GROUPS):
+        terms = " + ".join(
+            f"s{gidx * _AMS_PER_GROUP + j} * s{gidx * _AMS_PER_GROUP + j}"
+            for j in range(_AMS_PER_GROUP)
+        )
+        means.append(f"(({terms}) div {_AMS_PER_GROUP})")
+    return sk.selectExpr(
+        "n_events",
+        f"element_at(array_sort(array({', '.join(means)})),"
+        f" {(_AMS_GROUPS + 1) // 2}) AS f2_ams",
     )
 
 
@@ -1508,6 +1532,287 @@ FROM f2_est CROSS JOIN f2_ex
 """
 
 
+# ---------------------------------------------------------------------------
+# sim_eval_map — multi-query MAP/MRR for the ANN tiers
+# ---------------------------------------------------------------------------
+
+
+def q_sim_eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean Average Precision over the 16-query evaluation set — the
+    multi-QUERY retrieval metric the single-query nDCG report
+    (sim_eval_ndcg) cannot see: AP@10 per query against the exact-
+    cosine top-10 ground truth, averaged over all queries, for the
+    plain and hamming-1-multiprobe LSH tiers. MAP is rank-sensitive
+    where recall@k (sim_recall_report, same query set) is not — a
+    tier that finds the right neighbors in the wrong order scores
+    lower here, so the two reports together separate coverage loss
+    from ordering loss.
+
+    Integer end to end: P@j floors to ppm, AP floors by k, MAP floors
+    by n_queries (each floor documented and mirrored); MRR is the mean
+    of floored 1e6/first-hit-rank. Queries with no retrieved hits
+    contribute zero through the full-query-list left join (dropping
+    them would inflate the mean — the classic eval bug).
+
+    Scale shape: ground truth broadcasts the bounded 16-query set
+    (the sim_recall_report plan); hits are (qid, id) equi-joins; all
+    per-rank work happens on n_q*k rows."""
+    from .operators.similarity import lsh_bucketed_neighbors, topk_neighbors
+    from .queries_ext import LSH_DIM, LSH_PLANES, RECALL_K, RECALL_N_Q
+
+    from pyspark.sql import Window
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        F.col("vec_id").alias("id"), F.col("embedding").alias("vec")
+    )
+    queries = emb.filter(F.col("id") < RECALL_N_Q).select(
+        F.col("id").alias("qid"), F.col("vec").alias("qvec")
+    )
+    truth = topk_neighbors(emb, queries, k=RECALL_K).select("qid", "id")
+    qlist = spark.range(RECALL_N_Q).select(F.col("id").cast("long").alias("qid"))
+
+    def tier_row(name: str, multiprobe: bool) -> DataFrame:
+        ann = lsh_bucketed_neighbors(
+            emb,
+            queries,
+            dim=LSH_DIM,
+            k=RECALL_K,
+            n_planes=LSH_PLANES,
+            multiprobe=multiprobe,
+        )
+        w = Window.partitionBy("qid").orderBy(F.desc("score"), F.asc("id"))
+        ranked = ann.withColumn("rank", F.row_number().over(w)).select(
+            "qid", "id", "rank"
+        )
+        hits = ranked.join(
+            truth.withColumn("hit", F.lit(1)), ["qid", "id"], "left"
+        ).selectExpr("qid", "rank", "coalesce(hit, 0) AS hit")
+        cumw = (
+            Window.partitionBy("qid")
+            .orderBy("rank")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        per_q = (
+            hits.withColumn("cum", F.sum("hit").over(cumw))
+            .groupBy("qid")
+            .agg(
+                F.expr(
+                    "sum(hit * ((1000000L * cum) div rank))"
+                    f" div {RECALL_K} AS ap_ppm"
+                ),
+                F.expr(
+                    "coalesce(1000000L div min(CASE WHEN hit = 1 THEN rank END),"
+                    " 0L) AS rr_ppm"
+                ),
+            )
+        )
+        full = qlist.join(per_q, "qid", "left").selectExpr(
+            "coalesce(ap_ppm, 0L) AS ap_ppm", "coalesce(rr_ppm, 0L) AS rr_ppm"
+        )
+        return full.agg(
+            F.lit(name).alias("tier"),
+            F.lit(RECALL_N_Q).cast("long").alias("n_queries"),
+            F.lit(RECALL_K).cast("long").alias("k"),
+            F.expr(f"sum(ap_ppm) div {RECALL_N_Q}").alias("map_ppm"),
+            F.expr(f"sum(rr_ppm) div {RECALL_N_Q}").alias("mrr_ppm"),
+        )
+
+    return (
+        tier_row("lsh", False)
+        .unionByName(tier_row("lsh_multiprobe", True))
+        .orderBy("tier")
+    )
+
+
+def _oracle_sim_eval_map() -> str:
+    from .operators.similarity import hyperplane
+    from .queries_ext import _DUCK_DOT, LSH_DIM, LSH_PLANES, RECALL_K, RECALL_N_Q
+
+    def plane_lit(p: int) -> str:
+        return (
+            "[" + ", ".join(f"{x!r}::DOUBLE" for x in hyperplane(p, LSH_DIM)) + "]"
+        )
+
+    bucket = " + ".join(
+        f"(CASE WHEN {_DUCK_DOT.format(a='embedding', b=plane_lit(p))} >= 0"
+        f" THEN 1::BIGINT ELSE 0 END << {p})"
+        for p in range(LSH_PLANES)
+    )
+    flips = ", ".join(f"xor(bucket, {1 << p}::BIGINT)" for p in range(LSH_PLANES))
+    cos = (
+        f"ROUND({_DUCK_DOT.format(a='e.embedding', b='q.qvec')}"
+        f" / (sqrt({_DUCK_DOT.format(a='e.embedding', b='e.embedding')})"
+        f" * sqrt({_DUCK_DOT.format(a='q.qvec', b='q.qvec')})), 4)"
+    )
+    ranked = (
+        "SELECT qid, id, rnk AS rank FROM ("
+        "SELECT q.qid, e.id,"
+        f" ROW_NUMBER() OVER (PARTITION BY q.qid ORDER BY {cos} DESC,"
+        " e.id ASC) AS rnk"
+        " FROM e {join}"
+        " WHERE e.id != q.qid"
+        f") WHERE rnk <= {RECALL_K}"
+    )
+    metric = f"""
+  SELECT '{{name}}' AS tier, {RECALL_N_Q}::BIGINT AS n_queries,
+         {RECALL_K}::BIGINT AS k,
+         (SUM(ap_ppm) // {RECALL_N_Q})::BIGINT AS map_ppm,
+         (SUM(rr_ppm) // {RECALL_N_Q})::BIGINT AS mrr_ppm
+  FROM (
+    SELECT ql.qid, COALESCE(p.ap_ppm, 0) AS ap_ppm,
+           COALESCE(p.rr_ppm, 0) AS rr_ppm
+    FROM (SELECT unnest(range(0, {RECALL_N_Q})) AS qid) ql
+    LEFT JOIN (
+      SELECT qid,
+             (SUM(hit * ((1000000 * cum) // rank)) // {RECALL_K})::BIGINT
+               AS ap_ppm,
+             COALESCE(1000000 // MIN(CASE WHEN hit = 1 THEN rank END), 0)
+               ::BIGINT AS rr_ppm
+      FROM (
+        SELECT r.qid, r.rank,
+               CASE WHEN t.id IS NULL THEN 0 ELSE 1 END AS hit,
+               SUM(CASE WHEN t.id IS NULL THEN 0 ELSE 1 END)
+                 OVER (PARTITION BY r.qid ORDER BY r.rank) AS cum
+        FROM {{rel}} r LEFT JOIN em_truth t ON r.qid = t.qid AND r.id = t.id
+      ) GROUP BY qid
+    ) p ON ql.qid = p.qid
+  )"""
+    return f"""
+WITH e AS (SELECT vec_id AS id, embedding, ({bucket}) AS bucket FROM embeddings),
+q AS (
+  SELECT vec_id AS qid, embedding AS qvec, bucket
+  FROM (SELECT vec_id, embedding, ({bucket}) AS bucket FROM embeddings)
+  WHERE vec_id < {RECALL_N_Q}
+),
+em_truth AS ({ranked.format(join="CROSS JOIN q")}),
+qmp AS (SELECT qid, qvec, unnest([bucket, {flips}]) AS bucket FROM q),
+em_lsh AS ({ranked.format(join="JOIN q ON e.bucket = q.bucket")}),
+em_lsh_mp AS ({ranked.format(join="JOIN qmp q ON e.bucket = q.bucket")}),
+em_rows AS (
+  {metric.format(name="lsh", rel="em_lsh")}
+  UNION ALL
+  {metric.format(name="lsh_multiprobe", rel="em_lsh_mp")}
+)
+SELECT * FROM em_rows ORDER BY tier
+"""
+
+
+# ---------------------------------------------------------------------------
+# orders_ks_test — two-sample Kolmogorov-Smirnov, exact integer D
+# ---------------------------------------------------------------------------
+
+_KS_A = "1-URGENT"
+_KS_B = "5-LOW"
+#: the 95% two-sample coefficient c(alpha) = sqrt(-ln(0.025)/2)
+_KS_COEF = 1.358
+
+
+def q_orders_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov test: do URGENT and LOW orders
+    draw prices from the same DISTRIBUTION — the whole-shape question
+    the location tests (Mann-Whitney) and moment tests (ANOVA) can't
+    answer. D = max |F_A - F_B| over the pooled support, kept EXACT:
+    the supremum is max |cumA * n_B - cumB * n_A| over the distinct-
+    cents table (integer cross-multiplication — no float CDFs), and
+    only the final statistic and its critical value
+    c(.95) * sqrt((n_A+n_B)/(n_A*n_B)) are rounded doubles. The null
+    HOLDS on uniform synthetic prices — the negative verdict is the
+    texture, like the rest of the testing panel.
+
+    Scale shape: one rollup to the distinct-value table, then two
+    composed range-stitch running sums over it (no single-task global
+    window — pre_range is idempotent so the second sum reuses the
+    first's range partitioning), a 1-row margins broadcast, and a
+    1-row max."""
+    from .operators.scalable_window import running_sum
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    vals = (
+        orders.filter(F.col("o_orderpriority").isin(_KS_A, _KS_B))
+        .selectExpr(
+            "cast(round(o_totalprice * 100) AS bigint) AS cents",
+            f"CASE WHEN o_orderpriority = '{_KS_A}' THEN 1L ELSE 0L END"
+            " AS is_a",
+        )
+        .groupBy("cents")
+        .agg(
+            F.sum("is_a").cast("long").alias("c_a"),
+            F.sum(1 - F.col("is_a")).cast("long").alias("c_b"),
+        )
+    )
+    r = running_sum(vals, [F.asc("cents")], F.col("c_a"), "cum_a")
+    r = running_sum(r, [F.asc("cents")], F.col("c_b"), "cum_b")
+    g = vals.agg(
+        F.sum("c_a").cast("long").alias("n_a"),
+        F.sum("c_b").cast("long").alias("n_b"),
+    )
+    return (
+        r.crossJoin(F.broadcast(g))
+        .selectExpr("n_a", "n_b", "abs(cum_a * n_b - cum_b * n_a) AS dn")
+        .groupBy("n_a", "n_b")
+        .agg(F.max("dn").cast("long").alias("d_num"))
+        .selectExpr(
+            "n_a",
+            "n_b",
+            "d_num",
+            "round(cast(d_num AS double)"
+            " / (cast(n_a AS double) * cast(n_b AS double)), 4) AS ks_stat",
+            f"round({_KS_COEF}D * sqrt((cast(n_a AS double)"
+            " + cast(n_b AS double)) / (cast(n_a AS double)"
+            " * cast(n_b AS double))), 4) AS crit",
+        )
+        .selectExpr(
+            "n_a",
+            "n_b",
+            "d_num",
+            "ks_stat",
+            "crit",
+            "CASE WHEN ks_stat > crit THEN 0L ELSE 1L END AS same_dist",
+        )
+    )
+
+
+def _oracle_orders_ks_test() -> str:
+    return f"""
+WITH ks_v AS (
+  SELECT ROUND(o_totalprice * 100)::BIGINT AS cents,
+         SUM(CASE WHEN o_orderpriority = '{_KS_A}' THEN 1 ELSE 0 END)
+           ::BIGINT AS c_a,
+         SUM(CASE WHEN o_orderpriority = '{_KS_B}' THEN 1 ELSE 0 END)
+           ::BIGINT AS c_b
+  FROM orders
+  WHERE o_orderpriority IN ('{_KS_A}', '{_KS_B}')
+  GROUP BY 1
+),
+ks_c AS (
+  SELECT cents,
+         SUM(c_a) OVER (ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_a,
+         SUM(c_b) OVER (ORDER BY cents
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_b
+  FROM ks_v
+),
+ks_g AS (
+  SELECT SUM(c_a)::BIGINT AS n_a, SUM(c_b)::BIGINT AS n_b FROM ks_v
+),
+ks_d AS (
+  SELECT n_a, n_b,
+         MAX(abs(cum_a * n_b - cum_b * n_a))::BIGINT AS d_num
+  FROM ks_c CROSS JOIN ks_g
+  GROUP BY 1, 2
+)
+SELECT n_a, n_b, d_num,
+       ROUND(d_num::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE), 4) AS ks_stat,
+       ROUND({_KS_COEF} * sqrt((n_a::DOUBLE + n_b::DOUBLE)
+             / (n_a::DOUBLE * n_b::DOUBLE)), 4) AS crit,
+       (CASE WHEN ROUND(d_num::DOUBLE / (n_a::DOUBLE * n_b::DOUBLE), 4)
+             > ROUND({_KS_COEF} * sqrt((n_a::DOUBLE + n_b::DOUBLE)
+                     / (n_a::DOUBLE * n_b::DOUBLE)), 4)
+             THEN 0 ELSE 1 END)::BIGINT AS same_dist
+FROM ks_d
+"""
+
+
 WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anonymize_kanon_report": q_anonymize_kanon_report,
     "stats_spearman": q_stats_spearman,
@@ -1521,6 +1826,8 @@ WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "stats_chi2_independence": q_stats_chi2_independence,
     "orders_anova_f": q_orders_anova_f,
     "sketch_f2_moment": q_sketch_f2_moment,
+    "sim_eval_map": q_sim_eval_map,
+    "orders_ks_test": q_orders_ks_test,
 }
 
 WAVE8_ORACLES: dict[str, str] = {
@@ -1536,4 +1843,6 @@ WAVE8_ORACLES: dict[str, str] = {
     "stats_chi2_independence": _oracle_stats_chi2_independence(),
     "orders_anova_f": _oracle_orders_anova_f(),
     "sketch_f2_moment": _oracle_sketch_f2_moment(),
+    "sim_eval_map": _oracle_sim_eval_map(),
+    "orders_ks_test": _oracle_orders_ks_test(),
 }

@@ -504,3 +504,31 @@ def stream_policy_ips(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_f2_sketch(
+    events_stream: DataFrame,
+    sink_fn,
+    checkpoint_dir: str,
+    key_col: str = "user_id",
+):
+    """Streaming twin of the AMS F2 sketch
+    (queries_wave8.q_sketch_f2_moment): each micro-batch contributes
+    its 16 sign-counter partials (f2_sign_partials — one row of
+    longs), the standing state merges by component-wise sums
+    (merge_f2_states), and the median-of-means estimate is a pure
+    function of the merged state (f2_estimate) — the
+    mergeable-sketch discipline of the KMV/HLL streaming twins with
+    O(1) state per stream instead of per key."""
+    from ..queries_wave8 import f2_sign_partials
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        sink_fn(f2_sign_partials(batch_df, key_col), batch_id)
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -519,3 +519,145 @@ def test_f2_sketch_recount(spark, sf_dir):
     assert row.f2_exact == f2_exact
     assert row.f2_ams == f2_ams
     assert row.err_ppm == (1_000_000 * abs(f2_ams - f2_exact)) // f2_exact
+
+
+def test_stream_f2_sketch_matches_batch(spark):
+    """Two micro-batches through the foreachBatch AMS partials, merged,
+    == the batch sketch on the full replay (O(1)-state mergeable-
+    sketch proof across real micro-batch boundaries)."""
+    import datetime as dt
+    import time as _t
+
+    from c99_vectordb_spark.streaming.ingest import stream_f2_sketch
+
+    def ev(i, uid):
+        return (i, dt.datetime(2024, 1, 1, 0, i), uid, "view", 1.0)
+
+    b1 = [ev(i, uid) for i, uid in enumerate([1, 2, 2, 3, 7, 7, 7])]
+    b2 = [ev(i + 10, uid) for i, uid in enumerate([2, 5, 7, 7, 1, 9])]
+    schema = (
+        "event_id LONG, ts TIMESTAMP, user_id LONG, event_type STRING,"
+        " value DOUBLE"
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        src = os.path.join(tmp, "src")
+        os.makedirs(src)
+        for name, batch, age in (("b1.parquet", b1, 60), ("b2.parquet", b2, 0)):
+            spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+                os.path.join(src, name)
+            )
+            ts = _t.time() - age
+            for root, _dirs, files in os.walk(os.path.join(src, name)):
+                for f in files:
+                    os.utime(os.path.join(root, f), (ts, ts))
+        states = []
+
+        def sink(df, batch_id):
+            states.append(df.localCheckpoint(eager=True))
+
+        q = stream_f2_sketch(
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .option("recursiveFileLookup", "true")
+            .parquet(src),
+            sink,
+            os.path.join(tmp, "ckpt"),
+        ).start()
+        q.awaitTermination(120)
+        assert len(states) == 2, "expected two micro-batches"
+        got = w8.f2_estimate(w8.merge_f2_states(*states)).collect()[0]
+        want = w8.f2_estimate(
+            w8.f2_sign_partials(spark.createDataFrame(b1 + b2, schema))
+        ).collect()[0]
+        assert got.asDict() == want.asDict()
+
+
+def test_ks_test_recount(spark, sf_dir):
+    import numpy as np
+    import pandas as pd
+
+    row = w8.q_orders_ks_test(spark, sf_dir).collect()[0]
+    o = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    cents = (o.o_totalprice * 100).round().astype("int64")
+    a = np.sort(cents[o.o_orderpriority == w8._KS_A].values)
+    b = np.sort(cents[o.o_orderpriority == w8._KS_B].values)
+    na, nb = len(a), len(b)
+    support = np.unique(np.concatenate([a, b]))
+    ca = np.searchsorted(a, support, side="right")
+    cb = np.searchsorted(b, support, side="right")
+    d_num = int(np.max(np.abs(ca.astype(np.int64) * nb - cb.astype(np.int64) * na)))
+    assert (row.n_a, row.n_b, row.d_num) == (na, nb, d_num)
+    assert row.ks_stat == pytest.approx(d_num / (na * nb), abs=1e-4)
+    crit = w8._KS_COEF * math.sqrt((na + nb) / (na * nb))
+    assert row.crit == pytest.approx(crit, abs=1e-4)
+    assert row.same_dist == (1 if row.ks_stat <= row.crit else 0)
+
+
+def test_eval_map_recount(spark, sf_dir, embeddings):
+    """Rebuild MAP/MRR in pure Python from the same LSH bucket spec and
+    exact cosine ground truth at sf0.001."""
+    import collections
+
+    from c99_vectordb_spark.operators.similarity import hyperplane
+    from c99_vectordb_spark.queries_ext import (
+        LSH_DIM,
+        LSH_PLANES,
+        RECALL_K,
+        RECALL_N_Q,
+    )
+
+    vecs = {r.vec_id: [float(x) for x in r.embedding] for r in embeddings.collect()}
+    planes = [hyperplane(p, LSH_DIM) for p in range(LSH_PLANES)]
+
+    def bucket(v):
+        b = 0
+        for p, pl in enumerate(planes):
+            if sum(x * y for x, y in zip(v, pl)) >= 0:
+                b |= 1 << p
+        return b
+
+    buck = {i: bucket(v) for i, v in vecs.items()}
+    by_bucket = collections.defaultdict(list)
+    for i, b in buck.items():
+        by_bucket[b].append(i)
+
+    def cos(u, v):
+        d = sum(x * y for x, y in zip(u, v))
+        nu = math.sqrt(sum(x * x for x in u))
+        nv = math.sqrt(sum(x * x for x in v))
+        return round(d / (nu * nv), 4)
+
+    qids = [q for q in range(RECALL_N_Q) if q in vecs]
+
+    def topk(qid, cand_ids):
+        scored = sorted(
+            ((-cos(vecs[i], vecs[qid]), i) for i in cand_ids if i != qid)
+        )[:RECALL_K]
+        return [i for _, i in scored]
+
+    truth = {q: set(topk(q, vecs)) for q in qids}
+
+    def metrics(multiprobe):
+        ap_sum = rr_sum = 0
+        for q in qids:
+            probes = {buck[q]}
+            if multiprobe:
+                probes |= {buck[q] ^ (1 << p) for p in range(LSH_PLANES)}
+            cand = [i for b in probes for i in by_bucket.get(b, [])]
+            ranked = topk(q, cand)
+            cum = 0
+            ap = 0
+            rr = 0
+            for j, i in enumerate(ranked, 1):
+                if i in truth[q]:
+                    cum += 1
+                    ap += (1_000_000 * cum) // j
+                    if rr == 0:
+                        rr = 1_000_000 // j
+            ap_sum += ap // RECALL_K
+            rr_sum += rr
+        return ap_sum // RECALL_N_Q, rr_sum // RECALL_N_Q
+
+    got = {r.tier: (r.map_ppm, r.mrr_ppm) for r in w8.q_sim_eval_map(spark, sf_dir).collect()}
+    assert got["lsh"] == metrics(False)
+    assert got["lsh_multiprobe"] == metrics(True)
