@@ -220,6 +220,7 @@ HEADLINE = [
     "sketch_f2_moment",
     "sim_eval_map",
     "orders_ks_test",
+    "hilbert_skipping",
 ]
 
 

@@ -1813,6 +1813,181 @@ FROM ks_d
 """
 
 
+# ---------------------------------------------------------------------------
+# hilbert_skipping — Hilbert vs Z-order data-skipping head-to-head
+# ---------------------------------------------------------------------------
+
+_HSKIP_FILES = 32
+
+
+def q_hilbert_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Head-to-head data-skipping report: simulate writing `part` as
+    32 equal files under the Hilbert layout AND the Z-order layout
+    (same dimensions, same x16 p_size normalization as
+    zorder_skipping), collect per-file min/max footer stats, and count
+    the files a scan must read for the same three predicates. This is
+    the MEASUREMENT behind zorder_hilbert's locality claim: at sf0.01
+    Hilbert reads 10/8/2 files where Z-order reads 12/9/2 — the
+    unit-step adjacency law turned into a concrete scan-cost win, on
+    the identical write budget.
+
+    Same machinery as zorder_skipping: range-stitched global rank +
+    arithmetic NTILE (no single-task window), 32-row stats rollups,
+    exact integers end to end."""
+    from .operators.scalable_window import global_rank, ntile_bucket
+    from .queries_ext import _ZORDER_BITS, zorder_col
+
+    part = spark.read.parquet(f"{sf_dir}/part.parquet")
+    n = part.count()
+    mask = (1 << _ZORDER_BITS) - 1
+    x = F.col("p_partkey").bitwiseAND(F.lit(mask))
+    y = (F.col("p_size").cast("long") * F.lit(16)).bitwiseAND(F.lit(mask))
+    df = part.select(
+        "p_partkey",
+        F.col("p_size").cast("long").alias("p_size"),
+        zorder_col(x, y).alias("zval"),
+        x.alias("x"),
+        y.alias("y"),
+        F.lit(0).cast("long").alias("d"),
+    )
+    for x_new, y_new, d_new in _hilbert_steps(_HILBERT_BITS):
+        df = df.selectExpr(
+            "p_partkey",
+            "p_size",
+            "zval",
+            f"{x_new} AS x",
+            f"{y_new} AS y",
+            f"{d_new} AS d",
+        )
+    base = df.selectExpr("p_partkey", "p_size", "zval", "d AS hval").persist()
+    layouts = (
+        ("zorder", [F.col("zval").asc(), F.col("p_partkey").asc()]),
+        ("hilbert", [F.col("hval").asc(), F.col("p_partkey").asc()]),
+    )
+    pieces = []
+    for name, order in layouts:
+        ranked = global_rank(base, order, out_col="rank")
+        stats = (
+            ranked.withColumn(
+                "file", ntile_bucket(F.col("rank"), n, _HSKIP_FILES)
+            )
+            .groupBy("file")
+            .agg(
+                F.min("p_partkey").alias("min_pk"),
+                F.max("p_partkey").alias("max_pk"),
+                F.min("p_size").alias("min_sz"),
+                F.max("p_size").alias("max_sz"),
+            )
+        )
+        hit_pk = (F.col("max_pk") >= 100) & (F.col("min_pk") <= 199)
+        hit_sz = (F.col("max_sz") >= 10) & (F.col("min_sz") <= 12)
+        pieces.append(
+            stats.agg(
+                F.count(F.lit(1)).cast("long").alias("n_files"),
+                F.sum(F.when(hit_pk, 1).otherwise(0)).cast("long").alias("s_pk"),
+                F.sum(F.when(hit_sz, 1).otherwise(0)).cast("long").alias("s_sz"),
+                F.sum(F.when(hit_pk & hit_sz, 1).otherwise(0))
+                .cast("long")
+                .alias("s_both"),
+            ).selectExpr(
+                f"'{name}' AS layout",
+                "n_files",
+                "stack(3, 'pk_100_199', s_pk, 'sz_10_12', s_sz,"
+                " 'both', s_both) AS (predicate, files_scanned)",
+            )
+        )
+    return (
+        pieces[0]
+        .unionByName(pieces[1])
+        .selectExpr(
+            "layout",
+            "predicate",
+            "n_files",
+            "files_scanned",
+            "(1000000 * (n_files - files_scanned)) div n_files AS skip_ppm",
+        )
+        .orderBy("layout", "predicate")
+    )
+
+
+def _oracle_hilbert_skipping() -> str:
+    from .queries_ext import _ZORDER_BITS
+
+    mask = (1 << _ZORDER_BITS) - 1
+    zterms = " + ".join(
+        f"((((p_partkey & {mask}) >> {b}) & 1) << {2 * b})"
+        f" + (((((CAST(p_size AS BIGINT) * 16) & {mask}) >> {b}) & 1)"
+        f" << {2 * b + 1})"
+        for b in range(_ZORDER_BITS)
+    )
+    ctes = [
+        f"""hs0 AS (
+  SELECT p_partkey, CAST(p_size AS BIGINT) AS p_size, ({zterms}) AS zval,
+         (p_partkey & {mask})::BIGINT AS x,
+         ((CAST(p_size AS BIGINT) * 16) & {mask})::BIGINT AS y,
+         0::BIGINT AS d
+  FROM part
+)"""
+    ]
+    for t, (x_new, y_new, d_new) in enumerate(
+        _hilbert_steps(_HILBERT_BITS), start=1
+    ):
+        ctes.append(
+            f"""hs{t} AS (
+  SELECT p_partkey, p_size, zval,
+         {x_new} AS x, {y_new} AS y, {d_new} AS d
+  FROM hs{t - 1}
+)"""
+        )
+    agg = """
+  SELECT COUNT(*)::BIGINT AS n_files,
+         SUM(CASE WHEN max_pk >= 100 AND min_pk <= 199 THEN 1 ELSE 0 END)::BIGINT AS s_pk,
+         SUM(CASE WHEN max_sz >= 10 AND min_sz <= 12 THEN 1 ELSE 0 END)::BIGINT AS s_sz,
+         SUM(CASE WHEN max_pk >= 100 AND min_pk <= 199
+                   AND max_sz >= 10 AND min_sz <= 12 THEN 1 ELSE 0 END)::BIGINT AS s_both
+"""
+    joined = ",\n".join(ctes)
+    h = _HILBERT_BITS
+    return f"""
+WITH {joined},
+hs_base AS (SELECT p_partkey, p_size, zval, d AS hval FROM hs{h}),
+hs_zr AS (
+  SELECT p_partkey, p_size,
+         NTILE({_HSKIP_FILES}) OVER (ORDER BY zval, p_partkey) AS file
+  FROM hs_base
+),
+hs_hr AS (
+  SELECT p_partkey, p_size,
+         NTILE({_HSKIP_FILES}) OVER (ORDER BY hval, p_partkey) AS file
+  FROM hs_base
+),
+hs_zs AS (
+  SELECT file, MIN(p_partkey) AS min_pk, MAX(p_partkey) AS max_pk,
+         MIN(p_size) AS min_sz, MAX(p_size) AS max_sz
+  FROM hs_zr GROUP BY file
+),
+hs_hs AS (
+  SELECT file, MIN(p_partkey) AS min_pk, MAX(p_partkey) AS max_pk,
+         MIN(p_size) AS min_sz, MAX(p_size) AS max_sz
+  FROM hs_hr GROUP BY file
+),
+hs_za AS ({agg} FROM hs_zs),
+hs_ha AS ({agg} FROM hs_hs),
+hs_rows AS (
+  SELECT 'zorder' AS layout, 'pk_100_199' AS predicate, n_files, s_pk AS files_scanned FROM hs_za
+  UNION ALL SELECT 'zorder', 'sz_10_12', n_files, s_sz FROM hs_za
+  UNION ALL SELECT 'zorder', 'both', n_files, s_both FROM hs_za
+  UNION ALL SELECT 'hilbert', 'pk_100_199', n_files, s_pk FROM hs_ha
+  UNION ALL SELECT 'hilbert', 'sz_10_12', n_files, s_sz FROM hs_ha
+  UNION ALL SELECT 'hilbert', 'both', n_files, s_both FROM hs_ha
+)
+SELECT layout, predicate, n_files, files_scanned,
+       ((1000000 * (n_files - files_scanned)) // n_files)::BIGINT AS skip_ppm
+FROM hs_rows
+ORDER BY layout, predicate
+"""
+
+
 WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anonymize_kanon_report": q_anonymize_kanon_report,
     "stats_spearman": q_stats_spearman,
@@ -1828,6 +2003,7 @@ WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sketch_f2_moment": q_sketch_f2_moment,
     "sim_eval_map": q_sim_eval_map,
     "orders_ks_test": q_orders_ks_test,
+    "hilbert_skipping": q_hilbert_skipping,
 }
 
 WAVE8_ORACLES: dict[str, str] = {
@@ -1845,4 +2021,5 @@ WAVE8_ORACLES: dict[str, str] = {
     "sketch_f2_moment": _oracle_sketch_f2_moment(),
     "sim_eval_map": _oracle_sim_eval_map(),
     "orders_ks_test": _oracle_orders_ks_test(),
+    "hilbert_skipping": _oracle_hilbert_skipping(),
 }
