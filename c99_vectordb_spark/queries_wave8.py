@@ -1827,7 +1827,7 @@ def q_hilbert_skipping(spark: SparkSession, sf_dir: str) -> DataFrame:
     zorder_skipping), collect per-file min/max footer stats, and count
     the files a scan must read for the same three predicates. This is
     the MEASUREMENT behind zorder_hilbert's locality claim: at sf0.01
-    Hilbert reads 10/8/2 files where Z-order reads 12/9/2 — the
+    Hilbert reads 10/8/2 files where Z-order reads 11/9/2 — the
     unit-step adjacency law turned into a concrete scan-cost win, on
     the identical write budget.
 
