@@ -221,6 +221,8 @@ HEADLINE = [
     "sim_eval_map",
     "orders_ks_test",
     "hilbert_skipping",
+    "events_stickiness",
+    "anonymize_generalize_sweep",
 ]
 
 

@@ -1988,6 +1988,211 @@ ORDER BY layout, predicate
 """
 
 
+# ---------------------------------------------------------------------------
+# events_stickiness — DAU / WAU / MAU engagement ratios
+# ---------------------------------------------------------------------------
+
+_STICKY_WINS = (7, 28)
+
+
+def q_events_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics stickiness: per day, DAU plus the trailing
+    7-day (WAU) and 28-day (MAU) distinct-user counts and the
+    DAU/WAU, DAU/MAU ppm ratios — THE engagement north-star ratio
+    (how many of the monthly users show up on a given day). Distinct
+    counts do NOT merge across windows, so the trailing windows come
+    from the classic expand trick: each (user, day) activity row
+    votes into every report day it is visible from (k = 0..win-1),
+    then one distinct per (win, report-day, user). Early days carry
+    their partial windows (documented; dropping them would hide
+    launch-week ratios).
+
+    Exact integers end to end; days serialize as ISO strings (the
+    repo's date-output convention).
+
+    Scale shape: the only data-sized pass is the first distinct to
+    the (user, day) activity table, which is bounded by users x days
+    — the 35x window fan-out and everything after runs on that
+    bounded table, partial-aggregated on (win, day) keys."""
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ud = ev.selectExpr("user_id", "cast(ts AS date) AS day").distinct().persist()
+    dau = ud.groupBy("day").agg(F.count(F.lit(1)).cast("long").alias("dau"))
+    wins = ",".join(str(w) for w in _STICKY_WINS)
+    expanded = (
+        ud.selectExpr("user_id", "day", f"explode(array({wins})) AS win")
+        .selectExpr(
+            "user_id", "day", "win", "explode(sequence(0, win - 1)) AS k"
+        )
+        .selectExpr("win", "date_add(day, k) AS rday", "user_id")
+        .distinct()
+    )
+    # clip to observed days (votes past max(day) describe no report day)
+    span = ud.agg(F.max("day").alias("mx"))
+    rolling = (
+        expanded.crossJoin(F.broadcast(span))
+        .filter(F.col("rday") <= F.col("mx"))
+        .groupBy("win", "rday")
+        .agg(F.count(F.lit(1)).cast("long").alias("au"))
+    )
+    wau = rolling.filter(F.col("win") == _STICKY_WINS[0]).selectExpr(
+        "rday AS day", "au AS wau"
+    )
+    mau = rolling.filter(F.col("win") == _STICKY_WINS[1]).selectExpr(
+        "rday AS day", "au AS mau"
+    )
+    return (
+        dau.join(wau, "day")
+        .join(mau, "day")
+        .selectExpr(
+            "date_format(day, 'yyyy-MM-dd') AS day",
+            "dau",
+            "wau",
+            "mau",
+            "(1000000L * dau) div wau AS dau_wau_ppm",
+            "(1000000L * dau) div mau AS dau_mau_ppm",
+        )
+        .orderBy("day")
+    )
+
+
+def _oracle_events_stickiness() -> str:
+    w7, w28 = _STICKY_WINS
+    return f"""
+WITH st_ud AS (
+  SELECT DISTINCT user_id, ts::DATE AS day FROM events
+),
+st_dau AS (SELECT day, COUNT(*)::BIGINT AS dau FROM st_ud GROUP BY 1),
+st_mx AS (SELECT MAX(day) AS mx FROM st_ud),
+st_exp AS (
+  SELECT DISTINCT w.win, u.day + (k.k::INT) AS rday, u.user_id
+  FROM st_ud u
+  CROSS JOIN (VALUES ({w7}), ({w28})) w(win)
+  JOIN (SELECT unnest(range(0, {w28})) AS k) k ON k.k < w.win
+  CROSS JOIN st_mx
+  WHERE u.day + (k.k::INT) <= st_mx.mx
+),
+st_roll AS (
+  SELECT win, rday, COUNT(*)::BIGINT AS au FROM st_exp GROUP BY 1, 2
+)
+SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, w.au AS wau, m.au AS mau,
+       ((1000000 * d.dau) // w.au)::BIGINT AS dau_wau_ppm,
+       ((1000000 * d.dau) // m.au)::BIGINT AS dau_mau_ppm
+FROM st_dau d
+JOIN st_roll w ON w.win = {w7} AND w.rday = d.day
+JOIN st_roll m ON m.win = {w28} AND m.rday = d.day
+ORDER BY day
+"""
+
+
+# ---------------------------------------------------------------------------
+# anonymize_generalize_sweep — pick the k-anonymizing bucket width
+# ---------------------------------------------------------------------------
+
+_GEN_WIDTHS = (10_000, 25_000, 50_000, 100_000, 250_000)
+#: acceptable re-identifiable share: 1% of rows, in ppm
+_GEN_RISK_PPM = 10_000
+
+
+def q_anonymize_generalize_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Generalization-width sweep — the DECISION layer above
+    anonymize_kanon_report: for each candidate balance-bucket width,
+    recompute the k-anonymity audit over the (nation, bucket) QIDs and
+    report rows at risk (classes below k=5); the CHOSEN row is the
+    smallest width whose at-risk share is within 1% — minimal
+    information loss subject to the privacy budget, the
+    Mondrian-style trade-off as one declarative query (the sweep
+    shape of corpus_vocab_sweep). At sf0.01 the sweep is monotone
+    1494 -> 7 at-risk rows across the five widths and chooses 250000.
+
+    Floored bucketing with a COLUMN divisor (widths are swept, so the
+    literal-divisor helper doesn't apply) — same truncate-then-correct
+    construction, mirrored verbatim in the oracle.
+
+    Scale shape: one 5x width fan-out of the row stream, partial-agg
+    to (width, nation, bucket) classes, then width-keyed rollups and a
+    1-row-per-width verdict join."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    widths = ",".join(str(w) for w in _GEN_WIDTHS)
+    cls = (
+        cust.selectExpr(
+            "c_nationkey",
+            "cast(round(c_acctbal * 100) AS bigint) AS cents",
+            f"explode(array({widths})) AS w",
+        )
+        .selectExpr(
+            "w",
+            "c_nationkey",
+            "(cents div w) - (CASE WHEN cents % w < 0 THEN 1 ELSE 0 END)"
+            " AS bucket",
+        )
+        .groupBy("w", "c_nationkey", "bucket")
+        .agg(F.count(F.lit(1)).cast("long").alias("k"))
+    )
+    per_w = cls.groupBy("w").agg(
+        F.sum("k").cast("long").alias("n_rows"),
+        F.count(F.lit(1)).cast("long").alias("n_classes"),
+        F.min("k").cast("long").alias("k_min"),
+        F.sum(F.when(F.col("k") < _KANON_K, F.col("k")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("rows_below_k"),
+    ).selectExpr(
+        "w",
+        "n_classes",
+        "k_min",
+        "rows_below_k",
+        "(1000000L * rows_below_k) div n_rows AS at_risk_ppm",
+    )
+    best = per_w.filter(F.col("at_risk_ppm") <= _GEN_RISK_PPM).agg(
+        F.min("w").alias("w_best")
+    )
+    return (
+        per_w.crossJoin(F.broadcast(best))
+        .selectExpr(
+            "w AS width_cents",
+            "n_classes",
+            "k_min",
+            "rows_below_k",
+            "at_risk_ppm",
+            "CASE WHEN w = w_best THEN 1L ELSE 0L END AS chosen",
+        )
+        .orderBy("width_cents")
+    )
+
+
+def _oracle_anonymize_generalize_sweep() -> str:
+    widths = ", ".join(f"({w})" for w in _GEN_WIDTHS)
+    return f"""
+WITH gs_rows AS (
+  SELECT w.w, c_nationkey,
+         ROUND(c_acctbal * 100)::BIGINT AS cents
+  FROM customer CROSS JOIN (VALUES {widths}) w(w)
+),
+gs_cls AS (
+  SELECT w, c_nationkey,
+         (cents // w) - (CASE WHEN cents % w < 0 THEN 1 ELSE 0 END)
+           AS bucket,
+         COUNT(*)::BIGINT AS k
+  FROM gs_rows GROUP BY 1, 2, 3
+),
+gs_w AS (
+  SELECT w, COUNT(*)::BIGINT AS n_classes, MIN(k)::BIGINT AS k_min,
+         SUM(CASE WHEN k < {_KANON_K} THEN k ELSE 0 END)::BIGINT
+           AS rows_below_k,
+         ((1000000 * SUM(CASE WHEN k < {_KANON_K} THEN k ELSE 0 END))
+          // SUM(k))::BIGINT AS at_risk_ppm
+  FROM gs_cls GROUP BY 1
+),
+gs_best AS (
+  SELECT MIN(w) AS w_best FROM gs_w WHERE at_risk_ppm <= {_GEN_RISK_PPM}
+)
+SELECT w::BIGINT AS width_cents, n_classes, k_min, rows_below_k,
+       at_risk_ppm,
+       (CASE WHEN w = w_best THEN 1 ELSE 0 END)::BIGINT AS chosen
+FROM gs_w CROSS JOIN gs_best
+ORDER BY width_cents
+"""
+
+
 WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anonymize_kanon_report": q_anonymize_kanon_report,
     "stats_spearman": q_stats_spearman,
@@ -2004,6 +2209,8 @@ WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "sim_eval_map": q_sim_eval_map,
     "orders_ks_test": q_orders_ks_test,
     "hilbert_skipping": q_hilbert_skipping,
+    "events_stickiness": q_events_stickiness,
+    "anonymize_generalize_sweep": q_anonymize_generalize_sweep,
 }
 
 WAVE8_ORACLES: dict[str, str] = {
@@ -2022,4 +2229,6 @@ WAVE8_ORACLES: dict[str, str] = {
     "sim_eval_map": _oracle_sim_eval_map(),
     "orders_ks_test": _oracle_orders_ks_test(),
     "hilbert_skipping": _oracle_hilbert_skipping(),
+    "events_stickiness": _oracle_events_stickiness(),
+    "anonymize_generalize_sweep": _oracle_anonymize_generalize_sweep(),
 }

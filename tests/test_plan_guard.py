@@ -80,6 +80,8 @@ BNLJ_ALLOWED = {
     "sketch_f2_moment": "1-row broadcasts (16-counter sketch row x exact-F2 row)",
     "sim_eval_map": "recall-report pattern: exact ground truth broadcasts the bounded 16-query set",
     "orders_ks_test": "1-row margins broadcast (n_A, n_B) over the distinct-value table",
+    "events_stickiness": "1-row scalar aggregate broadcast (max observed day for the window clip)",
+    "anonymize_generalize_sweep": "1-row scalar aggregate broadcast (the chosen minimal width) over the 5-row sweep table",
 }
 
 

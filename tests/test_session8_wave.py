@@ -661,3 +661,52 @@ def test_eval_map_recount(spark, sf_dir, embeddings):
     got = {r.tier: (r.map_ppm, r.mrr_ppm) for r in w8.q_sim_eval_map(spark, sf_dir).collect()}
     assert got["lsh"] == metrics(False)
     assert got["lsh_multiprobe"] == metrics(True)
+
+
+def test_stickiness_recount(spark, sf_dir):
+    import collections
+    import datetime as dt
+
+    import pandas as pd
+
+    rows = {r.day: r.asDict() for r in w8.q_events_stickiness(spark, sf_dir).collect()}
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    ud = {(int(u), d) for u, d in zip(ev.user_id, ev.ts.dt.date)}
+    days = sorted({d for _, d in ud})
+    by_day = collections.defaultdict(set)
+    for u, d in ud:
+        by_day[d].add(u)
+    for d in days:
+        r = rows[d.strftime("%Y-%m-%d")]
+        dau = len(by_day[d])
+        wau = len({u for k in range(7) for u in by_day.get(d - dt.timedelta(days=k), ())})
+        mau = len({u for k in range(28) for u in by_day.get(d - dt.timedelta(days=k), ())})
+        assert (r["dau"], r["wau"], r["mau"]) == (dau, wau, mau)
+        assert r["dau_wau_ppm"] == (1_000_000 * dau) // wau
+        assert r["dau_mau_ppm"] == (1_000_000 * dau) // mau
+    assert set(rows) == {d.strftime("%Y-%m-%d") for d in days}
+
+
+def test_generalize_sweep_recount(spark, sf_dir):
+    import pandas as pd
+
+    rows = {
+        r.width_cents: r.asDict()
+        for r in w8.q_anonymize_generalize_sweep(spark, sf_dir).collect()
+    }
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    cents = (c.c_acctbal * 100).round().astype("int64")
+    passing = []
+    for w in w8._GEN_WIDTHS:
+        b = cents // w  # python floors, matching the column-divisor twin
+        cls = pd.DataFrame({"n": c.c_nationkey, "b": b}).groupby(["n", "b"]).size()
+        below = int(cls[cls < w8._KANON_K].sum())
+        r = rows[w]
+        assert r["n_classes"] == len(cls)
+        assert r["k_min"] == int(cls.min())
+        assert r["rows_below_k"] == below
+        assert r["at_risk_ppm"] == (1_000_000 * below) // len(c)
+        if r["at_risk_ppm"] <= w8._GEN_RISK_PPM:
+            passing.append(w)
+    chosen = [w for w, r in rows.items() if r["chosen"] == 1]
+    assert chosen == ([min(passing)] if passing else [])
