@@ -82,6 +82,7 @@ BNLJ_ALLOWED = {
     "orders_ks_test": "1-row margins broadcast (n_A, n_B) over the distinct-value table",
     "events_stickiness": "1-row scalar aggregate broadcast (max observed day for the window clip)",
     "anonymize_generalize_sweep": "1-row scalar aggregate broadcast (the chosen minimal width) over the 5-row sweep table",
+    "stats_spearman": "flag-offset prefix join: n_flags^2 (=9) non-equi self-join of the 3-row flag census",
 }
 
 
