@@ -306,8 +306,11 @@ def q_text_char_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     # split('') yields the character array in ONE pass — the
     # substring(text, i, 1) form re-scans from the string head per
-    # character (O(len^2) per doc, measured 2x slower at sf0.1)
-    chars = docs.selectExpr(
+    # character (O(len^2) per doc, measured 2x slower at sf0.1).
+    # Empty docs are dropped (entropy is undefined at n=0; Spark's
+    # split('', '') yields [''] which would divide by zero, while the
+    # oracle's range(1, 1) is simply empty — review finding)
+    chars = docs.filter("char_length(text) >= 1").selectExpr(
         "doc_id",
         "char_length(text) AS n",
         "explode(split(text, '')) AS ch",
@@ -388,10 +391,15 @@ def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import normalize_event_time
 
     ev = normalize_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    # the hourly rollup is the ONLY data-sized pass, but it feeds the
+    # min/max agg + the grid join, and the dense series feeds three
+    # branches (shifted, the join probe, the global moments) — persist
+    # both or the events scan re-executes per branch (review finding)
     hours = (
         ev.selectExpr(floor_div_sql("ts_us", _HOUR_US) + " AS hi")
         .groupBy("hi")
         .agg(F.count(F.lit(1)).cast("long").alias("c"))
+        .persist()
     )
     # dense calendar grid: missing hours are zeros, not gaps
     series = (
@@ -399,6 +407,7 @@ def q_events_acf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr("explode(sequence(lo, hi2)) AS hi")
         .join(hours, "hi", "left")
         .selectExpr("hi", "coalesce(c, 0L) AS c")
+        .persist()
     )
     lags = ",".join(str(k) for k in _ACF_LAGS)
     shifted = series.selectExpr(
@@ -686,8 +695,11 @@ def policy_estimates(per_arm: DataFrame) -> DataFrame:
     and the streaming twin."""
     # argmax train-half ppm mean, ties by arm name: ordered-array pick
     # (integer div for the ppm — a double `/` could truncate across an
-    # integer boundary the exact division doesn't)
-    star = per_arm.selectExpr(
+    # integer boundary the exact division doesn't). Arms with NO
+    # train-half events are ineligible as the target policy (no
+    # propensity, and the ppm would divide by zero — review finding);
+    # the filter is mirrored in the oracle.
+    star = per_arm.filter(F.col("n_tr") > 0).selectExpr(
         "*", "-((1000000L * s_tr) div n_tr) AS neg_ppm"
     ).agg(
         F.min(
@@ -757,6 +769,7 @@ ip_star AS (
   SELECT arm AS arm_star, s_tr AS s_tr_star, n_tr AS n_tr_star,
          s_ev AS s_ev_star, n_ev AS n_ev_star
   FROM ip_a
+  WHERE n_tr > 0
   ORDER BY (1000000 * s_tr) // n_tr DESC, arm ASC
   LIMIT 1
 ),
@@ -1237,10 +1250,14 @@ def q_stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
     cm = cells.groupBy("st").agg(F.sum("o").cast("long").alias("c"))
     glob = cells.agg(
         F.sum("o").cast("long").alias("n"),
-        F.count(F.lit(1)).cast("long").alias("n_cells"),
         F.countDistinct("pri").cast("long").alias("n_r"),
         F.countDistinct("st").cast("long").alias("n_c"),
     )
+    # (n*o - r*c)^2 passes 2^63 once n reaches millions, so the square
+    # lives in DECIMAL(38,0) and the floor division is the EXACT
+    # remainder construction ((big - big % m) / m is exactly divisible,
+    # so the decimal divide has no rounding exposure) — the HUGEINT `//`
+    # twin truncates identically on the non-negative numerator
     terms = (
         cells.join(F.broadcast(rm), "pri")
         .join(F.broadcast(cm), "st")
@@ -1249,7 +1266,14 @@ def q_stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "n_r",
             "n_c",
-            "((n * o - r * c) * (n * o - r * c)) div (r * c) AS t",
+            "cast(n * o - r * c AS decimal(19,0)) AS d",
+            "cast(r * c AS decimal(19,0)) AS m",
+        )
+        .selectExpr(
+            "n",
+            "n_r",
+            "n_c",
+            "cast((d * d - (d * d) % m) / m AS bigint) AS t",
         )
     )
     return terms.groupBy("n", "n_r", "n_c").agg(
@@ -1281,7 +1305,8 @@ ci_g AS (
 ),
 ci_t AS (
   SELECT g.n, g.n_r, g.n_c,
-         SUM(((g.n * x.o - r.r * c.c) * (g.n * x.o - r.r * c.c))
+         SUM(((g.n * x.o - r.r * c.c)::HUGEINT
+              * (g.n * x.o - r.r * c.c))
              // (r.r * c.c))::BIGINT AS st
   FROM ci_cells x
   JOIN ci_r r USING (pri)
@@ -1568,7 +1593,9 @@ def q_sim_eval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("id") < RECALL_N_Q).select(
         F.col("id").alias("qid"), F.col("vec").alias("qvec")
     )
-    truth = topk_neighbors(emb, queries, k=RECALL_K).select("qid", "id")
+    # the exact ground truth (full-corpus scan + per-qid window) feeds
+    # BOTH tier rows — persist or it executes twice (review finding)
+    truth = topk_neighbors(emb, queries, k=RECALL_K).select("qid", "id").persist()
     qlist = spark.range(RECALL_N_Q).select(F.col("id").cast("long").alias("qid"))
 
     def tier_row(name: str, multiprobe: bool) -> DataFrame:
@@ -1724,7 +1751,7 @@ def q_orders_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     window — pre_range is idempotent so the second sum reuses the
     first's range partitioning), a 1-row margins broadcast, and a
     1-row max."""
-    from .operators.scalable_window import running_sum
+    from .operators.scalable_window import pre_range, running_sum
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
     vals = (
@@ -1740,7 +1767,12 @@ def q_orders_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(1 - F.col("is_a")).cast("long").alias("c_b"),
         )
     )
-    r = running_sum(vals, [F.asc("cents")], F.col("c_a"), "cum_a")
+    # pre_range explicitly so BOTH running sums share one range
+    # partitioning (running_sum drops the partition id when the input
+    # lacked it, which would re-shuffle the second pass — review
+    # finding; pre_range is idempotent only while the id column stays)
+    ranged = pre_range(vals, [F.asc("cents")])
+    r = running_sum(ranged, [F.asc("cents")], F.col("c_a"), "cum_a")
     r = running_sum(r, [F.asc("cents")], F.col("c_b"), "cum_b")
     g = vals.agg(
         F.sum("c_a").cast("long").alias("n_a"),

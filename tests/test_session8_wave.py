@@ -269,7 +269,18 @@ def test_policy_ips_recount(spark, sf_dir):
         )
         for a in arms
     }
-    star = min(arms, key=lambda a: (-(1_000_000 * stats[a][0] // stats[a][1]), a))
+    # truncating division (Spark div / DuckDB //), NOT python floor //,
+    # and only arms with train-half presence are eligible (both mirror
+    # the query — review finding). Fraction keeps it exact at any
+    # magnitude (a float detour would not).
+    from fractions import Fraction
+    from math import trunc
+
+    eligible = [a for a in arms if stats[a][1] > 0]
+    star = min(
+        eligible,
+        key=lambda a: (-trunc(Fraction(1_000_000 * stats[a][0], stats[a][1])), a),
+    )
     s_tr, n_tr, s_ev, n_ev = stats[star]
     n_train = sum(v[1] for v in stats.values())
     n_eval = sum(v[3] for v in stats.values())
