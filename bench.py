@@ -223,6 +223,7 @@ HEADLINE = [
     "hilbert_skipping",
     "events_stickiness",
     "anonymize_generalize_sweep",
+    "events_ab_power",
 ]
 
 

@@ -2225,6 +2225,113 @@ ORDER BY width_cents
 """
 
 
+# ---------------------------------------------------------------------------
+# events_ab_power — A/B sample-size / runtime power analysis
+# ---------------------------------------------------------------------------
+
+#: relative minimum-detectable-effect sweep, in ppm of the metric mean
+_POWER_MDE_PPM = (10_000, 20_000, 50_000, 100_000)
+#: (z_{alpha/2} + z_beta)^2 at alpha=0.05 two-sided, power 0.80
+_POWER_ZSUM_SQ = 7.849
+
+
+def q_events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A/B-test power analysis — the PLANNING member of the
+    experimentation panel (SRM audits it after assignment, CUPED
+    shrinks its variance, MW/KW/ANOVA/KS read it out; this one says
+    whether the experiment is WORTH RUNNING): per event type, the
+    per-arm sample size n = 2 (z_a/2 + z_b)^2 sigma^2 / delta^2 for a
+    two-sample test at alpha=.05 / power .80 across a 1/2/5/10%
+    relative-MDE sweep, plus the days of traffic that buys at the
+    observed event rate. Variance and mean come from exact
+    integer-cent moments (one pass); every output number is a
+    closed-form double over those sums (identical parenthesization
+    both engines) or an exact integer.
+
+    Scale shape: one partial-aggregated pass to per-type moments +
+    the observed time span (1-row broadcast); the 4x MDE sweep runs
+    on the type-sized table."""
+    from .functions.text import normalize_event_time
+
+    ev = normalize_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    g = ev.selectExpr(
+        "event_type",
+        "cast(round(value * 100) AS bigint) AS cents",
+    ).groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n"),
+        F.sum("cents").cast("long").alias("s"),
+        F.sum(
+            F.col("cents").cast("decimal(19,0)")
+            * F.col("cents").cast("decimal(19,0)")
+        ).cast("decimal(38,0)").alias("q"),
+    )
+    span = ev.agg(
+        F.expr("(max(ts_us) - min(ts_us)) div 86400000000 + 1").alias("days")
+    )
+    mdes = ",".join(str(m) for m in _POWER_MDE_PPM)
+    # sample variance (n-1 denominator), mean, and the normal-
+    # approximation sample size; ceil is exact on both engines
+    var = (
+        "(cast(q AS double) - cast(s AS double) * cast(s AS double)"
+        " / cast(n AS double)) / (cast(n AS double) - 1.0D)"
+    )
+    mean = "(cast(s AS double) / cast(n AS double))"
+    delta = f"({mean} * cast(mde_ppm AS double) / 1000000.0D)"
+    n_arm = (
+        f"cast(ceil(2.0D * {_POWER_ZSUM_SQ}D * ({var})"
+        f" / ({delta} * {delta})) AS bigint)"
+    )
+    return (
+        g.selectExpr("*", f"explode(array({mdes})) AS mde_ppm")
+        .crossJoin(F.broadcast(span))
+        .selectExpr(
+            "event_type",
+            "mde_ppm",
+            "n AS n_observed",
+            f"round({mean} / 100.0D, 4) AS metric_mean",
+            f"round(sqrt({var}) / 100.0D, 4) AS metric_sd",
+            f"{n_arm} AS n_per_arm",
+            # the observed rate is n/days events per day for this type;
+            # both arms together need 2 n_arm events
+            f"cast(ceil(cast(2L * {n_arm} AS double)"
+            " / (cast(n AS double) / cast(days AS double))) AS bigint)"
+            " AS days_needed",
+        )
+        .orderBy("event_type", "mde_ppm")
+    )
+
+
+def _oracle_events_ab_power() -> str:
+    mdes = ", ".join(f"({m})" for m in _POWER_MDE_PPM)
+    var = "(q::DOUBLE - s::DOUBLE * s::DOUBLE / n::DOUBLE) / (n::DOUBLE - 1.0)"
+    mean = "(s::DOUBLE / n::DOUBLE)"
+    delta = f"({mean} * mde_ppm::DOUBLE / 1000000.0)"
+    n_arm = (
+        f"CAST(ceil(2.0 * {_POWER_ZSUM_SQ} * ({var})"
+        f" / ({delta} * {delta})) AS BIGINT)"
+    )
+    return f"""
+WITH pw_g AS (
+  SELECT event_type, COUNT(*)::BIGINT AS n,
+         SUM(ROUND(value * 100)::BIGINT)::BIGINT AS s,
+         SUM(ROUND(value * 100)::BIGINT * ROUND(value * 100)::BIGINT) AS q
+  FROM events GROUP BY 1
+),
+pw_span AS (
+  SELECT (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) // 86400000000 + 1 AS days
+  FROM events
+)
+SELECT event_type, mde_ppm::BIGINT AS mde_ppm, n AS n_observed,
+       ROUND({mean} / 100.0, 4) AS metric_mean,
+       ROUND(sqrt({var}) / 100.0, 4) AS metric_sd,
+       {n_arm} AS n_per_arm,
+       CAST(ceil((2 * {n_arm})::DOUBLE
+            / (n::DOUBLE / days::DOUBLE)) AS BIGINT) AS days_needed
+FROM pw_g CROSS JOIN (VALUES {mdes}) m(mde_ppm) CROSS JOIN pw_span
+ORDER BY event_type, mde_ppm
+"""
+
+
 WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anonymize_kanon_report": q_anonymize_kanon_report,
     "stats_spearman": q_stats_spearman,
@@ -2243,6 +2350,7 @@ WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "hilbert_skipping": q_hilbert_skipping,
     "events_stickiness": q_events_stickiness,
     "anonymize_generalize_sweep": q_anonymize_generalize_sweep,
+    "events_ab_power": q_events_ab_power,
 }
 
 WAVE8_ORACLES: dict[str, str] = {
@@ -2263,4 +2371,5 @@ WAVE8_ORACLES: dict[str, str] = {
     "hilbert_skipping": _oracle_hilbert_skipping(),
     "events_stickiness": _oracle_events_stickiness(),
     "anonymize_generalize_sweep": _oracle_anonymize_generalize_sweep(),
+    "events_ab_power": _oracle_events_ab_power(),
 }

@@ -83,6 +83,7 @@ BNLJ_ALLOWED = {
     "events_stickiness": "1-row scalar aggregate broadcast (max observed day for the window clip)",
     "anonymize_generalize_sweep": "1-row scalar aggregate broadcast (the chosen minimal width) over the 5-row sweep table",
     "stats_spearman": "flag-offset prefix join: n_flags^2 (=9) non-equi self-join of the 3-row flag census",
+    "events_ab_power": "1-row scalar aggregate broadcast (observed time span) over the type-sized moment table",
 }
 
 

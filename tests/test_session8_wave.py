@@ -721,3 +721,35 @@ def test_generalize_sweep_recount(spark, sf_dir):
             passing.append(w)
     chosen = [w for w, r in rows.items() if r["chosen"] == 1]
     assert chosen == ([min(passing)] if passing else [])
+
+
+def test_ab_power_recount(spark, sf_dir):
+    import pandas as pd
+
+    rows = {
+        (r.event_type, r.mde_ppm): r.asDict()
+        for r in w8.q_events_ab_power(spark, sf_dir).collect()
+    }
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    us = ev.ts.values.astype("datetime64[us]").astype("int64")
+    days = (int(us.max()) - int(us.min())) // 86_400_000_000 + 1
+    cents = (ev.value * 100).round().astype("int64")
+    for typ, g in cents.groupby(ev.event_type):
+        n = len(g)
+        s = int(g.sum())
+        q = sum(int(v) ** 2 for v in g)
+        var = (q - s * s / n) / (n - 1)
+        mean = s / n
+        for mde in w8._POWER_MDE_PPM:
+            r = rows[(typ, mde)]
+            delta = mean * mde / 1_000_000
+            n_arm = math.ceil(2 * w8._POWER_ZSUM_SQ * var / (delta * delta))
+            assert r["n_observed"] == n
+            assert r["metric_mean"] == pytest.approx(mean / 100, abs=1e-4)
+            assert r["metric_sd"] == pytest.approx(math.sqrt(var) / 100, abs=1e-4)
+            assert r["n_per_arm"] == n_arm
+            assert r["days_needed"] == math.ceil(2 * n_arm / (n / days))
+    # power monotonicity: bigger MDE -> smaller n
+    for typ in ev.event_type.unique():
+        ns = [rows[(typ, m)]["n_per_arm"] for m in w8._POWER_MDE_PPM]
+        assert ns == sorted(ns, reverse=True)
