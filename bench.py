@@ -224,6 +224,8 @@ HEADLINE = [
     "events_stickiness",
     "anonymize_generalize_sweep",
     "events_ab_power",
+    "graph_assortativity",
+    "lineitem_hill_tail",
 ]
 
 

@@ -753,3 +753,64 @@ def test_ab_power_recount(spark, sf_dir):
     for typ in ev.event_type.unique():
         ns = [rows[(typ, m)]["n_per_arm"] for m in w8._POWER_MDE_PPM]
         assert ns == sorted(ns, reverse=True)
+
+
+def test_assortativity_recount(spark, sf_dir):
+    import collections
+
+    import duckdb
+
+    con = duckdb.connect()
+    for t in ("orders", "lineitem"):
+        con.execute(
+            f"create view {t} as select * from"
+            f" read_parquet('{sf_dir}/{t}.parquet')"
+        )
+    ed = con.execute(
+        "SELECT 2*o_custkey, 2*l_suppkey+1 FROM lineitem JOIN orders"
+        " ON l_orderkey=o_orderkey GROUP BY 1,2"
+        " HAVING COUNT(DISTINCT l_orderkey) >= 3"
+    ).fetchall()
+    deg = collections.Counter()
+    for s_, d_ in ed:
+        deg[s_] += 1
+        deg[d_] += 1
+    du = [deg[s_] for s_, d_ in ed] + [deg[d_] for s_, d_ in ed]
+    dv = [deg[d_] for s_, d_ in ed] + [deg[s_] for s_, d_ in ed]
+    n = len(du)
+    sx, sy = sum(du), sum(dv)
+    sxy = sum(a * b for a, b in zip(du, dv))
+    sxx = sum(a * a for a in du)
+    syy = sum(b * b for b in dv)
+    r = (n * sxy - sx * sy) / (
+        math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy)
+    )
+    row = w8.q_graph_assortativity(spark, sf_dir).collect()[0]
+    assert row.n_nodes == len(deg)
+    assert row.n_edges == len(ed)
+    assert row.assortativity == pytest.approx(r, abs=1e-4)
+
+
+def test_hill_tail_recount(spark, sf_dir):
+    import pandas as pd
+
+    row = w8.q_lineitem_hill_tail(spark, sf_dir).collect()[0]
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    li["cents"] = (li.l_extendedprice * 100).round().astype("int64")
+    top = li.sort_values(
+        ["cents", "l_orderkey", "l_linenumber"],
+        ascending=[False, True, True],
+    ).head(w8._HILL_K + 1)
+    arr = sorted(top.cents.tolist(), reverse=True)
+    xk1 = arr[w8._HILL_K]
+    sum_exc = sum((x << 20) // xk1 - (1 << 20) for x in arr[: w8._HILL_K])
+    assert row.xk1_cents == xk1
+    assert row.sum_excess_q20 == sum_exc
+    assert row.alpha_ppm == (w8._HILL_K * (1 << 20) * 1_000_000) // sum_exc
+    # and the ratio-excess form tracks the true ln-based Hill closely;
+    # e >= ln(1+e) makes the bias ONE-SIDED (reads low), O(mean excess)
+    alpha_ln = w8._HILL_K / sum(
+        math.log(x / xk1) for x in arr[: w8._HILL_K]
+    )
+    assert row.alpha_ppm / 1e6 <= alpha_ln * (1 + 1e-9)
+    assert row.alpha_ppm / 1e6 == pytest.approx(alpha_ln, rel=1e-2)
