@@ -226,6 +226,7 @@ HEADLINE = [
     "events_ab_power",
     "graph_assortativity",
     "lineitem_hill_tail",
+    "multimodal_otsu",
 ]
 
 

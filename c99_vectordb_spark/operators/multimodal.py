@@ -1538,3 +1538,84 @@ def media_video_scene_cuts(media: DataFrame, threshold: int = 1000) -> DataFrame
             yield pd.DataFrame(rows, columns=[f.name for f in SCENE_CUTS_SCHEMA])
 
     return media.mapInPandas(gen, schema=SCENE_CUTS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# deterministic bimodal grayscale synthesis + histogram (Otsu input)
+# ---------------------------------------------------------------------------
+
+#: low/high mode widths and the gap between them (Otsu test texture)
+_GRAY_LOW_W = 96
+_GRAY_HIGH_BASE = 160
+
+
+def gray_pixel_py(doc_id: int, k: int) -> int:
+    """The closed-form bimodal gray level of pixel k of image doc_id —
+    the single spec the synthesizer, the query and the DuckDB oracle
+    all share. Mixing ratio doc_id % 11 in 0..10 puts each doc
+    somewhere between all-low and all-high, so Otsu thresholds and
+    foreground shares vary with real texture."""
+    if (k % 10) < (doc_id % 11):
+        return (37 * doc_id + 11 * k) % _GRAY_LOW_W
+    return _GRAY_HIGH_BASE + (23 * doc_id + 7 * k) % _GRAY_LOW_W
+
+
+def media_from_documents_gray_bmp(docs: DataFrame) -> DataFrame:
+    """Synthesize a grayscale-byte media table: per doc,
+    n = max(16, len(text)) bimodal gray bytes (gray_pixel_py) packed as
+    a REAL 24bpp BMP (encode_bmp). The true pixel count rides in meta
+    ('n') the way real image dims do, so downstream stages can trim the
+    BMP row padding after an honest decode."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                n = max(16, len(r.text or ""))
+                pix = bytes(gray_pixel_py(r.doc_id, k) for k in range(n))
+                rows.append(
+                    (
+                        r.doc_id,
+                        "image",
+                        "image/bmp",
+                        encode_bmp(pix),
+                        {"n": str(n)},
+                    )
+                )
+            yield pd.DataFrame(
+                rows, columns=["id", "modality", "mime", "payload", "meta"]
+            )
+
+    return docs.select("doc_id", "text").mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
+GRAY_HIST_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType()),
+        T.StructField("b", T.LongType()),
+        T.StructField("cnt", T.LongType()),
+    ]
+)
+
+
+def media_gray_histogram(media: DataFrame) -> DataFrame:
+    """Decode each BMP payload (REAL parse) and emit its per-gray-level
+    histogram rows (id, b, cnt), trimmed to the meta-declared pixel
+    count so BMP row padding stays out of bin 0. Map-only mapInPandas;
+    the output is bins-sized (<=256 rows per image), so everything
+    relational downstream shuffles bins, not pixels."""
+    import collections
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                content, _meta = decode_bmp(bytes(r.payload))
+                n = int(dict(r.meta)["n"])
+                for b, cnt in sorted(
+                    collections.Counter(content[:n]).items()
+                ):
+                    rows.append((r.id, int(b), int(cnt)))
+            yield pd.DataFrame(rows, columns=["id", "b", "cnt"])
+
+    return media.mapInPandas(gen, schema=GRAY_HIST_SCHEMA)

@@ -2522,6 +2522,129 @@ FROM ht_s
 """
 
 
+# ---------------------------------------------------------------------------
+# multimodal_otsu — Otsu threshold over decoded BMP histograms
+# ---------------------------------------------------------------------------
+
+
+def q_multimodal_otsu(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HASH-CHECKED image-binarization pipeline: per doc a
+    deterministic BIMODAL gray strip (operators/multimodal.
+    gray_pixel_py — mixing ratio doc_id % 11 spreads docs from all-low
+    to all-high) is packed into a REAL 24bpp BMP, re-parsed by
+    decode_bmp, histogrammed, and fed to Otsu's method (Otsu 1979):
+    the threshold maximizing the between-class variance, computed as
+    the exact-integer rational argmax f(t) = (s0*n - n0*S)^2 div
+    (n0*(n - n0)) over cumulative bin sums — the classic
+    segmentation/binarization primitive (document scans, masks,
+    quality gates). Everything after the decode is relational: bins
+    (<=256 rows per image) through ONE partitioned cumulative window
+    and an ordered-array argmax; integer end to end, so the oracle
+    recomputes every pixel from the closed form and a decode bug
+    anywhere breaks the hash. f's numerator square stays under 2^63
+    up to ~40k pixels/image (sf0.1 docs are ~550) — larger frames
+    need the chi2 DECIMAL staging, documented.
+
+    Scale shape: synth and decode are map-only mapInPandas; the
+    shuffle moves histogram BINS, never pixels."""
+    from .operators.multimodal import (
+        media_from_documents_gray_bmp,
+        media_gray_histogram,
+    )
+
+    from pyspark.sql import Window
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bins = media_gray_histogram(media_from_documents_gray_bmp(docs))
+    w = (
+        Window.partitionBy("id")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    cum = (
+        bins.withColumn("n0", F.sum("cnt").over(w))
+        .withColumn("s0", F.sum(F.col("b") * F.col("cnt")).over(w))
+    )
+    tot = bins.groupBy("id").agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.sum(F.col("b") * F.col("cnt")).cast("long").alias("s"),
+    )
+    cand = (
+        cum.join(tot, "id")
+        .filter(F.col("n0") < F.col("n"))
+        .selectExpr(
+            "id",
+            "b",
+            "n",
+            "n0",
+            "((s0 * n - n0 * s) * (s0 * n - n0 * s))"
+            " div (n0 * (n - n0)) AS f",
+        )
+    )
+    best = cand.groupBy("id").agg(
+        F.min(F.struct(F.negate(F.col("f")).alias("nf"), F.col("b").alias("t"),
+                       F.col("n").alias("n"), F.col("n0").alias("n0"))).alias("s")
+    )
+    return best.selectExpr(
+        "id",
+        "s.n AS n_pix",
+        "s.t AS threshold",
+        "-s.nf AS between_var_scaled",
+        "(1000000L * (s.n - s.n0)) div s.n AS fg_share_ppm",
+    ).orderBy("id")
+
+
+def _oracle_multimodal_otsu() -> str:
+    from .operators.multimodal import _GRAY_HIGH_BASE, _GRAY_LOW_W
+
+    pix = (
+        f"CASE WHEN (k % 10) < (doc_id % 11)"
+        f" THEN (37 * doc_id + 11 * k) % {_GRAY_LOW_W}"
+        f" ELSE {_GRAY_HIGH_BASE} + (23 * doc_id + 7 * k) % {_GRAY_LOW_W} END"
+    )
+    return f"""
+WITH ot_px AS (
+  SELECT doc_id AS id, {pix} AS b
+  FROM (
+    SELECT doc_id, unnest(range(0, GREATEST(16, len(text)))) AS k
+    FROM documents
+  )
+),
+ot_bins AS (SELECT id, b::BIGINT AS b, COUNT(*)::BIGINT AS cnt
+            FROM ot_px GROUP BY 1, 2),
+ot_cum AS (
+  SELECT id, b, cnt,
+         SUM(cnt) OVER (PARTITION BY id ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS n0,
+         SUM(b * cnt) OVER (PARTITION BY id ORDER BY b
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s0
+  FROM ot_bins
+),
+ot_tot AS (
+  SELECT id, SUM(cnt)::BIGINT AS n, SUM(b * cnt)::BIGINT AS s
+  FROM ot_bins GROUP BY 1
+),
+ot_cand AS (
+  SELECT c.id, c.b, t.n, c.n0,
+         (((c.s0 * t.n - c.n0 * t.s) * (c.s0 * t.n - c.n0 * t.s))
+           // (c.n0 * (t.n - c.n0)))::BIGINT AS f
+  FROM ot_cum c JOIN ot_tot t ON c.id = t.id
+  WHERE c.n0 < t.n
+),
+ot_best AS (
+  SELECT id, n, b AS t, f, n0 FROM (
+    SELECT id, b, n, n0, f,
+           ROW_NUMBER() OVER (PARTITION BY id ORDER BY f DESC, b ASC) AS rnk
+    FROM ot_cand
+  ) WHERE rnk = 1
+)
+SELECT id, n AS n_pix, t AS threshold, f AS between_var_scaled,
+       ((1000000 * (n - n0)) // n)::BIGINT AS fg_share_ppm
+FROM ot_best
+ORDER BY id
+"""
+
+
 WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anonymize_kanon_report": q_anonymize_kanon_report,
     "stats_spearman": q_stats_spearman,
@@ -2543,6 +2666,7 @@ WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "events_ab_power": q_events_ab_power,
     "graph_assortativity": q_graph_assortativity,
     "lineitem_hill_tail": q_lineitem_hill_tail,
+    "multimodal_otsu": q_multimodal_otsu,
 }
 
 WAVE8_ORACLES: dict[str, str] = {
@@ -2566,4 +2690,5 @@ WAVE8_ORACLES: dict[str, str] = {
     "events_ab_power": _oracle_events_ab_power(),
     "graph_assortativity": _oracle_graph_assortativity(),
     "lineitem_hill_tail": _oracle_lineitem_hill_tail(),
+    "multimodal_otsu": _oracle_multimodal_otsu(),
 }

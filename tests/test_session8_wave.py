@@ -814,3 +814,39 @@ def test_hill_tail_recount(spark, sf_dir):
     )
     assert row.alpha_ppm / 1e6 <= alpha_ln * (1 + 1e-9)
     assert row.alpha_ppm / 1e6 == pytest.approx(alpha_ln, rel=1e-2)
+
+
+def test_otsu_recount(spark, sf_dir, documents):
+    """Full pure-Python Otsu replay from the shared pixel spec —
+    independent of both the BMP codec path and the DuckDB oracle."""
+    import collections
+
+    from c99_vectordb_spark.operators.multimodal import gray_pixel_py
+
+    got = {
+        r.id: (r.n_pix, r.threshold, r.between_var_scaled, r.fg_share_ppm)
+        for r in w8.q_multimodal_otsu(spark, sf_dir).collect()
+    }
+    for r in documents.collect():
+        n = max(16, len(r.text or ""))
+        pix = [gray_pixel_py(r.doc_id, k) for k in range(n)]
+        cnt = collections.Counter(pix)
+        s = sum(pix)
+        best = None
+        n0 = s0 = 0
+        for b in sorted(cnt):
+            n0 += cnt[b]
+            s0 += b * cnt[b]
+            if n0 >= n:
+                continue
+            f = (s0 * n - n0 * s) ** 2 // (n0 * (n - n0))
+            key = (-f, b)
+            if best is None or key < best[0]:
+                best = (key, b, f, n0)
+        _k, t, f, n0b = best
+        assert got[r.doc_id] == (n, t, f, (1_000_000 * (n - n0b)) // n)
+        # binarization sanity: the threshold separates the two modes
+        lo = [p for p in pix if p <= t]
+        hi = [p for p in pix if p > t]
+        if lo and hi:
+            assert max(lo) <= t < min(hi)
