@@ -1266,8 +1266,11 @@ def q_stats_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
             "n_r",
             "n_c",
-            "cast(n * o - r * c AS decimal(19,0)) AS d",
-            "cast(r * c AS decimal(19,0)) AS m",
+            # operands widen BEFORE the multiply — n*o in BIGINT would
+            # wrap silently at ~3e9 rows (second review pass)
+            "cast(n AS decimal(19,0)) * o - cast(r AS decimal(19,0)) * c"
+            " AS d",
+            "cast(r AS decimal(19,0)) * c AS m",
         )
         .selectExpr(
             "n",
@@ -1305,9 +1308,9 @@ ci_g AS (
 ),
 ci_t AS (
   SELECT g.n, g.n_r, g.n_c,
-         SUM(((g.n * x.o - r.r * c.c)::HUGEINT
-              * (g.n * x.o - r.r * c.c))
-             // (r.r * c.c))::BIGINT AS st
+         SUM(((g.n::HUGEINT * x.o - r.r::HUGEINT * c.c)
+              * (g.n::HUGEINT * x.o - r.r::HUGEINT * c.c))
+             // (r.r::HUGEINT * c.c))::BIGINT AS st
   FROM ci_cells x
   JOIN ci_r r USING (pri)
   JOIN ci_c c USING (st)
@@ -2180,7 +2183,7 @@ def q_anonymize_generalize_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_w.crossJoin(F.broadcast(best))
         .selectExpr(
-            "w AS width_cents",
+            "cast(w AS bigint) AS width_cents",
             "n_classes",
             "k_min",
             "rows_below_k",
@@ -2254,9 +2257,14 @@ def q_events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     from .functions.text import normalize_event_time
 
     ev = normalize_event_time(spark.read.parquet(f"{sf_dir}/events.parquet"))
+    # ONE data-sized pass: per-type moments carry their own time span;
+    # the global span derives from the type-sized table (a second
+    # events scan for min/max was the only other data-sized work —
+    # second review pass)
     g = ev.selectExpr(
         "event_type",
         "cast(round(value * 100) AS bigint) AS cents",
+        "ts_us",
     ).groupBy("event_type").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.sum("cents").cast("long").alias("s"),
@@ -2264,9 +2272,11 @@ def q_events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("cents").cast("decimal(19,0)")
             * F.col("cents").cast("decimal(19,0)")
         ).cast("decimal(38,0)").alias("q"),
-    )
-    span = ev.agg(
-        F.expr("(max(ts_us) - min(ts_us)) div 86400000000 + 1").alias("days")
+        F.min("ts_us").alias("ts_lo"),
+        F.max("ts_us").alias("ts_hi"),
+    ).persist()  # feeds the span aggregate AND the sweep — type-sized
+    span = g.agg(
+        F.expr("(max(ts_hi) - min(ts_lo)) div 86400000000 + 1").alias("days")
     )
     mdes = ",".join(str(m) for m in _POWER_MDE_PPM)
     # sample variance (n-1 denominator), mean, and the normal-
@@ -2286,7 +2296,7 @@ def q_events_ab_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(span))
         .selectExpr(
             "event_type",
-            "mde_ppm",
+            "cast(mde_ppm AS bigint) AS mde_ppm",
             "n AS n_observed",
             f"round({mean} / 100.0D, 4) AS metric_mean",
             f"round(sqrt({var}) / 100.0D, 4) AS metric_sd",
@@ -2542,8 +2552,9 @@ def q_multimodal_otsu(spark: SparkSession, sf_dir: str) -> DataFrame:
     and an ordered-array argmax; integer end to end, so the oracle
     recomputes every pixel from the closed form and a decode bug
     anywhere breaks the hash. f's numerator square stays under 2^63
-    up to ~40k pixels/image (sf0.1 docs are ~550) — larger frames
-    need the chi2 DECIMAL staging, documented.
+    up to ~6.9k pixels/image worst-case ((n0*n1*255)^2 <= 4064*n^4;
+    sf0.1 docs are ~550) — larger frames need the chi2 DECIMAL
+    staging.
 
     Scale shape: synth and decode are map-only mapInPandas; the
     shuffle moves histogram BINS, never pixels."""
@@ -2555,7 +2566,10 @@ def q_multimodal_otsu(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    bins = media_gray_histogram(media_from_documents_gray_bmp(docs))
+    # the synth+encode+decode chain feeds TWO branches (cumulative
+    # window + totals rollup) — persist the bins or the whole codec
+    # pipeline executes twice (second review pass)
+    bins = media_gray_histogram(media_from_documents_gray_bmp(docs)).persist()
     w = (
         Window.partitionBy("id")
         .orderBy("b")
