@@ -227,6 +227,7 @@ HEADLINE = [
     "graph_assortativity",
     "lineitem_hill_tail",
     "multimodal_otsu",
+    "anonymize_tcloseness",
 ]
 
 

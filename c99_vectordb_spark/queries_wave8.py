@@ -2659,6 +2659,116 @@ ORDER BY id
 """
 
 
+# ---------------------------------------------------------------------------
+# anonymize_tcloseness — t-closeness audit (the privacy trio's third leg)
+# ---------------------------------------------------------------------------
+
+#: bucket width = the generalize_sweep's chosen width at sf0.01
+_TCLOSE_WIDTH = 250_000
+#: t threshold (variational distance, ppm): the classic 0.4
+_TCLOSE_T_PPM = 400_000
+
+
+def q_anonymize_tcloseness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """t-closeness audit (Li, Li & Venkatasubramanian 2007) — the
+    third leg of the privacy trio: k-anonymity bounds class size,
+    l-diversity bounds distinct sensitive values, but a class can pass
+    both while its sensitive DISTRIBUTION still leaks (90/10 where the
+    population is 20/80). Per equivalence class under the
+    generalization the sweep chose (width 250000), t = the variational
+    distance between the class's segment distribution and the global
+    one — for categorical sensitive attributes the standard EMD
+    instantiation, 0.5 * sum |p_s - q_s| — kept EXACT in ppm by cross-
+    multiplying counts: t_ppm = 1e6 * sum|c_s*N - g_s*k| div (2*k*N).
+    Per nation: the worst class and the count above t = 0.4 (4 of 100
+    classes FIRE at sf0.01 — the audit discriminates).
+
+    Scale shape: class x segment cells via one rollup + a dense grid
+    join against the segment-sized global table (missing segments
+    carry their zero cells — skipping them would UNDERCOUNT t); all
+    tables are rollup-sized after the first pass."""
+    cust = spark.read.parquet(f"{sf_dir}/customer.parquet")
+    q = cust.selectExpr(
+        "c_nationkey",
+        floor_div_sql(
+            "cast(round(c_acctbal * 100) AS bigint)", _TCLOSE_WIDTH
+        )
+        + " AS b",
+        "c_mktsegment AS s",
+    ).persist()  # feeds the global table AND the cell rollup
+    g = q.groupBy("s").agg(F.count(F.lit(1)).cast("long").alias("gs"))
+    n = q.agg(F.count(F.lit(1)).cast("long").alias("nn"))
+    cls = q.groupBy("c_nationkey", "b", "s").agg(
+        F.count(F.lit(1)).cast("long").alias("cs")
+    )
+    ck = cls.groupBy("c_nationkey", "b").agg(
+        F.sum("cs").cast("long").alias("k")
+    )
+    grid = (
+        ck.crossJoin(F.broadcast(g))
+        .join(cls, ["c_nationkey", "b", "s"], "left")
+        .selectExpr("c_nationkey", "b", "k", "gs", "coalesce(cs, 0L) AS cs")
+    )
+    t = (
+        grid.crossJoin(F.broadcast(n))
+        .groupBy("c_nationkey", "b", "k", "nn")
+        .agg(F.sum(F.expr("abs(cs * nn - gs * k)")).alias("num"))
+        .selectExpr(
+            "c_nationkey",
+            "(1000000L * num) div (2L * k * nn) AS t_ppm",
+        )
+    )
+    return (
+        t.groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_classes"),
+            F.max("t_ppm").cast("long").alias("t_max_ppm"),
+            F.sum(
+                F.when(F.col("t_ppm") > _TCLOSE_T_PPM, 1).otherwise(0)
+            ).cast("long").alias("classes_above_t"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+def _oracle_anonymize_tcloseness() -> str:
+    bucket = hashing.duckdb_floor_div_sql(
+        "ROUND(c_acctbal * 100)::BIGINT", _TCLOSE_WIDTH
+    )
+    return f"""
+WITH tc_q AS (
+  SELECT c_nationkey, {bucket} AS b, c_mktsegment AS s FROM customer
+),
+tc_g AS (SELECT s, COUNT(*)::BIGINT AS gs FROM tc_q GROUP BY 1),
+tc_n AS (SELECT COUNT(*)::BIGINT AS nn FROM tc_q),
+tc_cls AS (
+  SELECT c_nationkey, b, s, COUNT(*)::BIGINT AS cs FROM tc_q GROUP BY 1, 2, 3
+),
+tc_k AS (
+  SELECT c_nationkey, b, SUM(cs)::BIGINT AS k FROM tc_cls GROUP BY 1, 2
+),
+tc_grid AS (
+  SELECT ck.c_nationkey, ck.b, ck.k, g.gs, COALESCE(c.cs, 0)::BIGINT AS cs
+  FROM tc_k ck
+  CROSS JOIN tc_g g
+  LEFT JOIN tc_cls c
+    ON c.c_nationkey = ck.c_nationkey AND c.b = ck.b AND c.s = g.s
+),
+tc_t AS (
+  SELECT c_nationkey,
+         ((1000000 * SUM(abs(cs * nn - gs * k))) // (2 * k * nn))::BIGINT
+           AS t_ppm
+  FROM tc_grid CROSS JOIN tc_n
+  GROUP BY c_nationkey, b, k, nn
+)
+SELECT c_nationkey, COUNT(*)::BIGINT AS n_classes,
+       MAX(t_ppm)::BIGINT AS t_max_ppm,
+       SUM(CASE WHEN t_ppm > {_TCLOSE_T_PPM} THEN 1 ELSE 0 END)::BIGINT
+         AS classes_above_t
+FROM tc_t GROUP BY 1 ORDER BY c_nationkey
+"""
+
+
 WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anonymize_kanon_report": q_anonymize_kanon_report,
     "stats_spearman": q_stats_spearman,
@@ -2681,6 +2791,7 @@ WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "graph_assortativity": q_graph_assortativity,
     "lineitem_hill_tail": q_lineitem_hill_tail,
     "multimodal_otsu": q_multimodal_otsu,
+    "anonymize_tcloseness": q_anonymize_tcloseness,
 }
 
 WAVE8_ORACLES: dict[str, str] = {
@@ -2705,4 +2816,5 @@ WAVE8_ORACLES: dict[str, str] = {
     "graph_assortativity": _oracle_graph_assortativity(),
     "lineitem_hill_tail": _oracle_lineitem_hill_tail(),
     "multimodal_otsu": _oracle_multimodal_otsu(),
+    "anonymize_tcloseness": _oracle_anonymize_tcloseness(),
 }

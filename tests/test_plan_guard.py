@@ -85,6 +85,7 @@ BNLJ_ALLOWED = {
     "stats_spearman": "flag-offset prefix join: n_flags^2 (=9) non-equi self-join of the 3-row flag census",
     "events_ab_power": "1-row scalar aggregate broadcast (observed time span) over the type-sized moment table",
     "graph_assortativity": "1-row broadcasts (edge-moment row x node-count row)",
+    "anonymize_tcloseness": "broadcasts are the segment-sized global table (dense grid) and the 1-row corpus total",
 }
 
 

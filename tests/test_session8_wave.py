@@ -850,3 +850,35 @@ def test_otsu_recount(spark, sf_dir, documents):
         hi = [p for p in pix if p > t]
         if lo and hi:
             assert max(lo) <= t < min(hi)
+
+
+def test_tcloseness_recount(spark, sf_dir):
+    import collections
+
+    import pandas as pd
+
+    rep = {
+        r.c_nationkey: (r.n_classes, r.t_max_ppm, r.classes_above_t)
+        for r in w8.q_anonymize_tcloseness(spark, sf_dir).collect()
+    }
+    c = pd.read_parquet(f"{sf_dir}/customer.parquet")
+    cents = (c.c_acctbal * 100).round().astype("int64")
+    b = cents // w8._TCLOSE_WIDTH
+    nn = len(c)
+    g = collections.Counter(c.c_mktsegment)
+    per_nation = collections.defaultdict(list)
+    cls = collections.defaultdict(collections.Counter)
+    for nk, bb, s in zip(c.c_nationkey, b, c.c_mktsegment):
+        cls[(int(nk), int(bb))][s] += 1
+    for (nk, bb), cnt in cls.items():
+        k = sum(cnt.values())
+        num = sum(abs(cnt.get(s, 0) * nn - gs * k) for s, gs in g.items())
+        per_nation[nk].append((1_000_000 * num) // (2 * k * nn))
+    for nk, ts in per_nation.items():
+        assert rep[nk] == (
+            len(ts),
+            max(ts),
+            sum(1 for t in ts if t > w8._TCLOSE_T_PPM),
+        )
+    # t-closeness is scale-free in the class: t in [0, 1e6]
+    assert all(0 <= t <= 1_000_000 for ts in per_nation.values() for t in ts)
