@@ -228,6 +228,7 @@ HEADLINE = [
     "lineitem_hill_tail",
     "multimodal_otsu",
     "anonymize_tcloseness",
+    "lineitem_price_index",
 ]
 
 

@@ -1784,13 +1784,13 @@ _ORACLES: dict[str, str] = {
 # corpus_vocab_sweep — the longest-locally-validated of the in-round
 # newcomers; none sits in a family-minimum set, so every family floor
 # holds). The displaced four stay fully oracle-covered and head the
-# r7 pool together with the eighteen session-8 newcomers outside the
+# r7 pool together with the nineteen session-8 newcomers outside the
 # window (anonymize_kanon_report, stats_spearman, text_char_entropy,
 # events_acf, zorder_hilbert, stats_chi2_independence, orders_anova_f,
 # sketch_f2_moment, sim_eval_map, orders_ks_test, hilbert_skipping,
 # events_stickiness, anonymize_generalize_sweep, events_ab_power,
 # graph_assortativity, lineitem_hill_tail, multimodal_otsu,
-# anonymize_tcloseness).
+# anonymize_tcloseness, lineitem_price_index).
 #
 # Round-7 rotation TODO: the remaining window-eligible never-checked
 # pool (multimodal_features and sim_pq are rows-only and cannot occupy

@@ -2769,6 +2769,118 @@ FROM tc_t GROUP BY 1 ORDER BY c_nationkey
 """
 
 
+# ---------------------------------------------------------------------------
+# lineitem_price_index — chained Laspeyres / Paasche / Fisher price index
+# ---------------------------------------------------------------------------
+
+
+def q_lineitem_price_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month price indices on MATCHED parts — the
+    inflation-measurement shape (Laspeyres weights by base-month
+    quantities, Paasche by current, Fisher is their geometric mean;
+    the index-number problem every spend dashboard eventually hits).
+    Unit values integerize to ppm once per (part, month)
+    (uv_ppm = 1e6 * cents div qty), the four index sums are exact
+    integers, and each index is an exact-remainder DECIMAL floor
+    division (the chi2 staging — 1e6 * sum passes 2^63). Fisher's
+    sqrt is the one float: IEEE-correctly-rounded on both engines
+    from identical inputs, floored to ppm.
+
+    Scale shape: one partial-agg pass to (part, month) unit values,
+    one self-join on (part, month+1) — co-partitioned equi-join —
+    and a month-pair rollup. Matched-parts-only is the contract (new
+    and exiting parts are composition, not price, change)."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").selectExpr(
+        "l_partkey AS p",
+        "year(l_shipdate) * 12 + month(l_shipdate) AS m",
+        "cast(round(l_extendedprice * 100) AS bigint) AS c",
+        "cast(round(l_quantity) AS bigint) AS q",
+    )
+    pm = (
+        li.groupBy("p", "m")
+        .agg(F.sum("c").cast("long").alias("c"), F.sum("q").cast("long").alias("q"))
+        .selectExpr("p", "m", "(1000000L * c) div q AS uv", "q")
+    )
+    a, b = pm.alias("a"), pm.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.p") == F.col("b.p")) & (F.col("b.m") == F.col("a.m") + 1),
+    ).selectExpr(
+        "a.m AS m0",
+        "a.uv AS uv0",
+        "a.q AS q0",
+        "b.uv AS uv1",
+        "b.q AS q1",
+    )
+    sums = pairs.groupBy("m0").agg(
+        F.count(F.lit(1)).cast("long").alias("n_parts"),
+        F.sum(F.col("uv1") * F.col("q0")).cast("decimal(38,0)").alias("ln_"),
+        F.sum(F.col("uv0") * F.col("q0")).cast("decimal(38,0)").alias("ld"),
+        F.sum(F.col("uv1") * F.col("q1")).cast("decimal(38,0)").alias("pn"),
+        F.sum(F.col("uv0") * F.col("q1")).cast("decimal(38,0)").alias("pd"),
+    )
+
+    def idx(num: str, den: str) -> str:
+        big = f"(cast({num} AS decimal(38,0)) * 1000000)"
+        return f"cast(({big} - {big} % {den}) / {den} AS bigint)"
+
+    return sums.selectExpr(
+        "m0",
+        "m0 + 1 AS m1",
+        "n_parts",
+        f"{idx('ln_', 'ld')} AS laspeyres_ppm",
+        f"{idx('pn', 'pd')} AS paasche_ppm",
+    ).selectExpr(
+        "m0",
+        "m1",
+        "n_parts",
+        "laspeyres_ppm",
+        "paasche_ppm",
+        "cast(floor(sqrt(cast(laspeyres_ppm AS double)"
+        " * cast(paasche_ppm AS double))) AS bigint) AS fisher_ppm",
+    ).orderBy("m0")
+
+
+def _oracle_lineitem_price_index() -> str:
+    def idx(num: str, den: str) -> str:
+        big = f"({num}::HUGEINT * 1000000)"
+        return f"(({big} - {big} % {den}) // {den})::BIGINT"
+
+    return f"""
+WITH pi_li AS (
+  SELECT l_partkey AS p, year(l_shipdate) * 12 + month(l_shipdate) AS m,
+         ROUND(l_extendedprice * 100)::BIGINT AS c,
+         ROUND(l_quantity)::BIGINT AS q
+  FROM lineitem
+),
+pi_pm AS (
+  SELECT p, m, (1000000 * SUM(c)) // SUM(q) AS uv, SUM(q)::BIGINT AS q
+  FROM pi_li GROUP BY 1, 2
+),
+pi_pairs AS (
+  SELECT a.m AS m0, a.uv AS uv0, a.q AS q0, b.uv AS uv1, b.q AS q1
+  FROM pi_pm a JOIN pi_pm b ON a.p = b.p AND b.m = a.m + 1
+),
+pi_s AS (
+  SELECT m0, COUNT(*)::BIGINT AS n_parts,
+         SUM(uv1 * q0) AS ln_, SUM(uv0 * q0) AS ld,
+         SUM(uv1 * q1) AS pn, SUM(uv0 * q1) AS pd
+  FROM pi_pairs GROUP BY 1
+),
+pi_i AS (
+  SELECT m0, (m0 + 1)::BIGINT AS m1, n_parts,
+         {idx('ln_', 'ld')} AS laspeyres_ppm,
+         {idx('pn', 'pd')} AS paasche_ppm
+  FROM pi_s
+)
+SELECT m0::BIGINT AS m0, m1, n_parts, laspeyres_ppm, paasche_ppm,
+       CAST(floor(sqrt(laspeyres_ppm::DOUBLE * paasche_ppm::DOUBLE))
+            AS BIGINT) AS fisher_ppm
+FROM pi_i
+ORDER BY m0
+"""
+
+
 WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "anonymize_kanon_report": q_anonymize_kanon_report,
     "stats_spearman": q_stats_spearman,
@@ -2792,6 +2904,7 @@ WAVE8_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "lineitem_hill_tail": q_lineitem_hill_tail,
     "multimodal_otsu": q_multimodal_otsu,
     "anonymize_tcloseness": q_anonymize_tcloseness,
+    "lineitem_price_index": q_lineitem_price_index,
 }
 
 WAVE8_ORACLES: dict[str, str] = {
@@ -2817,4 +2930,5 @@ WAVE8_ORACLES: dict[str, str] = {
     "lineitem_hill_tail": _oracle_lineitem_hill_tail(),
     "multimodal_otsu": _oracle_multimodal_otsu(),
     "anonymize_tcloseness": _oracle_anonymize_tcloseness(),
+    "lineitem_price_index": _oracle_lineitem_price_index(),
 }

@@ -882,3 +882,44 @@ def test_tcloseness_recount(spark, sf_dir):
         )
     # t-closeness is scale-free in the class: t in [0, 1e6]
     assert all(0 <= t <= 1_000_000 for ts in per_nation.values() for t in ts)
+
+
+def test_price_index_recount(spark, sf_dir):
+    import collections
+    import math as _m
+
+    import pandas as pd
+
+    rows = {
+        r.m0: (r.n_parts, r.laspeyres_ppm, r.paasche_ppm, r.fisher_ppm)
+        for r in w8.q_lineitem_price_index(spark, sf_dir).collect()
+    }
+    li = pd.read_parquet(f"{sf_dir}/lineitem.parquet")
+    m = li.l_shipdate.dt.year * 12 + li.l_shipdate.dt.month
+    c = (li.l_extendedprice * 100).round().astype("int64")
+    q = li.l_quantity.round().astype("int64")
+    pm = collections.defaultdict(lambda: [0, 0])
+    for p, mm, cc, qq in zip(li.l_partkey, m, c, q):
+        cell = pm[(int(p), int(mm))]
+        cell[0] += int(cc)
+        cell[1] += int(qq)
+    uv = {k: (1_000_000 * v[0]) // v[1] for k, v in pm.items()}
+    sums = collections.defaultdict(lambda: [0, 0, 0, 0, 0])
+    for (p, mm), u0 in uv.items():
+        nxt = uv.get((p, mm + 1))
+        if nxt is None:
+            continue
+        q0 = pm[(p, mm)][1]
+        q1 = pm[(p, mm + 1)][1]
+        s = sums[mm]
+        s[0] += 1
+        s[1] += nxt * q0
+        s[2] += u0 * q0
+        s[3] += nxt * q1
+        s[4] += u0 * q1
+    for mm, (n, ln_, ld, pn, pd_) in sums.items():
+        lasp = (1_000_000 * ln_) // ld
+        paas = (1_000_000 * pn) // pd_
+        fisher = int(_m.floor(_m.sqrt(float(lasp) * float(paas))))
+        assert rows[mm] == (n, lasp, paas, fisher)
+    assert set(rows) == set(sums)
