@@ -455,9 +455,18 @@ def main() -> None:
         )
 
     # the graph family shares the edge-build join — same chained
-    # treatment (pagerank standalone meaning, communities incremental)
+    # treatment (pagerank standalone meaning, communities incremental).
+    # The iterative-join kernels take 2-3 runs to finish codegen/JIT
+    # warmup (r6 recorded 4.67s for a query whose warm time is 1.9s —
+    # both samples were cold), so the disagreement rule below also
+    # applies here: keep sampling while the chain is still speeding
+    # up, max 4 runs.
     try:
         runs = [_chained_graph(spark, SF_DIR) for _ in range(2)]
+        while len(runs) < 4 and min(
+            r[0] + r[1] for r in runs[-1:]
+        ) < 0.8 * min(r[0] + r[1] for r in runs[:-1]):
+            runs.append(_chained_graph(spark, SF_DIR))
         for i, name in enumerate(("graph_pagerank", "graph_communities")):
             timings[name] = round(min(r[i] for r in runs), 3)
     except Exception as exc:  # noqa: BLE001 — keep benching the rest

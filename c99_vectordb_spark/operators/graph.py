@@ -48,10 +48,16 @@ def pagerank(
     Returns (node, pr_fp) for every node appearing as src or dst.
     """
     e = edges.select("src", "dst")
+    # persist the node set: it re-enters the plan every iteration
+    # (the rank-update left join), and without the persist each
+    # iteration re-runs the union+distinct over the FULL edge list —
+    # at 100 TB that is iters extra edge-table shuffles for a
+    # node-sized relation (round-7 fix; warm sf0.1 time 2.07 -> 1.88s)
     nodes = (
         e.select(F.col("src").alias("node"))
         .union(e.select(F.col("dst").alias("node")))
         .distinct()
+        .persist()
     )
     outdeg = e.groupBy("src").agg(F.count(F.lit(1)).alias("outdeg"))
     # partition the big side once; every iteration's join reuses it
@@ -371,6 +377,12 @@ def label_propagation(edges: DataFrame, iters: int = 3) -> DataFrame:
             cnt.withColumn("rn", F.row_number().over(w))
             .filter(F.col("rn") == 1)
             .select("node", "label")
+            # labels is referenced TWICE per round (neighbor votes +
+            # the self-vote union), so a lazy plan doubles per round —
+            # 2^iters copies of the label subtree by the end (the same
+            # lineage blowup fixed in bfs_layers/kcore_peel).
+            # localCheckpoint truncates it; the frame is node-sized.
+            .localCheckpoint(eager=True)
         )
     return labels
 
