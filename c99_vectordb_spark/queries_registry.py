@@ -1727,184 +1727,127 @@ _ORACLES: dict[str, str] = {
 # for never-driver-checked siblings so the unchecked pool shrinks
 # monotonically while every family keeps >=1 representative.
 #
-# Round-6 rotation: the never-driver-checked pool was 49/149 after r5;
-# this window rotates in 26 first-timers (5 TPC-H, events_resample,
-# multimodal_resize/audio_stats, corpus_bpe_merges/vocab/bigrams/
-# sample, the NEW sim_recall_report, and non-pool headliners incl.
-# r5-judge-pre-verified sim_knn_join and orders_price_outliers),
-# dropping the pool 49 -> 25. corpus_postings stays pinned to prove
-# the round-6 scalar-serialization fix (its one r5 row was red on
-# schema shape, not values); embed_random_projection is pinned
-# first-time for the same reason (its array output was restructured to
-# exploded scalar rows this round). Session 4 swapped in its five NEW
-# operators (dedup_semantic, anonymize_orders, corpus_kn_counts,
-# corpus_dsir_weights, corpus_vocab_sweep) so they land driver-green
-# in the round they were built, displacing five first-timers the r5
-# judge had ALREADY independently verified (dedup_cluster_sizes,
-# sim_diverse_topk, corpus_fertility, corpus_bm25_batch,
-# quantiles_exact_global — all stay oracle-covered past the window and
-# rotate back in r7). Everything rotated out remains fully
-# oracle-covered past the window via tools/verify_oracle.
+# Round-7 rotation (the trust-horizon paydown round): after r6 the
+# never-driver-checked oracled pool stood at 117 of 241. This window
+# keeps only SEVEN long-green anchors (the five core reference-surface
+# ops, asof_join_events for joins, grouped_rank for windows+UDTF) and
+# fills the other 43 slots with FIRST-TIMERS, prioritizing the heavy
+# session-6/7/8 queries the r6 judge explicitly named
+# (graph_communities, orders_bootstrap_ci, sim_eval_ndcg,
+# events_cusum_shift, multimodal_phash_dedup, basket_item_similarity,
+# corpus_lm_generate — after its bounded-collect fix —
+# events_forecast_mase, customer_revenue_gini,
+# multimodal_gif_roundtrip). Pool after r7: 74. Family minimums hold
+# via the expanded same-family pools in tests/test_driver_window.py
+# (the FAMILIES map predates the session-6/7/8 waves; its pools now
+# include those waves' genuine siblings so rotation can actually
+# reach them).
 #
-# Session-5 swap: the four NEW session-5 operators (approx_distinct_hll,
-# bloom_semi_join, fuzzy_join_parts, sim_hybrid_rrf) rotate in so they
-# land driver-green in the round they were built, displacing four
-# first-timers the r5 judge had ALREADY independently verified
-# (sim_knn_join, orders_price_outliers, profile_orders,
-# events_rollup_incremental — all stay oracle-covered past the window
-# and rotate back in r7). The window still carries 26 first-timers.
+# Multi-round schedule that provably closes the horizon by r9
+# (judge r6 item #1):
+#   r7: 43 first-timers in  -> pool 117 - 43 = 74   (this window)
+#   r8: 43 first-timers in  -> pool  74 - 43 = 31
+#       (anchors stay; every other slot rotates; the 74-name pool is
+#        listed below — r8 takes the first 43 alphabetically unless a
+#        newcomer built that round displaces per the standing policy)
+#   r9: the remaining 31 + any r7/r8 newcomers -> pool 0
+# Standing policy: operators BUILT in a round rotate into that round's
+# window, displacing scheduled first-timers the judge has already
+# independently verified where possible.
 #
-# Session-6 swap: three of the six NEW session-6 operators
-# (dp_orders_histogram, events_srm_check, customer_rfm_segments)
-# rotate in so they land driver-green in the round they were built,
-# displacing three first-timers (tpch_q14, corpus_bigrams,
-# dedup_cross_source — no family drops below its minimum; every
-# already-driver-green window entry is family-pinned) that stay fully
-# oracle-covered and return in r7. The other three session-6 newcomers (events_cusum_shift,
-# corpus_zipf_fit, join_skew_report) join the r7 pool below.
-#
-# Session-7 swap: three of the eight NEW session-7 operators
-# (sketch_set_ops, dedup_winnowing, customer_survival_km) rotate in
-# so they land driver-green in the round they were built, displacing
-# the three NON-newcomer first-timers (dedup_span_removal,
-# text_lm_coverage, embed_random_projection — every session-4/5/6
-# newcomer keeps its slot, and no family drops below its minimum;
-# embed_random_projection's restructure-proof role is carried by the
-# still-pinned corpus_postings, which proves the same scalar-output
-# fix class). The displaced three stay fully oracle-covered and head
-# the r7 pool together with the five session-7 newcomers outside the
-# window (graph_bfs_layers, graph_kcore_peel, sim_binary_quant,
-# orders_theilsen_trend, orders_mann_whitney).
-#
-# Session-8 swap: four of the ten NEW session-8 operators
-# (sim_lof_outliers, events_policy_ips, dedup_edit_pairs,
-# corpus_textrank) rotate in so they land driver-green in the round
-# they were built, displacing four session-4 newcomers
-# (anonymize_orders, corpus_kn_counts, corpus_dsir_weights,
-# corpus_vocab_sweep — the longest-locally-validated of the in-round
-# newcomers; none sits in a family-minimum set, so every family floor
-# holds). The displaced four stay fully oracle-covered and head the
-# r7 pool together with the nineteen session-8 newcomers outside the
-# window (anonymize_kanon_report, stats_spearman, text_char_entropy,
-# events_acf, zorder_hilbert, stats_chi2_independence, orders_anova_f,
-# sketch_f2_moment, sim_eval_map, orders_ks_test, hilbert_skipping,
-# events_stickiness, anonymize_generalize_sweep, events_ab_power,
-# graph_assortativity, lineitem_hill_tail, multimodal_otsu,
-# anonymize_tcloseness, lineitem_price_index).
-#
-# Round-7 rotation TODO: the remaining window-eligible never-checked
-# pool (multimodal_features and sim_pq are rows-only and cannot occupy
-# hash slots): the session-7 newcomers outside the window
-# (graph_bfs_layers, graph_kcore_peel, sim_binary_quant,
-# orders_theilsen_trend, orders_mann_whitney, sim_mutual_nn,
-# dedup_cdc_chunks, corpus_pmi_pairs, customer_cohort_ltv,
-# orders_kruskal_wallis, multimodal_gif_roundtrip) and the session-7
-# displacements (dedup_span_removal, text_lm_coverage,
-# embed_random_projection); the NEW oracled r6 queries still outside the window
-# (dedup_recall_report, corpus_pipeline_incremental, corpus_pack_report,
-# corpus_filter_funnel, multimodal_adpcm_roundtrip,
-# multimodal_video_frames, corpus_kn_incremental, profile_documents,
-# zorder_skipping, corpus_pipeline_dsir, sim_filtered_recall,
-# text_lm_score, events_hll_users, multimodal_phash_dedup,
-# basket_pairs, lineitem_weighted_quantiles, corpus_phrase_search,
-# orders_trimmed_mean, events_cuped, orders_bootstrap_ci,
-# sim_eval_ndcg, text_html_extract, audit_benford_prices,
-# audit_order_reconciliation, events_forecast_mase,
-# customer_revenue_gini, corpus_drift_kl — the session-5 newcomers outside
-# the window); the session-6 newcomers outside the window
-# (events_cusum_shift, corpus_zipf_fit, join_skew_report,
-# dedup_containment, lineitem_abc_parts, events_hour_profile,
-# sim_range_search, graph_communities, dq_expectations,
-# basket_item_similarity, events_ohlc_bars, events_top_paths,
-# orders_backlog_timeline, events_growth_accounting,
-# attribution_markov, orders_seasonal_decomp, corpus_lm_generate,
-# multimodal_scene_cuts, sim_matryoshka_recall) and its
-# first-timer displacements (tpch_q14, corpus_bigrams,
-# dedup_cross_source); the
-# session-4/5 displacements
-# (dedup_cluster_sizes, sim_diverse_topk, corpus_fertility,
-# corpus_bm25_batch, quantiles_exact_global, sim_knn_join,
-# orders_price_outliers, profile_orders, events_rollup_incremental —
-# all r5-judge-verified); plus
-# tpch_q2/q10/q11/q12/q15/q16/q20, approx_quantiles_bottomk,
-# corpus_curriculum, corpus_pack, corpus_shuffle_order,
-# corpus_snapshot_diff, corpus_weighted_sample, decontaminate_survivors,
-# embedding_centroids, events_anomaly, events_decayed_value,
-# events_enrich_segments, events_time_to_convert, events_transitions,
-# text_novelty, zorder_layout.
+# Remaining never-driver-checked pool after this window (74):
+# anonymize_generalize_sweep, anonymize_kanon_report,
+# anonymize_orders, anonymize_tcloseness, attribution_markov,
+# audit_benford_prices, audit_order_reconciliation, basket_pairs,
+# corpus_bm25_batch, corpus_curriculum, corpus_drift_kl,
+# corpus_dsir_weights, corpus_filter_funnel, corpus_kn_counts,
+# corpus_kn_incremental, corpus_pack_report, corpus_phrase_search,
+# corpus_pipeline_dsir, corpus_pipeline_incremental, corpus_pmi_pairs,
+# corpus_shuffle_order, corpus_snapshot_diff, corpus_vocab_sweep,
+# corpus_weighted_sample, corpus_zipf_fit, customer_cohort_ltv,
+# dedup_cdc_chunks, dedup_containment, dedup_recall_report,
+# dedup_span_removal, embed_random_projection, embedding_centroids,
+# events_ab_power, events_acf, events_anomaly, events_cuped,
+# events_decayed_value, events_enrich_segments,
+# events_growth_accounting, events_hour_profile, events_ohlc_bars,
+# events_stickiness, events_time_to_convert, events_top_paths,
+# events_transitions, graph_assortativity, hilbert_skipping,
+# lineitem_abc_parts, lineitem_hill_tail, lineitem_price_index,
+# multimodal_adpcm_roundtrip, multimodal_otsu, multimodal_scene_cuts,
+# multimodal_video_frames, orders_anova_f, orders_kruskal_wallis,
+# orders_ks_test, orders_mann_whitney, orders_price_outliers,
+# orders_theilsen_trend, orders_trimmed_mean, profile_orders,
+# sim_binary_quant, sim_diverse_topk, sim_eval_map, sim_mutual_nn,
+# sim_range_search, sketch_f2_moment, stats_chi2_independence,
+# text_lm_coverage, text_lm_score, zorder_hilbert, zorder_layout,
+# zorder_skipping.
+# (rows-only multimodal_features / sim_pq / sim_ivf / approx_distinct
+# cannot occupy hash slots and are excluded from the schedule.)
 DRIVER_WINDOW = [
-    # core reference surface (recall / filter / analyze / mutate)
+    # long-green anchors: core reference surface + one join + one
+    # window/UDTF representative
     "recall_topk_int",
     "filter_orders_page",
     "stats_topk_other",
     "compaction_reseq",
     "upsert_docs",
-    # TPC-H tour — four never-driver-checked members rotate in
-    "tpch_q4",
-    "tpch_q8",
-    "tpch_q13",
-    "tpch_q19",
-    # join strategies
-    "salted_join_revenue",
-    "range_join_bands",
     "asof_join_events",
-    "semi_anti_joins",
-    # windows / ordered analytics (grouped_rank also covers UDTF)
-    "orders_scd2",
-    "events_trailing_24h",
-    "skyline_orders",
     "grouped_rank",
-    # streaming batch-twins (events_resample is a first-timer)
-    "events_sessions",
-    "events_resample",
-    # approximate aggregates (deterministic, fully oracled)
-    "approx_distinct_kmv",
-    "sketch_heavy_hitters",
-    # dedup family (pool reps + report operators + the NEW SemDeDup)
-    "dedup_minhash_pairs",
-    "dedup_incremental",
-    "dedup_semantic",
-    "dedup_winnowing",
-    # session-8 wave: edit-distance verification tier
-    "dedup_edit_pairs",
-    # similarity family (pool reps + the two first-time headliners +
-    # the round-6 ANN recall@k report, new this round)
-    "sim_lsh_bucketed",
-    "sim_ivfpq_fixed",
-    "sim_recall_report",
-    "sim_hybrid_rrf",
-    # session-8 wave: LOF outlier scoring + off-policy evaluation
-    "sim_lof_outliers",
-    "events_policy_ips",
-    # sketch algebra (first-time: the session-7 KMV set-ops headliner)
-    "sketch_set_ops",
-    # multimodal — two never-driver-checked members rotate in
-    "multimodal_resize",
-    "multimodal_audio_stats",
-    # text analysis (+ two first-time quality gates)
-    "text_gopher_rules",
-    "text_scrub_pii",
-    "text_repetition",
-    "customer_survival_km",
-    # corpus / training-data pipeline (corpus_postings pinned to prove
-    # the round-6 fix; four pool first-timers; three non-pool)
-    "corpus_postings",
-    "corpus_bpe_merges",
-    "corpus_vocab",
-    "corpus_sample",
-    # session-8 wave: TextRank keywords over the co-occurrence graph
-    "corpus_textrank",
-    # exact-analytics / profiling first-timers
-    # session-5 wave: HLL distinct, Bloom runtime semi-join, q-gram
-    # fuzzy join — driver-checked in the round they were built
-    "approx_distinct_hll",
-    "bloom_semi_join",
-    "fuzzy_join_parts",
-    # session-6 wave: DP histogram release, SRM assignment audit, RFM
-    # segmentation — driver-checked in the round they were built
-    "dp_orders_histogram",
-    "events_srm_check",
-    "customer_rfm_segments",
+    # TPC-H: the entire never-checked remainder of the tour
+    "tpch_q2",
+    "tpch_q10",
+    "tpch_q11",
+    "tpch_q12",
+    "tpch_q14",
+    "tpch_q15",
+    "tpch_q16",
+    "tpch_q20",
+    # joins/graph first-timers (judge priority: graph_communities)
+    "join_skew_report",
+    "graph_communities",
+    "graph_bfs_layers",
+    "graph_kcore_peel",
+    # windows / ordered-analytics first-timers
+    "quantiles_exact_global",
+    "lineitem_weighted_quantiles",
+    "orders_backlog_timeline",
+    # streaming-twin first-timers (rollup + CUSUM both have
+    # stream==batch replay twins)
+    "events_rollup_incremental",
+    "events_cusum_shift",
+    # approximate-aggregate first-timers
+    "approx_quantiles_bottomk",
+    "events_hll_users",
+    # dedup-report first-timers
+    "dedup_cluster_sizes",
+    "dedup_cross_source",
+    # similarity first-timers (judge priority: sim_eval_ndcg)
+    "sim_eval_ndcg",
+    "sim_knn_join",
+    "sim_matryoshka_recall",
+    "sim_filtered_recall",
+    # multimodal first-timers (judge priority: both)
+    "multimodal_gif_roundtrip",
+    "multimodal_phash_dedup",
+    # text first-timers
+    "text_char_entropy",
+    "text_html_extract",
+    "text_novelty",
+    # corpus first-timers
+    "corpus_bigrams",
+    "corpus_pack",
+    "decontaminate_survivors",
+    "corpus_fertility",
+    "corpus_lm_generate",
+    # heavy-stats / events first-timers (judge priorities)
+    "orders_bootstrap_ci",
+    "basket_item_similarity",
+    "events_forecast_mase",
+    "customer_revenue_gini",
+    "stats_spearman",
+    "orders_seasonal_decomp",
+    "dq_expectations",
+    "profile_documents",
 ]
 
 

@@ -30,33 +30,63 @@ FAMILIES: dict[str, tuple[set[str], int]] = {
               "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
               "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
               "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22"}, 4),
+    # Pools were written before the session-6/7/8 waves; each now also
+    # lists those waves' genuine same-family siblings so the round-7+
+    # rotation can fill minimums with first-timers instead of pinning
+    # long-green veterans forever (round-6 verdict item #1).
     "joins": ({"revenue_by_nation", "salted_join_revenue", "range_join_bands",
                "asof_join_events", "semi_anti_joins", "graph_triangles",
-               "graph_pagerank"}, 4),
+               "graph_pagerank", "join_skew_report", "fuzzy_join_parts",
+               "graph_communities", "graph_bfs_layers", "graph_kcore_peel",
+               "graph_assortativity", "bloom_semi_join"}, 4),
     "windows": ({"orders_scd2", "events_trailing_24h", "skyline_orders",
                  "price_histogram", "grouped_sample_topn", "cdc_apply_orders",
-                 "window_running_total", "grouped_rank"}, 4),
+                 "window_running_total", "grouped_rank",
+                 "quantiles_exact_global", "lineitem_weighted_quantiles",
+                 "orders_backlog_timeline", "events_ohlc_bars"}, 4),
     "streaming_twin": ({"events_sessions", "events_keep_first",
-                        "events_attribution_pairs", "events_resample"}, 2),
-    "approx": ({"approx_distinct_kmv", "sketch_heavy_hitters"}, 2),
+                        "events_attribution_pairs", "events_resample",
+                        "events_rollup_incremental", "events_cusum_shift",
+                        "events_ohlc_bars", "events_hll_users",
+                        "dedup_incremental", "events_policy_ips"}, 2),
+    "approx": ({"approx_distinct_kmv", "sketch_heavy_hitters",
+                "approx_distinct_hll", "approx_quantiles_bottomk",
+                "events_hll_users", "sketch_f2_moment", "sketch_set_ops",
+                "bloom_semi_join"}, 2),
     "udtf": ({"udtf_shingles", "grouped_rank"}, 1),
     "dedup": ({"dedup_exact", "dedup_minhash_pairs", "dedup_jaccard_pairs",
                "dedup_simhash", "dedup_survivors", "dedup_substring_spans",
-               "dedup_incremental"}, 2),
+               "dedup_incremental", "dedup_cluster_sizes",
+               "dedup_cross_source", "dedup_containment",
+               "dedup_recall_report", "dedup_span_removal",
+               "dedup_cdc_chunks", "dedup_winnowing", "dedup_edit_pairs",
+               "dedup_semantic"}, 2),
     "similarity": ({"sim_lsh_bucketed", "sim_lsh_multiprobe", "sim_ivf_batch",
                     "sim_pq_fixed", "sim_ivfpq_fixed", "sim_sq_int8",
-                    "sim_recall_report"}, 3),
+                    "sim_recall_report", "sim_eval_ndcg", "sim_knn_join",
+                    "sim_matryoshka_recall", "sim_filtered_recall",
+                    "sim_mutual_nn", "sim_binary_quant", "sim_range_search",
+                    "sim_diverse_topk", "sim_eval_map", "sim_hybrid_rrf",
+                    "sim_lof_outliers"}, 3),
     "multimodal": ({"multimodal_meta_roundtrip", "multimodal_png_roundtrip",
                     "multimodal_jpeg_meta", "multimodal_jpeg_pixel",
-                    "multimodal_resize", "multimodal_audio_stats"}, 2),
+                    "multimodal_resize", "multimodal_audio_stats",
+                    "multimodal_gif_roundtrip", "multimodal_phash_dedup",
+                    "multimodal_otsu", "multimodal_scene_cuts",
+                    "multimodal_video_frames",
+                    "multimodal_adpcm_roundtrip"}, 2),
     "text": ({"text_quality", "text_langid", "text_fingerprint",
-              "text_scrub_pii", "text_repetition", "text_gopher_rules"}, 3),
+              "text_scrub_pii", "text_repetition", "text_gopher_rules",
+              "text_char_entropy", "text_html_extract", "text_novelty",
+              "text_lm_coverage", "text_lm_score"}, 3),
     "corpus": ({"corpus_pipeline", "corpus_tfidf_terms", "corpus_split_assign",
                 "corpus_pack", "corpus_pack_global", "chunk_documents",
                 "decontaminate_eval", "decontaminate_survivors", "corpus_vocab",
                 "corpus_sample", "corpus_bigrams", "corpus_bpe_merges",
                 "corpus_bpe_encode", "corpus_mixture", "corpus_bm25_topk",
-                "corpus_postings"}, 4),
+                "corpus_postings", "corpus_fertility", "corpus_lm_generate",
+                "corpus_zipf_fit", "corpus_phrase_search",
+                "corpus_drift_kl"}, 4),
 }
 
 
