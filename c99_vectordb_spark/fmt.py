@@ -26,6 +26,10 @@ def _literal_representer(dumper: yaml.Dumper, data: LiteralStr):
 
 
 yaml.SafeDumper.add_representer(LiteralStr, _literal_representer)
+if hasattr(yaml, "CSafeDumper"):
+    # the adapter's bulk dump path (sources/yaml_io.fast_safe_dump_all)
+    # emits through libyaml; bodies must block-scalar there too
+    yaml.CSafeDumper.add_representer(LiteralStr, _literal_representer)
 
 
 # -- R1: recall text block ---------------------------------------------------

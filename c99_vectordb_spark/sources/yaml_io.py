@@ -25,6 +25,7 @@ tested equal to the driver path. A 100 TB corpus lives in Parquet.
 
 from __future__ import annotations
 
+import re
 from typing import Any
 
 import yaml
@@ -58,12 +59,80 @@ YAML_BATCH_SCHEMA = T.StructType(
 )
 
 
+#: LibYAML C bindings parse and emit ~10x faster than the pure-Python
+#: scanner/emitter and format every VALUE identically (proven across
+#: floats incl. 5e-324/inf/-0.0, unicode, quoting edge cases by
+#: tests/test_store_yaml.py::test_c_emitter_parity). Three deliberate
+#: asymmetries: (1) error TEXTS differ, so the fast loaders fall back
+#: to the pure-Python parser on failure to keep golden error messages;
+#: (2) the Python emitter appends a "..." document-end marker after
+#: TOP-LEVEL SCALARS that libyaml omits — fast dumps are therefore
+#: used only where that framing is invisible (the metadata_yaml
+#: carrier, whose consumers safe_load it; and whole-record mappings,
+#: which never take the marker), never in fmt.format_cell whose bytes
+#: are golden-matched to the reference; (3) libyaml escapes non-BMP
+#: characters where Python writes them — the dump helpers walk the
+#: payload and fall back to the Python emitter on astral content.
+_C_SAFE_LOADER = getattr(yaml, "CSafeLoader", None)
+_C_SAFE_DUMPER = getattr(yaml, "CSafeDumper", None)
+
+
+def fast_safe_load(text: str):
+    if _C_SAFE_LOADER is None:
+        return yaml.safe_load(text)
+    try:
+        return yaml.load(text, Loader=_C_SAFE_LOADER)
+    except yaml.YAMLError:
+        # pure-python pass: exact golden error text (or, if the C
+        # scanner was stricter, the reference-matching accept)
+        return yaml.safe_load(text)
+
+
+def fast_safe_load_all(text: str) -> list:
+    if _C_SAFE_LOADER is None:
+        return list(yaml.safe_load_all(text))
+    try:
+        return list(yaml.load_all(text, Loader=_C_SAFE_LOADER))
+    except yaml.YAMLError:
+        return list(yaml.safe_load_all(text))
+
+
+#: libyaml escapes characters OUTSIDE the Basic Multilingual Plane
+#: even under allow_unicode=True ('emoji 😀' -> '"emoji \\U0001F600"'
+#: where the Python emitter writes the character) — load-equivalent
+#: but not byte-equal, so astral payloads take the pure-Python emitter
+_NON_BMP = re.compile("[\U00010000-\U0010ffff]")
+
+
+def _has_non_bmp(obj) -> bool:
+    if isinstance(obj, str):
+        return _NON_BMP.search(obj) is not None
+    if isinstance(obj, dict):
+        return any(_has_non_bmp(k) or _has_non_bmp(v) for k, v in obj.items())
+    if isinstance(obj, (list, tuple)):
+        return any(_has_non_bmp(v) for v in obj)
+    return False
+
+
+def fast_safe_dump(value, **kw) -> str:
+    if _C_SAFE_DUMPER is None or _has_non_bmp(value):
+        return yaml.safe_dump(value, **kw)
+    return yaml.dump(value, Dumper=_C_SAFE_DUMPER, **kw)
+
+
+def fast_safe_dump_all(values, **kw) -> str:
+    values = list(values)
+    if _C_SAFE_DUMPER is None or _has_non_bmp(values):
+        return yaml.safe_dump_all(values, **kw)
+    return yaml.dump_all(values, Dumper=_C_SAFE_DUMPER, **kw)
+
+
 def _yaml_extras(metadata: dict | None) -> tuple[dict | None, list | None]:
     """(metadata_yaml, metadata_keys) for one record's original dict."""
     if not metadata:
         return None, None
     yrepr = {
-        str(k): yaml.safe_dump(
+        str(k): fast_safe_dump(
             v, default_flow_style=True, sort_keys=False, allow_unicode=True
         ).strip()
         for k, v in metadata.items()
@@ -76,7 +145,7 @@ class YamlValidationError(ValueError):
 
 
 def _parse_docs(text: str) -> list[dict]:
-    return [d for d in yaml.safe_load_all(text) if d is not None]
+    return [d for d in fast_safe_load_all(text) if d is not None]
 
 
 def _validate_record_doc(doc) -> tuple[int, str, dict | None]:
@@ -195,7 +264,7 @@ def _parse_records_distributed(spark: SparkSession, text: str) -> DataFrame:
             rows = []
             for doc_idx, doc_text in zip(pdf["doc_idx"], pdf["doc"]):
                 try:
-                    doc = yaml.safe_load(doc_text)
+                    doc = fast_safe_load(doc_text)
                     if doc is None:
                         continue
                     rid, body, metadata = _validate_record_doc(doc)
@@ -312,7 +381,7 @@ def revive_metadata(r) -> dict[str, Any]:
     md: dict[str, Any] = {}
     for k in order:
         if k in yrepr and yrepr[k] is not None:
-            md[k] = yaml.safe_load(yrepr[k])
+            md[k] = fast_safe_load(yrepr[k])
         elif k in lists and lists[k] is not None:
             md[k] = list(lists[k])
         elif k in scalars:
@@ -329,7 +398,10 @@ def records_to_yaml(rows: list) -> str:
         docs.append(
             {"id": r["id"], "metadata": md, "body": LiteralStr(r["body"] or "")}
         )
-    return yaml.safe_dump_all(
+    # whole-record mappings never take the "..." marker, so the C
+    # emitter's output is byte-identical to safe_dump_all here
+    # (test_c_emitter_parity pins it)
+    return fast_safe_dump_all(
         docs, explicit_start=True, sort_keys=False, allow_unicode=True
     )
 

@@ -191,3 +191,107 @@ def test_distributed_error_is_first_in_document_order(spark, tmp_path):
             yaml_io.YamlValidationError, match="non-negative int: -7"
         ):
             yaml_io.load_records_yaml(spark, path, distributed_bytes=0)
+
+
+def test_c_emitter_parity():
+    """The adapter's bulk load/save path runs through libyaml
+    (fast_safe_dump/_load in sources/yaml_io) for the ~10x parse/emit
+    speedup; this pins the byte-parity contract that makes the switch
+    safe. Every value form the adapter can carry must emit IDENTICAL
+    bytes through yaml.safe_dump and the C dumper in BOTH framings the
+    code uses (per-key flow dump for metadata_yaml modulo the Python
+    emitter's top-level-scalar "..." framing marker, and the canonical
+    multi-doc record dump, which takes no marker). If libyaml is
+    absent the helpers already fall back to pure Python."""
+    import yaml
+
+    from c99_vectordb_spark.fmt import LiteralStr
+
+    if not hasattr(yaml, "CSafeDumper"):
+        pytest.skip("libyaml not available; helpers use pure python")
+
+    values = [
+        0.1, 1e20, 1e-9, 3.14159, float("inf"), -float("inf"), 1.0,
+        123456789.123456789, 1e16, -0.0, 5e-324, 2.5e10,
+        0, 42, -7, 2**62, True, False, None,
+        "plain", "with: colon", "ümlaut", "emoji \U0001f600",
+        "'quoted'", '"dq"', "123", "null", "~", "yes", "no", "on",
+        "1e5", "0x1f", "", " lead", "trail ", "\ttabbed", "a" * 300,
+        "- dash", "# hash", "[bracket", "{brace", "*star", "&amp",
+        "!bang", "|pipe", ">gt", "%pct", "@at", "`tick",
+        [1, 2, {"a": 0.5}], {"k": [1.5, "x"], "d": {"n": None}},
+        ["ün", [True, 1e-3]],
+    ]
+    for v in values:
+        py = yaml.safe_dump(
+            v, default_flow_style=True, sort_keys=False, allow_unicode=True
+        )
+        c = yaml_io.fast_safe_dump(
+            v, default_flow_style=True, sort_keys=False, allow_unicode=True
+        )
+        # the one allowed diff: python appends "...\n" after top-level
+        # scalars; both sides are .strip()ed by _yaml_extras consumers
+        # via safe_load, never compared as bytes. Astral content must
+        # come back byte-IDENTICAL (the helper falls back to python).
+        assert py == c or py == c + "...\n", (v, py, c)
+        assert yaml.safe_load(c) == yaml.safe_load(py) or (
+            yaml.safe_load(py) != yaml.safe_load(py)  # NaN fixture guard
+        )
+
+    # the record-dump framing must be EXACTLY byte-identical: these
+    # bytes are the canonical .yaml file golden-matched to the
+    # reference's own safe_dump_all output
+    recs = [
+        {
+            "id": i,
+            "metadata": md,
+            "body": LiteralStr(body),
+        }
+        for i, (md, body) in enumerate(
+            [
+                ({"lang": "en", "pi": 3.14159, "n": 5e-324}, "line1\nline2\n"),
+                ({"tags": ["a", 1, True], "d": {"x": None}}, "ümlaut \U0001f600\n"),
+                ({}, ""),
+                ({"weird": "with: colon", "q": "'quoted'"}, "no trailing newline"),
+                ({"huge": 2**62, "neg": -0.0}, "\ttab lead\n"),
+            ]
+        )
+    ]
+    py = yaml.safe_dump_all(
+        recs, explicit_start=True, sort_keys=False, allow_unicode=True
+    )
+    # byte-identical through the helper (the astral body in rec 1
+    # forces the python fallback; a BMP-only subset goes through
+    # libyaml and must also match exactly)
+    assert yaml_io.fast_safe_dump_all(
+        recs, explicit_start=True, sort_keys=False, allow_unicode=True
+    ) == py
+    bmp_recs = [r for r in recs if not yaml_io._has_non_bmp(r)]
+    assert len(bmp_recs) < len(recs), "fixture lost its astral case"
+    py_bmp = yaml.safe_dump_all(
+        bmp_recs, explicit_start=True, sort_keys=False, allow_unicode=True
+    )
+    c_bmp = yaml.dump_all(
+        bmp_recs, Dumper=yaml.CSafeDumper, explicit_start=True,
+        sort_keys=False, allow_unicode=True,
+    )
+    assert py_bmp == c_bmp
+    # and the fast loader inverts the canonical dump
+    assert yaml_io.fast_safe_load_all(py) == list(yaml.safe_load_all(py))
+
+
+def test_fast_loader_error_text_matches_pure_python():
+    """On malformed input the fast loader must raise the PURE-PYTHON
+    error text (golden error-message parity): the C scanner's messages
+    differ, so fast_safe_load falls back before raising."""
+    import yaml
+
+    bad = "key: [unclosed\nnext: 1\n- also broken"
+    try:
+        yaml.safe_load(bad)
+        pytest.skip("fixture unexpectedly parses")
+    except yaml.YAMLError as e:
+        expected = str(e)
+    with pytest.raises(yaml.YAMLError) as ei:
+        yaml_io.fast_safe_load(bad)
+    assert str(ei.value) == expected
