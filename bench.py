@@ -229,6 +229,7 @@ HEADLINE = [
     "multimodal_otsu",
     "anonymize_tcloseness",
     "lineitem_price_index",
+    "migrate_yaml_store",
 ]
 
 

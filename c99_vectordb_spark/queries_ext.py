@@ -8468,12 +8468,159 @@ ORDER BY p.qid, p.dim DESC
 """
 
 
+#: fp modulus: keeps the 56-bit fingerprint sum inside BIGINT at any
+#: corpus size while staying exact cross-engine
+_MIGRATE_FP_MOD = 1_000_000_007
+
+
+def q_migrate_yaml_store(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference-to-native migration path AS an oracled artifact
+    (round-6 verdict stretch #8): build the reference's own YAML
+    database from the documents table, run it through
+    sources.store.migrate_yaml_to_parquet (adapter parse -> atomic
+    parquet store -> derived embedding index), then report parity
+    invariants computed FROM THE MIGRATED STORE: record count,
+    densified max id, blank count, a per-record md5-56 content
+    fingerprint sum over (id, body, lang, source, n_chars), and the
+    index's integer invariants (nonzero-vector count, total nnz,
+    total squared norm). The DuckDB twin recomputes every number from
+    the PRE-migration corpus — any byte lost in YAML round-trip,
+    adapter parse, store swap, or index build breaks the hash.
+
+    Scale shape: the YAML file is a driver-sized artifact by the
+    reference's own design (its only store format); everything after
+    the file — parse (distributed past 4 MB), store write, embedding
+    build, and both verification scans — is distributed. The single
+    collected row is the report."""
+    import shutil
+    import tempfile
+
+    from .fmt import LiteralStr
+    from .sources.store import migrate_yaml_to_parquet
+    from .sources.yaml_io import fast_safe_dump_all
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "text", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+        .collect()
+    )
+    tmp = tempfile.mkdtemp(prefix="migrate_q_")
+    try:
+        yaml_path = f"{tmp}/db.yaml"
+        with open(yaml_path, "w", encoding="utf-8") as f:
+            f.write(
+                fast_safe_dump_all(
+                    [
+                        {
+                            "id": i,
+                            "metadata": {
+                                "lang": r["lang"],
+                                "source": r["source"],
+                                "n_chars": int(r["n_chars"]),
+                            },
+                            "body": LiteralStr(r["text"] or ""),
+                        }
+                        for i, r in enumerate(docs)
+                    ],
+                    explicit_start=True,
+                    sort_keys=False,
+                    allow_unicode=True,
+                )
+            )
+        store = migrate_yaml_to_parquet(spark, yaml_path, f"{tmp}/store")
+        recs = store.load_records()
+        fp = F.expr(
+            "cast(conv(substring(md5(concat_ws('|', cast(id AS string),"
+            " body, metadata['lang'], metadata['source'],"
+            " metadata['n_chars'])), 1, 14), 16, 10) AS bigint)"
+            f" % {_MIGRATE_FP_MOD}"
+        )
+        rec_stats = recs.agg(
+            F.count(F.lit(1)).cast("long").alias("n_records"),
+            F.max("id").cast("long").alias("max_id"),
+            F.sum(F.when(F.col("body") == "", 1).otherwise(0))
+            .cast("long")
+            .alias("n_blank"),
+            F.sum(fp).cast("long").alias("fp_sum"),
+        ).collect()[0]
+        emb = store.load_embeddings().select(
+            F.size(F.filter("vec", lambda x: x != 0)).cast("long").alias("nnz"),
+            F.aggregate(
+                "vec", F.lit(0).cast("long"), lambda a, x: a + x * x
+            ).alias("norm2"),
+        )
+        emb_stats = emb.agg(
+            F.sum(F.when(F.col("nnz") > 0, 1).otherwise(0))
+            .cast("long")
+            .alias("emb_nonzero"),
+            F.sum("nnz").cast("long").alias("emb_nnz_sum"),
+            F.sum("norm2").cast("long").alias("emb_norm2_sum"),
+        ).collect()[0]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(
+        [
+            (
+                rec_stats["n_records"],
+                rec_stats["max_id"],
+                rec_stats["n_blank"],
+                rec_stats["fp_sum"],
+                emb_stats["emb_nonzero"],
+                emb_stats["emb_nnz_sum"],
+                emb_stats["emb_norm2_sum"],
+            )
+        ],
+        "n_records long, max_id long, n_blank long, fp_sum long,"
+        " emb_nonzero long, emb_nnz_sum long, emb_norm2_sum long",
+    )
+
+
+def _oracle_migrate_yaml_store() -> str:
+    from .model import DIM
+    from .queries_registry import _duck_doc_vec_cte
+
+    fp = hashing.duckdb_md5_hash56_sql(
+        "id::VARCHAR || '|' || body || '|' || lang || '|' || source"
+        " || '|' || n_chars::VARCHAR"
+    )
+    return f"""
+WITH {_duck_doc_vec_cte(DIM)},
+mg_docs AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS id,
+         COALESCE(text, '') AS body, lang, source, n_chars, doc_id
+  FROM documents
+),
+mg_rec AS (
+  SELECT COUNT(*)::BIGINT AS n_records,
+         MAX(id)::BIGINT AS max_id,
+         SUM(CASE WHEN body = '' THEN 1 ELSE 0 END)::BIGINT AS n_blank,
+         SUM(({fp}) % {_MIGRATE_FP_MOD})::BIGINT AS fp_sum
+  FROM mg_docs
+),
+mg_emb AS (
+  -- a doc whose signed-BoW buckets all cancel to zero carries vec
+  -- rows with w = 0 only; the Spark side sees its dense vector as
+  -- nnz = 0 and excludes it, so the distinct-doc count must too
+  SELECT COUNT(DISTINCT doc_id) FILTER (WHERE w != 0)::BIGINT
+           AS emb_nonzero,
+         COUNT(*) FILTER (WHERE w != 0)::BIGINT AS emb_nnz_sum,
+         SUM(w * w)::BIGINT AS emb_norm2_sum
+  FROM vec
+)
+SELECT n_records, max_id, n_blank, fp_sum,
+       emb_nonzero, emb_nnz_sum, emb_norm2_sum
+FROM mg_rec CROSS JOIN mg_emb
+"""
+
+
 EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "customer_rfm_segments": q_customer_rfm_segments,
     "sim_matryoshka_recall": q_sim_matryoshka_recall,
     "multimodal_scene_cuts": q_multimodal_scene_cuts,
     "orders_seasonal_decomp": q_orders_seasonal_decomp,
     "corpus_lm_generate": q_corpus_lm_generate,
+    "migrate_yaml_store": q_migrate_yaml_store,
     "attribution_markov": q_attribution_markov,
     "orders_backlog_timeline": q_orders_backlog_timeline,
     "events_growth_accounting": q_events_growth_accounting,
@@ -8605,6 +8752,7 @@ EXT_ORACLES: dict[str, str] = {
     "attribution_markov": _oracle_attribution_markov(),
     "orders_seasonal_decomp": _oracle_orders_seasonal_decomp(),
     "corpus_lm_generate": _oracle_corpus_lm_generate(),
+    "migrate_yaml_store": _oracle_migrate_yaml_store(),
     "multimodal_scene_cuts": _oracle_multimodal_scene_cuts(),
     "sim_matryoshka_recall": _oracle_sim_matryoshka_recall(),
     "events_srm_check": _oracle_events_srm_check(),

@@ -1737,7 +1737,9 @@ _ORACLES: dict[str, str] = {
 # events_cusum_shift, multimodal_phash_dedup, basket_item_similarity,
 # corpus_lm_generate — after its bounded-collect fix —
 # events_forecast_mase, customer_revenue_gini,
-# multimodal_gif_roundtrip). Pool after r7: 74. Family minimums hold
+# multimodal_gif_roundtrip). Pool after r7: 75 (the in-round-built
+# migrate_yaml_store displaced profile_documents per the standing
+# policy below). Family minimums hold
 # via the expanded same-family pools in tests/test_driver_window.py
 # (the FAMILIES map predates the session-6/7/8 waves; its pools now
 # include those waves' genuine siblings so rotation can actually
@@ -1745,17 +1747,18 @@ _ORACLES: dict[str, str] = {
 #
 # Multi-round schedule that provably closes the horizon by r9
 # (judge r6 item #1):
-#   r7: 43 first-timers in  -> pool 117 - 43 = 74   (this window)
-#   r8: 43 first-timers in  -> pool  74 - 43 = 31
-#       (anchors stay; every other slot rotates; the 74-name pool is
+#   r7: 43 first-timers in  -> pool 117 - 42 = 75   (this window;
+#       42 pool members + the in-round-built migrate_yaml_store)
+#   r8: 43 first-timers in  -> pool  75 - 43 = 32
+#       (anchors stay; every other slot rotates; the 75-name pool is
 #        listed below — r8 takes the first 43 alphabetically unless a
 #        newcomer built that round displaces per the standing policy)
-#   r9: the remaining 31 + any r7/r8 newcomers -> pool 0
+#   r9: the remaining 32 + any r7/r8 newcomers -> pool 0
 # Standing policy: operators BUILT in a round rotate into that round's
 # window, displacing scheduled first-timers the judge has already
 # independently verified where possible.
 #
-# Remaining never-driver-checked pool after this window (74):
+# Remaining never-driver-checked pool after this window (75):
 # anonymize_generalize_sweep, anonymize_kanon_report,
 # anonymize_orders, anonymize_tcloseness, attribution_markov,
 # audit_benford_prices, audit_order_reconciliation, basket_pairs,
@@ -1776,7 +1779,8 @@ _ORACLES: dict[str, str] = {
 # multimodal_adpcm_roundtrip, multimodal_otsu, multimodal_scene_cuts,
 # multimodal_video_frames, orders_anova_f, orders_kruskal_wallis,
 # orders_ks_test, orders_mann_whitney, orders_price_outliers,
-# orders_theilsen_trend, orders_trimmed_mean, profile_orders,
+# orders_theilsen_trend, orders_trimmed_mean, profile_documents,
+# profile_orders,
 # sim_binary_quant, sim_diverse_topk, sim_eval_map, sim_mutual_nn,
 # sim_range_search, sketch_f2_moment, stats_chi2_independence,
 # text_lm_coverage, text_lm_score, zorder_hilbert, zorder_layout,
@@ -1847,7 +1851,10 @@ DRIVER_WINDOW = [
     "stats_spearman",
     "orders_seasonal_decomp",
     "dq_expectations",
-    "profile_documents",
+    # built THIS round (standing policy: new operators land
+    # driver-green in their build round); displaced profile_documents
+    # stays oracle-covered and heads the r8 pool
+    "migrate_yaml_store",
 ]
 
 

@@ -90,3 +90,33 @@ class ParquetStore:
 
     def exists(self) -> bool:
         return os.path.exists(self.records_path)
+
+
+def migrate_yaml_to_parquet(
+    spark: SparkSession, yaml_path: str, base: str, dim: int | None = None
+) -> "ParquetStore":
+    """One-call migration of a reference-format YAML database into the
+    native parquet store: adapter-parse the YAML (distributed past the
+    4 MB threshold), persist records as the source of truth, and build
+    + persist the derived embedding index — after which every query a
+    reference user runs works against the native store at native
+    speed (HEADTOHEAD.md: 4.7-7.3x the reference; the YAML file
+    remains untouched as a rollback artifact).
+
+    Parity is the caller's to verify and the registry's
+    ``migrate_yaml_store`` query makes it an oracled artifact: record
+    count, densified max id, a per-record content fingerprint sum,
+    and the index's integer invariants all hash-checked against the
+    pre-migration corpus."""
+    from ..functions.embed import build_embeddings
+    from ..model import DIM
+    from . import yaml_io
+
+    records = yaml_io.load_records_yaml(spark, yaml_path).select(
+        [f.name for f in RECORDS_SCHEMA.fields]
+    )
+    store = ParquetStore(spark, base)
+    store.save_records(records)
+    persisted = store.load_records()
+    store.save_embeddings(build_embeddings(persisted, dim=dim or DIM))
+    return store
