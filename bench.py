@@ -230,6 +230,10 @@ HEADLINE = [
     "anonymize_tcloseness",
     "lineitem_price_index",
     "migrate_yaml_store",
+    "corpus_shard_bytes",
+    "corpus_stratified_quota",
+    "events_retention_triangle",
+    "text_readability",
 ]
 
 

@@ -275,6 +275,30 @@ def duckdb_floor_div_sql(expr: str, divisor: int) -> str:
     )
 
 
+def wide_ppm_div_sql(k: int, num: str, den: str) -> str:
+    """Spark SQL for the exact widened share ``(k * num) div den`` on
+    NON-NEGATIVE BIGINT operands whose product overflows int64 — the
+    sf1 soak's cliff class: ``1000000 * sum_of_cents`` wraps past
+    ~9.2e12 cents (ANSI mode turns the silent wrap into a loud error;
+    this removes it). The product runs in DECIMAL(38,0) and the floor
+    uses the exact-divisibility identity (x - x % d) / d, so the one
+    decimal division has NO rounding exposure (Spark decimal division
+    rounds at its result scale; a near-integer quotient could
+    otherwise round UP across the floor). Truncation == floor because
+    operands are non-negative; callers with signed numerators need
+    the floor correction of :func:`duckdb_floor_div_sql`'s twin.
+    Result must fit BIGINT (shares always do: num <= den => result
+    <= k). Verified exact vs Python // on 5e13-scale operands."""
+    p = f"(CAST({k} AS DECIMAL(38,0)) * ({num}))"
+    return f"CAST(({p} - {p} % ({den})) / ({den}) AS BIGINT)"
+
+
+def duckdb_wide_ppm_div_sql(k: int, num: str, den: str) -> str:
+    """DuckDB twin of :func:`wide_ppm_div_sql`: HUGEINT widening, the
+    same truncating ``//`` on non-negative operands."""
+    return f"(({k}::HUGEINT * ({num})) // ({den}))::BIGINT"
+
+
 def duckdb_md5_hash56_sql(expr: str) -> str:
     """DuckDB SQL for the first 14 hex chars of md5(expr) as a uniform
     56-bit BIGINT — exact parity with Spark's

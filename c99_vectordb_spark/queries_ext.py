@@ -4530,12 +4530,24 @@ def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranked = global_rank(rev, [F.asc("x"), F.asc("o_custkey")], out_col="rk")
     n = ranked.agg(F.count(F.lit(1)).cast("long").alias("n"))
+    # sf1 soak finding: 1000000 * cents-sums wraps int64 past ~9.2e12
+    # cents (ANSI made it a loud error) and s_rx = SUM(rk * x) is
+    # QUADRATIC in customer count — both now run widened (DECIMAL(38)
+    # here, HUGEINT in the twin) with exact-divisibility floors; every
+    # operand is non-negative (rearrangement inequality keeps the gini
+    # numerator >= 0), so truncation == floor
+    gini = (
+        "CAST(2 AS DECIMAL(38,0)) * s_rx"
+        " - CAST(n_customers + 1 AS DECIMAL(38,0)) * total_cents"
+    )
+    gini_over_n = f"(({gini}) - ({gini}) % n_customers) / n_customers"
+    gini_scaled = f"(CAST(1000000 AS DECIMAL(38,0)) * ({gini_over_n}))"
     return (
         ranked.crossJoin(F.broadcast(n))
         .agg(
             F.max("n").alias("n_customers"),
             F.sum("x").cast("long").alias("total_cents"),
-            F.sum(F.col("rk") * F.col("x")).cast("long").alias("s_rx"),
+            F.sum(F.expr("CAST(rk AS DECIMAL(38,0)) * x")).alias("s_rx"),
             F.sum(F.when(F.col("rk") <= F.expr("n div 2"), F.col("x")))
             .cast("long")
             .alias("bottom50_cents"),
@@ -4549,17 +4561,25 @@ def q_customer_revenue_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .selectExpr(
             "n_customers",
             "total_cents",
-            "(1000000 * ((2 * s_rx - (n_customers + 1) * total_cents)"
-            " div n_customers)) div total_cents AS gini_ppm",
-            "(1000000 * bottom50_cents) div total_cents AS bottom50_ppm",
-            "(1000000 * top10_cents) div total_cents AS top10_ppm",
-            "(1000000 * top1_cents) div total_cents AS top1_ppm",
+            f"CAST(({gini_scaled} - {gini_scaled} % total_cents)"
+            " / total_cents AS BIGINT) AS gini_ppm",
+            hashing.wide_ppm_div_sql(1_000_000, "bottom50_cents", "total_cents")
+            + " AS bottom50_ppm",
+            hashing.wide_ppm_div_sql(1_000_000, "top10_cents", "total_cents")
+            + " AS top10_ppm",
+            hashing.wide_ppm_div_sql(1_000_000, "top1_cents", "total_cents")
+            + " AS top1_ppm",
         )
     )
 
 
 def _oracle_customer_revenue_gini() -> str:
-    return """
+    b50 = hashing.duckdb_wide_ppm_div_sql(
+        1_000_000, "bottom50_cents", "total_cents"
+    )
+    t10 = hashing.duckdb_wide_ppm_div_sql(1_000_000, "top10_cents", "total_cents")
+    t1 = hashing.duckdb_wide_ppm_div_sql(1_000_000, "top1_cents", "total_cents")
+    return f"""
 WITH gv_rev AS (
   SELECT o_custkey, SUM(ROUND(o_totalprice * 100)::BIGINT)::BIGINT AS x
   FROM orders GROUP BY 1
@@ -4571,7 +4591,7 @@ gv_n AS (SELECT COUNT(*)::BIGINT AS n FROM gv_rk),
 gv_a AS (
   SELECT n AS n_customers,
          SUM(x)::BIGINT AS total_cents,
-         SUM(rk * x)::BIGINT AS s_rx,
+         SUM(rk::HUGEINT * x)::HUGEINT AS s_rx,
          SUM(CASE WHEN rk <= n // 2 THEN x END)::BIGINT AS bottom50_cents,
          SUM(CASE WHEN rk > n - n // 10 THEN x END)::BIGINT AS top10_cents,
          SUM(CASE WHEN rk > n - n // 100 THEN x END)::BIGINT AS top1_cents
@@ -4579,11 +4599,12 @@ gv_a AS (
   GROUP BY n
 )
 SELECT n_customers, total_cents,
-       ((1000000 * ((2 * s_rx - (n_customers + 1) * total_cents)
+       ((1000000::HUGEINT * ((2::HUGEINT * s_rx
+          - (n_customers + 1)::HUGEINT * total_cents)
          // n_customers)) // total_cents)::BIGINT AS gini_ppm,
-       ((1000000 * bottom50_cents) // total_cents)::BIGINT AS bottom50_ppm,
-       ((1000000 * top10_cents) // total_cents)::BIGINT AS top10_ppm,
-       ((1000000 * top1_cents) // total_cents)::BIGINT AS top1_ppm
+       {b50} AS bottom50_ppm,
+       {t10} AS top10_ppm,
+       {t1} AS top1_ppm
 FROM gv_a
 """
 
@@ -6951,11 +6972,16 @@ def q_lineitem_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         out_col="cum_cents",
     )
     total = rev.agg(F.sum("rev_cents").cast("long").alias("total_cents"))
+    # sf1 soak finding: cents-sum cross-multiplies wrap int64 once the
+    # corpus total passes ~9.2e12 cents — the boundary compare and the
+    # ppm share both run widened now (DECIMAL(38) / HUGEINT twins)
     classed = cum.crossJoin(F.broadcast(total)).selectExpr(
         "l_partkey",
         "rev_cents",
-        "CASE WHEN 100 * cum_cents <= 80 * total_cents THEN 'A'"
-        " WHEN 100 * cum_cents <= 95 * total_cents THEN 'B'"
+        "CASE WHEN CAST(100 AS DECIMAL(38,0)) * cum_cents"
+        "       <= CAST(80 AS DECIMAL(38,0)) * total_cents THEN 'A'"
+        " WHEN CAST(100 AS DECIMAL(38,0)) * cum_cents"
+        "       <= CAST(95 AS DECIMAL(38,0)) * total_cents THEN 'B'"
         " ELSE 'C' END AS abc_class",
         "total_cents",
     )
@@ -6970,14 +6996,18 @@ def q_lineitem_abc_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             "abc_class",
             "n_parts",
             "rev_cents",
-            "(1000000 * rev_cents) div total_cents AS rev_share_ppm",
+            hashing.wide_ppm_div_sql(1_000_000, "rev_cents", "total_cents")
+            + " AS rev_share_ppm",
         )
         .orderBy("abc_class")
     )
 
 
 def _oracle_lineitem_abc_parts() -> str:
-    return """
+    share = hashing.duckdb_wide_ppm_div_sql(
+        1_000_000, "SUM(rev_cents)", "MAX(total_cents)"
+    )
+    return f"""
 WITH abc_rev AS (
   SELECT l_partkey,
          SUM(ROUND(l_extendedprice::DECIMAL(12,4)
@@ -6994,16 +7024,17 @@ abc_cum AS (
 abc_t AS (SELECT SUM(rev_cents)::BIGINT AS total_cents FROM abc_rev),
 abc_c AS (
   SELECT l_partkey, rev_cents,
-         CASE WHEN 100 * cum_cents <= 80 * total_cents THEN 'A'
-              WHEN 100 * cum_cents <= 95 * total_cents THEN 'B'
+         CASE WHEN 100::HUGEINT * cum_cents <= 80::HUGEINT * total_cents
+                THEN 'A'
+              WHEN 100::HUGEINT * cum_cents <= 95::HUGEINT * total_cents
+                THEN 'B'
               ELSE 'C' END AS abc_class,
          total_cents
   FROM abc_cum CROSS JOIN abc_t
 )
 SELECT abc_class, COUNT(*)::BIGINT AS n_parts,
        SUM(rev_cents)::BIGINT AS rev_cents,
-       ((1000000 * SUM(rev_cents)) // MAX(total_cents))::BIGINT
-         AS rev_share_ppm
+       {share} AS rev_share_ppm
 FROM abc_c GROUP BY 1
 ORDER BY abc_class
 """
@@ -8140,7 +8171,12 @@ def q_orders_seasonal_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("t24"),
         )
         .filter(F.col("n_win") == 13)
-        .selectExpr("cal_month", "(24000000 * x) div t24 AS ratio_ppm")
+        .selectExpr(
+            "cal_month",
+            # sf1 soak: 24e6 * a monthly cents sum wraps int64 — widened
+            hashing.wide_ppm_div_sql(24_000_000, "x", "t24")
+            + " AS ratio_ppm",
+        )
     )
     return (
         win.groupBy("cal_month")
@@ -8160,7 +8196,8 @@ def q_orders_seasonal_decomp(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _oracle_orders_seasonal_decomp() -> str:
-    return """
+    ratio = hashing.duckdb_wide_ppm_div_sql(24_000_000, "x", "t24")
+    return f"""
 WITH sd_m AS (
   SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mid,
          month(o_orderdate) AS cal_month,
@@ -8176,7 +8213,7 @@ sd_w AS (
   GROUP BY 1, 2, 3
 ),
 sd_r AS (
-  SELECT cal_month, ((24000000 * x) // t24)::BIGINT AS ratio_ppm
+  SELECT cal_month, {ratio} AS ratio_ppm
   FROM sd_w WHERE n_win = 13
 )
 SELECT cal_month::BIGINT AS cal_month, COUNT(*)::BIGINT AS n_obs,

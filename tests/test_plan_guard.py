@@ -78,6 +78,7 @@ BNLJ_ALLOWED = {
     "stats_chi2_independence": "1-row scalar aggregate broadcast (N + table shape) over the cell-domain-sized contingency table",
     "orders_anova_f": "1-row broadcasts (global moments x the order-pinned S_g^2/n_g fold)",
     "sketch_f2_moment": "1-row broadcasts (16-counter sketch row x exact-F2 row)",
+    "corpus_shard_bytes": "1-row scalar aggregate broadcast (corpus byte total for the share denominator)",
     "sim_eval_map": "recall-report pattern: exact ground truth broadcasts the bounded 16-query set",
     "orders_ks_test": "1-row margins broadcast (n_A, n_B) over the distinct-value table",
     "events_stickiness": "1-row scalar aggregate broadcast (max observed day for the window clip)",

@@ -1,0 +1,125 @@
+"""Round-7 wave: pure-Python recounts of the four new operators,
+independent of both the Spark plans and the DuckDB twins (the oracle
+proves cross-engine consistency; these prove the algorithms)."""
+
+from __future__ import annotations
+
+import collections
+import re
+
+import pandas as pd
+
+
+def test_shard_bytes_serpentine_recount(spark, sf_dir):
+    from c99_vectordb_spark.queries_wave9 import _N_SHARDS, q_corpus_shard_bytes
+
+    rows = {r["shard"]: r for r in q_corpus_shard_bytes(spark, sf_dir).collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    sized = sorted(
+        (
+            (len((t or "").encode("utf-8")), int(d))
+            for d, t in zip(docs["doc_id"], docs["text"])
+        ),
+        key=lambda p: (-p[0], p[1]),
+    )
+    agg = collections.defaultdict(lambda: [0, 0])
+    for rk0, (b, _) in enumerate(sized):
+        k = rk0 % (2 * _N_SHARDS)
+        shard = k if k < _N_SHARDS else 2 * _N_SHARDS - 1 - k
+        agg[shard][0] += 1
+        agg[shard][1] += b
+    total = sum(v[1] for v in agg.values())
+    assert set(rows) == set(agg)
+    for shard, (n, b) in agg.items():
+        assert rows[shard]["n_docs"] == n
+        assert rows[shard]["shard_bytes"] == b
+        assert rows[shard]["share_ppm"] == (1_000_000 * b) // total
+    # the balancing law: every shard within one max-document of ideal
+    max_doc = sized[0][0]
+    ideal = total / _N_SHARDS
+    for _, b in agg.values():
+        assert abs(b - ideal) <= max_doc + _N_SHARDS
+
+
+def test_stratified_quota_recount(spark, sf_dir):
+    from c99_vectordb_spark.queries_wave9 import _SPLITS, q_corpus_stratified_quota
+
+    rows = q_corpus_stratified_quota(spark, sf_dir).collect()
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    strata = docs.groupby(["lang", "source"]).size().to_dict()
+    expect = {}
+    for (lang, source), n in strata.items():
+        cells = []
+        for idx, split, p in _SPLITS:
+            base, rem = divmod(n * p, 1_000_000)
+            cells.append([idx, split, base, rem])
+        leftover = n - sum(c[2] for c in cells)
+        for rk, c in enumerate(
+            sorted(cells, key=lambda c: (-c[3], c[0])), start=1
+        ):
+            if rk <= leftover:
+                c[2] += 1
+        for idx, split, alloc, _ in cells:
+            expect[(lang, source, split)] = (n, alloc)
+    assert len(rows) == len(expect)
+    for r in rows:
+        n, alloc = expect[(r["lang"], r["source"], r["split"])]
+        assert (r["n_stratum"], r["alloc"]) == (n, alloc)
+    # the Hamilton invariant: allocations sum to n exactly, per stratum
+    per_stratum = collections.Counter()
+    for r in rows:
+        per_stratum[(r["lang"], r["source"])] += r["alloc"]
+    for (lang, source), n in strata.items():
+        assert per_stratum[(lang, source)] == n
+
+
+def test_retention_triangle_recount(spark, sf_dir):
+    from c99_vectordb_spark.queries_wave9 import (
+        _RETENTION_MAX_OFFSET,
+        _WEEK_US,
+        q_events_retention_triangle,
+    )
+
+    rows = q_events_retention_triangle(spark, sf_dir).collect()
+    ev = pd.read_parquet(f"{sf_dir}/events.parquet")
+    us = ev["ts"].astype("int64") * (
+        1 if ev["ts"].dtype == "datetime64[us]" else 1
+    )
+    weeks = us // _WEEK_US
+    uw = set(zip(ev["user_id"], weeks))
+    cohort = {}
+    for u, w in uw:
+        cohort[u] = min(cohort.get(u, w), w)
+    sizes = collections.Counter(cohort.values())
+    cells = collections.Counter(
+        (cohort[u], w - cohort[u]) for u, w in uw if w - cohort[u] <= _RETENTION_MAX_OFFSET
+    )
+    assert len(rows) == len(cells)
+    for r in rows:
+        key = (r["cohort_week"], r["offset_weeks"])
+        assert cells[key] == r["n_active"]
+        assert sizes[r["cohort_week"]] == r["cohort_size"]
+        assert r["retained_ppm"] == (1_000_000 * cells[key]) // sizes[r["cohort_week"]]
+        if r["offset_weeks"] == 0:
+            assert r["retained_ppm"] == 1_000_000
+
+
+def test_readability_recount(spark, sf_dir):
+    from c99_vectordb_spark.queries_wave9 import q_text_readability
+
+    rows = {r["doc_id"]: r for r in q_text_readability(spark, sf_dir).collect()}
+    docs = pd.read_parquet(f"{sf_dir}/documents.parquet")
+    seen = 0
+    for doc_id, text in zip(docs["doc_id"], docs["text"]):
+        text = text or ""
+        w = len(re.findall(r"[a-z0-9_]+", text.lower()))
+        if w == 0:
+            assert doc_id not in rows
+            continue
+        seen += 1
+        s = max(len(re.findall(r"[.!?]+", text)), 1)
+        y = len(re.findall(r"[aeiouy]+", text.lower()))
+        r = rows[doc_id]
+        assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (w, s, y)
+        assert r["fre_milli"] == 206835 - (1015 * w) // s - (84600 * y) // w
+    assert seen == len(rows)
