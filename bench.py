@@ -230,6 +230,7 @@ HEADLINE = [
     "anonymize_tcloseness",
     "lineitem_price_index",
     "migrate_yaml_store",
+    "dedup_jaccard_staged",
     "corpus_shard_bytes",
     "corpus_stratified_quota",
     "events_retention_triangle",

@@ -203,6 +203,22 @@ def q_dedup_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_dedup_jaccard_staged(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The duplicate-heavy-corpus execution of the SAME relation as
+    dedup_jaccard_pairs (operators/dedup.staged_jaccard_pairs:
+    exact-collapse first, shingle self-join on unique texts, expand
+    back). Its oracle IS the naive query's oracle, verbatim — the
+    hash match proves the staged plan computes the identical pair
+    set. sf1 soak (10 identical copies per doc): naive 222s, staged
+    runs the quadratic stage on 10x fewer rows."""
+    from .operators.dedup import staged_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return staged_jaccard_pairs(
+        docs, id_col="doc_id", body_col="text", threshold=JACCARD_THRESHOLD
+    )
+
+
 # mirrors ngram_jaccard_pairs' default "auto" shingle-frequency cap
 # (dedup.auto_shingle_cap: greatest(16, ceil(n_docs/200)), integer
 # arithmetic) — sizes/intersections are computed over the CAPPED
@@ -8677,6 +8693,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "join_skew_report": q_join_skew_report,
     "dedup_exact": q_dedup_exact,
     "dedup_jaccard_pairs": q_dedup_jaccard_pairs,
+    "dedup_jaccard_staged": q_dedup_jaccard_staged,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_incremental": q_dedup_incremental,
     "corpus_snapshot_diff": q_corpus_snapshot_diff,
@@ -8799,6 +8816,9 @@ EXT_ORACLES: dict[str, str] = {
     "join_skew_report": _oracle_join_skew_report(),
     "dedup_exact": _ORACLE_DEDUP_EXACT,
     "dedup_jaccard_pairs": _ORACLE_DEDUP_JACCARD,
+    # the staged plan must produce the IDENTICAL relation — same
+    # oracle SQL, verbatim: the hash match is the equivalence proof
+    "dedup_jaccard_staged": _ORACLE_DEDUP_JACCARD,
     "dedup_substring_spans": _oracle_substring_spans(),
     "dedup_incremental": _oracle_dedup_incremental(),
     "corpus_snapshot_diff": _oracle_snapshot_diff(),

@@ -1748,18 +1748,20 @@ _ORACLES: dict[str, str] = {
 #
 # Multi-round schedule that provably closes the horizon by r9
 # (judge r6 item #1):
-#   r7: 43 first-timers in  -> pool 117 - 38 = 79   (this window;
-#       38 pool members + the five operators built this round)
-#   r8: 43 first-timers in  -> pool  79 - 43 = 36
-#       (anchors stay; every other slot rotates; the 79-name pool is
+#   r7: 43 first-timers in  -> pool 117 - 37 = 80   (this window;
+#       37 pool members + the six operators built this round)
+#   r8: 43 first-timers in  -> pool  80 - 43 = 37
+#       (anchors stay; every other slot rotates; the 80-name pool is
 #        listed below — r8 takes the first 43 alphabetically unless a
 #        newcomer built that round displaces per the standing policy)
-#   r9: the remaining 36 + any r8 newcomers -> pool 0
+#   r9: the remaining 37 + any r8 newcomers -> pool 0
 # Standing policy: operators BUILT in a round rotate into that round's
 # window, displacing scheduled first-timers the judge has already
 # independently verified where possible.
 #
-# Remaining never-driver-checked pool after this window (79):
+# Remaining never-driver-checked pool after this window (80;
+# tpch_q16 returned to the pool when the in-round-built
+# dedup_jaccard_staged took its slot):
 # anonymize_generalize_sweep, anonymize_kanon_report,
 # anonymize_orders, anonymize_tcloseness, attribution_markov,
 # audit_benford_prices, audit_order_reconciliation, basket_pairs,
@@ -1808,7 +1810,6 @@ DRIVER_WINDOW = [
     "tpch_q12",
     "tpch_q14",
     "tpch_q15",
-    "tpch_q16",
     "tpch_q20",
     # joins/graph first-timers (judge priority: graph_communities)
     "join_skew_report",
@@ -1857,6 +1858,7 @@ DRIVER_WINDOW = [
     # orders_seasonal_decomp, dq_expectations, sim_filtered_recall)
     # stay oracle-covered and head the r8 pool
     "migrate_yaml_store",
+    "dedup_jaccard_staged",
     "corpus_shard_bytes",
     "corpus_stratified_quota",
     "events_retention_triangle",

@@ -419,3 +419,43 @@ def test_duplicate_spans_matches_python_reference(spark, texts, w):
         for r in D.duplicate_spans(df, window=w).collect()
     )
     assert got == _spans_reference(texts, w)
+
+
+def test_staged_jaccard_equals_naive_on_duplicate_heavy_corpus(spark):
+    """staged_jaccard_pairs must produce EXACTLY the naive relation on
+    a corpus with dense exact-duplicate clusters (the case it exists
+    for): 4 copies each of a handful of base texts plus near-dup
+    variants and unrelated noise — covering within-cluster pairs
+    (jaccard 1.0), cross-cluster near-dup expansion, a shingle-less
+    blank cluster (must emit NO pairs), and singletons."""
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy cat again and again",
+        "completely different content about spark query planning here",
+        "",
+    ]
+    rows = []
+    i = 0
+    for text in base:
+        for _ in range(4):
+            rows.append((i, text))
+            i += 1
+    rows += [(i, "a lone singleton document with its own words"),
+             (i + 1, "another unrelated text body entirely")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    naive = sorted(
+        map(tuple, D.ngram_jaccard_pairs(
+            df, id_col="doc_id", body_col="text", threshold=0.5
+        ).collect())
+    )
+    staged = sorted(
+        map(tuple, D.staged_jaccard_pairs(
+            df, id_col="doc_id", body_col="text", threshold=0.5
+        ).collect())
+    )
+    assert staged == naive
+    # the fixture must actually exercise every path
+    ones = [p for p in naive if p[2] == 1.0]
+    cross = [p for p in naive if p[2] < 1.0]
+    assert len(ones) >= 2 * 6  # two live clusters x C(4,2)
+    assert cross, "fixture lost its near-dup cross-cluster pairs"
