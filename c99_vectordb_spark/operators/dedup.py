@@ -1016,9 +1016,14 @@ def cosine_top_pairs(
             F.aggregate(c, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double"))
         )
 
+    # repartition the STREAMED side: the broadcast-NL join inherits the
+    # scan's partitioning, and a single-file parquet table otherwise
+    # runs the whole O(n^2) scan in 1-2 tasks (sf1 soak: the stage sat
+    # on one straggler task for an hour; hash-spreading it uses every
+    # core — the baseline stays quadratic by contract, but honestly so)
     a = emb.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), norm(F.col(vec_col)).alias("na")
-    )
+    ).repartition(F.col("id_a"))
     b = emb.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), norm(F.col(vec_col)).alias("nb")
     )

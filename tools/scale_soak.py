@@ -36,7 +36,18 @@ def main(names: list[str]) -> int:
         qs = {n: qs[n] for n in names}
     spark.read.parquet(f"{SF_DIR}/region.parquet").count()
 
+    # MERGE with any prior checkpoint (resume-after-kill / subset
+    # re-runs must not clobber the full record); new runs of the same
+    # name overwrite their old row
     results: dict[str, dict] = {}
+    if os.path.exists(OUT):
+        try:
+            with open(OUT) as f:
+                results = json.load(f).get("queries", {})
+        except ValueError:
+            results = {}
+    if os.environ.get("SOAK_SKIP_DONE") == "1":
+        qs = {n: f for n, f in qs.items() if n not in results}
     done = 0
     for name, fn in qs.items():
         t0 = time.time()
