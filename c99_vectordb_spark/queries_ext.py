@@ -311,11 +311,14 @@ def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     (banded equi-join / df-capped shingle join); the comparison adds
     one (id_a, id_b) equi-join and 1-row aggregates. A 100 TB user
     runs this on a SAMPLE to choose (k, bands) before paying for the
-    full-corpus dedup."""
-    from .operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+    full-corpus dedup. The exact ground truth runs through the STAGED
+    plan (exact-collapse first, relation-identical by the verbatim
+    oracle of dedup_jaccard_staged) — on the sf1 soak's 10x-duplicated
+    corpus the naive truth stage alone took 200+ seconds."""
+    from .operators.dedup import minhash_lsh_pairs, staged_jaccard_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    exact = ngram_jaccard_pairs(
+    exact = staged_jaccard_pairs(
         docs, id_col="doc_id", body_col="text", threshold=JACCARD_THRESHOLD
     ).select("id_a", "id_b")
     cand = minhash_lsh_pairs(docs, id_col="doc_id", body_col="text").select(
