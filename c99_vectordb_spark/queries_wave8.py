@@ -519,49 +519,107 @@ def q_dedup_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     generation is an equi-join on it, never all-pairs, and blocks
     larger than 16 docs are dropped (the MinHash skew-cap convention:
     a viral boilerplate prefix would otherwise produce a quadratic
-    block). The O(len^2) Levenshtein DP runs once per SURVIVING
-    candidate pair, JVM-side."""
-    # the normalized projection feeds THREE consumers (block census +
-    # both self-join sides) — persist it or the regexp pass (the
-    # dominant cost: a full char-class rewrite of every doc) runs 3x
-    # (measured 4.5s -> ~1.7s at sf0.1)
+    block). The plan is STAGED for the duplicate-heavy case (sf1
+    soak: 10 identical copies per doc put the naive plan into a
+    225k-identical-pair Levenshtein grind): identical normalized
+    texts collapse first (everything downstream — block key, distance,
+    lengths — derives from norm, so the relation is unchanged and the
+    unchanged oracle proves it), the block census counts RAW docs via
+    cluster weights, the O(len^2) DP runs ONCE per distinct text
+    pair, and within-cluster pairs expand as distance-0 rows."""
+    # the normalized projection is the dominant cost (a full
+    # char-class rewrite of every doc) — persist it once
     docs = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
         .selectExpr(
             "doc_id",
             "lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '')) AS norm",
         )
-        .selectExpr(
-            "doc_id", "norm", f"substring(norm, 1, {_EDIT_PREFIX}) AS bkey"
-        )
+        .withColumn("fp", F.md5("norm"))  # internal collapse key only
         .persist()
     )
-    kept_keys = (
-        docs.groupBy("bkey")
-        .agg(F.count(F.lit(1)).alias("bn"))
-        .filter(
-            (F.col("bn") >= 2) & (F.col("bn") <= _EDIT_BLOCK_CAP)
+    clusters = docs.groupBy("fp").agg(
+        F.min("doc_id").alias("rep_id"),
+        F.count(F.lit(1)).cast("long").alias("k"),
+    )
+    mem = docs.select("doc_id", "fp").join(
+        clusters.select("fp", "rep_id"), "fp"
+    )
+    reps = (
+        docs.join(clusters, "fp")
+        .filter(F.col("doc_id") == F.col("rep_id"))
+        .selectExpr(
+            "rep_id",
+            "norm",
+            "k",
+            f"substring(norm, 1, {_EDIT_PREFIX}) AS bkey",
         )
+    )
+    # census over RAW docs (sum of cluster sizes) — cap semantics
+    # identical to the unstaged plan
+    kept_keys = (
+        reps.groupBy("bkey")
+        .agg(F.sum("k").alias("bn"))
+        .filter((F.col("bn") >= 2) & (F.col("bn") <= _EDIT_BLOCK_CAP))
         .select("bkey")
     )
-    blocked = docs.join(kept_keys, "bkey")
+    blocked = reps.join(kept_keys, "bkey").persist()
     a, b = blocked.alias("a"), blocked.alias("b")
-    return (
+    rep_pairs = (
         a.join(
             b,
             (F.col("a.bkey") == F.col("b.bkey"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
+            & (F.col("a.rep_id") < F.col("b.rep_id")),
         )
         .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
+            F.col("a.rep_id").alias("ra"),
+            F.col("b.rep_id").alias("rb"),
             F.levenshtein(F.col("a.norm"), F.col("b.norm")).cast("long").alias(
                 "dist"
             ),
-            F.char_length(F.col("a.norm")).cast("long").alias("len_a"),
-            F.char_length(F.col("b.norm")).cast("long").alias("len_b"),
+            F.char_length(F.col("a.norm")).cast("long").alias("len_ra"),
+            F.char_length(F.col("b.norm")).cast("long").alias("len_rb"),
         )
         .filter(F.col("dist") <= _EDIT_MAX_DIST)
+    )
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("doc_id").alias("da"), F.col("rep_id").alias("ra")),
+            "ra",
+        )
+        .join(
+            mem.select(F.col("doc_id").alias("db"), F.col("rep_id").alias("rb")),
+            "rb",
+        )
+        .selectExpr(
+            "least(da, db) AS id_a",
+            "greatest(da, db) AS id_b",
+            "dist",
+            "CASE WHEN da < db THEN len_ra ELSE len_rb END AS len_a",
+            "CASE WHEN da < db THEN len_rb ELSE len_ra END AS len_b",
+        )
+    )
+    live = mem.join(
+        blocked.select("rep_id", F.char_length("norm").cast("long").alias("ln")),
+        "rep_id",
+    )
+    la, lb = live.alias("la"), live.alias("lb")
+    within = (
+        la.join(
+            lb,
+            (F.col("la.rep_id") == F.col("lb.rep_id"))
+            & (F.col("la.doc_id") < F.col("lb.doc_id")),
+        )
+        .selectExpr(
+            "la.doc_id AS id_a",
+            "lb.doc_id AS id_b",
+            "0L AS dist",
+            "la.ln AS len_a",
+            "lb.ln AS len_b",
+        )
+    )
+    return (
+        cross.unionByName(within)
         .selectExpr(
             "id_a",
             "id_b",
