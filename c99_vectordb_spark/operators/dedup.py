@@ -412,6 +412,105 @@ def ngram_containment_pairs(
     )
 
 
+def staged_containment_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    body_col: str = "body",
+    n: int = 3,
+    threshold_ppm: int = 500_000,
+) -> DataFrame:
+    """:func:`ngram_containment_pairs` with the exact-duplicate
+    collapse of :func:`staged_jaccard_pairs` (same equivalence
+    argument: identical texts have identical shingle sets, the
+    df-cap counts raw docs via cluster weights, and every directed
+    containment equals its representatives'). Within-cluster expansion
+    emits k*(k-1) ordered pairs at 1e6 ppm — identical texts contain
+    each other fully — for clusters whose text kept >= 1 shingle.
+    sf1 soak (10 copies/doc): naive 229s; the self-join here runs on
+    unique texts only."""
+    recs = df.select(F.col(id_col).alias("id"), F.col(body_col).alias("body"))
+    fp = recs.select(
+        "id", "body", fingerprint_wide_udf()(F.col("body")).alias("fp")
+    )
+    clusters = fp.groupBy("fp").agg(
+        F.min("id").alias("rep_id"), F.count(F.lit(1)).cast("long").alias("k")
+    )
+    mem = fp.select("id", "fp").join(clusters.select("fp", "rep_id"), "fp")
+    reps = (
+        fp.join(clusters, "fp")
+        .filter(F.col("id") == F.col("rep_id"))
+        .select("id", "body", "k")
+        .persist()
+    )
+    sh = shingles(reps, "id", "body", n).persist()
+    cap = auto_shingle_cap(df.count())
+    wfreq = (
+        sh.join(reps.select("id", "k"), "id")
+        .groupBy("sh")
+        .agg(F.sum("k").alias("df"))
+    )
+    shc = sh.join(wfreq.filter(F.col("df") <= cap).select("sh"), "sh").persist()
+    sizes = shc.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    a = shc.alias("a")
+    b = shc.alias("b")
+    shared = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("ra"), F.col("b.id").alias("rb"))
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    both = (
+        shared.join(
+            sizes.withColumnRenamed("id", "ra").withColumnRenamed("sz", "sz_a"),
+            "ra",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "rb").withColumnRenamed("sz", "sz_b"),
+            "rb",
+        )
+    )
+    fwd = both.selectExpr(
+        "ra AS rs", "rb AS rd", "(1000000 * inter) div sz_a AS containment_ppm"
+    )
+    rev = both.selectExpr(
+        "rb AS rs", "ra AS rd", "(1000000 * inter) div sz_b AS containment_ppm"
+    )
+    rep_dir = fwd.unionByName(rev).filter(
+        F.col("containment_ppm") >= threshold_ppm
+    )
+    cross = (
+        rep_dir.join(
+            mem.select(F.col("id").alias("src"), F.col("rep_id").alias("rs")),
+            "rs",
+        )
+        .join(
+            mem.select(F.col("id").alias("dst"), F.col("rep_id").alias("rd")),
+            "rd",
+        )
+        .select("src", "dst", "containment_ppm")
+    )
+    live = mem.join(
+        sizes.withColumnRenamed("id", "rep_id").select("rep_id"), "rep_id"
+    ).select("id", "rep_id")
+    la, lb = live.alias("la"), live.alias("lb")
+    within = (
+        la.join(
+            lb,
+            (F.col("la.rep_id") == F.col("lb.rep_id"))
+            & (F.col("la.id") != F.col("lb.id")),
+        )
+        .selectExpr(
+            "la.id AS src",
+            "lb.id AS dst",
+            "1000000L AS containment_ppm",
+        )
+    )
+    if threshold_ppm > 1_000_000:
+        # containment cannot exceed 1e6 (inter <= sz), so the naive
+        # plan emits nothing within clusters at such thresholds
+        return cross.select("src", "dst", "containment_ppm")
+    return cross.unionByName(within).select("src", "dst", "containment_ppm")
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "id", body_col: str = "body", n: int = 3
 ) -> DataFrame:

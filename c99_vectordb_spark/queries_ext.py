@@ -6913,11 +6913,14 @@ def q_dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     src's capped shingle set appears in dst — the quote/subset
     detector symmetric Jaccard misses. One undirected banded
     equi-join computes the intersection once; both directions derive
-    arithmetically. Exact-integer ppm, no float contract."""
-    from .operators.dedup import ngram_containment_pairs
+    arithmetically. Exact-integer ppm, no float contract. Runs the
+    STAGED plan (exact-duplicate collapse first — sf1 soak measured
+    the naive self-join at 229s on the 10x-duplicated corpus); the
+    unchanged oracle proves the relation identical."""
+    from .operators.dedup import staged_containment_pairs
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return ngram_containment_pairs(
+    return staged_containment_pairs(
         docs, id_col="doc_id", body_col="text", threshold_ppm=_CONTAIN_PPM
     ).orderBy("src", "dst")
 

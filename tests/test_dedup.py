@@ -459,3 +459,37 @@ def test_staged_jaccard_equals_naive_on_duplicate_heavy_corpus(spark):
     cross = [p for p in naive if p[2] < 1.0]
     assert len(ones) >= 2 * 6  # two live clusters x C(4,2)
     assert cross, "fixture lost its near-dup cross-cluster pairs"
+
+
+def test_staged_containment_equals_naive_on_duplicate_heavy_corpus(spark):
+    """Directed-containment twin of the staged-jaccard equality test:
+    same duplicate-heavy fixture, same exactness demand — including
+    the k*(k-1) within-cluster 1e6-ppm pairs and the blank cluster
+    emitting nothing."""
+    base = [
+        "the quick brown fox jumps over the lazy dog again and again",
+        "the quick brown fox jumps over the lazy dog again and again plus a longer tail of extra words",
+        "completely different content about spark query planning here",
+        "",
+    ]
+    rows = []
+    i = 0
+    for text in base:
+        for _ in range(4):
+            rows.append((i, text))
+            i += 1
+    rows += [(i, "a lone singleton document with its own words")]
+    df = spark.createDataFrame(rows, "doc_id LONG, text STRING")
+    naive = sorted(
+        map(tuple, D.ngram_containment_pairs(
+            df, id_col="doc_id", body_col="text", threshold_ppm=500_000
+        ).collect())
+    )
+    staged = sorted(
+        map(tuple, D.staged_containment_pairs(
+            df, id_col="doc_id", body_col="text", threshold_ppm=500_000
+        ).collect())
+    )
+    assert staged == naive
+    within = [p for p in naive if p[2] == 1_000_000]
+    assert len(within) >= 2 * 4 * 3  # >= two live clusters x k(k-1)
