@@ -235,6 +235,7 @@ HEADLINE = [
     "corpus_stratified_quota",
     "events_retention_triangle",
     "text_readability",
+    "orders_holt_winters",
 ]
 
 

@@ -1737,9 +1737,10 @@ _ORACLES: dict[str, str] = {
 # events_cusum_shift, multimodal_phash_dedup, basket_item_similarity,
 # corpus_lm_generate — after its bounded-collect fix —
 # events_forecast_mase, customer_revenue_gini,
-# multimodal_gif_roundtrip). Pool after r7: 79 (the five operators
-# BUILT this round — migrate_yaml_store and the wave-9 quartet —
-# displaced five pool first-timers per the standing policy below).
+# multimodal_gif_roundtrip). Pool after r7: 81 (the seven operators
+# BUILT this round — migrate_yaml_store, dedup_jaccard_staged,
+# orders_holt_winters, and the wave-9 quartet — displaced seven
+# scheduled pool first-timers per the standing policy below).
 # Family minimums hold
 # via the expanded same-family pools in tests/test_driver_window.py
 # (the FAMILIES map predates the session-6/7/8 waves; its pools now
@@ -1748,49 +1749,51 @@ _ORACLES: dict[str, str] = {
 #
 # Multi-round schedule that provably closes the horizon by r9
 # (judge r6 item #1):
-#   r7: 43 first-timers in  -> pool 117 - 37 = 80   (this window;
-#       37 pool members + the six operators built this round)
-#   r8: 43 first-timers in  -> pool  80 - 43 = 37
-#       (anchors stay; every other slot rotates; the 80-name pool is
+#   r7: 43 first-timers in  -> pool 117 - 36 = 81   (this window:
+#       7 anchors + 36 pool members + the SEVEN operators built this
+#       round — migrate_yaml_store, dedup_jaccard_staged,
+#       orders_holt_winters, and the wave-9 quartet — which displaced
+#       seven scheduled pool first-timers per the standing policy)
+#   r8: 43 first-timers in  -> pool  81 - 43 = 38
+#       (anchors stay; every other slot rotates; the 81-name pool is
 #        listed below — r8 takes the first 43 alphabetically unless a
 #        newcomer built that round displaces per the standing policy)
-#   r9: the remaining 37 + any r8 newcomers -> pool 0
+#   r9: the remaining 38 + any r8 newcomers -> pool 0
 # Standing policy: operators BUILT in a round rotate into that round's
 # window, displacing scheduled first-timers the judge has already
 # independently verified where possible.
 #
-# Remaining never-driver-checked pool after this window (80;
-# tpch_q16 returned to the pool when the in-round-built
-# dedup_jaccard_staged took its slot):
+# Remaining never-driver-checked pool after this window (81 —
+# recomputed, not hand-counted: registry names with oracles minus
+# every CORRECTNESS_r*.json key minus this window):
 # anonymize_generalize_sweep, anonymize_kanon_report,
 # anonymize_orders, anonymize_tcloseness, attribution_markov,
 # audit_benford_prices, audit_order_reconciliation, basket_pairs,
 # corpus_bm25_batch, corpus_curriculum, corpus_drift_kl,
-# corpus_dsir_weights, corpus_filter_funnel, corpus_kn_counts,
-# corpus_kn_incremental, corpus_pack_report, corpus_phrase_search,
-# corpus_pipeline_dsir, corpus_pipeline_incremental, corpus_pmi_pairs,
+# corpus_dsir_weights, corpus_fertility, corpus_filter_funnel,
+# corpus_kn_counts, corpus_kn_incremental, corpus_pack_report,
+# corpus_phrase_search, corpus_pipeline_dsir,
+# corpus_pipeline_incremental, corpus_pmi_pairs,
 # corpus_shuffle_order, corpus_snapshot_diff, corpus_vocab_sweep,
 # corpus_weighted_sample, corpus_zipf_fit, customer_cohort_ltv,
 # dedup_cdc_chunks, dedup_containment, dedup_recall_report,
-# dedup_span_removal, embed_random_projection, embedding_centroids,
-# events_ab_power, events_acf, events_anomaly, events_cuped,
-# events_decayed_value, events_enrich_segments,
+# dedup_span_removal, dq_expectations, embed_random_projection,
+# embedding_centroids, events_ab_power, events_acf, events_anomaly,
+# events_cuped, events_decayed_value, events_enrich_segments,
 # events_growth_accounting, events_hour_profile, events_ohlc_bars,
-# dq_expectations,
 # events_stickiness, events_time_to_convert, events_top_paths,
 # events_transitions, graph_assortativity, hilbert_skipping,
 # lineitem_abc_parts, lineitem_hill_tail, lineitem_price_index,
-# multimodal_adpcm_roundtrip, multimodal_otsu, multimodal_scene_cuts,
-# multimodal_video_frames, orders_anova_f, orders_kruskal_wallis,
-# orders_ks_test, orders_mann_whitney, orders_price_outliers,
+# multimodal_adpcm_roundtrip, multimodal_otsu,
+# multimodal_scene_cuts, multimodal_video_frames, orders_anova_f,
+# orders_kruskal_wallis, orders_ks_test, orders_mann_whitney,
+# orders_price_outliers, orders_seasonal_decomp,
 # orders_theilsen_trend, orders_trimmed_mean, profile_documents,
-# profile_orders,
-# sim_binary_quant, sim_diverse_topk, sim_eval_map,
-# sim_filtered_recall, sim_mutual_nn,
-# sim_range_search, sketch_f2_moment, stats_chi2_independence,
-# stats_spearman, orders_seasonal_decomp,
-# text_lm_coverage, text_lm_score, zorder_hilbert, zorder_layout,
-# zorder_skipping.
+# profile_orders, sim_binary_quant, sim_diverse_topk, sim_eval_map,
+# sim_filtered_recall, sim_mutual_nn, sim_range_search,
+# sketch_f2_moment, stats_chi2_independence, stats_spearman,
+# text_lm_coverage, text_lm_score, tpch_q16, zorder_hilbert,
+# zorder_layout, zorder_skipping.
 # (rows-only multimodal_features / sim_pq / sim_ivf / approx_distinct
 # cannot occupy hash slots and are excluded from the schedule.)
 DRIVER_WINDOW = [
@@ -1845,7 +1848,6 @@ DRIVER_WINDOW = [
     "corpus_bigrams",
     "corpus_pack",
     "decontaminate_survivors",
-    "corpus_fertility",
     "corpus_lm_generate",
     # heavy-stats / events first-timers (judge priorities)
     "orders_bootstrap_ci",
@@ -1859,6 +1861,7 @@ DRIVER_WINDOW = [
     # stay oracle-covered and head the r8 pool
     "migrate_yaml_store",
     "dedup_jaccard_staged",
+    "orders_holt_winters",
     "corpus_shard_bytes",
     "corpus_stratified_quota",
     "events_retention_triangle",

@@ -360,3 +360,133 @@ WAVE9_ORACLES: dict[str, str] = {
     "events_retention_triangle": _oracle_events_retention_triangle(),
     "text_readability": _oracle_text_readability(),
 }
+
+
+# ---------------------------------------------------------------------------
+# orders_holt_winters — additive triple-exponential-smoothing forecast
+# ---------------------------------------------------------------------------
+
+#: smoothing rationals (num/10): alpha (level), beta (trend), gamma (seasonal)
+_HW_ALPHA = 2
+_HW_BETA = 1
+_HW_GAMMA = 3
+#: seasonal period (months) and forecast horizon
+_HW_PERIOD = 12
+_HW_HORIZON = 12
+
+
+def _hw_tdiv(a: int, b: int) -> int:
+    """Truncate-toward-zero integer division — BOTH engine twins
+    truncate (Spark ``div``, DuckDB ``//``); Python ``//`` floors, so
+    the driver fold must not use it on negative trend/seasonal
+    numerators."""
+    q = abs(a) // abs(b)
+    return q if (a >= 0) == (b >= 0) else -q
+
+
+def q_orders_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Additive Holt-Winters (triple exponential smoothing, Winters
+    1960) over monthly order revenue in exact integer cents:
+    alpha=0.2 / beta=0.1 / gamma=0.3 as exact rationals with
+    truncating division at every step, so both engines replay the
+    identical recurrence bit for bit. Init is the textbook simple
+    scheme (L0 = mean of season 1, B0 = (mean season 2 - mean season
+    1)/12, S = first-season deviations); observations are the ordered
+    PRESENT months (positional seasonality — a calendar gap shifts
+    the queue identically in both twins). Output: the 12-month
+    forecast L + h*B + S[h] with the month index it lands on.
+
+    Scale shape: the only corpus-sized work is the monthly rollup
+    (one shuffle); the recurrence is inherently sequential over the
+    ~calendar-bounded month curve, so it folds on the collected
+    ~80-row series (the KM/attribution bounded-collect tier — bounded
+    by the time range, never the row count) while the DuckDB twin
+    replays it as a recursive CTE carrying the 12-slot seasonal queue
+    as list state. Monthly cents sums stay inside int64 to ~2e17
+    cents/month (1e5x the sf1 soak's biggest month)."""
+    monthly = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet")
+        .selectExpr(
+            "year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mid",
+            "CAST(round(o_totalprice * 100) AS BIGINT) AS cents",
+        )
+        .groupBy("mid")
+        .agg(F.sum("cents").cast("long").alias("x"))
+        .orderBy("mid")
+    )
+    rows = monthly.collect()  # calendar-bounded (~80 rows at any sf)
+    m = _HW_PERIOD
+    if len(rows) < 2 * m:
+        return spark.createDataFrame(
+            [], "h long, month_index long, forecast_cents long"
+        )
+    xs = [r["x"] for r in rows]
+    l = _hw_tdiv(sum(xs[:m]), m)
+    b = _hw_tdiv(sum(xs[m : 2 * m]) - sum(xs[:m]), m * m)
+    s = [xs[i] - l for i in range(m)]
+    for t in range(m, len(xs)):
+        x = xs[t]
+        sm = s[0]
+        lp = l
+        l = _hw_tdiv(_HW_ALPHA * (x - sm) + (10 - _HW_ALPHA) * (lp + b), 10)
+        b = _hw_tdiv(_HW_BETA * (l - lp) + (10 - _HW_BETA) * b, 10)
+        s = s[1:] + [_hw_tdiv(_HW_GAMMA * (x - l) + (10 - _HW_GAMMA) * sm, 10)]
+    last_mid = rows[-1]["mid"]
+    out = [
+        (h, last_mid + h, l + h * b + s[(h - 1) % m])
+        for h in range(1, _HW_HORIZON + 1)
+    ]
+    return spark.createDataFrame(
+        out, "h long, month_index long, forecast_cents long"
+    ).orderBy("h")
+
+
+def _oracle_orders_holt_winters() -> str:
+    m = _HW_PERIOD
+    al, be, ga = _HW_ALPHA, _HW_BETA, _HW_GAMMA
+    return f"""
+WITH RECURSIVE hw_m AS (
+  SELECT year(o_orderdate) * 12 + month(o_orderdate) - 1 AS mid,
+         SUM(ROUND(o_totalprice * 100)::BIGINT)::BIGINT AS x
+  FROM orders GROUP BY 1
+),
+hw_obs AS (
+  SELECT ROW_NUMBER() OVER (ORDER BY mid) AS t, mid, x FROM hw_m
+),
+hw_n AS (SELECT COUNT(*)::BIGINT AS n, MAX(mid)::BIGINT AS last_mid
+         FROM hw_obs),
+hw_init AS (
+  SELECT {m}::BIGINT AS t,
+         list_sum(o.xs[1:{m}]) // {m} AS l,
+         (list_sum(o.xs[{m + 1}:{2 * m}]) - list_sum(o.xs[1:{m}]))
+           // {m * m} AS b,
+         list_transform(o.xs[1:{m}],
+             v -> v - list_sum(o.xs[1:{m}]) // {m}) AS s
+  FROM (SELECT list(x ORDER BY t) AS xs FROM hw_obs) o
+),
+hw_run AS (
+  SELECT t, l, b, s FROM hw_init
+  UNION ALL
+  SELECT o.t,
+         ({al} * (o.x - r.s[1]) + {10 - al} * (r.l + r.b)) // 10,
+         ({be} * (({al} * (o.x - r.s[1]) + {10 - al} * (r.l + r.b)) // 10
+                  - r.l) + {10 - be} * r.b) // 10,
+         r.s[2:{m}] || [({ga} * (o.x
+             - ({al} * (o.x - r.s[1]) + {10 - al} * (r.l + r.b)) // 10)
+             + {10 - ga} * r.s[1]) // 10]
+  FROM hw_run r JOIN hw_obs o ON o.t = r.t + 1
+),
+hw_fin AS (
+  SELECT r.l, r.b, r.s FROM hw_run r CROSS JOIN hw_n WHERE r.t = hw_n.n
+)
+SELECT h::BIGINT AS h,
+       (hw_n.last_mid + h)::BIGINT AS month_index,
+       (f.l + h * f.b + f.s[((h - 1) % {m}) + 1])::BIGINT
+         AS forecast_cents
+FROM hw_fin f CROSS JOIN hw_n CROSS JOIN range(1, {_HW_HORIZON} + 1) r(h)
+ORDER BY h
+"""
+
+
+WAVE9_QUERIES["orders_holt_winters"] = q_orders_holt_winters
+WAVE9_ORACLES["orders_holt_winters"] = _oracle_orders_holt_winters()

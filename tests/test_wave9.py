@@ -123,3 +123,55 @@ def test_readability_recount(spark, sf_dir):
         assert (r["n_words"], r["n_sentences"], r["n_syllables"]) == (w, s, y)
         assert r["fre_milli"] == 206835 - (1015 * w) // s - (84600 * y) // w
     assert seen == len(rows)
+
+
+def test_holt_winters_tracks_float_reference(spark, sf_dir):
+    """The integer-truncating recurrence must track a FLOAT
+    Holt-Winters with the same init and updates: truncation loses
+    under one cent per smoothing step per term, so after the ~70-step
+    series the forecasts agree to far better than a basis point of
+    the level. Independent of both engine twins (which replay the
+    integer spec exactly against each other)."""
+    from c99_vectordb_spark.queries_wave9 import (
+        _HW_ALPHA,
+        _HW_BETA,
+        _HW_GAMMA,
+        _HW_HORIZON,
+        _HW_PERIOD,
+        q_orders_holt_winters,
+    )
+
+    rows = q_orders_holt_winters(spark, sf_dir).collect()
+    assert len(rows) == _HW_HORIZON
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    monthly = (
+        orders.assign(
+            mid=orders["o_orderdate"].dt.year * 12
+            + orders["o_orderdate"].dt.month
+            - 1,
+            cents=(orders["o_totalprice"] * 100).round().astype("int64"),
+        )
+        .groupby("mid")["cents"]
+        .sum()
+        .sort_index()
+    )
+    xs = [float(v) for v in monthly.values]
+    m = _HW_PERIOD
+    al, be, ga = _HW_ALPHA / 10, _HW_BETA / 10, _HW_GAMMA / 10
+    lvl = sum(xs[:m]) / m
+    b = (sum(xs[m : 2 * m]) - sum(xs[:m])) / (m * m)
+    s = [x - lvl for x in xs[:m]]
+    for x in xs[m:]:
+        sm, lp = s[0], lvl
+        lvl = al * (x - sm) + (1 - al) * (lp + b)
+        b = be * (lvl - lp) + (1 - be) * b
+        s = s[1:] + [ga * (x - lvl) + (1 - ga) * sm]
+    last_mid = int(monthly.index[-1])
+    for r in rows:
+        h = r["h"]
+        ref = lvl + h * b + s[(h - 1) % m]
+        assert r["month_index"] == last_mid + h
+        assert abs(r["forecast_cents"] - ref) <= max(1e-4 * abs(ref), 200), (
+            h, r["forecast_cents"], ref,
+        )
