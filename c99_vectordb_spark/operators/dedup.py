@@ -239,6 +239,36 @@ def ngram_jaccard_pairs(
     )
 
 
+def _exact_collapse(recs: DataFrame):
+    """Shared exact-duplicate collapse for the staged dedup operators:
+    (clusters, mem, reps) where clusters = (fp, rep_id, k), mem =
+    (id, rep_id) membership, reps = representative rows carrying the
+    body and the cluster weight k. The fingerprint projection and the
+    membership table are PERSISTED — each is consumed by 3+ plan
+    branches (clusters/mem/reps; both expansion joins + the live set),
+    and without the cache the wide-fingerprint UDF re-scans the whole
+    corpus per branch (round-7 review finding)."""
+    fp = recs.select(
+        "id", "body", fingerprint_wide_udf()(F.col("body")).alias("fp")
+    ).persist()
+    clusters = fp.groupBy("fp").agg(
+        F.min("id").alias("rep_id"), F.count(F.lit(1)).cast("long").alias("k")
+    )
+    mem = (
+        fp.select("id", "fp")
+        .join(clusters.select("fp", "rep_id"), "fp")
+        .select("id", "rep_id")
+        .persist()
+    )
+    reps = (
+        fp.join(clusters, "fp")
+        .filter(F.col("id") == F.col("rep_id"))
+        .select("id", "body", "k")
+        .persist()
+    )
+    return clusters, mem, reps
+
+
 def staged_jaccard_pairs(
     df: DataFrame,
     id_col: str = "id",
@@ -268,20 +298,7 @@ def staged_jaccard_pairs(
     EXPANSION (output-sized by definition) touches duplicate ids.
     """
     recs = df.select(F.col(id_col).alias("id"), F.col(body_col).alias("body"))
-    fp = recs.select(
-        "id", "body", fingerprint_wide_udf()(F.col("body")).alias("fp")
-    )
-    clusters = fp.groupBy("fp").agg(
-        F.min("id").alias("rep_id"), F.count(F.lit(1)).cast("long").alias("k")
-    )
-    # (doc, rep) membership — output-sized work only from here on
-    mem = fp.select("id", "fp").join(clusters.select("fp", "rep_id"), "fp")
-    reps = (
-        fp.join(clusters, "fp")
-        .filter(F.col("id") == F.col("rep_id"))
-        .select("id", "body", "k")
-        .persist()
-    )
+    clusters, mem, reps = _exact_collapse(recs)
     sh = shingles(reps, "id", "body", n).persist()
     # weighted doc frequency over unique texts == raw doc frequency
     cap = auto_shingle_cap(df.count())
@@ -346,6 +363,11 @@ def staged_jaccard_pairs(
             "CAST(1.0 AS DOUBLE) AS jaccard",
         )
     )
+    if thresh_ppm > 1_000_000:
+        # jaccard cannot exceed 1e6 ppm (inter <= union), so the
+        # naive filter rejects even exact duplicates at such
+        # thresholds — mirror it (same guard as the containment twin)
+        return cross.select("id_a", "id_b", "jaccard")
     return cross.unionByName(within).select("id_a", "id_b", "jaccard")
 
 
@@ -429,19 +451,7 @@ def staged_containment_pairs(
     sf1 soak (10 copies/doc): naive 229s; the self-join here runs on
     unique texts only."""
     recs = df.select(F.col(id_col).alias("id"), F.col(body_col).alias("body"))
-    fp = recs.select(
-        "id", "body", fingerprint_wide_udf()(F.col("body")).alias("fp")
-    )
-    clusters = fp.groupBy("fp").agg(
-        F.min("id").alias("rep_id"), F.count(F.lit(1)).cast("long").alias("k")
-    )
-    mem = fp.select("id", "fp").join(clusters.select("fp", "rep_id"), "fp")
-    reps = (
-        fp.join(clusters, "fp")
-        .filter(F.col("id") == F.col("rep_id"))
-        .select("id", "body", "k")
-        .persist()
-    )
+    clusters, mem, reps = _exact_collapse(recs)
     sh = shingles(reps, "id", "body", n).persist()
     cap = auto_shingle_cap(df.count())
     wfreq = (

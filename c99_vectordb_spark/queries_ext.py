@@ -8589,11 +8589,16 @@ def q_migrate_yaml_store(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         store = migrate_yaml_to_parquet(spark, yaml_path, f"{tmp}/store")
         recs = store.load_records()
+        # explicit per-field COALESCE, NOT concat_ws: concat_ws skips
+        # null elements (dropping the separator) where the oracle's
+        # '||' chain would null the whole fingerprint — a NULL lang
+        # would silently diverge the twins (round-7 review finding)
         fp = F.expr(
-            "cast(conv(substring(md5(concat_ws('|', cast(id AS string),"
-            " body, metadata['lang'], metadata['source'],"
-            " metadata['n_chars'])), 1, 14), 16, 10) AS bigint)"
-            f" % {_MIGRATE_FP_MOD}"
+            "cast(conv(substring(md5(concat(cast(id AS string), '|',"
+            " coalesce(body, ''), '|', coalesce(metadata['lang'], ''),"
+            " '|', coalesce(metadata['source'], ''), '|',"
+            " coalesce(metadata['n_chars'], ''))), 1, 14), 16, 10)"
+            f" AS bigint) % {_MIGRATE_FP_MOD}"
         )
         rec_stats = recs.agg(
             F.count(F.lit(1)).cast("long").alias("n_records"),
@@ -8640,8 +8645,9 @@ def _oracle_migrate_yaml_store() -> str:
     from .queries_registry import _duck_doc_vec_cte
 
     fp = hashing.duckdb_md5_hash56_sql(
-        "id::VARCHAR || '|' || body || '|' || lang || '|' || source"
-        " || '|' || n_chars::VARCHAR"
+        "id::VARCHAR || '|' || body || '|' || COALESCE(lang, '')"
+        " || '|' || COALESCE(source, '')"
+        " || '|' || COALESCE(n_chars::VARCHAR, '')"
     )
     return f"""
 WITH {_duck_doc_vec_cte(DIM)},

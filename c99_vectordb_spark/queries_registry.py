@@ -1855,10 +1855,11 @@ DRIVER_WINDOW = [
     "events_forecast_mase",
     "customer_revenue_gini",
     # built THIS round (standing policy: new operators land
-    # driver-green in their build round); the five displaced pool
+    # driver-green in their build round); the seven displaced pool
     # first-timers (profile_documents, stats_spearman,
-    # orders_seasonal_decomp, dq_expectations, sim_filtered_recall)
-    # stay oracle-covered and head the r8 pool
+    # orders_seasonal_decomp, dq_expectations, sim_filtered_recall,
+    # tpch_q16, corpus_fertility) stay oracle-covered and head the
+    # r8 pool
     "migrate_yaml_store",
     "dedup_jaccard_staged",
     "orders_holt_winters",

@@ -544,7 +544,7 @@ def q_dedup_edit_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     mem = docs.select("doc_id", "fp").join(
         clusters.select("fp", "rep_id"), "fp"
-    )
+    ).persist()  # consumed by both expansion joins + the live set
     reps = (
         docs.join(clusters, "fp")
         .filter(F.col("doc_id") == F.col("rep_id"))

@@ -477,7 +477,11 @@ hw_run AS (
   FROM hw_run r JOIN hw_obs o ON o.t = r.t + 1
 ),
 hw_fin AS (
-  SELECT r.l, r.b, r.s FROM hw_run r CROSS JOIN hw_n WHERE r.t = hw_n.n
+  -- the >= 2 seasons guard mirrors the Spark side's early return:
+  -- with 12-23 months hw_init would still seed at t=12 and emit
+  -- garbage forecasts the Spark twin never produces
+  SELECT r.l, r.b, r.s FROM hw_run r CROSS JOIN hw_n
+  WHERE r.t = hw_n.n AND hw_n.n >= {2 * m}
 )
 SELECT h::BIGINT AS h,
        (hw_n.last_mid + h)::BIGINT AS month_index,
