@@ -229,7 +229,16 @@ def q_events_retention_triangle(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _read_events(spark, sf_dir).selectExpr(
         "user_id", f"ts_us div {_WEEK_US} AS week"
     )
-    user_week = ev.distinct()
+    return retention_triangle_from_user_weeks(ev.distinct())
+
+
+def retention_triangle_from_user_weeks(user_week: DataFrame) -> DataFrame:
+    """Triangle rollup over a distinct (user_id, week) activity
+    relation — shared by the batch query and the streaming twin,
+    whose mergeable state IS this relation (per-batch distinct
+    partials, distinct-union merge; a late event that moves a user's
+    first week re-derives every dependent cell because cohorts are
+    recomputed from the merged state, not carried)."""
     cohorts = user_week.groupBy("user_id").agg(
         F.min("week").alias("cohort_week")
     )

@@ -532,3 +532,38 @@ def stream_f2_sketch(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_retention_weeks(
+    events_stream: DataFrame,
+    sink_fn,
+    checkpoint_dir: str,
+):
+    """Streaming twin of the cohort retention triangle
+    (queries_wave9.q_events_retention_triangle): the mergeable state
+    IS the distinct (user_id, week) activity relation — each
+    micro-batch contributes its distinct partials, the standing state
+    merges by distinct-union, and the triangle is a pure function of
+    the merged relation (retention_triangle_from_user_weeks), so a
+    LATE event that moves a user's first week re-derives every
+    dependent cell instead of patching carried cohort assignments.
+    Per-user state is calendar-bounded (one row per active week),
+    the same bound the batch operator's docstring claims."""
+    from ..functions.text import normalize_event_time
+    from ..queries_wave9 import _WEEK_US
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        partial = (
+            normalize_event_time(batch_df)
+            .selectExpr("user_id", f"ts_us div {_WEEK_US} AS week")
+            .distinct()
+        )
+        sink_fn(partial, batch_id)
+
+    return (
+        events_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -175,3 +175,80 @@ def test_holt_winters_tracks_float_reference(spark, sf_dir):
         assert abs(r["forecast_cents"] - ref) <= max(1e-4 * abs(ref), 200), (
             h, r["forecast_cents"], ref,
         )
+
+
+def test_stream_retention_matches_batch(spark, tmp_path):
+    """Two micro-batches through the distinct-(user, week) partial
+    stream, merged by distinct-union, must yield the IDENTICAL
+    triangle as the batch rollup on the full replay — including a
+    late event in batch 2 that moves user 1's cohort a week earlier
+    (the merge must re-derive cohorts, not patch them)."""
+    import datetime as dt
+    import os
+    import time as _t
+
+    from c99_vectordb_spark.queries_wave9 import (
+        retention_triangle_from_user_weeks,
+    )
+    from c99_vectordb_spark.streaming.ingest import stream_retention_weeks
+
+    def ev(i, day, uid):
+        return (i, dt.datetime(2024, 1, 1) + dt.timedelta(days=day), uid,
+                "view", 0.0, "{}")
+
+    b1 = [ev(1, 7, 1), ev(2, 8, 1), ev(3, 14, 1), ev(4, 7, 2), ev(5, 21, 2)]
+    # late arrival: user 1 was ALSO active in week 0 — cohort moves
+    b2 = [ev(6, 0, 1), ev(7, 28, 2), ev(8, 0, 3), ev(9, 14, 3)]
+    schema = ("event_id LONG, ts TIMESTAMP, user_id LONG,"
+              " event_type STRING, value DOUBLE, props STRING")
+    src = str(tmp_path / "src")
+    os.makedirs(src)
+    for name, batch, age in (("b1.parquet", b1, 60), ("b2.parquet", b2, 0)):
+        spark.createDataFrame(batch, schema).coalesce(1).write.parquet(
+            os.path.join(src, name)
+        )
+        ts = _t.time() - age
+        for root, _dirs, files in os.walk(os.path.join(src, name)):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+    states = []
+
+    def sink(df, batch_id):
+        states.append(df.localCheckpoint(eager=True))
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .option("recursiveFileLookup", "true")
+        .parquet(src)
+    )
+    q = stream_retention_weeks(
+        stream, sink, str(tmp_path / "ckpt")
+    ).start()
+    q.awaitTermination(120)
+    assert len(states) >= 2, "expected multiple micro-batches"
+
+    merged = states[0]
+    for s in states[1:]:
+        merged = merged.unionByName(s)
+    merged = merged.distinct()
+    got = sorted(
+        map(tuple, retention_triangle_from_user_weeks(merged).collect())
+    )
+    full = spark.createDataFrame(b1 + b2, schema)
+    from c99_vectordb_spark.functions.text import normalize_event_time
+    from c99_vectordb_spark.queries_wave9 import _WEEK_US
+
+    batch_uw = (
+        normalize_event_time(full)
+        .selectExpr("user_id", f"ts_us div {_WEEK_US} AS week")
+        .distinct()
+    )
+    expect = sorted(
+        map(tuple, retention_triangle_from_user_weeks(batch_uw).collect())
+    )
+    assert got == expect
+    # the late event really moved user 1's cohort: week-0 cohort has 2 users
+    by_key = {(r[0], r[1]): r for r in got}
+    zero_cohort = min(k[0] for k in by_key)
+    assert by_key[(zero_cohort, 0)][3] == 2  # cohort_size: users 1 and 3
