@@ -1727,75 +1727,42 @@ _ORACLES: dict[str, str] = {
 # for never-driver-checked siblings so the unchecked pool shrinks
 # monotonically while every family keeps >=1 representative.
 #
-# Round-7 rotation (the trust-horizon paydown round): after r6 the
-# never-driver-checked oracled pool stood at 117 of 241. This window
-# keeps only SEVEN long-green anchors (the five core reference-surface
-# ops, asof_join_events for joins, grouped_rank for windows+UDTF) and
-# fills the other 43 slots with FIRST-TIMERS, prioritizing the heavy
-# session-6/7/8 queries the r6 judge explicitly named
-# (graph_communities, orders_bootstrap_ci, sim_eval_ndcg,
-# events_cusum_shift, multimodal_phash_dedup, basket_item_similarity,
-# corpus_lm_generate — after its bounded-collect fix —
-# events_forecast_mase, customer_revenue_gini,
-# multimodal_gif_roundtrip). Pool after r7: 81 (the seven operators
-# BUILT this round — migrate_yaml_store, dedup_jaccard_staged,
-# orders_holt_winters, and the wave-9 quartet — displaced seven
-# scheduled pool first-timers per the standing policy below).
-# Family minimums hold
-# via the expanded same-family pools in tests/test_driver_window.py
-# (the FAMILIES map predates the session-6/7/8 waves; its pools now
-# include those waves' genuine siblings so rotation can actually
-# reach them).
+# Round-8 rotation (horizon-closure round 2 of 3): after r7 the
+# never-driver-checked oracled pool stood at 81 of 248 (recomputed by
+# tools/rotation_pool.py — the pool is no longer hand-listed here;
+# judge ADVICE r7 #4). This window keeps the SEVEN long-green anchors
+# (five core reference-surface ops, asof_join_events for joins,
+# grouped_rank for windows+UDTF) and fills the other 43 slots with
+# FIRST-TIMERS from the pool.
+#
+# Selection rule for the 43 (r8 refinement of "first 43
+# alphabetically"): the strict alphabetical prefix of the 81-name pool
+# contains zero tpch/similarity/multimodal/text members, which would
+# break the family-coverage minimums in tests/test_driver_window.py.
+# So r8 takes EVERY remaining never-checked member of the families
+# whose pools are nearly exhausted (tpch_q16, graph_assortativity,
+# events_ohlc_bars, sketch_f2_moment, all 4 dedup-report names, all 6
+# sim_* names, all 4 multimodal names, both text_lm names, the 4
+# corpus-family names) = 24 slots, then fills the remaining 19
+# alphabetically. Family minimums are at endgame values for r8/r9
+# (see the FAMILIES comment in tests/test_driver_window.py): several
+# families have fewer never-checked members left than their
+# steady-state minimums, and re-checking long-green veterans would
+# burn slots the schedule needs for pool closure.
 #
 # Multi-round schedule that provably closes the horizon by r9
-# (judge r6 item #1):
-#   r7: 43 first-timers in  -> pool 117 - 36 = 81   (this window:
-#       7 anchors + 36 pool members + the SEVEN operators built this
-#       round — migrate_yaml_store, dedup_jaccard_staged,
-#       orders_holt_winters, and the wave-9 quartet — which displaced
-#       seven scheduled pool first-timers per the standing policy)
-#   r8: 43 first-timers in  -> pool  81 - 43 = 38
-#       (anchors stay; every other slot rotates; the 81-name pool is
-#        listed below — r8 takes the first 43 alphabetically unless a
-#        newcomer built that round displaces per the standing policy)
+# (judge r6 item #1, reaffirmed r7 #1):
+#   r7: 43 first-timers in  -> pool 117 - 36 = 81
+#   r8: 43 first-timers in  -> pool  81 - 43 = 38  (this window)
 #   r9: the remaining 38 + any r8 newcomers -> pool 0
 # Standing policy: operators BUILT in a round rotate into that round's
-# window, displacing scheduled first-timers the judge has already
-# independently verified where possible.
+# window where slots allow; in r8 every non-anchor slot is spoken for
+# by the closure schedule, so r8-built operators (if any) join the r9
+# window alongside the remaining 38 (38 + newcomers <= 43 free slots).
 #
-# Remaining never-driver-checked pool after this window (81 —
-# recomputed, not hand-counted: registry names with oracles minus
-# every CORRECTNESS_r*.json key minus this window):
-# anonymize_generalize_sweep, anonymize_kanon_report,
-# anonymize_orders, anonymize_tcloseness, attribution_markov,
-# audit_benford_prices, audit_order_reconciliation, basket_pairs,
-# corpus_bm25_batch, corpus_curriculum, corpus_drift_kl,
-# corpus_dsir_weights, corpus_fertility, corpus_filter_funnel,
-# corpus_kn_counts, corpus_kn_incremental, corpus_pack_report,
-# corpus_phrase_search, corpus_pipeline_dsir,
-# corpus_pipeline_incremental, corpus_pmi_pairs,
-# corpus_shuffle_order, corpus_snapshot_diff, corpus_vocab_sweep,
-# corpus_weighted_sample, corpus_zipf_fit, customer_cohort_ltv,
-# dedup_cdc_chunks, dedup_containment, dedup_recall_report,
-# dedup_span_removal, dq_expectations, embed_random_projection,
-# embedding_centroids, events_ab_power, events_acf, events_anomaly,
-# events_cuped, events_decayed_value, events_enrich_segments,
-# events_growth_accounting, events_hour_profile, events_ohlc_bars,
-# events_stickiness, events_time_to_convert, events_top_paths,
-# events_transitions, graph_assortativity, hilbert_skipping,
-# lineitem_abc_parts, lineitem_hill_tail, lineitem_price_index,
-# multimodal_adpcm_roundtrip, multimodal_otsu,
-# multimodal_scene_cuts, multimodal_video_frames, orders_anova_f,
-# orders_kruskal_wallis, orders_ks_test, orders_mann_whitney,
-# orders_price_outliers, orders_seasonal_decomp,
-# orders_theilsen_trend, orders_trimmed_mean, profile_documents,
-# profile_orders, sim_binary_quant, sim_diverse_topk, sim_eval_map,
-# sim_filtered_recall, sim_mutual_nn, sim_range_search,
-# sketch_f2_moment, stats_chi2_independence, stats_spearman,
-# text_lm_coverage, text_lm_score, tpch_q16, zorder_hilbert,
-# zorder_layout, zorder_skipping.
-# (rows-only multimodal_features / sim_pq / sim_ivf / approx_distinct
-# cannot occupy hash slots and are excluded from the schedule.)
+# The authoritative pool list is computed, never hand-maintained:
+#   python tools/rotation_pool.py          # pool after this window
+#   python tools/rotation_pool.py --raw    # pool before this window
 DRIVER_WINDOW = [
     # long-green anchors: core reference surface + one join + one
     # window/UDTF representative
@@ -1806,67 +1773,58 @@ DRIVER_WINDOW = [
     "upsert_docs",
     "asof_join_events",
     "grouped_rank",
-    # TPC-H: the entire never-checked remainder of the tour
-    "tpch_q2",
-    "tpch_q10",
-    "tpch_q11",
-    "tpch_q12",
-    "tpch_q14",
-    "tpch_q15",
-    "tpch_q20",
-    # joins/graph first-timers (judge priority: graph_communities)
-    "join_skew_report",
-    "graph_communities",
-    "graph_bfs_layers",
-    "graph_kcore_peel",
-    # windows / ordered-analytics first-timers
-    "quantiles_exact_global",
-    "lineitem_weighted_quantiles",
-    "orders_backlog_timeline",
-    # streaming-twin first-timers (rollup + CUSUM both have
-    # stream==batch replay twins)
-    "events_rollup_incremental",
-    "events_cusum_shift",
-    # approximate-aggregate first-timers
-    "approx_quantiles_bottomk",
-    "events_hll_users",
-    # dedup-report first-timers
-    "dedup_cluster_sizes",
-    "dedup_cross_source",
-    # similarity first-timers (judge priority: sim_eval_ndcg)
-    "sim_eval_ndcg",
-    "sim_knn_join",
-    "sim_matryoshka_recall",
-    # multimodal first-timers (judge priority: both)
-    "multimodal_gif_roundtrip",
-    "multimodal_phash_dedup",
-    # text first-timers
-    "text_char_entropy",
-    "text_html_extract",
-    "text_novelty",
-    # corpus first-timers
-    "corpus_bigrams",
-    "corpus_pack",
-    "decontaminate_survivors",
-    "corpus_lm_generate",
-    # heavy-stats / events first-timers (judge priorities)
-    "orders_bootstrap_ci",
-    "basket_item_similarity",
-    "events_forecast_mase",
-    "customer_revenue_gini",
-    # built THIS round (standing policy: new operators land
-    # driver-green in their build round); the seven displaced pool
-    # first-timers (profile_documents, stats_spearman,
-    # orders_seasonal_decomp, dq_expectations, sim_filtered_recall,
-    # tpch_q16, corpus_fertility) stay oracle-covered and head the
-    # r8 pool
-    "migrate_yaml_store",
-    "dedup_jaccard_staged",
-    "orders_holt_winters",
-    "corpus_shard_bytes",
-    "corpus_stratified_quota",
-    "events_retention_triangle",
-    "text_readability",
+    # family-closure first-timers: the last never-checked member of
+    # each nearly-exhausted family pool
+    "tpch_q16",
+    "graph_assortativity",
+    "events_ohlc_bars",
+    "sketch_f2_moment",
+    # dedup-report first-timers (closes the dedup family pool)
+    "dedup_cdc_chunks",
+    "dedup_containment",
+    "dedup_recall_report",
+    "dedup_span_removal",
+    # similarity first-timers (closes the similarity family pool;
+    # sim_mutual_nn lands after its r8 staged-collapse rework)
+    "sim_binary_quant",
+    "sim_diverse_topk",
+    "sim_eval_map",
+    "sim_filtered_recall",
+    "sim_mutual_nn",
+    "sim_range_search",
+    # multimodal first-timers (closes the multimodal family pool)
+    "multimodal_adpcm_roundtrip",
+    "multimodal_otsu",
+    "multimodal_scene_cuts",
+    "multimodal_video_frames",
+    # text first-timers (closes the text family pool)
+    "text_lm_coverage",
+    "text_lm_score",
+    # corpus-family first-timers
+    "corpus_drift_kl",
+    "corpus_fertility",
+    "corpus_phrase_search",
+    "corpus_zipf_fit",
+    # alphabetical fill (first 19 of the remaining pool)
+    "anonymize_generalize_sweep",
+    "anonymize_kanon_report",
+    "anonymize_orders",
+    "anonymize_tcloseness",
+    "attribution_markov",
+    "audit_benford_prices",
+    "audit_order_reconciliation",
+    "basket_pairs",
+    "corpus_bm25_batch",
+    "corpus_curriculum",
+    "corpus_dsir_weights",
+    "corpus_filter_funnel",
+    "corpus_kn_counts",
+    "corpus_kn_incremental",
+    "corpus_pack_report",
+    "corpus_pipeline_dsir",
+    "corpus_pipeline_incremental",
+    "corpus_pmi_pairs",
+    "corpus_shuffle_order",
 ]
 
 

@@ -21,6 +21,22 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 # family -> pool of acceptable representatives; the window must contain
 # at least MINIMUM members from each pool (rotation picks which).
+#
+# ENDGAME MINIMUMS (r8/r9): the never-driver-checked pool closes by r9
+# (schedule in queries_registry.py above DRIVER_WINDOW; pool computed
+# by tools/rotation_pool.py). Several families now have FEWER
+# never-checked members left than their steady-state minimums — tpch
+# has one (q16), joins one (graph_assortativity), windows one
+# (events_ohlc_bars), approx one (sketch_f2_moment) — and burning
+# window slots on long-green veterans just to hit the old minimums
+# would push pool closure past r9. During r8/r9 each family therefore
+# keeps >=1 representative per round (every family STILL has a
+# driver-verified row every round; most far exceed 1 because the
+# closure schedule routes whole family pools through the window).
+# After r9 the pool is empty, rotation switches to round-robin
+# re-verification, and minimums return to steady state (core 5,
+# tpch 4, joins 4, windows 4, streaming 2, approx 2, dedup 2, sim 3,
+# multimodal 2, text 3, corpus 4).
 FAMILIES: dict[str, tuple[set[str], int]] = {
     "core": ({"recall_topk_int", "knn_embeddings", "filter_orders_page",
               "filter_variant_metadata", "stats_topk_other",
@@ -29,7 +45,7 @@ FAMILIES: dict[str, tuple[set[str], int]] = {
     "tpch": ({"tpch_q1", "tpch_q2", "tpch_q4", "tpch_q5", "tpch_q7",
               "tpch_q8", "tpch_q9", "tpch_q10", "tpch_q11", "tpch_q12",
               "tpch_q13", "tpch_q14", "tpch_q15", "tpch_q16", "tpch_q17",
-              "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22"}, 4),
+              "tpch_q18", "tpch_q19", "tpch_q20", "tpch_q21", "tpch_q22"}, 1),
     # Pools were written before the session-6/7/8 waves; each now also
     # lists those waves' genuine same-family siblings so the round-7+
     # rotation can fill minimums with first-timers instead of pinning
@@ -38,21 +54,21 @@ FAMILIES: dict[str, tuple[set[str], int]] = {
                "asof_join_events", "semi_anti_joins", "graph_triangles",
                "graph_pagerank", "join_skew_report", "fuzzy_join_parts",
                "graph_communities", "graph_bfs_layers", "graph_kcore_peel",
-               "graph_assortativity", "bloom_semi_join"}, 4),
+               "graph_assortativity", "bloom_semi_join"}, 2),
     "windows": ({"orders_scd2", "events_trailing_24h", "skyline_orders",
                  "price_histogram", "grouped_sample_topn", "cdc_apply_orders",
                  "window_running_total", "grouped_rank",
                  "quantiles_exact_global", "lineitem_weighted_quantiles",
-                 "orders_backlog_timeline", "events_ohlc_bars"}, 4),
+                 "orders_backlog_timeline", "events_ohlc_bars"}, 2),
     "streaming_twin": ({"events_sessions", "events_keep_first",
                         "events_attribution_pairs", "events_resample",
                         "events_rollup_incremental", "events_cusum_shift",
                         "events_ohlc_bars", "events_hll_users",
-                        "dedup_incremental", "events_policy_ips"}, 2),
+                        "dedup_incremental", "events_policy_ips"}, 1),
     "approx": ({"approx_distinct_kmv", "sketch_heavy_hitters",
                 "approx_distinct_hll", "approx_quantiles_bottomk",
                 "events_hll_users", "sketch_f2_moment", "sketch_set_ops",
-                "bloom_semi_join"}, 2),
+                "bloom_semi_join"}, 1),
     "udtf": ({"udtf_shingles", "grouped_rank"}, 1),
     "dedup": ({"dedup_exact", "dedup_minhash_pairs", "dedup_jaccard_pairs",
                "dedup_simhash", "dedup_survivors", "dedup_substring_spans",
@@ -78,7 +94,7 @@ FAMILIES: dict[str, tuple[set[str], int]] = {
     "text": ({"text_quality", "text_langid", "text_fingerprint",
               "text_scrub_pii", "text_repetition", "text_gopher_rules",
               "text_char_entropy", "text_html_extract", "text_novelty",
-              "text_lm_coverage", "text_lm_score"}, 3),
+              "text_lm_coverage", "text_lm_score"}, 2),
     "corpus": ({"corpus_pipeline", "corpus_tfidf_terms", "corpus_split_assign",
                 "corpus_pack", "corpus_pack_global", "chunk_documents",
                 "decontaminate_eval", "decontaminate_survivors", "corpus_vocab",
