@@ -1155,3 +1155,105 @@ def band_key(band: Column, bsig: Column) -> Column:
     bsig — injective because bsig < HASH_MOD; one BIGINT groupBy key
     for the streaming bucket operator."""
     return (band.cast("long") * F.lit(HASH_MOD) + bsig).cast("long")
+
+
+def cosine_top_pairs_staged(
+    emb: DataFrame,
+    k: int = 20,
+    id_col: str = "id",
+    vec_col: str = "vec",
+) -> DataFrame:
+    """:func:`cosine_top_pairs` staged through the unique-vector
+    collapse — the same relation (global top-k pairs by cosine, ties
+    by ids) computed with ONE cosine fold per unique-vector pair
+    instead of one per point pair.
+
+    Why exact: identical vectors have identical norms and dots, so
+    every point pair's cosine equals its cluster pair's cosine
+    (computed here with the same float expressions). The global top-k
+    point pairs therefore live inside the top-k DISTINCT cosine tiers
+    (each tier contributes at least one point pair), and within one
+    cluster pair only the k+1 smallest member ids per side can appear
+    in the top-k by (cos DESC, id_a ASC, id_b ASC): a member with k+1
+    smaller same-cluster siblings has, for any partner, at least k
+    lexicographically smaller pairs in the same tier. So: collapse,
+    all-pairs over unique vectors, keep the top-k cosine tiers
+    (TakeOrdered, no window), expand capped members, re-rank, limit k.
+
+    Why it matters: the naive all-pairs baseline was the r7 sf1 soak's
+    tail maximum (380 s on the 90%-dup corpus — 10x duplicates mean
+    100x the pair folds). The staged plan's pair stage shrinks with
+    the square of the dup rate; the expansion is O(k^2) rows per kept
+    tier. Equivalence proven by the unchanged all-pairs registry
+    oracle (hash match) and the dup-heavy fixture equality test.
+    """
+    from .similarity import vec_exact_collapse
+
+    def norm(c):
+        return F.sqrt(
+            F.aggregate(
+                c, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
+            )
+        )
+
+    uniq, mem = vec_exact_collapse(emb, id_col=id_col, vec_col=vec_col)
+    a = uniq.select(
+        F.col("id").alias("ra"),
+        F.col("vec").alias("va"),
+        norm(F.col("vec")).alias("na"),
+        F.col("kdup").alias("ka"),
+    ).repartition(F.col("ra"))
+    b = uniq.select(
+        F.col("id").alias("rb"),
+        F.col("vec").alias("vb"),
+        norm(F.col("vec")).alias("nb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    # self pair (ra == rb) iff the cluster has >= 2 members: it carries
+    # the within-cluster point pairs, whose cosine the SAME expression
+    # computes from (v, v)
+    pairs = (
+        a.join(
+            b,
+            (F.col("ra") < F.col("rb"))
+            | ((F.col("ra") == F.col("rb")) & (F.col("ka") >= 2)),
+        )
+        .withColumn("cos", F.round(dot / (F.col("na") * F.col("nb")), 4))
+        .select("ra", "rb", "cos")
+        .persist()
+    )
+    # top-k distinct cosine tiers — every tier supplies >= 1 point
+    # pair, so the global top-k pairs live inside these tiers
+    tiers = (
+        pairs.groupBy("cos").agg(F.count(F.lit(1)).alias("npairs"))
+        .orderBy(F.desc("cos"))
+        .limit(k)
+        .select("cos")
+    )
+    kept = pairs.join(F.broadcast(tiers), "cos")
+    wm = Window.partitionBy("rep_id").orderBy(F.asc("pid"))
+    topm = (
+        mem.withColumn("rk", F.row_number().over(wm))
+        .filter(F.col("rk") <= k + 1)
+        .select("rep_id", "pid")
+    )
+    pa = topm.select(F.col("rep_id").alias("ra"), F.col("pid").alias("pa"))
+    pb = topm.select(F.col("rep_id").alias("rb"), F.col("pid").alias("pb"))
+    expanded = (
+        kept.join(pa, "ra")
+        .join(pb, "rb")
+        .filter(
+            (F.col("ra") != F.col("rb")) | (F.col("pa") < F.col("pb"))
+        )
+        .selectExpr(
+            "least(pa, pb) AS id_a", "greatest(pa, pb) AS id_b", "cos"
+        )
+    )
+    return (
+        expanded.orderBy(F.desc("cos"), F.asc("id_a"), F.asc("id_b"))
+        .limit(k)
+    )

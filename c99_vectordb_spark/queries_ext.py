@@ -833,10 +833,15 @@ _DUCK_DOT = (
 
 
 def q_dedup_cosine_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import cosine_top_pairs
+    # staged through the unique-vector collapse since r8 (the naive
+    # all-pairs plan was the sf1 soak's 380 s tail maximum on the
+    # 90%-dup corpus); same relation, same all-pairs oracle — see
+    # cosine_top_pairs_staged's equivalence argument, proven by the
+    # unchanged oracle hash and tests/test_staged_sim.py
+    from .operators.dedup import cosine_top_pairs_staged
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    return cosine_top_pairs(
+    return cosine_top_pairs_staged(
         emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")), k=20
     )
 

@@ -1010,32 +1010,97 @@ ORDER BY o_orderpriority
 # ---------------------------------------------------------------------------
 
 
+def sim_mutual_nn_best(emb: DataFrame, staged: bool = True) -> DataFrame:
+    """The per-point top-1 LSH neighbor table (qid, id, score) that
+    feeds the reciprocal join — naive (lsh_bucketed_neighbors, the
+    two-big-sets bucket join over raw points) or STAGED through the
+    unique-vector collapse (the r7-judge fix for the sf1
+    quadratic-in-duplicate-cluster tail; see the collapse comment in
+    operators/similarity.py). The staged path computes the cosine
+    once per unique-vector pair with the SAME float expressions, then
+    tier-pruned-expands to a point-level edge set that contains every
+    point's true top-1, so the selected rows — and the oracle hash —
+    are identical by construction. Kept callable both ways so the
+    dup-heavy fixture test can assert naive == staged row equality."""
+    from .operators.similarity import (
+        _dot,
+        _norm,
+        bucket_id,
+        lsh_bucketed_neighbors,
+        tier_pruned_expand,
+        vec_exact_collapse,
+    )
+    from .queries_ext import LSH_DIM, LSH_PLANES
+
+    e_pts = emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    if not staged:
+        return lsh_bucketed_neighbors(
+            e_pts,
+            emb.select(
+                F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
+            ),
+            dim=LSH_DIM,
+            k=1,
+            n_planes=LSH_PLANES,
+            multiprobe=True,
+            broadcast_queries=False,
+        )
+    uniq, mem = vec_exact_collapse(e_pts)
+    e = uniq.select(
+        F.col("id").alias("rb"),
+        F.col("vec"),
+        bucket_id(F.col("vec"), LSH_DIM, LSH_PLANES).alias("bucket"),
+        _norm(F.col("vec")).alias("vnorm"),
+    )
+    q = uniq.select(
+        F.col("id").alias("ra"),
+        F.col("vec").alias("qvec"),
+        bucket_id(F.col("vec"), LSH_DIM, LSH_PLANES).alias("bucket"),
+        _norm(F.col("vec")).alias("qnorm"),
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(LSH_PLANES)],
+    )
+    q = q.withColumn("bucket", F.explode(probes))
+    # NO ra != rb filter: the self pair carries the k_A - 1
+    # identical-vector candidates every cluster member sees
+    rep_cand = (
+        e.join(q, "bucket")
+        .withColumn(
+            "score",
+            F.round(
+                _dot(F.col("vec"), F.col("qvec"))
+                / (F.col("vnorm") * F.col("qnorm")),
+                4,
+            ),
+        )
+        .withColumn("m", -F.col("score"))
+        .select("ra", "rb", "m", "score")
+    )
+    edges = tier_pruned_expand(rep_cand, uniq, mem, k=1, payload_cols=("score",))
+    w = Window.partitionBy("qid").orderBy(F.asc("m"), F.asc("id"))
+    return (
+        edges.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") == 1)
+        .select("qid", "id", "score")
+    )
+
+
 def q_sim_mutual_nn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Mutual nearest neighbors: pairs (a, b) where b is a's top-1
     LSH-bucketed neighbor AND a is b's — the reciprocity filter of
     bitext mining (Artetxe & Schwenk 2019) and of high-precision
     semantic dedup: a one-directional top-1 fires on hubs, the
-    mutual pair almost never does. Both sides are the corpus
-    (broadcast_queries=False — the two-big-sets kNN join), candidates
-    come from hamming-1 multiprobe bucket equi-joins, top-1 per side
-    from ONE shared candidate set (the probe relation is symmetric,
-    so mutuality is well-defined), and the reciprocal join touches
-    only the node-sized best-neighbor table."""
-    from .operators.similarity import lsh_bucketed_neighbors
-    from .queries_ext import LSH_DIM, LSH_PLANES
-
+    mutual pair almost never does. Candidates come from hamming-1
+    multiprobe bucket equi-joins over UNIQUE vectors (the staged
+    collapse — identical vectors have identical buckets and scores,
+    so per-point top-1 expands exactly; sf1's 90%-dup corpus measured
+    the raw-point join at ~198 s vs seconds staged), and the
+    reciprocal join touches only the node-sized best-neighbor
+    table."""
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    best = lsh_bucketed_neighbors(
-        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec")),
-        emb.select(
-            F.col("vec_id").alias("qid"), F.col("embedding").alias("qvec")
-        ),
-        dim=LSH_DIM,
-        k=1,
-        n_planes=LSH_PLANES,
-        multiprobe=True,
-        broadcast_queries=False,
-    )
+    best = sim_mutual_nn_best(emb, staged=True)
     x, y = best.alias("x"), best.alias("y")
     return (
         x.join(

@@ -861,6 +861,79 @@ _LOF_K = 5
 _LOF_TOP = 15
 
 
+def sim_lof_candidates(emb: DataFrame, staged: bool = True) -> DataFrame:
+    """The (qid, id, dist2) candidate edge table feeding the LOF kNN
+    window — naive (raw-point multiprobe bucket join) or STAGED
+    through the unique-vector collapse (identical vectors have
+    identical int8 codes, buckets, and pairwise dist2, so the code
+    distance is computed once per unique-vector pair and the
+    tier-pruned expansion provably contains every point's true top-k;
+    see operators/similarity.py). Selected kNN rows — and the oracle
+    hash — are identical by construction; the dup-heavy fixture test
+    asserts naive == staged on the full query output. The r7 sf1
+    soak measured the naive plan at ~195 s on the 90%-dup corpus
+    (in-bucket pair work grows with cluster size squared); the staged
+    edge set is O(corpus * k * tiers)."""
+    from .operators.similarity import (
+        bucket_id,
+        sq_code_expr,
+        tier_pruned_expand,
+        vec_exact_collapse,
+    )
+    from .queries_ext import LSH_DIM, LSH_PLANES
+
+    dist2 = (
+        "aggregate(zip_with(codes, qcodes, (x, y) -> (x - y) * (x - y)),"
+        " 0L, (a, v) -> a + v)"
+    )
+    if not staged:
+        coded = emb.select(
+            F.col("vec_id").alias("id"),
+            F.expr(sq_code_expr("embedding")).alias("codes"),
+            bucket_id(F.col("embedding"), LSH_DIM, LSH_PLANES).alias("bucket"),
+        )
+        probes = F.array(
+            F.col("bucket"),
+            *[
+                F.col("bucket").bitwiseXOR(F.lit(1 << p))
+                for p in range(LSH_PLANES)
+            ],
+        )
+        q = coded.select(
+            F.col("id").alias("qid"),
+            F.col("codes").alias("qcodes"),
+            F.explode(probes).alias("bucket"),
+        )
+        return (
+            coded.join(q, "bucket")
+            .filter(F.col("id") != F.col("qid"))
+            .selectExpr("qid", "id", f"{dist2} AS dist2")
+        )
+    uniq, mem = vec_exact_collapse(
+        emb.select(F.col("vec_id").alias("id"), F.col("embedding").alias("vec"))
+    )
+    coded = uniq.select(
+        F.col("id").alias("rb"),
+        F.expr(sq_code_expr("vec")).alias("codes"),
+        bucket_id(F.col("vec"), LSH_DIM, LSH_PLANES).alias("bucket"),
+    )
+    probes = F.array(
+        F.col("bucket"),
+        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(LSH_PLANES)],
+    )
+    q = coded.select(
+        F.col("rb").alias("ra"),
+        F.col("codes").alias("qcodes"),
+        F.explode(probes).alias("bucket"),
+    )
+    # NO ra != rb filter: the self pair (dist2 = 0 by the same
+    # expression) carries each cluster's k_A - 1 identical candidates
+    rep_cand = coded.join(q, "bucket").selectExpr("ra", "rb", f"{dist2} AS m")
+    return tier_pruned_expand(rep_cand, uniq, mem, k=_LOF_K).withColumnRenamed(
+        "m", "dist2"
+    )
+
+
 def q_sim_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Local Outlier Factor (Breunig et al. 2000) over the embedding
     corpus — the density-aware outlier score that a global distance
@@ -870,52 +943,33 @@ def q_sim_lof_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     training.
 
     kNN comes from the repo's LSH machinery (hamming-1 multiprobe
-    bucket equi-join, both sides the corpus — the sim_mutual_nn
-    shape); distances are EXACT integers in int8-SQ code space
-    (the sq_int8 quantization), so k-distance, reachability
-    distance, and every sum below the final ratio are BIGINTs. Points
-    with fewer than k bucket candidates — or with a neighbor that
-    lacks its own k-distance — drop out (documented LSH-sparsity
-    horizon, deterministic on both engines). The lone float is the
-    lrd ratio: an order-pinned fold of 1/sum_reach over the 5
-    neighbors in neighbor-id order, assembled identically on both
-    engines and rounded to 4.
+    bucket equi-join over UNIQUE vectors — the staged collapse, see
+    :func:`sim_lof_candidates`); distances are EXACT integers in
+    int8-SQ code space (the sq_int8 quantization), so k-distance,
+    reachability distance, and every sum below the final ratio are
+    BIGINTs. Points with fewer than k bucket candidates — or with a
+    neighbor that lacks its own k-distance — drop out (documented
+    LSH-sparsity horizon, deterministic on both engines). The lone
+    float is the lrd ratio: an order-pinned fold of 1/sum_reach over
+    the 5 neighbors in neighbor-id order, assembled identically on
+    both engines and rounded to 4.
 
-    Scale shape: candidate generation is the banded equi-join (never
-    all-pairs); the kNN window partitions by query id; everything
-    after the kNN edge table (k-dist, reach, lrd, LOF) joins
-    node-sized tables. 100 TB story: identical to the LSH kNN join
-    family — bucket key partitioning end to end."""
-    from .operators.similarity import bucket_id, sq_code_expr
-    from .queries_ext import LSH_DIM, LSH_PLANES
+    Scale shape: candidate generation is the banded equi-join over
+    unique vectors (never all-pairs, never duplicate-quadratic); the
+    kNN window partitions by query id; everything after the kNN edge
+    table (k-dist, reach, lrd, LOF) joins node-sized tables. 100 TB
+    story: identical to the LSH kNN join family — bucket key
+    partitioning end to end."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return sim_lof_report(emb, staged=True)
 
+
+def sim_lof_report(emb: DataFrame, staged: bool = True) -> DataFrame:
+    """The LOF pipeline from an embeddings frame (vec_id, embedding) —
+    shared by the registry query and the naive==staged fixture test."""
     from pyspark.sql import Window
 
-    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    coded = emb.select(
-        F.col("vec_id").alias("id"),
-        F.expr(sq_code_expr("embedding")).alias("codes"),
-        bucket_id(F.col("embedding"), LSH_DIM, LSH_PLANES).alias("bucket"),
-    )
-    probes = F.array(
-        F.col("bucket"),
-        *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(LSH_PLANES)],
-    )
-    q = coded.select(
-        F.col("id").alias("qid"),
-        F.col("codes").alias("qcodes"),
-        F.explode(probes).alias("bucket"),
-    )
-    cand = (
-        coded.join(q, "bucket")
-        .filter(F.col("id") != F.col("qid"))
-        .selectExpr(
-            "qid",
-            "id",
-            "aggregate(zip_with(codes, qcodes, (x, y) -> (x - y) * (x - y)),"
-            " 0L, (a, v) -> a + v) AS dist2",
-        )
-    )
+    cand = sim_lof_candidates(emb, staged=staged)
     w = Window.partitionBy("qid").orderBy(F.asc("dist2"), F.asc("id"))
     # the kNN edge table feeds THREE branches (k-dist, reachability,
     # the lrd fold) — plans are trees, so without a persist the bucket
