@@ -78,6 +78,15 @@ _C_SAFE_DUMPER = getattr(yaml, "CSafeDumper", None)
 
 
 def fast_safe_load(text: str):
+    # Accepted asymmetry (r7 advice): the fallback only covers the
+    # direction where the C scanner is STRICTER (YAMLError -> retry
+    # pure-Python, preserving golden accepts/error texts). If libyaml
+    # ever accepted input the Python loader rejects, or resolved a
+    # scalar differently, that divergence would be silent here — the
+    # guard against it is test_c_emitter_parity's value matrix (floats
+    # incl. 5e-324/inf/-0.0, unicode, quoting edge cases), which must
+    # grow alongside any new metadata form the store starts accepting.
+    # No such divergence is known for SafeLoader-resolvable YAML 1.1.
     if _C_SAFE_LOADER is None:
         return yaml.safe_load(text)
     try:
@@ -127,16 +136,30 @@ def fast_safe_dump_all(values, **kw) -> str:
     return yaml.dump_all(values, Dumper=_C_SAFE_DUMPER, **kw)
 
 
+def _scalar_dump(v) -> str:
+    """One metadata value's stored YAML repr, identical bytes with or
+    without libyaml: the pure-Python emitter appends a '...' document-
+    end marker after top-level scalars ('v\\n...\\n') that libyaml
+    omits, and the marker survives .strip() — so the same corpus would
+    persist different parquet bytes per environment (r7 advice).
+    Consumers safe_load either form; normalizing keeps any future
+    byte-level fingerprint over metadata_yaml environment-stable. A
+    legitimate value can't be clipped: a literal newline before '...'
+    only occurs as the marker (multi-line strings emit flow-quoted
+    with escaped newlines)."""
+    s = fast_safe_dump(
+        v, default_flow_style=True, sort_keys=False, allow_unicode=True
+    ).strip()
+    if s.endswith("\n..."):
+        s = s[: -len("\n...")].rstrip("\n")
+    return s
+
+
 def _yaml_extras(metadata: dict | None) -> tuple[dict | None, list | None]:
     """(metadata_yaml, metadata_keys) for one record's original dict."""
     if not metadata:
         return None, None
-    yrepr = {
-        str(k): fast_safe_dump(
-            v, default_flow_style=True, sort_keys=False, allow_unicode=True
-        ).strip()
-        for k, v in metadata.items()
-    }
+    yrepr = {str(k): _scalar_dump(v) for k, v in metadata.items()}
     return yrepr, [str(k) for k in metadata.keys()]
 
 

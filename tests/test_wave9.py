@@ -82,8 +82,11 @@ def test_retention_triangle_recount(spark, sf_dir):
 
     rows = q_events_retention_triangle(spark, sf_dir).collect()
     ev = pd.read_parquet(f"{sf_dir}/events.parquet")
-    us = ev["ts"].astype("int64") * (
-        1 if ev["ts"].dtype == "datetime64[us]" else 1
+    # normalize to MICROseconds like normalize_event_time: a
+    # ns-resolution parquet fixture would otherwise compute week ids
+    # 1000x off (r7 advice — the old `* 1` was a no-op in both arms)
+    us = ev["ts"].astype("int64") // (
+        1 if ev["ts"].dtype == "datetime64[us]" else 1000
     )
     weeks = us // _WEEK_US
     uw = set(zip(ev["user_id"], weeks))
