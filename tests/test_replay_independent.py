@@ -379,3 +379,65 @@ def test_survival_km_matches_independent_replay(spark, sf_dir):
         assert 0 <= surv_float * PPM - surv_int <= len(expect) + 1
 
     assert rows == expect
+
+
+# ------------------------------------- 5. Holt-Winters triple smoothing
+
+
+def test_holt_winters_matches_independent_replay(spark, sf_dir):
+    """Additive Holt-Winters re-coded from the Winters (1960) update
+    equations with a season DICT keyed by t mod m (the operator and
+    its DuckDB recursive CTE both shift a 12-slot QUEUE — a different
+    data structure expressing the same recurrence, so a shared
+    off-by-one in the queue rotation would make the twins identically
+    wrong while this replay diverges; the r7 verdict's Hilbert-class
+    ask #7). Everything is exact integers: monthly cents from the raw
+    parquet with pandas, alpha/beta/gamma as tenths, division
+    TRUNCATING toward zero per the documented spec."""
+    from c99_vectordb_spark.queries_wave9 import q_orders_holt_winters
+
+    rows = [r.asDict() for r in q_orders_holt_winters(spark, sf_dir).collect()]
+    assert len(rows) == 12
+
+    def tdiv(a: int, b: int) -> int:  # truncate toward zero
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b >= 0) else -q
+
+    orders = pd.read_parquet(f"{sf_dir}/orders.parquet")
+    mid = (
+        orders["o_orderdate"].dt.year * 12 + orders["o_orderdate"].dt.month - 1
+    )
+    cents = (orders["o_totalprice"] * 100 + 0.5).apply(
+        lambda v: int(v // 1)
+    )  # HALF_UP for positive prices, like both engines' round()
+    monthly = (
+        pd.DataFrame({"mid": mid, "cents": cents})
+        .groupby("mid")["cents"]
+        .sum()
+        .sort_index()
+    )
+    xs = [int(v) for v in monthly.values]
+    mids = [int(v) for v in monthly.index]
+    m, al, be, ga = 12, 2, 1, 3
+    assert len(xs) >= 2 * m
+
+    level = tdiv(sum(xs[:m]), m)
+    trend = tdiv(sum(xs[m : 2 * m]) - sum(xs[:m]), m * m)
+    season = {j % m: xs[j] - level for j in range(m)}
+    for t in range(m, len(xs)):
+        sm = season[t % m]  # the value created at step t - m
+        prev = level
+        level = tdiv(al * (xs[t] - sm) + (10 - al) * (prev + trend), 10)
+        trend = tdiv(be * (level - prev) + (10 - be) * trend, 10)
+        season[t % m] = tdiv(ga * (xs[t] - level) + (10 - ga) * sm, 10)
+
+    t_last = len(xs) - 1
+    expect = [
+        {
+            "h": h,
+            "month_index": mids[-1] + h,
+            "forecast_cents": level + h * trend + season[(t_last + h) % m],
+        }
+        for h in range(1, 13)
+    ]
+    assert rows == expect
