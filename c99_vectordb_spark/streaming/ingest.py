@@ -567,3 +567,98 @@ def stream_retention_weeks(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_yaml_saves(
+    spark: SparkSession,
+    input_dir: str,
+    store,
+    checkpoint_dir: str,
+    dim: int = 384,
+    max_files_per_trigger: int | None = None,
+):
+    """Streaming twin of the reference's ``save`` verb against the
+    MIGRATED native store (r7 verdict item #8): a file-source stream
+    of reference-format YAML save files, each applied as one upsert
+    batch onto a :class:`~..sources.store.ParquetStore` (typically
+    built by ``migrate_yaml_to_parquet``) with INCREMENTAL index
+    maintenance — only the batch's overwritten/appended rows are
+    re-embedded and merged into the standing embeddings table by id,
+    never a full rebuild (the reference rebuilds the whole FAISS index
+    per save, memo_cli.py:442-443).
+
+    Per-batch semantics match ``cli.cmd_save``: parse with the golden
+    save-input parser (validation errors fail the batch), overwrite
+    ids must exist (validate_overwrites), appends take dense ids after
+    the current max. Files arriving in one micro-batch apply in file-
+    path order as one concatenated batch — identical to sequential
+    application unless a later file overwrites an id a previous file
+    in the SAME drop just created (pass ``max_files_per_trigger=1``
+    for strict per-file batches). State per batch is the store itself;
+    the stream==batch test replays the same files through the batch
+    upsert and asserts records AND embeddings equality (pair #14).
+
+    100 TB story: the store tables are corpus-sized parquet; each
+    micro-batch touches the batch-sized changed-row set (embedding
+    build is map-only over changed rows) plus one anti-join keyed on
+    the broadcast changed-id set. The save FILE is driver-sized by the
+    reference's own format (same bound as cmd_save)."""
+    from ..operators.mutate import upsert, validate_overwrites
+    from ..functions.embed import build_embeddings
+    from ..sources import yaml_io
+
+    reader = (
+        spark.readStream.format("text")
+        .option("wholetext", "true")
+        .option("recursiveFileLookup", "true")
+    )
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    stream = reader.load(input_dir).select(
+        F.col("value"), F.input_file_name().alias("src")
+    )
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        files = batch_df.collect()  # one row per save FILE (driver-sized
+        # by the reference's own format — the cmd_save bound)
+        if not files:
+            return
+        rows: list[tuple] = []
+        for r in sorted(files, key=lambda r: r["src"]):
+            rows.extend(yaml_io.parse_save_batch_yaml(r["value"]))
+        batch = spark.createDataFrame(rows, yaml_io.YAML_BATCH_SCHEMA).select(
+            [f.name for f in SAVE_BATCH_SCHEMA.fields]
+        )
+        records = store.load_records()
+        bad = validate_overwrites(records, batch)
+        if bad:
+            raise yaml_io.YamlValidationError(
+                f"override ids do not exist: {bad}"
+            )
+        max_id = records.agg(
+            F.coalesce(F.max("id"), F.lit(-1)).alias("m")
+        ).collect()[0]["m"]
+        # cut lineage from the store files BEFORE the atomic swap
+        # replaces them: everything below (changed rows, new index
+        # rows) derives from merged, and a lazy plan would re-read the
+        # just-deleted pre-swap part files (the migrate path reloads
+        # after save for the same reason)
+        merged = upsert(records, batch).localCheckpoint()
+        # changed rows = explicit overwrites + everything appended past
+        # the pre-batch max id (their dense ids were assigned inside
+        # upsert); re-embed only those, drop their stale index rows
+        ow_ids = batch.filter(F.col("id").isNotNull()).select("id").distinct()
+        changed = merged.filter(F.col("id") > max_id).unionByName(
+            merged.join(F.broadcast(ow_ids), "id", "leftsemi")
+        )
+        new_emb = build_embeddings(changed, dim=dim)
+        kept_emb = store.load_embeddings().join(
+            F.broadcast(changed.select("id")), "id", "left_anti"
+        )
+        store.save(merged, kept_emb.unionByName(new_emb))
+
+    return (
+        stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

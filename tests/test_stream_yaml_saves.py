@@ -1,0 +1,144 @@
+"""Stream==batch pair #14 (r7 verdict item #8): the reference's
+incremental `save` path as a Structured Streaming ingest against the
+MIGRATED native store.
+
+A directory of reference-format YAML save files is streamed through
+stream_yaml_saves (file source -> foreachBatch upsert + incremental
+embedding maintenance) onto a store built by migrate_yaml_to_parquet;
+the batch twin replays the same files in the same order through the
+exact batch upsert and one full index rebuild. Records AND embeddings
+must match row for row — proving the incremental index maintenance
+(re-embed only changed rows, anti-join out their stale index entries)
+equals the reference's rebuild-everything semantics.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+DIM = 64
+
+_SAVE_1 = """\
+- body: streamed append one
+  metadata:
+    source: stream
+    rank: 7
+- id: 1
+  body: OVERWRITTEN record one
+- body: streamed append two
+"""
+
+# id 5 is created by _SAVE_1's first append (max id starts at 4) —
+# overwriting it in the NEXT micro-batch proves batches apply
+# sequentially against the evolving store
+_SAVE_2 = """\
+- id: 5
+  body: OVERWRITTEN the streamed append
+  metadata:
+    touched: yes_value
+- body: third wave append
+"""
+
+
+def _seed_yaml(spark, path: str) -> None:
+    from c99_vectordb_spark.model import RECORDS_SCHEMA
+    from c99_vectordb_spark.sources import yaml_io
+
+    rows = [
+        (i, f"seed record {i}", {"source": "seed"} if i % 2 else None, None, None)
+        for i in range(5)
+    ]
+    records = spark.createDataFrame(rows, RECORDS_SCHEMA)
+    yaml_io.save_records_yaml(records.orderBy("id"), path)
+
+
+def _canon(rows):
+    out = []
+    for r in rows:
+        d = r.asDict(recursive=True)
+        out.append(tuple(sorted(d.items(), key=lambda kv: kv[0])))
+    return sorted(out, key=repr)
+
+
+def test_stream_yaml_saves_equals_batch(spark):
+    from c99_vectordb_spark.functions.embed import build_embeddings
+    from c99_vectordb_spark.operators.mutate import upsert
+    from c99_vectordb_spark.sources import yaml_io
+    from c99_vectordb_spark.sources.store import migrate_yaml_to_parquet
+    from c99_vectordb_spark.streaming.ingest import stream_yaml_saves
+
+    with tempfile.TemporaryDirectory() as tmp:
+        yaml_path = os.path.join(tmp, "db.yaml")
+        _seed_yaml(spark, yaml_path)
+
+        # stream side: migrated store + two micro-batches
+        store = migrate_yaml_to_parquet(
+            spark, yaml_path, os.path.join(tmp, "stream_db"), dim=DIM
+        )
+        src = os.path.join(tmp, "incoming")
+        ckpt = os.path.join(tmp, "ckpt")
+        os.makedirs(src)
+        with open(os.path.join(src, "save1.yaml"), "w") as f:
+            f.write(_SAVE_1)
+        q = stream_yaml_saves(spark, src, store, ckpt, dim=DIM).start()
+        q.awaitTermination(120)
+        # second file only becomes visible after batch 1 completed —
+        # a real micro-batch boundary, not one availableNow sweep
+        with open(os.path.join(src, "save2.yaml"), "w") as f:
+            f.write(_SAVE_2)
+        q = stream_yaml_saves(spark, src, store, ckpt, dim=DIM).start()
+        q.awaitTermination(120)
+
+        # batch twin: same initial migration, same files in order,
+        # full index rebuild at the end (the reference's semantics)
+        batch_store = migrate_yaml_to_parquet(
+            spark, yaml_path, os.path.join(tmp, "batch_db"), dim=DIM
+        )
+        records = batch_store.load_records()
+        for text in (_SAVE_1, _SAVE_2):
+            rows = yaml_io.parse_save_batch_yaml(text)
+            batch = spark.createDataFrame(rows, yaml_io.YAML_BATCH_SCHEMA).select(
+                records.columns
+            )
+            records = upsert(records, batch)
+        expected_emb = build_embeddings(records, dim=DIM)
+
+        got_records = store.load_records()
+        assert _canon(got_records.collect()) == _canon(records.collect())
+        assert _canon(store.load_embeddings().collect()) == _canon(
+            expected_emb.collect()
+        )
+        # the appends really landed with dense ids after the seed max
+        ids = sorted(r["id"] for r in got_records.collect())
+        assert ids == list(range(8))
+        bodies = {r["id"]: r["body"] for r in got_records.collect()}
+        assert bodies[1] == "OVERWRITTEN record one"
+        assert bodies[5] == "OVERWRITTEN the streamed append"
+
+
+def test_stream_yaml_saves_rejects_bad_overwrite(spark):
+    import pytest
+
+    from c99_vectordb_spark.sources import yaml_io
+    from c99_vectordb_spark.sources.store import migrate_yaml_to_parquet
+    from c99_vectordb_spark.streaming.ingest import stream_yaml_saves
+
+    with tempfile.TemporaryDirectory() as tmp:
+        yaml_path = os.path.join(tmp, "db.yaml")
+        _seed_yaml(spark, yaml_path)
+        store = migrate_yaml_to_parquet(
+            spark, yaml_path, os.path.join(tmp, "db"), dim=DIM
+        )
+        src = os.path.join(tmp, "incoming")
+        os.makedirs(src)
+        with open(os.path.join(src, "bad.yaml"), "w") as f:
+            f.write("- id: 99\n  body: overwrite of a ghost\n")
+        q = stream_yaml_saves(
+            spark, src, store, os.path.join(tmp, "ckpt"), dim=DIM
+        ).start()
+        with pytest.raises(Exception) as exc:
+            q.awaitTermination(120)
+        assert "override ids do not exist" in str(exc.value)
+        # nothing was written: the store still holds exactly the seed
+        assert store.load_records().count() == 5
