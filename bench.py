@@ -236,6 +236,10 @@ HEADLINE = [
     "events_retention_triangle",
     "text_readability",
     "orders_holt_winters",
+    # round-8 wave
+    "orders_grouping_sets",
+    "docs_merkle_diff",
+    "corpus_rendezvous_shards",
 ]
 
 
