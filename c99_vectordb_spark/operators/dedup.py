@@ -1187,32 +1187,24 @@ def cosine_top_pairs_staged(
     tier. Equivalence proven by the unchanged all-pairs registry
     oracle (hash match) and the dup-heavy fixture equality test.
     """
-    from .similarity import vec_exact_collapse
-
-    def norm(c):
-        return F.sqrt(
-            F.aggregate(
-                c, F.lit(0.0), lambda a, x: a + x.cast("double") * x.cast("double")
-            )
-        )
+    # the SHARED fold expressions — the staged==naive invariant rests
+    # on these cosines being float-identical to the naive plan's, so
+    # no local copies that could drift (r8 review finding)
+    from .similarity import _dot, _norm, vec_exact_collapse
 
     uniq, mem = vec_exact_collapse(emb, id_col=id_col, vec_col=vec_col)
     a = uniq.select(
         F.col("id").alias("ra"),
         F.col("vec").alias("va"),
-        norm(F.col("vec")).alias("na"),
+        _norm(F.col("vec")).alias("na"),
         F.col("kdup").alias("ka"),
     ).repartition(F.col("ra"))
     b = uniq.select(
         F.col("id").alias("rb"),
         F.col("vec").alias("vb"),
-        norm(F.col("vec")).alias("nb"),
+        _norm(F.col("vec")).alias("nb"),
     )
-    dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
+    dot = _dot(F.col("va"), F.col("vb"))
     # self pair (ra == rb) iff the cluster has >= 2 members: it carries
     # the within-cluster point pairs, whose cosine the SAME expression
     # computes from (v, v)
@@ -1228,12 +1220,7 @@ def cosine_top_pairs_staged(
     )
     # top-k distinct cosine tiers — every tier supplies >= 1 point
     # pair, so the global top-k pairs live inside these tiers
-    tiers = (
-        pairs.groupBy("cos").agg(F.count(F.lit(1)).alias("npairs"))
-        .orderBy(F.desc("cos"))
-        .limit(k)
-        .select("cos")
-    )
+    tiers = pairs.select("cos").distinct().orderBy(F.desc("cos")).limit(k)
     kept = pairs.join(F.broadcast(tiers), "cos")
     wm = Window.partitionBy("rep_id").orderBy(F.asc("pid"))
     topm = (

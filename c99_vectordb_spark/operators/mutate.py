@@ -165,6 +165,7 @@ def upsert(
     batch: DataFrame,
     id_col: str = "id",
     scalable: bool = False,
+    max_id: int | None = None,
 ) -> DataFrame:
     """Apply a save batch: rows with a non-null existing id overwrite in
     place (M2), rows with null id append with dense ids after the
@@ -179,6 +180,10 @@ def upsert(
     entry per id before the anti-join, keeping the store free of
     duplicate ids. Plan shape: one broadcast-able anti-join + a union;
     only the batch (small side) is shuffled.
+
+    ``max_id``: callers that already scanned records for the current
+    max (the streaming ingest does, for its idempotency marker) pass
+    it here to skip a second full-table aggregate job.
     """
     seq = batch.withColumn("_seq", F.monotonically_increasing_id())
     w_last = Window.partitionBy(id_col).orderBy(F.col("_seq").desc())
@@ -190,7 +195,8 @@ def upsert(
     )
     append = seq.filter(F.col(id_col).isNull()).drop(id_col)
 
-    max_id = records.agg(F.coalesce(F.max(id_col), F.lit(-1))).collect()[0][0]
+    if max_id is None:
+        max_id = records.agg(F.coalesce(F.max(id_col), F.lit(-1))).collect()[0][0]
     appended = assign_dense_ids(
         append,
         order_col="_seq",

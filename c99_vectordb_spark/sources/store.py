@@ -26,9 +26,21 @@ from pyspark.sql import DataFrame, SparkSession
 from ..model import EMBEDDINGS_SCHEMA, RECORDS_SCHEMA
 
 
-def _swap_write(df: DataFrame, target: str) -> None:
+def _swap_write(
+    df: DataFrame, target: str, marker: tuple[str, str] | None = None
+) -> None:
+    """Atomic-rename parquet swap. ``marker`` = (filename, text) writes
+    an underscore-prefixed sidecar INTO the tmp dir before the rename
+    (the _SOURCE_SHA256 pattern: invisible to Spark's reader, and it
+    commits atomically WITH the table — the property the streaming
+    ingest's exactly-once batch marker needs; a marker written after
+    the rename would leave a crash window where the table reflects a
+    batch the marker doesn't)."""
     tmp = f"{target}.tmp-{uuid.uuid4().hex[:8]}"
     df.write.mode("overwrite").parquet(tmp)
+    if marker is not None:
+        with open(os.path.join(tmp, marker[0]), "w") as f:
+            f.write(marker[1])
     old = f"{target}.old-{uuid.uuid4().hex[:8]}"
     if os.path.exists(target):
         os.rename(target, old)
@@ -62,8 +74,14 @@ class ParquetStore:
 
     # -- S2/S4: sinks (atomic swap)
 
-    def save_records(self, df: DataFrame) -> None:
-        _swap_write(df.select([f.name for f in RECORDS_SCHEMA.fields]), self.records_path)
+    def save_records(
+        self, df: DataFrame, marker: tuple[str, str] | None = None
+    ) -> None:
+        _swap_write(
+            df.select([f.name for f in RECORDS_SCHEMA.fields]),
+            self.records_path,
+            marker=marker,
+        )
 
     def save_embeddings(self, df: DataFrame) -> None:
         _swap_write(

@@ -598,13 +598,20 @@ def stream_yaml_saves(
     the stream==batch test replays the same files through the batch
     upsert and asserts records AND embeddings equality (pair #14).
 
+    Exactly-once: foreachBatch is at-least-once (a crash between the
+    store save and the stream's checkpoint commit REPLAYS the batch),
+    so the applied batch id rides the records table's atomic swap as
+    an in-directory marker and :func:`apply_yaml_save_rows` skips
+    already-applied ids — a blind replay would re-append the same
+    bodies under fresh dense ids (r8 review finding). Don't reuse a
+    store with a FRESH checkpoint directory: batch ids restart at 0
+    and would read as already applied.
+
     100 TB story: the store tables are corpus-sized parquet; each
     micro-batch touches the batch-sized changed-row set (embedding
     build is map-only over changed rows) plus one anti-join keyed on
     the broadcast changed-id set. The save FILE is driver-sized by the
     reference's own format (same bound as cmd_save)."""
-    from ..operators.mutate import upsert, validate_overwrites
-    from ..functions.embed import build_embeddings
     from ..sources import yaml_io
 
     reader = (
@@ -626,39 +633,74 @@ def stream_yaml_saves(
         rows: list[tuple] = []
         for r in sorted(files, key=lambda r: r["src"]):
             rows.extend(yaml_io.parse_save_batch_yaml(r["value"]))
-        batch = spark.createDataFrame(rows, yaml_io.YAML_BATCH_SCHEMA).select(
-            [f.name for f in SAVE_BATCH_SCHEMA.fields]
-        )
-        records = store.load_records()
-        bad = validate_overwrites(records, batch)
-        if bad:
-            raise yaml_io.YamlValidationError(
-                f"override ids do not exist: {bad}"
-            )
-        max_id = records.agg(
-            F.coalesce(F.max("id"), F.lit(-1)).alias("m")
-        ).collect()[0]["m"]
-        # cut lineage from the store files BEFORE the atomic swap
-        # replaces them: everything below (changed rows, new index
-        # rows) derives from merged, and a lazy plan would re-read the
-        # just-deleted pre-swap part files (the migrate path reloads
-        # after save for the same reason)
-        merged = upsert(records, batch).localCheckpoint()
-        # changed rows = explicit overwrites + everything appended past
-        # the pre-batch max id (their dense ids were assigned inside
-        # upsert); re-embed only those, drop their stale index rows
-        ow_ids = batch.filter(F.col("id").isNotNull()).select("id").distinct()
-        changed = merged.filter(F.col("id") > max_id).unionByName(
-            merged.join(F.broadcast(ow_ids), "id", "leftsemi")
-        )
-        new_emb = build_embeddings(changed, dim=dim)
-        kept_emb = store.load_embeddings().join(
-            F.broadcast(changed.select("id")), "id", "left_anti"
-        )
-        store.save(merged, kept_emb.unionByName(new_emb))
+        apply_yaml_save_rows(spark, store, rows, batch_id, dim=dim)
 
     return (
         stream.writeStream.foreachBatch(apply_batch)
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+_BATCH_MARKER = "_LAST_BATCH"
+
+
+def last_applied_batch(store) -> int:
+    """The batch id committed atomically with the current records
+    table (-1 if the store predates the streaming ingest)."""
+    import os
+
+    try:
+        with open(os.path.join(store.records_path, _BATCH_MARKER)) as f:
+            return int(f.read().strip())
+    except (OSError, ValueError):
+        return -1
+
+
+def apply_yaml_save_rows(
+    spark: SparkSession, store, rows: list, batch_id: int, dim: int = 384
+) -> bool:
+    """Apply one parsed save batch onto the store; returns False on a
+    checkpoint REPLAY (batch_id already committed with the records
+    table). On replay the records are known-correct — the marker
+    rides their atomic swap — but the derived index may be stale if
+    the crash fell between the two swaps, so it is repaired by a full
+    rebuild (the rare-path cost; the documented stale-but-regenerable
+    contract made actionable)."""
+    from ..functions.embed import build_embeddings
+    from ..operators.mutate import upsert, validate_overwrites
+    from ..sources import yaml_io
+
+    records = store.load_records()
+    if batch_id <= last_applied_batch(store):
+        store.save_embeddings(build_embeddings(records, dim=dim))
+        return False
+    batch = spark.createDataFrame(rows, yaml_io.YAML_BATCH_SCHEMA).select(
+        [f.name for f in SAVE_BATCH_SCHEMA.fields]
+    )
+    bad = validate_overwrites(records, batch)
+    if bad:
+        raise yaml_io.YamlValidationError(f"override ids do not exist: {bad}")
+    max_id = records.agg(
+        F.coalesce(F.max("id"), F.lit(-1)).alias("m")
+    ).collect()[0]["m"]
+    # cut lineage from the store files BEFORE the atomic swap
+    # replaces them: everything below (changed rows, new index
+    # rows) derives from merged, and a lazy plan would re-read the
+    # just-deleted pre-swap part files (the migrate path reloads
+    # after save for the same reason)
+    merged = upsert(records, batch, max_id=max_id).localCheckpoint()
+    # changed rows = explicit overwrites + everything appended past
+    # the pre-batch max id (their dense ids were assigned inside
+    # upsert); re-embed only those, drop their stale index rows
+    ow_ids = batch.filter(F.col("id").isNotNull()).select("id").distinct()
+    changed = merged.filter(F.col("id") > max_id).unionByName(
+        merged.join(F.broadcast(ow_ids), "id", "leftsemi")
+    )
+    new_emb = build_embeddings(changed, dim=dim)
+    kept_emb = store.load_embeddings().join(
+        F.broadcast(changed.select("id")), "id", "left_anti"
+    )
+    store.save_records(merged, marker=(_BATCH_MARKER, str(batch_id)))
+    store.save_embeddings(kept_emb.unionByName(new_emb))
+    return True

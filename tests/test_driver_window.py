@@ -33,10 +33,20 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 # keeps >=1 representative per round (every family STILL has a
 # driver-verified row every round; most far exceed 1 because the
 # closure schedule routes whole family pools through the window).
-# After r9 the pool is empty, rotation switches to round-robin
-# re-verification, and minimums return to steady state (core 5,
-# tpch 4, joins 4, windows 4, streaming 2, approx 2, dedup 2, sim 3,
-# multimodal 2, text 3, corpus 4).
+# The restoration is ENFORCED, not just promised (r8 review finding):
+# test_window_covers_every_family switches back to the STEADY minimums
+# automatically once a CORRECTNESS_r10 (or later) artifact exists —
+# r9 is the last closure-schedule round, so any window judged from r10
+# on has all 50 slots free of first-timer pressure and must carry the
+# full steady-state family mix again. (A per-family trigger — restore
+# when the family pool is fully checked — would fire one round early:
+# tpch closes at r8 while r9's slots are still spoken for.)
+STEADY_MINIMUMS: dict[str, int] = {
+    "core": 5, "tpch": 4, "joins": 4, "windows": 4, "streaming_twin": 2,
+    "approx": 2, "udtf": 1, "dedup": 2, "similarity": 3, "multimodal": 2,
+    "text": 3, "corpus": 4,
+}
+
 FAMILIES: dict[str, tuple[set[str], int]] = {
     "core": ({"recall_topk_int", "knn_embeddings", "filter_orders_page",
               "filter_variant_metadata", "stats_topk_other",
@@ -118,13 +128,23 @@ def test_window_is_first_50_and_complete():
 
 
 def test_window_covers_every_family():
+    import re
+
     from c99_vectordb_spark.queries_registry import DRIVER_WINDOW
 
+    rounds = [
+        int(m.group(1))
+        for p in glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json"))
+        if (m := re.search(r"CORRECTNESS_r(\d+)\.json$", p))
+    ]
+    closure_era = max(rounds, default=0) < 10  # r8/r9 close the pool
     window = set(DRIVER_WINDOW)
-    for family, (pool, minimum) in FAMILIES.items():
+    for family, (pool, endgame_min) in FAMILIES.items():
+        minimum = endgame_min if closure_era else STEADY_MINIMUMS[family]
         got = pool & window
         assert len(got) >= minimum, (
-            f"family {family}: only {sorted(got)} in window, need >={minimum}"
+            f"family {family}: only {sorted(got)} in window, need "
+            f">={minimum} ({'endgame' if closure_era else 'steady'} minimum)"
         )
 
 

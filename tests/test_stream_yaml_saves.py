@@ -142,3 +142,40 @@ def test_stream_yaml_saves_rejects_bad_overwrite(spark):
         assert "override ids do not exist" in str(exc.value)
         # nothing was written: the store still holds exactly the seed
         assert store.load_records().count() == 5
+
+
+def test_apply_yaml_save_rows_replay_is_idempotent(spark):
+    """foreachBatch is at-least-once: a crash between the store save
+    and the checkpoint commit replays the batch id. The applied id
+    rides the records swap atomically, so the replay must be a no-op
+    on records (a blind re-apply would re-append the same bodies
+    under fresh dense ids) and may only repair the derived index."""
+    from c99_vectordb_spark.sources import yaml_io
+    from c99_vectordb_spark.sources.store import migrate_yaml_to_parquet
+    from c99_vectordb_spark.streaming.ingest import (
+        apply_yaml_save_rows,
+        last_applied_batch,
+    )
+
+    with tempfile.TemporaryDirectory() as tmp:
+        yaml_path = os.path.join(tmp, "db.yaml")
+        _seed_yaml(spark, yaml_path)
+        store = migrate_yaml_to_parquet(
+            spark, yaml_path, os.path.join(tmp, "db"), dim=DIM
+        )
+        rows = yaml_io.parse_save_batch_yaml(_SAVE_1)
+        assert last_applied_batch(store) == -1
+        assert apply_yaml_save_rows(spark, store, rows, batch_id=0, dim=DIM)
+        assert last_applied_batch(store) == 0
+        recs = _canon(store.load_records().collect())
+        embs = _canon(store.load_embeddings().collect())
+        # the replay: same batch id again -> records untouched,
+        # embeddings repaired to the same relation
+        assert not apply_yaml_save_rows(spark, store, rows, batch_id=0, dim=DIM)
+        assert _canon(store.load_records().collect()) == recs
+        assert _canon(store.load_embeddings().collect()) == embs
+        # the NEXT id still applies
+        rows2 = yaml_io.parse_save_batch_yaml(_SAVE_2)
+        assert apply_yaml_save_rows(spark, store, rows2, batch_id=1, dim=DIM)
+        assert last_applied_batch(store) == 1
+        assert store.load_records().count() == 8
