@@ -1244,3 +1244,131 @@ def cosine_top_pairs_staged(
         expanded.orderBy(F.desc("cos"), F.asc("id_a"), F.asc("id_b"))
         .limit(k)
     )
+
+
+def simhash_near_pairs_staged(
+    df: DataFrame,
+    id_col: str = "id",
+    body_col: str = "body",
+    max_hamming: int = 3,
+    max_chunk_freq: int | None = None,
+) -> DataFrame:
+    """:func:`simhash_near_pairs` staged through a signature-level
+    collapse — the round-8 extension of the staged-dedup tier to the
+    pigeonhole chunk join (the second-biggest r8 sf1 tail at 49 s:
+    duplicate texts share every chunk value, so per-chunk frequency —
+    and the candidate fan-out — grows with the SQUARE of cluster
+    size).
+
+    Why exact: the output relation {(a, b): popcount(xor(sim_a,
+    sim_b)) <= max_hamming} depends on ids only through their
+    signatures, so pairs expand exactly from distinct-signature
+    clusters: cross-cluster pairs carry the rep pair's hamming, and
+    within-cluster pairs are hamming 0 <= max_hamming by definition.
+    The weighted chunk-frequency cap (sum of cluster sizes) equals
+    the raw-document frequency, the same guard-identity argument as
+    staged_jaccard_pairs' weighted shingle cap. The expansion is
+    OUTPUT-sized — every generated row is an emitted pair — so only
+    the candidate join shrinks, which is exactly the quadratic part.
+    Equivalence proven by the unchanged all-pairs registry oracle
+    (hash match) and a dup-heavy fixture equality test."""
+    n_chunks = max_hamming + 1
+    chunk_bits = SIMHASH_BITS // n_chunks
+    sigs = simhash(df, id_col, body_col)
+    w = Window.partitionBy("sim")
+    tagged = (
+        sigs.withColumn("rep_id", F.min("id").over(w))
+        .withColumn("k", F.count(F.lit(1)).over(w).cast("long"))
+        .persist()
+    )
+    uniq = tagged.filter(F.col("id") == F.col("rep_id")).select(
+        F.col("rep_id").alias("rid"), "sim", "k"
+    )
+    mem = tagged.select("id", "rep_id")
+    chunks = uniq.select(
+        "rid",
+        "sim",
+        "k",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sim", chunk_bits * c)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("cval"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select("rid", "sim", "k", "c.chunk", "c.cval")
+    if max_chunk_freq is not None:
+        # weighted frequency over unique signatures == raw-document
+        # chunk frequency (the staged_jaccard_pairs guard identity)
+        rare = (
+            chunks.groupBy("chunk", "cval")
+            .agg(F.sum("k").alias("df"))
+            .filter(F.col("df") <= max_chunk_freq)
+            .select("chunk", "cval")
+        )
+        chunks = chunks.join(rare, ["chunk", "cval"])
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    rep_pairs = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col("a.rid") < F.col("b.rid"))
+            & (
+                F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+                <= max_hamming
+            ),
+        )
+        .select(
+            F.col("a.rid").alias("ra"),
+            F.col("b.rid").alias("rb"),
+            F.bit_count(
+                F.col("a.sim").bitwiseXOR(F.col("b.sim"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("id").alias("pa"), F.col("rep_id").alias("ra")),
+            "ra",
+        )
+        .join(
+            mem.select(F.col("id").alias("pb"), F.col("rep_id").alias("rb")),
+            "rb",
+        )
+        .selectExpr(
+            "least(pa, pb) AS id_a", "greatest(pa, pb) AS id_b", "hamming"
+        )
+    )
+    # within-cluster pairs: identical signatures, hamming 0 — emitted
+    # iff the signature kept AT LEAST ONE chunk after the frequency
+    # cap (a signature whose every chunk is capped away has no
+    # candidate rows in the naive plan, so its within-pairs vanish
+    # there too — the staged_jaccard_pairs 'live set' rule; the
+    # dup-heavy fixture test caught the unconditional form)
+    live = mem.join(
+        chunks.select(F.col("rid").alias("rep_id")).distinct(), "rep_id"
+    )
+    la = live.alias("la")
+    lb = live.alias("lb")
+    within = (
+        la.join(
+            lb,
+            (F.col("la.rep_id") == F.col("lb.rep_id"))
+            & (F.col("la.id") < F.col("lb.id")),
+        )
+        .selectExpr(
+            "la.id AS id_a", "lb.id AS id_b", "CAST(0 AS INT) AS hamming"
+        )
+    )
+    return cross.withColumn(
+        "hamming", F.col("hamming").cast("int")
+    ).unionByName(within)

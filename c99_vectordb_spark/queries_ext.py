@@ -808,10 +808,17 @@ SELECT doc_id AS id, sim FROM sims
 
 
 def q_dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import simhash_near_pairs
+    # staged through the signature-level collapse since r8 (identical
+    # texts share every pigeonhole chunk, so the candidate join fanned
+    # out quadratically in dup-cluster size — 49 s on the sf1 90%-dup
+    # corpus); same relation, same all-pairs oracle — equivalence by
+    # unchanged oracle hash + the dup-heavy fixture equality test
+    from .operators.dedup import simhash_near_pairs_staged
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return simhash_near_pairs(docs, id_col="doc_id", body_col="text", max_hamming=3)
+    return simhash_near_pairs_staged(
+        docs, id_col="doc_id", body_col="text", max_hamming=3
+    )
 
 
 _ORACLE_DEDUP_SIMHASH_PAIRS = f"""

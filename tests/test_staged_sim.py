@@ -151,3 +151,63 @@ def test_cosine_top_pairs_staged_equals_naive_on_parquet(spark):
     naive = [tuple(r) for r in cosine_top_pairs(emb, k=20).collect()]
     staged = [tuple(r) for r in cosine_top_pairs_staged(emb, k=20).collect()]
     assert staged == naive
+
+
+def _docs_fixture(spark):
+    """Dup-heavy TEXT fixture: clusters of identical documents plus
+    near-identical variants within hamming range of each other, ids
+    interleaved across clusters."""
+    texts = [
+        "the quick brown fox jumps over the lazy dog " * 3,
+        "the quick brown fox jumps over the lazy dog " * 3 + "extra tail",
+        "a completely different document about spark plans and shuffles",
+        "a completely different document about spark plans and shuffle",
+        "third topic entirely unrelated to the others with rare words",
+    ]
+    sizes = [6, 3, 4, 2, 5]
+    rows = []
+    next_id = 0
+    for r in range(max(sizes)):
+        for c, sz in enumerate(sizes):
+            if r < sz:
+                rows.append((next_id, texts[c], "en", f"src{c}", len(texts[c])))
+                next_id += 1
+    return spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+
+
+def test_simhash_pairs_staged_equals_naive(spark):
+    from c99_vectordb_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_near_pairs_staged,
+    )
+
+    docs = _docs_fixture(spark)
+    for cap in (None, 8):
+        naive = _rows(
+            simhash_near_pairs(
+                docs, "doc_id", "text", max_hamming=3, max_chunk_freq=cap
+            )
+        )
+        staged = _rows(
+            simhash_near_pairs_staged(
+                docs, "doc_id", "text", max_hamming=3, max_chunk_freq=cap
+            )
+        )
+        assert staged == naive, f"cap={cap}"
+        assert naive  # the fixture must actually produce pairs
+
+
+def test_simhash_pairs_staged_equals_naive_on_parquet(spark):
+    from c99_vectordb_spark.operators.dedup import (
+        simhash_near_pairs,
+        simhash_near_pairs_staged,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    naive = _rows(simhash_near_pairs(docs, "doc_id", "text", max_hamming=3))
+    staged = _rows(
+        simhash_near_pairs_staged(docs, "doc_id", "text", max_hamming=3)
+    )
+    assert staged == naive
