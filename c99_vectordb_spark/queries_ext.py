@@ -5621,11 +5621,22 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     ph = media_phash64(media_from_documents_jpeg_real(docs))
-    clusters = ph.groupBy("c0", "c1", "c2", "c3").agg(
-        F.count(F.lit(1)).cast("long").alias("n")
+    # EVERY counter below derives from the hash-cluster table, so the
+    # decode+phash scan runs exactly ONCE into this persisted groupBy
+    # (the unpersisted form re-decoded all images once per metric
+    # branch — plans are trees; ~3x the sf1 wall time), and the
+    # pigeonhole join runs over DISTINCT hashes with cluster weights
+    # (identical images made the raw-id join quadratic in dup-cluster
+    # size — the r8 staged-dedup class; near_pairs_h3 expands exactly
+    # as sum(n_a * n_b) because hamming depends only on the hashes)
+    clusters = (
+        ph.groupBy("c0", "c1", "c2", "c3")
+        .agg(F.count(F.lit(1)).cast("long").alias("n"), F.min("id").alias("rid"))
+        .persist()
     )
-    chunks = ph.select(
-        "id",
+    chunks = clusters.select(
+        "rid",
+        "n",
         "c0",
         "c1",
         "c2",
@@ -5638,9 +5649,10 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ]
             )
         ).alias("s"),
-    ).select("id", "c0", "c1", "c2", "c3", "s.j", "s.v")
+    ).select("rid", "n", "c0", "c1", "c2", "c3", "s.j", "s.v")
     b = chunks.select(
-        F.col("id").alias("id2"),
+        F.col("rid").alias("rid2"),
+        F.col("n").alias("n2"),
         F.col("c0").alias("d0"),
         F.col("c1").alias("d1"),
         F.col("c2").alias("d2"),
@@ -5658,15 +5670,16 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     near = (
         chunks.join(b, ["j", "v"])
-        .filter(F.col("id") < F.col("id2"))
+        .filter(F.col("rid") < F.col("rid2"))
         .filter(F.expr(first_match))
         .selectExpr(
-            "id",
-            "id2",
+            "n",
+            "n2",
             "bit_count(c0 ^ d0) + bit_count(c1 ^ d1) + bit_count(c2 ^ d2)"
             " + bit_count(c3 ^ d3) AS hd",
         )
         .filter((F.col("hd") >= 1) & (F.col("hd") <= 3))
+        .selectExpr("n * n2 AS npairs")
     )
 
     def metric(name, df_agg):
@@ -5675,7 +5688,7 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        metric("images", ph.agg(F.count(F.lit(1)).alias("value")))
+        metric("images", clusters.agg(F.sum("n").alias("value")))
         .unionByName(
             metric("distinct_phash", clusters.agg(F.count(F.lit(1)).alias("value")))
         )
@@ -5698,7 +5711,10 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         .unionByName(
-            metric("near_pairs_h3", near.agg(F.count(F.lit(1)).alias("value")))
+            metric(
+                "near_pairs_h3",
+                near.agg(F.coalesce(F.sum("npairs"), F.lit(0)).alias("value")),
+            )
         )
         .orderBy("metric")
     )
