@@ -763,7 +763,12 @@ def q_approx_quantiles_bottomk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
         "o_orderpriority",
-        (F.col("o_totalprice") * 100).cast("long").alias("cents"),
+        # explicit round: Spark CAST(double AS BIGINT) TRUNCATES while
+        # DuckDB's cast ROUNDS, so the bare-cast twins diverged on any
+        # price whose double*100 sits just under the integer (first
+        # seen at sf0.001: 135679.77 -> 13567976.999...; the sf0.01
+        # sample never drew such a row — the r8 second-scale sweep did)
+        F.expr("CAST(round(o_totalprice * 100) AS BIGINT)").alias("cents"),
         "o_orderkey",
     )
     return bottomk_quantiles(
@@ -783,7 +788,7 @@ def _oracle_approx_quantiles_bottomk() -> str:
     return f"""
 WITH hashed AS (
   SELECT o_orderpriority AS grp,
-         CAST(o_totalprice * 100 AS BIGINT) AS v,
+         ROUND(o_totalprice * 100)::BIGINT AS v,
          (({h}) * {KMV_MIX_A}) % {HASH_MOD} AS h
   FROM orders
 ),
