@@ -211,3 +211,74 @@ def test_simhash_pairs_staged_equals_naive_on_parquet(spark):
         simhash_near_pairs_staged(docs, "doc_id", "text", max_hamming=3)
     )
     assert staged == naive
+
+
+def test_tier_pruning_rules_preserve_topk_model():
+    """Pure-Python model check of the pruning PROOF (no Spark): over
+    hundreds of random cluster structures — duplicate clusters of
+    random sizes, random candidate-cluster sets (self always present
+    for k>=2, like the real bucket self-match), random small-integer
+    measures dense with ties — the dense_rank<=k tier keep plus the
+    k+1-smallest-member cap must reproduce every point's naive top-k
+    by (m ASC, id ASC) EXACTLY, including the candidate-count gates.
+    The Spark fixtures prove the implementation matches the rules;
+    this proves the rules themselves can't be beaten by a shape the
+    hand fixtures didn't think of."""
+    import random
+
+    rng = random.Random(0xC99)
+    for case in range(400):
+        n_clusters = rng.randint(1, 6)
+        sizes = [rng.randint(1, 5) for _ in range(n_clusters)]
+        # interleaved ids across clusters
+        members: dict[int, list[int]] = {c: [] for c in range(n_clusters)}
+        nid = 0
+        for r in range(max(sizes)):
+            for c in range(n_clusters):
+                if r < sizes[c]:
+                    members[c].append(nid)
+                    nid += 1
+        k = rng.randint(1, 5)
+        cand: dict[int, dict[int, int]] = {}
+        for a in range(n_clusters):
+            cand[a] = {}
+            for b in range(n_clusters):
+                if a == b:
+                    if sizes[a] >= 2:
+                        cand[a][b] = rng.randint(0, 4)
+                elif rng.random() < 0.7:
+                    cand[a][b] = rng.randint(0, 4)
+        cluster_of = {p: c for c, ps in members.items() for p in ps}
+
+        def naive_topk(p):
+            a = cluster_of[p]
+            rows = [
+                (m, q)
+                for b, m in cand[a].items()
+                for q in members[b]
+                if q != p
+            ]
+            rows.sort()
+            return rows[:k]
+
+        # the pruned edge set per the two rules
+        pruned_rows: dict[int, list[tuple[int, int]]] = {
+            p: [] for p in cluster_of
+        }
+        for a in range(n_clusters):
+            tiers = sorted(set(cand[a].values()))
+            kept_m = set(tiers[:k])
+            for b, m in cand[a].items():
+                if m not in kept_m:
+                    continue
+                capped = sorted(members[b])[: k + 1]
+                for p in members[a]:
+                    for q in capped:
+                        if q != p:
+                            pruned_rows[p].append((m, q))
+        for p in cluster_of:
+            got = sorted(pruned_rows[p])[:k]
+            assert got == naive_topk(p), (
+                f"case {case}: point {p}: {got} != {naive_topk(p)} "
+                f"(sizes={sizes}, k={k}, cand={cand})"
+            )
