@@ -636,6 +636,49 @@ def simhash(df: DataFrame, id_col: str = "id", body_col: str = "body") -> DataFr
     return df.select(F.col(id_col).alias("id"), _sim(F.col(body_col)).alias("sim"))
 
 
+def _simhash_chunks(
+    sigs: DataFrame,
+    n_chunks: int,
+    chunk_bits: int,
+    max_chunk_freq: int | None,
+    weight_col: str | None = None,
+) -> DataFrame:
+    """Pigeonhole chunk explosion + rare-chunk cap, SHARED by the
+    naive and staged pair joins — their equivalence proof depends on
+    the two chunkings (and cap semantics) being byte-identical, so no
+    local copies that could drift (r8 second review finding; the same
+    rule as cosine_top_pairs_staged's shared fold expressions). The
+    cap counts ``weight_col`` when given (the staged path's cluster
+    sizes — weighted frequency over unique signatures == raw document
+    frequency) and rows otherwise."""
+    out = sigs.select(
+        "*",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(c).alias("chunk"),
+                        F.shiftright("sim", chunk_bits * c)
+                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
+                        .alias("cval"),
+                    )
+                    for c in range(n_chunks)
+                ]
+            )
+        ).alias("c"),
+    ).select(*sigs.columns, "c.chunk", "c.cval")
+    if max_chunk_freq is not None:
+        w = F.col(weight_col) if weight_col else F.lit(1)
+        rare = (
+            out.groupBy("chunk", "cval")
+            .agg(F.sum(w).alias("df"))
+            .filter(F.col("df") <= max_chunk_freq)
+            .select("chunk", "cval")
+        )
+        out = out.join(rare, ["chunk", "cval"])
+    return out
+
+
 def simhash_near_pairs(
     df: DataFrame,
     id_col: str = "id",
@@ -667,31 +710,7 @@ def simhash_near_pairs(
     n_chunks = max_hamming + 1
     chunk_bits = SIMHASH_BITS // n_chunks
     sigs = simhash(df, id_col, body_col)
-    chunks = sigs.select(
-        "id",
-        "sim",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("sim", chunk_bits * c)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                        .alias("cval"),
-                    )
-                    for c in range(n_chunks)
-                ]
-            )
-        ).alias("c"),
-    ).select("id", "sim", "c.chunk", "c.cval")
-    if max_chunk_freq is not None:
-        rare = (
-            chunks.groupBy("chunk", "cval")
-            .count()
-            .filter(F.col("count") <= max_chunk_freq)
-            .select("chunk", "cval")
-        )
-        chunks = chunks.join(rare, ["chunk", "cval"])
+    chunks = _simhash_chunks(sigs, n_chunks, chunk_bits, max_chunk_freq)
     a = chunks.alias("a")
     b = chunks.alias("b")
     return (
@@ -1285,34 +1304,11 @@ def simhash_near_pairs_staged(
         F.col("rep_id").alias("rid"), "sim", "k"
     )
     mem = tagged.select("id", "rep_id")
-    chunks = uniq.select(
-        "rid",
-        "sim",
-        "k",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(c).alias("chunk"),
-                        F.shiftright("sim", chunk_bits * c)
-                        .bitwiseAND(F.lit((1 << chunk_bits) - 1))
-                        .alias("cval"),
-                    )
-                    for c in range(n_chunks)
-                ]
-            )
-        ).alias("c"),
-    ).select("rid", "sim", "k", "c.chunk", "c.cval")
-    if max_chunk_freq is not None:
-        # weighted frequency over unique signatures == raw-document
-        # chunk frequency (the staged_jaccard_pairs guard identity)
-        rare = (
-            chunks.groupBy("chunk", "cval")
-            .agg(F.sum("k").alias("df"))
-            .filter(F.col("df") <= max_chunk_freq)
-            .select("chunk", "cval")
-        )
-        chunks = chunks.join(rare, ["chunk", "cval"])
+    # shared chunking + k-weighted cap (== raw-document frequency,
+    # the staged_jaccard_pairs guard identity)
+    chunks = _simhash_chunks(
+        uniq, n_chunks, chunk_bits, max_chunk_freq, weight_col="k"
+    )
     a = chunks.alias("a")
     b = chunks.alias("b")
     rep_pairs = (

@@ -5688,7 +5688,10 @@ def q_multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     return (
-        metric("images", clusters.agg(F.sum("n").alias("value")))
+        metric(
+            "images",
+            clusters.agg(F.coalesce(F.sum("n"), F.lit(0)).alias("value")),
+        )
         .unionByName(
             metric("distinct_phash", clusters.agg(F.count(F.lit(1)).alias("value")))
         )
