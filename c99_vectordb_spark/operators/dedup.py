@@ -1368,3 +1368,91 @@ def simhash_near_pairs_staged(
     return cross.withColumn(
         "hamming", F.col("hamming").cast("int")
     ).unionByName(within)
+
+
+def prefix_filter_jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "id",
+    body_col: str = "body",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """EXACT Jaccard >= threshold pairs via AllPairs/PPJoin prefix
+    filtering (Bayardo, Ma & Srikant, WWW 2007; Xiao et al., WWW
+    2008) — no frequency cap, no LSH, no collapse: the full uncapped
+    all-pairs relation, computed without the all-pairs join.
+
+    The filter: order every document's shingles by one GLOBAL order
+    (ascending document frequency, shingle hash as the tie-break) and
+    keep only the first ``p = sz - ceil(t*sz) + 1`` as its *prefix*.
+    If J(x, y) >= t, the pair must share a shingle inside both
+    prefixes: x's suffix has only ``ceil(t*sz_x) - 1`` elements, too
+    few to reach the overlap bound ``ceil(t/(1+t) * (sz_x+sz_y))``
+    implied by the threshold, so a pair missed by the prefix join
+    provably fails the threshold. Candidates therefore equi-join on
+    PREFIX shingles only — and because the global order is
+    rarest-first, prefix shingles are the LOW-fan-out ones by
+    construction (boilerplate lands in suffixes and never generates
+    candidates). This is the 100 TB complement to the capped tier
+    (ngram_jaccard_pairs changes semantics to tame fan-out) and the
+    LSH tier (probabilistic recall): exact semantics, bounded join.
+
+    PPJoin's length filter is applied at the candidate join
+    (``t*max(sz) <= min(sz)`` integer cross-multiplied), and the
+    verify stage counts intersections only for surviving candidates.
+    Output (id_a, id_b, jaccard) with id_a < id_b — identical schema
+    and relation to the uncapped ``ngram_jaccard_pairs(...,
+    max_shingle_freq=None)``.
+    """
+    t_ppm = round(threshold * 1_000_000)
+    sh = shingles(df, id_col, body_col, n).cache()
+    freq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_"))
+    sizes = sh.groupBy("id").agg(F.count(F.lit(1)).alias("sz"))
+    w = Window.partitionBy("id").orderBy(F.asc("df_"), F.asc("sh"))
+    # prefix keep rule: rn <= sz + 1 - ceil(t*sz); exact-integer ceil
+    # via (t_ppm*sz + 999999) DIV 1000000 (sz is doc-bounded, no wrap)
+    pref = (
+        sh.join(freq, "sh")
+        .withColumn("rn", F.row_number().over(w))
+        .join(sizes, "id")
+        .filter(F.expr(f"rn <= sz + 1 - (({t_ppm} * sz + 999999) DIV 1000000)"))
+    )
+    pa = pref.select(
+        F.col("id").alias("id_a"), "sh", F.col("sz").alias("sz_a")
+    )
+    pb = pref.select(
+        F.col("id").alias("id_b"), "sh", F.col("sz").alias("sz_b")
+    )
+    cand = (
+        pa.join(pb, "sh")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # length filter: t * max(sz) <= min(sz), both directions
+            & (F.lit(t_ppm) * F.col("sz_a") <= F.lit(1_000_000) * F.col("sz_b"))
+            & (F.lit(t_ppm) * F.col("sz_b") <= F.lit(1_000_000) * F.col("sz_a"))
+        )
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    # verify: exact intersection size, candidates only — two equi-joins
+    # against the cached shingle table, never a shingle self-join
+    inter = (
+        cand.join(sh.select(F.col("id").alias("id_a"), "sh"), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), "sh"), ["id_b", "sh"])
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    union = F.col("sz_a") + F.col("sz_b") - F.col("inter")
+    return (
+        inter.join(
+            sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
+            "id_a",
+        )
+        .join(
+            sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"),
+            "id_b",
+        )
+        .filter(F.col("inter") * 1_000_000 >= F.lit(t_ppm) * union)
+        .withColumn("jaccard", F.round(F.col("inter") / union.cast("double"), 6))
+        .select("id_a", "id_b", "jaccard")
+    )

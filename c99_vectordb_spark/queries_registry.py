@@ -1848,6 +1848,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .queries_wave8 import WAVE8_QUERIES
     from .queries_wave9 import WAVE9_QUERIES
     from .queries_wave10 import WAVE10_QUERIES
+    from .queries_wave11 import WAVE11_QUERIES
 
     merged = {
         **_QUERIES,
@@ -1858,6 +1859,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **WAVE8_QUERIES,
         **WAVE9_QUERIES,
         **WAVE10_QUERIES,
+        **WAVE11_QUERIES,
     }
     out = {name: merged[name] for name in DRIVER_WINDOW}
     out.update({n: f for n, f in merged.items() if n not in out})
@@ -1872,6 +1874,7 @@ def oracle_sql() -> dict[str, str]:
     from .queries_wave8 import WAVE8_ORACLES
     from .queries_wave9 import WAVE9_ORACLES
     from .queries_wave10 import WAVE10_ORACLES
+    from .queries_wave11 import WAVE11_ORACLES
 
     return {
         **_ORACLES,
@@ -1882,4 +1885,5 @@ def oracle_sql() -> dict[str, str]:
         **WAVE8_ORACLES,
         **WAVE9_ORACLES,
         **WAVE10_ORACLES,
+        **WAVE11_ORACLES,
     }

@@ -1,0 +1,68 @@
+"""Round-8 second wave: prefix-filtered exact similarity join.
+
+- ``dedup_prefix_pairs`` — the AllPairs/PPJoin tier
+  (operators/dedup.prefix_filter_jaccard_pairs): EXACT uncapped
+  Jaccard >= t pairs where the candidate join touches only each
+  document's rarest-shingle prefix. The registry's other near-dup
+  tiers trade something for scale — ngram_jaccard_pairs caps shingle
+  frequency (changes semantics), MinHash-LSH accepts probabilistic
+  recall, the staged tier needs exact duplicates to collapse. Prefix
+  filtering is the fourth point in that design space: exact
+  semantics, no cap, and the join fan-out is bounded because the
+  global rarest-first order pushes boilerplate shingles out of every
+  prefix. Oracle: the UNCAPPED all-pairs SQL — a hash match proves
+  the filtered plan computes the identical relation.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .queries_ext import _duck_hl_cte
+
+#: PPJoin threshold — higher than the capped tier's 0.2 (the classic
+#: setting; the prefix shortens as t grows, so t is the cost knob)
+PREFIX_JACCARD_THRESHOLD = 0.5
+
+
+def q_dedup_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import prefix_filter_jaccard_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return prefix_filter_jaccard_pairs(
+        docs, id_col="doc_id", body_col="text",
+        threshold=PREFIX_JACCARD_THRESHOLD,
+    )
+
+
+# UNCAPPED all-pairs Jaccard — deliberately the naive relation: the
+# prefix filter is a pure execution strategy, so the oracle must not
+# know it exists. (DuckDB runs the small-SF all-pairs join in ~1 s at
+# sf0.1; the Spark plan never materializes it at any scale.)
+_ORACLE_PREFIX_PAIRS = f"""
+WITH {_duck_hl_cte()},
+pp_sizes AS (SELECT doc_id, COUNT(*)::BIGINT AS sz FROM sh GROUP BY 1),
+pp_shared AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib, COUNT(*)::BIGINT AS inter
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT ia AS id_a, ib AS id_b,
+       ROUND(CAST(inter AS DOUBLE) / (sa.sz + sb.sz - inter), 6) AS jaccard
+FROM pp_shared
+JOIN pp_sizes sa ON ia = sa.doc_id
+JOIN pp_sizes sb ON ib = sb.doc_id
+WHERE inter * 1000000 >=
+      {round(PREFIX_JACCARD_THRESHOLD * 1_000_000)} * (sa.sz + sb.sz - inter)
+"""
+
+
+WAVE11_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+    "dedup_prefix_pairs": q_dedup_prefix_pairs,
+}
+
+WAVE11_ORACLES: dict[str, str] = {
+    "dedup_prefix_pairs": _ORACLE_PREFIX_PAIRS,
+}

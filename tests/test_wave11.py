@@ -1,0 +1,123 @@
+"""Wave-11: prefix-filtered exact Jaccard join (AllPairs/PPJoin).
+
+Three proofs, mirroring the staged-tier discipline:
+- plan equivalence: the filtered plan == the uncapped naive plan
+  (ngram_jaccard_pairs(max_shingle_freq=None)) on the real parquet —
+  the prefix filter is an execution strategy, not a semantics change;
+- boundary fixture: constructed pairs at/below/above the threshold,
+  including a pair whose ONLY shared shingles are corpus-common (the
+  case a frequency cap silently drops and the prefix filter must not);
+- independent replay: pure-Python all-pairs Jaccard from the raw
+  parquet via hashing.shingle_hashes, no Spark/DuckDB machinery.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from c99_vectordb_spark.operators.dedup import (
+    ngram_jaccard_pairs,
+    prefix_filter_jaccard_pairs,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _pairs(df) -> list[tuple]:
+    return sorted(
+        (r["id_a"], r["id_b"], r["jaccard"]) for r in df.collect()
+    )
+
+
+def test_prefix_equals_uncapped_naive_on_parquet(spark):
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    naive = ngram_jaccard_pairs(
+        docs, id_col="doc_id", body_col="text",
+        threshold=0.5, max_shingle_freq=None,
+    )
+    pref = prefix_filter_jaccard_pairs(
+        docs, id_col="doc_id", body_col="text", threshold=0.5
+    )
+    got = _pairs(pref)
+    assert got == _pairs(naive)
+    assert got, "sf0.001 must contain near-dup pairs for this test to bite"
+
+
+def test_prefix_boundary_fixture(spark):
+    # 8 shared tokens + per-doc salt: doc 1/2 share 8-of-10 shingles
+    # territory; doc 3 is disjoint; docs 4/5 are identical (J=1); docs
+    # 6/7 share only CORPUS-COMMON tokens (every doc carries the
+    # 'common filler tokens here' run) — a frequency cap would drop
+    # those shingles, the exact tier must keep the pair.
+    base = "alpha bravo charlie delta echo foxtrot golf hotel"
+    filler = "common filler tokens here common filler tokens here"
+    rows = [
+        (1, f"{base} india juliet {filler}"),
+        (2, f"{base} kilo lima {filler}"),
+        (3, f"zulu yankee xray whiskey victor uniform tango sierra {filler} extra"),
+        (4, f"{filler} repeated body one two three"),
+        (5, f"{filler} repeated body one two three"),
+        (6, f"{filler}"),
+        (7, f"{filler}"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.5, 0.8):
+        naive = _pairs(
+            ngram_jaccard_pairs(
+                docs, id_col="doc_id", body_col="text",
+                threshold=t, max_shingle_freq=None,
+            )
+        )
+        pref = _pairs(
+            prefix_filter_jaccard_pairs(
+                docs, id_col="doc_id", body_col="text", threshold=t
+            )
+        )
+        assert pref == naive, f"threshold {t}"
+    # the identical and common-only pairs are present at t=0.8
+    high = {
+        (a, b)
+        for a, b, _ in _pairs(
+            prefix_filter_jaccard_pairs(
+                docs, id_col="doc_id", body_col="text", threshold=0.8
+            )
+        )
+    }
+    assert (4, 5) in high and (6, 7) in high
+
+
+def test_prefix_python_replay():
+    from c99_vectordb_spark.hashing import shingle_hashes
+
+    docs = pd.read_parquet(f"{SF}/documents.parquet")
+    sets = {
+        int(r.doc_id): set(shingle_hashes(r.text or "", 3, {}))
+        for r in docs.itertuples()
+    }
+    ids = sorted(sets)
+    expect = []
+    for i, a in enumerate(ids):
+        sa = sets[a]
+        if not sa:
+            continue
+        for b in ids[i + 1:]:
+            sb = sets[b]
+            if not sb:
+                continue
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if inter * 1_000_000 >= 500_000 * union:
+                expect.append((a, b, round(inter / union, 6)))
+    import duckdb
+
+    from c99_vectordb_spark.queries_wave11 import _ORACLE_PREFIX_PAIRS
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{SF}/documents.parquet'"
+    )
+    got = sorted(
+        tuple(r) for r in con.execute(_ORACLE_PREFIX_PAIRS).fetchall()
+    )
+    assert got == sorted(expect)
+    assert got, "replay must be non-trivial"
