@@ -1456,3 +1456,80 @@ def prefix_filter_jaccard_pairs(
         .withColumn("jaccard", F.round(F.col("inter") / union.cast("double"), 6))
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def dbscan_simhash_clusters(
+    df: DataFrame,
+    id_col: str = "id",
+    body_col: str = "body",
+    eps: int = 3,
+    min_pts: int = 3,
+) -> DataFrame:
+    """DBSCAN (Ester, Kriegel, Sander & Xu, KDD 1996) over SimHash
+    signatures with Hamming-distance eps-neighborhoods — density
+    clustering as a dedup/curation primitive: dense regions of
+    near-identical documents become clusters, isolated documents stay
+    noise, no k chosen in advance.
+
+    Exactness at scale: the eps-neighborhood relation is the
+    pigeonhole chunk join (:func:`simhash_near_pairs_staged`, cap
+    None) — EXACT recall for hamming <= eps, never an all-pairs scan.
+    Core points count themselves (|N_eps| = degree + 1 >= min_pts,
+    the paper's definition); clusters are connected components of the
+    core-core subgraph (density-connectivity reaches through core
+    points only), resolved by the existing min-label machinery
+    (:func:`resolve_duplicates`), so cluster id = min core id — the
+    textbook's order-dependent border assignment is canonicalized to
+    the MINIMUM cluster id among a border's core neighbors, making
+    the whole relation deterministic and oracle-able.
+
+    Output: (id, role in core|border|noise, cluster BIGINT, -1 for
+    noise), one row per input document, ordered by id.
+    """
+    ids = df.select(F.col(id_col).alias("id"))
+    pairs = simhash_near_pairs_staged(
+        df, id_col, body_col, max_hamming=eps, max_chunk_freq=None
+    )
+    sym = (
+        pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
+        .unionByName(
+            pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
+        )
+        # the staged expansion emits each unordered pair once, so sym
+        # is exactly the directed neighbor relation; persist — it
+        # feeds degrees, the core-core subgraph, and border assignment
+        .persist()
+    )
+    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
+    core = deg.filter(F.col("deg") + 1 >= min_pts).select(
+        F.col("s").alias("id")
+    )
+    core_edges = (
+        sym.join(core.withColumnRenamed("id", "s"), "s")
+        .join(core.withColumnRenamed("id", "d"), "d")
+        .filter(F.col("s") < F.col("d"))
+        .select(F.col("s").alias("id_a"), F.col("d").alias("id_b"))
+    )
+    comps = resolve_duplicates(core_edges)  # (id, canonical_id)
+    core_cluster = core.join(comps, "id", "left").select(
+        "id", F.coalesce("canonical_id", F.col("id")).alias("cluster")
+    )
+    border = (
+        sym.join(
+            core_cluster.withColumnRenamed("id", "d"), "d"
+        )
+        .join(core.withColumnRenamed("id", "s"), "s", "left_anti")
+        .groupBy(F.col("s").alias("id"))
+        .agg(F.min("cluster").alias("cluster"))
+    )
+    return (
+        ids.join(core_cluster.withColumnRenamed("cluster", "c_cl"), "id", "left")
+        .join(border.withColumnRenamed("cluster", "b_cl"), "id", "left")
+        .selectExpr(
+            "id",
+            "CASE WHEN c_cl IS NOT NULL THEN 'core' "
+            "WHEN b_cl IS NOT NULL THEN 'border' ELSE 'noise' END AS role",
+            "CAST(coalesce(c_cl, b_cl, -1) AS BIGINT) AS cluster",
+        )
+        .orderBy("id")
+    )

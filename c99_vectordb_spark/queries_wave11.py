@@ -59,10 +59,78 @@ WHERE inter * 1000000 >=
 """
 
 
+# ---------------------------------------------------------------------------
+# sim_dbscan_clusters — density clustering (DBSCAN) over simhash codes
+# ---------------------------------------------------------------------------
+
+_DBSCAN_EPS = 3  #: Hamming radius over 60-bit simhash signatures
+_DBSCAN_MIN_PTS = 3  #: |N_eps(p)| >= 3 (point counts itself) => core
+
+
+def q_sim_dbscan_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .operators.dedup import dbscan_simhash_clusters
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return dbscan_simhash_clusters(
+        docs, id_col="doc_id", body_col="text",
+        eps=_DBSCAN_EPS, min_pts=_DBSCAN_MIN_PTS,
+    )
+
+
+def _oracle_dbscan() -> str:
+    from .queries_ext import _SIMS_CTE
+
+    return f"""
+WITH RECURSIVE {_SIMS_CTE},
+db_p AS (
+  SELECT a.doc_id AS ia, b.doc_id AS ib
+  FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+  WHERE bit_count(xor(a.sim, b.sim)) <= {_DBSCAN_EPS}
+),
+db_sym AS (SELECT ia AS s, ib AS d FROM db_p
+           UNION ALL SELECT ib, ia FROM db_p),
+db_core AS (
+  SELECT s AS id FROM db_sym GROUP BY s
+  HAVING COUNT(*) + 1 >= {_DBSCAN_MIN_PTS}
+),
+db_ce AS (
+  SELECT s, d FROM db_sym
+  WHERE s IN (SELECT id FROM db_core) AND d IN (SELECT id FROM db_core)
+),
+db_walk(id, comp) AS (
+  SELECT DISTINCT s, s FROM db_ce
+  UNION
+  SELECT e.d, w.comp FROM db_walk w JOIN db_ce e ON e.s = w.id
+),
+db_comp AS (SELECT id, MIN(comp) AS cl FROM db_walk GROUP BY id),
+db_corec AS (
+  SELECT c.id, COALESCE(p.cl, c.id) AS cluster
+  FROM db_core c LEFT JOIN db_comp p ON c.id = p.id
+),
+db_border AS (
+  SELECT s.s AS id, MIN(cc.cluster) AS cluster
+  FROM db_sym s JOIN db_corec cc ON s.d = cc.id
+  WHERE s.s NOT IN (SELECT id FROM db_core)
+  GROUP BY 1
+)
+SELECT d.doc_id AS id,
+       CASE WHEN c.id IS NOT NULL THEN 'core'
+            WHEN b.id IS NOT NULL THEN 'border'
+            ELSE 'noise' END AS role,
+       COALESCE(c.cluster, b.cluster, -1)::BIGINT AS cluster
+FROM documents d
+LEFT JOIN db_corec c ON d.doc_id = c.id
+LEFT JOIN db_border b ON d.doc_id = b.id
+ORDER BY id
+"""
+
+
 WAVE11_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_prefix_pairs": q_dedup_prefix_pairs,
+    "sim_dbscan_clusters": q_sim_dbscan_clusters,
 }
 
 WAVE11_ORACLES: dict[str, str] = {
     "dedup_prefix_pairs": _ORACLE_PREFIX_PAIRS,
+    "sim_dbscan_clusters": _oracle_dbscan(),
 }

@@ -121,3 +121,87 @@ def test_prefix_python_replay():
     )
     assert got == sorted(expect)
     assert got, "replay must be non-trivial"
+
+
+def test_dbscan_fixture(spark):
+    from c99_vectordb_spark.operators.dedup import dbscan_simhash_clusters
+
+    x = "the quick brown fox jumps over the lazy dog again and again"
+    y = "completely different text about distributed query engines ok"
+    z = "a third body of text concerning density based clustering now"
+    rows = (
+        [(i, x) for i in (1, 2, 3, 4)]        # 4 dups: deg 3 -> core
+        + [(i, y) for i in (10, 11, 12)]      # 3 dups: deg 2 -> core
+        + [(i, z) for i in (20, 21)]          # 2 dups: deg 1, no core
+        + [(30, "one isolated document with nothing nearby whatsoever")]
+    )
+    got = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in dbscan_simhash_clusters(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            id_col="doc_id", body_col="text", eps=3, min_pts=3,
+        ).collect()
+    }
+    for i in (1, 2, 3, 4):
+        assert got[i] == ("core", 1)
+    for i in (10, 11, 12):
+        assert got[i] == ("core", 10)
+    # a 2-dup pair under min_pts=3: neither is core, and neither has a
+    # core neighbor -> noise (the minPts boundary, exactly the paper's)
+    for i in (20, 21, 30):
+        assert got[i] == ("noise", -1)
+
+
+def test_dbscan_python_replay(spark):
+    """Independent pure-Python DBSCAN (all-pairs hamming + union-find)
+    from the raw parquet — no Spark joins, no DuckDB, no shared CC
+    machinery — must reproduce the operator exactly, including the
+    border rows the duplicate-only fixture cannot produce."""
+    from c99_vectordb_spark.hashing import simhash_signature
+    from c99_vectordb_spark.queries_wave11 import q_sim_dbscan_clusters
+
+    sfd = "/root/testdata/sf0.01"
+    got = {
+        r["id"]: (r["role"], r["cluster"])
+        for r in q_sim_dbscan_clusters(spark, sfd).collect()
+    }
+    docs = pd.read_parquet(f"{sfd}/documents.parquet")
+    cache: dict = {}
+    sig = {int(r.doc_id): simhash_signature(r.text or "", 60, cache)
+           for r in docs.itertuples()}
+    ids = sorted(sig)
+    nbr: dict[int, set[int]] = {i: set() for i in ids}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            if bin(sig[a] ^ sig[b]).count("1") <= 3:
+                nbr[a].add(b)
+                nbr[b].add(a)
+    core = {i for i in ids if len(nbr[i]) + 1 >= 3}
+    parent = {i: i for i in core}
+
+    def find(i):
+        while parent[i] != i:
+            parent[i] = parent[parent[i]]
+            i = parent[i]
+        return i
+
+    for a in core:
+        for b in nbr[a]:
+            if b in core:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    parent[max(ra, rb)] = min(ra, rb)
+    cl = {}
+    for c in core:
+        comp = [x for x in core if find(x) == find(c)]
+        cl[c] = min(comp)
+    expect = {}
+    for i in ids:
+        if i in core:
+            expect[i] = ("core", cl[i])
+        else:
+            cn = [cl[c] for c in nbr[i] if c in core]
+            expect[i] = ("border", min(cn)) if cn else ("noise", -1)
+    assert got == expect
+    roles = {v[0] for v in expect.values()}
+    assert roles == {"core", "border", "noise"}, "all three roles must occur"
