@@ -1756,17 +1756,19 @@ _ORACLES: dict[str, str] = {
 #   r8: 43 first-timers in  -> pool  81 - 43 = 38  (this window)
 #   r9: the remaining 38 + the 3 r8-built wave-10 operators
 #       (orders_grouping_sets, docs_merkle_diff,
-#       corpus_rendezvous_shards) = 41 <= 43 free slots -> pool 0
-#       FEASIBILITY (checked by simulation in r8): the 41 are the
-#       no-family tail — r8 burned every remaining never-checked
+#       corpus_rendezvous_shards) + the 2 r8-late wave-11 operators
+#       (dedup_prefix_pairs, sim_dbscan_clusters) = 43 = 43 free
+#       slots -> pool 0 with no spares (the 2 spares the earlier plan
+#       suggested spending on veterans are consumed by wave-11; the
+#       veterans re-enter at r10 under steady-state minimums).
+#       FEASIBILITY (checked by simulation in r8): the closure set is
+#       the no-family tail — r8 burned every remaining never-checked
 #       member of the tpch/dedup/sim/multimodal/text/corpus family
 #       pools — so tests/test_driver_window.py caps each closure-era
 #       family floor at what a closure window can supply
 #       (never-checked members left + anchors). r9's window = the 7
-#       anchors + the 41 + 2 free slots; spend the 2 spares on family
-#       veterans with the widest regression surface (suggested:
-#       graph_pagerank for the iterative-join family, tpch_q1 for the
-#       aggregation tour). Steady-state minimums reassert at r10.
+#       anchors + the 43-name pool (tools/rotation_pool.py prints it).
+#       Steady-state minimums reassert at r10.
 # Standing policy: operators BUILT in a round rotate into that round's
 # window where slots allow; in r8 every non-anchor slot is spoken for
 # by the closure schedule, so the r8-built operators join the r9
