@@ -95,13 +95,17 @@ ORDER BY lvl, yr, priority
 _MERKLE_BUCKETS = 16
 
 
-def _merkle_side(docs: DataFrame, new: bool) -> DataFrame:
-    """One snapshot side, reusing corpus_snapshot_diff's derivation
-    (old = doc_id % 5 != 0; new = doc_id % 3 != 0 with every 7th text
-    'edited' to its 40-char prefix) so the two reconciliation
-    operators audit the same synthetic change set. Row hash binds id
-    AND content; bucket is keyed on the id hash alone so an edited
-    row dirties exactly one bucket on each side."""
+def _merkle_rows(docs: DataFrame, new: bool) -> DataFrame:
+    """One snapshot side's (bucket, h) row projection, reusing
+    corpus_snapshot_diff's derivation (old = doc_id % 5 != 0; new =
+    doc_id % 3 != 0 with every 7th text 'edited' to its 40-char
+    prefix) so the two reconciliation operators audit the same
+    synthetic change set. Row hash binds id AND content; bucket is
+    keyed on the id hash alone so an edited row dirties exactly one
+    bucket on each side. Shared by the batch aggregation below and
+    the streaming twin's test (streaming/stateful.
+    streaming_merkle_summary), so stream and batch provably fold the
+    same rows."""
     if new:
         side = docs.filter(F.col("doc_id") % 3 != 0).selectExpr(
             "doc_id",
@@ -114,7 +118,11 @@ def _merkle_side(docs: DataFrame, new: bool) -> DataFrame:
     h_row = _spark_md5_56("concat(cast(doc_id AS string), ':', text)")
     return side.selectExpr(
         f"pmod({h_id}, {_MERKLE_BUCKETS}) AS bucket", f"{h_row} AS h"
-    ).groupBy("bucket").agg(
+    )
+
+
+def _merkle_side(docs: DataFrame, new: bool) -> DataFrame:
+    return _merkle_rows(docs, new).groupBy("bucket").agg(
         F.count(F.lit(1)).cast("long").alias("n"),
         F.expr("bit_xor(h)").cast("long").alias("x"),
     )

@@ -713,3 +713,68 @@ def streaming_ohlc_bars(keyed: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+MERKLE_STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("n", T.LongType(), False),
+        T.StructField("x", T.LongType(), False),
+    ]
+)
+
+MERKLE_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("bucket", T.LongType(), False),
+        T.StructField("n", T.LongType(), False),
+        T.StructField("x", T.LongType(), False),
+    ]
+)
+
+
+def streaming_merkle_summary(hashed: DataFrame) -> DataFrame:
+    """Streaming maintenance of the Merkle bucket summaries behind
+    queries_wave10.q_docs_merkle_diff — stream==batch pair #15: state
+    per bucket is exactly (row count, XOR of md5-56 row hashes), two
+    longs per bucket FOREVER, and both components are commutative /
+    associative / order-independent, so any micro-batch arrival order
+    replays to the identical summary the batch aggregation computes
+    (test-pinned across real availableNow batch boundaries).
+
+    The 100 TB ingest story: an anti-entropy endpoint keeps its bucket
+    table current incrementally — per batch each bucket folds in
+    O(batch) work and emits its new (n, x) — instead of re-scanning
+    the corpus per sync round; reconciliation then compares constant-
+    size summaries (the batch query's dirty-flag join).
+
+    Input stream must carry (bucket LONG, h LONG) with h the md5-56
+    row hash, bucket = pmod(md5-56(id), n_buckets) — the batch side's
+    exact projection. Emits (bucket, n, x) whenever a batch touches
+    the bucket.
+    """
+
+    def merkle_fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        n, x = state.get if state.exists else (0, 0)
+        touched = False
+        for pdf in pdfs:
+            if len(pdf):
+                touched = True
+                n += int(len(pdf))
+                for h in pdf["h"]:
+                    x ^= int(h)
+        if touched:
+            state.update((int(n), int(x)))
+            yield pd.DataFrame(
+                [[int(key[0]), int(n), int(x)]], columns=["bucket", "n", "x"]
+            )
+
+    return hashed.groupBy("bucket").applyInPandasWithState(
+        merkle_fn,
+        outputStructType=MERKLE_OUTPUT_SCHEMA,
+        stateStructType=MERKLE_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

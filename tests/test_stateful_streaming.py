@@ -811,3 +811,59 @@ def test_streaming_kmv_sketch_set_ops_match_batch(spark, sf_dir, tmp_path):
         assert row["est_union"] == (k - 1) * _U56 // u[k - 1]
         inter_k = len([x for x in u if x in set(sa) and x in set(sb)])
         assert row["jaccard_est_ppm"] == 1_000_000 * inter_k // k
+
+
+def test_streaming_merkle_matches_batch(spark, sf_dir, tmp_path):
+    """Stream==batch pair #15: the Merkle bucket summaries behind
+    docs_merkle_diff maintained incrementally. The (bucket, h) rows of
+    the NEW snapshot side are replayed across three availableNow
+    micro-batches under a RANDOM split; the final (n, x) per bucket
+    must equal the batch aggregation exactly — XOR and count are
+    order-independent, which is the whole reason the anti-entropy
+    summary can be maintained by a stream."""
+    import os
+    import time as _t
+
+    from c99_vectordb_spark.queries_wave10 import _merkle_rows, _merkle_side
+    from c99_vectordb_spark.streaming.stateful import streaming_merkle_summary
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    batch = {
+        r.bucket: (r.n, r.x) for r in _merkle_side(docs, new=True).collect()
+    }
+    rows = _merkle_rows(docs, new=True)
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    parts = rows.randomSplit([0.4, 0.35, 0.25], seed=13)
+    now = _t.time()
+    for i, part in enumerate(parts):
+        d = os.path.join(src, f"b{i}.parquet")
+        part.coalesce(1).write.parquet(d)
+        ts = now - 60 * (len(parts) - i)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+        os.utime(d, (ts, ts))
+
+    stream = (
+        spark.readStream.schema("bucket LONG, h LONG")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_merkle_summary(stream)
+        .writeStream.format("memory")
+        .queryName("merkle_out")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    final = {}
+    for r in spark.sql("SELECT * FROM merkle_out").collect():
+        final[r.bucket] = (r.n, r.x)  # update mode: later rows win
+    assert final == batch
+    assert len(final) > 1
