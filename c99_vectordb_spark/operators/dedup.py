@@ -1533,3 +1533,61 @@ def dbscan_simhash_clusters(
         )
         .orderBy("id")
     )
+
+
+def prefix_filter_jaccard_pairs_staged(
+    df: DataFrame,
+    id_col: str = "id",
+    body_col: str = "body",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """:func:`prefix_filter_jaccard_pairs` composed with the exact-
+    duplicate collapse (the staged-tier treatment): PPJoin runs on
+    UNIQUE texts, then representative pairs expand to document pairs
+    and within-cluster pairs are jaccard = 1.0 by construction.
+    Semantics identical to the naive prefix join AND to the uncapped
+    all-pairs relation — the registry twin keeps the naive all-pairs
+    oracle verbatim.
+
+    Why both stages: the prefix filter bounds fan-out per SHINGLE
+    (rarest-first order), but duplicate documents share their entire
+    prefix, so candidate fan-out still grows with the SQUARE of dup-
+    cluster size — the sf1 soak (10 copies per doc, the web-crawl
+    shape) measured the plain prefix join at 263 s; collapsing first
+    runs it on 10x fewer rows and only the output-sized expansion
+    touches duplicate ids.
+    """
+    recs = df.select(F.col(id_col).alias("id"), F.col(body_col).alias("body"))
+    clusters, mem, reps = _exact_collapse(recs)
+    rep_pairs = prefix_filter_jaccard_pairs(reps, "id", "body", n, threshold)
+    cross = (
+        rep_pairs.withColumnRenamed("id_a", "ra")
+        .withColumnRenamed("id_b", "rb")
+        .join(mem.select(F.col("id").alias("da"), F.col("rep_id").alias("ra")), "ra")
+        .join(mem.select(F.col("id").alias("db"), F.col("rep_id").alias("rb")), "rb")
+        .selectExpr(
+            "least(da, db) AS id_a", "greatest(da, db) AS id_b", "jaccard"
+        )
+    )
+    # within-cluster pairs exist in the naive output iff the text has
+    # at least one shingle (an empty set never joins; uncapped, so any
+    # shingle counts)
+    live = mem.join(
+        shingles(reps, "id", "body", n)
+        .select(F.col("id").alias("rep_id"))
+        .distinct(),
+        "rep_id",
+    ).select("id", "rep_id")
+    la = live.alias("la")
+    lb = live.alias("lb")
+    within = la.join(
+        lb,
+        (F.col("la.rep_id") == F.col("lb.rep_id"))
+        & (F.col("la.id") < F.col("lb.id")),
+    ).selectExpr(
+        "la.id AS id_a", "lb.id AS id_b", "CAST(1.0 AS DOUBLE) AS jaccard"
+    )
+    if round(threshold * 1_000_000) > 1_000_000:
+        return cross.select("id_a", "id_b", "jaccard")
+    return cross.unionByName(within).select("id_a", "id_b", "jaccard")

@@ -28,10 +28,17 @@ PREFIX_JACCARD_THRESHOLD = 0.5
 
 
 def q_dedup_prefix_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from .operators.dedup import prefix_filter_jaccard_pairs
+    """Staged form since the r8 sf1 soak: exact-collapse first (263 s
+    -> seconds on the 90%-dup corpus), PPJoin on unique texts, exact
+    expansion. Oracle unchanged — the naive uncapped all-pairs SQL;
+    the hash match proves the staged prefix plan computes the
+    identical relation. The plain prefix join stays callable as the
+    fixture-test reference (tests/test_wave11.py asserts staged ==
+    naive == uncapped-all-pairs)."""
+    from .operators.dedup import prefix_filter_jaccard_pairs_staged
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    return prefix_filter_jaccard_pairs(
+    return prefix_filter_jaccard_pairs_staged(
         docs, id_col="doc_id", body_col="text",
         threshold=PREFIX_JACCARD_THRESHOLD,
     )

@@ -205,3 +205,49 @@ def test_dbscan_python_replay(spark):
     assert got == expect
     roles = {v[0] for v in expect.values()}
     assert roles == {"core", "border", "noise"}, "all three roles must occur"
+
+
+def test_prefix_staged_equals_naive(spark):
+    """The staged (collapse-first) prefix plan == the plain prefix
+    plan == the uncapped naive all-pairs plan, on a DUP-HEAVY fixture
+    (three copies of each base text plus near-dup edits) and on the
+    real parquet — the execution-strategy-equivalence proof for the
+    sf1 fix."""
+    from c99_vectordb_spark.operators.dedup import (
+        prefix_filter_jaccard_pairs_staged,
+    )
+
+    base = "alpha bravo charlie delta echo foxtrot golf hotel india"
+    edit = "alpha bravo charlie delta echo foxtrot golf hotel JULIET"
+    other = "entirely different words compose this body of text here"
+    rows = (
+        [(i, base) for i in (1, 2, 3)]
+        + [(i, edit) for i in (10, 11, 12)]
+        + [(i, other) for i in (20, 21)]
+        + [(30, "short")]  # < 3 tokens: no shingles, never pairs
+    )
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.3, 0.6, 1.0):
+        naive = _pairs(
+            ngram_jaccard_pairs(
+                docs, id_col="doc_id", body_col="text",
+                threshold=t, max_shingle_freq=None,
+            )
+        )
+        staged = _pairs(
+            prefix_filter_jaccard_pairs_staged(
+                docs, id_col="doc_id", body_col="text", threshold=t
+            )
+        )
+        assert staged == naive, f"threshold {t}"
+    # parquet replay at the registry threshold
+    pq = spark.read.parquet(f"{SF}/documents.parquet")
+    assert _pairs(
+        prefix_filter_jaccard_pairs_staged(
+            pq, id_col="doc_id", body_col="text", threshold=0.5
+        )
+    ) == _pairs(
+        prefix_filter_jaccard_pairs(
+            pq, id_col="doc_id", body_col="text", threshold=0.5
+        )
+    )
