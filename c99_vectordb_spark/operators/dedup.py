@@ -1471,60 +1471,99 @@ def dbscan_simhash_clusters(
     near-identical documents become clusters, isolated documents stay
     noise, no k chosen in advance.
 
-    Exactness at scale: the eps-neighborhood relation is the
-    pigeonhole chunk join (:func:`simhash_near_pairs_staged`, cap
-    None) — EXACT recall for hamming <= eps, never an all-pairs scan.
-    Core points count themselves (|N_eps| = degree + 1 >= min_pts,
-    the paper's definition); clusters are connected components of the
-    core-core subgraph (density-connectivity reaches through core
-    points only), resolved by the existing min-label machinery
-    (:func:`resolve_duplicates`), so cluster id = min core id — the
-    textbook's order-dependent border assignment is canonicalized to
-    the MINIMUM cluster id among a border's core neighbors, making
-    the whole relation deterministic and oracle-able.
+    Scale shape — the whole algorithm runs on the SIGNATURE-CLASS
+    graph, never on document pairs: a point's role and cluster depend
+    on its id only through its signature (distances are signature
+    functions), so identical-signature documents share one node whose
+    weight k is the class size. Degree is |N_eps(p)| = k_self +
+    sum of adjacent-class weights (the point counts itself, the
+    paper's definition) — identical for every member, so core is a
+    CLASS property. Adjacency comes from the exact pigeonhole chunk
+    join (:func:`_simhash_chunks`, cap None) over DISTINCT
+    signatures; clusters are connected components of the core-class
+    subgraph via the existing min-label machinery
+    (:func:`resolve_duplicates`) on class-min doc ids, so cluster id
+    = min core doc id — the textbook's order-dependent border
+    assignment is canonicalized to the MINIMUM cluster id among a
+    border's core neighbor classes, making the relation deterministic
+    and oracle-able. Only the final per-document expansion (one hash
+    join on signature) is corpus-sized; on a 90%-duplicate corpus the
+    pair-level plan this replaced did quadratic-in-cluster candidate
+    work (sf1: 44 s -> the class graph is dup-count-invariant).
 
     Output: (id, role in core|border|noise, cluster BIGINT, -1 for
     noise), one row per input document, ordered by id.
     """
-    ids = df.select(F.col(id_col).alias("id"))
-    pairs = simhash_near_pairs_staged(
-        df, id_col, body_col, max_hamming=eps, max_chunk_freq=None
-    )
-    sym = (
-        pairs.select(F.col("id_a").alias("s"), F.col("id_b").alias("d"))
-        .unionByName(
-            pairs.select(F.col("id_b").alias("s"), F.col("id_a").alias("d"))
+    sigs = simhash(df, id_col, body_col).persist()
+    classes = (
+        sigs.groupBy("sim")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.min("id").alias("min_id"),
         )
-        # the staged expansion emits each unordered pair once, so sym
-        # is exactly the directed neighbor relation; persist — it
-        # feeds degrees, the core-core subgraph, and border assignment
         .persist()
     )
-    deg = sym.groupBy("s").agg(F.count(F.lit(1)).alias("deg"))
-    core = deg.filter(F.col("deg") + 1 >= min_pts).select(
-        F.col("s").alias("id")
+    n_chunks = eps + 1
+    chunk_bits = SIMHASH_BITS // n_chunks
+    chunks = _simhash_chunks(classes, n_chunks, chunk_bits, None)
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    adj = (
+        a.join(
+            b,
+            (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.cval") == F.col("b.cval"))
+            & (F.col("a.sim") < F.col("b.sim"))
+            & (
+                F.bit_count(F.col("a.sim").bitwiseXOR(F.col("b.sim")))
+                <= eps
+            ),
+        )
+        .select(
+            F.col("a.sim").alias("sa"),
+            F.col("a.min_id").alias("ma"),
+            F.col("b.sim").alias("sb"),
+            F.col("b.min_id").alias("mb"),
+            F.col("a.k").alias("ka"),
+            F.col("b.k").alias("kb"),
+        )
+        .distinct()
+        .persist()
     )
+    sym = adj.selectExpr(
+        "sa AS s", "sb AS nbr", "kb AS nbr_k"
+    ).unionByName(adj.selectExpr("sb AS s", "sa AS nbr", "ka AS nbr_k"))
+    nbr_w = sym.groupBy("s").agg(F.sum("nbr_k").alias("adj_k"))
+    verdict = classes.join(
+        nbr_w.withColumnRenamed("s", "sim"), "sim", "left"
+    ).selectExpr(
+        "sim",
+        "min_id",
+        f"CAST(k + coalesce(adj_k, 0L) >= {min_pts} AS BOOLEAN) AS is_core",
+    ).persist()
+    core = verdict.filter("is_core").select("sim", "min_id")
     core_edges = (
-        sym.join(core.withColumnRenamed("id", "s"), "s")
-        .join(core.withColumnRenamed("id", "d"), "d")
-        .filter(F.col("s") < F.col("d"))
-        .select(F.col("s").alias("id_a"), F.col("d").alias("id_b"))
+        adj.join(core.selectExpr("sim AS sa"), "sa")
+        .join(core.selectExpr("sim AS sb"), "sb")
+        .select(F.col("ma").alias("id_a"), F.col("mb").alias("id_b"))
     )
-    comps = resolve_duplicates(core_edges)  # (id, canonical_id)
-    core_cluster = core.join(comps, "id", "left").select(
-        "id", F.coalesce("canonical_id", F.col("id")).alias("cluster")
+    comps = resolve_duplicates(core_edges)  # (id = class min_id, canonical_id)
+    core_cluster = core.join(
+        comps.withColumnRenamed("id", "min_id"), "min_id", "left"
+    ).select(
+        "sim", F.coalesce("canonical_id", F.col("min_id")).alias("cluster")
     )
     border = (
-        sym.join(
-            core_cluster.withColumnRenamed("id", "d"), "d"
-        )
-        .join(core.withColumnRenamed("id", "s"), "s", "left_anti")
-        .groupBy(F.col("s").alias("id"))
+        sym.join(core_cluster.withColumnRenamed("sim", "nbr"), "nbr")
+        .join(core.selectExpr("sim AS s"), "s", "left_anti")
+        .groupBy(F.col("s").alias("sim"))
         .agg(F.min("cluster").alias("cluster"))
     )
     return (
-        ids.join(core_cluster.withColumnRenamed("cluster", "c_cl"), "id", "left")
-        .join(border.withColumnRenamed("cluster", "b_cl"), "id", "left")
+        sigs.join(
+            core_cluster.withColumnRenamed("cluster", "c_cl"), "sim", "left"
+        )
+        .join(border.withColumnRenamed("cluster", "b_cl"), "sim", "left")
         .selectExpr(
             "id",
             "CASE WHEN c_cl IS NOT NULL THEN 'core' "
@@ -1533,6 +1572,7 @@ def dbscan_simhash_clusters(
         )
         .orderBy("id")
     )
+
 
 
 def prefix_filter_jaccard_pairs_staged(
