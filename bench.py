@@ -240,6 +240,10 @@ HEADLINE = [
     "orders_grouping_sets",
     "docs_merkle_diff",
     "corpus_rendezvous_shards",
+    # round-8 second wave
+    "dedup_prefix_pairs",
+    "sim_dbscan_clusters",
+    "corpus_naive_bayes",
 ]
 
 

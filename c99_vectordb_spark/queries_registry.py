@@ -1757,10 +1757,12 @@ _ORACLES: dict[str, str] = {
 #   r9: the remaining 38 + the 3 r8-built wave-10 operators
 #       (orders_grouping_sets, docs_merkle_diff,
 #       corpus_rendezvous_shards) + the 2 r8-late wave-11 operators
-#       (dedup_prefix_pairs, sim_dbscan_clusters) = 43 = 43 free
-#       slots -> pool 0 with no spares (the 2 spares the earlier plan
-#       suggested spending on veterans are consumed by wave-11; the
-#       veterans re-enter at r10 under steady-state minimums).
+#       (dedup_prefix_pairs, sim_dbscan_clusters, corpus_naive_bayes)
+#       = 44 vs 43 free slots: r9 takes 43 (alphabetical rule), the
+#       single residue closes trivially in r10 alongside whatever r9
+#       builds (the 2 veteran spares the earlier plan suggested are
+#       consumed; veterans re-enter at r10 under steady-state
+#       minimums).
 #       FEASIBILITY (checked by simulation in r8): the closure set is
 #       the no-family tail — r8 burned every remaining never-checked
 #       member of the tpch/dedup/sim/multimodal/text/corpus family

@@ -251,3 +251,71 @@ def test_prefix_staged_equals_naive(spark):
             pq, id_col="doc_id", body_col="text", threshold=0.5
         )
     )
+
+
+def test_naive_bayes_python_replay(spark):
+    """Independent pure-Python multinomial NB from the raw parquet —
+    own tokenizer regex, own piecewise log2 (reimplemented from the
+    spec, not imported), own argmax — must reproduce the confusion
+    matrix exactly. On this corpus the lang label is INDEPENDENT of
+    the shared-token-pool synthetic text, so the matrix records
+    near-chance accuracy — the correct trained-classifier verdict
+    (the same negative texture as stats_chi2_independence); the
+    replay proves the machinery, the conservation laws the shape."""
+    import collections
+    import re as _re
+
+    from c99_vectordb_spark.queries_wave11 import q_corpus_naive_bayes
+
+    sfd = "/root/testdata/sf0.01"
+    got = {
+        (r["true_lang"], r["pred_lang"]): r["n_docs"]
+        for r in q_corpus_naive_bayes(spark, sfd).collect()
+    }
+
+    def plog2(c: int) -> int:  # log2 of integer c in q10 (c >= 1)
+        x = c << 20
+        msb = x.bit_length() - 1
+        return (msb - 20) * 1024 + ((x - (1 << msb)) * 1024) // (1 << msb)
+
+    docs = pd.read_parquet(f"{sfd}/documents.parquet")
+    tok = lambda t: _re.findall(r"[a-z0-9_]+", (t or "").lower())
+    tr = docs[docs.doc_id % 5 != 0]
+    te = docs[docs.doc_id % 5 == 0]
+    cw: dict = collections.defaultdict(collections.Counter)
+    for r in tr.itertuples():
+        cw[r.lang].update(tok(r.text))
+    langs = sorted(cw)
+    vocab = len({w for c in cw.values() for w in c})
+    n_train = len(tr)
+    prior = {
+        c: plog2(int((tr.lang == c).sum())) - plog2(n_train) for c in langs
+    }
+    denom = {c: plog2(sum(cw[c].values()) + vocab) for c in langs}
+    expect: dict = collections.defaultdict(int)
+    for r in te.itertuples():
+        ws = collections.Counter(tok(r.text))
+        n_d = sum(ws.values())
+        best = max(
+            langs,
+            key=lambda c: (
+                prior[c]
+                - n_d * denom[c]
+                + sum(n * plog2(cw[c][w] + 1) for w, n in ws.items()),
+                [-ord(ch) for ch in c],  # ties -> lang ASC
+            ),
+        )
+        expect[(r.lang, best)] += 1
+    assert got == dict(expect)
+    # row conservation: every held-out doc is classified exactly once
+    for c in langs:
+        row_sum = sum(n for (t, _p), n in got.items() if t == c)
+        assert row_sum == int((te.lang == c).sum())
+    # the honest verdict on THIS corpus: lang labels are independent
+    # of the (shared-pool) synthetic text, so accuracy sits near the
+    # prior baseline, far below discriminative (the chi2 query's
+    # null-holds texture, measured by a trained classifier instead)
+    diag = sum(n for (t, p), n in got.items() if t == p)
+    total = sum(got.values())
+    assert total == len(te)
+    assert diag / total < 0.5
