@@ -244,6 +244,7 @@ HEADLINE = [
     "dedup_prefix_pairs",
     "sim_dbscan_clusters",
     "corpus_naive_bayes",
+    "graph_shortest_paths",
 ]
 
 

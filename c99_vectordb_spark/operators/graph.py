@@ -419,3 +419,100 @@ lp_l{t} AS (
 )"""
         )
     return "".join(parts)
+
+
+def sssp_bounded(
+    edges: DataFrame,
+    seeds: DataFrame,
+    rounds: int = 6,
+) -> DataFrame:
+    """Multi-source weighted shortest paths, Bellman-Ford relaxation
+    bounded to ``rounds`` edges per path: returns ``(node, dist)``
+    where dist is the EXACT minimum path weight over all paths of at
+    most ``rounds`` hops from any seed (seeds are dist 0). Weights are
+    positive BIGINTs, so every quantity is integer and the relation is
+    a pure function of (edge set, seed set, rounds) — the DuckDB twin
+    (:func:`duckdb_sssp_sql`) unrolls the identical relaxations.
+
+    The bounded-round contract is the same one bfs_layers/kcore_peel
+    publish: a fixed distributed-round budget with the convergence
+    question answered IN the output (callers can compare round counts
+    or look at the unreached census) rather than an unbounded loop.
+    Per round: ONE adjacency-frontier equi-join producing candidate
+    relaxations and one min-aggregation over the node-sized distance
+    table; the adjacency is symmetrized + deduped once, partitioned by
+    the join key, and reused (pagerank's discipline). localCheckpoint
+    truncates the per-round lineage, keeping plans linear in rounds.
+    Nothing collects; the distance table is node-sized forever.
+    """
+    adj = (
+        edges.select("src", "dst", "w")
+        .unionByName(
+            edges.select(
+                F.col("dst").alias("src"), F.col("src").alias("dst"), "w"
+            )
+        )
+        # parallel edges keep their MIN weight (relaxation only ever
+        # uses the cheapest parallel edge; the twin mirrors this)
+        .groupBy("src", "dst")
+        .agg(F.min("w").alias("w"))
+        .repartition("src")
+        .persist()
+    )
+    dist = (
+        seeds.select("node")
+        .distinct()
+        .join(adj.select(F.col("src").alias("node")).distinct(), "node", "semi")
+        .withColumn("dist", F.lit(0).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(rounds):
+        cand = (
+            adj.join(dist.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("dist") + F.col("w")).cast("long").alias("dist"),
+            )
+        )
+        dist = (
+            dist.unionByName(cand)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint(eager=True)
+        )
+    return dist
+
+
+def duckdb_sssp_sql(edges_cte: str, rounds: int = 6) -> str:
+    """DuckDB twin of :func:`sssp_bounded`: the identical Bellman-Ford
+    relaxations unrolled into CTEs. ``edges_cte`` must define
+    relations ``edges(src, dst, w)`` and ``seeds(node)``. Produces
+    ``sp_all(node, dist)``."""
+    parts = [
+        f"""{edges_cte},
+sp_adj AS MATERIALIZED (
+  SELECT src, dst, MIN(w) AS w FROM (
+    SELECT src, dst, w FROM edges
+    UNION ALL SELECT dst AS src, src AS dst, w FROM edges
+  ) GROUP BY 1, 2
+),
+sp_d0 AS (
+  SELECT DISTINCT s.node, 0::BIGINT AS dist FROM seeds s
+  WHERE s.node IN (SELECT src FROM sp_adj)
+)"""
+    ]
+    for t in range(1, rounds + 1):
+        parts.append(
+            f""",
+sp_d{t} AS MATERIALIZED (
+  SELECT node, MIN(dist)::BIGINT AS dist FROM (
+    SELECT node, dist FROM sp_d{t - 1}
+    UNION ALL
+    SELECT a.dst AS node, f.dist + a.w AS dist
+    FROM sp_adj a JOIN sp_d{t - 1} f ON a.src = f.node
+  ) GROUP BY node
+)"""
+        )
+    parts.append(f""",
+sp_all AS (SELECT node, dist FROM sp_d{rounds})""")
+    return "".join(parts)

@@ -297,14 +297,121 @@ GROUP BY 1, 2 ORDER BY true_lang, pred_lang
 """
 
 
+# ---------------------------------------------------------------------------
+# graph_shortest_paths — multi-source weighted SSSP (bounded Bellman-Ford)
+# ---------------------------------------------------------------------------
+
+_SSSP_ROUNDS = 6
+_SSSP_BUCKET = 100
+
+
+def q_graph_shortest_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source WEIGHTED shortest paths over the repeat-trade
+    graph (operators/graph.sssp_bounded, Bellman-Ford bounded to 6
+    relaxation rounds): edge weight = greatest(1000 div n_orders, 1),
+    so high-volume trade links are short — the weighted complement to
+    graph_bfs_layers' hop metric, and the classic iterative-join
+    algorithm BFS cannot express (a 2-hop path through strong links
+    can beat a 1-hop weak link). Suppliers 0-4 seed at distance 0.
+
+    Output: distance-bucket census (dist DIV 100) with per-bucket
+    node counts, exact min/max distances and node witnesses, plus the
+    bucket = -1 unreached-horizon row. Bounded by max path weight,
+    never by corpus size.
+
+    Scale shape: per round one adjacency equi-join + one min
+    aggregation over the node-sized distance table, adjacency
+    partitioned once (pagerank's discipline), lineage checkpointed
+    per round; the census is the only thing smaller than the node
+    set. All weights/distances BIGINT — the DuckDB twin unrolls the
+    identical relaxations."""
+    from .operators.graph import sssp_bounded
+    from .queries_wave7 import _TRADE_MIN_ORDERS
+
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.countDistinct("l_orderkey").alias("n_ord"))
+        .filter(F.col("n_ord") >= _TRADE_MIN_ORDERS)
+        .selectExpr(
+            "o_custkey * 2 AS src",
+            "l_suppkey * 2 + 1 AS dst",
+            "greatest(1000 DIV n_ord, 1L) AS w",
+        )
+        .persist()
+    )
+    seeds = spark.range(5).select((F.col("id") * 2 + 1).alias("node"))
+    dist = sssp_bounded(edges, seeds, rounds=_SSSP_ROUNDS)
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+    )
+    census = dist.groupBy(
+        (F.col("dist") / _SSSP_BUCKET).cast("long").alias("bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.min("dist").cast("long").alias("min_dist"),
+        F.max("dist").cast("long").alias("max_dist"),
+        F.min("node").cast("long").alias("min_node"),
+        F.max("node").cast("long").alias("max_node"),
+    )
+    unreached = nodes.join(dist, "node", "left_anti").agg(
+        F.lit(-1).cast("long").alias("bucket"),
+        F.count(F.lit(1)).cast("long").alias("n_nodes"),
+        F.lit(-1).cast("long").alias("min_dist"),
+        F.lit(-1).cast("long").alias("max_dist"),
+        # coalesce: a fully-reached graph leaves the witnesses NULL
+        F.coalesce(F.min("node"), F.lit(-1)).cast("long").alias("min_node"),
+        F.coalesce(F.max("node"), F.lit(-1)).cast("long").alias("max_node"),
+    )
+    return census.unionByName(unreached).orderBy("bucket")
+
+
+def _oracle_sssp() -> str:
+    from .operators.graph import duckdb_sssp_sql
+    from .queries_wave7 import _TRADE_MIN_ORDERS
+
+    seeds = ", ".join(f"({2 * s + 1})" for s in range(5))
+    cte = f"""edges AS MATERIALIZED (
+  SELECT 2 * o_custkey AS src, 2 * l_suppkey + 1 AS dst,
+         greatest(1000 // COUNT(DISTINCT l_orderkey), 1)::BIGINT AS w
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY 1, 2 HAVING COUNT(DISTINCT l_orderkey) >= {_TRADE_MIN_ORDERS}
+),
+seeds AS (SELECT * FROM (VALUES {seeds}) AS t(node))"""
+    body = duckdb_sssp_sql(cte, rounds=_SSSP_ROUNDS)
+    return f"""WITH {body}
+SELECT (dist // {_SSSP_BUCKET})::BIGINT AS bucket,
+       COUNT(*)::BIGINT AS n_nodes,
+       MIN(dist)::BIGINT AS min_dist, MAX(dist)::BIGINT AS max_dist,
+       MIN(node)::BIGINT AS min_node, MAX(node)::BIGINT AS max_node
+FROM sp_all GROUP BY 1
+UNION ALL
+SELECT -1::BIGINT, COUNT(*)::BIGINT, -1::BIGINT, -1::BIGINT,
+       COALESCE(MIN(n), -1)::BIGINT, COALESCE(MAX(n), -1)::BIGINT
+FROM (SELECT DISTINCT src AS n FROM sp_adj
+      WHERE src NOT IN (SELECT node FROM sp_all))
+ORDER BY bucket
+"""
+
+
 WAVE11_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_prefix_pairs": q_dedup_prefix_pairs,
     "sim_dbscan_clusters": q_sim_dbscan_clusters,
     "corpus_naive_bayes": q_corpus_naive_bayes,
+    "graph_shortest_paths": q_graph_shortest_paths,
 }
 
 WAVE11_ORACLES: dict[str, str] = {
     "dedup_prefix_pairs": _ORACLE_PREFIX_PAIRS,
     "sim_dbscan_clusters": _oracle_dbscan(),
     "corpus_naive_bayes": _oracle_naive_bayes(),
+    "graph_shortest_paths": _oracle_sssp(),
 }

@@ -319,3 +319,87 @@ def test_naive_bayes_python_replay(spark):
     total = sum(got.values())
     assert total == len(te)
     assert diag / total < 0.5
+
+
+def test_sssp_python_replay(spark):
+    """Independent pure-Python bounded Bellman-Ford from the raw
+    parquet (own edge build, own relaxation loop) must reproduce the
+    distance-bucket census exactly — and within a BFS hop layer the
+    weighted distances must differ, pinning that the relation carries
+    information hop-counting BFS cannot express."""
+    import collections
+
+    from c99_vectordb_spark.queries_wave11 import (
+        _SSSP_BUCKET,
+        _SSSP_ROUNDS,
+        q_graph_shortest_paths,
+    )
+
+    sfd = "/root/testdata/sf0.01"
+    got = sorted(
+        tuple(r) for r in q_graph_shortest_paths(spark, sfd).collect()
+    )
+    orders = pd.read_parquet(f"{sfd}/orders.parquet")[
+        ["o_orderkey", "o_custkey"]
+    ]
+    li = pd.read_parquet(f"{sfd}/lineitem.parquet")[
+        ["l_orderkey", "l_suppkey"]
+    ]
+    j = li.merge(orders, left_on="l_orderkey", right_on="o_orderkey")
+    g = j.groupby(["o_custkey", "l_suppkey"])["l_orderkey"].nunique()
+    adj: dict[int, dict[int, int]] = collections.defaultdict(dict)
+    for (c, s), n in g.items():
+        if n >= 3:
+            a, b = int(c) * 2, int(s) * 2 + 1
+            w = max(1000 // int(n), 1)
+            adj[a][b] = min(adj[a].get(b, w), w)
+            adj[b][a] = min(adj[b].get(a, w), w)
+    dist = {n: 0 for n in (1, 3, 5, 7, 9) if n in adj}
+    for _ in range(_SSSP_ROUNDS):
+        new = dict(dist)
+        for u, d in dist.items():
+            for v, w in adj[u].items():
+                if d + w < new.get(v, 1 << 60):
+                    new[v] = d + w
+        dist = new
+    rows: dict = collections.defaultdict(
+        lambda: [0, 1 << 60, -(1 << 60), 1 << 60, -(1 << 60)]
+    )
+    for n, d in dist.items():
+        r = rows[d // _SSSP_BUCKET]
+        r[0] += 1
+        r[1] = min(r[1], d)
+        r[2] = max(r[2], d)
+        r[3] = min(r[3], n)
+        r[4] = max(r[4], n)
+    expect = [(b, *v) for b, v in rows.items()]
+    unreached = [n for n in adj if n not in dist]
+    expect.append(
+        (
+            -1,
+            len(unreached),
+            -1,
+            -1,
+            min(unreached) if unreached else -1,
+            max(unreached) if unreached else -1,
+        )
+    )
+    assert got == sorted(expect)
+    # weighted != hop metric: within one BFS hop layer the weighted
+    # distances must differ (dist is not a function of hop count —
+    # the texture BFS cannot express)
+    seeds = {n for n in (1, 3, 5, 7, 9) if n in adj}
+    hops = {n: 0 for n in seeds}
+    frontier = set(seeds)
+    for h in range(1, _SSSP_ROUNDS + 1):
+        frontier = {
+            v for u in frontier for v in adj[u] if v not in hops
+        }
+        for v in frontier:
+            hops[v] = h
+    by_hop: dict = collections.defaultdict(set)
+    for n, d in dist.items():
+        by_hop[hops[n]].add(d)
+    assert any(len(v) > 1 for v in by_hop.values()), (
+        "every hop layer has one distance — weights are degenerate"
+    )
