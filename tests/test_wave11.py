@@ -403,3 +403,46 @@ def test_sssp_python_replay(spark):
     assert any(len(v) > 1 for v in by_hop.values()), (
         "every hop layer has one distance — weights are degenerate"
     )
+
+
+def test_wave11_empty_and_degenerate_inputs(spark):
+    """Empty and single-doc corpora must not crash any wave-11
+    operator (the phash empty-input regression class): prefix joins
+    and DBSCAN return empty/noise, NB returns an empty matrix when
+    either split is empty."""
+    from c99_vectordb_spark.operators.dedup import (
+        dbscan_simhash_clusters,
+        prefix_filter_jaccard_pairs,
+        prefix_filter_jaccard_pairs_staged,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    one = spark.createDataFrame(
+        [(7, "just one lonely document body here")],
+        "doc_id long, text string",
+    )
+    for df in (empty, one):
+        assert (
+            prefix_filter_jaccard_pairs(
+                df, id_col="doc_id", body_col="text", threshold=0.5
+            ).count()
+            == 0
+        )
+        assert (
+            prefix_filter_jaccard_pairs_staged(
+                df, id_col="doc_id", body_col="text", threshold=0.5
+            ).count()
+            == 0
+        )
+    rows = dbscan_simhash_clusters(
+        one, id_col="doc_id", body_col="text", eps=3, min_pts=3
+    ).collect()
+    assert [(r["id"], r["role"], r["cluster"]) for r in rows] == [
+        (7, "noise", -1)
+    ]
+    assert (
+        dbscan_simhash_clusters(
+            empty, id_col="doc_id", body_col="text"
+        ).count()
+        == 0
+    )
