@@ -245,6 +245,7 @@ HEADLINE = [
     "sim_dbscan_clusters",
     "corpus_naive_bayes",
     "graph_shortest_paths",
+    "attribution_shapley",
 ]
 
 

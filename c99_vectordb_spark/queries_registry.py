@@ -1758,9 +1758,9 @@ _ORACLES: dict[str, str] = {
 #       (orders_grouping_sets, docs_merkle_diff,
 #       corpus_rendezvous_shards) + the 2 r8-late wave-11 operators
 #       (dedup_prefix_pairs, sim_dbscan_clusters, corpus_naive_bayes,
-#       graph_shortest_paths) = 45 vs 43 free slots: r9 takes 43
-#       (alphabetical rule), the 2-name residue closes trivially in
-#       r10 alongside whatever r9 builds (the 2 veteran spares the earlier plan suggested are
+#       graph_shortest_paths, attribution_shapley) = 46 vs 43 free
+#       slots: r9 takes 43 (alphabetical rule), the 3-name residue
+#       closes trivially in r10 alongside whatever r9 builds (the 2 veteran spares the earlier plan suggested are
 #       consumed; veterans re-enter at r10 under steady-state
 #       minimums).
 #       FEASIBILITY (checked by simulation in r8): the closure set is

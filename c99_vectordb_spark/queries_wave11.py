@@ -402,11 +402,187 @@ ORDER BY bucket
 """
 
 
+# ---------------------------------------------------------------------------
+# attribution_shapley — exact Shapley-value channel attribution
+# ---------------------------------------------------------------------------
+
+#: the non-conversion channels, sorted — bit i of a journey's
+#: coalition mask is channel i's presence
+_SHAP_CHANNELS = ("click", "error", "signup", "view")
+
+
+def _shap_weight_case(col: str) -> str:
+    """|S|! * (k-1-|S|)! as a CASE over bit_count(S) — the Shapley
+    kernel scaled by k! so every quantity stays integer."""
+    import math
+
+    k = len(_SHAP_CHANNELS)
+    arms = " ".join(
+        f"WHEN {s} THEN {math.factorial(s) * math.factorial(k - 1 - s)}"
+        for s in range(k)
+    )
+    return f"CASE bit_count({col}) {arms} END"
+
+
+def q_attribution_shapley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shapley-value attribution (Shapley 1953, the marketing-science
+    standard alongside Markov removal effects): each channel's credit
+    is its average marginal contribution over all orderings of the
+    channel coalition. Journeys split at purchases (the
+    attribution_markov convention, one events-sized window pass);
+    v(S) = converted journeys whose distinct-channel set is contained
+    in coalition S; shapley_scaled_i = k! * Shapley_i =
+    sum over S not containing i of |S|!(k-1-|S|)! [v(S+i) - v(S)] —
+    EXACT BIGINTs (the k! scaling clears the denominator), with the
+    efficiency law sum_i scaled_i = k! (v(full) - v(empty))
+    test-pinned. share_ppm normalizes over channels.
+
+    Scale shape: the event log is touched by ONE window pass + one
+    (user, journey) aggregation; everything after lives on the
+    2^k-row coalition table (k = 4 channels -> 16 rows) — the
+    constant-sized-chain argument attribution_markov makes, with
+    subset algebra instead of a fixed point. The containment join
+    (mask & S = mask) is 16 x 16 rows."""
+    from .queries_registry import _read_events
+
+    k = len(_SHAP_CHANNELS)
+    ev = _read_events(spark, sf_dir).select(
+        "user_id", "ts_us", "event_id", "event_type"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.asc("ts_us"), F.asc("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ev2 = ev.withColumn(
+        "jidx",
+        F.coalesce(
+            F.sum(
+                F.when(F.col("event_type") == "purchase", 1).otherwise(0)
+            ).over(w),
+            F.lit(0),
+        ),
+    )
+    mask_expr = " + ".join(
+        f"{1 << i} * max(CASE WHEN event_type = '{c}' THEN 1L ELSE 0L END)"
+        for i, c in enumerate(_SHAP_CHANNELS)
+    )
+    jour = ev2.groupBy("user_id", "jidx").agg(
+        F.expr(mask_expr).alias("mask"),
+        F.expr(
+            "max(CASE WHEN event_type = 'purchase' THEN 1L ELSE 0L END)"
+        ).alias("conv"),
+    )
+    by_mask = (
+        jour.filter("conv = 1")
+        .groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_conv"))
+    )
+    subsets = spark.range(1 << k).select(F.col("id").alias("s"))
+    v = (
+        subsets.join(
+            by_mask,
+            F.expr("CAST(mask & s AS BIGINT) = mask"),
+            "left",
+        )
+        .groupBy("s")
+        .agg(F.coalesce(F.sum("n_conv"), F.lit(0)).cast("long").alias("v"))
+    )
+    channels = spark.createDataFrame(
+        [(c, 1 << i) for i, c in enumerate(_SHAP_CHANNELS)],
+        "channel string, bit long",
+    )
+    pairs = (
+        channels.crossJoin(subsets)
+        .filter(F.expr("CAST(s & bit AS BIGINT) = 0"))
+        .join(v.withColumnRenamed("v", "v_s"), "s")
+        .join(
+            v.selectExpr("s AS s_with", "v AS v_si"),
+            F.expr("s_with = s + bit"),
+        )
+        .selectExpr(
+            "channel",
+            f"{_shap_weight_case('s')} * (v_si - v_s) AS term",
+        )
+    )
+    shap = pairs.groupBy("channel").agg(
+        F.sum("term").cast("long").alias("shapley_scaled")
+    )
+    tot = shap.agg(
+        F.sum("shapley_scaled").cast("long").alias("tot")
+    )
+    return (
+        shap.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "channel",
+            "shapley_scaled",
+            "CASE WHEN tot > 0 THEN (1000000 * shapley_scaled) DIV tot"
+            " ELSE 0L END AS share_ppm",
+        )
+        .orderBy("channel")
+    )
+
+
+def _oracle_shapley() -> str:
+    k = len(_SHAP_CHANNELS)
+    mask_expr = " + ".join(
+        f"{1 << i} * MAX(CASE WHEN event_type = '{c}' THEN 1 ELSE 0 END)"
+        for i, c in enumerate(_SHAP_CHANNELS)
+    )
+    return f"""
+WITH sh_ev AS (
+  SELECT user_id, event_type,
+         COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                  OVER (PARTITION BY user_id
+                        ORDER BY epoch_us(ts), event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS jidx
+  FROM events
+),
+sh_j AS (
+  SELECT user_id, jidx, ({mask_expr})::BIGINT AS mask,
+         MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM sh_ev GROUP BY 1, 2
+),
+sh_bm AS (
+  SELECT mask, COUNT(*)::BIGINT AS n_conv FROM sh_j
+  WHERE conv = 1 GROUP BY 1
+),
+sh_s AS (SELECT u.s::BIGINT AS s FROM unnest(range(0, {1 << k})) AS u(s)),
+sh_v AS (
+  SELECT s.s, COALESCE(SUM(b.n_conv), 0)::BIGINT AS v
+  FROM sh_s s LEFT JOIN sh_bm b ON (b.mask & s.s) = b.mask
+  GROUP BY 1
+),
+sh_ch AS (SELECT * FROM (VALUES {", ".join(f"('{c}', {1 << i})" for i, c in enumerate(_SHAP_CHANNELS))})
+          AS t(channel, bit)),
+sh_terms AS (
+  SELECT c.channel,
+         ({_shap_weight_case('sub.s')})::BIGINT * (vi.v - vs.v) AS term
+  FROM sh_ch c
+  JOIN sh_s sub ON (sub.s & c.bit) = 0
+  JOIN sh_v vs ON vs.s = sub.s
+  JOIN sh_v vi ON vi.s = sub.s + c.bit
+),
+sh_shap AS (
+  SELECT channel, SUM(term)::BIGINT AS shapley_scaled
+  FROM sh_terms GROUP BY 1
+),
+sh_tot AS (SELECT SUM(shapley_scaled)::BIGINT AS tot FROM sh_shap)
+SELECT channel, shapley_scaled,
+       (CASE WHEN tot > 0 THEN (1000000 * shapley_scaled) // tot
+        ELSE 0 END)::BIGINT AS share_ppm
+FROM sh_shap CROSS JOIN sh_tot
+ORDER BY channel
+"""
+
+
 WAVE11_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_prefix_pairs": q_dedup_prefix_pairs,
     "sim_dbscan_clusters": q_sim_dbscan_clusters,
     "corpus_naive_bayes": q_corpus_naive_bayes,
     "graph_shortest_paths": q_graph_shortest_paths,
+    "attribution_shapley": q_attribution_shapley,
 }
 
 WAVE11_ORACLES: dict[str, str] = {
@@ -414,4 +590,5 @@ WAVE11_ORACLES: dict[str, str] = {
     "sim_dbscan_clusters": _oracle_dbscan(),
     "corpus_naive_bayes": _oracle_naive_bayes(),
     "graph_shortest_paths": _oracle_sssp(),
+    "attribution_shapley": _oracle_shapley(),
 }

@@ -26,6 +26,7 @@ import pytest
 
 # BNLJ allowlist: name -> why the broadcast side is bounded at 100 TB
 BNLJ_ALLOWED = {
+    "attribution_shapley": "coalition-containment join (mask & s = mask) and the 1-row total broadcast — both sides bounded by 2^k = 16 rows, never by event volume",
     "corpus_naive_bayes": "1-row scalar aggregate broadcasts (vocab size, train count) and the |languages|-row class table crossed under the bounded test grid",
     "range_join_bands": "non-equi band join; the band table is a literal handful of rows",
     "dedup_cosine_pairs": "exact all-pairs baseline, STAGED since r8: the O(n_unique^2) join runs over collapsed unique vectors (380s -> 4.2s at sf1; SCALE.md)",

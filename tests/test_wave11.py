@@ -446,3 +446,60 @@ def test_wave11_empty_and_degenerate_inputs(spark):
         ).count()
         == 0
     )
+
+
+def test_shapley_permutation_replay(spark):
+    """Independent pure-Python Shapley from the raw parquet via the
+    DEFINITION — average marginal contribution over all k!
+    permutations — rather than the weighted-subset formula the query
+    evaluates. Permutation-average == subset-sum is Shapley's theorem;
+    the two implementations share nothing, so agreement pins both the
+    journey derivation and the combinatorics. Plus the efficiency law:
+    sum_i scaled_i = k! * (v(full) - v(empty))."""
+    import collections
+    import itertools
+    import math
+
+    from c99_vectordb_spark.queries_wave11 import (
+        _SHAP_CHANNELS,
+        q_attribution_shapley,
+    )
+
+    sfd = "/root/testdata/sf0.01"
+    got = {
+        r["channel"]: (r["shapley_scaled"], r["share_ppm"])
+        for r in q_attribution_shapley(spark, sfd).collect()
+    }
+    ev = pd.read_parquet(f"{sfd}/events.parquet").sort_values(
+        ["user_id", "ts", "event_id"]
+    )
+    k = len(_SHAP_CHANNELS)
+    bit = {c: 1 << i for i, c in enumerate(_SHAP_CHANNELS)}
+    conv_masks: list[int] = []
+    for _uid, g in ev.groupby("user_id"):
+        mask = 0
+        for t in g["event_type"]:
+            if t == "purchase":
+                conv_masks.append(mask)
+                mask = 0
+            elif t in bit:
+                mask |= bit[t]
+    v_by_mask = collections.Counter(conv_masks)
+
+    def v(s: int) -> int:
+        return sum(n for m, n in v_by_mask.items() if m & s == m)
+
+    shap = {c: 0 for c in _SHAP_CHANNELS}
+    for perm in itertools.permutations(range(k)):
+        s = 0
+        for i in perm:
+            shap[_SHAP_CHANNELS[i]] += v(s | (1 << i)) - v(s)
+            s |= 1 << i
+    tot = sum(shap.values())
+    expect = {
+        c: (n, (1_000_000 * n) // tot if tot > 0 else 0)
+        for c, n in shap.items()
+    }
+    assert got == expect
+    assert tot == math.factorial(k) * (v((1 << k) - 1) - v(0))
+    assert tot > 0 and len(got) == k
