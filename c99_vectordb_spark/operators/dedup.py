@@ -1612,11 +1612,13 @@ def prefix_filter_jaccard_pairs_staged(
     )
     # within-cluster pairs exist in the naive output iff the text has
     # at least one shingle (an empty set never joins; uncapped, so any
-    # shingle counts)
+    # shingle counts). A text has >= 1 n-gram shingle iff it has >= n
+    # tokens — probed with the shared tokenizer directly, which skips
+    # a second run of the hashing UDF over the unique texts (the
+    # prefix join inside prefix_filter_jaccard_pairs already paid it)
     live = mem.join(
-        shingles(reps, "id", "body", n)
-        .select(F.col("id").alias("rep_id"))
-        .distinct(),
+        reps.filter(F.size(Ft.tokens(F.col("body"))) >= n)
+        .select(F.col("id").alias("rep_id")),
         "rep_id",
     ).select("id", "rep_id")
     la = live.alias("la")

@@ -173,9 +173,12 @@ def q_corpus_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     train = docs.filter(F.col("doc_id") % 5 != 0)
     test = docs.filter(F.col("doc_id") % 5 == 0)
     tr_tok = train.select(F.col("lang"), F.explode(toks).alias("w"))
+    # cw feeds THREE consumers (vocab, class summary, model) and
+    # te_tok two (score sums, doc lengths) — persist each so the
+    # token explode + count shuffle runs once per split side
     cw = tr_tok.groupBy("lang", "w").agg(
         F.count(F.lit(1)).cast("long").alias("c")
-    )
+    ).persist()
     vocab = cw.select("w").distinct().agg(
         F.count(F.lit(1)).cast("long").alias("v")
     )
@@ -204,7 +207,9 @@ def q_corpus_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     te_tok = test.select(
         F.col("doc_id"), F.explode(toks).alias("w")
-    ).groupBy("doc_id", "w").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    ).groupBy("doc_id", "w").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    ).persist()
     sums = (
         te_tok.join(F.broadcast(model), "w")
         .groupBy("doc_id", "lang")
