@@ -1528,7 +1528,10 @@ def dbscan_simhash_clusters(
             F.col("b.k").alias("kb"),
         )
         .distinct()
-        .persist()
+        # class-sized; eager checkpoint (not persist) truncates the
+        # chunk-join lineage so the downstream degree/CC/border plans
+        # — and the plan audit — see a table, not the whole subtree
+        .localCheckpoint(eager=True)
     )
     sym = adj.selectExpr(
         "sa AS s", "sb AS nbr", "kb AS nbr_k"
@@ -1540,7 +1543,7 @@ def dbscan_simhash_clusters(
         "sim",
         "min_id",
         f"CAST(k + coalesce(adj_k, 0L) >= {min_pts} AS BOOLEAN) AS is_core",
-    ).persist()
+    ).localCheckpoint(eager=True)
     core = verdict.filter("is_core").select("sim", "min_id")
     core_edges = (
         adj.join(core.selectExpr("sim AS sa"), "sa")
