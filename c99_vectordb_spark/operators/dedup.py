@@ -269,6 +269,45 @@ def _exact_collapse(recs: DataFrame):
     return clusters, mem, reps
 
 
+def _expand_rep_pairs(rep_pairs, mem, live, thresh_ppm: int):
+    """Shared representative-pair -> document-pair expansion for the
+    staged jaccard tiers (one source of truth — the r8 review's
+    no-local-copies rule, same as _simhash_chunks): cross-cluster
+    pairs expand through the membership table carrying the rep pair's
+    jaccard; within-cluster pairs are jaccard = 1.0 and exist in the
+    naive output iff the text is in ``live`` (the caller's has-a-
+    shingle rule — cap-surviving for the capped tier, >= n tokens for
+    the uncapped prefix tier). A threshold above 1e6 ppm rejects even
+    exact duplicates (inter <= union), so the within tier vanishes —
+    mirroring the naive filter. ``rep_pairs`` must carry (ra, rb,
+    jaccard); ``live`` (id, rep_id)."""
+    cross = (
+        rep_pairs.join(
+            mem.select(F.col("id").alias("da"), F.col("rep_id").alias("ra")),
+            "ra",
+        )
+        .join(
+            mem.select(F.col("id").alias("db"), F.col("rep_id").alias("rb")),
+            "rb",
+        )
+        .selectExpr(
+            "least(da, db) AS id_a", "greatest(da, db) AS id_b", "jaccard"
+        )
+    )
+    la = live.alias("la")
+    lb = live.alias("lb")
+    within = la.join(
+        lb,
+        (F.col("la.rep_id") == F.col("lb.rep_id"))
+        & (F.col("la.id") < F.col("lb.id")),
+    ).selectExpr(
+        "la.id AS id_a", "lb.id AS id_b", "CAST(1.0 AS DOUBLE) AS jaccard"
+    )
+    if thresh_ppm > 1_000_000:
+        return cross.select("id_a", "id_b", "jaccard")
+    return cross.unionByName(within).select("id_a", "id_b", "jaccard")
+
+
 def staged_jaccard_pairs(
     df: DataFrame,
     id_col: str = "id",
@@ -331,44 +370,12 @@ def staged_jaccard_pairs(
         .withColumn("jaccard", F.round(F.col("inter") / union.cast("double"), 6))
         .select("ra", "rb", "jaccard")
     )
-    cross = (
-        rep_pairs.join(
-            mem.select(F.col("id").alias("da"), F.col("rep_id").alias("ra")),
-            "ra",
-        )
-        .join(
-            mem.select(F.col("id").alias("db"), F.col("rep_id").alias("rb")),
-            "rb",
-        )
-        .selectExpr(
-            "least(da, db) AS id_a", "greatest(da, db) AS id_b", "jaccard"
-        )
-    )
     # within-cluster pairs exist in the naive output iff the text kept
     # at least one shingle after the cap (else it never joins)
     live = mem.join(
         sizes.withColumnRenamed("id", "rep_id").select("rep_id"), "rep_id"
     ).select("id", "rep_id")
-    la = live.alias("la")
-    lb = live.alias("lb")
-    within = (
-        la.join(
-            lb,
-            (F.col("la.rep_id") == F.col("lb.rep_id"))
-            & (F.col("la.id") < F.col("lb.id")),
-        )
-        .selectExpr(
-            "la.id AS id_a",
-            "lb.id AS id_b",
-            "CAST(1.0 AS DOUBLE) AS jaccard",
-        )
-    )
-    if thresh_ppm > 1_000_000:
-        # jaccard cannot exceed 1e6 ppm (inter <= union), so the
-        # naive filter rejects even exact duplicates at such
-        # thresholds — mirror it (same guard as the containment twin)
-        return cross.select("id_a", "id_b", "jaccard")
-    return cross.unionByName(within).select("id_a", "id_b", "jaccard")
+    return _expand_rep_pairs(rep_pairs, mem, live, thresh_ppm)
 
 
 def ngram_containment_pairs(
@@ -1603,16 +1610,9 @@ def prefix_filter_jaccard_pairs_staged(
     """
     recs = df.select(F.col(id_col).alias("id"), F.col(body_col).alias("body"))
     clusters, mem, reps = _exact_collapse(recs)
-    rep_pairs = prefix_filter_jaccard_pairs(reps, "id", "body", n, threshold)
-    cross = (
-        rep_pairs.withColumnRenamed("id_a", "ra")
-        .withColumnRenamed("id_b", "rb")
-        .join(mem.select(F.col("id").alias("da"), F.col("rep_id").alias("ra")), "ra")
-        .join(mem.select(F.col("id").alias("db"), F.col("rep_id").alias("rb")), "rb")
-        .selectExpr(
-            "least(da, db) AS id_a", "greatest(da, db) AS id_b", "jaccard"
-        )
-    )
+    rep_pairs = prefix_filter_jaccard_pairs(
+        reps, "id", "body", n, threshold
+    ).withColumnRenamed("id_a", "ra").withColumnRenamed("id_b", "rb")
     # within-cluster pairs exist in the naive output iff the text has
     # at least one shingle (an empty set never joins; uncapped, so any
     # shingle counts). A text has >= 1 n-gram shingle iff it has >= n
@@ -1624,15 +1624,6 @@ def prefix_filter_jaccard_pairs_staged(
         .select(F.col("id").alias("rep_id")),
         "rep_id",
     ).select("id", "rep_id")
-    la = live.alias("la")
-    lb = live.alias("lb")
-    within = la.join(
-        lb,
-        (F.col("la.rep_id") == F.col("lb.rep_id"))
-        & (F.col("la.id") < F.col("lb.id")),
-    ).selectExpr(
-        "la.id AS id_a", "lb.id AS id_b", "CAST(1.0 AS DOUBLE) AS jaccard"
+    return _expand_rep_pairs(
+        rep_pairs, mem, live, round(threshold * 1_000_000)
     )
-    if round(threshold * 1_000_000) > 1_000_000:
-        return cross.select("id_a", "id_b", "jaccard")
-    return cross.unionByName(within).select("id_a", "id_b", "jaccard")

@@ -466,20 +466,42 @@ def sssp_bounded(
         .withColumn("dist", F.lit(0).cast("long"))
         .localCheckpoint(eager=True)
     )
+    # delta relaxation (bfs_layers' changed-only frontier discipline):
+    # only nodes whose distance IMPROVED last round can improve a
+    # neighbor this round, so the per-round join input is the frontier,
+    # not the whole settled table — nodes fixed in round 1 stop
+    # re-generating their edge fan-out in rounds 2..R. The result
+    # relation is identical to relaxing everything (min is idempotent
+    # over already-settled candidates); the oracle twin keeps the
+    # naive full-table unroll, so the hash match proves it.
+    frontier = dist
     for _ in range(rounds):
+        # an empty frontier generates no candidates and can never
+        # refill — the remaining rounds are provably no-ops
+        if frontier.limit(1).count() == 0:
+            break
         cand = (
-            adj.join(dist.withColumnRenamed("node", "src"), "src")
+            adj.join(frontier.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),
                 (F.col("dist") + F.col("w")).cast("long").alias("dist"),
             )
         )
-        dist = (
+        new = (
             dist.unionByName(cand)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
             .localCheckpoint(eager=True)
         )
+        frontier = (
+            new.join(
+                dist.selectExpr("node", "dist AS old_dist"), "node", "left"
+            )
+            .filter(F.col("old_dist").isNull() | (F.col("dist") < F.col("old_dist")))
+            .select("node", "dist")
+            .localCheckpoint(eager=True)
+        )
+        dist = new
     return dist
 
 

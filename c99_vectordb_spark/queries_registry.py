@@ -1756,7 +1756,7 @@ _ORACLES: dict[str, str] = {
 #   r8: 43 first-timers in  -> pool  81 - 43 = 38  (this window)
 #   r9: the remaining 38 + the 3 r8-built wave-10 operators
 #       (orders_grouping_sets, docs_merkle_diff,
-#       corpus_rendezvous_shards) + the 2 r8-late wave-11 operators
+#       corpus_rendezvous_shards) + the 5 r8-late wave-11 operators
 #       (dedup_prefix_pairs, sim_dbscan_clusters, corpus_naive_bayes,
 #       graph_shortest_paths, attribution_shapley) = 46 vs 43 free
 #       slots: r9 takes 43 (alphabetical rule), the 3-name residue

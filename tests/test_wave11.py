@@ -408,8 +408,8 @@ def test_sssp_python_replay(spark):
 def test_wave11_empty_and_degenerate_inputs(spark):
     """Empty and single-doc corpora must not crash any wave-11
     operator (the phash empty-input regression class): prefix joins
-    and DBSCAN return empty/noise, NB returns an empty matrix when
-    either split is empty."""
+    and DBSCAN return empty/noise (NB's empty splits are covered by
+    test_naive_bayes_degenerate_splits)."""
     from c99_vectordb_spark.operators.dedup import (
         dbscan_simhash_clusters,
         prefix_filter_jaccard_pairs,
@@ -503,3 +503,28 @@ def test_shapley_permutation_replay(spark):
     assert got == expect
     assert tot == math.factorial(k) * (v((1 << k) - 1) - v(0))
     assert tot > 0 and len(got) == k
+
+
+def test_naive_bayes_degenerate_splits(spark, tmp_path):
+    """q_corpus_naive_bayes on corpora where one split is empty: an
+    empty TRAIN side (every doc_id % 5 == 0) has no model and no
+    class table, an empty TEST side has nothing to classify — both
+    must return an empty confusion matrix, not crash (the empty cw
+    feeds crossJoins of scalar aggregates)."""
+    import os
+
+    from c99_vectordb_spark.queries_wave11 import q_corpus_naive_bayes
+
+    cases = {
+        "train_empty": [(0, "alpha beta gamma", "en"),
+                        (5, "delta epsilon zeta", "de")],
+        "test_empty": [(1, "alpha beta gamma", "en"),
+                       (2, "delta epsilon zeta", "de"),
+                       (3, "eta theta iota", "es")],
+    }
+    for name, rows in cases.items():
+        d = os.path.join(str(tmp_path), name)
+        spark.createDataFrame(
+            rows, "doc_id long, text string, lang string"
+        ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
+        assert q_corpus_naive_bayes(spark, d).count() == 0, name
