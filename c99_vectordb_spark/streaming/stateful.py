@@ -778,3 +778,65 @@ def streaming_merkle_summary(hashed: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+JOURNEY_STATE_SCHEMA = T.StructType(
+    [T.StructField("mask", T.LongType(), False)]
+)
+
+JOURNEY_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType(), False),
+        T.StructField("mask", T.LongType(), False),
+    ]
+)
+
+
+def streaming_journey_masks(
+    events: DataFrame, channels: tuple[str, ...]
+) -> DataFrame:
+    """Streaming per-user journey state — stream==batch pair #16, the
+    stateful front end of attribution_shapley: each user's OPEN
+    journey is one LONG bitmask over ``channels``; a purchase emits
+    (user_id, mask) — the converted journey's coalition — and resets
+    the mask. The multiset of emitted masks after any availableNow
+    replay equals the batch window-pass derivation exactly
+    (test-pinned), so the downstream 2^k Shapley algebra consumes
+    identical coalition counts whether the log arrived as a table or
+    as a stream.
+
+    Order contract: journeys are order-DEPENDENT (a purchase closes
+    everything before it), so rows are sorted by (us, event_id)
+    within each micro-batch and batches must respect event time per
+    user — the same contract the CUSUM/session twins publish. State
+    is ONE long per user forever; trailing non-converted journeys
+    hold state but never emit (Shapley's v(S) counts conversions
+    only)."""
+    bit = {c: 1 << i for i, c in enumerate(channels)}
+
+    def journey_fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        mask = int(state.get[0]) if state.exists else 0
+        out: list[list[int]] = []
+        for pdf in pdfs:
+            pdf = pdf.sort_values(["us", "event_id"])
+            for t in pdf["event_type"]:
+                if t == "purchase":
+                    out.append([int(key[0]), mask])
+                    mask = 0
+                elif t in bit:
+                    mask |= bit[t]
+        state.update((mask,))
+        if out:
+            yield pd.DataFrame(out, columns=["user_id", "mask"])
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        journey_fn,
+        outputStructType=JOURNEY_OUTPUT_SCHEMA,
+        stateStructType=JOURNEY_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

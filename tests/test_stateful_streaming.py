@@ -867,3 +867,83 @@ def test_streaming_merkle_matches_batch(spark, sf_dir, tmp_path):
         final[r.bucket] = (r.n, r.x)  # update mode: later rows win
     assert final == batch
     assert len(final) > 1
+
+
+def test_streaming_journey_masks_matches_batch(spark, sf_dir, tmp_path):
+    """Stream==batch pair #16: per-user journey coalition masks
+    (attribution_shapley's front end) replayed across three
+    TIME-ORDERED availableNow micro-batches must emit exactly the
+    batch derivation's multiset of converted-journey masks — the
+    order-dependent contract (purchase closes the open journey), so
+    batches split at time terciles like the CUSUM/session twins."""
+    import collections
+    import os
+    import time as _t
+
+    from c99_vectordb_spark.queries_registry import _read_events
+    from c99_vectordb_spark.queries_wave11 import _SHAP_CHANNELS
+    from c99_vectordb_spark.streaming.stateful import streaming_journey_masks
+
+    ev = (
+        _read_events(spark, sf_dir)
+        .select("user_id", F.col("ts_us").alias("us"), "event_id", "event_type")
+    )
+    pdf = ev.toPandas().sort_values(["user_id", "us", "event_id"])
+    bit = {c: 1 << i for i, c in enumerate(_SHAP_CHANNELS)}
+    expect: collections.Counter = collections.Counter()
+    cur: dict[int, int] = collections.defaultdict(int)
+    for r in pdf.itertuples():
+        u = int(r.user_id)
+        if r.event_type == "purchase":
+            expect[(u, cur[u])] += 1
+            cur[u] = 0
+        elif r.event_type in bit:
+            cur[u] |= bit[r.event_type]
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    lo, hi = int(pdf["us"].min()), int(pdf["us"].max())
+    cuts = [lo + (hi - lo) // 3, lo + 2 * (hi - lo) // 3]
+    parts = [
+        ev.filter(F.col("us") <= cuts[0]),
+        ev.filter((F.col("us") > cuts[0]) & (F.col("us") <= cuts[1])),
+        ev.filter(F.col("us") > cuts[1]),
+    ]
+    now = _t.time()
+    for i, part in enumerate(parts):
+        d = os.path.join(src, f"b{i}.parquet")
+        part.coalesce(1).write.parquet(d)
+        ts = now - 60 * (len(parts) - i)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+        os.utime(d, (ts, ts))
+
+    stream = (
+        spark.readStream.schema(
+            "user_id LONG, us LONG, event_id LONG, event_type STRING"
+        )
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = (
+        streaming_journey_masks(stream, _SHAP_CHANNELS)
+        .writeStream.format("memory")
+        .queryName("journey_out")
+        .outputMode("update")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got = collections.Counter(
+        (r.user_id, r.mask)
+        for r in spark.sql("SELECT * FROM journey_out").collect()
+    )
+    assert got == expect
+    assert sum(got.values()) > 100, "conversions must be plentiful"
+    # the coalition COUNTS Shapley consumes match too
+    assert collections.Counter(
+        m for (_u, m) in got.elements()
+    ) == collections.Counter(m for (_u, m) in expect.elements())
