@@ -246,6 +246,7 @@ HEADLINE = [
     "corpus_naive_bayes",
     "graph_shortest_paths",
     "attribution_shapley",
+    "sim_kcenter_coreset",
 ]
 
 

@@ -1756,11 +1756,12 @@ _ORACLES: dict[str, str] = {
 #   r8: 43 first-timers in  -> pool  81 - 43 = 38  (this window)
 #   r9: the remaining 38 + the 3 r8-built wave-10 operators
 #       (orders_grouping_sets, docs_merkle_diff,
-#       corpus_rendezvous_shards) + the 5 r8-late wave-11 operators
+#       corpus_rendezvous_shards) + the 6 r8-late wave-11 operators
 #       (dedup_prefix_pairs, sim_dbscan_clusters, corpus_naive_bayes,
-#       graph_shortest_paths, attribution_shapley) = 46 vs 43 free
-#       slots: r9 takes 43 (alphabetical rule), the 3-name residue
-#       closes trivially in r10 alongside whatever r9 builds (the 2 veteran spares the earlier plan suggested are
+#       graph_shortest_paths, attribution_shapley,
+#       sim_kcenter_coreset) = 47 vs 43 free slots: r9 takes 43
+#       (alphabetical rule), the 4-name residue closes trivially in
+#       r10 alongside whatever r9 builds (the 2 veteran spares the earlier plan suggested are
 #       consumed; veterans re-enter at r10 under steady-state
 #       minimums).
 #       FEASIBILITY (checked by simulation in r8): the closure set is

@@ -582,12 +582,127 @@ ORDER BY channel
 """
 
 
+# ---------------------------------------------------------------------------
+# sim_kcenter_coreset — greedy farthest-point (Gonzalez) k-center selection
+# ---------------------------------------------------------------------------
+
+_KC_K = 8  #: centers to select
+
+
+def _kc_dist_spark(lits: str) -> str:
+    return (
+        f"aggregate(zip_with(code, array({lits}),"
+        " (x, y) -> (x - y) * (x - y)), 0L, (a, v) -> a + v)"
+    )
+
+
+def q_sim_kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center / farthest-point coreset selection (Gonzalez
+    1985, the 2-approximation for minimax clustering — the diversity-
+    sampling primitive for training-data curation: the selected k
+    points cover the corpus with the reported radius). Seed = min
+    vec_id; each round picks the point FARTHEST from its nearest
+    chosen center (ties to the lower id) and relaxes every point's
+    nearest-center distance. Distances are exact BIGINT squared-L2
+    over the shared global-affine uint8 codes (the sim_sq_int8 spec),
+    so the whole trace is integer-deterministic.
+
+    Output: (step, center_id, radius) for steps 1..k — radius is the
+    (step-1)-center coverage cost that prompted the pick, -1 for the
+    seed — plus a final (k+1, -1, radius) row carrying the k-center
+    coverage radius. The radius column is non-increasing (test-pinned
+    law): the curve IS the coreset quality report.
+
+    Scale shape: per round ONE distributed TakeOrdered-1 argmax scan
+    and one map-only relaxation against the picked center's code (a
+    1-row bounded collect per round — the corpus_lm_generate tier);
+    the distance column is checkpointed per round so lineage stays
+    linear in k. Nothing corpus-sized ever reaches the driver."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    coded = emb.selectExpr(
+        "vec_id AS id",
+        "transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE) + 1.0)"
+        " * 127.5 + 0.5) AS BIGINT)) AS code",
+    )
+    seed = coded.orderBy("id").limit(1).collect()[0]
+    rows = [(1, int(seed["id"]), -1)]
+    lits = ", ".join(f"{int(c)}L" for c in seed["code"])
+    dist = coded.selectExpr(
+        "id", "code", f"{_kc_dist_spark(lits)} AS dist"
+    ).localCheckpoint(eager=True)
+    for t in range(2, _KC_K + 1):
+        top = (
+            dist.orderBy(F.desc("dist"), F.asc("id")).limit(1).collect()[0]
+        )
+        rows.append((t, int(top["id"]), int(top["dist"])))
+        lits = ", ".join(f"{int(c)}L" for c in top["code"])
+        dist = dist.selectExpr(
+            "id",
+            "code",
+            f"least(dist, {_kc_dist_spark(lits)}) AS dist",
+        ).localCheckpoint(eager=True)
+    final = dist.agg(F.max("dist")).collect()[0][0]
+    rows.append((_KC_K + 1, -1, int(final)))
+    return spark.createDataFrame(
+        rows, "step long, center_id long, radius long"
+    ).orderBy("step")
+
+
+def _oracle_kcenter() -> str:
+    def dsql(a: str, b: str) -> str:
+        return (
+            f"CAST(list_sum(list_transform(range(1, 65),"
+            f" i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i]))) AS BIGINT)"
+        )
+
+    parts = [
+        """
+WITH kc0 AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+             x -> CAST(floor((CAST(x AS DOUBLE) + 1.0) * 127.5 + 0.5)
+                  AS BIGINT)) AS code
+  FROM embeddings
+),
+kc_c1 AS (SELECT id, code FROM kc0 ORDER BY id LIMIT 1),
+kc_d1 AS (
+  SELECT k.id, k.code, {d} AS dist
+  FROM kc0 k CROSS JOIN kc_c1 c
+)""".format(d=dsql("k.code", "c.code"))
+    ]
+    for t in range(2, _KC_K + 1):
+        parts.append(
+            """,
+kc_c{t} AS (SELECT id, code, dist FROM kc_d{p}
+            ORDER BY dist DESC, id ASC LIMIT 1),
+kc_d{t} AS (
+  SELECT d.id, d.code, LEAST(d.dist, {d}) AS dist
+  FROM kc_d{p} d CROSS JOIN kc_c{t} c
+)""".format(t=t, p=t - 1, d=dsql("d.code", "c.code"))
+        )
+    selects = [
+        "SELECT 1::BIGINT AS step, (SELECT id FROM kc_c1)::BIGINT"
+        " AS center_id, (-1)::BIGINT AS radius"
+    ]
+    for t in range(2, _KC_K + 1):
+        selects.append(
+            f"SELECT {t}::BIGINT, (SELECT id FROM kc_c{t})::BIGINT,"
+            f" (SELECT dist FROM kc_c{t})::BIGINT"
+        )
+    selects.append(
+        f"SELECT {_KC_K + 1}::BIGINT, (-1)::BIGINT,"
+        f" (SELECT MAX(dist) FROM kc_d{_KC_K})::BIGINT"
+    )
+    return "".join(parts) + "\n" + "\nUNION ALL\n".join(selects) + "\nORDER BY step"
+
+
 WAVE11_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_prefix_pairs": q_dedup_prefix_pairs,
     "sim_dbscan_clusters": q_sim_dbscan_clusters,
     "corpus_naive_bayes": q_corpus_naive_bayes,
     "graph_shortest_paths": q_graph_shortest_paths,
     "attribution_shapley": q_attribution_shapley,
+    "sim_kcenter_coreset": q_sim_kcenter_coreset,
 }
 
 WAVE11_ORACLES: dict[str, str] = {
@@ -596,4 +711,5 @@ WAVE11_ORACLES: dict[str, str] = {
     "corpus_naive_bayes": _oracle_naive_bayes(),
     "graph_shortest_paths": _oracle_sssp(),
     "attribution_shapley": _oracle_shapley(),
+    "sim_kcenter_coreset": _oracle_kcenter(),
 }

@@ -528,3 +528,49 @@ def test_naive_bayes_degenerate_splits(spark, tmp_path):
             rows, "doc_id long, text string, lang string"
         ).coalesce(1).write.parquet(os.path.join(d, "documents.parquet"))
         assert q_corpus_naive_bayes(spark, d).count() == 0, name
+
+
+def test_kcenter_python_replay(spark):
+    """Independent pure-Python Gonzalez greedy from the raw parquet
+    (own uint8 coding, own argmax loop) must reproduce the full
+    (step, center_id, radius) trace — plus the coverage laws: the
+    radius column is non-increasing after the seed, centers are
+    distinct, and every pick is the true farthest point."""
+    import math
+
+    import numpy as np
+
+    from c99_vectordb_spark.queries_wave11 import (
+        _KC_K,
+        q_sim_kcenter_coreset,
+    )
+
+    sfd = "/root/testdata/sf0.01"
+    got = [
+        (r["step"], r["center_id"], r["radius"])
+        for r in q_sim_kcenter_coreset(spark, sfd).collect()
+    ]
+    emb = pd.read_parquet(f"{sfd}/embeddings.parquet").sort_values("vec_id")
+    ids = emb["vec_id"].to_numpy()
+    codes = np.stack(
+        [
+            np.array(
+                [math.floor((float(x) + 1.0) * 127.5 + 0.5) for x in v],
+                dtype=np.int64,
+            )
+            for v in emb["embedding"]
+        ]
+    )
+    seed_pos = int(np.argmin(ids))
+    expect = [(1, int(ids[seed_pos]), -1)]
+    dist = ((codes - codes[seed_pos]) ** 2).sum(axis=1)
+    for t in range(2, _KC_K + 1):
+        best = max(range(len(ids)), key=lambda i: (dist[i], -ids[i]))
+        expect.append((t, int(ids[best]), int(dist[best])))
+        dist = np.minimum(dist, ((codes - codes[best]) ** 2).sum(axis=1))
+    expect.append((_KC_K + 1, -1, int(dist.max())))
+    assert got == expect
+    radii = [r for (_s, _c, r) in got[1:]]
+    assert radii == sorted(radii, reverse=True), "radius must not increase"
+    centers = [c for (_s, c, _r) in got if c >= 0]
+    assert len(set(centers)) == len(centers) == _KC_K
