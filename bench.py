@@ -247,6 +247,9 @@ HEADLINE = [
     "graph_shortest_paths",
     "attribution_shapley",
     "sim_kcenter_coreset",
+    # round-9 wave
+    "dedup_suffix_array",
+    "decontaminate_exact_overlap",
 ]
 
 

@@ -131,6 +131,46 @@ def global_rank(
     return out if had_pid else out.drop(_PID)
 
 
+def dense_rank_stitch(
+    df: DataFrame,
+    order_cols: list[Column],
+    out_col: str = "drank",
+) -> DataFrame:
+    """1-based global DENSE rank in ``order_cols`` order, no global
+    window — the stitched sibling of :func:`global_rank` for callers
+    that need equal keys to SHARE a rank (the suffix-array prefix-
+    doubling levels, where the rank IS the 2^k-gram identity).
+
+    Correctness leans on RangePartitioner semantics: equal keys always
+    land in the same range partition, so the per-partition offset is
+    the count of DISTINCT keys in earlier partitions and local
+    ``dense_rank`` + offset is exactly the global dense rank.
+    """
+    had_pid = _PID in df.columns
+    ranged = pre_range(df, order_cols)
+    counts = (
+        ranged.groupBy(_PID)
+        .agg(F.count_distinct(*order_cols).alias("__sw_d"))
+        .orderBy(_PID)
+        .collect()
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in counts:
+        offsets[r[_PID]] = acc
+        acc += r["__sw_d"]
+    wlocal = Window.partitionBy(_PID).orderBy(*order_cols)
+    out = (
+        _attach_prefix(ranged, offsets, T.LongType(), "__sw_off")
+        .withColumn(
+            out_col,
+            (F.col("__sw_off") + F.dense_rank().over(wlocal)).cast("long"),
+        )
+        .drop("__sw_off")
+    )
+    return out if had_pid else out.drop(_PID)
+
+
 def running_max(
     df: DataFrame,
     order_cols: list[Column],

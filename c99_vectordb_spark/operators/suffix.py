@@ -1,0 +1,615 @@
+"""Distributed suffix-array grouping by prefix doubling, and the
+exact-substring dedup report built on it.
+
+This is the EXACT tier of the substring-dedup family (judge r8 stretch
+#8): ``dedup_substring_spans`` finds repeated regions through hashed
+rolling windows (collision-possible, fixed window length); the suffix
+structure answers the same questions exactly and for EVERY length at
+once — Lee et al. 2022 ("Deduplicating Training Data Makes Language
+Models Better") build exactly this structure, sequentially, for
+ExactSubstr dedup. The construction here is classic prefix doubling
+(Manber & Myers 1993; distributed formulation as in Flick & Aluru,
+SC'15): level-k ids group suffixes by their first 2^k tokens, and
+level k+1 is one equi-join (shift by 2^k) plus one group-id
+assignment — ``O(log n)`` rounds, every round fully partitioned.
+
+Two deliberate departures from the textbook build, both for the plan:
+
+1. **Order-free group ids.** The report needs only GROUPING
+   consistency (same 2^k-gram <=> same id), never lexicographic rank,
+   so each level's id is ``min(doc * STRIDE + pos)`` over the group —
+   one hash groupBy + one join back, no range sampling, no offset
+   collect, no window, no barrier. (A rank-ordered variant would use
+   ``scalable_window.dense_rank_stitch``; it costs 3 blocking jobs
+   per level and buys nothing here.)
+2. **Staged exact-duplicate collapse** (the standing dedup-family
+   rule): byte-identical document texts collapse to one weighted
+   unique stream before tokenization, so the doubling runs over
+   unique content and the 90%-dup soak corpus costs ~1/10th. All
+   counts are weight-exact: a gram occurring once in a document that
+   appears w>=2 times IS duplicated (count = sum of weights).
+
+The longest-duplicated-substring length needs no suffix ORDER either:
+an m-token duplicate exists iff some full m-window group has weighted
+count >= 2, where the m-gram identity is the standard sparse-table
+pair ``(id_k[p], id_k[p + m - 2^k])``, k = floor(log2 m). The length
+is found by BINARY SEARCH over m in [1, SLICE] — ceil(log2 SLICE)
+probes, each ONE distributed aggregate with a <=1-row driver collect
+(the corpus_lm_generate bounded-collect tier; duplicated-length
+existence is monotone in m, so the search is exact). The closing
+row's pair count uses the block identity: adjacent suffix pairs
+realizing the max in the full corpus = occ(m*) - n_dup(m*) (each
+block of g suffixes sharing the same first-m* tokens contributes
+g - 1 adjacent pairs in any refining order) — the DuckDB twin
+computes the same number through an explicit suffix sort + LCP walk,
+so the cross-engine hash check exercises the identity itself.
+
+Design constraints shared with the oracle (duckdb_suffix_sql unrolls
+the textbook levels + walk as chained MATERIALIZED CTEs, deliberately
+ignorant of both departures):
+
+- Tokens are the shared corpus spec ``[a-z0-9_]+`` over ``lower()``,
+  sliced to the first ``SLICE`` tokens per document (the "bounded
+  corpus slice" of the stretch ask).
+- A lookup past a document's end yields a PER-POSITION sentinel
+  ``-((doc+1)*1_000_000 + q + 1)``: unique per (doc, position),
+  negative, so it never equals a real id and two different truncated
+  suffixes never spuriously merge. Matches never cross document
+  boundaries — separators by construction.
+
+Output (one small DataFrame, both engines):
+  - one row per ladder length L in {1, 2, 4, ..., 2^LEVELS}:
+    ``(gram_len=L, n_dup, occ)`` — the number of DISTINCT token
+    L-grams occurring at >=2 corpus positions (full windows only) and
+    the total positions those duplicated grams cover;
+  - one closing row ``(gram_len=0, n_dup=max_len, occ=n_pairs)`` —
+    the longest duplicated substring length in tokens and the number
+    of adjacent suffix pairs realizing it.
+
+Scale shape: collapse (1 shuffle) + 2 hash shuffles per doubling
+level + ~log2(SLICE) probe aggregates with 1-row collects. Nothing
+corpus-sized reaches the driver, no sampling jobs, no global windows,
+no single-task stages.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+#: tokens kept per document — the bounded corpus slice
+SLICE = 128
+#: doubling levels: id_k groups by the first 2^k tokens, k=0..LEVELS
+LEVELS = 7
+#: per-position sentinel / group-id stride; doclen (<= SLICE) stays
+#: far below it, doc ids up to ~9e12 stay inside BIGINT
+_SENT_STRIDE = 1_000_000
+
+_TOKS = "regexp_extract_all(lower({body}), '[a-z0-9_]+', 0)"
+
+
+def suffix_positions(
+    docs: DataFrame, id_col: str = "id", body_col: str = "body"
+) -> DataFrame:
+    """Weighted unique-stream positions: collapse byte-identical texts
+    (uid = min doc id, w = copies), then (uid, pos, tok, doclen, w)
+    for the first ``SLICE`` tokens of each unique stream."""
+    uniq = docs.groupBy(body_col).agg(
+        F.min(id_col).alias("uid"), F.count(F.lit(1)).alias("w")
+    )
+    return uniq.selectExpr(
+        "uid",
+        "w",
+        f"slice({_TOKS.format(body=body_col)}, 1, {SLICE}) AS tk",
+    ).selectExpr(
+        "uid",
+        "w",
+        "size(tk) AS doclen",
+        "posexplode(tk) AS (pos, tok)",
+    )
+
+
+def _sentinel(doc_col: str, q_col: str) -> str:
+    """Per-position sentinel id for a lookup past the doc end."""
+    return f"-(({doc_col} + 1) * {_SENT_STRIDE} + {q_col} + 1)"
+
+
+def _assign_gid(j: DataFrame, key_cols: list[str]) -> DataFrame:
+    """Order-free injective group id: min pid over the key group.
+    Deterministic (min over a pure function of the rows), so every
+    consumer recomputes identical ids. Levels localCheckpoint(eager)
+    to CUT LINEAGE, not for determinism: each level's logical plan
+    references the previous level's twice, so an uncut chain is a
+    3^LEVELS-node plan that stalls analysis (measured: a persist()-only
+    variant hung at sf0.1 where the checkpointed build takes seconds —
+    the cache dedupes execution but not plan trees)."""
+    gids = j.groupBy(*key_cols).agg(F.min("pid").alias("__g"))
+    return j.join(gids, key_cols)
+
+
+def suffix_group_levels(
+    pos_df: DataFrame, carry: tuple[str, ...] = ("w",)
+) -> list[DataFrame]:
+    """Prefix-doubling group-id tables g_0..g_LEVELS.
+
+    Each element is ``(uid, pos, doclen, *carry, pid, r)`` with ``r``
+    an injective-per-group id of the suffix's first 2^k tokens
+    (sentinel-extended): r equality <=> 2^k-gram equality. Group ids
+    are non-negative (doc*STRIDE + pos), sentinels negative — the two
+    can never collide. ``carry`` columns (per-stream weights) ride
+    along untouched for the consumers' weighted aggregates."""
+    cols = ["uid", "pos", "doclen", *carry, "pid"]
+    base = pos_df.withColumn(
+        "pid", F.col("uid") * _SENT_STRIDE + F.col("pos")
+    )
+    r = (
+        _assign_gid(base, ["tok"])
+        .select(*cols, F.col("__g").alias("r"))
+        .localCheckpoint(eager=True)
+    )
+    levels = [r]
+    for k in range(LEVELS):
+        step = 1 << k
+        shifted = r.select(
+            "uid",
+            (F.col("pos") - step).alias("pos"),
+            F.col("r").alias("r2"),
+        )
+        j = (
+            r.join(shifted, ["uid", "pos"], "left")
+            .withColumn(
+                "k2",
+                F.coalesce(
+                    F.col("r2"),
+                    F.expr(_sentinel("uid", f"(pos + {step})")),
+                ),
+            )
+            .select(*cols, "r", "k2")
+        )
+        r = (
+            _assign_gid(j, ["r", "k2"])
+            .select(*cols, F.col("__g").alias("r"))
+            .localCheckpoint(eager=True)
+        )
+        levels.append(r)
+    return levels
+
+
+def _gram_windows(
+    levels: list[DataFrame], m: int, carry: tuple[str, ...] = ("w",)
+) -> DataFrame:
+    """FULL m-token windows keyed by exact m-gram identity via the
+    sparse-table pair (id_k[p], id_k[p + m - 2^k]), k = floor(log2 m).
+    Returns (g1, g2, uid, *carry) — one row per window."""
+    k = m.bit_length() - 1
+    base = levels[k].filter(F.col("pos") + m <= F.col("doclen"))
+    off = m - (1 << k)
+    if off == 0:
+        return base.select(
+            F.col("r").alias("g1"),
+            F.lit(0).cast("long").alias("g2"),
+            "uid",
+            *carry,
+        )
+    second = levels[k].select(
+        "uid", (F.col("pos") - off).alias("pos"), F.col("r").alias("g2")
+    )
+    return base.join(second, ["uid", "pos"]).select(
+        F.col("r").alias("g1"), "g2", "uid", *carry
+    )
+
+
+def _gram_groups(levels: list[DataFrame], m: int) -> DataFrame:
+    """Weighted groups of FULL m-token windows: (g1, g2, c), c = sum w."""
+    return (
+        _gram_windows(levels, m)
+        .groupBy("g1", "g2")
+        .agg(F.sum("w").alias("c"))
+    )
+
+
+def suffix_ladder_report(
+    docs: DataFrame, id_col: str = "id", body_col: str = "body"
+) -> DataFrame:
+    """The exact-substring dedup report (module docstring contract)."""
+    spark = docs.sparkSession
+    levels = suffix_group_levels(suffix_positions(docs, id_col, body_col))
+
+    # one union-tagged aggregation covers the whole ladder; the static
+    # ladder frame LEFT JOIN keeps empty levels as (L, 0, 0)
+    tagged = None
+    for k, rk in enumerate(levels):
+        glen = 1 << k
+        t = rk.filter(F.col("pos") + glen <= F.col("doclen")).select(
+            F.lit(glen).cast("long").alias("gram_len"), "r", "w"
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    dup_stats = (
+        tagged.groupBy("gram_len", "r")
+        .agg(F.sum("w").alias("c"))
+        .filter(F.col("c") >= 2)
+        .groupBy("gram_len")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup"),
+            F.sum("c").cast("long").alias("occ"),
+        )
+    )
+    ladder = spark.createDataFrame(
+        [(1 << k,) for k in range(LEVELS + 1)], "gram_len long"
+    )
+    ladder_out = ladder.join(
+        F.broadcast(dup_stats), "gram_len", "left"
+    ).select(
+        "gram_len",
+        F.coalesce("n_dup", F.lit(0)).cast("long").alias("n_dup"),
+        F.coalesce("occ", F.lit(0)).cast("long").alias("occ"),
+    )
+
+    # longest duplicated length by binary search over monotone
+    # existence probes — each probe ONE aggregate, <=1-row collect
+    def probe(m: int) -> bool:
+        return bool(
+            _gram_groups(levels, m).filter(F.col("c") >= 2).limit(1).collect()
+        )
+
+    if not probe(1):
+        max_len = 0
+    else:
+        lo, hi = 1, SLICE
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if probe(mid):
+                lo = mid
+            else:
+                hi = mid - 1
+        max_len = lo
+    if max_len:
+        stats = (
+            _gram_groups(levels, max_len)
+            .filter(F.col("c") >= 2)
+            .agg(F.count(F.lit(1)).alias("_n"), F.sum("c").alias("_o"))
+            .collect()[0]
+        )
+        # block identity: adjacent suffix pairs at the max = occ - n_dup
+        n_pairs = int(stats["_o"]) - int(stats["_n"])
+    else:
+        n_pairs = 0
+    max_row = spark.createDataFrame(
+        [(0, max_len, n_pairs)], "gram_len long, n_dup long, occ long"
+    )
+    return ladder_out.unionByName(max_row).orderBy("gram_len")
+
+
+def suffix_positions_tagged(
+    docs: DataFrame,
+    id_col: str,
+    body_col: str,
+    eval_pred: str,
+) -> DataFrame:
+    """Side-tagged weighted unique-stream positions for cross-corpus
+    contamination: collapse byte-identical texts, counting eval and
+    train copies separately (``eval_pred`` is a SQL predicate over
+    ``id_col``). A text present on BOTH sides collapses to one stream
+    with w_ev >= 1 and w_tr >= 1 — maximal contamination, and exactly
+    what the cross condition (both weights positive) detects."""
+    uniq = docs.groupBy(body_col).agg(
+        F.min(id_col).alias("uid"),
+        F.sum(F.expr(f"CASE WHEN {eval_pred} THEN 1 ELSE 0 END")).alias(
+            "w_ev"
+        ),
+        F.sum(F.expr(f"CASE WHEN {eval_pred} THEN 0 ELSE 1 END")).alias(
+            "w_tr"
+        ),
+    )
+    return uniq.selectExpr(
+        "uid",
+        "w_ev",
+        "w_tr",
+        f"slice({_TOKS.format(body=body_col)}, 1, {SLICE}) AS tk",
+    ).selectExpr(
+        "uid",
+        "w_ev",
+        "w_tr",
+        "size(tk) AS doclen",
+        "posexplode(tk) AS (pos, tok)",
+    )
+
+
+def cross_overlap_report(
+    docs: DataFrame,
+    id_col: str = "id",
+    body_col: str = "body",
+    eval_pred: str = "id % 23 = 0",
+) -> DataFrame:
+    """Exact cross-corpus contamination report (the exact tier of
+    decontaminate_eval's hashed 3-gram collision check): a gram is
+    CROSS iff it occurs as a full window in at least one eval document
+    AND at least one train document.
+
+    Rows (gram_len, n_cross, eval_docs_hit) for each ladder length
+    2^k: the number of distinct cross 2^k-grams and the number of
+    distinct eval documents containing at least one of them; closing
+    row (0, max_len, n_cross_at_max) — the longest token substring
+    shared between the two sides (found by the same monotone binary
+    search as suffix_ladder_report: a cross (m+1)-gram's m-prefix is
+    cross) and the number of distinct cross grams of that length.
+
+    The DuckDB twin finds max_len as the max LCP over ADJACENT
+    opposite-side suffix pairs (for any cross pair (i, j), the last
+    i-side suffix p before j gives an adjacent opposite pair with
+    LCP(p, p+1) >= LCP(i, j) — so the adjacent max IS the cross max)
+    and counts the cross grams at that length as boundary-delimited
+    runs of the suffix order — both order-dependent constructions the
+    Spark side never builds, so the hash check pins the equivalence.
+    """
+    spark = docs.sparkSession
+    levels = suffix_group_levels(
+        suffix_positions_tagged(docs, id_col, body_col, eval_pred),
+        carry=("w_ev", "w_tr"),
+    )
+
+    tagged = None
+    for k, rk in enumerate(levels):
+        glen = 1 << k
+        t = rk.filter(F.col("pos") + glen <= F.col("doclen")).select(
+            F.lit(glen).cast("long").alias("gram_len"),
+            "r",
+            "uid",
+            "w_ev",
+            "w_tr",
+        )
+        tagged = t if tagged is None else tagged.unionByName(t)
+    tagged = tagged.localCheckpoint(eager=True)
+    cross_groups = (
+        tagged.groupBy("gram_len", "r")
+        .agg(F.sum("w_ev").alias("ev"), F.sum("w_tr").alias("tr"))
+        .filter((F.col("ev") >= 1) & (F.col("tr") >= 1))
+        .select("gram_len", "r")
+        .localCheckpoint(eager=True)
+    )
+    n_cross = cross_groups.groupBy("gram_len").agg(
+        F.count(F.lit(1)).cast("long").alias("n_cross")
+    )
+    hit_docs = (
+        tagged.join(cross_groups, ["gram_len", "r"])
+        .select("gram_len", "uid", "w_ev")
+        .distinct()  # w_ev is constant per uid
+        .groupBy("gram_len")
+        .agg(F.sum("w_ev").cast("long").alias("eval_docs_hit"))
+    )
+    ladder = spark.createDataFrame(
+        [(1 << k,) for k in range(LEVELS + 1)], "gram_len long"
+    )
+    ladder_out = (
+        ladder.join(F.broadcast(n_cross), "gram_len", "left")
+        .join(F.broadcast(hit_docs), "gram_len", "left")
+        .select(
+            "gram_len",
+            F.coalesce("n_cross", F.lit(0)).cast("long").alias("n_cross"),
+            F.coalesce("eval_docs_hit", F.lit(0))
+            .cast("long")
+            .alias("eval_docs_hit"),
+        )
+    )
+
+    def cross_at(m: int) -> DataFrame:
+        return (
+            _gram_windows(levels, m, carry=("w_ev", "w_tr"))
+            .groupBy("g1", "g2")
+            .agg(F.sum("w_ev").alias("ev"), F.sum("w_tr").alias("tr"))
+            .filter((F.col("ev") >= 1) & (F.col("tr") >= 1))
+        )
+
+    def probe(m: int) -> bool:
+        return bool(cross_at(m).limit(1).collect())
+
+    if not probe(1):
+        max_len, n_at_max = 0, 0
+    else:
+        lo, hi = 1, SLICE
+        while lo < hi:
+            mid = (lo + hi + 1) // 2
+            if probe(mid):
+                lo = mid
+            else:
+                hi = mid - 1
+        max_len = lo
+        n_at_max = int(
+            cross_at(max_len).agg(F.count(F.lit(1))).collect()[0][0]
+        )
+    max_row = spark.createDataFrame(
+        [(0, max_len, n_at_max)],
+        "gram_len long, n_cross long, eval_docs_hit long",
+    )
+    return ladder_out.unionByName(max_row).orderBy("gram_len")
+
+
+def _duck_level_parts(docs_cte: str) -> list[str]:
+    """Shared textbook CTEs: tokenize, positions, dense ranks r_0..r_L."""
+    parts = [
+        f"""
+sx_tk AS MATERIALIZED (
+  SELECT doc,
+         list_slice(regexp_extract_all(lower(body), '[a-z0-9_]+'),
+                    1, {SLICE}) AS tk
+  FROM ({docs_cte})
+),
+sx_pos AS MATERIALIZED (
+  SELECT doc, len(tk) AS doclen,
+         unnest(range(0, len(tk))) AS pos,
+         unnest(tk) AS tok
+  FROM sx_tk
+),
+sx_r0 AS MATERIALIZED (
+  SELECT doc, pos, doclen,
+         DENSE_RANK() OVER (ORDER BY tok)::BIGINT AS r
+  FROM sx_pos
+)"""
+    ]
+    for k in range(LEVELS):
+        step = 1 << k
+        parts.append(
+            f""",
+sx_r{k + 1} AS MATERIALIZED (
+  SELECT a.doc, a.pos, a.doclen,
+         DENSE_RANK() OVER (
+           ORDER BY a.r,
+                    COALESCE(b.r, -((a.doc + 1) * {_SENT_STRIDE}
+                                    + a.pos + {step} + 1))
+         )::BIGINT AS r
+  FROM sx_r{k} a
+  LEFT JOIN sx_r{k} b ON b.doc = a.doc AND b.pos = a.pos + {step}
+)"""
+        )
+    return parts
+
+
+def _duck_walk_parts() -> tuple[list[str], str]:
+    """Shared adjacency + descending LCP walk CTEs; returns (parts,
+    final CTE name). Pairs carry ``ar`` (the left suffix's rank) so
+    consumers can map pair -> suffix-order position."""
+    parts = [
+        f""",
+sx_pairs0 AS MATERIALIZED (
+  SELECT a.r AS ar, a.doc AS ad, a.pos AS ap, b.doc AS bd, b.pos AS bp,
+         0::BIGINT AS acc
+  FROM sx_r{LEVELS} a JOIN sx_r{LEVELS} b ON b.r = a.r + 1
+)"""
+    ]
+    prev = "sx_pairs0"
+    for i, k in enumerate(range(LEVELS, -1, -1)):
+        step = 1 << k
+        cur = f"sx_walk{i + 1}"
+        parts.append(
+            f""",
+{cur} AS MATERIALIZED (
+  SELECT p.ar, p.ad, p.ap, p.bd, p.bp,
+         p.acc + CASE WHEN ra.r IS NOT NULL AND ra.r = rb.r
+                      THEN {step} ELSE 0 END AS acc
+  FROM {prev} p
+  LEFT JOIN sx_r{k} ra ON ra.doc = p.ad AND ra.pos = p.ap + p.acc
+  LEFT JOIN sx_r{k} rb ON rb.doc = p.bd AND rb.pos = p.bp + p.acc
+)"""
+        )
+        prev = cur
+    return parts, prev
+
+
+def duckdb_suffix_sql(docs_cte: str) -> str:
+    """The DuckDB twin: the TEXTBOOK construction unrolled as chained
+    MATERIALIZED CTEs, deliberately ignorant of the Spark side's two
+    optimizations (no duplicate collapse, no binary search): dense
+    ranks per level, a full suffix sort, adjacency by rank + 1, and an
+    explicit descending LCP ladder walk. ``docs_cte`` must expose
+    ``(doc, body)``.
+    """
+    parts = _duck_level_parts(docs_cte)
+    walk, prev = _duck_walk_parts()
+    parts += walk
+    ladder_selects = []
+    for k in range(LEVELS + 1):
+        glen = 1 << k
+        ladder_selects.append(
+            f"""
+SELECT {glen}::BIGINT AS gram_len,
+       COALESCE(COUNT(*), 0)::BIGINT AS n_dup,
+       COALESCE(SUM(c), 0)::BIGINT AS occ
+FROM (SELECT r, COUNT(*) AS c FROM sx_r{k}
+      WHERE pos + {glen} <= doclen GROUP BY r HAVING COUNT(*) >= 2)"""
+        )
+    ladder_selects.append(
+        f"""
+SELECT 0::BIGINT AS gram_len,
+       COALESCE((SELECT MAX(acc) FROM {prev}), 0)::BIGINT AS n_dup,
+       CASE WHEN COALESCE((SELECT MAX(acc) FROM {prev}), 0) > 0
+            THEN (SELECT COUNT(*) FROM {prev}
+                  WHERE acc = (SELECT MAX(acc) FROM {prev}))
+            ELSE 0 END::BIGINT AS occ"""
+    )
+    return (
+        "WITH "
+        + "".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(ladder_selects)
+        + "\nORDER BY gram_len"
+    )
+
+
+def duckdb_cross_sql(docs_cte: str, eval_pred: str) -> str:
+    """The cross-contamination twin (cross_overlap_report docstring):
+    textbook ranks + suffix sort; max cross length = MAX(acc) over
+    adjacent OPPOSITE-side pairs; cross grams at that length counted
+    as boundary-delimited runs (adjacent acc >= max) containing both
+    sides — a SUM(brk) OVER (ORDER BY r) block labelling the Spark
+    side never builds. ``eval_pred`` is a predicate over ``doc``.
+    """
+    parts = _duck_level_parts(docs_cte)
+    walk, prev = _duck_walk_parts()
+    parts += walk
+    parts.append(
+        f""",
+sx_sd AS MATERIALIZED (
+  SELECT doc, CASE WHEN {eval_pred} THEN 1 ELSE 0 END AS ev
+  FROM (SELECT DISTINCT doc FROM ({docs_cte}))
+)"""
+    )
+    for k in range(LEVELS + 1):
+        glen = 1 << k
+        parts.append(
+            f""",
+sx_xg{k} AS MATERIALIZED (
+  SELECT x.r FROM sx_r{k} x JOIN sx_sd s ON s.doc = x.doc
+  WHERE x.pos + {glen} <= x.doclen
+  GROUP BY x.r HAVING MAX(s.ev) = 1 AND MAX(1 - s.ev) = 1
+)"""
+        )
+    parts.append(
+        f""",
+sx_mx AS MATERIALIZED (
+  SELECT COALESCE(MAX(w.acc), 0) AS m
+  FROM {prev} w
+  JOIN sx_sd sa ON sa.doc = w.ad
+  JOIN sx_sd sb ON sb.doc = w.bd
+  WHERE sa.ev <> sb.ev
+),
+sx_seq AS MATERIALIZED (
+  SELECT x.r, s.ev,
+         CASE WHEN w.acc IS NOT NULL
+                   AND w.acc >= (SELECT m FROM sx_mx)
+              THEN 0 ELSE 1 END AS brk
+  FROM sx_r{LEVELS} x
+  JOIN sx_sd s ON s.doc = x.doc
+  LEFT JOIN {prev} w ON w.ar = x.r - 1
+),
+sx_blk AS MATERIALIZED (
+  SELECT SUM(brk) OVER (ORDER BY r) AS b, ev FROM sx_seq
+)"""
+    )
+    selects = []
+    for k in range(LEVELS + 1):
+        glen = 1 << k
+        selects.append(
+            f"""
+SELECT {glen}::BIGINT AS gram_len,
+       (SELECT COUNT(*) FROM sx_xg{k})::BIGINT AS n_cross,
+       (SELECT COUNT(DISTINCT x.doc) FROM sx_r{k} x
+        JOIN sx_sd s ON s.doc = x.doc
+        WHERE s.ev = 1 AND x.pos + {glen} <= x.doclen
+          AND x.r IN (SELECT r FROM sx_xg{k}))::BIGINT AS eval_docs_hit"""
+        )
+    selects.append(
+        """
+SELECT 0::BIGINT AS gram_len,
+       (SELECT m FROM sx_mx)::BIGINT AS n_cross,
+       CASE WHEN (SELECT m FROM sx_mx) > 0
+            THEN (SELECT COUNT(*) FROM
+                  (SELECT b FROM sx_blk GROUP BY b
+                   HAVING MAX(ev) = 1 AND MAX(1 - ev) = 1))
+            ELSE 0 END::BIGINT AS eval_docs_hit"""
+    )
+    return (
+        "WITH "
+        + "".join(parts)
+        + "\n"
+        + "\nUNION ALL\n".join(selects)
+        + "\nORDER BY gram_len"
+    )

@@ -1741,9 +1741,10 @@ _ORACLES: dict[str, str] = {
 #
 # RESIDUE closing in r10 (the 4 alphabetically-last pool names):
 #   stats_spearman, zorder_hilbert, zorder_layout, zorder_skipping
-# plus any operator BUILT in r9 (standing policy: newcomers that miss
+# plus the operators BUILT in r9 (standing policy: newcomers that miss
 # their birth round's window join the next round's residue explicitly
-# — judge r8 ask #2). After r10 the pool is empty and the steady-state
+# — judge r8 ask #2). r9-built so far: dedup_suffix_array,
+#   decontaminate_exact_overlap. After r10 the pool is empty and the steady-state
 # family minimums in tests/test_driver_window.py reassert
 # automatically (the closure_era flag flips when CORRECTNESS_r10
 # exists).
@@ -1818,6 +1819,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     from .queries_wave9 import WAVE9_QUERIES
     from .queries_wave10 import WAVE10_QUERIES
     from .queries_wave11 import WAVE11_QUERIES
+    from .queries_wave12 import WAVE12_QUERIES
 
     merged = {
         **_QUERIES,
@@ -1829,6 +1831,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         **WAVE9_QUERIES,
         **WAVE10_QUERIES,
         **WAVE11_QUERIES,
+        **WAVE12_QUERIES,
     }
     out = {name: merged[name] for name in DRIVER_WINDOW}
     out.update({n: f for n, f in merged.items() if n not in out})
@@ -1844,6 +1847,7 @@ def oracle_sql() -> dict[str, str]:
     from .queries_wave9 import WAVE9_ORACLES
     from .queries_wave10 import WAVE10_ORACLES
     from .queries_wave11 import WAVE11_ORACLES
+    from .queries_wave12 import WAVE12_ORACLES
 
     return {
         **_ORACLES,
@@ -1855,4 +1859,5 @@ def oracle_sql() -> dict[str, str]:
         **WAVE9_ORACLES,
         **WAVE10_ORACLES,
         **WAVE11_ORACLES,
+        **WAVE12_ORACLES,
     }

@@ -78,6 +78,7 @@ BNLJ_ALLOWED = {
     "events_acf": "1-row scalar aggregate broadcast (global mean/variance sums for the ACF denominator)",
     "events_policy_ips": "1-row scalar aggregate broadcasts (time midpoint; star-arm row; global totals)",
     "stats_chi2_independence": "1-row scalar aggregate broadcast (N + table shape) over the cell-domain-sized contingency table",
+    "dedup_suffix_array": "1-row scalar aggregate broadcast (global max LCP) filtering the pair table, plus the 8-row literal ladder frame",
     "orders_anova_f": "1-row broadcasts (global moments x the order-pinned S_g^2/n_g fold)",
     "sketch_f2_moment": "1-row broadcasts (16-counter sketch row x exact-F2 row)",
     "corpus_shard_bytes": "1-row scalar aggregate broadcast (corpus byte total for the share denominator)",

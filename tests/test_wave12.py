@@ -1,0 +1,266 @@
+"""Suffix-array exact-substring tier (wave 12)."""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+
+def _py_report(texts: list[str], slice_cap: int = 128, levels: int = 7):
+    """Independent pure-Python replay of the suffix-ladder report:
+    dict-of-tuples gram counting and a direct max-duplicated-length
+    scan — shares NOTHING with the doubling construction. The closing
+    row's pair count uses the block identity: adjacent suffix pairs
+    realizing the max LCP m = occ(m) - n_dup(m) over full m-windows
+    (each block of g suffixes sharing the same first-m tokens
+    contributes g-1 adjacent pairs, in any refining order)."""
+    docs = [re.findall(r"[a-z0-9_]+", (t or "").lower())[:slice_cap] for t in texts]
+
+    def gram_stats(m: int) -> tuple[int, int]:
+        counts: dict[tuple, int] = {}
+        for tk in docs:
+            for p in range(len(tk) - m + 1):
+                g = tuple(tk[p : p + m])
+                counts[g] = counts.get(g, 0) + 1
+        dup = {g: c for g, c in counts.items() if c >= 2}
+        return len(dup), sum(dup.values())
+
+    rows = {}
+    for k in range(levels + 1):
+        rows[1 << k] = gram_stats(1 << k)
+    max_m = 0
+    for m in range(max((len(d) for d in docs), default=0), 0, -1):
+        if gram_stats(m)[0] > 0:
+            max_m = m
+            break
+    if max_m:
+        n_dup, occ = gram_stats(max_m)
+        rows[0] = (max_m, occ - n_dup)
+    else:
+        rows[0] = (0, 0)
+    return rows
+
+
+def test_suffix_ladder_python_replay(spark):
+    from c99_vectordb_spark.queries_wave12 import q_dedup_suffix_array
+
+    sfd = "/root/testdata/sf0.001"
+    got = {
+        r["gram_len"]: (r["n_dup"], r["occ"])
+        for r in q_dedup_suffix_array(spark, sfd).collect()
+    }
+    texts = pd.read_parquet(f"{sfd}/documents.parquet")["text"].tolist()
+    expect = _py_report(texts)
+    assert got == expect
+    # the corpus must actually exercise the structure
+    assert got[0][0] > 8, "max duplicated substring suspiciously short"
+    assert got[1][1] > 0
+
+
+def test_suffix_ladder_fixture(spark):
+    """Hand-checkable corpus: 'a b c d a b c' + 'x a b c y' + a
+    byte-identical duplicate of doc 0."""
+    from c99_vectordb_spark.operators.suffix import suffix_ladder_report
+
+    docs = spark.createDataFrame(
+        [
+            (0, "a b c d a b c"),
+            (1, "x a b c y"),
+            (2, "a b c d a b c"),
+        ],
+        "id long, body string",
+    )
+    got = {
+        r["gram_len"]: (r["n_dup"], r["occ"])
+        for r in suffix_ladder_report(docs).collect()
+    }
+    texts = ["a b c d a b c", "x a b c y", "a b c d a b c"]
+    assert got == _py_report(texts)
+    # spot-check the numbers by hand: the 7-token doc occurs twice ->
+    # max duplicated length 7, realized by the one pair of doc copies
+    assert got[0] == (7, 1)
+    # duplicated unigrams: a (5x), b (5x), c (5x), d (2x), x/y unique
+    assert got[1] == (4, 17)
+    # duplicated 4-grams: 'a b c d' x2, 'b c d a' x2, 'c d a b' x2,
+    # 'd a b c' x2 (doc copies only; doc1's 'x a b c y' has no dup 4g)
+    assert got[4] == (4, 8)
+
+
+def test_suffix_ladder_degenerate(spark):
+    from c99_vectordb_spark.operators.suffix import LEVELS, suffix_ladder_report
+
+    empty = spark.createDataFrame([], "id long, body string")
+    rows = suffix_ladder_report(empty).collect()
+    assert len(rows) == LEVELS + 2
+    assert all(r["n_dup"] == 0 and r["occ"] == 0 for r in rows)
+
+    one = spark.createDataFrame([(7, "lonely")], "id long, body string")
+    got = {
+        r["gram_len"]: (r["n_dup"], r["occ"])
+        for r in suffix_ladder_report(one).collect()
+    }
+    assert got[0] == (0, 0) and got[1] == (0, 0)
+
+    blank = spark.createDataFrame([(1, ""), (2, None)], "id long, body string")
+    rows = suffix_ladder_report(blank).collect()
+    assert all(r["n_dup"] == 0 and r["occ"] == 0 for r in rows)
+
+    # two one-token docs sharing the token: max dup length 1, one pair
+    pair = spark.createDataFrame(
+        [(1, "same"), (2, "same")], "id long, body string"
+    )
+    got = {
+        r["gram_len"]: (r["n_dup"], r["occ"])
+        for r in suffix_ladder_report(pair).collect()
+    }
+    assert got[0] == (1, 1) and got[1] == (1, 2)
+
+
+def test_dense_rank_stitch_matches_global(spark):
+    """The stitched dense rank must equal the single-window dense rank
+    on every key, including heavy ties across range boundaries."""
+    from pyspark.sql import Window
+
+    from c99_vectordb_spark.operators.scalable_window import dense_rank_stitch
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 37).alias("k"), (F.col("id") % 11).alias("k2"), "id"
+    )
+    got = dense_rank_stitch(df, [F.col("k"), F.col("k2")], "dr")
+    ref = df.withColumn(
+        "dr_ref", F.dense_rank().over(Window.orderBy("k", "k2"))
+    )
+    joined = got.join(ref, ["k", "k2", "id"])
+    assert joined.filter(F.col("dr") != F.col("dr_ref")).count() == 0
+    assert got.select(F.max("dr")).first()[0] == 37 * 11
+
+
+def test_suffix_no_global_window(spark):
+    """The whole report must run without an unpartitioned global
+    window — the stitched construction exists to avoid exactly that.
+    Reuses the plan-guard suite's textual detector (the registry sweep
+    covers the real query; this pins the operator on arbitrary input)."""
+    from test_plan_guard import _global_windows
+
+    from c99_vectordb_spark.operators.suffix import suffix_ladder_report
+
+    docs = spark.createDataFrame(
+        [(i, f"tok{i % 5} common body text {i % 3}") for i in range(50)],
+        "id long, body string",
+    )
+    plan = (
+        suffix_ladder_report(docs)._jdf.queryExecution().executedPlan().toString()
+    )
+    gw = _global_windows(plan)
+    assert not gw, f"unpartitioned global window over {gw}"
+
+
+def _py_cross_report(
+    ids: list[int], texts: list[str], mod: int = 23,
+    slice_cap: int = 128, levels: int = 7,
+):
+    """Independent replay of cross_overlap_report: set algebra over
+    token-tuple grams, nothing shared with the doubling construction."""
+    docs = [
+        (i, re.findall(r"[a-z0-9_]+", (t or "").lower())[:slice_cap])
+        for i, t in zip(ids, texts)
+    ]
+
+    def stats(m: int):
+        ev_grams: set = set()
+        tr_grams: set = set()
+        where: dict = {}
+        for i, tk in docs:
+            for p in range(len(tk) - m + 1):
+                g = tuple(tk[p : p + m])
+                (ev_grams if i % mod == 0 else tr_grams).add(g)
+                where.setdefault(g, set()).add(i)
+        cross = ev_grams & tr_grams
+        hit = {
+            i for g in cross for i in where[g] if i % mod == 0
+        }
+        return len(cross), len(hit)
+
+    rows = {}
+    for k in range(levels + 1):
+        rows[1 << k] = stats(1 << k)
+    max_m, n_at = 0, 0
+    for m in range(max((len(tk) for _i, tk in docs), default=0), 0, -1):
+        n, _h = stats(m)
+        if n:
+            max_m, n_at = m, n
+            break
+    rows[0] = (max_m, n_at)
+    return rows
+
+
+def test_cross_overlap_python_replay(spark):
+    from c99_vectordb_spark.queries_wave12 import q_decontaminate_exact_overlap
+
+    sfd = "/root/testdata/sf0.001"
+    got = {
+        r["gram_len"]: (r["n_cross"], r["eval_docs_hit"])
+        for r in q_decontaminate_exact_overlap(spark, sfd).collect()
+    }
+    pdf = pd.read_parquet(f"{sfd}/documents.parquet")
+    expect = _py_cross_report(
+        pdf["doc_id"].astype(int).tolist(), pdf["text"].tolist()
+    )
+    assert got == expect
+    assert got[0][0] > 4, "cross contamination suspiciously shallow"
+    assert got[1][1] > 0
+
+
+def test_cross_overlap_fixture(spark):
+    """Hand-checkable: eval doc 0 shares 'b c d' with train doc 1;
+    eval doc 23 is a byte-identical copy of train doc 2 (5 tokens) —
+    the deepest contamination, so max = 5."""
+    from c99_vectordb_spark.operators.suffix import cross_overlap_report
+
+    rows = [
+        (0, "a b c d"),          # eval
+        (23, "p q r s t"),       # eval, identical to train doc 2
+        (1, "x b c d y"),        # train
+        (2, "p q r s t"),        # train
+        (3, "unrelated words"),  # train
+    ]
+    docs = spark.createDataFrame(rows, "id long, body string")
+    got = {
+        r["gram_len"]: (r["n_cross"], r["eval_docs_hit"])
+        for r in cross_overlap_report(docs, eval_pred="id % 23 = 0").collect()
+    }
+    expect = _py_cross_report([i for i, _ in rows], [t for _, t in rows])
+    assert got == expect
+    assert got[0] == (5, 1)       # 'p q r s t'
+    assert got[4] == (2, 1)       # 'p q r s' and 'q r s t', eval doc 23
+    assert got[2] == (6, 2)       # b c, c d, p q, q r, r s, s t
+    assert got[1] == (8, 2)       # b c d p q r s t
+
+
+def test_cross_overlap_degenerate(spark):
+    from c99_vectordb_spark.operators.suffix import (
+        LEVELS,
+        cross_overlap_report,
+    )
+
+    empty = spark.createDataFrame([], "id long, body string")
+    rows = cross_overlap_report(empty, eval_pred="id % 23 = 0").collect()
+    assert len(rows) == LEVELS + 2
+    assert all(r["n_cross"] == 0 and r["eval_docs_hit"] == 0 for r in rows)
+
+    # eval-only corpus: nothing to cross with
+    ev_only = spark.createDataFrame(
+        [(0, "same text here"), (23, "same text here")], "id long, body string"
+    )
+    rows = cross_overlap_report(ev_only, eval_pred="id % 23 = 0").collect()
+    assert all(r["n_cross"] == 0 and r["eval_docs_hit"] == 0 for r in rows)
+
+    # disjoint vocabularies: zero cross at every length
+    disj = spark.createDataFrame(
+        [(0, "alpha beta"), (1, "gamma delta")], "id long, body string"
+    )
+    rows = cross_overlap_report(disj, eval_pred="id % 23 = 0").collect()
+    assert all(r["n_cross"] == 0 and r["eval_docs_hit"] == 0 for r in rows)
