@@ -846,3 +846,69 @@ def streaming_journey_masks(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+CONTAM_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("id", T.LongType(), False),
+        T.StructField("hits", T.LongType(), False),
+    ]
+)
+
+CONTAM_STATE_SCHEMA = T.StructType(
+    [T.StructField("seen", T.BooleanType(), False)]
+)
+
+
+def streaming_contamination_gate(
+    hit_rows: DataFrame,
+) -> DataFrame:
+    """Ingest-time benchmark-decontamination gate — stream==batch pair
+    #17, the streaming front end of ``corpus.contamination_hits``
+    (decontaminate_eval's probe): incoming training documents are
+    checked against the STANDING eval n-gram index and each
+    contaminated document's (id, hits) verdict is emitted EXACTLY
+    ONCE, however many times the document re-arrives (re-crawls).
+
+    ``hit_rows`` must be the stream-static INNER join of the incoming
+    docs' per-doc-distinct shingles against the eval index's distinct
+    shingle set — i.e. one row per (id, sh) collision:
+
+        shingles(stream_docs, "id", "body").join(eval_shs, "sh")
+
+    The caller does the join (Structured Streaming plans stream-static
+    joins natively; the eval side is a benchmark suite, broadcast-
+    sized); this operator owns only the per-doc state. A document's
+    collision rows all ride the micro-batch that carried the document,
+    so the first batch that touches a doc id sees its complete hit
+    set: hits = row count (shingles are per-doc distinct and the eval
+    side is distinct, so rows are unique per (id, sh)). Rows are
+    order-free, so Arrow chunk boundaries only need accumulation,
+    never a sort (contrast streaming_journey_masks). State per doc id
+    is one boolean forever; clean docs never enter the operator at
+    all (inner join), matching the batch probe's contaminated-only
+    output."""
+
+    def gate_fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            return
+        hits = 0
+        for pdf in pdfs:
+            hits += int(len(pdf))
+        if hits:
+            state.update((True,))
+            yield pd.DataFrame(
+                [[int(key[0]), hits]], columns=["id", "hits"]
+            )
+
+    return hit_rows.groupBy("id").applyInPandasWithState(
+        gate_fn,
+        outputStructType=CONTAM_OUTPUT_SCHEMA,
+        stateStructType=CONTAM_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

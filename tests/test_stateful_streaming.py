@@ -1024,3 +1024,74 @@ def test_streaming_journey_masks_multi_chunk_groups(spark, sf_dir, tmp_path):
     )
     assert got == expect
     assert sum(got.values()) > 100
+
+
+def test_streaming_contamination_gate_matches_batch(spark, sf_dir, tmp_path):
+    """Stream==batch pair #17: ingest-time decontamination. Training
+    docs replayed across three micro-batches (with one batch
+    RE-DELIVERING docs a prior batch already carried — the re-crawl
+    case) probe the standing eval shingle index; the emitted (id,
+    hits) set must equal batch contamination_hits exactly, each doc
+    at most once despite the duplicate delivery."""
+    import os
+    import time as _t
+
+    from c99_vectordb_spark.operators.corpus import contamination_hits
+    from c99_vectordb_spark.operators.dedup import shingles
+    from c99_vectordb_spark.streaming.stateful import (
+        streaming_contamination_gate,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").alias("id"), F.col("text").alias("body"))
+    )
+    ev_docs = docs.filter(F.col("id") % 23 == 0)
+    tr_docs = docs.filter(F.col("id") % 23 != 0)
+    batch = {
+        (r["id"], r["hits"])
+        for r in contamination_hits(tr_docs, ev_docs).collect()
+    }
+    assert batch, "fixture must contain contaminated training docs"
+
+    ev_shs = shingles(ev_docs, "id", "body").select("sh").distinct()
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    parts = tr_docs.randomSplit([0.4, 0.35, 0.25], seed=7)
+    # batch 2 re-delivers a slice of batch 0's docs: exactly-once must hold
+    redeliver = parts[0].limit(40)
+    parts[2] = parts[2].unionByName(redeliver)
+    now = _t.time()
+    for i, part in enumerate(parts):
+        d = os.path.join(src, f"b{i}.parquet")
+        part.coalesce(1).write.parquet(d)
+        ts = now - 60 * (len(parts) - i)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+        os.utime(d, (ts, ts))
+
+    stream = (
+        spark.readStream.schema("id LONG, body STRING")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    hit_rows = shingles(stream, "id", "body").join(ev_shs, "sh")
+    q = (
+        streaming_contamination_gate(hit_rows)
+        .writeStream.format("memory")
+        .queryName("contam_out")
+        .outputMode("append")
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+    got_rows = spark.sql("SELECT * FROM contam_out").collect()
+    got = {(r["id"], r["hits"]) for r in got_rows}
+    assert got == batch
+    # exactly-once: no id appears twice even though 40 docs re-arrived
+    ids = [r["id"] for r in got_rows]
+    assert len(ids) == len(set(ids))
