@@ -250,6 +250,7 @@ HEADLINE = [
     # round-9 wave
     "dedup_suffix_array",
     "decontaminate_exact_overlap",
+    "decontaminate_span_scrub",
 ]
 
 

@@ -55,7 +55,9 @@ ignorant of both departures):
   ``-((doc+1)*1_000_000 + q + 1)``: unique per (doc, position),
   negative, so it never equals a real id and two different truncated
   suffixes never spuriously merge. Matches never cross document
-  boundaries — separators by construction.
+  boundaries — separators by construction. (Contract: doc ids are
+  non-negative BIGINTs, as in every testdata table — a negative id
+  would collide group-id and sentinel spaces.)
 
 Output (one small DataFrame, both engines):
   - one row per ladder length L in {1, 2, 4, ..., 2^LEVELS}:
@@ -127,7 +129,9 @@ def _assign_gid(j: DataFrame, key_cols: list[str]) -> DataFrame:
 
 
 def suffix_group_levels(
-    pos_df: DataFrame, carry: tuple[str, ...] = ("w",)
+    pos_df: DataFrame,
+    carry: tuple[str, ...] = ("w",),
+    upto: int = LEVELS,
 ) -> list[DataFrame]:
     """Prefix-doubling group-id tables g_0..g_LEVELS.
 
@@ -147,7 +151,7 @@ def suffix_group_levels(
         .localCheckpoint(eager=True)
     )
     levels = [r]
-    for k in range(LEVELS):
+    for k in range(upto):
         step = 1 << k
         shifted = r.select(
             "uid",
@@ -494,6 +498,106 @@ sx_pairs0 AS MATERIALIZED (
     return parts, prev
 
 
+_SCRUB_W = 16  #: scrub window (tokens); must be a power of two
+_FP_MOD = 1_000_000_007  #: the migrate fingerprint modulus
+
+
+def cross_scrub_report(
+    docs: DataFrame,
+    id_col: str = "id",
+    body_col: str = "body",
+    eval_pred: str = "id % 23 = 0",
+) -> DataFrame:
+    """Exact contamination SPAN SCRUBBING — the transformation half of
+    decontaminate_exact_overlap (the FLAN/PaLM-style benchmark-overlap
+    scrub): every token of a TRAINING document covered by any full
+    ``_SCRUB_W``-token window that also occurs in an eval document is
+    removed; the report carries, per affected train doc, the sliced
+    token count, tokens removed, and the md5-56 fingerprint of the
+    surviving token stream (space-joined) — so the whole cleaned text
+    is hash-pinned, not just counts. Affected docs only, ordered by id.
+
+    Window identity is the level-log2(W) group id over the tagged
+    collapsed streams (suffix_group_levels, built only up to that
+    level); scrubbing runs once per unique stream and fans out to the
+    stream's train copies through the body-equality map. The DuckDB
+    twin works doc-by-doc on raw token-slice values — ignorant of the
+    collapse and of the doubling ids both."""
+    spark = docs.sparkSession
+    w = _SCRUB_W
+    k = w.bit_length() - 1
+    pos = suffix_positions_tagged(docs, id_col, body_col, eval_pred)
+    pos = pos.localCheckpoint(eager=True)
+    lev = suffix_group_levels(pos, carry=("w_ev", "w_tr"), upto=k)[k]
+    full = lev.filter(F.col("pos") + w <= F.col("doclen"))
+    ev_groups = (
+        full.groupBy("r")
+        .agg(F.sum("w_ev").alias("ev"))
+        .filter(F.col("ev") >= 1)
+        .select("r")
+    )
+    cont = (
+        full.filter(F.col("w_tr") >= 1)
+        .join(ev_groups, "r")
+        .select("uid", "pos")
+    )
+    cov = cont.select(
+        "uid",
+        F.explode(
+            F.sequence(F.col("pos"), F.col("pos") + (w - 1))
+        ).alias("tp"),
+    ).distinct()
+    toks = pos.filter(F.col("w_tr") >= 1).select(
+        "uid", "doclen", F.col("pos").alias("tp"), "tok"
+    )
+    surv = toks.join(cov, ["uid", "tp"], "left_anti")
+    kept = surv.groupBy("uid").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("tp", "tok"))),
+                lambda x: x["tok"],
+            ),
+            " ",
+        ).alias("clean"),
+    )
+    meta = pos.select("uid", "doclen").distinct()
+    affected = (
+        cont.select("uid")
+        .distinct()
+        .join(meta, "uid")
+        .join(kept, "uid", "left")
+        .select(
+            "uid",
+            F.col("doclen").alias("n_tokens"),
+            (F.col("doclen") - F.coalesce("n_kept", F.lit(0)))
+            .cast("long")
+            .alias("n_removed"),
+            F.coalesce("clean", F.lit("")).alias("clean"),
+        )
+    )
+    # fan the per-stream scrub out to the stream's train copies
+    # eval_pred is written against the caller's own column names
+    train_docs = docs.filter(F.expr(f"NOT ({eval_pred})")).select(
+        F.col(id_col).alias("id"), F.col(body_col).alias("_b")
+    )
+    body_map = docs.groupBy(body_col).agg(F.min(id_col).alias("uid"))
+    return (
+        train_docs.join(
+            body_map, train_docs["_b"] == body_map[body_col]
+        )
+        .join(affected, "uid")
+        .selectExpr(
+            "id",
+            "CAST(n_tokens AS BIGINT) AS n_tokens",
+            "n_removed",
+            "CAST(conv(substring(md5(clean), 1, 14), 16, 10) AS BIGINT)"
+            f" % {_FP_MOD} AS clean_fp",
+        )
+        .orderBy("id")
+    )
+
+
 def duckdb_suffix_sql(docs_cte: str) -> str:
     """The DuckDB twin: the TEXTBOOK construction unrolled as chained
     MATERIALIZED CTEs, deliberately ignorant of the Spark side's two
@@ -613,3 +717,66 @@ SELECT 0::BIGINT AS gram_len,
         + "\nUNION ALL\n".join(selects)
         + "\nORDER BY gram_len"
     )
+
+
+def duckdb_scrub_sql(docs_cte: str, eval_pred: str) -> str:
+    """The scrub twin: doc-by-doc on raw token-slice VALUES — no
+    collapse, no doubling ids (grouping by the 16-token list itself is
+    exact in DuckDB and single-node-cheap). ``eval_pred`` is a
+    predicate over ``doc``. Output matches cross_scrub_report
+    column-for-column; the clean-text fingerprint shares the migrate
+    md5-56 convention (hashing.duckdb_md5_hash56_sql parity)."""
+    from ..hashing import duckdb_md5_hash56_sql
+
+    w = _SCRUB_W
+    fp = duckdb_md5_hash56_sql("COALESCE(c.clean, '')")
+    return f"""
+WITH sx_dx AS MATERIALIZED (
+  SELECT doc, CASE WHEN {eval_pred} THEN 1 ELSE 0 END AS ev,
+         list_slice(regexp_extract_all(lower(body), '[a-z0-9_]+'),
+                    1, {SLICE}) AS tk
+  FROM ({docs_cte})
+),
+sx_p AS MATERIALIZED (
+  SELECT doc, ev, tk,
+         unnest(range(0, greatest(len(tk) - {w - 1}, 0))) AS p
+  FROM sx_dx
+),
+sx_evg AS MATERIALIZED (
+  SELECT DISTINCT list_slice(tk, p + 1, p + {w}) AS g
+  FROM sx_p WHERE ev = 1
+),
+sx_cont AS MATERIALIZED (
+  SELECT a.doc, a.p
+  FROM sx_p a JOIN sx_evg e ON list_slice(a.tk, a.p + 1, a.p + {w}) = e.g
+  WHERE a.ev = 0
+),
+sx_cov AS MATERIALIZED (
+  SELECT DISTINCT c.doc, c.p + u.u AS tp
+  FROM sx_cont c, (SELECT unnest(range(0, {w})) AS u) u
+),
+sx_toks AS MATERIALIZED (
+  SELECT doc, unnest(range(0, len(tk))) AS tp, unnest(tk) AS tok
+  FROM sx_dx WHERE ev = 0
+),
+sx_aff AS MATERIALIZED (SELECT DISTINCT doc FROM sx_cont),
+sx_surv AS MATERIALIZED (
+  SELECT t.doc, t.tp, t.tok
+  FROM sx_toks t
+  LEFT JOIN sx_cov c ON c.doc = t.doc AND c.tp = t.tp
+  WHERE c.doc IS NULL
+),
+sx_clean AS MATERIALIZED (
+  SELECT a.doc,
+         COALESCE(string_agg(s.tok, ' ' ORDER BY s.tp), '') AS clean,
+         COUNT(s.tok) AS kept
+  FROM sx_aff a LEFT JOIN sx_surv s ON s.doc = a.doc
+  GROUP BY a.doc
+)
+SELECT d.doc::BIGINT AS id,
+       len(d.tk)::BIGINT AS n_tokens,
+       (len(d.tk) - c.kept)::BIGINT AS n_removed,
+       ({fp}) % {_FP_MOD} AS clean_fp
+FROM sx_clean c JOIN sx_dx d ON d.doc = c.doc
+ORDER BY id
+"""

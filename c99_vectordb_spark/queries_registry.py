@@ -1744,7 +1744,7 @@ _ORACLES: dict[str, str] = {
 # plus the operators BUILT in r9 (standing policy: newcomers that miss
 # their birth round's window join the next round's residue explicitly
 # — judge r8 ask #2). r9-built so far: dedup_suffix_array,
-#   decontaminate_exact_overlap. After r10 the pool is empty and the steady-state
+#   decontaminate_exact_overlap, decontaminate_span_scrub. After r10 the pool is empty and the steady-state
 # family minimums in tests/test_driver_window.py reassert
 # automatically (the closure_era flag flips when CORRECTNESS_r10
 # exists).

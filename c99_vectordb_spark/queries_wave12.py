@@ -63,12 +63,39 @@ def _oracle_cross_overlap() -> str:
     )
 
 
+def q_decontaminate_span_scrub(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Exact contamination span scrubbing over documents (eval =
+    doc_id % 23 == 0): every train-doc token covered by a full
+    16-token window that also occurs in an eval doc is removed;
+    output per affected train doc = (id, n_tokens, n_removed,
+    clean_fp) with the cleaned token stream hash-pinned via the
+    migrate md5-56 convention. operators/suffix.cross_scrub_report."""
+    from .operators.suffix import cross_scrub_report
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return cross_scrub_report(
+        docs, id_col="doc_id", body_col="text", eval_pred="doc_id % 23 = 0"
+    )
+
+
+def _oracle_span_scrub() -> str:
+    from .operators.suffix import duckdb_scrub_sql
+
+    return duckdb_scrub_sql(
+        "SELECT doc_id AS doc, text AS body FROM documents", "doc % 23 = 0"
+    )
+
+
 WAVE12_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_suffix_array": q_dedup_suffix_array,
     "decontaminate_exact_overlap": q_decontaminate_exact_overlap,
+    "decontaminate_span_scrub": q_decontaminate_span_scrub,
 }
 
 WAVE12_ORACLES: dict[str, str] = {
     "dedup_suffix_array": _oracle_suffix_array(),
     "decontaminate_exact_overlap": _oracle_cross_overlap(),
+    "decontaminate_span_scrub": _oracle_span_scrub(),
 }

@@ -264,3 +264,95 @@ def test_cross_overlap_degenerate(spark):
     )
     rows = cross_overlap_report(disj, eval_pred="id % 23 = 0").collect()
     assert all(r["n_cross"] == 0 and r["eval_docs_hit"] == 0 for r in rows)
+
+
+def _py_scrub(ids, texts, mod=23, w=16, slice_cap=128):
+    """Independent scrub replay: raw tuple-set algebra + direct text
+    reassembly; returns {id: (n_tokens, n_removed, clean_text)}."""
+    docs = {
+        i: re.findall(r"[a-z0-9_]+", (t or "").lower())[:slice_cap]
+        for i, t in zip(ids, texts)
+    }
+    evg = {
+        tuple(tk[p : p + w])
+        for i, tk in docs.items()
+        if i % mod == 0
+        for p in range(len(tk) - w + 1)
+    }
+    out = {}
+    for i, tk in docs.items():
+        if i % mod == 0:
+            continue
+        cov = set()
+        for p in range(len(tk) - w + 1):
+            if tuple(tk[p : p + w]) in evg:
+                cov.update(range(p, p + w))
+        if cov:
+            clean = " ".join(t for p, t in enumerate(tk) if p not in cov)
+            out[i] = (len(tk), len(cov), clean)
+    return out
+
+
+def _fp56(s: str, mod: int = 1_000_000_007) -> int:
+    import hashlib
+
+    return int(hashlib.md5(s.encode()).hexdigest()[:14], 16) % mod
+
+
+def test_span_scrub_python_replay(spark):
+    from c99_vectordb_spark.queries_wave12 import q_decontaminate_span_scrub
+
+    sfd = "/root/testdata/sf0.001"
+    got = {
+        r["id"]: (r["n_tokens"], r["n_removed"], r["clean_fp"])
+        for r in q_decontaminate_span_scrub(spark, sfd).collect()
+    }
+    pdf = pd.read_parquet(f"{sfd}/documents.parquet")
+    expect = {
+        i: (n, rm, _fp56(clean))
+        for i, (n, rm, clean) in _py_scrub(
+            pdf["doc_id"].astype(int).tolist(), pdf["text"].tolist()
+        ).items()
+    }
+    assert got == expect
+    assert got, "fixture corpus must contain scrubbed train docs"
+
+
+def test_span_scrub_fixture(spark):
+    """Eval doc 0 = 20 tokens w0..w19; train doc 1 repeats w0..w15
+    then diverges; train doc 2 is an exact copy of the eval doc (fully
+    scrubbed); train doc 3 shares nothing."""
+    from c99_vectordb_spark.operators.suffix import cross_scrub_report
+
+    ev = " ".join(f"w{j}" for j in range(20))
+    tr1 = " ".join(f"w{j}" for j in range(16)) + " zz yy xx"
+    rows = [(0, ev), (1, tr1), (2, ev), (3, "totally different words")]
+    docs = spark.createDataFrame(rows, "id long, body string")
+    got = {
+        r["id"]: (r["n_tokens"], r["n_removed"], r["clean_fp"])
+        for r in cross_scrub_report(docs, eval_pred="id % 23 = 0").collect()
+    }
+    expect = {
+        i: (n, rm, _fp56(c))
+        for i, (n, rm, c) in _py_scrub(
+            [i for i, _ in rows], [t for _, t in rows]
+        ).items()
+    }
+    assert got == expect
+    # doc 1: exactly one matching window (w0..w15) -> 16 tokens cut,
+    # survivors 'zz yy xx'; doc 2: every window matches -> all 20 cut
+    assert got[1] == (19, 16, _fp56("zz yy xx"))
+    assert got[2] == (20, 20, _fp56(""))
+    assert 3 not in got
+
+
+def test_span_scrub_degenerate(spark):
+    from c99_vectordb_spark.operators.suffix import cross_scrub_report
+
+    empty = spark.createDataFrame([], "id long, body string")
+    assert cross_scrub_report(empty, eval_pred="id % 23 = 0").count() == 0
+    # eval docs alone: nothing to scrub; short docs: no full window
+    short = spark.createDataFrame(
+        [(0, "a b c"), (1, "a b c")], "id long, body string"
+    )
+    assert cross_scrub_report(short, eval_pred="id % 23 = 0").count() == 0
