@@ -145,6 +145,14 @@ def dense_rank_stitch(
     land in the same range partition, so the per-partition offset is
     the count of DISTINCT keys in earlier partitions and local
     ``dense_rank`` + offset is exactly the global dense rank.
+
+    PRECONDITION: order-column values must be non-NULL. The offset
+    pass uses ``count_distinct``, which EXCLUDES a NULL-keyed group
+    that the local ``dense_rank`` still ranks — a NULL key would shift
+    every later partition's ranks down by one, silently colliding two
+    distinct keys across the boundary (review finding). Callers with
+    nullable keys must coalesce to a sentinel first, exactly as the
+    suffix-array levels do.
     """
     had_pid = _PID in df.columns
     ranged = pre_range(df, order_cols)

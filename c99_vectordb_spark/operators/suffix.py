@@ -86,7 +86,12 @@ LEVELS = 7
 #: far below it, doc ids up to ~9e12 stay inside BIGINT
 _SENT_STRIDE = 1_000_000
 
-_TOKS = "regexp_extract_all(lower({body}), '[a-z0-9_]+', 0)"
+# the shared corpus tokenizer (functions/text.TOKEN_PATTERN is the
+# single source of truth; hashing.duckdb_tokens_sql mirrors it for the
+# DuckDB twins)
+from ..functions.text import TOKEN_PATTERN as _TOKEN_PATTERN
+
+_TOKS = f"regexp_extract_all(lower({{body}}), '{_TOKEN_PATTERN}', 0)"
 
 
 def suffix_positions(
@@ -283,6 +288,38 @@ def suffix_ladder_report(
     return ladder_out.unionByName(max_row).orderBy("gram_len")
 
 
+def _uniq_tagged(
+    docs: DataFrame, id_col: str, body_col: str, eval_pred: str
+) -> DataFrame:
+    """Side-tagged duplicate collapse: one row per distinct body with
+    (body, uid = min id, w_ev, w_tr) — the single groupBy(body)
+    shuffle every tagged consumer shares."""
+    return docs.groupBy(body_col).agg(
+        F.min(id_col).alias("uid"),
+        F.sum(F.expr(f"CASE WHEN {eval_pred} THEN 1 ELSE 0 END")).alias(
+            "w_ev"
+        ),
+        F.sum(F.expr(f"CASE WHEN {eval_pred} THEN 0 ELSE 1 END")).alias(
+            "w_tr"
+        ),
+    )
+
+
+def _positions_from_uniq(uniq: DataFrame, body_col: str) -> DataFrame:
+    return uniq.selectExpr(
+        "uid",
+        "w_ev",
+        "w_tr",
+        f"slice({_TOKS.format(body=body_col)}, 1, {SLICE}) AS tk",
+    ).selectExpr(
+        "uid",
+        "w_ev",
+        "w_tr",
+        "size(tk) AS doclen",
+        "posexplode(tk) AS (pos, tok)",
+    )
+
+
 def suffix_positions_tagged(
     docs: DataFrame,
     id_col: str,
@@ -295,26 +332,8 @@ def suffix_positions_tagged(
     ``id_col``). A text present on BOTH sides collapses to one stream
     with w_ev >= 1 and w_tr >= 1 — maximal contamination, and exactly
     what the cross condition (both weights positive) detects."""
-    uniq = docs.groupBy(body_col).agg(
-        F.min(id_col).alias("uid"),
-        F.sum(F.expr(f"CASE WHEN {eval_pred} THEN 1 ELSE 0 END")).alias(
-            "w_ev"
-        ),
-        F.sum(F.expr(f"CASE WHEN {eval_pred} THEN 0 ELSE 1 END")).alias(
-            "w_tr"
-        ),
-    )
-    return uniq.selectExpr(
-        "uid",
-        "w_ev",
-        "w_tr",
-        f"slice({_TOKS.format(body=body_col)}, 1, {SLICE}) AS tk",
-    ).selectExpr(
-        "uid",
-        "w_ev",
-        "w_tr",
-        "size(tk) AS doclen",
-        "posexplode(tk) AS (pos, tok)",
+    return _positions_from_uniq(
+        _uniq_tagged(docs, id_col, body_col, eval_pred), body_col
     )
 
 
@@ -428,13 +447,22 @@ def cross_overlap_report(
 
 
 def _duck_level_parts(docs_cte: str) -> list[str]:
-    """Shared textbook CTEs: tokenize, positions, dense ranks r_0..r_L."""
+    """Shared textbook CTEs: tokenize, positions, dense ranks
+    r_0..r_{L+1}. The EXTRA level (r_{L+1}, covering 2*SLICE tokens)
+    exists only so suffix-order ranks are UNIQUE: two identical
+    full-SLICE slices tie at r_L (no sentinel inside the first SLICE
+    positions), which broke rank+1 adjacency — the closing-row max
+    capped at SLICE-1 and tied ranks fan-multiplied the sequence join
+    (review finding, verified by a constructed 128-token-duplicate
+    counterexample). r_{L+1}'s window reaches past the slice end, so
+    the per-position sentinels break every such tie."""
+    from ..hashing import duckdb_tokens_sql
+
     parts = [
         f"""
 sx_tk AS MATERIALIZED (
   SELECT doc,
-         list_slice(regexp_extract_all(lower(body), '[a-z0-9_]+'),
-                    1, {SLICE}) AS tk
+         list_slice({duckdb_tokens_sql("body")}, 1, {SLICE}) AS tk
   FROM ({docs_cte})
 ),
 sx_pos AS MATERIALIZED (
@@ -449,7 +477,7 @@ sx_r0 AS MATERIALIZED (
   FROM sx_pos
 )"""
     ]
-    for k in range(LEVELS):
+    for k in range(LEVELS + 1):
         step = 1 << k
         parts.append(
             f""",
@@ -476,7 +504,7 @@ def _duck_walk_parts() -> tuple[list[str], str]:
 sx_pairs0 AS MATERIALIZED (
   SELECT a.r AS ar, a.doc AS ad, a.pos AS ap, b.doc AS bd, b.pos AS bp,
          0::BIGINT AS acc
-  FROM sx_r{LEVELS} a JOIN sx_r{LEVELS} b ON b.r = a.r + 1
+  FROM sx_r{LEVELS + 1} a JOIN sx_r{LEVELS + 1} b ON b.r = a.r + 1
 )"""
     ]
     prev = "sx_pairs0"
@@ -523,11 +551,14 @@ def cross_scrub_report(
     stream's train copies through the body-equality map. The DuckDB
     twin works doc-by-doc on raw token-slice values — ignorant of the
     collapse and of the doubling ids both."""
-    spark = docs.sparkSession
     w = _SCRUB_W
     k = w.bit_length() - 1
-    pos = suffix_positions_tagged(docs, id_col, body_col, eval_pred)
-    pos = pos.localCheckpoint(eager=True)
+    # ONE collapse shuffle shared by the position build and the train
+    # fan-out map (review finding: the body groupBy used to run twice)
+    uniq = _uniq_tagged(
+        docs, id_col, body_col, eval_pred
+    ).localCheckpoint(eager=True)
+    pos = _positions_from_uniq(uniq, body_col).localCheckpoint(eager=True)
     lev = suffix_group_levels(pos, carry=("w_ev", "w_tr"), upto=k)[k]
     full = lev.filter(F.col("pos") + w <= F.col("doclen"))
     ev_groups = (
@@ -581,7 +612,7 @@ def cross_scrub_report(
     train_docs = docs.filter(F.expr(f"NOT ({eval_pred})")).select(
         F.col(id_col).alias("id"), F.col(body_col).alias("_b")
     )
-    body_map = docs.groupBy(body_col).agg(F.min(id_col).alias("uid"))
+    body_map = uniq.select(body_col, "uid")
     return (
         train_docs.join(
             body_map, train_docs["_b"] == body_map[body_col]
@@ -680,7 +711,7 @@ sx_seq AS MATERIALIZED (
          CASE WHEN w.acc IS NOT NULL
                    AND w.acc >= (SELECT m FROM sx_mx)
               THEN 0 ELSE 1 END AS brk
-  FROM sx_r{LEVELS} x
+  FROM sx_r{LEVELS + 1} x
   JOIN sx_sd s ON s.doc = x.doc
   LEFT JOIN {prev} w ON w.ar = x.r - 1
 ),
@@ -726,15 +757,14 @@ def duckdb_scrub_sql(docs_cte: str, eval_pred: str) -> str:
     predicate over ``doc``. Output matches cross_scrub_report
     column-for-column; the clean-text fingerprint shares the migrate
     md5-56 convention (hashing.duckdb_md5_hash56_sql parity)."""
-    from ..hashing import duckdb_md5_hash56_sql
+    from ..hashing import duckdb_md5_hash56_sql, duckdb_tokens_sql
 
     w = _SCRUB_W
     fp = duckdb_md5_hash56_sql("COALESCE(c.clean, '')")
     return f"""
 WITH sx_dx AS MATERIALIZED (
   SELECT doc, CASE WHEN {eval_pred} THEN 1 ELSE 0 END AS ev,
-         list_slice(regexp_extract_all(lower(body), '[a-z0-9_]+'),
-                    1, {SLICE}) AS tk
+         list_slice({duckdb_tokens_sql("body")}, 1, {SLICE}) AS tk
   FROM ({docs_cte})
 ),
 sx_p AS MATERIALIZED (

@@ -881,12 +881,16 @@ def streaming_contamination_gate(
     sized); this operator owns only the per-doc state. A document's
     collision rows all ride the micro-batch that carried the document,
     so the first batch that touches a doc id sees its complete hit
-    set: hits = row count (shingles are per-doc distinct and the eval
-    side is distinct, so rows are unique per (id, sh)). Rows are
-    order-free, so Arrow chunk boundaries only need accumulation,
-    never a sort (contrast streaming_journey_masks). State per doc id
-    is one boolean forever; clean docs never enter the operator at
-    all (inner join), matching the batch probe's contaminated-only
+    set: hits = the DISTINCT sh count across the batch's Arrow chunks
+    — distinct, not a row count, because the SAME document delivered
+    twice within ONE micro-batch (re-crawl file and original picked up
+    by the same trigger) duplicates every (id, sh) row, and a plain
+    count would emit 2x the batch probe's value (review finding; the
+    cross-BATCH re-delivery case was already covered by state). Rows
+    are order-free, so chunk boundaries only need set union, never a
+    sort (contrast streaming_journey_masks). State per doc id is one
+    boolean forever; clean docs never enter the operator at all
+    (inner join), matching the batch probe's contaminated-only
     output."""
 
     def gate_fn(
@@ -896,13 +900,13 @@ def streaming_contamination_gate(
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
             return
-        hits = 0
+        shs: set = set()
         for pdf in pdfs:
-            hits += int(len(pdf))
-        if hits:
+            shs.update(int(v) for v in pdf["sh"])
+        if shs:
             state.update((True,))
             yield pd.DataFrame(
-                [[int(key[0]), hits]], columns=["id", "hits"]
+                [[int(key[0]), len(shs)]], columns=["id", "hits"]
             )
 
     return hit_rows.groupBy("id").applyInPandasWithState(

@@ -1059,9 +1059,13 @@ def test_streaming_contamination_gate_matches_batch(spark, sf_dir, tmp_path):
     src = os.path.join(str(tmp_path), "src")
     os.makedirs(src)
     parts = tr_docs.randomSplit([0.4, 0.35, 0.25], seed=7)
-    # batch 2 re-delivers a slice of batch 0's docs: exactly-once must hold
+    # batch 2 re-delivers a slice of batch 0's docs: exactly-once must
+    # hold ACROSS batches; batch 1 carries 25 of its own docs TWICE:
+    # a same-batch duplicate must not double the hit count (review
+    # finding — hits is a distinct-sh count, not a row count)
     redeliver = parts[0].limit(40)
     parts[2] = parts[2].unionByName(redeliver)
+    parts[1] = parts[1].unionByName(parts[1].limit(25))
     now = _t.time()
     for i, part in enumerate(parts):
         d = os.path.join(src, f"b{i}.parquet")

@@ -356,3 +356,59 @@ def test_span_scrub_degenerate(spark):
         [(0, "a b c"), (1, "a b c")], "id long, body string"
     )
     assert cross_scrub_report(short, eval_pred="id % 23 = 0").count() == 0
+
+
+def test_full_slice_duplicate_closing_row(spark):
+    """Review regression: two documents with IDENTICAL full-SLICE
+    (128-token) slices tie at the last ladder rank level, which used
+    to break the DuckDB twins' rank+1 adjacency — the closing-row max
+    read 127 while the ladder's own 128-gram row proved a duplicate.
+    Both engines must report the closing row (0, 128, 1) and agree
+    exactly; the oracle now carries one extra doubling level whose
+    sentinels break full-slice ties."""
+    import duckdb
+
+    from c99_vectordb_spark.operators.suffix import (
+        cross_overlap_report,
+        duckdb_cross_sql,
+        duckdb_suffix_sql,
+        suffix_ladder_report,
+    )
+
+    toks = " ".join(f"t{i}" for i in range(130))
+    docs = spark.createDataFrame([(0, toks), (1, toks)], "id long, body string")
+    got = {
+        r["gram_len"]: (r["n_dup"], r["occ"])
+        for r in suffix_ladder_report(docs).collect()
+    }
+    assert got[0] == (128, 1)
+    assert got[128] == (1, 2)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents AS SELECT * FROM"
+        " (VALUES (0, ?), (1, ?)) t(doc_id, text)",
+        [toks, toks],
+    )
+    duck = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            duckdb_suffix_sql("SELECT doc_id AS doc, text AS body FROM documents")
+        ).fetchall()
+    }
+    assert duck == got
+    # the cross twin shares the adjacency machinery: doc 0 is eval
+    got_x = {
+        r["gram_len"]: (r["n_cross"], r["eval_docs_hit"])
+        for r in cross_overlap_report(docs, eval_pred="id % 23 = 0").collect()
+    }
+    duck_x = {
+        r[0]: (r[1], r[2])
+        for r in con.execute(
+            duckdb_cross_sql(
+                "SELECT doc_id AS doc, text AS body FROM documents",
+                "doc % 23 = 0",
+            )
+        ).fetchall()
+    }
+    assert got_x == duck_x
+    assert got_x[0] == (128, 1)
