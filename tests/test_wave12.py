@@ -412,3 +412,57 @@ def test_full_slice_duplicate_closing_row(spark):
     }
     assert got_x == duck_x
     assert got_x[0] == (128, 1)
+
+
+def test_suffix_ladder_random_adversarial_battery(spark):
+    """Seeded random battery over the shapes fixtures miss: a 2-letter
+    alphabet (maximal rank ties at every level), doc lengths straddling
+    the SLICE boundary, duplicate docs, and shared prefixes. Each
+    corpus is checked THREE ways — Spark report == pure-Python replay
+    == DuckDB oracle — so a divergence localizes the guilty engine.
+    (The review-pass 128-tie oracle bug lived exactly in this class:
+    random tie-heavy corpora, not the hash-exact testdata, expose it.)"""
+    import random
+
+    import duckdb
+
+    from c99_vectordb_spark.operators.suffix import (
+        duckdb_suffix_sql,
+        suffix_ladder_report,
+    )
+
+    rng = random.Random(99)
+    corpora = []
+    for trial in range(5):
+        docs = []
+        for i in range(rng.randint(2, 8)):
+            n = rng.choice([3, 17, 64, 127, 128, 140])
+            docs.append(" ".join(rng.choice("ab") for _ in range(n)))
+        if trial % 2 == 0 and docs:
+            docs.append(docs[0])  # exact duplicate
+        corpora.append(docs)
+
+    for docs in corpora:
+        rows = list(enumerate(docs))
+        sdf = spark.createDataFrame(rows, "id long, body string")
+        got = {
+            r["gram_len"]: (r["n_dup"], r["occ"])
+            for r in suffix_ladder_report(sdf).collect()
+        }
+        expect = _py_report(docs)
+        assert got == expect, f"spark != replay on {docs}"
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany(
+            "INSERT INTO documents VALUES (?, ?)", rows
+        )
+        duck = {
+            r[0]: (r[1], r[2])
+            for r in con.execute(
+                duckdb_suffix_sql(
+                    "SELECT doc_id AS doc, text AS body FROM documents"
+                )
+            ).fetchall()
+        }
+        assert duck == expect, f"oracle != replay on {docs}"
+        con.close()
