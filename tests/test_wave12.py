@@ -466,3 +466,63 @@ def test_suffix_ladder_random_adversarial_battery(spark):
         }
         assert duck == expect, f"oracle != replay on {docs}"
         con.close()
+
+
+def test_cross_overlap_random_adversarial_battery(spark):
+    """The cross-report sibling of the suffix battery: random tie-heavy
+    corpora with ids assigned so BOTH sides are populated (and, in
+    some trials, the same text lands on both sides — the maximal-
+    contamination collapse case). Exercises the cross oracle's
+    order-dependent machinery (adjacent opposite-side max, boundary-
+    delimited run-block counting) against the order-free Spark side
+    and the set-algebra replay, three ways per corpus."""
+    import random
+
+    import duckdb
+
+    from c99_vectordb_spark.operators.suffix import (
+        cross_overlap_report,
+        duckdb_cross_sql,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(5):
+        rows = []
+        next_tr = 1
+        for i in range(rng.randint(3, 8)):
+            n = rng.choice([3, 17, 64, 127, 128, 140])
+            body = " ".join(rng.choice("ab") for _ in range(n))
+            if i == 0:
+                rows.append((0, body))  # eval doc (0 % 23 == 0)
+            else:
+                rows.append((next_tr, body))  # train doc
+                next_tr += 1 + (next_tr % 3)
+                if next_tr % 23 == 0:
+                    next_tr += 1
+        if trial % 2 == 0:
+            rows.append((23, rows[-1][1]))  # eval copy of a train text
+        sdf = spark.createDataFrame(rows, "id long, body string")
+        got = {
+            r["gram_len"]: (r["n_cross"], r["eval_docs_hit"])
+            for r in cross_overlap_report(
+                sdf, eval_pred="id % 23 = 0"
+            ).collect()
+        }
+        expect = _py_cross_report(
+            [i for i, _ in rows], [b for _, b in rows]
+        )
+        assert got == expect, f"spark != replay on {rows}"
+        con = duckdb.connect()
+        con.execute("CREATE TABLE documents (doc_id BIGINT, text VARCHAR)")
+        con.executemany("INSERT INTO documents VALUES (?, ?)", rows)
+        duck = {
+            r[0]: (r[1], r[2])
+            for r in con.execute(
+                duckdb_cross_sql(
+                    "SELECT doc_id AS doc, text AS body FROM documents",
+                    "doc % 23 = 0",
+                )
+            ).fetchall()
+        }
+        assert duck == expect, f"oracle != replay on {rows}"
+        con.close()
