@@ -12,10 +12,19 @@ closeout notes). This tool recomputes it every time from:
 Rows-only queries (no oracle_sql entry) cannot occupy hash slots and are
 reported separately.
 
+Round 10+ adds the AGE-BASED steady-state composition (judge r9 ask
+#6): with the never-checked pool at zero, the window is COMPOSED —
+anchors + residue (never-checked) + per-family steady-minimum fills
+oldest-driver-green-first + global oldest-green fill. The builder
+pastes `--compose` output into DRIVER_WINDOW each round;
+tests/test_driver_window.py asserts the paste matches the computation.
+
 Usage:
     python tools/rotation_pool.py            # pool AFTER the current window runs
     python tools/rotation_pool.py --raw      # pool ignoring the current window
     python tools/rotation_pool.py --next N   # print the first N alphabetically
+    python tools/rotation_pool.py --ages     # per-query last driver-green round
+    python tools/rotation_pool.py --compose  # the age-based 50-name window
 """
 
 from __future__ import annotations
@@ -53,7 +62,80 @@ def compute() -> dict[str, list[str]]:
     }
 
 
+def artifact_paths() -> list[str]:
+    return sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
+
+
+def ages(paths: list[str] | None = None) -> dict[str, int]:
+    """name -> latest round with a driver-gate row (never-checked absent).
+
+    Only currently-registered ORACLED names are reported; rows-only and
+    retired names are dropped.
+    """
+    import re
+
+    from c99_vectordb_spark.queries_registry import oracle_sql, queries
+
+    oracled = set(queries()) & set(oracle_sql())
+    out: dict[str, int] = {}
+    for path in paths if paths is not None else artifact_paths():
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        with open(path) as fh:
+            for name in json.load(fh):
+                if name in oracled:
+                    out[name] = max(out.get(name, 0), rnd)
+    return out
+
+
+def compose(size: int = 50, paths: list[str] | None = None) -> list[str]:
+    """The age-based steady-state DRIVER_WINDOW (round 10+ policy).
+
+    1. anchors (fixed order);
+    2. every never-driver-checked oracled name, alphabetical (the
+       residue; if it ever exceeds the free slots, alphabetically-first
+       wins and the rest carries to the next round);
+    3. per-family steady-minimum fills, oldest-green-first within the
+       family (ties alphabetical), families in name order;
+    4. global oldest-green fill to `size`.
+    """
+    from c99_vectordb_spark.queries_registry import (
+        ANCHORS,
+        STEADY_MINIMUMS,
+        WINDOW_FAMILIES,
+        oracle_sql,
+        queries,
+    )
+
+    oracled = set(queries()) & set(oracle_sql())
+    last_green = ages(paths)
+
+    def oldest_first(cands: set[str]) -> list[str]:
+        return sorted(cands, key=lambda n: (last_green.get(n, 0), n))
+
+    window: list[str] = [a for a in ANCHORS if a in oracled]
+    residue = sorted(oracled - set(last_green) - set(window))
+    window += residue[: size - len(window)]
+    for family in sorted(WINDOW_FAMILIES):
+        pool, _ = WINDOW_FAMILIES[family]
+        need = STEADY_MINIMUMS[family] - len(pool & set(window))
+        if need > 0:
+            window += oldest_first((pool & oracled) - set(window))[:need]
+    window += oldest_first(oracled - set(window))[: size - len(window)]
+    return window[:size]
+
+
 def main() -> None:
+    if "--ages" in sys.argv:
+        for name, rnd in sorted(ages().items(), key=lambda kv: (kv[1], kv[0])):
+            print(f"{rnd:3d}  {name}")
+        return
+    if "--compose" in sys.argv:
+        for name in compose():
+            print(f'    "{name}",')
+        return
     info = compute()
     if "--next" in sys.argv:
         n = int(sys.argv[sys.argv.index("--next") + 1])
