@@ -56,15 +56,15 @@ def _calibrate() -> float:
     thresholds by measured host speed: best file stores the fastest
     calibration seen ("__calib__"); a slower box stretches every
     threshold by now/best (capped) so real regressions still fail
-    while uniform host drift doesn't read as ten ghosts."""
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.time()
-        acc = 0
-        for i in range(3_000_000):
-            acc += i * i
-        best = min(best, time.time() - t0)
-    return round(best, 4)
+    while uniform host drift doesn't read as ten ghosts.
+
+    The probe now lives in bench.py (``calibrate``) so the SAME
+    measurement is embedded in every round snapshot (judge r9 ask #5);
+    this delegates to keep the two from drifting apart."""
+    sys.path.insert(0, REPO)
+    import bench as benchmod
+
+    return benchmod.calibrate()
 
 
 def _confirm_rerun(names: list[str], sf: str) -> dict[str, float]:
@@ -96,6 +96,12 @@ def _confirm_rerun(names: list[str], sf: str) -> dict[str, float]:
         if set(bpe_family) & set(names):
             runs = [benchmod._chained_bpe(spark, sf_dir) for _ in range(2)]
             for i, n in enumerate(bpe_family):
+                out[n] = round(min(r[i] for r in runs), 3)
+        suffix_family = ("dedup_suffix_array", "decontaminate_exact_overlap",
+                         "decontaminate_span_scrub")
+        if set(suffix_family) & set(names):
+            runs = [benchmod._chained_suffix(spark, sf_dir) for _ in range(2)]
+            for i, n in enumerate(suffix_family):
                 out[n] = round(min(r[i] for r in runs), 3)
         graph_family = ("graph_pagerank", "graph_communities")
         if set(graph_family) & set(names):
