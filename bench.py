@@ -270,6 +270,8 @@ HEADLINE = [
     "dedup_suffix_array",
     "decontaminate_exact_overlap",
     "decontaminate_span_scrub",
+    # round-10 wave
+    "decontaminate_incremental",
 ]
 
 
@@ -514,6 +516,13 @@ def _chained_suffix(spark, sf_dir):
         docs, uniq, pos, levels[k], "doc_id", "text", eval_pred
     ).write.format("noop").mode("overwrite").save()
     t_scrub = time.time() - t0
+
+    # every consumer has materialized — free the shared checkpoints so
+    # the second chained run (and everything after it) starts clean
+    from c99_vectordb_spark.operators.suffix import release_local_checkpoint
+
+    for df in (uniq, pos, tagged, *levels):
+        release_local_checkpoint(df)
     return t_suffix_array, t_cross, t_scrub
 
 

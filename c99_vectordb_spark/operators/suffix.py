@@ -113,6 +113,20 @@ def _guarded_uid(expr: str = "uid") -> str:
     )
 
 
+def release_local_checkpoint(df: DataFrame) -> None:
+    """Free a ``localCheckpoint(eager=True)`` DataFrame's storage
+    blocks NOW. ContextCleaner frees them only after JVM GC collects
+    the plan, which measurably lags back-to-back heavy suffix runs
+    (one cold re-run of the incremental report read 107 s vs a 26 s
+    floor purely from accumulated stale blocks evicting each other).
+    The DataFrame must not be used afterwards. Safe no-op on plans
+    that hold no checkpointed RDD."""
+    try:
+        df._jdf.queryExecution().analyzed().rdd().unpersist(False)
+    except Exception:  # noqa: BLE001 — nothing to free
+        pass
+
+
 def suffix_positions(
     docs: DataFrame, id_col: str = "id", body_col: str = "body"
 ) -> DataFrame:
@@ -240,7 +254,12 @@ def suffix_ladder_report(
 ) -> DataFrame:
     """The exact-substring dedup report (module docstring contract)."""
     levels = suffix_group_levels(suffix_positions(docs, id_col, body_col))
-    return suffix_ladder_from_levels(docs.sparkSession, levels)
+    out = suffix_ladder_from_levels(docs.sparkSession, levels)
+    # the report is fully local by now — free the level checkpoints
+    # eagerly (release_local_checkpoint docstring has the numbers)
+    for lv in levels:
+        release_local_checkpoint(lv)
+    return out
 
 
 def suffix_ladder_from_levels(
@@ -407,7 +426,10 @@ def cross_overlap_report(
         suffix_positions_tagged(docs, id_col, body_col, eval_pred),
         carry=("w_ev", "w_tr"),
     )
-    return cross_overlap_from_levels(docs.sparkSession, levels)
+    out = cross_overlap_from_levels(docs.sparkSession, levels)
+    for lv in levels:  # report local by now — free eagerly
+        release_local_checkpoint(lv)
+    return out
 
 
 def cross_overlap_from_levels(
@@ -418,7 +440,8 @@ def cross_overlap_from_levels(
     path's entry point; ``cross_overlap_report`` delegates here.
     ``tagged`` optionally supplies the (checkpointed) union-tagged
     full-window frame ``(gram_len, r, uid, w_ev, w_tr)``."""
-    if tagged is None:
+    owns_tagged = tagged is None
+    if owns_tagged:
         tagged = build_tagged_union(levels).localCheckpoint(eager=True)
     cross_groups = (
         tagged.groupBy("gram_len", "r")
@@ -484,6 +507,9 @@ def cross_overlap_from_levels(
             n_at_max = int(
                 cross_at(max_len).agg(F.count(F.lit(1))).collect()[0][0]
             )
+    if owns_tagged:
+        release_local_checkpoint(tagged)
+    release_local_checkpoint(cross_groups)
     return spark.createDataFrame(
         sorted([*ladder_rows, (0, max_len, n_at_max)]),
         "gram_len long, n_cross long, eval_docs_hit long",
@@ -752,13 +778,17 @@ SELECT 0::BIGINT AS gram_len,
     )
 
 
-def duckdb_cross_sql(docs_cte: str, eval_pred: str) -> str:
+def duckdb_cross_sql(
+    docs_cte: str, eval_pred: str, hit_col: str = "eval_docs_hit"
+) -> str:
     """The cross-contamination twin (cross_overlap_report docstring):
     textbook ranks + suffix sort; max cross length = MAX(acc) over
     adjacent OPPOSITE-side pairs; cross grams at that length counted
     as boundary-delimited runs (adjacent acc >= max) containing both
     sides — a SUM(brk) OVER (ORDER BY r) block labelling the Spark
     side never builds. ``eval_pred`` is a predicate over ``doc``.
+    ``hit_col`` renames the tagged-side hit column (the incremental
+    tier tags the BATCH side, so its twin reports batch_docs_hit).
     """
     parts = _duck_level_parts(docs_cte)
     walk, prev = _duck_walk_parts()
@@ -812,17 +842,17 @@ SELECT {glen}::BIGINT AS gram_len,
        (SELECT COUNT(DISTINCT x.doc) FROM sx_r{k} x
         JOIN sx_sd s ON s.doc = x.doc
         WHERE s.ev = 1 AND x.pos + {glen} <= x.doclen
-          AND x.r IN (SELECT r FROM sx_xg{k}))::BIGINT AS eval_docs_hit"""
+          AND x.r IN (SELECT r FROM sx_xg{k}))::BIGINT AS {hit_col}"""
         )
     selects.append(
-        """
+        f"""
 SELECT 0::BIGINT AS gram_len,
        (SELECT m FROM sx_mx)::BIGINT AS n_cross,
        CASE WHEN (SELECT m FROM sx_mx) > 0
             THEN (SELECT COUNT(*) FROM
                   (SELECT b FROM sx_blk GROUP BY b
                    HAVING MAX(ev) = 1 AND MAX(1 - ev) = 1))
-            ELSE 0 END::BIGINT AS eval_docs_hit"""
+            ELSE 0 END::BIGINT AS {hit_col}"""
     )
     return (
         "WITH "

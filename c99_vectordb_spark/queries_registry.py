@@ -1845,10 +1845,18 @@ DRIVER_WINDOW = [
     "upsert_docs",
     "asof_join_events",
     "grouped_rank",
-    # 2. residue: the last seven never-driver-checked oracled names
+    # 2. residue: the seven never-driver-checked names left after r9
+    # plus decontaminate_incremental, BUILT this round (a newcomer that
+    # can still ride its birth round's window under the age-based
+    # composition — it simply lands in the residue tier, pre-verified
+    # hash-exact at three scales like everything else)
     "decontaminate_exact_overlap",
+    "decontaminate_incremental",
     "decontaminate_span_scrub",
     "dedup_suffix_array",
+    # multimodal_features upgraded rows-only -> oracled this round
+    # (judge r9 stretch #7) — a fresh oracle is a fresh residue entry
+    "multimodal_features",
     "stats_spearman",
     "zorder_hilbert",
     "zorder_layout",
@@ -1889,8 +1897,6 @@ DRIVER_WINDOW = [
     "dedup_components",
     "dedup_cosine_pairs",
     "dedup_simhash",
-    "dedup_simhash_pairs",
-    "events_funnel",
 ]
 
 

@@ -88,14 +88,59 @@ def _oracle_span_scrub() -> str:
     )
 
 
+def q_decontaminate_incremental(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Incremental exact-substring contamination (judge r9 ask #4 —
+    the daily-ingest shape of the wave-12 exact tier): the STANDING
+    corpus (doc_id % 7 != 3) builds its prefix-doubling index once;
+    today's BATCH (doc_id % 7 == 3) is relabeled through the standing
+    maps by a pure inner-join cascade and reported exactly — rows
+    (gram_len, n_cross, batch_docs_hit) per ladder length plus the
+    closing (0, max_shared_len, n_cross_at_max) row. The DuckDB twin
+    recomputes the whole report from scratch over the UNION with the
+    batch as the tagged side, deliberately ignorant of the incremental
+    structure (operators/suffix_inc.py holds the equivalence
+    argument and the fullness invariant)."""
+    from .operators.suffix_inc import (
+        incremental_cross_report,
+        release_suffix_index,
+        standing_suffix_index,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    index = standing_suffix_index(
+        docs.filter("doc_id % 7 != 3"), id_col="doc_id", body_col="text"
+    )
+    out = incremental_cross_report(
+        docs.filter("doc_id % 7 = 3"), index, id_col="doc_id",
+        body_col="text",
+    )
+    # the report is local; this query owns its index — free it now
+    release_suffix_index(index)
+    return out
+
+
+def _oracle_incremental() -> str:
+    from .operators.suffix import duckdb_cross_sql
+
+    return duckdb_cross_sql(
+        "SELECT doc_id AS doc, text AS body FROM documents",
+        "doc % 7 = 3",
+        hit_col="batch_docs_hit",
+    )
+
+
 WAVE12_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "dedup_suffix_array": q_dedup_suffix_array,
     "decontaminate_exact_overlap": q_decontaminate_exact_overlap,
     "decontaminate_span_scrub": q_decontaminate_span_scrub,
+    "decontaminate_incremental": q_decontaminate_incremental,
 }
 
 WAVE12_ORACLES: dict[str, str] = {
     "dedup_suffix_array": _oracle_suffix_array(),
     "decontaminate_exact_overlap": _oracle_cross_overlap(),
     "decontaminate_span_scrub": _oracle_span_scrub(),
+    "decontaminate_incremental": _oracle_incremental(),
 }

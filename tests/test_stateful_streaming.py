@@ -1157,3 +1157,91 @@ def test_streaming_contamination_gate_split_delivery_fails_loudly(
 
     with _pytest.raises(StreamingQueryException, match="DIFFERENT collision"):
         q.awaitTermination(180)
+
+
+def test_stream_exact_contamination_matches_batch(spark, sf_dir, tmp_path):
+    """Stream==batch pair #18: ingest-time EXACT contamination.
+    Training docs replayed across three micro-batches (batch 2
+    re-delivering 40 of batch 0's docs — the re-crawl; batch 1
+    carrying 25 of its own docs twice — the same-batch duplicate)
+    probe the STANDING eval suffix index; the union of emitted
+    (id, hits) verdicts must equal the batch twin
+    incremental_doc_verdicts over the distinct delivered docs, each
+    doc at most once."""
+    import os
+    import time as _t
+
+    from c99_vectordb_spark.operators.suffix_inc import (
+        incremental_doc_verdicts,
+        standing_suffix_index,
+    )
+    from c99_vectordb_spark.streaming.ingest import (
+        stream_exact_contamination,
+    )
+
+    docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.col("doc_id").alias("id"), F.col("text").alias("body"))
+    )
+    ev_docs = docs.filter(F.col("id") % 23 == 0)
+    tr_docs = docs.filter(F.col("id") % 23 != 0)
+    index = standing_suffix_index(ev_docs, "id", "body")
+
+    batch_twin = {
+        (r["id"], r["hits"])
+        for r in incremental_doc_verdicts(tr_docs, index, "id", "body")
+        .collect()
+    }
+    assert batch_twin, "fixture must contain contaminated training docs"
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    parts = tr_docs.randomSplit([0.4, 0.35, 0.25], seed=7)
+    parts[2] = parts[2].unionByName(parts[0].limit(40))
+    parts[1] = parts[1].unionByName(parts[1].limit(25))
+    now = _t.time()
+    for i, part in enumerate(parts):
+        d = os.path.join(src, f"b{i}.parquet")
+        part.coalesce(1).write.parquet(d)
+        ts = now - 60 * (len(parts) - i)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+        os.utime(d, (ts, ts))
+
+    out_dir = os.path.join(str(tmp_path), "verdicts")
+    ids_dir = os.path.join(str(tmp_path), "emitted_ids")
+
+    def emitted_ids():
+        if os.path.isdir(ids_dir):
+            return spark.read.parquet(ids_dir)
+        return None
+
+    def sink(df, batch_id):
+        df.persist()
+        try:
+            df.write.mode("append").parquet(out_dir)
+            df.select("id").write.mode("append").parquet(ids_dir)
+        finally:
+            df.unpersist()
+
+    q = stream_exact_contamination(
+        spark.readStream.schema("id LONG, body STRING")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        index,
+        emitted_ids,
+        sink,
+        os.path.join(str(tmp_path), "ckpt"),
+        id_col="id",
+        body_col="body",
+    ).start()
+    q.awaitTermination(300)
+
+    got_rows = spark.read.parquet(out_dir).collect()
+    got = {(r["id"], r["hits"]) for r in got_rows}
+    assert got == batch_twin
+    # exactly-once despite the 40-doc re-crawl and same-batch dups
+    ids = [r["id"] for r in got_rows]
+    assert len(ids) == len(set(ids))

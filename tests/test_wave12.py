@@ -619,3 +619,178 @@ def test_suffix_uid_contract_fails_loudly(spark):
     )
     with _pytest.raises(Exception, match="out of contract"):
         suffix_ladder_report(bad).collect()
+
+
+def _inc_vs_union(spark, rows: list[tuple[int, str]], batch_pred):
+    """Assert incremental_cross_report(batch, index(standing)) ==
+    cross_overlap_report(all, eval_pred=batch) on one corpus."""
+    from c99_vectordb_spark.operators.suffix import cross_overlap_report
+    from c99_vectordb_spark.operators.suffix_inc import (
+        incremental_cross_report,
+        standing_suffix_index,
+    )
+
+    sdf = spark.createDataFrame(rows, "id long, body string")
+    idx = standing_suffix_index(sdf.filter(f"NOT ({batch_pred})"))
+    inc = sorted(
+        map(
+            tuple,
+            incremental_cross_report(
+                sdf.filter(batch_pred), idx, hit_col="eval_docs_hit"
+            ).collect(),
+        )
+    )
+    ref = sorted(
+        map(
+            tuple,
+            cross_overlap_report(sdf, eval_pred=batch_pred).collect(),
+        )
+    )
+    assert inc == ref, f"incremental != union on {rows}"
+
+
+def test_incremental_cross_fixture(spark):
+    """decontaminate_incremental's split on the sf0.001 fixture: the
+    incremental probe (standing index + inner-join cascade) must equal
+    the union cross report column-for-column — the same equivalence
+    the DuckDB twin pins at the driver."""
+    from c99_vectordb_spark.operators.suffix import cross_overlap_report
+    from c99_vectordb_spark.operators.suffix_inc import (
+        incremental_cross_report,
+        standing_suffix_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    idx = standing_suffix_index(
+        docs.filter("doc_id % 7 != 3"), "doc_id", "text"
+    )
+    inc = sorted(
+        map(
+            tuple,
+            incremental_cross_report(
+                docs.filter("doc_id % 7 = 3"), idx, "doc_id", "text"
+            ).collect(),
+        )
+    )
+    ref = sorted(
+        map(
+            tuple,
+            cross_overlap_report(
+                docs, "doc_id", "text", eval_pred="doc_id % 7 = 3"
+            ).collect(),
+        )
+    )
+    assert inc == ref
+    assert any(r[0] == 0 and r[1] > 0 for r in inc), "expect contamination"
+
+
+def test_incremental_cross_degenerate(spark):
+    """Degenerate shapes: clean batch (no overlap), batch == standing
+    text (maximal contamination), empty-token docs, single-doc sides."""
+    cases = [
+        # clean: no token shared
+        [(0, "alpha beta gamma"), (7, "xx yy zz"), (3, "qq rr ss")],
+        # batch text byte-equal to a standing text
+        [(0, "the quick brown fox"), (3, "the quick brown fox")],
+        # punctuation-only (zero tokens) docs on both sides
+        [(0, "..."), (3, "!!!"), (1, "alpha beta"), (10, "alpha beta")],
+        # standing empty of usable docs
+        [(0, ""), (3, "alpha beta alpha beta")],
+    ]
+    for rows in cases:
+        _inc_vs_union(spark, rows, "id % 7 = 3")
+
+
+def test_incremental_cross_random_adversarial_battery(spark):
+    """Seeded random battery (the wave-12 discipline for order- and
+    boundary-dependent constructions): small alphabets force deep
+    shared runs, doc lengths straddle SLICE, and some trials plant a
+    batch copy of a standing doc — shapes the parquet fixtures can't
+    sample. Every trial must match the union cross report exactly."""
+    import random
+
+    rng = random.Random(20260816)
+    for trial in range(5):
+        rows = []
+        next_id = 1
+        for i in range(rng.randint(3, 8)):
+            n = rng.choice([3, 17, 64, 127, 128, 140])
+            body = " ".join(rng.choice("ab") for _ in range(n))
+            rows.append((next_id, body))
+            next_id += 1 + (next_id % 2)
+        if trial % 2 == 0:
+            # plant a BATCH copy of a standing text under a FRESH id
+            # congruent to 3 mod 7 (ids must stay unique — the first
+            # version of this battery reused id 3 for a new body and
+            # tripped the duplicate-id blowup the guard now catches)
+            standing_rows = [r for r in rows if r[0] % 7 != 3]
+            if standing_rows:
+                cid = max(i for i, _ in rows) + 1
+                while cid % 7 != 3:
+                    cid += 1
+                rows.append((cid, standing_rows[0][1]))
+        _inc_vs_union(spark, rows, "id % 7 = 3")
+
+
+def test_incremental_duplicate_id_fails_loudly(spark):
+    """Two different texts under one doc id would put two streams under
+    one uid and every (uid, pos) self-join would multiply per level —
+    observed as gigabytes of shuffle from a 1000-position corpus. Both
+    the batch cascade and the standing index build must raise."""
+    import pytest as _pytest
+
+    from c99_vectordb_spark.operators.suffix_inc import (
+        incremental_cross_report,
+        standing_suffix_index,
+    )
+
+    good = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (8, "delta beta")], "id long, body string"
+    )
+    dup_batch = spark.createDataFrame(
+        [(3, "alpha beta gamma"), (3, "a different text entirely")],
+        "id long, body string",
+    )
+    idx = standing_suffix_index(good)
+    with _pytest.raises(ValueError, match="more than one distinct text"):
+        incremental_cross_report(dup_batch, idx)
+    with _pytest.raises(ValueError, match="more than one distinct text"):
+        standing_suffix_index(dup_batch)
+
+
+def test_incremental_index_reuse(spark):
+    """The point of the tier: ONE standing index serves MANY batches.
+    Two disjoint batches probed against the same index must each match
+    their own union report — nothing in the index is batch-scoped."""
+    from c99_vectordb_spark.operators.suffix import cross_overlap_report
+    from c99_vectordb_spark.operators.suffix_inc import (
+        incremental_cross_report,
+        standing_suffix_index,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    standing = docs.filter("doc_id % 7 NOT IN (2, 3)")
+    idx = standing_suffix_index(standing, "doc_id", "text")
+    for pred in ("doc_id % 7 = 3", "doc_id % 7 = 2"):
+        inc = sorted(
+            map(
+                tuple,
+                incremental_cross_report(
+                    docs.filter(pred), idx, "doc_id", "text"
+                ).collect(),
+            )
+        )
+        ref = sorted(
+            map(
+                tuple,
+                cross_overlap_report(
+                    standing.unionByName(docs.filter(pred)),
+                    "doc_id",
+                    "text",
+                    eval_pred=pred,
+                )
+                .withColumnRenamed("eval_docs_hit", "batch_docs_hit")
+                .collect(),
+            )
+        )
+        assert inc == ref, pred
