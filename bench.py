@@ -272,6 +272,7 @@ HEADLINE = [
     "decontaminate_span_scrub",
     # round-10 wave
     "decontaminate_incremental",
+    "multimodal_features",
 ]
 
 

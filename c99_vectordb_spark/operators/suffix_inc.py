@@ -164,6 +164,9 @@ def standing_suffix_index(
             .localCheckpoint(eager=True)
         )
         pair_maps.append(pm)
+    # pos fed levels + tok_map, both eagerly materialized — free it
+    # before handing the index out (nothing in the dict reads it)
+    release_local_checkpoint(pos)
     return {
         "levels": levels,
         "tok_map": tok_map,
