@@ -113,6 +113,9 @@ def _guarded_uid(expr: str = "uid") -> str:
     )
 
 
+_CKPT_WARN_SILENCED = False
+
+
 def release_local_checkpoint(df: DataFrame) -> None:
     """Free a ``localCheckpoint(eager=True)`` DataFrame's storage
     blocks NOW. ContextCleaner frees them only after JVM GC collects
@@ -120,7 +123,23 @@ def release_local_checkpoint(df: DataFrame) -> None:
     (one cold re-run of the incremental report read 107 s vs a 26 s
     floor purely from accumulated stale blocks evicting each other).
     The DataFrame must not be used afterwards. Safe no-op on plans
-    that hold no checkpointed RDD."""
+    that hold no checkpointed RDD.
+
+    Silences the per-RDD "lineage has been truncated and cannot be
+    recomputed after unpersisting" WARN once per session: that is
+    precisely the intended effect (the frame is dead), and ~30 lines
+    per heavy report drown real warnings in driver-captured stderr."""
+    global _CKPT_WARN_SILENCED
+    try:
+        if not _CKPT_WARN_SILENCED:
+            jvm = df.sparkSession._jvm
+            jvm.org.apache.logging.log4j.core.config.Configurator.setLevel(
+                "org.apache.spark.rdd.MapPartitionsRDD",
+                jvm.org.apache.logging.log4j.Level.ERROR,
+            )
+            _CKPT_WARN_SILENCED = True
+    except Exception:  # noqa: BLE001 — logging config is best-effort
+        _CKPT_WARN_SILENCED = True
     try:
         df._jdf.queryExecution().analyzed().rdd().unpersist(False)
     except Exception:  # noqa: BLE001 — nothing to free
@@ -153,7 +172,9 @@ def _sentinel(doc_col: str, q_col: str) -> str:
     return f"-(({doc_col} + 1) * {_SENT_STRIDE} + {q_col} + 1)"
 
 
-def _assign_gid(j: DataFrame, key_cols: list[str]) -> DataFrame:
+def _assign_gid(
+    j: DataFrame, key_cols: list[str], maps_out: list | None = None
+) -> DataFrame:
     """Order-free injective group id: min pid over the key group.
     Deterministic (min over a pure function of the rows), so every
     consumer recomputes identical ids. Levels localCheckpoint(eager)
@@ -161,8 +182,18 @@ def _assign_gid(j: DataFrame, key_cols: list[str]) -> DataFrame:
     references the previous level's twice, so an uncut chain is a
     3^LEVELS-node plan that stalls analysis (measured: a persist()-only
     variant hung at sf0.1 where the checkpointed build takes seconds —
-    the cache dedupes execution but not plan trees)."""
+    the cache dedupes execution but not plan trees).
+
+    ``maps_out``: when given, the per-group ``gids`` frame
+    ``(*key_cols, __g)`` is checkpointed and appended — it is EXACTLY
+    the key -> group-id map the incremental tier's standing index
+    needs (tok -> id at level 0, (r, k2) -> id above), so capturing it
+    here saves the index build one corpus-sized aggregation per level
+    that it used to recompute from the finished levels."""
     gids = j.groupBy(*key_cols).agg(F.min("pid").alias("__g"))
+    if maps_out is not None:
+        gids = gids.localCheckpoint(eager=True)
+        maps_out.append(gids)
     return j.join(gids, key_cols)
 
 
@@ -170,6 +201,7 @@ def suffix_group_levels(
     pos_df: DataFrame,
     carry: tuple[str, ...] = ("w",),
     upto: int = LEVELS,
+    maps_out: list | None = None,
 ) -> list[DataFrame]:
     """Prefix-doubling group-id tables g_0..g_LEVELS.
 
@@ -178,13 +210,18 @@ def suffix_group_levels(
     (sentinel-extended): r equality <=> 2^k-gram equality. Group ids
     are non-negative (doc*STRIDE + pos), sentinels negative — the two
     can never collide. ``carry`` columns (per-stream weights) ride
-    along untouched for the consumers' weighted aggregates."""
+    along untouched for the consumers' weighted aggregates.
+
+    ``maps_out``: when given, receives the checkpointed per-level
+    group-id maps — ``[(tok, __g), ((r, k2, __g)) x upto]`` — the
+    standing index's probe tables, captured for free from the build
+    itself (see ``_assign_gid``)."""
     cols = ["uid", "pos", "doclen", *carry, "pid"]
     base = pos_df.withColumn(
         "pid", F.col("uid") * _SENT_STRIDE + F.col("pos")
     )
     r = (
-        _assign_gid(base, ["tok"])
+        _assign_gid(base, ["tok"], maps_out)
         .select(*cols, F.col("__g").alias("r"))
         .localCheckpoint(eager=True)
     )
@@ -208,7 +245,7 @@ def suffix_group_levels(
             .select(*cols, "r", "k2")
         )
         r = (
-            _assign_gid(j, ["r", "k2"])
+            _assign_gid(j, ["r", "k2"], maps_out)
             .select(*cols, F.col("__g").alias("r"))
             .localCheckpoint(eager=True)
         )

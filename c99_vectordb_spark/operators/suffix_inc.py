@@ -54,9 +54,7 @@ from pyspark.sql import DataFrame, functions as F
 from .suffix import (
     LEVELS,
     SLICE,
-    _SENT_STRIDE,
     _guarded_uid,
-    _sentinel,
     _TOKS,
     release_local_checkpoint,
     suffix_group_levels,
@@ -68,12 +66,12 @@ def release_suffix_index(index: dict) -> None:
     """Free the standing index's checkpointed storage blocks eagerly
     (suffix.release_local_checkpoint docstring has the numbers). Call
     when no more batches will probe it; the index dict must not be
-    used afterwards."""
+    used afterwards. tok_map/pair_maps are lazy renames — the
+    checkpointed frames behind them are in ``_raw_maps``."""
     for lv in index["levels"]:
         release_local_checkpoint(lv)
-    release_local_checkpoint(index["tok_map"])
-    for pm in index["pair_maps"]:
-        release_local_checkpoint(pm)
+    for m in index["_raw_maps"]:
+        release_local_checkpoint(m)
 
 
 def standing_suffix_index(
@@ -128,49 +126,30 @@ def standing_suffix_index(
             "than one distinct text — ids must be unique (duplicate "
             "ids would corrupt group ids and explode the level joins)"
         )
-    levels = suffix_group_levels(pos, carry=("w",), upto=upto)
-
-    tok_map = (
-        pos.select("uid", "pos", "tok")
-        .withColumn("pid", F.col("uid") * _SENT_STRIDE + F.col("pos"))
-        .groupBy("tok")
-        .agg(F.min("pid").alias("r"))
-        .localCheckpoint(eager=True)
+    # the probe maps are captured FROM the level build itself: the
+    # per-group gids frame _assign_gid computes at each level IS the
+    # (key -> id) map — re-deriving them from the finished levels (the
+    # first version of this builder) cost one extra corpus-sized
+    # aggregation per level
+    raw_maps: list[DataFrame] = []
+    levels = suffix_group_levels(
+        pos, carry=("w",), upto=upto, maps_out=raw_maps
     )
-    pair_maps: list[DataFrame] = []
-    for k in range(upto):
-        step = 1 << k
-        rk = levels[k]
-        shifted = rk.select(
-            "uid",
-            (F.col("pos") - step).alias("pos"),
-            F.col("r").alias("r2"),
-        )
-        nxt = levels[k + 1].select(
-            "uid", "pos", F.col("r").alias("nid")
-        )
-        pm = (
-            rk.select("uid", "pos", "doclen", "r")
-            .join(shifted, ["uid", "pos"], "left")
-            .withColumn(
-                "k2",
-                F.coalesce(
-                    F.col("r2"), F.expr(_sentinel("uid", f"(pos + {step})"))
-                ),
-            )
-            .join(nxt, ["uid", "pos"])
-            .select("r", "k2", "nid")
-            .distinct()
-            .localCheckpoint(eager=True)
-        )
-        pair_maps.append(pm)
-    # pos fed levels + tok_map, both eagerly materialized — free it
-    # before handing the index out (nothing in the dict reads it)
+    tok_map = raw_maps[0].select("tok", F.col("__g").alias("r"))
+    pair_maps = [
+        m.select("r", "k2", F.col("__g").alias("nid"))
+        for m in raw_maps[1:]
+    ]
+    # pos fed the build, which is eagerly materialized — free it before
+    # handing the index out (nothing in the dict reads it)
     release_local_checkpoint(pos)
     return {
         "levels": levels,
         "tok_map": tok_map,
         "pair_maps": pair_maps,
+        # the checkpointed frames behind tok_map/pair_maps (those are
+        # lazy renames) — release_suffix_index frees THESE
+        "_raw_maps": raw_maps,
         "upto": upto,
     }
 
