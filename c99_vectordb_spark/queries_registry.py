@@ -1831,11 +1831,11 @@ WINDOW_FAMILIES: dict[str, tuple[set[str], int]] = {
 # 43 re-green slots/round over ~260 oracled queries, every query's
 # driver-green age stays bounded by ~6 rounds.
 #
-# r10 window = 7 anchors + the 7-name residue (stats_spearman,
-# zorder_{hilbert,layout,skipping}, dedup_suffix_array,
-# decontaminate_{exact_overlap,span_scrub}) + 36 oldest-green re-checks
-# (ages r3-r6). CORRECTNESS_r10 going green closes the pool to ZERO and
-# flips tests/test_driver_window.py back to steady family minimums.
+# r11 window = the first STEADY-STATE composition (pool closed to zero
+# in r10, no residue yet this round): 7 anchors + per-family
+# steady-minimum fills oldest-green-first (mostly r4-r7 greens) +
+# global oldest-green fill (all last green r4-r5). Queries built during
+# r11 join the residue tier when the window is recomputed.
 DRIVER_WINDOW = [
     # 1. anchors
     "recall_topk_int",
@@ -1845,58 +1845,52 @@ DRIVER_WINDOW = [
     "upsert_docs",
     "asof_join_events",
     "grouped_rank",
-    # 2. residue: the seven never-driver-checked names left after r9
-    # plus decontaminate_incremental, BUILT this round (a newcomer that
-    # can still ride its birth round's window under the age-based
-    # composition — it simply lands in the residue tier, pre-verified
-    # hash-exact at three scales like everything else)
-    "decontaminate_exact_overlap",
-    "decontaminate_incremental",
-    "decontaminate_span_scrub",
-    "dedup_suffix_array",
-    # multimodal_features upgraded rows-only -> oracled this round
-    # (judge r9 stretch #7) — a fresh oracle is a fresh residue entry
-    "multimodal_features",
-    "stats_spearman",
-    "zorder_hilbert",
-    "zorder_layout",
-    "zorder_skipping",
+    # 2. residue: EMPTY at compose time (pool closed in r10)
     # 3. family steady-minimum fills, oldest-green-first
-    "approx_distinct_hll",
-    "approx_distinct_kmv",
-    "corpus_split_assign",
-    "corpus_tfidf_terms",
-    "chunk_documents",
-    "corpus_bm25_topk",
-    "dedup_exact",
-    "dedup_jaccard_pairs",
-    "revenue_by_nation",
-    "graph_pagerank",
-    "graph_triangles",
-    "multimodal_meta_roundtrip",
-    "multimodal_jpeg_meta",
-    "sim_lsh_multiprobe",
-    "sim_ivf_batch",
-    "sim_pq_fixed",
-    "events_keep_first",
-    "events_attribution_pairs",
-    "text_fingerprint",
-    "text_langid",
-    "text_quality",
-    "tpch_q1",
-    "tpch_q5",
-    "tpch_q9",
-    "tpch_q17",
-    "window_running_total",
-    "grouped_sample_topn",
-    "price_histogram",
-    # 4. global oldest-green fill (all last green in r3)
-    "array_functions",
-    "cube_counts",
-    "datetime_functions",
-    "dedup_components",
-    "dedup_cosine_pairs",
-    "dedup_simhash",
+    "bloom_semi_join",
+    "sketch_heavy_hitters",
+    "corpus_bpe_encode",
+    "corpus_mixture",
+    "corpus_pack_global",
+    "corpus_pipeline",
+    "dedup_survivors",
+    "dedup_substring_spans",
+    "fuzzy_join_parts",
+    "range_join_bands",
+    "multimodal_jpeg_pixel",
+    "multimodal_png_roundtrip",
+    "sim_sq_int8",
+    "sim_hybrid_rrf",
+    "sim_ivfpq_fixed",
+    "dedup_incremental",
+    "events_policy_ips",
+    "text_gopher_rules",
+    "text_repetition",
+    "text_scrub_pii",
+    "tpch_q18",
+    "tpch_q21",
+    "tpch_q22",
+    "tpch_q7",
+    "cdc_apply_orders",
+    "events_trailing_24h",
+    "orders_scd2",
+    # 4. global oldest-green fill
+    "dedup_simhash_pairs",
+    "events_funnel",
+    "events_retention",
+    "events_tumbling",
+    "filter_and_or_contains",
+    "filter_json_metadata",
+    "filter_lexicographic",
+    "grouping_sets",
+    "null_semantics",
+    "percentile_prices",
+    "pivot_revenue",
+    "sim_topk_cosine",
+    "stats_date",
+    "stats_numeric",
+    "stats_numeric_gate",
+    "text_token_counts",
 ]
 
 

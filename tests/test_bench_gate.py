@@ -113,3 +113,62 @@ def test_stdin_mode_skips_compact_summary_line(tmp_path, monkeypatch):
     # summary-only stdin is an explicit error, not a silent pass
     monkeypatch.setattr("sys.stdin", io.StringIO(compact + "\n"))
     assert g.main([]) == 2
+
+
+def test_snapshot_embedded_calib_overrides_live_probe(tmp_path, monkeypatch):
+    """Gating a stored BENCH_rN.json must use the snapshot's own
+    embedded __calib__ (the host speed at MEASUREMENT time), not a live
+    probe at gate time (judge r10 ask #2: three gate runs on the same
+    r10 snapshot flagged three disjoint mover sets purely from
+    live-probe jitter). Here the live probe says the host is fast
+    (0.10) but the snapshot was measured on a 1.5x-slower host (0.15):
+    the 1.8s reading is noise of the slow measurement era and passes."""
+    best = {"0.1": {"q": {"sec": 1.0, "calib": 0.10}}, "__calib__": 0.10}
+    bench = {"sf": 0.1, "queries": {"q": 1.8}, "__calib__": 0.15}
+    rc, _ = _run(tmp_path, monkeypatch, best, bench, calib_now=0.10)
+    assert rc == 0
+    # and WITHOUT the embedded calib the same reading fails on the
+    # fast live probe — the override is load-bearing
+    bench2 = {"sf": 0.1, "queries": {"q": 1.8}}
+    rc2, _ = _run(tmp_path, monkeypatch, best, bench2, calib_now=0.10)
+    assert rc2 == 1
+
+
+def test_pretty_printed_snapshot_file_parses(tmp_path, monkeypatch):
+    """BENCH_FULL_rN.json is one pretty-printed (multi-line) object;
+    the file path must parse it whole instead of dying line-wise
+    ('no JSON bench line' on every stored full snapshot)."""
+    g = _load_gate()
+    best_path = tmp_path / "best.json"
+    best_path.write_text(json.dumps(
+        {"0.1": {"q": {"sec": 1.0, "calib": 0.10}}, "__calib__": 0.10}
+    ))
+    bench_path = tmp_path / "bench.json"
+    bench_path.write_text(json.dumps(
+        {"sf": 0.1, "queries": {"q": 1.1}, "__calib__": 0.10}, indent=1
+    ))
+    monkeypatch.setattr(g, "BEST_PATH", str(best_path))
+    monkeypatch.setattr(g, "_calibrate", lambda: 0.10)
+    monkeypatch.setattr(g, "_confirm_rerun", lambda names, sf: {})
+    assert g.main([str(bench_path)]) == 0
+
+
+def test_confirm_rerun_breach_uses_live_calib(tmp_path, monkeypatch):
+    """Re-run samples execute on TODAY's host, so their breach test
+    must use a live probe even when the snapshot embeds a different
+    measurement-era calib. Snapshot era is fast (0.10) but the gate
+    host is 1.5x slower (0.15): the 1.8s re-run is host drift, not a
+    confirmed regression."""
+    g = _load_gate()
+    best_path = tmp_path / "best.json"
+    best_path.write_text(json.dumps(
+        {"0.1": {"q": {"sec": 1.0, "calib": 0.10}}, "__calib__": 0.10}
+    ))
+    bench_path = tmp_path / "bench.json"
+    bench_path.write_text(json.dumps(
+        {"sf": 0.1, "queries": {"q": 9.9}, "__calib__": 0.10}
+    ))
+    monkeypatch.setattr(g, "BEST_PATH", str(best_path))
+    monkeypatch.setattr(g, "_calibrate", lambda: 0.15)
+    monkeypatch.setattr(g, "_confirm_rerun", lambda names, sf: {"q": 1.8})
+    assert g.main([str(bench_path)]) == 0

