@@ -1832,10 +1832,10 @@ WINDOW_FAMILIES: dict[str, tuple[set[str], int]] = {
 # driver-green age stays bounded by ~6 rounds.
 #
 # r11 window = the first STEADY-STATE composition (pool closed to zero
-# in r10, no residue yet this round): 7 anchors + per-family
-# steady-minimum fills oldest-green-first (mostly r4-r7 greens) +
-# global oldest-green fill (all last green r4-r5). Queries built during
-# r11 join the residue tier when the window is recomputed.
+# in r10): 7 anchors + residue (sim_pq, upgraded rows-only->oracled
+# this round) + per-family steady-minimum fills oldest-green-first
+# (mostly r1-r7 greens; sim_ivf's upgrade re-enters here through its
+# r1-era rows-only driver row) + global oldest-green fill.
 DRIVER_WINDOW = [
     # 1. anchors
     "recall_topk_int",
@@ -1845,7 +1845,11 @@ DRIVER_WINDOW = [
     "upsert_docs",
     "asof_join_events",
     "grouped_rank",
-    # 2. residue: EMPTY at compose time (pool closed in r10)
+    # 2. residue: the two rows-only queries upgraded to oracled
+    # this round ride their upgrade round's window (sim_pq here;
+    # sim_ivf carries an r1-era rows-only driver row, so it re-enters
+    # through the age-based fill below instead)
+    "sim_pq",
     # 3. family steady-minimum fills, oldest-green-first
     "bloom_semi_join",
     "sketch_heavy_hitters",
@@ -1874,6 +1878,7 @@ DRIVER_WINDOW = [
     "cdc_apply_orders",
     "events_trailing_24h",
     "orders_scd2",
+    "sim_ivf",
     # 4. global oldest-green fill
     "dedup_simhash_pairs",
     "events_funnel",
@@ -1889,8 +1894,6 @@ DRIVER_WINDOW = [
     "sim_topk_cosine",
     "stats_date",
     "stats_numeric",
-    "stats_numeric_gate",
-    "text_token_counts",
 ]
 
 
