@@ -273,6 +273,11 @@ HEADLINE = [
     # round-10 wave
     "decontaminate_incremental",
     "multimodal_features",
+    # round-11 wave: the trained-quantizer queries upgraded to oracled
+    # plus the SemDeDup-shaped cluster-scoped semantic dedup built on it
+    "sim_pq",
+    "sim_ivf",
+    "dedup_semdedup_pairs",
 ]
 
 

@@ -248,6 +248,106 @@ def duckdb_kmeans_cte(
     return ",\n".join(parts), f"{p}_c{iters}", f"{p}_codes"
 
 
+def quantized_arr(
+    emb: DataFrame, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """(id, q array<long>): the same integer quantization as
+    ``quantized_dims``, kept as an array for zip_with distance math."""
+    return emb.select(
+        F.col(id_col).alias("id"),
+        F.transform(
+            F.col(vec_col),
+            lambda x: F.floor(
+                (x.cast("double") + F.lit(1.0)) * 127.5 + 0.5
+            ).cast("long"),
+        ).alias("q"),
+    )
+
+
+def _cent_arrays(cent: dict, k: int, dim: int) -> list[tuple[int, list[int]]]:
+    """{(j,i,sd): v} single-space model -> [(i, [v_0..v_dim-1])]."""
+    return [
+        (i, [cent[(0, i, sd)] for sd in range(dim)]) for i in range(k)
+    ]
+
+
+def _dist2(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_cells(qdf: DataFrame, cent: dict, k: int, dim: int) -> DataFrame:
+    """(id, cell): nearest-centroid assignment under a single-space
+    model (ties -> smallest index, the kmeans_exact rule). The model
+    rides as a k-row broadcast literal — the bounded BNLJ shape the
+    plan guard allowlists for centroid assignment."""
+    spark = qdf.sparkSession
+    cdf = spark.createDataFrame(
+        _cent_arrays(cent, k, dim), "i long, cv array<long>"
+    )
+    return (
+        qdf.crossJoin(F.broadcast(cdf))
+        .select("id", "i", _dist2(F.col("q"), F.col("cv")).alias("dist"))
+        .groupBy("id")
+        .agg(F.min(F.struct("dist", "i")).alias("m"))
+        .select("id", F.col("m.i").alias("cell"))
+    )
+
+
+def standing_semdedup_cells(
+    emb: DataFrame,
+    cent: dict,
+    k: int,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """The standing corpus's (id, cell, q) table — what an incoming
+    batch's near-dup probe equi-joins against. At cluster scale this is
+    written bucketed by cell."""
+    q = quantized_arr(emb, id_col, vec_col)
+    return assign_cells(q, cent, k, dim).join(q, "id")
+
+
+def semdedup_batch_verdicts(
+    batch_emb: DataFrame,
+    cent: dict,
+    standing_cells: DataFrame,
+    tau: int,
+    k: int,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Per-document semantic near-dup verdicts for an incoming batch
+    vs the STANDING corpus — the SemDeDup gate's batch twin: (id,
+    cell, n_near, min_dist2) for every batch doc with at least one
+    standing vector at integer squared L2 <= tau in its cell (clean
+    docs absent, matching the contamination gates' contaminated-only
+    shape). Same-id standing rows are excluded (a re-delivered doc is
+    not its own duplicate). The probe is a cell equi-join — n/k
+    candidates per doc, never a global all-pairs."""
+    q = quantized_arr(batch_emb, id_col, vec_col)
+    asg = assign_cells(q, cent, k, dim).join(q, "id")
+    st = standing_cells.select(
+        F.col("id").alias("sid"), "cell", F.col("q").alias("sq")
+    )
+    return (
+        asg.join(st, "cell")
+        .filter(F.col("sid") != F.col("id"))
+        .select("id", "cell", _dist2(F.col("q"), F.col("sq")).alias("dist2"))
+        .filter(F.col("dist2") <= tau)
+        .groupBy("id", "cell")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_near"),
+            F.min("dist2").alias("min_dist2"),
+        )
+    )
+
+
 DUCKDB_QUANT_DIMS = """
   SELECT vec_id AS id, d::BIGINT AS d,
          CAST(floor((embedding[d + 1]::DOUBLE + 1.0) * 127.5 + 0.5) AS BIGINT) AS val

@@ -2728,6 +2728,88 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SEMDEDUP_TAU = 20000
+
+
+def q_dedup_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic dedup (Abbas et al. 2023, public):
+    cluster the embeddings with the deterministic integer quantizer
+    (operators/kmeans_exact.py — the same 8-cell/64-dim/4-round model
+    sim_ivf trains), then report near-duplicate pairs ONLY within each
+    cluster — exact integer squared L2 on the quantized vectors,
+    pairs with dist2 <= tau. Fully hash-oracled: the DuckDB twin
+    retrains the same model in chained CTEs.
+
+    This is the published trick's exact shape at 100 TB: candidate
+    pairs are n^2/k per cell instead of n^2 global (scale k with the
+    corpus), the model is a 512-int broadcast, and the pair join is a
+    cell equi-join — no global all-pairs stage exists in the plan."""
+    from .operators.kmeans_exact import kmeans_exact, quantized_dims, space_dims
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    _, codes = kmeans_exact(
+        space_dims(quantized_dims(emb), 64),
+        k=_IVF_K,
+        dsub=64,
+        iters=_IVF_ITERS,
+    )
+    qv = emb.select(
+        F.col("vec_id").alias("id"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor((x.cast("double") + F.lit(1.0)) * 127.5 + 0.5).cast(
+                "long"
+            ),
+        ).alias("q"),
+    )
+    cells = codes.select("id", F.col("code").alias("cell")).join(qv, "id")
+    a = cells.select(
+        "cell", F.col("id").alias("id_a"), F.col("q").alias("qa")
+    )
+    b = cells.select(
+        "cell", F.col("id").alias("id_b"), F.col("q").alias("qb")
+    )
+    pairs = a.join(b, ["cell"]).filter(F.col("id_a") < F.col("id_b"))
+    dist2 = F.aggregate(
+        F.zip_with("qa", "qb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, v: acc + v,
+    ).alias("dist2")
+    return (
+        pairs.select("cell", "id_a", "id_b", dist2)
+        .filter(F.col("dist2") <= _SEMDEDUP_TAU)
+        .orderBy("cell", "id_a", "id_b")
+    )
+
+
+def _oracle_dedup_semdedup() -> str:
+    from .operators.kmeans_exact import duckdb_kmeans_cte, duckdb_space_dims
+
+    cte, _cfin, ccodes = duckdb_kmeans_cte(
+        duckdb_space_dims(64), k=_IVF_K, dsub=64, iters=_IVF_ITERS,
+        prefix="sdd",
+    )
+    return f"""
+WITH {cte},
+qv AS (
+  SELECT vec_id AS id,
+         list_transform(embedding,
+           x -> CAST(floor((x::DOUBLE + 1.0) * 127.5 + 0.5) AS BIGINT)) AS q
+  FROM embeddings),
+cells AS (
+  SELECT c.id, c.code AS cell, qv.q
+  FROM {ccodes} c JOIN qv ON c.id = qv.id)
+SELECT cell, id_a, id_b, dist2 FROM (
+  SELECT a.cell, a.id AS id_a, b.id AS id_b,
+         list_sum(list_transform(range(0, 64),
+           d -> (a.q[d + 1] - b.q[d + 1]) * (a.q[d + 1] - b.q[d + 1])))::BIGINT
+           AS dist2
+  FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id)
+WHERE dist2 <= {_SEMDEDUP_TAU}
+ORDER BY cell, id_a, id_b
+"""
+
+
 def _oracle_sim_ivf() -> str:
     from .operators.kmeans_exact import (
         DUCKDB_QUANT_DIMS,
@@ -8953,6 +9035,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lm_coverage": q_text_lm_coverage,
     "grouped_rank": q_grouped_rank,
     "sim_ivf": q_sim_ivf,
+    "dedup_semdedup_pairs": q_dedup_semdedup_pairs,
     "sim_ivf_batch": q_sim_ivf_batch,
     "multimodal_features": q_multimodal_features,
     "filter_variant_metadata": q_filter_variant_metadata,
@@ -9078,6 +9161,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_lm_coverage": _oracle_lm_coverage(),
     "grouped_rank": _ORACLE_GROUPED_RANK,
     "sim_ivf": _oracle_sim_ivf(),
+    "dedup_semdedup_pairs": _oracle_dedup_semdedup(),
     "sim_ivf_batch": _ORACLE_SIM_IVF_BATCH,
     "filter_variant_metadata": _ORACLE_FILTER_VARIANT,
     "stats_correlation": _ORACLE_STATS_CORRELATION,

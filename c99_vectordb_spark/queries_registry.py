@@ -1845,10 +1845,10 @@ DRIVER_WINDOW = [
     "upsert_docs",
     "asof_join_events",
     "grouped_rank",
-    # 2. residue: the two rows-only queries upgraded to oracled
-    # this round ride their upgrade round's window (sim_pq here;
-    # sim_ivf carries an r1-era rows-only driver row, so it re-enters
-    # through the age-based fill below instead)
+    # 2. residue: dedup_semdedup_pairs (built this round) and
+    # sim_pq (upgraded rows-only->oracled this round); sim_ivf's
+    # upgrade re-enters via its r1-era rows-only driver row below
+    "dedup_semdedup_pairs",
     "sim_pq",
     # 3. family steady-minimum fills, oldest-green-first
     "bloom_semi_join",
@@ -1893,7 +1893,6 @@ DRIVER_WINDOW = [
     "pivot_revenue",
     "sim_topk_cosine",
     "stats_date",
-    "stats_numeric",
 ]
 
 

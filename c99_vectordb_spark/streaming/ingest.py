@@ -776,3 +776,75 @@ def stream_exact_contamination(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_semdedup_gate(
+    emb_stream: DataFrame,
+    cent: dict,
+    standing_cells,
+    emitted_ids,
+    sink_fn,
+    checkpoint_dir: str,
+    tau: int,
+    k: int = 8,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming ingest-time SEMANTIC near-dup gate — stream==batch
+    pair #19, the embedding-space sibling of pair #18's exact
+    contamination gate: each micro-batch of incoming document
+    embeddings is assigned to its cell under the STANDING SemDeDup
+    quantizer (operators/kmeans_exact — the model is a k-row broadcast
+    literal) and probed against the standing corpus's (id, cell, q)
+    table by a cell equi-join; every near-duplicate document's
+    (id, cell, n_near, min_dist2) verdict is handed to
+    ``sink_fn(df, batch_id)`` EXACTLY ONCE per doc id.
+
+    Exactly-once shape: identical to pair #18 — re-deliveries are
+    dropped by a left-anti join against the ``emitted_ids`` table the
+    sink appends to (pass a zero-arg callable when it appends between
+    batches; the Delta-MERGE shape at cluster scale). Same-batch
+    duplicate deliveries collapse through dropDuplicates(id) BEFORE
+    the probe (embeddings are value-identical per id by contract; an
+    id re-used for a different vector is the pair-17 anomaly class and
+    belongs to that gate).
+
+    foreachBatch, not a stream-static join chain, because the argmin
+    cell assignment is an aggregation the probe then joins and
+    re-aggregates — more chained aggregations than append-mode
+    stream-static plans allow; the micro-batch is a bounded frame
+    where the batch twin (semdedup_batch_verdicts) applies verbatim.
+    The standing table enters as a static-side equi-join only."""
+    from ..operators.kmeans_exact import semdedup_batch_verdicts
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        seen = emitted_ids() if callable(emitted_ids) else emitted_ids
+        standing = (
+            standing_cells() if callable(standing_cells) else standing_cells
+        )
+        verdicts = semdedup_batch_verdicts(
+            batch_df.dropDuplicates([id_col]),
+            cent,
+            standing,
+            tau,
+            k=k,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        if seen is not None:
+            verdicts = verdicts.join(
+                seen.select(F.col(seen.columns[0]).alias("id")),
+                "id",
+                "left_anti",
+            )
+        sink_fn(verdicts, batch_id)
+
+    return (
+        emb_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

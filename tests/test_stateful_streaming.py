@@ -1245,3 +1245,100 @@ def test_stream_exact_contamination_matches_batch(spark, sf_dir, tmp_path):
     # exactly-once despite the 40-doc re-crawl and same-batch dups
     ids = [r["id"] for r in got_rows]
     assert len(ids) == len(set(ids))
+
+
+def test_stream_semdedup_gate_matches_batch(spark, sf_dir, tmp_path):
+    """Stream==batch pair #19: ingest-time SEMANTIC near-dup gate.
+    Incoming embeddings replayed across three micro-batches (batch 2
+    re-delivering 30 of batch 0's vectors — the re-crawl; batch 1
+    carrying 15 of its own twice — the same-batch duplicate) probe the
+    STANDING SemDeDup cells; the union of emitted (id, cell, n_near,
+    min_dist2) verdicts must equal the batch twin
+    semdedup_batch_verdicts over the distinct delivered vectors, each
+    id at most once."""
+    import os
+    import time as _t
+
+    from c99_vectordb_spark.operators.kmeans_exact import (
+        kmeans_exact,
+        quantized_dims,
+        semdedup_batch_verdicts,
+        space_dims,
+        standing_semdedup_cells,
+    )
+    from c99_vectordb_spark.streaming.ingest import stream_semdedup_gate
+
+    TAU, K, DIM = 25000, 8, 64
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    standing_emb = emb.filter(F.col("vec_id") % 3 == 0)
+    incoming = emb.filter(F.col("vec_id") % 3 != 0)
+
+    cent, _codes = kmeans_exact(
+        space_dims(quantized_dims(standing_emb), DIM), k=K, dsub=DIM, iters=2
+    )
+    standing = standing_semdedup_cells(standing_emb, cent, K, DIM).persist()
+
+    batch_twin = {
+        (r["id"], r["cell"], r["n_near"], r["min_dist2"])
+        for r in semdedup_batch_verdicts(
+            incoming, cent, standing, TAU, k=K, dim=DIM
+        ).collect()
+    }
+    assert batch_twin, "fixture must contain semantic near-dups"
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    parts = incoming.randomSplit([0.4, 0.35, 0.25], seed=13)
+    parts[2] = parts[2].unionByName(parts[0].limit(30))
+    parts[1] = parts[1].unionByName(parts[1].limit(15))
+    now = _t.time()
+    for i, part in enumerate(parts):
+        d = os.path.join(src, f"b{i}.parquet")
+        part.coalesce(1).write.parquet(d)
+        ts = now - 60 * (len(parts) - i)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+        os.utime(d, (ts, ts))
+
+    out_dir = os.path.join(str(tmp_path), "verdicts")
+    ids_dir = os.path.join(str(tmp_path), "emitted_ids")
+
+    def emitted_ids():
+        if os.path.isdir(ids_dir):
+            return spark.read.parquet(ids_dir)
+        return None
+
+    def sink(df, batch_id):
+        df.persist()
+        try:
+            df.write.mode("append").parquet(out_dir)
+            df.select("id").write.mode("append").parquet(ids_dir)
+        finally:
+            df.unpersist()
+
+    q = stream_semdedup_gate(
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        cent,
+        standing,
+        emitted_ids,
+        sink,
+        os.path.join(str(tmp_path), "ckpt"),
+        tau=TAU,
+        k=K,
+        dim=DIM,
+    ).start()
+    q.awaitTermination(300)
+    standing.unpersist()
+
+    got_rows = spark.read.parquet(out_dir).collect()
+    got = {
+        (r["id"], r["cell"], r["n_near"], r["min_dist2"]) for r in got_rows
+    }
+    assert got == batch_twin
+    # exactly-once despite the 30-vector re-crawl and same-batch dups
+    ids = [r["id"] for r in got_rows]
+    assert len(ids) == len(set(ids))
