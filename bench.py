@@ -532,6 +532,48 @@ def _chained_suffix(spark, sf_dir):
     return t_suffix_array, t_cross, t_scrub
 
 
+def _chained_kmeans(spark, sf_dir):
+    """sim_ivf and dedup_semdedup_pairs train the IDENTICAL
+    8-cell/64-dim/4-round quantizer — chain them like every other
+    shared-stage family: train once, time sim_ivf as train+probe (its
+    standalone gate meaning) and semdedup as the pairing increment.
+    Oracles unchanged: the registry entries still train from scratch."""
+    import time
+
+    from c99_vectordb_spark.operators.kmeans_exact import (
+        kmeans_exact,
+        quantized_dims,
+        space_dims,
+    )
+    from c99_vectordb_spark.queries_ext import (
+        _IVF_ITERS,
+        _IVF_K,
+        _ivf_probe,
+        _semdedup_pairs_from,
+    )
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dims = quantized_dims(emb)
+    t0 = time.time()
+    cent, codes = kmeans_exact(
+        space_dims(dims, 64), k=_IVF_K, dsub=64, iters=_IVF_ITERS
+    )
+    t_train = time.time() - t0
+
+    t0 = time.time()
+    _ivf_probe(spark, dims, cent, codes).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t_ivf = t_train + (time.time() - t0)
+
+    t0 = time.time()
+    _semdedup_pairs_from(emb, codes).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t_semdedup = time.time() - t0
+    return t_ivf, t_semdedup
+
+
 def _chained_incremental(spark, sf_dir):
     """The incremental exact-substring tier as production runs it
     (judge r10 ask #4): the standing index is built ONCE and amortized
@@ -666,6 +708,20 @@ def main() -> None:
         errors["dedup_suffix_array"] = f"{type(exc).__name__}: {exc}"[:500]
         print(
             f"bench: chained suffix FAILED: {errors['dedup_suffix_array']}",
+            file=sys.stderr,
+        )
+
+    # the trained-quantizer pair shares its k-means fit — chained like
+    # the dedup/BPE/graph/suffix families (sim_ivf standalone meaning,
+    # semdedup the pairing increment)
+    try:
+        runs = [_chained_kmeans(spark, SF_DIR) for _ in range(2)]
+        for i, name in enumerate(("sim_ivf", "dedup_semdedup_pairs")):
+            timings[name] = round(min(r[i] for r in runs), 3)
+    except Exception as exc:  # noqa: BLE001 — keep benching the rest
+        errors["sim_ivf"] = f"{type(exc).__name__}: {exc}"[:500]
+        print(
+            f"bench: chained kmeans FAILED: {errors['sim_ivf']}",
             file=sys.stderr,
         )
 

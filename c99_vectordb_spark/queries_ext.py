@@ -2671,6 +2671,13 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent, codes = kmeans_exact(
         space_dims(dims, 64), k=_IVF_K, dsub=64, iters=_IVF_ITERS
     )
+    return _ivf_probe(spark, dims, cent, codes)
+
+
+def _ivf_probe(spark, dims, cent, codes) -> DataFrame:
+    """The probe half of q_sim_ivf given a trained model — split out so
+    the bench can amortize the shared k=8 training across the sim_ivf /
+    dedup_semdedup_pairs chain (bench._chained_kmeans)."""
     cdf = spark.createDataFrame(
         [(i, sd, v) for (_, i, sd), v in sorted(cent.items())],
         "i long, d long, cval long",
@@ -2753,6 +2760,12 @@ def q_dedup_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsub=64,
         iters=_IVF_ITERS,
     )
+    return _semdedup_pairs_from(emb, codes)
+
+
+def _semdedup_pairs_from(emb: DataFrame, codes: DataFrame) -> DataFrame:
+    """The pairing half of q_dedup_semdedup_pairs given the trained
+    cell assignment — split out for bench._chained_kmeans."""
     qv = emb.select(
         F.col("vec_id").alias("id"),
         F.transform(
