@@ -121,11 +121,23 @@ def _confirm_rerun(names: list[str], sf: str) -> dict[str, float]:
         for name in names:
             if name in out or name not in qs:
                 continue
-            samples = []
-            for _ in range(3):  # min-of-3: one steal window can't dominate
+
+            def _sample() -> float:
                 t0 = time.time()
-                qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                samples.append(time.time() - t0)
+                qs[name](spark, sf_dir).write.format("noop").mode(
+                    "overwrite"
+                ).save()
+                return time.time() - t0
+
+            # min-of-3 base (one steal window can't dominate) plus a
+            # descending-tail extension: if the latest sample is still
+            # the minimum by >10%, the kernel is mid-JIT-warmup — keep
+            # sampling to 5 (r11: multimodal_phash_dedup reads
+            # 8.6/1.39/1.26/1.03/0.92 — min-of-3 sits 37% above the
+            # floor and confirm-flagged a query whose floor passes)
+            samples = [_sample() for _ in range(3)]
+            while len(samples) < 5 and samples[-1] < 0.9 * min(samples[:-1]):
+                samples.append(_sample())
             out[name] = round(min(samples), 3)
     finally:
         spark.stop()
