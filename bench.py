@@ -278,6 +278,7 @@ HEADLINE = [
     "sim_pq",
     "sim_ivf",
     "dedup_semdedup_pairs",
+    "sim_ivfpq",
 ]
 
 

@@ -2735,6 +2735,151 @@ def _ivf_probe(spark, dims, cent, codes) -> DataFrame:
     )
 
 
+_IVFPQ_NPROBE = 2
+
+
+def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED IVF-PQ, fully oracled — the FAISS production layout
+    (coarse quantizer + residual product quantizer) with BOTH stages
+    trained by the deterministic integer Lloyd's of
+    operators/kmeans_exact.py: 8 coarse cells over the 64-dim
+    quantized vectors, then 8x16 PQ codebooks over the per-vector
+    RESIDUALS (val - cell_centroid + 256 — offset keeps every value
+    non-negative so both engines' integer arithmetic agrees
+    everywhere), 4 rounds each. Search: the fixed query probes its 2
+    nearest coarse cells, candidates in those cells are ADC-scored
+    through a per-cell residual LUT, the top-40 shortlist re-ranks by
+    exact integer L2, top-10 out. Every number is an exact int64, so
+    the DuckDB twin RETRAINS both stages in chained CTEs and
+    hash-matches bit-for-bit — strictly beyond sim_ivfpq_fixed, whose
+    codebooks are pinned constants. Scale: both models are <=1 KB
+    broadcasts; the scan touches 8 residual codes per vector, cell-
+    pruned by the coarse probe (the IVF-PQ point)."""
+    from .operators.kmeans_exact import kmeans_exact, quantized_dims, space_dims
+    from .queries_pipeline import _pq_query_quant
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    dims = quantized_dims(emb)
+    cent_c, codes_c = kmeans_exact(
+        space_dims(dims, 64), k=_IVF_K, dsub=64, iters=_IVF_ITERS
+    )
+    ccdf = spark.createDataFrame(
+        [(i, sd, v) for (_, i, sd), v in sorted(cent_c.items())],
+        "cell long, d long, cval long",
+    )
+    cells = codes_c.select("id", F.col("code").alias("cell"))
+    rdims = (
+        dims.join(cells, "id")
+        .join(F.broadcast(ccdf), ["cell", "d"])
+        .select(
+            "id", "d", (F.col("val") - F.col("cval") + F.lit(256)).alias("val")
+        )
+    )
+    cent_r, codes_r = kmeans_exact(
+        space_dims(rdims, 8), k=16, dsub=8, iters=_IVF_ITERS
+    )
+    qq = _pq_query_quant()
+    cdist = sorted(
+        (
+            sum((qq[d] - cent_c[(0, i, d)]) ** 2 for d in range(64)),
+            i,
+        )
+        for i in range(_IVF_K)
+    )
+    probed = [i for _, i in cdist[:_IVFPQ_NPROBE]]
+    lut_rows = []
+    for cell in probed:
+        qr = [qq[d] - cent_c[(0, cell, d)] + 256 for d in range(64)]
+        for j in range(8):
+            for i in range(16):
+                lv = sum(
+                    (qr[8 * j + sd] - cent_r[(j, i, sd)]) ** 2
+                    for sd in range(8)
+                )
+                lut_rows.append((cell, j, i, lv))
+    lut_df = spark.createDataFrame(lut_rows, "cell long, j long, code long, lv long")
+    adc = (
+        cells.filter(F.col("cell").isin([int(c) for c in probed]))
+        .join(codes_r, "id")
+        .join(F.broadcast(lut_df), ["cell", "j", "code"])
+        .groupBy("id", "cell")
+        .agg(F.sum("lv").alias("adc_score"))
+    )
+    short = adc.orderBy("adc_score", "id").limit(40)
+    qdf = spark.createDataFrame(list(enumerate(qq)), "d long, qval long")
+    exact = (
+        short.join(dims, "id")
+        .join(F.broadcast(qdf), "d")
+        .groupBy("id", "cell", "adc_score")
+        .agg(
+            F.sum(
+                (F.col("val") - F.col("qval")) * (F.col("val") - F.col("qval"))
+            ).alias("exact_dist")
+        )
+    )
+    return exact.orderBy("exact_dist", "id").limit(10).select(
+        F.col("id").alias("vec_id"), "cell", "adc_score", "exact_dist"
+    )
+
+
+def _oracle_sim_ivfpq() -> str:
+    from .operators.kmeans_exact import (
+        DUCKDB_QUANT_DIMS,
+        duckdb_kmeans_cte,
+        duckdb_space_dims,
+    )
+    from .queries_pipeline import _pq_query_quant
+
+    ic_cte, ic_cfin, ic_codes = duckdb_kmeans_cte(
+        duckdb_space_dims(64), k=_IVF_K, dsub=64, iters=_IVF_ITERS,
+        prefix="ic",
+    )
+    ir_cte, ir_cfin, ir_codes = duckdb_kmeans_cte(
+        "SELECT id, d // 8 AS j, d % 8 AS sd, val FROM ivfpq_rdims",
+        k=16, dsub=8, iters=_IVF_ITERS, prefix="ir",
+    )
+    qvals = ", ".join(f"({d}, {v})" for d, v in enumerate(_pq_query_quant()))
+    return f"""
+WITH {ic_cte},
+ivfpq_rdims AS MATERIALIZED (
+  SELECT d.id, d.d, d.val - c.cval + 256 AS val
+  FROM ({DUCKDB_QUANT_DIMS}) d
+  JOIN {ic_codes} a ON d.id = a.id
+  JOIN {ic_cfin} c ON c.i = a.code AND c.sd = d.d),
+{ir_cte},
+q(d, qval) AS (VALUES {qvals}),
+qc AS (
+  SELECT c.i AS cell, SUM((q.qval - c.cval) * (q.qval - c.cval))::BIGINT AS cdist
+  FROM {ic_cfin} c JOIN q ON q.d = c.sd GROUP BY c.i),
+probed AS (
+  SELECT cell FROM (
+    SELECT cell, ROW_NUMBER() OVER (ORDER BY cdist, cell) AS rnk FROM qc)
+  WHERE rnk <= {_IVFPQ_NPROBE}),
+qr AS (
+  SELECT c.i AS cell, c.sd AS d, q.qval - c.cval + 256 AS rval
+  FROM {ic_cfin} c JOIN q ON q.d = c.sd JOIN probed p ON p.cell = c.i),
+lut AS (
+  SELECT r.cell, c.j, c.i, SUM((r.rval - c.cval) * (r.rval - c.cval))::BIGINT AS lv
+  FROM {ir_cfin} c JOIN qr r ON r.d = c.j * 8 + c.sd
+  GROUP BY r.cell, c.j, c.i),
+adc AS (
+  SELECT a.id, ca.code AS cell, SUM(l.lv)::BIGINT AS adc_score
+  FROM {ic_codes} ca
+  JOIN probed p ON p.cell = ca.code
+  JOIN {ir_codes} a ON a.id = ca.id
+  JOIN lut l ON l.cell = ca.code AND l.j = a.j AND l.i = a.code
+  GROUP BY a.id, ca.code),
+short AS (SELECT id, cell, adc_score FROM adc ORDER BY adc_score, id LIMIT 40),
+xdims AS ({DUCKDB_QUANT_DIMS})
+SELECT id AS vec_id, cell, adc_score, exact_dist FROM (
+  SELECT s.id, s.cell, s.adc_score,
+         SUM((d.val - q.qval) * (d.val - q.qval))::BIGINT AS exact_dist
+  FROM short s JOIN xdims d ON s.id = d.id JOIN q ON q.d = d.d
+  GROUP BY s.id, s.cell, s.adc_score)
+ORDER BY exact_dist, vec_id LIMIT 10
+"""
+
+
 _SEMDEDUP_TAU = 20000
 
 
@@ -9096,6 +9241,7 @@ EXT_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {
     "text_lm_coverage": q_text_lm_coverage,
     "grouped_rank": q_grouped_rank,
     "sim_ivf": q_sim_ivf,
+    "sim_ivfpq": q_sim_ivfpq,
     "dedup_semdedup_pairs": q_dedup_semdedup_pairs,
     "sim_ivf_batch": q_sim_ivf_batch,
     "multimodal_features": q_multimodal_features,
@@ -9222,6 +9368,7 @@ EXT_ORACLES: dict[str, str] = {
     "text_lm_coverage": _oracle_lm_coverage(),
     "grouped_rank": _ORACLE_GROUPED_RANK,
     "sim_ivf": _oracle_sim_ivf(),
+    "sim_ivfpq": _oracle_sim_ivfpq(),
     "dedup_semdedup_pairs": _oracle_dedup_semdedup(),
     "sim_ivf_batch": _ORACLE_SIM_IVF_BATCH,
     "filter_variant_metadata": _ORACLE_FILTER_VARIANT,

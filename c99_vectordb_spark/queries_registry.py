@@ -1845,10 +1845,11 @@ DRIVER_WINDOW = [
     "upsert_docs",
     "asof_join_events",
     "grouped_rank",
-    # 2. residue: dedup_semdedup_pairs (built this round) and
-    # sim_pq (upgraded rows-only->oracled this round); sim_ivf's
+    # 2. residue: queries born/upgraded this round (dedup_semdedup_pairs,
+    # sim_ivfpq new; sim_pq upgraded rows-only->oracled); sim_ivf's
     # upgrade re-enters via its r1-era rows-only driver row below
     "dedup_semdedup_pairs",
+    "sim_ivfpq",
     "sim_pq",
     # 3. family steady-minimum fills, oldest-green-first
     "bloom_semi_join",
@@ -1892,7 +1893,6 @@ DRIVER_WINDOW = [
     "percentile_prices",
     "pivot_revenue",
     "sim_topk_cosine",
-    "stats_date",
 ]
 
 
