@@ -348,6 +348,69 @@ def semdedup_batch_verdicts(
     )
 
 
+def ivf_batch_topk(
+    queries: DataFrame,
+    cent: dict,
+    standing_cells: DataFrame,
+    tau_k: int,
+    k: int,
+    dim: int = 64,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Batch IVF ANN serving against a standing index — the batch twin
+    of ``streaming/ingest.stream_ann_gate`` (pair #20): each query
+    vector probes its ``nprobe`` nearest cells (same integer argmin
+    rules as everywhere in this module) and gets its exact-integer-L2
+    top-``tau_k`` neighbors among the probed cells' standing vectors,
+    self excluded, ties by id. Output (qid, id, score, rnk)."""
+    from pyspark.sql import Window
+
+    spark = queries.sparkSession
+    qd = quantized_arr(queries, id_col, vec_col).select(
+        F.col("id").alias("qid"), "q"
+    )
+    cdf = spark.createDataFrame(
+        _cent_arrays(cent, k, dim), "i long, cv array<long>"
+    )
+    probed = (
+        qd.crossJoin(F.broadcast(cdf))
+        .select("qid", "i", _dist2(F.col("q"), F.col("cv")).alias("cdist"))
+        .withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("cdist", "i")
+            ),
+        )
+        .filter(F.col("rnk") <= nprobe)
+        .select("qid", F.col("i").alias("cell"))
+    )
+    st = standing_cells.select(
+        F.col("id").alias("sid"), "cell", F.col("q").alias("sq")
+    )
+    scored = (
+        probed.join(st, "cell")
+        .join(qd, "qid")
+        .filter(F.col("sid") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("sid").alias("id"),
+            _dist2(F.col("q"), F.col("sq")).alias("score"),
+        )
+    )
+    return (
+        scored.withColumn(
+            "rnk",
+            F.row_number().over(
+                Window.partitionBy("qid").orderBy("score", "id")
+            ),
+        )
+        .filter(F.col("rnk") <= tau_k)
+        .select("qid", "id", "score", "rnk")
+    )
+
+
 DUCKDB_QUANT_DIMS = """
   SELECT vec_id AS id, d::BIGINT AS d,
          CAST(floor((embedding[d + 1]::DOUBLE + 1.0) * 127.5 + 0.5) AS BIGINT) AS val

@@ -848,3 +848,67 @@ def stream_semdedup_gate(
         .option("checkpointLocation", checkpoint_dir)
         .trigger(availableNow=True)
     )
+
+
+def stream_ann_gate(
+    query_stream: DataFrame,
+    cent: dict,
+    standing_cells,
+    emitted_ids,
+    sink_fn,
+    checkpoint_dir: str,
+    topk: int = 5,
+    k: int = 8,
+    dim: int = 64,
+    nprobe: int = 3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+):
+    """Streaming ANN SERVING gate — stream==batch pair #20: vector
+    search as a Structured Streaming pipeline. Each micro-batch of
+    query vectors probes its ``nprobe`` nearest cells under the
+    STANDING quantizer (k-row broadcast literal) and gets exact
+    integer-L2 top-``topk`` answers (qid, id, score, rnk) against the
+    standing (id, cell, q) table; each query is answered EXACTLY ONCE
+    (re-submitted qids drop via the pair-18/19 left-anti emitted-ids
+    contract; same-batch duplicates collapse via dropDuplicates).
+
+    foreachBatch because the per-query argmin probe is an aggregation
+    the candidate join then re-aggregates (top-k window) — beyond
+    append-mode stream-static chains; the micro-batch is bounded, so
+    the batch twin (kmeans_exact.ivf_batch_topk) applies verbatim.
+    At cluster scale the standing table is bucketed by cell and the
+    model is a broadcast — the serving join scans only probed cells."""
+    from ..operators.kmeans_exact import ivf_batch_topk
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        if batch_df.isEmpty():
+            return
+        seen = emitted_ids() if callable(emitted_ids) else emitted_ids
+        standing = (
+            standing_cells() if callable(standing_cells) else standing_cells
+        )
+        answers = ivf_batch_topk(
+            batch_df.dropDuplicates([id_col]),
+            cent,
+            standing,
+            tau_k=topk,
+            k=k,
+            dim=dim,
+            nprobe=nprobe,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        if seen is not None:
+            answers = answers.join(
+                seen.select(F.col(seen.columns[0]).alias("qid")),
+                "qid",
+                "left_anti",
+            )
+        sink_fn(answers, batch_id)
+
+    return (
+        query_stream.writeStream.foreachBatch(apply_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+    )

@@ -1342,3 +1342,97 @@ def test_stream_semdedup_gate_matches_batch(spark, sf_dir, tmp_path):
     # exactly-once despite the 30-vector re-crawl and same-batch dups
     ids = [r["id"] for r in got_rows]
     assert len(ids) == len(set(ids))
+
+
+def test_stream_ann_gate_matches_batch(spark, sf_dir, tmp_path):
+    """Stream==batch pair #20: ANN serving. Query vectors replayed
+    across three micro-batches (batch 2 re-submitting 20 of batch 0's
+    queries; batch 1 carrying 10 of its own twice) probe the STANDING
+    IVF cells; the union of emitted (qid, id, score, rnk) answer sets
+    must equal the batch twin ivf_batch_topk over the distinct
+    submitted queries, each qid answered at most once."""
+    import os
+    import time as _t
+
+    from c99_vectordb_spark.operators.kmeans_exact import (
+        ivf_batch_topk,
+        kmeans_exact,
+        quantized_dims,
+        space_dims,
+        standing_semdedup_cells,
+    )
+    from c99_vectordb_spark.streaming.ingest import stream_ann_gate
+
+    K, DIM, TOPK, NPROBE = 8, 64, 5, 3
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    standing_emb = emb.filter(F.col("vec_id") % 3 == 0)
+    queries = emb.filter(F.col("vec_id") % 3 != 0)
+
+    cent, _ = kmeans_exact(
+        space_dims(quantized_dims(standing_emb), DIM), k=K, dsub=DIM, iters=2
+    )
+    standing = standing_semdedup_cells(standing_emb, cent, K, DIM).persist()
+
+    batch_twin = {
+        (r["qid"], r["id"], r["score"], r["rnk"])
+        for r in ivf_batch_topk(
+            queries, cent, standing, tau_k=TOPK, k=K, dim=DIM, nprobe=NPROBE
+        ).collect()
+    }
+    assert batch_twin
+
+    src = os.path.join(str(tmp_path), "src")
+    os.makedirs(src)
+    parts = queries.randomSplit([0.4, 0.35, 0.25], seed=29)
+    parts[2] = parts[2].unionByName(parts[0].limit(20))
+    parts[1] = parts[1].unionByName(parts[1].limit(10))
+    now = _t.time()
+    for i, part in enumerate(parts):
+        d = os.path.join(src, f"b{i}.parquet")
+        part.coalesce(1).write.parquet(d)
+        ts = now - 60 * (len(parts) - i)
+        for root, _dirs, files in os.walk(d):
+            for f in files:
+                os.utime(os.path.join(root, f), (ts, ts))
+        os.utime(d, (ts, ts))
+
+    out_dir = os.path.join(str(tmp_path), "answers")
+    ids_dir = os.path.join(str(tmp_path), "answered_qids")
+
+    def emitted_ids():
+        if os.path.isdir(ids_dir):
+            return spark.read.parquet(ids_dir)
+        return None
+
+    def sink(df, batch_id):
+        df.persist()
+        try:
+            df.write.mode("append").parquet(out_dir)
+            df.select("qid").distinct().write.mode("append").parquet(ids_dir)
+        finally:
+            df.unpersist()
+
+    q = stream_ann_gate(
+        spark.readStream.schema("vec_id LONG, embedding ARRAY<FLOAT>")
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src),
+        cent,
+        standing,
+        emitted_ids,
+        sink,
+        os.path.join(str(tmp_path), "ckpt"),
+        topk=TOPK,
+        k=K,
+        dim=DIM,
+        nprobe=NPROBE,
+    ).start()
+    q.awaitTermination(300)
+    standing.unpersist()
+
+    got_rows = spark.read.parquet(out_dir).collect()
+    got = {(r["qid"], r["id"], r["score"], r["rnk"]) for r in got_rows}
+    assert got == batch_twin
+    # exactly-once per query despite re-submissions
+    pairs = [(r["qid"], r["rnk"]) for r in got_rows]
+    assert len(pairs) == len(set(pairs))
