@@ -550,6 +550,7 @@ def _chained_kmeans(spark, sf_dir):
         _IVF_ITERS,
         _IVF_K,
         _ivf_probe,
+        _ivfpq_from,
         _semdedup_pairs_from,
     )
 
@@ -572,7 +573,15 @@ def _chained_kmeans(spark, sf_dir):
         "overwrite"
     ).save()
     t_semdedup = time.time() - t0
-    return t_ivf, t_semdedup
+
+    # sim_ivfpq's increment: residual-PQ training + ADC search on top
+    # of the coarse model this chain already trained
+    t0 = time.time()
+    _ivfpq_from(spark, dims, cent, codes).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    t_ivfpq = time.time() - t0
+    return t_ivf, t_semdedup, t_ivfpq
 
 
 def _chained_incremental(spark, sf_dir):
@@ -717,7 +726,9 @@ def main() -> None:
     # semdedup the pairing increment)
     try:
         runs = [_chained_kmeans(spark, SF_DIR) for _ in range(2)]
-        for i, name in enumerate(("sim_ivf", "dedup_semdedup_pairs")):
+        for i, name in enumerate(
+            ("sim_ivf", "dedup_semdedup_pairs", "sim_ivfpq")
+        ):
             timings[name] = round(min(r[i] for r in runs), 3)
     except Exception as exc:  # noqa: BLE001 — keep benching the rest
         errors["sim_ivf"] = f"{type(exc).__name__}: {exc}"[:500]

@@ -2763,6 +2763,16 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     cent_c, codes_c = kmeans_exact(
         space_dims(dims, 64), k=_IVF_K, dsub=64, iters=_IVF_ITERS
     )
+    return _ivfpq_from(spark, dims, cent_c, codes_c)
+
+
+def _ivfpq_from(spark, dims, cent_c, codes_c) -> DataFrame:
+    """Residual-PQ training + search given the trained coarse model —
+    split out so bench._chained_kmeans can amortize the coarse fit it
+    already pays for sim_ivf / dedup_semdedup_pairs."""
+    from .operators.kmeans_exact import kmeans_exact, space_dims
+    from .queries_pipeline import _pq_query_quant
+
     ccdf = spark.createDataFrame(
         [(i, sd, v) for (_, i, sd), v in sorted(cent_c.items())],
         "cell long, d long, cval long",

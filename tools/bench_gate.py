@@ -103,7 +103,7 @@ def _confirm_rerun(names: list[str], sf: str) -> dict[str, float]:
             runs = [benchmod._chained_suffix(spark, sf_dir) for _ in range(2)]
             for i, n in enumerate(suffix_family):
                 out[n] = round(min(r[i] for r in runs), 3)
-        kmeans_family = ("sim_ivf", "dedup_semdedup_pairs")
+        kmeans_family = ("sim_ivf", "dedup_semdedup_pairs", "sim_ivfpq")
         if set(kmeans_family) & set(names):
             runs = [benchmod._chained_kmeans(spark, sf_dir) for _ in range(2)]
             for i, n in enumerate(kmeans_family):
