@@ -138,3 +138,135 @@ def test_quantization_matches_kcenter_convention(spark):
     for d, x in enumerate(xs):
         f32 = np.float32(x)
         assert got[d] == math.floor((float(f32) + 1.0) * 127.5 + 0.5)
+
+
+def _py_kmeans_spec(vecs_q, k, dsub, iters):
+    """Pure-Python reference of the kmeans_exact SPEC (independent
+    reimplementation for hypothesis triangulation: python==duckdb here,
+    spark==duckdb in the fixture tests above). vecs_q: list of
+    (id, [int vals]) with len divisible by dsub."""
+    from c99_vectordb_spark.operators.kmeans_exact import B1, B2, P1, P2, _powers
+
+    n_spaces = len(vecs_q[0][1]) // dsub
+    w1, w2 = _powers(B1, P1, dsub), _powers(B2, P2, dsub)
+    cent = {}
+    for j in range(n_spaces):
+        cands = {}
+        for _id, v in vecs_q:
+            sub = v[j * dsub : (j + 1) * dsub]
+            h1 = sum(x * w for x, w in zip(sub, w1)) % P1
+            h2 = sum(x * w for x, w in zip(sub, w2)) % P2
+            key = (h1, h2)
+            if key in cands:
+                cands[key] = [min(a, b) for a, b in zip(cands[key], sub)]
+            else:
+                cands[key] = list(sub)
+        ranked = sorted(cands)
+        n = len(ranked)
+        for i in range(k):
+            rn = ((2 * i + 1) * n) // (2 * k)
+            for sd, cv in enumerate(cands[ranked[rn]]):
+                cent[(j, i, sd)] = cv
+
+    def assign():
+        out = {}
+        for _id, v in vecs_q:
+            for j in range(n_spaces):
+                sub = v[j * dsub : (j + 1) * dsub]
+                best = min(
+                    (
+                        sum(
+                            (sub[sd] - cent[(j, i, sd)]) ** 2
+                            for sd in range(dsub)
+                        ),
+                        i,
+                    )
+                    for i in range(k)
+                )
+                out[(_id, j)] = best[1]
+        return out
+
+    for _ in range(iters):
+        codes = assign()
+        sums: dict = {}
+        for _id, v in vecs_q:
+            for j in range(n_spaces):
+                i = codes[(_id, j)]
+                s, cnt = sums.setdefault(
+                    (j, i), ([0] * dsub, 0)
+                )
+                for sd in range(dsub):
+                    s[sd] += v[j * dsub + sd]
+                sums[(j, i)] = (s, cnt + 1)
+        for (j, i), (s, cnt) in sums.items():
+            for sd in range(dsub):
+                cent[(j, i, sd)] = (2 * s[sd] + cnt) // (2 * cnt)
+    return cent, assign()
+
+
+def test_hypothesis_python_ref_matches_duckdb(tmp_path):
+    """Hypothesis sweep: on random small integer-vector corpora
+    (duplicates and degenerate shapes included), the independent
+    pure-Python spec reference and the DuckDB CTE trainer produce
+    identical centroids and codes. Combined with the Spark==DuckDB
+    fixture tests above, this triangulates all three implementations
+    of the spec."""
+    import duckdb
+    from hypothesis import HealthCheck, given, settings, strategies as st
+
+    from c99_vectordb_spark.operators.kmeans_exact import duckdb_kmeans_cte
+
+    dim, dsub, k, iters = 8, 4, 4, 2
+
+    @settings(
+        max_examples=25,
+        deadline=None,
+        suppress_health_check=[HealthCheck.too_slow],
+    )
+    @given(
+        st.lists(
+            st.lists(
+                st.integers(min_value=0, max_value=255),
+                min_size=dim,
+                max_size=dim,
+            ),
+            min_size=1,
+            max_size=24,
+        )
+    )
+    def check(vec_rows):
+        vecs_q = list(enumerate(vec_rows))
+        py_cent, py_codes = _py_kmeans_spec(vecs_q, k, dsub, iters)
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE qvals (id BIGINT, d BIGINT, val BIGINT)")
+        con.executemany(
+            "INSERT INTO qvals VALUES (?, ?, ?)",
+            [
+                (i, d, v)
+                for i, row in vecs_q
+                for d, v in enumerate(row)
+            ],
+        )
+        cte, cfin, ccodes = duckdb_kmeans_cte(
+            f"SELECT id, d // {dsub} AS j, d % {dsub} AS sd, val FROM qvals",
+            k=k,
+            dsub=dsub,
+            iters=iters,
+        )
+        d_cent = {
+            (j, i, sd): v
+            for j, i, sd, v in con.execute(
+                f"WITH {cte} SELECT j, i, sd, cval FROM {cfin}"
+            ).fetchall()
+        }
+        d_codes = {
+            (i_, j): c
+            for i_, j, c in con.execute(
+                f"WITH {cte} SELECT id, j, code FROM {ccodes}"
+            ).fetchall()
+        }
+        assert d_cent == py_cent
+        assert d_codes == py_codes
+
+    check()
