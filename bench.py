@@ -543,8 +543,8 @@ def _chained_kmeans(spark, sf_dir):
 
     from c99_vectordb_spark.operators.kmeans_exact import (
         kmeans_exact,
-        quantized_dims,
-        space_dims,
+        quantized_arr,
+        space_arrays,
     )
     from c99_vectordb_spark.queries_ext import (
         _IVF_ITERS,
@@ -555,21 +555,21 @@ def _chained_kmeans(spark, sf_dir):
     )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dims = quantized_dims(emb)
+    qarr = quantized_arr(emb)
     t0 = time.time()
-    cent, codes = kmeans_exact(
-        space_dims(dims, 64), k=_IVF_K, dsub=64, iters=_IVF_ITERS
+    cent, _codes = kmeans_exact(
+        None, k=_IVF_K, dsub=64, iters=_IVF_ITERS, arr=space_arrays(qarr, 64)
     )
     t_train = time.time() - t0
 
     t0 = time.time()
-    _ivf_probe(spark, dims, cent, codes).write.format("noop").mode(
+    _ivf_probe(spark, qarr, cent).write.format("noop").mode(
         "overwrite"
     ).save()
     t_ivf = t_train + (time.time() - t0)
 
     t0 = time.time()
-    _semdedup_pairs_from(emb, codes).write.format("noop").mode(
+    _semdedup_pairs_from(emb, cent).write.format("noop").mode(
         "overwrite"
     ).save()
     t_semdedup = time.time() - t0
@@ -577,7 +577,7 @@ def _chained_kmeans(spark, sf_dir):
     # sim_ivfpq's increment: residual-PQ training + ADC search on top
     # of the coarse model this chain already trained
     t0 = time.time()
-    _ivfpq_from(spark, dims, cent, codes).write.format("noop").mode(
+    _ivfpq_from(spark, qarr, cent).write.format("noop").mode(
         "overwrite"
     ).save()
     t_ivfpq = time.time() - t0

@@ -92,17 +92,94 @@ def space_dims(dims: DataFrame, dsub: int) -> DataFrame:
     )
 
 
-def _hash_cols(dsub: int):
-    w1 = F.array(*[F.lit(v) for v in _powers(B1, P1, dsub)])
-    w2 = F.array(*[F.lit(v) for v in _powers(B2, P2, dsub)])
+def _arr_from_dims(sdims: DataFrame) -> DataFrame:
+    """(id, j, sd, val) -> (id, j, vals array<long> ordered by sd).
+    One shuffle; deterministic (array_sort over the unique sd key)."""
     return (
-        (F.sum(F.col("val") * F.element_at(w1, F.col("sd").cast("int") + 1)) % P1).alias("h1"),
-        (F.sum(F.col("val") * F.element_at(w2, F.col("sd").cast("int") + 1)) % P2).alias("h2"),
+        sdims.groupBy("id", "j")
+        .agg(F.array_sort(F.collect_list(F.struct("sd", "val"))).alias("p"))
+        .select("id", "j", F.col("p.val").alias("vals"))
+    )
+
+
+def space_arrays(qarr: DataFrame, dsub: int, dim: int = 64) -> DataFrame:
+    """(id, q array<long>) -> (id, j, vals): the MAP-ONLY twin of
+    ``space_dims(quantized_dims(emb), dsub)`` reshaped to one row per
+    (vector, subspace) — no explode-to-dim-level, no shuffle. Pass the
+    result as ``kmeans_exact``'s ``arr`` so every Lloyd round is one
+    scan + one model-sized aggregation (guide: remove shuffles
+    outright; shuffle fewer bytes)."""
+    if dsub >= dim:
+        return qarr.select(
+            "id", F.lit(0).cast("long").alias("j"), F.col("q").alias("vals")
+        )
+    spaces = F.array(
+        *[
+            F.struct(
+                F.lit(j).cast("long").alias("j"),
+                F.slice("q", j * dsub + 1, dsub).alias("vals"),
+            )
+            for j in range(dim // dsub)
+        ]
+    )
+    return qarr.select("id", F.inline(spaces))
+
+
+def _hash_over(vals_col, base: int, mod: int, dsub: int):
+    """Order-free weighted fold hash over the vals array — the SAME
+    integer sum the dim-exploded groupBy computed (val * base^(n-1-sd),
+    summed, mod), evaluated row-locally."""
+    w = F.array(*[F.lit(v) for v in _powers(base, mod, dsub)])
+    return (
+        F.aggregate(
+            F.zip_with(vals_col, w, lambda v, ww: v * ww),
+            F.lit(0).cast("long"),
+            lambda acc, v: acc + v,
+        )
+        % mod
+    )
+
+
+def _cent_space_rows(cent: dict, dsub: int) -> list[tuple[int, list]]:
+    """{(j,i,sd): v} -> [(j, [(i, [v_0..v_dsub-1]) for each i])] —
+    one row per subspace carrying ALL its centroids, for the
+    broadcast-join + row-local argmin assign."""
+    spaces: dict[int, dict[int, dict[int, int]]] = {}
+    for (j, i, sd), v in cent.items():
+        spaces.setdefault(j, {}).setdefault(i, {})[sd] = v
+    return [
+        (
+            j,
+            [
+                (i, [spaces[j][i][sd] for sd in range(dsub)])
+                for i in sorted(spaces[j])
+            ],
+        )
+        for j in sorted(spaces)
+    ]
+
+
+def _argmin_struct(vals_col, cents_col):
+    """min (dist, i) over the row's candidate centroids — exact integer
+    L2, ties to the smallest index (array_min's struct ordering ==
+    the min(struct(dist, i)) rule of the spec)."""
+    return F.array_min(
+        F.transform(
+            cents_col,
+            lambda c: F.struct(
+                _dist2(vals_col, c["cv"]).alias("dist"),
+                c["i"].alias("i"),
+            ),
+        )
     )
 
 
 def kmeans_exact(
-    sdims: DataFrame, k: int, dsub: int, iters: int
+    sdims: DataFrame | None,
+    k: int,
+    dsub: int,
+    iters: int,
+    arr: DataFrame | None = None,
 ) -> tuple[dict[tuple[int, int, int], int], DataFrame]:
     """Train on (id, j, sd, val); return (centroids, codes).
 
@@ -111,18 +188,40 @@ def kmeans_exact(
     centroids (iteration T+1's assign step), a single broadcast join
     with no dependence on the intermediate rounds' lineage.
 
+    ``arr`` (optional): the corpus as (id, j, vals array) — pass
+    :func:`space_arrays` over the quantized vectors for a MAP-ONLY
+    derivation, making every Lloyd round one scan + one model-sized
+    aggregation with zero corpus shuffles (the r12 optimization: the
+    dim-exploded formulation shuffled the corpus 3x per round). When
+    only ``sdims`` is given it is reshaped once (one shuffle) and
+    checkpointed for the training loop.
+
     Driver collects are model-sized only (k * n_spaces * dsub rows per
     round — the BPE-trainer contract); the corpus never leaves the
-    cluster."""
-    spark = sdims.sparkSession
-    h1c, h2c = _hash_cols(dsub)
-    hashes = sdims.groupBy("id", "j").agg(h1c, h2c)
+    cluster. The spec is unchanged: identical centroids, codes, and
+    DuckDB-twin hashes as the dim-exploded formulation (pinned by
+    tests/test_kmeans_exact.py's pure-Python reference)."""
+    reshaped = None
+    if arr is None:
+        if sdims is None:
+            raise ValueError("kmeans_exact: need sdims or arr")
+        # reshape once, materialize for the whole training loop; the
+        # returned codes get a FRESH lineage so the checkpoint can be
+        # released before returning (no cached-block leak)
+        reshaped = _arr_from_dims(sdims).localCheckpoint(eager=True)
+        arr = reshaped
+    spark = arr.sparkSession
+    h1 = _hash_over(F.col("vals"), B1, P1, dsub).alias("h1")
+    h2 = _hash_over(F.col("vals"), B2, P2, dsub).alias("h2")
+    hashed = arr.select("j", h1, h2, "vals")
     cand = (
-        sdims.join(hashes, ["id", "j"])
+        hashed.select(
+            "j", "h1", "h2", F.posexplode("vals").alias("sd", "val")
+        )
         .groupBy("j", "h1", "h2", "sd")
         .agg(F.min("val").alias("cval"))
     )
-    keys = cand.select("j", "h1", "h2").distinct()
+    keys = hashed.select("j", "h1", "h2").distinct()
     from pyspark.sql import Window
 
     rk = keys.withColumn(
@@ -145,30 +244,21 @@ def kmeans_exact(
 
     def cent_df(c: dict) -> DataFrame:
         return spark.createDataFrame(
-            [(j, i, sd, v) for (j, i, sd), v in sorted(c.items())],
-            "j long, i long, sd long, cval long",
+            _cent_space_rows(c, dsub),
+            "j long, cents array<struct<i: long, cv: array<long>>>",
         )
 
-    def assign(cdf: DataFrame) -> DataFrame:
-        return (
-            sdims.join(F.broadcast(cdf), ["j", "sd"])
-            .select(
-                "id",
-                "j",
-                "i",
-                ((F.col("val") - F.col("cval")) * (F.col("val") - F.col("cval"))).alias("sq"),
-            )
-            .groupBy("id", "j", "i")
-            .agg(F.sum("sq").alias("dist"))
-            .groupBy("id", "j")
-            .agg(F.min(F.struct("dist", "i")).alias("m"))
-            .select("id", "j", F.col("m.i").alias("code"))
-        )
+    def assign(source: DataFrame, cdf: DataFrame) -> DataFrame:
+        a = source.join(F.broadcast(cdf), "j")
+        m = _argmin_struct(F.col("vals"), F.col("cents"))
+        return a.select("id", "j", m["i"].alias("code"))
 
     for _ in range(iters):
+        asg = arr.join(F.broadcast(cent_df(cent)), "j")
+        m = _argmin_struct(F.col("vals"), F.col("cents"))
         upd = (
-            assign(cent_df(cent))
-            .join(sdims, ["id", "j"])
+            asg.select(m["i"].alias("code"), "j", "vals")
+            .select("j", "code", F.posexplode("vals").alias("sd", "val"))
             .groupBy("j", "code", "sd")
             .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
             .select(
@@ -182,7 +272,15 @@ def kmeans_exact(
         # touches clusters that received members)
         for r in upd.collect():
             cent[(int(r["j"]), int(r["i"]), int(r["sd"]))] = int(r["cval"])
-    return cent, assign(cent_df(cent))
+    if reshaped is not None:
+        # final codes re-derive the reshape (one extra shuffle, paid
+        # only on the compat path) so the training checkpoint frees NOW
+        codes = assign(_arr_from_dims(sdims), cent_df(cent))
+        from .suffix import release_local_checkpoint
+
+        release_local_checkpoint(reshaped)
+        return cent, codes
+    return cent, assign(arr, cent_df(cent))
 
 
 def duckdb_kmeans_cte(
@@ -279,21 +377,32 @@ def _dist2(a, b):
     )
 
 
+def assign_cells_expr(q_col, cent: dict, k: int, dim: int):
+    """Nearest-centroid cell id as a PURE ROW-LOCAL EXPRESSION — the
+    single-space model rides as literals, so assignment is map-only
+    (no crossJoin, no groupBy shuffle; whole-stage codegen). Exact
+    integer L2, ties to the smallest index — bit-identical to the
+    kmeans_exact assign rule."""
+    entries = [
+        F.struct(
+            _dist2(
+                q_col, F.array(*[F.lit(int(v)) for v in cv])
+            ).alias("dist"),
+            F.lit(int(i)).cast("long").alias("i"),
+        )
+        for i, cv in _cent_arrays(cent, k, dim)
+    ]
+    return F.array_min(F.array(*entries))["i"]
+
+
 def assign_cells(qdf: DataFrame, cent: dict, k: int, dim: int) -> DataFrame:
     """(id, cell): nearest-centroid assignment under a single-space
-    model (ties -> smallest index, the kmeans_exact rule). The model
-    rides as a k-row broadcast literal — the bounded BNLJ shape the
-    plan guard allowlists for centroid assignment."""
-    spark = qdf.sparkSession
-    cdf = spark.createDataFrame(
-        _cent_arrays(cent, k, dim), "i long, cv array<long>"
-    )
-    return (
-        qdf.crossJoin(F.broadcast(cdf))
-        .select("id", "i", _dist2(F.col("q"), F.col("cv")).alias("dist"))
-        .groupBy("id")
-        .agg(F.min(F.struct("dist", "i")).alias("m"))
-        .select("id", F.col("m.i").alias("cell"))
+    model (ties -> smallest index, the kmeans_exact rule). r12: the
+    model is now a literal inside one map-only projection — the old
+    k-row broadcast crossJoin + argmin groupBy paid a full shuffle of
+    k rows per vector for what is a row-local computation."""
+    return qdf.select(
+        "id", assign_cells_expr(F.col("q"), cent, k, dim).alias("cell")
     )
 
 
@@ -309,7 +418,9 @@ def standing_semdedup_cells(
     batch's near-dup probe equi-joins against. At cluster scale this is
     written bucketed by cell."""
     q = quantized_arr(emb, id_col, vec_col)
-    return assign_cells(q, cent, k, dim).join(q, "id")
+    return q.select(
+        "id", assign_cells_expr(F.col("q"), cent, k, dim).alias("cell"), "q"
+    )
 
 
 def semdedup_batch_verdicts(
@@ -331,7 +442,9 @@ def semdedup_batch_verdicts(
     not its own duplicate). The probe is a cell equi-join — n/k
     candidates per doc, never a global all-pairs."""
     q = quantized_arr(batch_emb, id_col, vec_col)
-    asg = assign_cells(q, cent, k, dim).join(q, "id")
+    asg = q.select(
+        "id", assign_cells_expr(F.col("q"), cent, k, dim).alias("cell"), "q"
+    )
     st = standing_cells.select(
         F.col("id").alias("sid"), "cell", F.col("q").alias("sq")
     )
@@ -367,24 +480,31 @@ def ivf_batch_topk(
     self excluded, ties by id. Output (qid, id, score, rnk)."""
     from pyspark.sql import Window
 
-    spark = queries.sparkSession
     qd = quantized_arr(queries, id_col, vec_col).select(
         F.col("id").alias("qid"), "q"
     )
-    cdf = spark.createDataFrame(
-        _cent_arrays(cent, k, dim), "i long, cv array<long>"
+    # nprobe nearest cells row-locally: sort the k (cdist, i) literal-
+    # centroid entries and slice — array_sort's struct order == the
+    # (cdist, i) row_number order, so the probe set is identical to the
+    # old crossJoin+window form with zero shuffles (r12)
+    entries = F.array(
+        *[
+            F.struct(
+                _dist2(
+                    F.col("q"), F.array(*[F.lit(int(v)) for v in cv])
+                ).alias("cdist"),
+                F.lit(int(i)).cast("long").alias("i"),
+            )
+            for i, cv in _cent_arrays(cent, k, dim)
+        ]
     )
-    probed = (
-        qd.crossJoin(F.broadcast(cdf))
-        .select("qid", "i", _dist2(F.col("q"), F.col("cv")).alias("cdist"))
-        .withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy("cdist", "i")
-            ),
-        )
-        .filter(F.col("rnk") <= nprobe)
-        .select("qid", F.col("i").alias("cell"))
+    probed = qd.select(
+        "qid",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(entries), 1, nprobe), lambda s: s["i"]
+            )
+        ).alias("cell"),
     )
     st = standing_cells.select(
         F.col("id").alias("sid"), "cell", F.col("q").alias("sq")

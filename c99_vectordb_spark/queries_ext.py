@@ -320,32 +320,37 @@ def q_dedup_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     exact = staged_jaccard_pairs(
         docs, id_col="doc_id", body_col="text", threshold=JACCARD_THRESHOLD
-    ).select("id_a", "id_b")
+    ).select("id_a", "id_b", F.lit(1).alias("in_e"))
     cand = minhash_lsh_pairs(docs, id_col="doc_id", body_col="text").select(
-        "id_a", "id_b"
+        "id_a", "id_b", F.lit(1).alias("in_c")
     )
-    n_exact = exact.agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
-    n_cand = cand.agg(F.count(F.lit(1)).cast("long").alias("n_candidates"))
-    n_hit = (
-        exact.join(cand, ["id_a", "id_b"])
-        .agg(F.count(F.lit(1)).cast("long").alias("n_hits"))
-    )
-    return (
-        n_exact.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_hit))
-        .select(
-            "n_exact",
-            "n_candidates",
-            "n_hits",
-            F.expr(
-                "CASE WHEN n_exact > 0 THEN (1000000 * n_hits) div n_exact "
-                "ELSE 0 END"
-            ).alias("recall_ppm"),
-            F.expr(
-                "CASE WHEN n_candidates > 0 THEN (1000000 * n_hits) div n_candidates "
-                "ELSE 0 END"
-            ).alias("precision_ppm"),
-        )
+    # ONE full-outer join + one aggregate: plans are trees, so the old
+    # three-branch form (n_exact / n_candidates / n_hits as separate
+    # aggregates crossJoined together) re-computed the whole staged-
+    # Jaccard AND banded-MinHash subtrees per branch — 203 Exchange
+    # nodes in the r12 before-plan, halved here (each pair operator
+    # runs exactly once; both sides are distinct pair sets, so the
+    # counts are unchanged — guide §1.2 step 1: don't compute things
+    # twice)
+    j = exact.join(cand, ["id_a", "id_b"], "full_outer")
+    return j.agg(
+        F.count("in_e").cast("long").alias("n_exact"),
+        F.count("in_c").cast("long").alias("n_candidates"),
+        F.count(F.when(F.col("in_e").isNotNull() & F.col("in_c").isNotNull(), 1))
+        .cast("long")
+        .alias("n_hits"),
+    ).select(
+        "n_exact",
+        "n_candidates",
+        "n_hits",
+        F.expr(
+            "CASE WHEN n_exact > 0 THEN (1000000 * n_hits) div n_exact "
+            "ELSE 0 END"
+        ).alias("recall_ppm"),
+        F.expr(
+            "CASE WHEN n_candidates > 0 THEN (1000000 * n_hits) div n_candidates "
+            "ELSE 0 END"
+        ).alias("precision_ppm"),
     )
 
 
@@ -2663,65 +2668,74 @@ def q_sim_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     float path stays in operators/ivf.py for production; probe
     recall vs exact and batch==loop parity remain in tests/test_ivf.py.
     Scale: posting lists are the cell equi-join (cluster-pruned scan —
-    the IVF point); the model is a 512-int broadcast."""
-    from .operators.kmeans_exact import kmeans_exact, quantized_dims, space_dims
+    the IVF point); the model is a 512-int broadcast. r12: training
+    runs on the map-only array form (space_arrays — every Lloyd round
+    is one scan + one model-sized aggregation, zero corpus shuffles)
+    and the probe scores on whole arrays instead of the 64x
+    dim-exploded join; every integer sum is unchanged, so the oracle
+    hash is identical."""
+    from .operators.kmeans_exact import (
+        kmeans_exact,
+        quantized_arr,
+        space_arrays,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dims = quantized_dims(emb)
-    cent, codes = kmeans_exact(
-        space_dims(dims, 64), k=_IVF_K, dsub=64, iters=_IVF_ITERS
+    qarr = quantized_arr(emb)
+    cent, _codes = kmeans_exact(
+        None, k=_IVF_K, dsub=64, iters=_IVF_ITERS, arr=space_arrays(qarr, 64)
     )
-    return _ivf_probe(spark, dims, cent, codes)
+    return _ivf_probe(spark, qarr, cent)
 
 
-def _ivf_probe(spark, dims, cent, codes) -> DataFrame:
+def _ivf_probe(spark, qarr, cent) -> DataFrame:
     """The probe half of q_sim_ivf given a trained model — split out so
     the bench can amortize the shared k=8 training across the sim_ivf /
-    dedup_semdedup_pairs chain (bench._chained_kmeans)."""
-    cdf = spark.createDataFrame(
-        [(i, sd, v) for (_, i, sd), v in sorted(cent.items())],
-        "i long, d long, cval long",
-    )
-    qdims = dims.filter(F.col("id") < 3).select(
-        F.col("id").alias("qid"), "d", F.col("val").alias("qval")
-    )
-    qcell = (
-        qdims.join(F.broadcast(cdf), "d")
-        .select(
-            "qid",
-            "i",
-            ((F.col("qval") - F.col("cval")) * (F.col("qval") - F.col("cval"))).alias("sq"),
-        )
-        .groupBy("qid", "i")
-        .agg(F.sum("sq").alias("cdist"))
-    )
+    dedup_semdedup_pairs chain (bench._chained_kmeans). ``qarr`` is the
+    quantized-array corpus (id, q); cells are assigned row-locally from
+    the literal model (bit-identical argmin), candidates come from the
+    probed-cell equi-join, and scores are exact integer L2 on the
+    arrays."""
     from pyspark.sql import Window
 
-    probed = (
-        qcell.withColumn(
-            "rnk",
-            F.row_number().over(
-                Window.partitionBy("qid").orderBy("cdist", "i")
-            ),
-        )
-        .filter(F.col("rnk") <= _IVF_NPROBE)
-        .select("qid", "i")
+    from .operators.kmeans_exact import _cent_arrays, _dist2, assign_cells_expr
+
+    cell_expr = assign_cells_expr(F.col("q"), cent, _IVF_K, 64)
+    qd = qarr.filter(F.col("id") < 3).select(
+        F.col("id").alias("qid"), F.col("q").alias("qv")
     )
-    cands = (
-        probed.join(codes.select("id", F.col("code").alias("i")), "i")
-        .filter(F.col("id") != F.col("qid"))
-        .select("qid", "id")
+    # nprobe nearest cells per query, row-locally (sorted literal
+    # entries == the (cdist, i) row_number order of the old window)
+    entries = F.array(
+        *[
+            F.struct(
+                _dist2(
+                    F.col("qv"), F.array(*[F.lit(int(v)) for v in cv])
+                ).alias("cdist"),
+                F.lit(int(i)).cast("long").alias("i"),
+            )
+            for i, cv in _cent_arrays(cent, _IVF_K, 64)
+        ]
     )
+    probed = qd.select(
+        "qid",
+        "qv",
+        F.explode(
+            F.transform(
+                F.slice(F.array_sort(entries), 1, _IVF_NPROBE),
+                lambda s: s["i"],
+            )
+        ).alias("cell"),
+    )
+    cells = qarr.select("id", cell_expr.alias("cell"), "q")
     scored = (
-        cands.join(dims, "id")
-        .join(qdims, ["qid", "d"])
+        probed.join(cells, "cell")
+        .filter(F.col("id") != F.col("qid"))
         .select(
             "qid",
             "id",
-            ((F.col("val") - F.col("qval")) * (F.col("val") - F.col("qval"))).alias("sq"),
+            _dist2(F.col("q"), F.col("qv")).alias("score"),
         )
-        .groupBy("qid", "id")
-        .agg(F.sum("sq").alias("score"))
     )
     return (
         scored.withColumn(
@@ -2754,40 +2768,60 @@ def q_sim_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-matches bit-for-bit — strictly beyond sim_ivfpq_fixed, whose
     codebooks are pinned constants. Scale: both models are <=1 KB
     broadcasts; the scan touches 8 residual codes per vector, cell-
-    pruned by the coarse probe (the IVF-PQ point)."""
-    from .operators.kmeans_exact import kmeans_exact, quantized_dims, space_dims
-    from .queries_pipeline import _pq_query_quant
+    pruned by the coarse probe (the IVF-PQ point). r12: both trainings
+    run on the map-only array form and the residual derivation is one
+    projection (literal centroid lookup + zip_with) instead of a
+    dim-exploded three-way join; every integer is unchanged, so the
+    retraining oracle hash is identical."""
+    from .operators.kmeans_exact import (
+        kmeans_exact,
+        quantized_arr,
+        space_arrays,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dims = quantized_dims(emb)
-    cent_c, codes_c = kmeans_exact(
-        space_dims(dims, 64), k=_IVF_K, dsub=64, iters=_IVF_ITERS
+    qarr = quantized_arr(emb)
+    cent_c, _codes_c = kmeans_exact(
+        None, k=_IVF_K, dsub=64, iters=_IVF_ITERS, arr=space_arrays(qarr, 64)
     )
-    return _ivfpq_from(spark, dims, cent_c, codes_c)
+    return _ivfpq_from(spark, qarr, cent_c)
 
 
-def _ivfpq_from(spark, dims, cent_c, codes_c) -> DataFrame:
+def _ivfpq_from(spark, qarr, cent_c) -> DataFrame:
     """Residual-PQ training + search given the trained coarse model —
     split out so bench._chained_kmeans can amortize the coarse fit it
-    already pays for sim_ivf / dedup_semdedup_pairs."""
-    from .operators.kmeans_exact import kmeans_exact, space_dims
+    already pays for sim_ivf / dedup_semdedup_pairs. ``qarr`` is the
+    quantized-array corpus; cell assignment and the residual vectors
+    are row-local expressions over the literal coarse model."""
+    from .operators.kmeans_exact import (
+        _cent_arrays,
+        _dist2,
+        assign_cells_expr,
+        kmeans_exact,
+        space_arrays,
+    )
     from .queries_pipeline import _pq_query_quant
 
-    ccdf = spark.createDataFrame(
-        [(i, sd, v) for (_, i, sd), v in sorted(cent_c.items())],
-        "cell long, d long, cval long",
+    cell_expr = assign_cells_expr(F.col("q"), cent_c, _IVF_K, 64)
+    # residual vector row-locally: look the assigned cell's centroid
+    # array up in a literal matrix, subtract elementwise (+256 offset)
+    cmat = F.array(
+        *[
+            F.array(*[F.lit(int(v)) for v in cv])
+            for _i, cv in _cent_arrays(cent_c, _IVF_K, 64)
+        ]
     )
-    cells = codes_c.select("id", F.col("code").alias("cell"))
-    rdims = (
-        dims.join(cells, "id")
-        .join(F.broadcast(ccdf), ["cell", "d"])
-        .select(
-            "id", "d", (F.col("val") - F.col("cval") + F.lit(256)).alias("val")
-        )
+    rq = F.zip_with(
+        F.col("q"),
+        F.element_at(cmat, F.col("cell").cast("int") + 1),
+        lambda x, c: x - c + F.lit(256),
     )
+    cellq = qarr.select("id", cell_expr.alias("cell"), "q")
+    rarr = cellq.select("id", rq.alias("q"))
     cent_r, codes_r = kmeans_exact(
-        space_dims(rdims, 8), k=16, dsub=8, iters=_IVF_ITERS
+        None, k=16, dsub=8, iters=_IVF_ITERS, arr=space_arrays(rarr, 8)
     )
+    cells = cellq.select("id", "cell")
     qq = _pq_query_quant()
     cdist = sorted(
         (
@@ -2816,16 +2850,9 @@ def _ivfpq_from(spark, dims, cent_c, codes_c) -> DataFrame:
         .agg(F.sum("lv").alias("adc_score"))
     )
     short = adc.orderBy("adc_score", "id").limit(40)
-    qdf = spark.createDataFrame(list(enumerate(qq)), "d long, qval long")
-    exact = (
-        short.join(dims, "id")
-        .join(F.broadcast(qdf), "d")
-        .groupBy("id", "cell", "adc_score")
-        .agg(
-            F.sum(
-                (F.col("val") - F.col("qval")) * (F.col("val") - F.col("qval"))
-            ).alias("exact_dist")
-        )
+    qlit = F.array(*[F.lit(int(v)) for v in qq])
+    exact = short.join(qarr, "id").select(
+        "id", "cell", "adc_score", _dist2(F.col("q"), qlit).alias("exact_dist")
     )
     return exact.orderBy("exact_dist", "id").limit(10).select(
         F.col("id").alias("vec_id"), "cell", "adc_score", "exact_dist"
@@ -2905,31 +2932,32 @@ def q_dedup_semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     This is the published trick's exact shape at 100 TB: candidate
     pairs are n^2/k per cell instead of n^2 global (scale k with the
     corpus), the model is a 512-int broadcast, and the pair join is a
-    cell equi-join — no global all-pairs stage exists in the plan."""
-    from .operators.kmeans_exact import kmeans_exact, quantized_dims, space_dims
+    cell equi-join — no global all-pairs stage exists in the plan.
+    r12: training runs on the map-only array form and the pairing half
+    takes the MODEL (not the codes frame) so cell assignment is one
+    row-local literal-argmin projection — no assignment join, and the
+    old session-lifetime ``cells.persist()`` (r11 advice #1) is gone
+    because recomputing the map-only cells subtree is cheaper than the
+    materialization barrier it paid for."""
+    from .operators.kmeans_exact import kmeans_exact, quantized_arr, space_arrays
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    _, codes = kmeans_exact(
-        space_dims(quantized_dims(emb), 64),
+    cent, _codes = kmeans_exact(
+        None,
         k=_IVF_K,
         dsub=64,
         iters=_IVF_ITERS,
+        arr=space_arrays(quantized_arr(emb), 64),
     )
-    return _semdedup_pairs_from(emb, codes)
+    return _semdedup_pairs_from(emb, cent)
 
 
-def _semdedup_pairs_from(emb: DataFrame, codes: DataFrame) -> DataFrame:
+def _semdedup_pairs_from(emb: DataFrame, cent: dict) -> DataFrame:
     """The pairing half of q_dedup_semdedup_pairs given the trained
-    cell assignment — split out for bench._chained_kmeans."""
-    qv = emb.select(
-        F.col("vec_id").alias("id"),
-        F.transform(
-            "embedding",
-            lambda x: F.floor((x.cast("double") + F.lit(1.0)) * 127.5 + 0.5).cast(
-                "long"
-            ),
-        ).alias("q"),
-    )
+    model — split out for bench._chained_kmeans."""
+    from .operators.kmeans_exact import assign_cells_expr, quantized_arr
+
+    qv = quantized_arr(emb, "vec_id", "embedding")
     # Scalar block-sum prefilter: for each 8-dim block j, Cauchy-
     # Schwarz gives (sum_block(a-b))^2 <= 8 * block_dist2, so summing
     # over blocks: sum_j dS_j^2 <= 8 * dist2 — a NECESSARY condition
@@ -2949,11 +2977,11 @@ def _semdedup_pairs_from(emb: DataFrame, codes: DataFrame) -> DataFrame:
         ).alias(f"s{j}")
         for j in range(8)
     ]
-    cells = (
-        codes.select("id", F.col("code").alias("cell"))
-        .join(qv, "id")
-        .select("id", "cell", "q", *blocks)
-        .persist()
+    cells = qv.select(
+        "id",
+        assign_cells_expr(F.col("q"), cent, _IVF_K, 64).alias("cell"),
+        "q",
+        *blocks,
     )
     # candidate stage carries ONLY ids + the 8 block sums (~100 B/row);
     # the 64-long arrays (~1 KB/row) rejoin for the ~2% survivors. The
@@ -2961,11 +2989,19 @@ def _semdedup_pairs_from(emb: DataFrame, codes: DataFrame) -> DataFrame:
     # join — 25 GB through the 8 cell-join tasks at sf1 (~250 s); the
     # staged shape is the same candidates->verify discipline as the
     # rest of the dedup family.
+    # the probe side is map-only off a small parquet scan, so without
+    # an explicit spread the whole n^2/k pair enumeration (and the
+    # dist2 re-rank below) would run in the scan's task count (1 at
+    # bench scale). Hash-spread the ~100 B/row candidate side across
+    # the cluster BEFORE the join — cells are broadcast, so pairs of
+    # ONE hot cell also spread over every task (the SemDeDup hot-cell
+    # failure mode): compute parallelism is bounded by rows, not cells.
+    par = emb.sparkSession.sparkContext.defaultParallelism
     a = cells.select(
         "cell",
         F.col("id").alias("id_a"),
         *[F.col(f"s{j}").alias(f"sa{j}") for j in range(8)],
-    )
+    ).repartition(par, F.col("id_a"))
     b = cells.select(
         "cell",
         F.col("id").alias("id_b"),

@@ -647,11 +647,18 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     specification. Scale: the model is a 1024-int broadcast; each
     Lloyd round is one scan + model-sized collect (the BPE-trainer
     contract); encode and ADC are map-only joins."""
-    from .operators.kmeans_exact import kmeans_exact, quantized_dims, space_dims
+    from .operators.kmeans_exact import (
+        _dist2,
+        kmeans_exact,
+        quantized_arr,
+        space_arrays,
+    )
 
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
-    dims = quantized_dims(emb)
-    cent, codes = kmeans_exact(space_dims(dims, 8), k=16, dsub=8, iters=_PQ_ITERS)
+    qarr = quantized_arr(emb)
+    cent, codes = kmeans_exact(
+        None, k=16, dsub=8, iters=_PQ_ITERS, arr=space_arrays(qarr, 8)
+    )
     qq = _pq_query_quant()
     lut = [
         (j, i, sum((qq[8 * j + sd] - cent[(j, i, sd)]) ** 2 for sd in range(8)))
@@ -665,16 +672,9 @@ def q_sim_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum("lv").alias("adc_score"))
     )
     short = adc.orderBy("adc_score", "id").limit(40)
-    qdf = spark.createDataFrame(list(enumerate(qq)), "d long, qval long")
-    exact = (
-        short.join(dims, "id")
-        .join(F.broadcast(qdf), "d")
-        .groupBy("id", "adc_score")
-        .agg(
-            F.sum(
-                (F.col("val") - F.col("qval")) * (F.col("val") - F.col("qval"))
-            ).alias("exact_dist")
-        )
+    qlit = F.array(*[F.lit(int(v)) for v in qq])
+    exact = short.join(qarr, "id").select(
+        "id", "adc_score", _dist2(F.col("q"), qlit).alias("exact_dist")
     )
     return exact.orderBy("exact_dist", "id").limit(10).select(
         F.col("id").alias("vec_id"), "adc_score", "exact_dist"
