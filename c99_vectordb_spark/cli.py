@@ -375,6 +375,9 @@ def cmd_save(spark, base, save_path, verbose) -> int:
     records, rc = _load_records_or_error(spark, yaml_path)
     if rc:
         return rc
+    # parse the YAML once across the verb's four actions (validate,
+    # max-id, dump, embed) instead of once per action
+    records = records.cache()
     bad_ids = set(M.validate_overwrites(records, batch))
     max_id = records.agg(F.coalesce(F.max("id"), F.lit(-1))).collect()[0][0]
     # echo in apply order (memo_cli.py:420-440): the reference prints a
@@ -382,20 +385,27 @@ def cmd_save(spark, base, save_path, verbose) -> int:
     # overwrite in batch order — earlier echoes already emitted, but
     # nothing is written to disk (files are saved after the loop)
     next_id = max_id + 1
-    for rid, body, *_ in rows:
-        if rid is None:
-            print(fmt.memorized(body, next_id))
-            next_id += 1
-        elif rid in bad_ids:
-            print(f"Error: override id {rid} does not exist", file=sys.stderr)
-            return 1
-        else:
-            print(fmt.memorized(body, rid))
-    merged = M.upsert(records, batch)
-    _log(verbose, f"save: {len(rows)} entries applied onto max_id={max_id}")
-    yaml_io.save_records_yaml(merged.orderBy("id"), yaml_path)
-    _write_embeddings(merged, emb_path, yaml_path)
-    return 0
+    try:
+        for rid, body, *_ in rows:
+            if rid is None:
+                print(fmt.memorized(body, next_id))
+                next_id += 1
+            elif rid in bad_ids:
+                print(
+                    f"Error: override id {rid} does not exist",
+                    file=sys.stderr,
+                )
+                return 1
+            else:
+                print(fmt.memorized(body, rid))
+        merged = M.upsert(records, batch).cache()
+        _log(verbose, f"save: {len(rows)} entries applied onto max_id={max_id}")
+        yaml_io.save_records_yaml(merged.orderBy("id"), yaml_path)
+        _write_embeddings(merged, emb_path, yaml_path)
+        merged.unpersist()
+        return 0
+    finally:
+        records.unpersist()
 
 
 def _write_embeddings(records, emb_path: str, yaml_path: str | None = None) -> None:
@@ -421,11 +431,18 @@ def cmd_reindex(spark, base, verbose) -> int:
     records, rc = _load_records_or_error(spark, yaml_path)
     if rc:
         return rc
-    n_before = records.count()
-    compacted = M.compact(records).cache()
-    n_after = compacted.count()
+    # parse the YAML once: without the cache every downstream action
+    # (count, compact, dump, embed) re-runs the distributed parse job
+    records = records.cache()
+    try:
+        n_before = records.count()
+        compacted = M.compact(records).cache()
+        n_after = compacted.count()
+    finally:
+        records.unpersist()
     yaml_io.save_records_yaml(compacted.orderBy("id"), yaml_path)
     _write_embeddings(compacted, emb_path, yaml_path)
+    compacted.unpersist()
     print(f"Rebuilt index from {os.path.basename(yaml_path)}")
     print(f"Wrote index: {os.path.basename(emb_path)}")
     if n_before - n_after > 0:

@@ -1158,7 +1158,7 @@ def cosine_top_pairs(
     # core — the baseline stays quadratic by contract, but honestly so)
     a = emb.select(
         F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"), norm(F.col(vec_col)).alias("na")
-    ).repartition(F.col("id_a"))
+    ).repartition(emb.sparkSession.sparkContext.defaultParallelism, F.col("id_a"))
     b = emb.select(
         F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"), norm(F.col(vec_col)).alias("nb")
     )
@@ -1224,7 +1224,7 @@ def cosine_top_pairs_staged(
         F.col("vec").alias("va"),
         _norm(F.col("vec")).alias("na"),
         F.col("kdup").alias("ka"),
-    ).repartition(F.col("ra"))
+    ).repartition(uniq.sparkSession.sparkContext.defaultParallelism, F.col("ra"))
     b = uniq.select(
         F.col("id").alias("rb"),
         F.col("vec").alias("vb"),
