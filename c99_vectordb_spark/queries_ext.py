@@ -2824,7 +2824,8 @@ def _ivfpq_from(spark, qarr, cent_c) -> DataFrame:
     cellq = qarr.select("id", cell_expr.alias("cell"), "q")
     rarr = cellq.select("id", rq.alias("q"))
     cent_r, codes_r = kmeans_exact(
-        None, k=16, dsub=8, iters=_IVF_ITERS, arr=space_arrays(rarr, 8)
+        None, k=16, dsub=8, iters=_IVF_ITERS, arr=space_arrays(rarr, 8),
+        checkpoint_input=True,
     )
     cells = cellq.select("id", "cell")
     qq = _pq_query_quant()
