@@ -40,17 +40,23 @@ def _rotation_pool():
 
 
 def _completed_artifacts(window: set[str]) -> list[str]:
-    """CORRECTNESS_r*.json paths minus the CURRENT round's own gate
-    output. The current round's artifact by construction covers (almost)
-    the whole current window, while any prior round's file covers the
-    PREVIOUS window — so exclude the max-numbered file only when it
-    names >= 80% of the current window (round-5/6 verdict refinements)."""
+    """CORRECTNESS_r*.json paths minus every TRAILING artifact that
+    covers the CURRENT window. The current round's artifact by
+    construction covers (almost) the whole current window, while a
+    build round's prior file covers the PREVIOUS window — but during
+    the OPTIMIZATION phase (round 12+) the window is frozen (rotating
+    it would change the declared-query prefix mid-optimization), so
+    several consecutive max-numbered artifacts can all cover the same
+    frozen window. Strip from the end while the overlap is >= 80%
+    (round-5/6 verdict refinements; generalized for the freeze)."""
     paths = sorted(glob.glob(os.path.join(REPO, "CORRECTNESS_r*.json")))
-    if paths:
+    while paths:
         with open(paths[-1]) as f:
             names = set(json.load(f))
         if len(names & window) >= 0.8 * len(window):
             paths = paths[:-1]
+        else:
+            break
     return paths
 
 
