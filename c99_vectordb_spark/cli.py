@@ -378,14 +378,20 @@ def cmd_save(spark, base, save_path, verbose) -> int:
     # parse the YAML once across the verb's four actions (validate,
     # max-id, dump, embed) instead of once per action
     records = records.cache()
-    bad_ids = set(M.validate_overwrites(records, batch))
-    max_id = records.agg(F.coalesce(F.max("id"), F.lit(-1))).collect()[0][0]
-    # echo in apply order (memo_cli.py:420-440): the reference prints a
-    # Memorized line per entry AS IT GOES and errors on the FIRST bad
-    # overwrite in batch order — earlier echoes already emitted, but
-    # nothing is written to disk (files are saved after the loop)
-    next_id = max_id + 1
+    # the try starts BEFORE the first action on the cached frame, so a
+    # failure in validate_overwrites / the max-id collect cannot leak
+    # the cached blocks (r12 advice #1)
     try:
+        bad_ids = set(M.validate_overwrites(records, batch))
+        max_id = (
+            records.agg(F.coalesce(F.max("id"), F.lit(-1))).collect()[0][0]
+        )
+        # echo in apply order (memo_cli.py:420-440): the reference
+        # prints a Memorized line per entry AS IT GOES and errors on
+        # the FIRST bad overwrite in batch order — earlier echoes
+        # already emitted, but nothing is written to disk (files are
+        # saved after the loop)
+        next_id = max_id + 1
         for rid, body, *_ in rows:
             if rid is None:
                 print(fmt.memorized(body, next_id))
@@ -399,10 +405,15 @@ def cmd_save(spark, base, save_path, verbose) -> int:
             else:
                 print(fmt.memorized(body, rid))
         merged = M.upsert(records, batch).cache()
-        _log(verbose, f"save: {len(rows)} entries applied onto max_id={max_id}")
-        yaml_io.save_records_yaml(merged.orderBy("id"), yaml_path)
-        _write_embeddings(merged, emb_path, yaml_path)
-        merged.unpersist()
+        try:
+            _log(
+                verbose,
+                f"save: {len(rows)} entries applied onto max_id={max_id}",
+            )
+            yaml_io.save_records_yaml(merged.orderBy("id"), yaml_path)
+            _write_embeddings(merged, emb_path, yaml_path)
+        finally:
+            merged.unpersist()
         return 0
     finally:
         records.unpersist()
@@ -440,9 +451,12 @@ def cmd_reindex(spark, base, verbose) -> int:
         n_after = compacted.count()
     finally:
         records.unpersist()
-    yaml_io.save_records_yaml(compacted.orderBy("id"), yaml_path)
-    _write_embeddings(compacted, emb_path, yaml_path)
-    compacted.unpersist()
+    try:
+        yaml_io.save_records_yaml(compacted.orderBy("id"), yaml_path)
+        _write_embeddings(compacted, emb_path, yaml_path)
+    finally:
+        # a failed write must not leak the cached blocks (r12 advice #2)
+        compacted.unpersist()
     print(f"Rebuilt index from {os.path.basename(yaml_path)}")
     print(f"Wrote index: {os.path.basename(emb_path)}")
     if n_before - n_after > 0:

@@ -86,12 +86,16 @@ def test_spread_is_explicit_count_not_coalescible(spark, embeddings):
     spread = S._spread(emb, "id")
     n = spark.sparkContext.defaultParallelism
     assert spread.rdd.getNumPartitions() == n
-    plan = spread._jdf.queryExecution().optimizedPlan().toString()
-    # an explicit count prints as "RepartitionByExpression [key], n";
-    # the coalescible keyed form prints WITHOUT the trailing count
-    import re
-
-    assert re.search(rf"RepartitionByExpression \[[^\]]*\], {n}\b", plan), plan
+    # an explicit-count repartition plans its Exchange with the
+    # REPARTITION_BY_NUM shuffle origin (stable public marker since
+    # Spark 3.2 — AQE never coalesces that origin), while the keyed
+    # coalescible form plans REPARTITION_BY_COL (r12 advice #5: assert
+    # on the physical-plan marker, not the optimizedPlan toString)
+    plan = spread._sc._jvm.PythonSQLUtils.explainString(
+        spread._jdf.queryExecution(), "formatted"
+    )
+    assert "REPARTITION_BY_NUM" in plan, plan
+    assert "REPARTITION_BY_COL" not in plan, plan
 
 
 def test_minhash_spread_preserves_pairs(spark, documents):
